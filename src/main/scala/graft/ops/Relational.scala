@@ -1,0 +1,433 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Core relational operator inventory (SURVEY.md §2) expressed over the
+  * TPC-H-ish fixtures, each paired with a DuckDB oracle.
+  *
+  * Oracle-parity conventions (both the Spark side here and the SQL in
+  * [[Relational.oracles]] follow them):
+  *   - Aggregated money/quantity sums go through exact `DecimalType`
+  *     arithmetic and are cast to double only at the very end. Decimal
+  *     addition is order-independent, so the result is bit-identical no
+  *     matter how partitions are scheduled — raw double sums are NOT
+  *     (floating-point addition does not associate), and would
+  *     hash-mismatch between Spark, DuckDB, and between two Spark runs.
+  *   - Averages are computed as `cast(sum(decimal) as double) / count`
+  *     so both engines perform the identical single IEEE division.
+  *   - Timestamps are emitted as `yyyy-MM-dd` strings (parquet
+  *     timestamp annotation differences between the two writers would
+  *     otherwise leak into the hash).
+  *   - Ranked/top-k outputs always carry a deterministic total order
+  *     (explicit tie-break keys).
+  *
+  * Scale notes are per-query in the Scaladoc: the fixtures are small but
+  * every plan is written for the 1000-executor case — joins that are
+  * broadcast-able are hinted, scalar subqueries avoid `collect`, no
+  * driver-side loops.
+  */
+object Relational {
+
+  /** Exact decimal for money columns (max TPC-H price ~4e5 → 12,2 is ample at 100 TB sums via Spark's sum widening). */
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+  /** Exact decimal for discount/tax fractions in [0,1]. */
+  private def frac(c: Column): Column = c.cast("decimal(3,2)")
+  /** Per-row net price: exact decimal l_extendedprice*(1-l_discount). */
+  private def netPrice(price: Column, disc: Column): Column =
+    dec(price) * (lit(1).cast("decimal(3,2)") - frac(disc))
+
+  // ---------------------------------------------------------------- queries
+
+  /** TPC-H Q1-style pricing summary: filter → hash-agg (A2, P2).
+    * Scale: partial aggregation map-side; 6 groups → tiny shuffle. */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+        sum(dec($"l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(netPrice($"l_extendedprice", $"l_discount")).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", $"sum_qty" / $"count_order")
+      .withColumn("avg_price", $"sum_base_price" / $"count_order")
+  }
+
+  /** Predicate + projection pushdown showcase (P1–P3, F1-per-row).
+    * Scale: no shuffle at all; filters and the 5-column read schema reach
+    * the parquet scan. Per-row double arithmetic is deterministic. */
+  def q02FilterProject(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter(
+        $"l_shipdate".between(lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp")) &&
+        $"l_discount" > 0.05 && $"l_returnflag".isin("A", "R"))
+      .select(
+        $"l_orderkey", $"l_linenumber", $"l_quantity",
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("net_price"),
+        $"l_returnflag")
+  }
+
+  /** TPC-H Q3-style 3-way join + agg + deterministic top-k (J1, A2, O5).
+    * Scale: customer (filtered) is broadcast; orders⋈lineitem shuffles on
+    * orderkey; top-k via TakeOrderedAndProject (no global sort). */
+  def q03JoinTopRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
+    val li = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" > lit("1996-06-30").cast("timestamp"))
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(sum(netPrice($"l_extendedprice", $"l_discount")).cast("double").as("revenue"))
+      .select(
+        $"l_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"),
+        $"o_orderpriority", $"revenue")
+      .orderBy($"revenue".desc, $"l_orderkey".asc)
+      .limit(10)
+  }
+
+  /** Left outer equi-join + null-tolerant agg (J1, P10, A2).
+    * Scale: orders shuffles on custkey; customer side is broadcast-able
+    * (dimension table) — leave to AQE/threshold rather than forcing,
+    * since at 100 TB customer itself may exceed the broadcast limit. */
+  def q04LeftJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_mktsegment")
+    Tables.orders(spark, dir)
+      .join(cust, $"o_custkey" === $"c_custkey", "left")
+      .groupBy(coalesce($"c_mktsegment", lit("UNKNOWN")).as("mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec($"o_totalprice")).cast("double").as("total_price"),
+        count($"c_custkey").as("n_matched"))
+  }
+
+  /** Pivot long→wide with explicit value list (R1).
+    * Scale: explicit values avoid the extra distinct job; 2×3 output. */
+  def q05Pivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(dec($"l_quantity")).cast("double"))
+  }
+
+  /** Unpivot wide→long (R2, `Dataset.unpivot` = melt). No shuffle. */
+  def q06Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .unpivot(
+        Array($"p_partkey"),
+        Array($"p_size".cast("double").as("p_size"), $"p_retailprice"),
+        "attr", "val")
+  }
+
+  /** Rank within partition + filter (W1 generalized to partitioned rank).
+    * Scale: shuffles on c_nationkey only; no global single-partition sort. */
+  def q07WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal".desc, $"c_custkey".asc)
+    Tables.customer(spark, dir)
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .filter($"rnk" <= 3)
+      .select($"c_nationkey", $"c_custkey", $"c_acctbal", $"rnk")
+  }
+
+  /** Global top-k with tie-break (O1, O5).
+    * Scale: Spark plans orderBy+limit as TakeOrderedAndProject — per-
+    * partition heap then driver merge of k rows, never a full sort. */
+  def q08TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(10)
+  }
+
+  /** Exact interpolating median per group (A9 / PERCENTILE_CONT 0.5).
+    * Scale: `median` is exact (sorts within group state) — right for the
+    * hash-compared oracle; at 100 TB swap to approx_percentile. */
+  def q09Median(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .groupBy($"c_nationkey")
+      .agg(
+        median($"c_acctbal").as("median_acctbal"),
+        count(lit(1)).as("n"))
+  }
+
+  /** One-pass global stats: count/distinct/min/max/conditional (A1, A4–A7).
+    * Scale: single aggregation job; countDistinct adds one expand+shuffle —
+    * at 100 TB prefer approx_count_distinct (kept exact for the oracle). */
+  def q10Stats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir).agg(
+      count(lit(1)).as("n_orders"),
+      countDistinct($"o_custkey").as("n_customers"),
+      date_format(min($"o_orderdate"), "yyyy-MM-dd").as("first_date"),
+      date_format(max($"o_orderdate"), "yyyy-MM-dd").as("last_date"),
+      sum(when($"o_orderstatus" === "F", 1L).otherwise(0L)).as("n_finished"),
+      sum(when($"o_totalprice" > 200000.0, 1L).otherwise(0L)).as("n_big"))
+  }
+
+  /** Conditional value mapping (P8 when/when/otherwise) + agg. */
+  def q11CaseWhen(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .withColumn("tier",
+        when($"c_acctbal" < 0, "negative")
+          .when($"c_acctbal" < 5000, "low")
+          .otherwise("high"))
+      .groupBy($"tier")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec($"c_acctbal")).cast("double").as("sum_acctbal"))
+  }
+
+  /** Union of two heterogeneous sources by name (§2.8 S1+S2 chain shape). */
+  def q12Union(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir).select(
+      $"c_name".as("name"), $"c_acctbal".as("acctbal"),
+      $"c_nationkey".as("nationkey"), lit("customer").as("kind"))
+    val s = Tables.supplier(spark, dir).select(
+      $"s_name".as("name"), $"s_acctbal".as("acctbal"),
+      $"s_nationkey".as("nationkey"), lit("supplier").as("kind"))
+    c.unionByName(s)
+  }
+
+  /** JSON scalar extraction from events.props (extended-scope F, §2.9 note). */
+  def q13Json(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(
+        $"event_id", $"event_type",
+        get_json_object($"props", "$.k").cast("long").as("k_val"))
+  }
+
+  /** Anti join: parts never shipped in 2001 (left_anti = NOT EXISTS). */
+  def q14AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("2001-01-01").cast("timestamp"))
+      .select($"l_partkey")
+    Tables.part(spark, dir)
+      .join(li, $"p_partkey" === $"l_partkey", "left_anti")
+      .select($"p_partkey", $"p_name")
+  }
+
+  /** Semi join: nations having a >9000-acctbal customer (left_semi = EXISTS). */
+  def q15SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rich = Tables.customer(spark, dir)
+      .filter($"c_acctbal" > 9000.0).select($"c_nationkey")
+    Tables.nation(spark, dir)
+      .join(rich, $"n_nationkey" === $"c_nationkey", "left_semi")
+      .select($"n_nationkey", $"n_name")
+  }
+
+  /** Latest-key scalar "subquery" without collect (P5/W2 rewritten):
+    * 1-row aggregate broadcast-joined back — scale-safe replacement for
+    * the reference's driver-side `max(year).collect()`. */
+  def q16LatestDate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+    val mx = ord.agg(max($"o_orderdate").as("max_d"))
+    ord.join(broadcast(mx), $"o_orderdate" === $"max_d")
+      .select(
+        $"o_orderkey", $"o_custkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"))
+  }
+
+  /** Calendar bucketing: per-year/month order stats (F7 time functions).
+    * Scale: ~84 groups; partial agg collapses everything map-side. */
+  def q17Monthly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy(
+        year($"o_orderdate").cast("long").as("y"),
+        month($"o_orderdate").cast("long").as("m"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec($"o_totalprice")).cast("double").as("total_price"))
+  }
+
+  /** 4-way dimension join chain: region⋈nation⋈customer⋈orders (J1/J2).
+    * Scale: region+nation are tiny → broadcast; orders⋈customer shuffles
+    * on custkey once. */
+  def q18JoinChain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val r = Tables.region(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    o.join(c, $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec($"o_totalprice")).cast("double").as("total_price"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_filter_project"  -> (q02FilterProject _),
+    "q03_join_top_revenue" -> (q03JoinTopRevenue _),
+    "q04_left_join_agg"   -> (q04LeftJoinAgg _),
+    "q05_pivot"           -> (q05Pivot _),
+    "q06_unpivot"         -> (q06Unpivot _),
+    "q07_window_rank"     -> (q07WindowRank _),
+    "q08_topk"            -> (q08TopK _),
+    "q09_median"          -> (q09Median _),
+    "q10_stats"           -> (q10Stats _),
+    "q11_case_when"       -> (q11CaseWhen _),
+    "q12_union"           -> (q12Union _),
+    "q13_json"            -> (q13Json _),
+    "q14_anti_join"       -> (q14AntiJoin _),
+    "q15_semi_join"       -> (q15SemiJoin _),
+    "q16_latest_date"     -> (q16LatestDate _),
+    "q17_monthly"         -> (q17Monthly _),
+    "q18_join_chain"      -> (q18JoinChain _)
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  private val NET = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(sum($NET) AS DOUBLE) AS sum_disc_price,
+         |  count(*) AS count_order,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  l_extendedprice * (1.0 - l_discount) AS net_price, l_returnflag
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
+        |  AND l_discount > 0.05 AND l_returnflag IN ('A','R')""".stripMargin,
+
+    "q03_join_top_revenue" ->
+      s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
+         |  CAST(sum($NET) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey ASC
+         |LIMIT 10""".stripMargin,
+
+    "q04_left_join_agg" ->
+      """SELECT coalesce(c_mktsegment, 'UNKNOWN') AS mktsegment,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+        |  count(c_custkey) AS n_matched
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+
+    "q05_pivot" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS "A",
+        |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS "N",
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS "R"
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+
+    "q06_unpivot" ->
+      """SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part""".stripMargin,
+
+    "q07_window_rank" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal, rnk FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+        |  FROM customer) t
+        |WHERE rnk <= 3""".stripMargin,
+
+    "q08_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q09_median" ->
+      """SELECT c_nationkey, median(c_acctbal) AS median_acctbal, count(*) AS n
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
+
+    "q10_stats" ->
+      """SELECT count(*) AS n_orders,
+        |  count(DISTINCT o_custkey) AS n_customers,
+        |  strftime(min(o_orderdate), '%Y-%m-%d') AS first_date,
+        |  strftime(max(o_orderdate), '%Y-%m-%d') AS last_date,
+        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+        |  sum(CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END) AS n_big
+        |FROM orders""".stripMargin,
+
+    "q11_case_when" ->
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+        |            WHEN c_acctbal < 5000 THEN 'low'
+        |            ELSE 'high' END AS tier,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer GROUP BY 1""".stripMargin,
+
+    "q12_union" ->
+      """SELECT c_name AS name, c_acctbal AS acctbal, c_nationkey AS nationkey, 'customer' AS kind FROM customer
+        |UNION ALL
+        |SELECT s_name AS name, s_acctbal AS acctbal, s_nationkey AS nationkey, 'supplier' AS kind FROM supplier""".stripMargin,
+
+    "q13_json" ->
+      """SELECT event_id, event_type, CAST(props->>'$.k' AS BIGINT) AS k_val FROM events""".stripMargin,
+
+    "q14_anti_join" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_partkey = p_partkey
+        |                    AND l_shipdate >= TIMESTAMP '2001-01-01 00:00:00')""".stripMargin,
+
+    "q15_semi_join" ->
+      """SELECT n_nationkey, n_name FROM nation
+        |WHERE EXISTS (SELECT 1 FROM customer WHERE c_nationkey = n_nationkey AND c_acctbal > 9000.0)""".stripMargin,
+
+    "q16_latest_date" ->
+      """SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+        |FROM orders WHERE o_orderdate = (SELECT max(o_orderdate) FROM orders)""".stripMargin,
+
+    "q17_monthly" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y, CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "q18_join_chain" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin
+  )
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Relational
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("every declared query has an oracle or documented rows-only status") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // rows-only checks are allowed only for non-SQL-expressible operators
+    assert(noOracle.forall(n => n.contains("minhash") || n.contains("ann") ||
+      n.contains("stream")), s"queries missing oracle: $noOracle")
+  }
+
+  test("q01 pricing summary: 6 groups, expected columns") {
+    val df = Relational.q01PricingSummary(spark, sf)
+    assert(df.columns.toSet == Set("l_returnflag", "l_linestatus", "sum_qty",
+      "sum_base_price", "sum_disc_price", "count_order", "avg_qty", "avg_price"))
+    assert(df.count() == 6)
+  }
+
+  test("q02 filter/projection pushdown reaches the parquet scan") {
+    val df = Relational.q02FilterProject(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      (plan.contains("GreaterThan(l_discount") || plan.contains("l_discount")),
+      s"expected pushed filters in:\n$plan")
+  }
+
+  test("q03 join chain broadcasts the small filtered dimension") {
+    val plan = Relational.q03JoinTopRevenue(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+  }
+
+  test("q05 pivot emits explicit A/N/R columns without a distinct job") {
+    val df = Relational.q05Pivot(spark, sf)
+    assert(df.columns.toSet == Set("l_linestatus", "A", "N", "R"))
+    assert(df.count() == 2)
+  }
+
+  test("q06 unpivot doubles the part rowcount") {
+    val parts = Tables.part(spark, sf).count()
+    assert(Relational.q06Unpivot(spark, sf).count() == 2 * parts)
+  }
+
+  test("q07 rank caps at 3 per nation") {
+    import spark.implicits._
+    val over = Relational.q07WindowRank(spark, sf)
+      .groupBy($"c_nationkey").count().filter($"count" > 3).count()
+    assert(over == 0)
+  }
+
+  test("q08 topk is a TakeOrderedAndProject, not a global sort") {
+    val plan = Relational.q08TopK(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+    assert(Relational.q08TopK(spark, sf).count() == 10)
+  }
+
+  test("q12 union row count = customers + suppliers") {
+    val c = Tables.customer(spark, sf).count()
+    val s = Tables.supplier(spark, sf).count()
+    assert(Relational.q12Union(spark, sf).count() == c + s)
+  }
+
+  test("q13 json extraction yields non-null k for every event") {
+    import spark.implicits._
+    val df = Relational.q13Json(spark, sf)
+    assert(df.filter($"k_val".isNull).count() == 0)
+  }
+
+  test("all queries execute at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n >= 0, s"$name failed")
+    }
+  }
+}
