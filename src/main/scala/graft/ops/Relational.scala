@@ -283,6 +283,61 @@ object Relational {
         sum(dec($"o_totalprice")).cast("double").as("total_price"))
   }
 
+  /** F1-shape guarded rate derivation over testdata (the TB per-100k
+    * formula generalized): revenue-per-unit rate per part,
+    * `when(qty>0, disc_price*100/qty).otherwise(0)`.
+    *
+    * The ratio stays a raw double: a single IEEE divide is bit-identical
+    * across engines, whereas double→DECIMAL(10,2) casts disagree between
+    * Spark (shortest-repr string + HALF_UP) and DuckDB (binary-value
+    * rounding) on apparent-halfway values like 183629.945. The decimal-
+    * cast variant of F1 is exercised with golden-file parity in
+    * [[graft.ops.tb.TbPipeline.deriveRates]] instead. */
+  def q19RateDecimal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_partkey")
+      .agg(
+        sum(dec($"l_quantity")).cast("double").as("total_qty"),
+        sum(netPrice($"l_extendedprice", $"l_discount")).cast("double").as("disc_price"))
+      .withColumn("rate",
+        when($"total_qty" > 0, $"disc_price" * 100 / $"total_qty")
+          .otherwise(lit(0.0)))
+  }
+
+  /** Unpartitioned global rank over pre-aggregated data (W1 exactly):
+    * fine because the window input is ≤ |nations| rows post-agg — the
+    * single-partition sort never sees the fact table. */
+  def q20GlobalRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byNation = Tables.customer(spark, dir)
+      .groupBy($"c_nationkey")
+      .agg(sum(dec($"c_acctbal")).cast("double").as("nation_acctbal"))
+    byNation.withColumn("rnk",
+      rank().over(Window.orderBy($"nation_acctbal".desc, $"c_nationkey".asc)).cast("long"))
+  }
+
+  /** One-job data-quality report (A3–A6 folded, mirrors TbPipeline.qualityReport). */
+  def q21QualityReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir).agg(
+      count(lit(1)).as("total_records"),
+      countDistinct($"l_orderkey").as("n_orders"),
+      countDistinct($"l_partkey").as("n_parts"),
+      date_format(min($"l_shipdate"), "yyyy-MM-dd").as("ship_min"),
+      date_format(max($"l_shipdate"), "yyyy-MM-dd").as("ship_max"),
+      sum(when($"l_quantity" <= 0, 1L).otherwise(0L)).as("nonpositive_qty"),
+      sum(when($"l_discount" > 0.08, 1L).otherwise(0L)).as("deep_discounts"))
+  }
+
+  /** Plain distinct over a projection (A4). */
+  def q22Distinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_linestatus")
+      .distinct()
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project"  -> (q02FilterProject _),
@@ -301,7 +356,11 @@ object Relational {
     "q15_semi_join"       -> (q15SemiJoin _),
     "q16_latest_date"     -> (q16LatestDate _),
     "q17_monthly"         -> (q17Monthly _),
-    "q18_join_chain"      -> (q18JoinChain _)
+    "q18_join_chain"      -> (q18JoinChain _),
+    "q19_rate_decimal"    -> (q19RateDecimal _),
+    "q20_global_rank"     -> (q20GlobalRank _),
+    "q21_quality_report"  -> (q21QualityReport _),
+    "q22_distinct"        -> (q22Distinct _)
   )
 
   // ---------------------------------------------------------------- oracles
@@ -428,6 +487,37 @@ object Relational {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name, n_name""".stripMargin
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q19_rate_decimal" ->
+      s"""SELECT l_partkey, total_qty, disc_price,
+         |  CASE WHEN total_qty > 0 THEN disc_price * 100 / total_qty
+         |       ELSE 0.0 END AS rate
+         |FROM (
+         |  SELECT l_partkey,
+         |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+         |    CAST(sum($NET) AS DOUBLE) AS disc_price
+         |  FROM lineitem GROUP BY l_partkey) t""".stripMargin,
+
+    "q20_global_rank" ->
+      """SELECT c_nationkey, nation_acctbal,
+        |  rank() OVER (ORDER BY nation_acctbal DESC, c_nationkey ASC) AS rnk
+        |FROM (
+        |  SELECT c_nationkey,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS nation_acctbal
+        |  FROM customer GROUP BY c_nationkey) t""".stripMargin,
+
+    "q21_quality_report" ->
+      """SELECT count(*) AS total_records,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  strftime(min(l_shipdate), '%Y-%m-%d') AS ship_min,
+        |  strftime(max(l_shipdate), '%Y-%m-%d') AS ship_max,
+        |  sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS nonpositive_qty,
+        |  sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS deep_discounts
+        |FROM lineitem""".stripMargin,
+
+    "q22_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
   )
 }
