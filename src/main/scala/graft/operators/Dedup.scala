@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline: exact,
+  * n-gram Jaccard, MinHash+LSH, and SimHash — all as compositions of
+  * built-in Catalyst expressions (higher-order array functions +
+  * xxhash64), no UDFs, so every stage is codegen'd and the only
+  * shuffles are the ones the algorithms require (bucket join /
+  * candidate-pair join).
+  *
+  * Scale design: the LSH paths never form the O(n²) pair space — docs
+  * shuffle by (band, band_hash) so only same-bucket docs meet, which is
+  * the property that makes MinHash/SimHash dedup viable at 100 TB. The
+  * brute-force Jaccard path exists as the correctness oracle for small
+  * data, not the scale path.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: keep the smallest doc_id per md5(text).
+    * One hash-shuffle; at 100 TB this is the standard first pass. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("content_md5"))
+      .agg(
+        min("doc_id").as("doc_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** Distinct word k-shingles per doc: `sh` column, docs with < k words
+    * dropped (no shingle support). Pure per-row array work. */
+  def withShingles(docs: DataFrame, k: Int = 3): DataFrame = {
+    val mk = (0 until k).map(j => s"w[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= k)
+      .withColumn("sh",
+        expr(s"array_distinct(transform(sequence(0, size(w) - $k), i -> $mk))"))
+      .drop("w")
+  }
+
+  /** Exact pairwise n-gram Jaccard via an inverted shingle index:
+    * explode → self-join on shingle → count common → join per-doc
+    * sizes. Exact-integer counts, one final double division. This is
+    * the verify/oracle path; candidate generation at scale is
+    * [[minHashPairs]] / [[simHashPairs]]. */
+  def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.6): DataFrame = {
+    val sh = withShingles(docs, k)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("ns", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("ns", "n2"), "d2")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n1") + col("n2") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("d1", "d2", "common", "n1", "n2", "jaccard")
+  }
+
+  /** MinHash signatures: `sig[i] = min over shingles of xxhash64(s, i)`,
+    * `numHashes` independent permutation approximations. */
+  def withMinHash(docs: DataFrame, k: Int = 3, numHashes: Int = 16): DataFrame = {
+    val sigs = (0 until numHashes).map(i =>
+      expr(s"array_min(transform(sh, s -> xxhash64(s, $i)))"))
+    withShingles(docs, k).withColumn("sig", array(sigs: _*))
+  }
+
+  /** MinHash + LSH banding: docs meet only inside equal (band,
+    * band-hash) buckets; candidates are then verified with exact
+    * shingle Jaccard. bands*rowsPerBand must equal numHashes.
+    *
+    * Returns (d1, d2, jaccard) with jaccard >= threshold — the same
+    * contract as [[ngramJaccardPairs]], at LSH cost instead of O(n²).
+    */
+  def minHashPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 16,
+                   bands: Int = 4, threshold: Double = 0.6): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val signed = withMinHash(docs, k, numHashes)
+    val bandCols = (0 until bands).map { b =>
+      val els = (0 until rows).map(r => s"sig[${b * rows + r}]").mkString(", ")
+      expr(s"xxhash64(cast($b as bigint), $els)")
+    }
+    val banded = signed
+      .withColumn("bands", array(bandCols: _*))
+      .select(col("doc_id"), col("sh"), posexplode(col("bands")).as(Seq("band_id", "band_hash")))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.sh").as("sh1"), col("b.sh").as("sh2"))
+      .dropDuplicates("d1", "d2")
+    cands
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))))
+      .filter(col("jaccard") >= threshold)
+      .select("d1", "d2", "jaccard")
+  }
+
+  /** 64-bit SimHash over distinct k-shingles: per bit, majority vote of
+    * the shingle-hash bits — one nested higher-order expression, no UDF.
+    * Shingles (not words) as features: on small-vocabulary corpora the
+    * distinct-word sets of long documents converge and word-level
+    * SimHash degenerates to near-zero hamming between unrelated docs;
+    * k-gram features keep the space discriminative. */
+  def withSimHash(docs: DataFrame, k: Int = 3): DataFrame =
+    withShingles(docs, k)
+      .withColumn("hs", expr("transform(sh, s -> xxhash64(s))"))
+      .drop("sh")
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), cast(0 as bigint),
+          |  (acc, b) -> acc + if(2 * size(filter(hs, h -> (shiftright(h, b) & 1) = 1)) >= size(hs),
+          |                       shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin))
+      .drop("hs")
+
+  /** SimHash near-dup pairs: candidates from 4×16-bit band equality
+    * (a Hamming-distance-≤3 pair must agree on ≥1 band), verified with
+    * bit_count(xor) ≤ maxHamming. */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 6, k: Int = 3): DataFrame = {
+    val hashed = withSimHash(docs, k)
+    val banded = hashed
+      .withColumn("bands", expr(
+        "transform(sequence(0, 3), b -> (shiftright(simhash, b * 16) & 65535))"))
+      .select(col("doc_id"), col("simhash"), posexplode(col("bands")).as(Seq("band_id", "band_val")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.simhash").as("s1"), col("b.simhash").as("s2"))
+      .dropDuplicates("d1", "d2")
+      .withColumn("hamming", expr("bit_count(s1 ^ s2)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("d1", "d2", "hamming")
+  }
+}

@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Text-analysis / dedup operator inventory over the `documents`
+  * fixture, oracle-paired where the semantics are SQL-expressible.
+  * LSH-based ops (minhash/simhash) get rows-only checks: their output
+  * depends on xxhash64 bucketing, which DuckDB cannot reproduce.
+  */
+object TextQueries {
+
+  /** Token counting (whitespace + BPE-ish regex pre-tokenizer). */
+  def q30TextTokens(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withTokenCounts(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        col("n_tokens_ws").cast("long").as("n_tokens_ws"),
+        col("n_tokens_re").cast("long").as("n_tokens_re"))
+
+  /** Quality scoring with deterministic arithmetic order. */
+  def q31TextQuality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withQualityScore(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        col("n_words").cast("long").as("n_words"),
+        col("mean_word_len"), col("stop_ratio"), col("punct_ratio"),
+        col("quality_score"))
+
+  /** Language-ID heuristic scores + argmax prediction. */
+  def q32LangId(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withLanguageId(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"),
+        col("score_en"), col("score_es"), col("score_fr"), col("score_de"),
+        col("lang_pred"))
+
+  /** Exact dedup by content hash. */
+  def q33DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(Tables.documents(spark, dir))
+
+  /** Exact 3-gram Jaccard near-dup pairs (brute-force oracle path). */
+  def q34NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(spark, dir), k = 3, threshold = 0.2)
+
+  /** MinHash+LSH near-dup pairs (scale path; rows-only check). */
+  def q35MinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minHashPairs(Tables.documents(spark, dir),
+      k = 3, numHashes = 16, bands = 4, threshold = 0.6)
+
+  /** SimHash near-dup pairs (scale path; rows-only check). */
+  def q36SimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairs(Tables.documents(spark, dir), maxHamming = 6)
+
+  /** Content fingerprints (md5 columns only — xxhash64/rolling are
+    * Spark-side integers DuckDB can't reproduce; spec-tested instead). */
+  def q37Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withFingerprints(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("fp_md5"), col("fp_bucket"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_text_tokens"   -> (q30TextTokens _),
+    "q31_text_quality"  -> (q31TextQuality _),
+    "q32_lang_id"       -> (q32LangId _),
+    "q33_dedup_exact"   -> (q33DedupExact _),
+    "q34_ngram_jaccard" -> (q34NgramJaccard _),
+    "q35_minhash_pairs" -> (q35MinhashPairs _),
+    "q36_simhash_pairs" -> (q36SimhashPairs _),
+    "q37_fingerprint"   -> (q37Fingerprint _)
+  )
+
+  private val BPEISH = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  private val STOP_EN = "\\b(the|a|of|to|in|and|is)\\b"
+
+  val oracles: Map[String, String] = Map(
+    "q30_text_tokens" ->
+      s"""SELECT doc_id,
+         |  len(string_split(text, ' ')) AS n_tokens_ws,
+         |  len(regexp_extract_all(text, '$BPEISH')) AS n_tokens_re
+         |FROM documents""".stripMargin,
+
+    "q31_text_quality" ->
+      s"""SELECT doc_id, n_words,
+         |  CAST(n_chars_m - (n_words - 1) AS DOUBLE) / n_words AS mean_word_len,
+         |  CAST(stop_hits AS DOUBLE) / n_words AS stop_ratio,
+         |  CAST(punct_hits AS DOUBLE) / n_chars_m AS punct_ratio,
+         |  (least(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+         |   + least((CAST(stop_hits AS DOUBLE) / n_words) * 5.0, 1.0)
+         |   + (1.0 - CAST(punct_hits AS DOUBLE) / n_chars_m)) / 3.0 AS quality_score
+         |FROM (
+         |  SELECT doc_id,
+         |    len(string_split(text, ' ')) AS n_words,
+         |    length(text) AS n_chars_m,
+         |    len(regexp_extract_all(text, '$STOP_EN')) AS stop_hits,
+         |    len(regexp_extract_all(text, '[^a-z0-9 ]')) AS punct_hits
+         |  FROM documents) t""".stripMargin,
+
+    "q32_lang_id" ->
+      """SELECT doc_id, lang, score_en, score_es, score_fr, score_de,
+        |  CASE WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_de AND score_en > 0 THEN 'en'
+        |       WHEN score_es >= score_fr AND score_es >= score_de AND score_es > 0 THEN 'es'
+        |       WHEN score_fr >= score_de AND score_fr > 0 THEN 'fr'
+        |       WHEN score_de > 0 THEN 'de'
+        |       ELSE 'unknown' END AS lang_pred
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    len(regexp_extract_all(text, '\b(the|a|of|to|in|and|is)\b')) AS score_en,
+        |    len(regexp_extract_all(text, '\b(el|la|de|que|y|en|los)\b')) AS score_es,
+        |    len(regexp_extract_all(text, '\b(le|la|de|et|les|des|un)\b')) AS score_fr,
+        |    len(regexp_extract_all(text, '\b(der|die|und|das|von|mit|ein)\b')) AS score_de
+        |  FROM documents) t""".stripMargin,
+
+    "q33_dedup_exact" ->
+      """SELECT md5(text) AS content_md5, min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q34_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |        unnest(list_distinct(list_transform(range(len(w) - 2),
+        |          i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS shingle
+        |      FROM d WHERE len(w) >= 3),
+        |n AS (SELECT doc_id, count(*) AS ns FROM s GROUP BY doc_id),
+        |c AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT d1, d2, common, n1.ns AS n1, n2.ns AS n2,
+        |  CAST(common AS DOUBLE) / (n1.ns + n2.ns - common) AS jaccard
+        |FROM c JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+        |WHERE CAST(common AS DOUBLE) / (n1.ns + n2.ns - common) >= 0.2""".stripMargin,
+
+    "q37_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp_md5, substring(md5(text), 1, 4) AS fp_bucket
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, TextAnalysis}
+
+class DedupTextSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("exact dedup keeps one row per distinct text") {
+    val d = Dedup.exactDedup(docs)
+    assert(d.count() == docs.select("text").distinct().count())
+    assert(d.filter(col("n_copies") < 1).count() == 0)
+  }
+
+  test("exact dedup collapses planted duplicates") {
+    import spark.implicits._
+    val withDupes = docs.select("doc_id", "text")
+      .unionByName(docs.select(($"doc_id" + 1000000).as("doc_id"), $"text").limit(10))
+    val d = Dedup.exactDedup(withDupes)
+    assert(d.filter($"n_copies" === 2).count() == 10)
+    // survivor is always the smallest doc_id (the original)
+    assert(d.filter($"doc_id" >= 1000000).count() == 0)
+  }
+
+  test("minhash LSH finds every strong near-dup the exact path finds") {
+    import spark.implicits._
+    val exact = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.9)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashPairs(docs, k = 3, numHashes = 16, bands = 4, threshold = 0.9)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    // At j>=0.9 the 16/4 banding miss probability is < 1e-4 per pair.
+    assert(exact == lsh, s"LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
+  }
+
+  test("minhash pairs are verified (never below threshold)") {
+    import spark.implicits._
+    assert(Dedup.minHashPairs(docs, threshold = 0.6)
+      .filter($"jaccard" < 0.6).count() == 0)
+  }
+
+  test("simhash: identical docs get identical simhash, near-dups small hamming") {
+    import spark.implicits._
+    val h = Dedup.withSimHash(docs.limit(50)).select("doc_id", "simhash")
+    val again = Dedup.withSimHash(docs.limit(50)).select(
+      $"doc_id".as("doc_id2"), $"simhash".as("simhash2"))
+    val joined = h.join(again, $"doc_id" === $"doc_id2")
+    assert(joined.filter($"simhash" =!= $"simhash2").count() == 0)
+
+    val pairs = Dedup.simHashPairs(docs, maxHamming = 6)
+    assert(pairs.filter($"hamming" > 6).count() == 0)
+  }
+
+  test("simhash banding is lossless for hamming <= 3 (pigeonhole over 4 bands)") {
+    import spark.implicits._
+    // brute-force ground truth on the small fixture
+    val h = Dedup.withSimHash(docs).select("doc_id", "simhash")
+    val truth = h.as("a").join(h.as("b"), $"a.doc_id" < $"b.doc_id")
+      .withColumn("hamming", expr("bit_count(a.simhash ^ b.simhash)"))
+      .filter($"hamming" <= 3)
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.simHashPairs(docs, maxHamming = 3)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture should contain hamming<=3 near-dups")
+    assert(lsh == truth, s"missed ${truth -- lsh}, extra ${lsh -- truth}")
+  }
+
+  test("token counts: regex tokenizer >= whitespace tokenizer on word text") {
+    import spark.implicits._
+    val t = TextAnalysis.withTokenCounts(docs)
+    assert(t.filter($"n_tokens_re" < $"n_tokens_ws").count() == 0)
+  }
+
+  test("quality score is bounded in [0,1]") {
+    import spark.implicits._
+    val q = TextAnalysis.withQualityScore(docs)
+    assert(q.filter($"quality_score" < 0 || $"quality_score" > 1).count() == 0)
+  }
+
+  test("language id predicts a known code and scores are consistent") {
+    import spark.implicits._
+    val l = TextAnalysis.withLanguageId(docs)
+    assert(l.filter(!$"lang_pred".isin("en", "es", "fr", "de", "unknown")).count() == 0)
+    // fixture text is English-ish function words: en must dominate
+    val n = l.count()
+    assert(l.filter($"lang_pred" === "en").count() > n / 2)
+  }
+
+  test("fingerprints are deterministic and md5 matches text equality") {
+    import spark.implicits._
+    val f = TextAnalysis.withFingerprints(docs)
+    assert(f.select("fp_md5").distinct().count() ==
+      docs.select("text").distinct().count())
+    assert(f.filter(length($"fp_md5") =!= 32).count() == 0)
+    // rolling hash: no collisions across distinct texts in fixture
+    assert(f.select("fp_rolling").distinct().count() ==
+      docs.select("text").distinct().count())
+  }
+
+  test("dedup plans contain no cartesian product") {
+    val plan = Dedup.minHashPairs(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"LSH path must not degenerate to cross join:\n$plan")
+  }
+}

@@ -26,8 +26,9 @@ class RelationalSpec extends AnyFunSuite {
   test("every declared query has an oracle or documented rows-only status") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // rows-only checks are allowed only for non-SQL-expressible operators
-    assert(noOracle.forall(n => n.contains("minhash") || n.contains("ann") ||
-      n.contains("stream")), s"queries missing oracle: $noOracle")
+    assert(noOracle.forall(n => n.contains("minhash") || n.contains("simhash") ||
+      n.contains("ann") || n.contains("stream")),
+      s"queries missing oracle: $noOracle")
   }
 
   test("q01 pricing summary: 6 groups, expected columns") {
