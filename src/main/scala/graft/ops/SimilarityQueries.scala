@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Similarity
+
+/** Similarity-search inventory over the `embeddings` fixture.
+  * The brute-force baseline is oracle-backed (ranking ints only —
+  * cosine last-ulp noise between engines must not reach the hash);
+  * the LSH paths are rows-only + spec-pinned against the baseline.
+  */
+object SimilarityQueries {
+
+  private def queryVectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
+
+  /** Exact brute-force cosine top-10 for the first 10 vectors. */
+  def q40CosineTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(
+      Tables.embeddings(spark, dir), queryVectors(spark, dir), k = 10)
+
+  /** SRP-LSH approximate top-10, same contract (rows-only check). */
+  def q41AnnTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.annTopK(
+      Tables.embeddings(spark, dir), queryVectors(spark, dir), k = 10)
+
+  /** Embedding-cosine near-dup pairs via LSH (rows-only check). */
+  def q42AnnNeardup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(
+      Tables.embeddings(spark, dir), threshold = 0.4)
+      .select(col("d1"), col("d2"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_cosine_topk" -> (q40CosineTopK _),
+    "q41_ann_topk"    -> (q41AnnTopK _),
+    "q42_ann_neardup" -> (q42AnnNeardup _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q40_cosine_topk" ->
+      """SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (
+        |      PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |               c.vec_id ASC) AS rank
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        |  WHERE q.vec_id < 10) t
+        |WHERE rank <= 10""".stripMargin
+  )
+}

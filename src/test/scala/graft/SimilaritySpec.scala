@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+
+  private lazy val emb = Tables.embeddings(spark, sf)
+  private lazy val queries = emb.filter(col("vec_id") < 10)
+
+  test("cosine of a vector with itself is 1") {
+    import spark.implicits._
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val bad = emb.select(Similarity.cosine(v, v).as("c"))
+      .filter(abs($"c" - 1.0) > 1e-9).count()
+    assert(bad == 0)
+  }
+
+  test("brute-force topk returns exactly k ranked neighbors per query") {
+    import spark.implicits._
+    val tk = Similarity.bruteForceTopK(emb, queries, k = 10).cache()
+    assert(tk.count() == 100)
+    assert(tk.groupBy("query_id").count().filter($"count" =!= 10).count() == 0)
+    assert(tk.groupBy("query_id").agg(max("rank").as("m"))
+      .filter($"m" =!= 10).count() == 0)
+    // never returns the query itself
+    assert(tk.filter($"query_id" === $"neighbor_id").count() == 0)
+  }
+
+  test("brute-force topk broadcasts the query batch (no shuffle of corpus for scoring)") {
+    val plan = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query batch should broadcast:\n$plan")
+  }
+
+  test("ann topk is deterministic and a subset-contract of the output schema") {
+    val a1 = Similarity.annTopK(emb, queries, k = 10).collect().toSet
+    val a2 = Similarity.annTopK(emb, queries, k = 10).collect().toSet
+    assert(a1 == a2, "LSH must be deterministic across runs (fixed seed)")
+  }
+
+  test("ann recall@10 beats the random-guess baseline by an order of magnitude") {
+    import spark.implicits._
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(emb, queries, k = 10, tables = 16, bits = 6)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    val corpusSize = emb.count().toDouble
+    val randomBaseline = 10.0 / corpusSize
+    assert(recall > 10 * randomBaseline,
+      s"recall $recall vs random $randomBaseline")
+  }
+
+  test("ann candidates are exactly scored: ranks agree with exact cosine order") {
+    import spark.implicits._
+    // For every query, the ANN list must be consistent with brute-force
+    // ordering restricted to the returned neighbors (no mis-ranking).
+    val exactRank = Similarity.bruteForceTopK(emb, queries, k = 500)
+      .withColumnRenamed("rank", "exact_rank")
+    val ann = Similarity.annTopK(emb, queries, k = 10)
+    val joined = ann.join(exactRank, Seq("query_id", "neighbor_id"))
+    val inversions = joined.as("x").join(joined.as("y"),
+        $"x.query_id" === $"y.query_id" &&
+        $"x.rank" < $"y.rank" && $"x.exact_rank" > $"y.exact_rank")
+      .count()
+    assert(inversions == 0)
+  }
+
+  test("near-dup pairs carry cos >= threshold and no self-pairs") {
+    import spark.implicits._
+    val p = Similarity.cosineNearDupPairs(emb, threshold = 0.4).cache()
+    assert(p.filter($"cos" < 0.4).count() == 0)
+    assert(p.filter($"d1" >= $"d2").count() == 0)
+  }
+}
