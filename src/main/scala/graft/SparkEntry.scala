@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Relational, SimilarityQueries, TextQueries}
+import graft.ops.{EventQueries, Relational, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,10 +19,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.defs ++ TextQueries.defs ++ SimilarityQueries.defs
+    Relational.defs ++ TextQueries.defs ++ SimilarityQueries.defs ++
+      EventQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ TextQueries.oracles ++ SimilarityQueries.oracles
+    Relational.oracles ++ TextQueries.oracles ++ SimilarityQueries.oracles ++
+      EventQueries.oracles
 }

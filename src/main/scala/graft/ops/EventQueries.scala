@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Multimodal
+import graft.streaming.EventStreams
+
+/** Event-time window inventory over `events`, plus multimodal
+  * plumbing queries. The window queries run the SAME expressions the
+  * streaming path uses (EventStreams), in batch mode — so the DuckDB
+  * oracle indirectly pins the streaming semantics too.
+  */
+object EventQueries {
+
+  /** Tumbling 1h event-time window aggregation (T-extension, §2.10). */
+  def q50Tumbling(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.tumblingAgg(Tables.events(spark, dir), "1 hour")
+
+  /** Sliding 1h/30m window counts. */
+  def q51Sliding(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.slidingAgg(Tables.events(spark, dir), "1 hour", "30 minutes")
+
+  /** Gap-based session windows per user (30 min). */
+  def q52Sessions(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.sessionAgg(Tables.events(spark, dir), "30 minutes")
+
+  /** Multimodal plumbing: binary payload + metadata + stub decode over
+    * text-derived assets. Oracle covers the REAL plumbing columns
+    * (byte lengths, metadata) — stub-derived columns are spec-tested. */
+  def q53MultimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeImageStub(
+        Multimodal.assetsFromText(Tables.documents(spark, dir)))
+      .select(
+        col("asset_id"), col("modality"),
+        length(col("payload")).cast("long").as("payload_bytes"),
+        col("meta.n_bytes").cast("long").as("meta_bytes"),
+        col("meta.origin").as("origin"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_tumbling_window" -> (q50Tumbling _),
+    "q51_sliding_window"  -> (q51Sliding _),
+    "q52_session_window"  -> (q52Sessions _),
+    "q53_multimodal_meta" -> (q53MultimodalMeta _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q50_tumbling_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // each event lands in two 1h/30m sliding windows: the one starting
+    // at its truncated half-hour, and the previous half-hour
+    "q51_sliding_window" ->
+      """WITH slots AS (
+        |  SELECT date_trunc('hour', w_start) +
+        |         CASE WHEN minute(w_start) >= 30 THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS w
+        |  FROM (
+        |    SELECT ts AS w_start FROM events
+        |    UNION ALL
+        |    SELECT ts - INTERVAL 30 MINUTE FROM events) t)
+        |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS n_events
+        |FROM slots GROUP BY w""".stripMargin,
+
+    "q52_session_window" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > INTERVAL 30 MINUTE OR
+        |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM o)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "q53_multimodal_meta" ->
+      """SELECT doc_id AS asset_id, 'image' AS modality,
+        |  octet_length(encode(text)) AS payload_bytes,
+        |  length(text) AS meta_bytes,
+        |  source AS origin
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,138 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Streaming capabilities over the `events` table — greenfield relative
+  * to the reference (whose "streaming" is a 30-day batch re-run
+  * scheduler, SURVEY §2.10), designed Spark-first:
+  *
+  *   - event-time tumbling / sliding / session windows, usable in BOTH
+  *     batch and streaming plans (same `window()` expressions, so batch
+  *     results are the oracle for the streaming path);
+  *   - watermarked Structured Streaming variants (`readStream` →
+  *     transform → sink) with bounded state;
+  *   - custom stateful sessionization via
+  *     `flatMapGroupsWithState` (the arbitrary-state escape hatch).
+  *
+  * Scale: every aggregation keys on (window × type) or user_id — state
+  * is bounded by the watermark; no global ordering is ever required.
+  */
+object EventStreams {
+
+  /** events schema for the file-streaming source (ts arrives as
+    * TIMESTAMP(NANOS) parquet → read as LongType nanos, converted). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos-as-long (see graft.Tables.events)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  // ----------------------------------------------------------- batch/stream shared
+
+  /** Tumbling event-time window aggregation (works in batch and stream). */
+  def tumblingAgg(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Sliding window (1h window, 30m slide). */
+  def slidingAgg(events: DataFrame, width: String = "1 hour",
+                 slide: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n_events"))
+
+  /** Built-in session windows per user (gap-based). */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .select(
+        col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  // ----------------------------------------------------------- streaming
+
+  /** File-source streaming read of the events fixture. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file source wants a directory: stream the fixture dir with a
+    // glob that admits only the events table
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked streaming tumbling aggregation: append-mode safe,
+    * state bounded by the watermark horizon. */
+  def streamingTumbling(spark: SparkSession, dir: String,
+                        width: String = "1 hour",
+                        watermark: String = "2 hours"): DataFrame =
+    tumblingAgg(readEventStream(spark, dir).withWatermark("ts", watermark), width)
+
+  // ----------------------------------------------------------- custom state
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(start: Long, end: Long, n: Long, total: Double)
+  case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
+                         session_end: java.sql.Timestamp, n_events: Long,
+                         total_value: Double)
+
+  /** Arbitrary-stateful sessionization with `flatMapGroupsWithState`:
+    * the KeyValueGroupedDataset custom-state path for semantics the
+    * built-in session_window can't express (e.g. emitting per-session
+    * running aggregates, per-key timeout policies). Batch-mode
+    * invocation processes each group's full history at once. */
+  def userSessions(events: Dataset[Event], gapMillis: Long): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          // batch mode: iterator holds the user's full history
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+          var cur: Option[SessionState] = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.end <= gapMillis =>
+                cur = Some(s.copy(end = t, n = s.n + 1, total = s.total + e.value))
+              case Some(s) =>
+                out += UserSession(userId, new java.sql.Timestamp(s.start),
+                  new java.sql.Timestamp(s.end), s.n, s.total)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur.foreach { s =>
+            out += UserSession(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n, s.total)
+            state.remove()
+          }
+          out.iterator
+      }
+  }
+}
