@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** `minhash_sigs(array<bigint>, k) -> array<bigint>`: MinHash signature
+  * of a feature-hash array under `k` simulated permutations —
+  * `sig[i] = min over features of mix(h, i)` with a splitmix64-style
+  * avalanche mixer.
+  *
+  * Native expression for the same reason as [[SimHash64]]: the
+  * higher-order formulation (k × `array_min`/`transform` passes)
+  * evaluates interpreted per element and dominated the dedup bench;
+  * this is one JIT'd pass with codegen.
+  */
+case class MinHashSigs(child: Expression, numHashes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"minhash_sigs requires array<bigint>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSigs.compute(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashSigs.compute($c, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_sigs"
+}
+
+object MinHashSigs {
+  /** splitmix64 finalizer — full-avalanche 64-bit mixer. */
+  @inline private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  def compute(arr: ArrayData, k: Int): GenericArrayData = {
+    val n = arr.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = mix(h ^ (j * 0xC2B2AE3D27D4EB4FL))
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Register `minhash_sigs` (idempotent); the k argument must be a
+    * foldable integer literal. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sigs",
+      exprs => MinHashSigs(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+}

@@ -26,17 +26,26 @@ object Dedup {
         min("doc_id").as("doc_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Distinct word k-shingles of a text column as ONE let-bound
+    * expression. The single-element-array `transform` binds the split
+    * result to a lambda variable: without it, Catalyst's
+    * CollapseProject inlines `split(text)` into every element access,
+    * re-splitting the text O(shingles·k) times per row (measured as a
+    * 1000× slowdown on long documents). */
+  def shingleExpr(text: Column, k: Int): Column =
+    transform(array(split(text, " ")), w =>
+      when(size(w) >= k,
+        array_distinct(transform(sequence(lit(0), size(w) - k), i =>
+          concat_ws(" ", (0 until k).map(j => element_at(w, i + j + 1)): _*))))
+        .otherwise(array().cast("array<string>"))
+    ).getItem(0)
+
   /** Distinct word k-shingles per doc: `sh` column, docs with < k words
     * dropped (no shingle support). Pure per-row array work. */
-  def withShingles(docs: DataFrame, k: Int = 3): DataFrame = {
-    val mk = (0 until k).map(j => s"w[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
+  def withShingles(docs: DataFrame, k: Int = 3): DataFrame =
     docs
-      .withColumn("w", split(col("text"), " "))
-      .filter(size(col("w")) >= k)
-      .withColumn("sh",
-        expr(s"array_distinct(transform(sequence(0, size(w) - $k), i -> $mk))"))
-      .drop("w")
-  }
+      .withColumn("sh", shingleExpr(col("text"), k))
+      .filter(size(col("sh")) > 0)
 
   /** Exact pairwise n-gram Jaccard via an inverted shingle index:
     * explode → self-join on shingle → count common → join per-doc
@@ -60,12 +69,13 @@ object Dedup {
       .select("d1", "d2", "common", "n1", "n2", "jaccard")
   }
 
-  /** MinHash signatures: `sig[i] = min over shingles of xxhash64(s, i)`,
-    * `numHashes` independent permutation approximations. */
+  /** MinHash signatures via the native [[graft.functions.MinHashSigs]]
+    * expression: `sig[i] = min over shingles of mix(xxhash64(s), i)` —
+    * one JIT'd pass instead of `numHashes` interpreted array scans. */
   def withMinHash(docs: DataFrame, k: Int = 3, numHashes: Int = 16): DataFrame = {
-    val sigs = (0 until numHashes).map(i =>
-      expr(s"array_min(transform(sh, s -> xxhash64(s, $i)))"))
-    withShingles(docs, k).withColumn("sig", array(sigs: _*))
+    graft.functions.MinHashSigs.register(docs.sparkSession)
+    withShingles(docs, k).withColumn("sig",
+      expr(s"minhash_sigs(transform(sh, s -> xxhash64(s)), $numHashes)"))
   }
 
   /** MinHash + LSH banding: docs meet only inside equal (band,
@@ -80,22 +90,30 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val signed = withMinHash(docs, k, numHashes)
-    val bandCols = (0 until bands).map { b =>
-      val els = (0 until rows).map(r => s"sig[${b * rows + r}]").mkString(", ")
-      expr(s"xxhash64(cast($b as bigint), $els)")
-    }
+    // sig is lambda-bound: 4 band hashes must not re-derive the 16
+    // min-hashes (CollapseProject would inline them 4x otherwise)
+    // ids-only through the explode and self-join: shingle arrays must
+    // not ride the 4-way band explode shuffle; they are re-attached
+    // only for the (few) surviving candidate pairs.
     val banded = signed
-      .withColumn("bands", array(bandCols: _*))
-      .select(col("doc_id"), col("sh"), posexplode(col("bands")).as(Seq("band_id", "band_hash")))
+      .withColumn("bands",
+        transform(array(col("sig")), g =>
+          array((0 until bands).map { b =>
+            xxhash64((lit(b.toLong) +:
+              (0 until rows).map(r => element_at(g, b * rows + r + 1))): _*)
+          }: _*)
+        ).getItem(0))
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_id", "band_hash")))
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band_id") === col("b.band_id") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.sh").as("sh1"), col("b.sh").as("sh2"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .dropDuplicates("d1", "d2")
+    val shs = signed.select(col("doc_id"), col("sh"))
     cands
+      .join(shs.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(shs.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
       .withColumn("jaccard",
         size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(array_union(col("sh1"), col("sh2"))))
@@ -109,15 +127,13 @@ object Dedup {
     * distinct-word sets of long documents converge and word-level
     * SimHash degenerates to near-zero hamming between unrelated docs;
     * k-gram features keep the space discriminative. */
-  def withSimHash(docs: DataFrame, k: Int = 3): DataFrame =
+  def withSimHash(docs: DataFrame, k: Int = 3): DataFrame = {
+    graft.functions.SimHash64.register(docs.sparkSession)
     withShingles(docs, k)
-      .withColumn("hs", expr("transform(sh, s -> xxhash64(s))"))
+      .withColumn("simhash",
+        expr("simhash64(transform(sh, s -> xxhash64(s)))"))
       .drop("sh")
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), cast(0 as bigint),
-          |  (acc, b) -> acc + if(2 * size(filter(hs, h -> (shiftright(h, b) & 1) = 1)) >= size(hs),
-          |                       shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin))
-      .drop("hs")
+  }
 
   /** SimHash near-dup pairs: candidates from 4×16-bit band equality
     * (a Hamming-distance-≤3 pair must agree on ≥1 band), verified with

@@ -80,21 +80,28 @@ object Similarity {
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     val hp = hyperplanes(dim, tables, bits, seed)
 
+    // Bucket with IDS ONLY: carrying the vectors through the
+    // tables-way explode and the bucket join multiplies shuffle bytes
+    // by `tables`; vectors are re-attached just for final scoring.
     def bucketed(df: DataFrame, id: String): DataFrame = {
       val v = asDouble(col(vecCol))
       val buckets = array((0 until tables).map(t => bucketExpr(v, hp(t))): _*)
-      df.select(col(idCol).as(id), v.as(s"${id}_v"),
-          posexplode(buckets).as(Seq("table_id", "bucket")))
+      df.select(col(idCol).as(id),
+        posexplode(buckets).as(Seq("table_id", "bucket")))
     }
 
     val cq = bucketed(queries, "query_id")
     val cc = bucketed(corpus, "neighbor_id")
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    cc.join(cq.hint("broadcast"), Seq("table_id", "bucket"))
+    val candidates = cc.join(cq.hint("broadcast"), Seq("table_id", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        col("query_id_v").as("qv"), col("neighbor_id_v").as("cv"))
+      .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
+    val qv = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    candidates
+      .join(broadcast(qv), "query_id")
+      .join(cv, "neighbor_id")
       .withColumn("cos", cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -111,15 +118,18 @@ object Similarity {
     val hp = hyperplanes(dim, tables, bits, seed)
     val v = asDouble(col(vecCol))
     val buckets = array((0 until tables).map(t => bucketExpr(v, hp(t))): _*)
-    val b = corpus.select(col(idCol).as("id"), v.as("v"),
+    // ids-only through the explode + self-join (see annTopK)
+    val b = corpus.select(col(idCol).as("id"),
       posexplode(buckets).as(Seq("table_id", "bucket")))
-    b.as("a").join(b.as("b"),
+    val pairs = b.as("a").join(b.as("b"),
         col("a.table_id") === col("b.table_id") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("d1"), col("b.id").as("d2"),
-        col("a.v").as("v1"), col("b.v").as("v2"))
+      .select(col("a.id").as("d1"), col("b.id").as("d2"))
       .dropDuplicates("d1", "d2")
+    val v1 = corpus.select(col(idCol).as("d1"), v.as("v1"))
+    val v2 = corpus.select(col(idCol).as("d2"), v.as("v2"))
+    pairs.join(v1, "d1").join(v2, "d2")
       .withColumn("cos", cosine(col("v1"), col("v2")))
       .filter(col("cos") >= threshold)
       .select("d1", "d2", "cos")

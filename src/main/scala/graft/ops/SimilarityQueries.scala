@@ -13,23 +13,31 @@ import graft.operators.Similarity
   */
 object SimilarityQueries {
 
+  /** The embeddings fixture is one parquet row-group = one input
+    * split; the 64-hyperplane projection is CPU-heavy per row, so
+    * rebalance to the cores (no-op concern at real scale — see
+    * TextQueries.docsRebalanced). */
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+
   private def queryVectors(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
 
   /** Exact brute-force cosine top-10 for the first 10 vectors. */
   def q40CosineTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(
-      Tables.embeddings(spark, dir), queryVectors(spark, dir), k = 10)
+      corpus(spark, dir), queryVectors(spark, dir), k = 10)
 
   /** SRP-LSH approximate top-10, same contract (rows-only check). */
   def q41AnnTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.annTopK(
-      Tables.embeddings(spark, dir), queryVectors(spark, dir), k = 10)
+      corpus(spark, dir), queryVectors(spark, dir), k = 10)
 
   /** Embedding-cosine near-dup pairs via LSH (rows-only check). */
   def q42AnnNeardup(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(
-      Tables.embeddings(spark, dir), threshold = 0.4)
+      corpus(spark, dir), threshold = 0.4)
       .select(col("d1"), col("d2"))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

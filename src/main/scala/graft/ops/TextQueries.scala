@@ -39,18 +39,27 @@ object TextQueries {
   def q33DedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactDedup(Tables.documents(spark, dir))
 
+  /** The documents fixture is one parquet row-group = one input split;
+    * shingle/hash work is CPU-heavy per row, so rebalance to the
+    * cluster's cores first. (At 100 TB the scan already yields
+    * thousands of splits and AQE balances them — this round-robin only
+    * matters for the tiny-file case.) */
+  private def docsRebalanced(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+
   /** Exact 3-gram Jaccard near-dup pairs (brute-force oracle path). */
   def q34NgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(Tables.documents(spark, dir), k = 3, threshold = 0.2)
+    Dedup.ngramJaccardPairs(docsRebalanced(spark, dir), k = 3, threshold = 0.2)
 
   /** MinHash+LSH near-dup pairs (scale path; rows-only check). */
   def q35MinhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minHashPairs(Tables.documents(spark, dir),
+    Dedup.minHashPairs(docsRebalanced(spark, dir),
       k = 3, numHashes = 16, bands = 4, threshold = 0.6)
 
   /** SimHash near-dup pairs (scale path; rows-only check). */
   def q36SimhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simHashPairs(Tables.documents(spark, dir), maxHamming = 6)
+    Dedup.simHashPairs(docsRebalanced(spark, dir), maxHamming = 6)
 
   /** Content fingerprints (md5 columns only — xxhash64/rolling are
     * Spark-side integers DuckDB can't reproduce; spec-tested instead). */
