@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-shaping operators for training-data pipelines: token-budget
+  * sharding (pack documents into shards of ~N tokens for tokenizer /
+  * trainer workers) and per-source stratified sampling (data mixing).
+  */
+object Sharding {
+
+  /** Assign each document a shard id such that consecutive documents
+    * (by `orderCol`, within `partitionCol`) accumulate to roughly
+    * `tokenBudget` tokens per shard.
+    *
+    * Scale: the running sum windows per `partitionCol` (source, dump,
+    * crawl segment…), so no global single-partition window appears —
+    * sequential packing is inherently per-stream, and streams are the
+    * natural parallel unit. */
+  def tokenBudgetShards(docs: DataFrame, tokenBudget: Long,
+                        partitionCol: String = "source",
+                        orderCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(partitionCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      // integer division (`div`), not double-divide-then-cast: double
+      // casts truncate in Spark but ROUND in DuckDB
+      .withColumn("shard_id", expr(s"(cum_tokens - 1) div $tokenBudget"))
+  }
+
+  /** Per-stratum sampling fractions (data mixing): deterministic under
+    * a fixed seed. Sampling is engine-internal randomness — pin with
+    * property tests (fraction tolerance), not cross-engine oracles. */
+  def stratifiedSample(docs: DataFrame, fractions: Map[String, Double],
+                       strataCol: String = "source", seed: Long = 42L): DataFrame =
+    docs.stat.sampleBy(strataCol, fractions, seed)
+}

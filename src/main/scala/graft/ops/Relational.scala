@@ -338,6 +338,28 @@ object Relational {
       .distinct()
   }
 
+  /** Hierarchical subtotals via ROLLUP (beyond the reference's surface;
+    * grouping-set machinery comes free with Catalyst's Expand). */
+  def q23Rollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .rollup(year($"o_orderdate").cast("long").as("y"), $"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec($"o_totalprice")).cast("double").as("total_price"))
+  }
+
+  /** CUBE over two dimensions with grouping id. */
+  def q24Cube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        sum(dec($"l_quantity")).cast("double").as("sum_qty"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project"  -> (q02FilterProject _),
@@ -360,7 +382,9 @@ object Relational {
     "q19_rate_decimal"    -> (q19RateDecimal _),
     "q20_global_rank"     -> (q20GlobalRank _),
     "q21_quality_report"  -> (q21QualityReport _),
-    "q22_distinct"        -> (q22Distinct _)
+    "q22_distinct"        -> (q22Distinct _),
+    "q23_rollup"          -> (q23Rollup _),
+    "q24_cube"            -> (q24Cube _)
   )
 
   // ---------------------------------------------------------------- oracles
@@ -518,6 +542,21 @@ object Relational {
         |FROM lineitem""".stripMargin,
 
     "q22_distinct" ->
-      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q23_rollup" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y, o_orderstatus,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY ROLLUP (y, o_orderstatus)""".stripMargin,
+
+    "q24_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Sharding, TextAnalysis}
 
 /** Text-analysis / dedup operator inventory over the `documents`
   * fixture, oracle-paired where the semantics are SQL-expressible.
@@ -67,6 +67,12 @@ object TextQueries {
     TextAnalysis.withFingerprints(Tables.documents(spark, dir))
       .select(col("doc_id"), col("fp_md5"), col("fp_bucket"))
 
+  /** Token-budget sharding per source stream (training-data packing). */
+  def q38TokenShard(spark: SparkSession, dir: String): DataFrame =
+    Sharding.tokenBudgetShards(Tables.documents(spark, dir), tokenBudget = 5000)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"), col("shard_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_text_tokens"   -> (q30TextTokens _),
     "q31_text_quality"  -> (q31TextQuality _),
@@ -75,7 +81,8 @@ object TextQueries {
     "q34_ngram_jaccard" -> (q34NgramJaccard _),
     "q35_minhash_pairs" -> (q35MinhashPairs _),
     "q36_simhash_pairs" -> (q36SimhashPairs _),
-    "q37_fingerprint"   -> (q37Fingerprint _)
+    "q37_fingerprint"   -> (q37Fingerprint _),
+    "q38_token_shard"   -> (q38TokenShard _)
   )
 
   private val BPEISH = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
@@ -140,6 +147,16 @@ object TextQueries {
 
     "q37_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_md5, substring(md5(text), 1, 4) AS fp_bucket
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q38_token_shard" ->
+      """SELECT doc_id, source, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+        |  (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) // 5000 AS shard_id
+        |FROM (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents) t""".stripMargin
   )
 }
