@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan guard rails across the whole query registry: the
+  * properties that must survive any refactor because they are what
+  * makes the plans scale (SURVEY §4.3).
+  */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, sf).queryExecution.executedPlan.toString
+    }
+
+  test("no query plan contains a cartesian product") {
+    val bad = plans.collect { case (n, p) if p.contains("CartesianProduct") => n }
+    assert(bad.isEmpty, s"cartesian products in: $bad")
+  }
+
+  test("every parquet-scanning query prunes columns (no full-width lineitem scan)") {
+    // lineitem has 11 columns; no query needs more than 6 of them
+    val offenders = plans.collect {
+      case (n, p) if "ReadSchema: struct<([^>]+)>".r.findAllMatchIn(p)
+        .exists(m => m.group(1).split(",").length > 8) => n
+    }
+    assert(offenders.isEmpty, s"over-wide scans in: $offenders")
+  }
+
+  private def formatted(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("filter queries push predicates into the scan") {
+    Seq("q01_pricing_summary", "q02_filter_project", "q03_join_top_revenue")
+      .foreach { q =>
+        assert("PushedFilters: \\[[^\\]]*(GreaterThan|LessThan|IsNotNull)".r
+          .findFirstIn(formatted(q)).isDefined,
+          s"$q lost predicate pushdown")
+      }
+  }
+
+  test("dimension joins broadcast; nothing falls back to sort-merge at fixture scale") {
+    Seq("q03_join_top_revenue", "q04_left_join_agg", "q14_anti_join",
+      "q15_semi_join", "q16_latest_date", "q18_join_chain")
+      .foreach { q =>
+        assert(plans(q).contains("BroadcastHashJoin"), s"$q has no broadcast join")
+      }
+  }
+
+  test("whole-stage codegen spans exist in aggregation plans") {
+    // AQE hides codegen markers until stages materialize: execute first,
+    // then the final plan carries the *(n) codegen prefixes
+    Seq("q01_pricing_summary", "q11_case_when", "q17_monthly").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect() // executes THIS plan (count() would build a new one)
+      assert(df.queryExecution.executedPlan.toString.contains("*("),
+        s"$q has no codegen spans after execution")
+    }
+  }
+}
