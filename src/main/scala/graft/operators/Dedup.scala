@@ -121,6 +121,45 @@ object Dedup {
       .select("d1", "d2", "jaccard")
   }
 
+  /** Connected components over a near-dup pair list: label every
+    * clustered doc with the smallest doc_id reachable from it —
+    * the grouping step that turns pairwise near-dups into dedup
+    * groups (keep `component_id`, drop the rest).
+    *
+    * Iterative min-label propagation to a fixpoint; `localCheckpoint`
+    * each round truncates the exploding lineage (without it, iteration
+    * i re-executes rounds 1..i-1 and the job goes quadratic). Rounds
+    * needed = graph diameter; near-dup clusters are shallow (dups of a
+    * common original), so convergence is fast. At extreme scale swap
+    * for large-star/small-star, same contract. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .distinct().cache()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges.join(labels, edges("b") === labels("node"))
+        .groupBy(edges("a").as("n2")).agg(min("label").as("nlabel"))
+      val updated = labels
+        .join(neighborMin, labels("node") === neighborMin("n2"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      val changed = updated
+        .join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("component_id"))
+  }
+
   /** 64-bit SimHash over distinct k-shingles: per bit, majority vote of
     * the shingle-hash bits — one nested higher-order expression, no UDF.
     * Shingles (not words) as features: on small-vocabulary corpora the

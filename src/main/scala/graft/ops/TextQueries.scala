@@ -73,6 +73,14 @@ object TextQueries {
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("cum_tokens"), col("shard_id"))
 
+  /** Near-dup clusters: exact-Jaccard pairs → connected components →
+    * (doc_id, component_id=min reachable id). The full dedup story:
+    * group near-dups, keep the representative per component. */
+  def q39DedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(docsRebalanced(spark, dir), k = 3, threshold = 0.6)
+        .select(col("d1"), col("d2")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_text_tokens"   -> (q30TextTokens _),
     "q31_text_quality"  -> (q31TextQuality _),
@@ -82,7 +90,8 @@ object TextQueries {
     "q35_minhash_pairs" -> (q35MinhashPairs _),
     "q36_simhash_pairs" -> (q36SimhashPairs _),
     "q37_fingerprint"   -> (q37Fingerprint _),
-    "q38_token_shard"   -> (q38TokenShard _)
+    "q38_token_shard"   -> (q38TokenShard _),
+    "q39_dedup_clusters" -> (q39DedupClusters _)
   )
 
   private val BPEISH = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
@@ -157,6 +166,25 @@ object TextQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) // 5000 AS shard_id
         |FROM (
         |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
-        |  FROM documents) t""".stripMargin
+        |  FROM documents) t""".stripMargin,
+
+    "q39_dedup_clusters" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 2),
+        |        i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS shingle
+        |      FROM d WHERE len(w) >= 3),
+        |n AS (SELECT doc_id, count(*) AS ns FROM s GROUP BY doc_id),
+        |c AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |p AS (SELECT d1, d2 FROM c JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+        |      WHERE CAST(common AS DOUBLE) / (n1.ns + n2.ns - common) >= 0.6),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+        |reach(a, b) AS (SELECT a, b FROM edges
+        |                UNION
+        |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS doc_id, least(a, min(b)) AS component_id
+        |FROM reach GROUP BY a""".stripMargin
   )
 }

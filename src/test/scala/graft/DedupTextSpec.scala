@@ -102,6 +102,26 @@ class DedupTextSpec extends AnyFunSuite {
       docs.select("text").distinct().count())
   }
 
+  test("connected components label chains transitively to the min id") {
+    import spark.implicits._
+    // chain 1-2-3-4 plus isolated pair 10-11: two components
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("d1", "d2")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dedup corpus: one representative survives per near-dup component") {
+    import spark.implicits._
+    val pairs = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.6).select("d1", "d2")
+    val comp = Dedup.connectedComponents(pairs)
+    val survivors = docs.join(comp, Seq("doc_id"), "left")
+      .filter($"component_id".isNull || $"component_id" === $"doc_id")
+    val expected = docs.count() -
+      comp.filter($"doc_id" =!= $"component_id").count()
+    assert(survivors.count() == expected)
+  }
+
   test("dedup plans contain no cartesian product") {
     val plan = Dedup.minHashPairs(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"),
