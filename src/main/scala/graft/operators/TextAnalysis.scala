@@ -47,8 +47,10 @@ object TextAnalysis {
         size(regexp_extract_all(t, lit(langProfiles.head._2), lit(0))))
       .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_words"))
       .withColumn("punct_ratio",
+        // greatest(..,1): empty text must score 0, not raise ANSI
+        // divide-by-zero (empty rows are guaranteed at corpus scale)
         size(regexp_extract_all(t, lit(punctPattern), lit(0))).cast("double") /
-          col("n_chars_m"))
+          greatest(col("n_chars_m"), lit(1)))
       .withColumn("quality_score",
         (least(col("n_words").cast("double") / 100.0, lit(1.0)) +
           least(col("stop_ratio") * 5.0, lit(1.0)) +

@@ -108,10 +108,10 @@ object TextQueries {
       s"""SELECT doc_id, n_words,
          |  CAST(n_chars_m - (n_words - 1) AS DOUBLE) / n_words AS mean_word_len,
          |  CAST(stop_hits AS DOUBLE) / n_words AS stop_ratio,
-         |  CAST(punct_hits AS DOUBLE) / n_chars_m AS punct_ratio,
+         |  CAST(punct_hits AS DOUBLE) / greatest(n_chars_m, 1) AS punct_ratio,
          |  (least(CAST(n_words AS DOUBLE) / 100.0, 1.0)
          |   + least((CAST(stop_hits AS DOUBLE) / n_words) * 5.0, 1.0)
-         |   + (1.0 - CAST(punct_hits AS DOUBLE) / n_chars_m)) / 3.0 AS quality_score
+         |   + (1.0 - CAST(punct_hits AS DOUBLE) / greatest(n_chars_m, 1))) / 3.0 AS quality_score
          |FROM (
          |  SELECT doc_id,
          |    len(string_split(text, ' ')) AS n_words,

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.ops.tb.{TbPipeline, TbSynth}
+
+/** Edge-case robustness: operators must degrade to empty results, not
+  * exceptions, when inputs are empty or degenerate — at 100 TB some
+  * partition/source WILL be empty, and a pipeline that throws on it
+  * loses the whole job.
+  */
+class RobustnessSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+  import spark.implicits._
+
+  private lazy val emptyDocs =
+    Tables.documents(spark, sf).filter($"doc_id" < 0)
+
+  test("dedup family on empty input returns empty, no exceptions") {
+    assert(Dedup.exactDedup(emptyDocs).count() == 0)
+    assert(Dedup.ngramJaccardPairs(emptyDocs).count() == 0)
+    assert(Dedup.minHashPairs(emptyDocs).count() == 0)
+    assert(Dedup.simHashPairs(emptyDocs).count() == 0)
+  }
+
+  test("connected components of an empty pair list is empty") {
+    val noPairs = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    assert(Dedup.connectedComponents(noPairs).count() == 0)
+  }
+
+  test("docs shorter than the shingle size are dropped, not crashed on") {
+    val tiny = Seq((1L, "one two"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val sh = Dedup.withShingles(tiny, k = 3)
+    assert(sh.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
+  test("text analysis tolerates empty strings") {
+    val df = Seq((1L, ""), (2L, "hello world")).toDF("doc_id", "text")
+    val t = TextAnalysis.withQualityScore(
+      TextAnalysis.withTokenCounts(TextAnalysis.withLanguageId(df)))
+    assert(t.count() == 2)
+    assert(t.filter($"doc_id" === 1).select("lang_pred").first().getString(0) == "unknown")
+  }
+
+  test("similarity on empty query set returns the empty contract") {
+    val emptyQ = Tables.embeddings(spark, sf).filter($"vec_id" < 0)
+    val corpus = Tables.embeddings(spark, sf)
+    assert(Similarity.bruteForceTopK(corpus, emptyQ, 5).count() == 0)
+    assert(Similarity.annTopK(corpus, emptyQ, 5).count() == 0)
+  }
+
+  test("TB pipeline on generated data scales past the reference's 240 rows") {
+    val n = 2000 // 2000 countries x 6 years x 4 indicators = 48k facts
+    val rated = TbPipeline.deriveRates(
+      TbPipeline.joinPopulation(
+        TbPipeline.pivotIndicators(
+          TbPipeline.cleanTb(TbSynth.facts(spark, n))),
+        TbPipeline.cleanPopulation(TbSynth.population(spark, n))))
+    val summary = TbPipeline.countrySummary(rated)
+    assert(summary.count() == n)
+    assert(summary.filter($"population" <= 0).count() == 0)
+    assert(summary.filter($"total_cases_per_100k".isNull).count() == 0)
+    val trends = TbPipeline.yearlyTrends(rated)
+    assert(trends.count() == 6)
+    // generator is deterministic: same call, same data
+    val again = TbPipeline.countrySummary(TbPipeline.deriveRates(
+      TbPipeline.joinPopulation(
+        TbPipeline.pivotIndicators(TbPipeline.cleanTb(TbSynth.facts(spark, n))),
+        TbPipeline.cleanPopulation(TbSynth.population(spark, n)))))
+    assert(again.collect().map(_.toSeq).toSet == summary.collect().map(_.toSeq).toSet)
+  }
+
+  test("TB pipeline tolerates fully-filtered (empty) cleaned input") {
+    val junk = Seq(("X", "XXX", "SEA", "not_a_year", "e_inc_num", -5.0))
+      .toDF("country", "iso3", "g_whoregion", "year", "indicator", "value")
+    val clean = TbPipeline.cleanTb(junk)
+    assert(clean.count() == 0)
+    val pivoted = TbPipeline.pivotIndicators(clean)
+    assert(pivoted.count() == 0)
+  }
+}
