@@ -60,6 +60,47 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       s"missing=${(builtin -- custom).take(3)} extra=${(custom -- builtin).take(3)}")
   }
 
+  test("streaming dedup collapses duplicated files to distinct event_ids") {
+    // duplicate the fixture into a temp stream dir: every event twice
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val src = java.nio.file.Paths.get(s"$sf/events.parquet")
+    java.nio.file.Files.copy(src, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    java.nio.file.Files.copy(src, java.nio.file.Paths.get(s"$dir/events2.parquet"))
+    // glob filter matches both copies
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream.schema(EventStreams.rawSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("stream_dedup").start()
+    try q.processAllAvailable() finally q.stop()
+    val n = spark.table("stream_dedup").select("event_id").distinct().count()
+    val total = spark.table("stream_dedup").count()
+    assert(total == n, s"dedup leaked duplicates: $total rows, $n distinct")
+    assert(n == events.count())
+  }
+
+  test("stream-static broadcast join enriches each micro-batch") {
+    import spark.implicits._
+    val dim = (0L until 20L).map(u => (u, s"cohort_${u % 4}"))
+      .toDF("user_id", "cohort")
+    val enriched = EventStreams.streamStaticJoin(
+      EventStreams.readEventStream(spark, sf), dim, "user_id")
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("stream_enrich").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("stream_enrich")
+    assert(out.count() == events.count())
+    assert(out.filter($"cohort".isNull).count() == 0)
+  }
+
+  test("RDD smoke parity (S13): spark.range map through Dataset API") {
+    import spark.implicits._
+    val doubled = spark.range(1, 6).map(_ * 2).collect().sorted
+    assert(doubled.toSeq == Seq(2L, 4L, 6L, 8L, 10L))
+  }
+
   test("multimodal: metadata-only projection prunes the payload column from the scan") {
     val assets = Multimodal.assetsFromText(Tables.documents(spark, sf))
     val plan = Multimodal.metadataOnly(assets).queryExecution.executedPlan.toString
