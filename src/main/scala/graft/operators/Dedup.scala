@@ -110,7 +110,24 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .dropDuplicates("d1", "d2")
-    val shs = signed.select(col("doc_id"), col("sh"))
+      // candidate pairs feed two verification joins: materialize once
+      .localCheckpoint()
+    // Re-derive shingles ONLY for candidate docs: the id filter is a
+    // plain predicate, so it pushes below the (expensive) shingle
+    // projection into the scan — a join would not. Candidate id sets
+    // are small by construction (LSH pruned them); the driver
+    // round-trip is bounded and beats recomputing every doc's
+    // shingles twice.
+    val candIds = cands.select(col("d1")).union(cands.select(col("d2")))
+      .distinct().limit(100001).collect().map(_.getLong(0))
+    val shs =
+      if (candIds.isEmpty)
+        withShingles(docs, k).filter(lit(false)).select(col("doc_id"), col("sh"))
+      else if (candIds.length <= 100000)
+        withShingles(docs, k).filter(col("doc_id").isin(candIds: _*))
+          .select(col("doc_id"), col("sh"))
+      else // huge candidate set: give up on pushdown, plain join
+        withShingles(docs, k).select(col("doc_id"), col("sh"))
     cands
       .join(shs.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
       .join(shs.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
