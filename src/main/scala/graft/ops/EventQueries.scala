@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Multimodal
+import graft.operators.{AsOf, Multimodal}
 import graft.streaming.EventStreams
 
 /** Event-time window inventory over `events`, plus multimodal
@@ -38,11 +38,28 @@ object EventQueries {
         col("meta.n_bytes").cast("long").as("meta_bytes"),
         col("meta.origin").as("origin"))
 
+  /** As-of join: every event enriched with the user's most recent
+    * signup value at event time (union+window composition — one
+    * shuffle, no range-join explosion). */
+  def q54AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val state = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("rts"), col("value").as("state_val"))
+    AsOf.asofJoinLast(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        state, key = "user_id", leftTime = "ts", rightTime = "rts",
+        valueCols = Seq("state_val"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("state_val"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_tumbling_window" -> (q50Tumbling _),
     "q51_sliding_window"  -> (q51Sliding _),
     "q52_session_window"  -> (q52Sessions _),
-    "q53_multimodal_meta" -> (q53MultimodalMeta _)
+    "q53_multimodal_meta" -> (q53MultimodalMeta _),
+    "q54_asof_join"       -> (q54AsofJoin _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -90,6 +107,14 @@ object EventQueries {
         |  octet_length(encode(text)) AS payload_bytes,
         |  length(text) AS meta_bytes,
         |  source AS origin
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q54_asof_join" ->
+      """WITH r AS (SELECT user_id, ts AS rts, value AS state_val
+        |           FROM events WHERE event_type = 'signup')
+        |SELECT l.event_id, l.user_id,
+        |  strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts_s, r.state_val
+        |FROM events l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.rts""".stripMargin
   )
 }

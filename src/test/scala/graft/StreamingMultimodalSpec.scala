@@ -95,6 +95,26 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(out.filter($"cohort".isNull).count() == 0)
   }
 
+  test("as-of join: <= boundary inclusive, no-earlier-state rows stay null") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000)
+    val left = Seq((1L, 10L, t(100)), (2L, 10L, t(200)), (3L, 10L, t(50)),
+      (4L, 99L, t(500)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, t(100), 1.0), (10L, t(150), 2.0))
+      .toDF("user_id", "rts", "state_val")
+    val out = graft.operators.AsOf.asofJoinLast(
+        left, right, "user_id", "ts", "rts", Seq("state_val"))
+      .select("event_id", "state_val")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out(1L) == 1.0)   // equal timestamp: boundary inclusive
+    assert(out(2L) == 2.0)   // picks the LATEST state <= ts
+    assert(out(3L) == null)  // before any state
+    assert(out(4L) == null)  // key with no state rows at all
+  }
+
   test("RDD smoke parity (S13): spark.range map through Dataset API") {
     import spark.implicits._
     val doubled = spark.range(1, 6).map(_ * 2).collect().sorted
