@@ -69,13 +69,18 @@ object Dedup {
       .select("d1", "d2", "common", "n1", "n2", "jaccard")
   }
 
-  /** MinHash signatures via the native [[graft.functions.MinHashSigs]]
-    * expression: `sig[i] = min over shingles of mix(xxhash64(s), i)` —
-    * one JIT'd pass instead of `numHashes` interpreted array scans. */
+  /** MinHash signatures, fully native: `shingle_hashes` (one pass over
+    * the text bytes, no word/shingle string materialization) feeding
+    * `minhash_sigs` (one JIT'd pass over the feature hashes). Docs with
+    * < k words yield an empty feature array and are dropped. */
   def withMinHash(docs: DataFrame, k: Int = 3, numHashes: Int = 16): DataFrame = {
     graft.functions.MinHashSigs.register(docs.sparkSession)
-    withShingles(docs, k).withColumn("sig",
-      expr(s"minhash_sigs(transform(sh, s -> xxhash64(s)), $numHashes)"))
+    graft.functions.ShingleHashes.register(docs.sparkSession)
+    docs
+      .withColumn("fh", expr(s"shingle_hashes(text, $k)"))
+      .filter(size(col("fh")) > 0)
+      .withColumn("sig", expr(s"minhash_sigs(fh, $numHashes)"))
+      .drop("fh")
   }
 
   /** MinHash + LSH banding: docs meet only inside equal (band,
@@ -185,10 +190,12 @@ object Dedup {
     * k-gram features keep the space discriminative. */
   def withSimHash(docs: DataFrame, k: Int = 3): DataFrame = {
     graft.functions.SimHash64.register(docs.sparkSession)
-    withShingles(docs, k)
-      .withColumn("simhash",
-        expr("simhash64(transform(sh, s -> xxhash64(s)))"))
-      .drop("sh")
+    graft.functions.ShingleHashes.register(docs.sparkSession)
+    docs
+      .withColumn("fh", expr(s"shingle_hashes(text, $k)"))
+      .filter(size(col("fh")) > 0)
+      .withColumn("simhash", expr("simhash64(fh)"))
+      .drop("fh")
   }
 
   /** SimHash near-dup pairs: candidates from 4×16-bit band equality
