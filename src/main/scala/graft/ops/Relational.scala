@@ -360,6 +360,35 @@ object Relational {
         sum(dec($"l_quantity")).cast("double").as("sum_qty"))
   }
 
+  /** String-function battery (F3–F6 generalized): case, substring,
+    * trim/pad, concat, replace, length — all codegen'd per row. */
+  def q25StringFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir).select(
+      $"p_partkey",
+      upper($"p_brand").as("brand_u"),
+      lower($"p_type").as("type_l"),
+      substring($"p_name", 1, 8).as("name_8"),
+      length($"p_name").cast("long").as("name_len"),
+      concat_ws("|", $"p_brand", $"p_type").as("brand_type"),
+      regexp_replace($"p_name", "a", "@").as("name_sub"),
+      lpad($"p_partkey".cast("string"), 8, "0").as("key_pad"))
+  }
+
+  /** Date arithmetic (F7 generalized): ship delay in days, shifted
+    * dates, quarter bucketing. */
+  def q26DateArith(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_linenumber", $"l_shipdate")
+    val o = Tables.orders(spark, dir).select($"o_orderkey", $"o_orderdate")
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .select(
+        $"l_orderkey", $"l_linenumber",
+        datediff($"l_shipdate", $"o_orderdate").cast("long").as("ship_delay_days"),
+        date_format(date_add($"l_shipdate", 30), "yyyy-MM-dd").as("due_date"),
+        quarter($"l_shipdate").cast("long").as("ship_quarter"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project"  -> (q02FilterProject _),
@@ -384,7 +413,9 @@ object Relational {
     "q21_quality_report"  -> (q21QualityReport _),
     "q22_distinct"        -> (q22Distinct _),
     "q23_rollup"          -> (q23Rollup _),
-    "q24_cube"            -> (q24Cube _)
+    "q24_cube"            -> (q24Cube _),
+    "q25_string_funcs"    -> (q25StringFuncs _),
+    "q26_date_arith"      -> (q26DateArith _)
   )
 
   // ---------------------------------------------------------------- oracles
@@ -557,6 +588,24 @@ object Relational {
         |  count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
-        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q25_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_u,
+        |  lower(p_type) AS type_l,
+        |  substring(p_name, 1, 8) AS name_8,
+        |  length(p_name) AS name_len,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  regexp_replace(p_name, 'a', '@', 'g') AS name_sub,
+        |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_pad
+        |FROM part""".stripMargin,
+
+    "q26_date_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  date_diff('day', o_orderdate, l_shipdate) AS ship_delay_days,
+        |  strftime(l_shipdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+        |  CAST(quarter(l_shipdate) AS BIGINT) AS ship_quarter
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
   )
 }
