@@ -389,6 +389,25 @@ object Relational {
         quarter($"l_shipdate").cast("long").as("ship_quarter"))
   }
 
+  /** Full window-function suite beyond rank (lag/lead/ntile/
+    * percent_rank/cume_dist/running aggregate with explicit frame) —
+    * per-nation partitions, unique-key ordering so every function is
+    * deterministic. */
+  def q27WindowSuite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_nationkey").orderBy($"c_custkey".asc)
+    Tables.customer(spark, dir).select(
+      $"c_nationkey", $"c_custkey", $"c_acctbal",
+      lag($"c_acctbal", 1).over(w).as("prev_bal"),
+      lead($"c_acctbal", 1).over(w).as("next_bal"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"),
+      sum(dec($"c_acctbal")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double").as("running_bal"),
+      row_number().over(w).cast("long").as("rn"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project"  -> (q02FilterProject _),
@@ -415,7 +434,8 @@ object Relational {
     "q23_rollup"          -> (q23Rollup _),
     "q24_cube"            -> (q24Cube _),
     "q25_string_funcs"    -> (q25StringFuncs _),
-    "q26_date_arith"      -> (q26DateArith _)
+    "q26_date_arith"      -> (q26DateArith _),
+    "q27_window_suite"    -> (q27WindowSuite _)
   )
 
   // ---------------------------------------------------------------- oracles
@@ -606,6 +626,20 @@ object Relational {
         |  date_diff('day', o_orderdate, l_shipdate) AS ship_delay_days,
         |  strftime(l_shipdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
         |  CAST(quarter(l_shipdate) AS BIGINT) AS ship_quarter
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+
+    "q27_window_suite" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        |  lag(c_acctbal, 1) OVER w AS prev_bal,
+        |  lead(c_acctbal, 1) OVER w AS next_bal,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) OVER
+        |    (PARTITION BY c_nationkey ORDER BY c_custkey ASC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_bal,
+        |  CAST(row_number() OVER w AS BIGINT) AS rn
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey ASC)""".stripMargin
   )
 }
