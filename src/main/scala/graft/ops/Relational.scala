@@ -515,8 +515,8 @@ object Relational {
         |  count(DISTINCT o_custkey) AS n_customers,
         |  strftime(min(o_orderdate), '%Y-%m-%d') AS first_date,
         |  strftime(max(o_orderdate), '%Y-%m-%d') AS last_date,
-        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-        |  sum(CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END) AS n_big
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+        |  CAST(sum(CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
         |FROM orders""".stripMargin,
 
     "q11_case_when" ->
@@ -588,8 +588,8 @@ object Relational {
         |  count(DISTINCT l_partkey) AS n_parts,
         |  strftime(min(l_shipdate), '%Y-%m-%d') AS ship_min,
         |  strftime(max(l_shipdate), '%Y-%m-%d') AS ship_max,
-        |  sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS nonpositive_qty,
-        |  sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS deep_discounts
+        |  CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_qty,
+        |  CAST(sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS deep_discounts
         |FROM lineitem""".stripMargin,
 
     "q22_distinct" ->

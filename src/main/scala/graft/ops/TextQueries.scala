@@ -160,10 +160,10 @@ object TextQueries {
 
     "q38_token_shard" ->
       """SELECT doc_id, source, n_tokens,
-        |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
-        |  (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) // 5000 AS shard_id
+        |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+        |  CAST((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) // 5000 AS BIGINT) AS shard_id
         |FROM (
         |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
         |  FROM documents) t""".stripMargin,

@@ -5,9 +5,12 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 
 Registers each testdata parquet as a DuckDB view, runs every query in
 <verifyOutDir>/oracle_sql.json, and compares against the Spark result
-parquet at <verifyOutDir>/<name>/ — row count, sorted column names, and
-the multiset of rows (exact on ints/strings, near-exact report on
-floats so mismatch causes are visible).
+parquet at <verifyOutDir>/<name>/ — row count, sorted column names,
+sorted column TYPES (the driver hashes typed values: a DuckDB HUGEINT
+sum vs a Spark BIGINT both fetch as python int but hash differently,
+which is exactly the r1 q10/q21/q38 failure mode), and the multiset of
+rows with strict equality (floats must be bit-equal; any drift is a
+FAIL so local replay predicts the driver gate).
 
 Dev tool only — uses driver-side python packages, not part of the
 Scala library.
@@ -34,19 +37,16 @@ def compare(name, spark_rows, oracle_rows, cols):
         return f"ROWCOUNT spark={len(spark_rows)} oracle={len(oracle_rows)}"
     s = sorted(spark_rows, key=rows_key)
     o = sorted(oracle_rows, key=rows_key)
-    n_exact = 0
-    worst = 0.0
     for sr, orow in zip(s, o):
         for a, b in zip(sr, orow):
             if isinstance(a, float) and isinstance(b, float):
-                if a == b or (math.isnan(a) and math.isnan(b)):
+                if math.isnan(a) and math.isnan(b):
                     continue
-                denom = max(abs(a), abs(b), 1e-300)
-                worst = max(worst, abs(a - b) / denom)
-            elif a != b:
-                return f"VALUE mismatch: {sr} vs {orow}"
-    if worst > 0:
-        return f"FLOAT drift relerr={worst:.2e}" if worst > 1e-12 else f"float-ulp relerr={worst:.2e}"
+                if a != b:
+                    denom = max(abs(a), abs(b), 1e-300)
+                    return f"FLOAT mismatch relerr={abs(a - b) / denom:.2e}: {sr} vs {orow}"
+            elif a != b or type(a) is not type(b):
+                return f"VALUE mismatch: {sr} ({[type(x).__name__ for x in sr]}) vs {orow} ({[type(x).__name__ for x in orow]})"
     return None
 
 
@@ -63,6 +63,7 @@ def main():
             ocur = con.sql(sql)
             ocols = [c.lower() for c in ocur.columns]
             order = sorted(range(len(ocols)), key=lambda i: ocols[i])
+            otypes = [str(ocur.types[i]) for i in order]
             orows = [tuple(r[i] for i in order) for r in ocur.fetchall()]
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
@@ -73,6 +74,7 @@ def main():
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
             scols = [c.lower() for c in scur.columns]
             sorder = sorted(range(len(scols)), key=lambda i: scols[i])
+            stypes = [str(scur.types[i]) for i in sorder]
             srows = [tuple(r[i] for i in sorder) for r in scur.fetchall()]
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
@@ -80,6 +82,12 @@ def main():
             continue
         if sorted(ocols) != sorted(scols):
             print(f"FAIL {name}: COLS spark={sorted(scols)} oracle={sorted(ocols)}")
+            n_fail += 1
+            continue
+        if otypes != stypes:
+            mism = [f"{c}: spark={st} oracle={ot}"
+                    for c, st, ot in zip(sorted(scols), stypes, otypes) if st != ot]
+            print(f"FAIL {name}: TYPES {'; '.join(mism)}")
             n_fail += 1
             continue
         err = compare(name, srows, orows, sorted(scols))
