@@ -26,6 +26,9 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS), which vanilla Spark
+      // rejects; set once here rather than mutating conf inside readers.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     registerFunctions(spark)
@@ -38,5 +41,7 @@ object GraftSession {
     functions.SimHash64.register(spark)
     functions.MinHashSigs.register(spark)
     functions.ShingleHashes.register(spark)
+    functions.SrpBuckets.register(spark)
+    functions.CosineSim.register(spark)
   }
 }

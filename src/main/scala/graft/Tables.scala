@@ -20,9 +20,18 @@ object Tables {
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects. Read it as nanos-since-epoch (legacy long mode) and
     * rebuild a microsecond timestamp with exact integer arithmetic.
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` on the
+    * session ([[GraftSession.create]] sets it). A reader must not
+    * mutate session conf — that's a global side effect that races
+    * with concurrent queries — so an unconfigured session fails fast
+    * here instead.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "Tables.events needs spark.sql.legacy.parquet.nanosAsLong=true " +
+        "(set at session build time, e.g. via GraftSession.create)")
     val raw = load(spark, dir, "events")
     raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
       org.apache.spark.sql.functions.expr("ts div 1000")))

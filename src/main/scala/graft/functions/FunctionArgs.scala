@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Argument validation for the SQL `register` builders: the function
+  * registry hands us a raw `Seq[Expression]`, so without these checks
+  * a missing argument or a non-literal surfaces as an opaque
+  * IndexOutOfBounds/ClassCast/NPE at analysis time. Raise a real
+  * AnalysisException naming the function and the expected signature
+  * instead.
+  */
+object FunctionArgs {
+
+  private def fail(msg: String): Nothing =
+    throw new AnalysisException(
+      errorClass = "INTERNAL_ERROR", messageParameters = Map("message" -> msg))
+
+  def requireArity(fn: String, exprs: Seq[Expression], n: Int, signature: String): Unit =
+    if (exprs.length != n)
+      fail(s"$fn expects $n arguments but got ${exprs.length}; usage: $signature")
+
+  private def foldableNumber(fn: String, e: Expression, argName: String): Number = {
+    if (!e.foldable)
+      fail(s"$fn: argument '$argName' must be a literal, got ${e.sql}")
+    e.eval() match {
+      case n: Number => n
+      case other =>
+        fail(s"$fn: argument '$argName' must be an integer literal, got $other")
+    }
+  }
+
+  def foldableInt(fn: String, e: Expression, argName: String): Int =
+    foldableNumber(fn, e, argName).intValue()
+
+  def foldableLong(fn: String, e: Expression, argName: String): Long =
+    foldableNumber(fn, e, argName).longValue()
+}

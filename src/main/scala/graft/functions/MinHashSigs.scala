@@ -70,7 +70,10 @@ object MinHashSigs {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sigs",
-      exprs => MinHashSigs(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue()),
+      exprs => {
+        FunctionArgs.requireArity("minhash_sigs", exprs, 2,
+          "minhash_sigs(features array<bigint>, k INT literal)")
+        MinHashSigs(exprs.head, FunctionArgs.foldableInt("minhash_sigs", exprs(1), "k"))
+      },
       "built-in")
 }

@@ -95,7 +95,10 @@ object ShingleHashes {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_hashes",
-      exprs => ShingleHashes(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue()),
+      exprs => {
+        FunctionArgs.requireArity("shingle_hashes", exprs, 2,
+          "shingle_hashes(text STRING, k INT literal)")
+        ShingleHashes(exprs.head, FunctionArgs.foldableInt("shingle_hashes", exprs(1), "k"))
+      },
       "built-in")
 }

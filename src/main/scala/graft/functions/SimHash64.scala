@@ -72,5 +72,11 @@ object SimHash64 {
     * (idempotent); afterwards it is callable from SQL and `expr`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+      "simhash64",
+      exprs => {
+        FunctionArgs.requireArity("simhash64", exprs, 1,
+          "simhash64(features array<bigint>)")
+        SimHash64(exprs.head)
+      },
+      "built-in")
 }

@@ -17,20 +17,29 @@ import org.apache.spark.sql.expressions.Window
   *     inside equal (table, bucket) cells, so the corpus scan is
   *     replaced by bucket joins. The 100 TB path.
   *
-  * Cosine is a sequential left-to-right fold over the array (built-in
-  * `aggregate`), so scores are bit-deterministic across partitionings.
-  * No UDFs anywhere — everything codegen-able higher-order expressions.
+  * All per-row math goes through two native codegen'd expressions —
+  * [[graft.functions.CosineSim]] (scoring) and
+  * [[graft.functions.SrpBuckets]] (LSH bucketing). Both accumulate
+  * strictly left-to-right, so scores are bit-deterministic across
+  * partitionings; buckets are derived from (dim, tables, bits, seed)
+  * on each executor with no driver round-trip. No UDFs anywhere.
   */
 object Similarity {
 
-  /** Exact cosine similarity between two array<double> columns. */
+  /** Exact cosine similarity between two array<double> columns —
+    * the higher-order-function reference formulation. Query paths use
+    * the native `cosine_sim` (bit-identical, JIT'd); this stays as
+    * the public Column-level API and the cross-check in specs. */
   def cosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column) =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
-  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  private def registerFns(df: DataFrame): Unit = {
+    graft.functions.CosineSim.register(df.sparkSession)
+    graft.functions.SrpBuckets.register(df.sparkSession)
+  }
 
   /** Exact top-k neighbors for each query vector.
     *
@@ -40,32 +49,21 @@ object Similarity {
     * batches, partition the batch and union. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(
-      col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-    val c = corpus.select(
-      col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    registerFns(corpus)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", expr("cosine_sim(qv, cv)"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
   }
 
-  /** Deterministic Gaussian hyperplanes: `tables` hash tables ×
-    * `bits` hyperplanes each, fixed seed → identical across runs. */
-  private def hyperplanes(dim: Int, tables: Int, bits: Int, seed: Long): Array[Array[Array[Double]]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(tables, bits, dim)(rnd.nextGaussian())
-  }
-
-  /** Bucket id per table: sign bits of the projections packed to a long. */
-  private def bucketExpr(vec: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, b) =>
-      val proj = aggregate(
-        zip_with(vec, typedLit(p.toSeq), (x, r) => x * r), lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** Per-table LSH bucket ids for a vector column: native SRP
+    * projection (packed sign bits of seeded Gaussian hyperplanes). */
+  private def bucketsOf(vecCol: String, tables: Int, bits: Int, seed: Long): Column =
+    expr(s"srp_buckets($vecCol, $tables, $bits, $seed)")
 
   /** SRP-LSH approximate top-k: same contract as [[bruteForceTopK]],
     * but neighbors are drawn from LSH bucket collisions only, then
@@ -77,18 +75,13 @@ object Similarity {
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               tables: Int = 8, bits: Int = 8, seed: Long = 42L,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
-    val hp = hyperplanes(dim, tables, bits, seed)
-
+    registerFns(corpus)
     // Bucket with IDS ONLY: carrying the vectors through the
     // tables-way explode and the bucket join multiplies shuffle bytes
     // by `tables`; vectors are re-attached just for final scoring.
-    def bucketed(df: DataFrame, id: String): DataFrame = {
-      val v = asDouble(col(vecCol))
-      val buckets = array((0 until tables).map(t => bucketExpr(v, hp(t))): _*)
+    def bucketed(df: DataFrame, id: String): DataFrame =
       df.select(col(idCol).as(id),
-        posexplode(buckets).as(Seq("table_id", "bucket")))
-    }
+        posexplode(bucketsOf(vecCol, tables, bits, seed)).as(Seq("table_id", "bucket")))
 
     val cq = bucketed(queries, "query_id")
     val cc = bucketed(corpus, "neighbor_id")
@@ -96,13 +89,13 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
-    val qv = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-    val cv = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     candidates
       .join(broadcast(qv), "query_id")
       .join(cv, "neighbor_id")
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", expr("cosine_sim(qv, cv)"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
@@ -114,23 +107,20 @@ object Similarity {
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
                          tables: Int = 8, bits: Int = 8, seed: Long = 42L,
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
-    val hp = hyperplanes(dim, tables, bits, seed)
-    val v = asDouble(col(vecCol))
-    val buckets = array((0 until tables).map(t => bucketExpr(v, hp(t))): _*)
+    registerFns(corpus)
     // ids-only through the explode + self-join (see annTopK)
     val b = corpus.select(col(idCol).as("id"),
-      posexplode(buckets).as(Seq("table_id", "bucket")))
+      posexplode(bucketsOf(vecCol, tables, bits, seed)).as(Seq("table_id", "bucket")))
     val pairs = b.as("a").join(b.as("b"),
         col("a.table_id") === col("b.table_id") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("d1"), col("b.id").as("d2"))
       .dropDuplicates("d1", "d2")
-    val v1 = corpus.select(col(idCol).as("d1"), v.as("v1"))
-    val v2 = corpus.select(col(idCol).as("d2"), v.as("v2"))
+    val v1 = corpus.select(col(idCol).as("d1"), col(vecCol).as("v1"))
+    val v2 = corpus.select(col(idCol).as("d2"), col(vecCol).as("v2"))
     pairs.join(v1, "d1").join(v2, "d2")
-      .withColumn("cos", cosine(col("v1"), col("v2")))
+      .withColumn("cos", expr("cosine_sim(v1, v2)"))
       .filter(col("cos") >= threshold)
       .select("d1", "d2", "cos")
   }

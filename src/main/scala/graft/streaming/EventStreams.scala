@@ -70,9 +70,14 @@ object EventStreams {
 
   // ----------------------------------------------------------- streaming
 
-  /** File-source streaming read of the events fixture. */
+  /** File-source streaming read of the events fixture. Requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true` at session build time
+    * (see [[graft.Tables.events]] — readers must not mutate conf). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "readEventStream needs spark.sql.legacy.parquet.nanosAsLong=true " +
+        "(set at session build time, e.g. via GraftSession.create)")
     // the file source wants a directory: stream the fixture dir with a
     // glob that admits only the events table
     spark.readStream
