@@ -55,10 +55,30 @@ object Dedup {
     * explode → self-join on shingle → count common → join per-doc
     * sizes. Exact-integer counts, one final double division. This is
     * the verify/oracle path; candidate generation at scale is
-    * [[minHashPairs]] / [[simHashPairs]]. */
-  def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.6): DataFrame = {
-    val sh = withShingles(docs, k)
+    * [[minHashPairs]] / [[simHashPairs]].
+    *
+    * `maxShingleDocFreq` guards the self-join's worst case: a shingle
+    * appearing in f docs contributes f·(f−1)/2 join rows, so one stop-
+    * phrase shared by 1M docs is 5·10¹¹ rows. With the cap set,
+    * shingles above that document frequency are dropped from BOTH the
+    * index and the per-doc sizes — jaccard is then exact over the
+    * capped shingle universe (a documented approximation; hot shingles
+    * carry no dedup signal). None (default) preserves the oracle
+    * semantics exactly; a cap at or above the corpus max df is a
+    * no-op, which the property spec pins. */
+  def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.6,
+                        maxShingleDocFreq: Option[Int] = None): DataFrame = {
+    val shAll = withShingles(docs, k)
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val sh = maxShingleDocFreq match {
+      case None => shAll
+      case Some(cap) =>
+        // df per shingle is a map-side-combinable count; the anti-join
+        // against the (tiny) hot-shingle list broadcasts.
+        val hot = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("shingle")
+        shAll.join(hot, Seq("shingle"), "left_anti")
+    }
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
     val common = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -121,28 +141,26 @@ object Dedup {
       .dropDuplicates("d1", "d2")
       // candidate pairs feed two verification joins: materialize once
       .localCheckpoint()
-    // Re-derive shingles ONLY for candidate docs: the id filter is a
-    // plain predicate, so it pushes below the (expensive) shingle
-    // projection into the scan — a join would not. Candidate id sets
-    // are small by construction (LSH pruned them); the driver
-    // round-trip is bounded and beats recomputing every doc's
-    // shingles twice.
-    val candIds = cands.select(col("d1")).union(cands.select(col("d2")))
-      .distinct().limit(100001).collect().map(_.getLong(0))
+    // Re-derive shingles ONLY for candidate docs, via a left-semi join
+    // BELOW the shingle projection: the semi-join filters rows before
+    // `shingle_hashes` runs, so the expensive per-row work happens for
+    // candidates only. Candidate sets are small by construction (LSH
+    // pruned them), so AQE turns this into a broadcast semi-join — no
+    // driver round-trip, no plan-bloating k-element In-list, and no
+    // size cliff (an earlier version collect()ed ids into an isin,
+    // which silently recomputed every doc past a 100k bound).
+    val candIds = cands.select(col("d1").as("doc_id"))
+      .union(cands.select(col("d2").as("doc_id")))
+      .distinct()
     // Verification Jaccard runs over the HASHED shingle sets (64-bit —
     // collision probability is negligible next to MinHash's own
     // approximation): set ops over longs are ~10x cheaper than over
-    // shingle strings (measured via ScaleProbe). The id filter is a
-    // plain predicate, so it prunes the shingle computation to
-    // candidate docs — a join would not push down.
-    val fhAll = docs
+    // shingle strings (measured via ScaleProbe).
+    val fhs = docs
+      .join(candIds, Seq("doc_id"), "left_semi")
       .withColumn("fh", expr(s"shingle_hashes(text, $k)"))
       .filter(size(col("fh")) > 0)
-    val fhs =
-      if (candIds.isEmpty) fhAll.filter(lit(false)).select(col("doc_id"), col("fh"))
-      else if (candIds.length <= 100000)
-        fhAll.filter(col("doc_id").isin(candIds: _*)).select(col("doc_id"), col("fh"))
-      else fhAll.select(col("doc_id"), col("fh"))
+      .select(col("doc_id"), col("fh"))
     cands
       .join(fhs.select(col("doc_id").as("d1"), col("fh").as("fh1")), "d1")
       .join(fhs.select(col("doc_id").as("d2"), col("fh").as("fh2")), "d2")
@@ -176,15 +194,18 @@ object Dedup {
     while (!converged && i < maxIter) {
       val neighborMin = edges.join(labels, edges("b") === labels("node"))
         .groupBy(edges("a").as("n2")).agg(min("label").as("nlabel"))
+      // Carry the previous label through the propagation join so
+      // convergence is read off the SAME materialized result — the
+      // eager localCheckpoint is the round's only distributed job; the
+      // changed-count below scans checkpointed partitions instead of
+      // re-running a second join against the old labels.
       val updated = labels
         .join(neighborMin, labels("node") === neighborMin("n2"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .localCheckpoint()
-      val changed = updated
-        .join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count()
-      labels = updated
+      val changed = updated.filter(col("label") =!= col("old")).count()
+      labels = updated.select("node", "label")
       converged = changed == 0
       i += 1
     }

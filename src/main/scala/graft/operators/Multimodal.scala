@@ -38,7 +38,10 @@ object Multimodal {
     * ~`targetBytes`. At 100 TB this is the difference between balanced
     * executors and OOM on skewed assets. */
   def repartitionByBytes(assets: DataFrame, targetBytes: Long): DataFrame = {
-    val total = assets.agg(sum(length(col("payload")))).first().getLong(0)
+    // sum() over zero rows is null — coalesce so an empty frame
+    // repartitions to 1 instead of NPEing on getLong
+    val total = assets.agg(coalesce(sum(length(col("payload"))), lit(0L)))
+      .first().getLong(0)
     val parts = math.max(1, (total / targetBytes).toInt)
     assets.repartition(parts, col("asset_id"))
   }

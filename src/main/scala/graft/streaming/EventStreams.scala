@@ -122,38 +122,67 @@ object EventStreams {
   /** Arbitrary-stateful sessionization with `flatMapGroupsWithState`:
     * the KeyValueGroupedDataset custom-state path for semantics the
     * built-in session_window can't express (e.g. emitting per-session
-    * running aggregates, per-key timeout policies). Batch-mode
-    * invocation processes each group's full history at once. */
+    * running aggregates, per-key timeout policies).
+    *
+    * Batch mode: one invocation sees the user's full history; the
+    * still-open session is emitted at end-of-data (end of data closes
+    * every session).
+    *
+    * Streaming mode: a session may span micro-batches, so the open
+    * session STAYS in state with an event-time timeout at
+    * `end + gap`; it is emitted exactly once — either merged into a
+    * later batch's events, or on timeout when the watermark passes its
+    * close horizon. Requires `withWatermark("ts", ...)` upstream
+    * (EventTimeTimeout's contract). */
   def userSessions(events: Dataset[Event], gapMillis: Long): Dataset[UserSession] = {
     import events.sparkSession.implicits._
+    val streaming = events.isStreaming
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    def emit(userId: Long, s: SessionState): UserSession =
+      UserSession(userId, new java.sql.Timestamp(s.start),
+        new java.sql.Timestamp(s.end), s.n, s.total)
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, UserSession](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          // batch mode: iterator holds the user's full history
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
-          var cur: Option[SessionState] = state.getOption
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.end <= gapMillis =>
-                cur = Some(s.copy(end = t, n = s.n + 1, total = s.total + e.value))
-              case Some(s) =>
-                out += UserSession(userId, new java.sql.Timestamp(s.start),
-                  new java.sql.Timestamp(s.end), s.n, s.total)
-                cur = Some(SessionState(t, t, 1, e.value))
-              case None =>
-                cur = Some(SessionState(t, t, 1, e.value))
-            }
-          }
-          cur.foreach { s =>
-            out += UserSession(userId, new java.sql.Timestamp(s.start),
-              new java.sql.Timestamp(s.end), s.n, s.total)
+          if (streaming && state.hasTimedOut) {
+            // watermark passed end+gap: the session can never extend
+            val s = state.get
             state.remove()
+            Iterator.single(emit(userId, s))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+            var cur: Option[SessionState] = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMillis =>
+                  cur = Some(s.copy(end = t, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  out += emit(userId, s)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur match {
+              case Some(s) if streaming =>
+                // keep the open session; close it when the watermark
+                // passes its gap horizon (never set a timeout below the
+                // current watermark — Spark rejects it)
+                state.update(s)
+                state.setTimeoutTimestamp(
+                  math.max(s.end + gapMillis, state.getCurrentWatermarkMs() + 1))
+              case Some(s) =>
+                out += emit(userId, s)
+                if (state.exists) state.remove()
+              case None => ()
+            }
+            out.iterator
           }
-          out.iterator
       }
   }
 }

@@ -37,6 +37,26 @@ class DedupTextSpec extends AnyFunSuite {
     assert(exact == lsh, s"LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
   }
 
+  test("hot-shingle cap: high cap is a no-op, aggressive cap only prunes") {
+    val base = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.6)
+      .select("d1", "d2", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // cap above the fixture's max shingle document frequency → identical
+    val capped = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.6,
+        maxShingleDocFreq = Some(1000000))
+      .select("d1", "d2", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped == base)
+    // an aggressive cap still yields well-formed, verified pairs
+    // (jaccard CAN rise when hot shingles leave the union, so pair
+    // sets are not comparable — only the output contract is)
+    val tight = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.6,
+        maxShingleDocFreq = Some(2))
+      .select("d1", "d2", "jaccard").collect()
+    assert(tight.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(tight.forall(r => r.getDouble(2) >= 0.6 && r.getDouble(2) <= 1.0))
+  }
+
   test("minhash pairs are verified (never below threshold)") {
     import spark.implicits._
     assert(Dedup.minHashPairs(docs, threshold = 0.6)

@@ -60,6 +60,43 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       s"missing=${(builtin -- custom).take(3)} extra=${(custom -- builtin).take(3)}")
   }
 
+  test("streaming sessions merge across micro-batches and close on timeout") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, sec: Long, user: Long) = EventStreams.Event(
+      id, new java.sql.Timestamp(sec * 1000), user, "click", 1.0)
+    val ms = MemoryStream[EventStreams.Event]
+    val sessions = EventStreams.userSessions(
+      ms.toDS().withWatermark("ts", "0 seconds"), gapMillis = 60 * 1000)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("stream_sessions").start()
+    try {
+      // batch 1: user 1 opens a session — nothing may be emitted yet
+      ms.addData(ev(1, 100, 1), ev(2, 110, 1))
+      q.processAllAvailable()
+      assert(spark.table("stream_sessions").count() == 0,
+        "open session must stay in state, not be emitted as a fragment")
+      // batch 2: event within the gap MERGES into the open session
+      ms.addData(ev(3, 140, 1))
+      q.processAllAvailable()
+      assert(spark.table("stream_sessions").count() == 0)
+      // batches 3-4: another user advances the watermark far past
+      // user 1's close horizon (140s + 60s); the timeout then fires
+      // and emits the single merged session
+      ms.addData(ev(4, 1000, 2))
+      q.processAllAvailable()
+      ms.addData(ev(5, 2000, 2))
+      q.processAllAvailable()
+      val u1 = spark.table("stream_sessions").as[EventStreams.UserSession]
+        .collect().filter(_.user_id == 1L)
+      assert(u1.length == 1, s"expected one merged session, got ${u1.toSeq}")
+      assert(u1.head.n_events == 3 &&
+        u1.head.session_start.getTime == 100000L &&
+        u1.head.session_end.getTime == 140000L)
+    } finally q.stop()
+  }
+
   test("streaming dedup collapses duplicated files to distinct event_ids") {
     // duplicate the fixture into a temp stream dir: every event twice
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
@@ -152,5 +189,10 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     val repart = Multimodal.repartitionByBytes(assets, targetBytes = 16 * 1024)
     val n = repart.rdd.getNumPartitions
     assert(n >= 1 && n <= 64, s"unexpected partition count $n")
+    // empty frame: sum(length) is null — must coalesce to 1 partition,
+    // not NPE on Row.getLong
+    val empty = Multimodal.repartitionByBytes(
+      assets.filter(col("asset_id") < 0), targetBytes = 16 * 1024)
+    assert(empty.rdd.getNumPartitions == 1 && empty.count() == 0)
   }
 }
