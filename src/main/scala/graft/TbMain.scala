@@ -1,34 +1,49 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 import graft.ops.tb.{TbPipeline, TbServing}
+import graft.sources.Fetch
 
 /** CLI orchestrator for the TB parity pipeline (SURVEY §7.1 cli/Main,
-  * mirroring main_orchestrator.py's collect→process→write phases minus
-  * the infra babysitting: one JVM, Spark reads and writes directly).
+  * mirroring main_orchestrator.py's collect→process→serve lifecycle
+  * (:282-436) minus the infra babysitting: one JVM, Spark reads and
+  * writes directly).
   *
-  * Usage: TbMain <tbCsv> <popCsv> <outDir> [format=parquet|csv]
+  * Usage: TbMain <tbSrc> <popSrc> <outDir> [format=parquet|csv]
+  *
+  * Collect phase: each source may be an `http(s)://` URL (downloaded)
+  * or a local path / `file://` URI (snapshot copy) — both land under
+  * <outDir>/raw guarded by the reference's 30-day staleness marker
+  * (tb_data_collection.py:352-393), so re-runs skip fresh data and
+  * `--force-collect`-style behavior is just deleting the marker.
   */
 object TbMain {
   def main(args: Array[String]): Unit = {
-    val tbCsv = args.lift(0).getOrElse(
+    val tbSrc = args.lift(0).getOrElse(
       "/root/reference/data/raw/who_tb_data_20250923_041355.csv")
-    val popCsv = args.lift(1).getOrElse(
+    val popSrc = args.lift(1).getOrElse(
       "/root/reference/data/raw/worldbank_population_20250923_041355.csv")
     val outDir = args.lift(2).getOrElse("/tmp/tb_out")
     val format = args.lift(3).getOrElse("parquet")
 
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .appName("graft-tb")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.create(appName = "graft-tb",
+      master = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
     spark.sparkContext.setLogLevel("WARN")
 
+    // Phase 1 — collect (main_orchestrator.py:397-436)
+    val rawDir = java.nio.file.Paths.get(outDir, "raw")
+    def land(src: String, name: String): String = {
+      val dest = rawDir.resolve(name)
+      // one marker per source: landing the first must not mark the
+      // second as fresh
+      val marker = rawDir.resolve(s"$name.last_update.txt")
+      val fetched = Fetch.fetchIfStale(src, dest, marker)
+      println(s"[collect] $name ${if (fetched) "fetched" else "fresh (<30d), skipped"} -> $dest")
+      dest.toString
+    }
+    val tbCsv = land(tbSrc, "who_tb_data.csv")
+    val popCsv = land(popSrc, "worldbank_population.csv")
+
+    // Phase 2 — process
     val p = TbPipeline.run(spark, tbCsv, popCsv)
     // Products partitioned by year on disk: the serving layer's year
     // point-filters become partition pruning at scale.
