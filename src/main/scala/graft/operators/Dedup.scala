@@ -213,6 +213,79 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("component_id"))
   }
 
+  /** Alternating large-star / small-star connected components
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — same contract as [[connectedComponents]]: every node
+    * of `pairs` labeled with the minimum reachable id.
+    *
+    * Why both exist: min-label propagation converges in O(diameter)
+    * rounds — fine for shallow near-dup clusters, quadratic pain on
+    * chain-shaped graphs. Star contraction converges in O(log²) rounds
+    * regardless of diameter, at the cost of two shuffles per round —
+    * the swap for extreme scale or adversarial graph shapes.
+    *
+    *   large-star: every neighbor v > u re-attaches to
+    *     m = min(Γ(u) ∪ {u});
+    *   small-star: every neighbor v ≤ u (plus u) attaches to the
+    *     same m over the small side.
+    *
+    * Both steps only ever group by node and join ids — no payloads,
+    * no driver state; convergence is an edge-multiset hash read off
+    * the round's checkpointed result (one extra cheap action over
+    * materialized partitions, not a recompute). */
+  def connectedComponentsStars(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    def canon(df: DataFrame): DataFrame =
+      df.select(
+        greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+
+    // edges directed (a = larger, b = smaller) between rounds
+    var edges = canon(pairs.select(col("d1").as("a"), col("d2").as("b")))
+      .localCheckpoint()
+    def signature(df: DataFrame): (Long, Long) = {
+      // bit_xor fold: order-independent, no ANSI long-overflow (edges
+      // are distinct, so xor cancellation can't mask a real change
+      // that count doesn't already catch)
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = signature(edges)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star over the symmetrized neighborhood
+      val sym = edges.select(col("a"), col("b"))
+        .union(edges.select(col("b").as("a"), col("a").as("b")))
+      val mins = sym.groupBy("a")
+        .agg(least(min(col("b")), col("a")).as("m"))
+        .select(col("a").as("u"), col("m"))
+      val afterLarge = canon(
+        sym.join(mins, sym("a") === mins("u"))
+          .filter(col("b") > col("a"))
+          .select(col("b").as("a"), col("m").as("b")))
+      // small-star over the (larger → smaller) directed edges
+      val minsS = afterLarge.groupBy(col("a").as("u"))
+        .agg(min(col("b")).as("m"))
+      val afterSmall = canon(
+        afterLarge.join(minsS, afterLarge("a") === minsS("u"))
+          .select(col("b").as("a"), col("m").as("b"))
+          .union(afterLarge.select(col("a"), col("b")).join(
+            minsS, col("a") === minsS("u")).select(col("a"), col("m").as("b"))))
+        .localCheckpoint()
+      val newSig = signature(afterSmall)
+      converged = newSig == sig
+      sig = newSig
+      edges = afterSmall
+      i += 1
+    }
+    // fixpoint: stars (x, m) with m the component min
+    edges.select(col("a").as("doc_id"), col("b").as("component_id"))
+      .union(edges.select(col("b").as("doc_id"), col("b").as("component_id")))
+      .distinct()
+  }
+
   /** 64-bit SimHash over distinct k-shingles: per bit, majority vote of
     * the shingle-hash bits — one nested higher-order expression, no UDF.
     * Shingles (not words) as features: on small-vocabulary corpora the

@@ -89,6 +89,14 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
+    scoreTopK(candidates, corpus, queries, k, idCol, vecCol)
+  }
+
+  /** Exact-score a candidate (query_id, neighbor_id) frame and keep
+    * the per-query top-k — the shared verification tail of every ANN
+    * path (candidates differ, scoring doesn't). */
+  private def scoreTopK(candidates: DataFrame, corpus: DataFrame, queries: DataFrame,
+                        k: Int, idCol: String, vecCol: String): DataFrame = {
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -99,6 +107,63 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** IVF-flat approximate top-k: the corpus is coarse-quantized into
+    * `nlist` inverted lists (centroids = a deterministic seeded-hash
+    * sample of the corpus itself — the standard IVF training shortcut;
+    * a sampled centroid set follows the data density without a k-means
+    * job), each vector joins its nearest centroid's list, and each
+    * query exactly scores only the members of its `nprobe` nearest
+    * lists.
+    *
+    * vs [[annTopK]] (SRP-LSH): IVF adapts to the data distribution —
+    * lists land where vectors are dense — while SRP is data-oblivious;
+    * candidate volume is ~nprobe/nlist of the corpus by construction,
+    * a directly tunable recall/cost dial. Both are bucket joins, never
+    * O(n²).
+    *
+    * Scale shape: centroids are a broadcast dimension (nlist·dim
+    * doubles); corpus assignment is one broadcast nested-loop pass +
+    * a map-side-combinable argmax (shuffle carries one row per
+    * vector); the list join shuffles ids only. Hot lists (dense
+    * regions) are AQE skew-join territory, same as any skewed key. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 32, nprobe: Int = 4, seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    registerFns(corpus)
+    // deterministic density-following sample: the nlist corpus rows
+    // with the smallest seeded id-hashes; the centroid's own vec_id is
+    // the list id (no global row_number needed)
+    val cents = corpus
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+      .withColumn("h", xxhash64(col("cid"), lit(seed)))
+      .orderBy("h").limit(nlist)
+      .select("cid", "cvec")
+    // corpus → nearest centroid: argmax via max_by (partial-aggregates
+    // map-side, so the shuffle is one row per corpus vector, not nlist)
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos", expr("cosine_sim(cv, cvec)"))
+      .groupBy("neighbor_id")
+      .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("list_id"))
+    // query → nprobe nearest lists (query batch is small; the window
+    // partitions by query)
+    val wq = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cid").asc)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos", expr("cosine_sim(qv, cvec)"))
+      .withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("cid").as("list_id"))
+    // every vector sits in exactly one list and probes are distinct
+    // lists, so (query, neighbor) candidates are already unique
+    val candidates = assigned.join(probes.hint("broadcast"), Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+    scoreTopK(candidates, corpus, queries, k, idCol, vecCol)
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold — the

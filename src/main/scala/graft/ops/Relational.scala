@@ -86,8 +86,12 @@ object Relational {
     val li = Tables.lineitem(spark, dir)
       .filter($"l_shipdate" > lit("1996-06-30").cast("timestamp"))
       .select($"l_orderkey", $"l_extendedprice", $"l_discount")
-    li.join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+    // Join order matters without CBO: the broadcast customer filter
+    // prunes orders ~5x BEFORE the expensive lineitem-orders shuffle
+    // (joining li first would shuffle unpruned orders). AQE can then
+    // even broadcast the pruned order side at runtime.
+    ord.join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(li, $"l_orderkey" === $"o_orderkey")
       .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
       .agg(sum(netPrice($"l_extendedprice", $"l_discount")).cast("double").as("revenue"))
       .select(

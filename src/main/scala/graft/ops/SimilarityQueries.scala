@@ -40,10 +40,17 @@ object SimilarityQueries {
       corpus(spark, dir), threshold = 0.4)
       .select(col("d1"), col("d2"))
 
+  /** IVF-flat approximate top-10 — the density-adaptive ANN variant
+    * (rows-only check; spec-pinned against brute force). */
+  def q43AnnIvf(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(
+      corpus(spark, dir), queryVectors(spark, dir), k = 10)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_topk" -> (q40CosineTopK _),
     "q41_ann_topk"    -> (q41AnnTopK _),
-    "q42_ann_neardup" -> (q42AnnNeardup _)
+    "q42_ann_neardup" -> (q42AnnNeardup _),
+    "q43_ann_ivf"     -> (q43AnnIvf _)
   )
 
   val oracles: Map[String, String] = Map(

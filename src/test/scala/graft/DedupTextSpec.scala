@@ -131,6 +131,31 @@ class DedupTextSpec extends AnyFunSuite {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("star-contraction CC equals min-label CC (fixture, chain, random)") {
+    import spark.implicits._
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // fixture near-dup pairs (shallow clusters — the common case)
+    val pairs = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.6)
+      .select("d1", "d2").cache()
+    assert(labels(Dedup.connectedComponentsStars(pairs)) ==
+      labels(Dedup.connectedComponents(pairs)))
+    // a 60-node chain: diameter 59 — min-label needs many rounds, star
+    // contraction must agree while converging in O(log^2) rounds
+    val chain = (0L until 59L).map(i => (i + 1, i)).toDF("d1", "d2")
+    val chainStars = labels(Dedup.connectedComponentsStars(chain))
+    assert(chainStars == (0L to 59L).map(i => (i, 0L)).toSet)
+    // random multi-component graph
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(120)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.max(a, b), math.min(a, b)) }
+      .toDF("d1", "d2")
+    assert(labels(Dedup.connectedComponentsStars(edges)) ==
+      labels(Dedup.connectedComponents(edges, maxIter = 100)))
+    pairs.unpersist()
+  }
+
   test("dedup corpus: one representative survives per near-dup component") {
     import spark.implicits._
     val pairs = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.6).select("d1", "d2")

@@ -73,6 +73,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(inversions == 0)
   }
 
+  test("ivf topk: deterministic, recall beats random, ranks inversion-free") {
+    import spark.implicits._
+    val i1 = Similarity.ivfTopK(emb, queries, k = 10).collect().toSet
+    val i2 = Similarity.ivfTopK(emb, queries, k = 10).collect().toSet
+    assert(i1 == i2, "IVF must be deterministic (seeded centroid sample)")
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // generous probe budget for the recall pin (uniform random corpus
+    // is ANN-adversarial, same caveat as the SRP spec)
+    val ivf = Similarity.ivfTopK(emb, queries, k = 10, nlist = 16, nprobe = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall > 10 * (10.0 / emb.count()),
+      s"recall $recall must beat random by 10x")
+    // exact scoring: restricted ordering agrees with brute force
+    val exactRank = Similarity.bruteForceTopK(emb, queries, k = 500)
+      .withColumnRenamed("rank", "exact_rank")
+    val joined = Similarity.ivfTopK(emb, queries, k = 10)
+      .join(exactRank, Seq("query_id", "neighbor_id"))
+    val inversions = joined.as("x").join(joined.as("y"),
+        $"x.query_id" === $"y.query_id" &&
+        $"x.rank" < $"y.rank" && $"x.exact_rank" > $"y.exact_rank")
+      .count()
+    assert(inversions == 0)
+    // candidate volume is bounded by the probed share of the corpus
+    // (the IVF cost dial): with nprobe/nlist = 1/8 of lists probed no
+    // query may scan anywhere near the full corpus
+    val cand = Similarity.ivfTopK(emb, queries, k = 1000000, nlist = 32, nprobe = 4)
+      .groupBy("query_id").count().agg(max("count")).first().getLong(0)
+    assert(cand < emb.count(), "IVF must never degenerate to a full scan")
+  }
+
   test("near-dup pairs carry cos >= threshold and no self-pairs") {
     import spark.implicits._
     val p = Similarity.cosineNearDupPairs(emb, threshold = 0.4).cache()
