@@ -68,8 +68,18 @@ object Dedup {
     * no-op, which the property spec pins. */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.6,
                         maxShingleDocFreq: Option[Int] = None): DataFrame = {
-    val shAll = withShingles(docs, k)
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    // The inverted index keys on 64-bit shingle HASHES, not shingle
+    // strings: identical distinct/intersection counts w.h.p. (64-bit
+    // collisions ~1e-10 at fixture scale, the same approximation the
+    // minhash verification leg already makes), and the explode +
+    // self-join move longs instead of strings — the bulk of this
+    // operator's shuffle bytes. `shingle_hashes` emits the distinct
+    // hashes of exactly `shingleExpr`'s shingle set.
+    graft.functions.ShingleHashes.register(docs.sparkSession)
+    val shAll = docs
+      .withColumn("fh", expr(s"shingle_hashes(text, $k)"))
+      .filter(size(col("fh")) > 0)
+      .select(col("doc_id"), explode(col("fh")).as("shingle"))
     val sh = maxShingleDocFreq match {
       case None => shAll
       case Some(cap) =>
