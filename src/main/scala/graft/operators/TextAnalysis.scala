@@ -74,6 +74,66 @@ object TextAnalysis {
         .otherwise("unknown"))
   }
 
+  /** Per-term document frequency over the corpus — the corpus-level
+    * statistic behind IDF weighting, stopword induction, and hot-
+    * shingle capping. One explode + one map-side-combinable count;
+    * terms are distinct-per-doc first so a term repeated in one doc
+    * counts once. */
+  def termDocFreq(docs: DataFrame, text: String = "text"): DataFrame =
+    docs.select(explode(array_distinct(words(col(text)))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+
+  /** TF-IDF per (doc, term): tf = in-doc count, idf = ln(N/df) with
+    * the corpus size N joined in as a 1-row broadcast (no driver
+    * round-trip). The df side is a broadcast-able dimension for real
+    * vocabularies; floats stay out of oracle hashes (rank/int outputs
+    * only), so the weight is for downstream use, not the gate. */
+  def withTfIdf(docs: DataFrame, text: String = "text"): DataFrame = {
+    val terms = docs.select(col("doc_id"), explode(words(col(text))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = termDocFreq(docs, text)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tf_idf",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+  }
+
+  /** PII-style redaction: emails and long digit runs replaced with
+    * fixed tags, plus a per-row redaction count — the scrub pass every
+    * training corpus runs before anything else sees the text. Patterns
+    * stay in the RE2 ∩ Java-regex common subset so engines agree. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val longDigitsPattern = "[0-9]{6,}"
+  def withRedaction(df: DataFrame, text: String = "text"): DataFrame =
+    df.withColumn("n_redactions",
+        (size(regexp_extract_all(col(text), lit(emailPattern), lit(0))) +
+          size(regexp_extract_all(col(text), lit(longDigitsPattern), lit(0)))).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(col(text), emailPattern, "<EMAIL>"),
+          longDigitsPattern, "<NUM>"))
+
+  /** Deterministic weighted source mixing: keep the first
+    * ceil(weight_s · |source_s|) docs of each source (doc_id order) —
+    * the reproducible data-recipe counterpart to the randomized
+    * [[Sharding]] sampler. Per-source windows only (no global window);
+    * at production scale order by a seeded hash of the id instead of
+    * the id itself to decorrelate the kept prefix from ingest order —
+    * same plan shape. Unlisted sources keep weight 0. */
+  def mixBySourceQuota(docs: DataFrame, weights: Map[String, Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val weightCol = weights.foldLeft(lit(0.0)) { case (acc, (s, wt)) =>
+      when(col("source") === s, lit(wt)).otherwise(acc)
+    }
+    docs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy("source")))
+      .filter(col("rn") <= ceil(weightCol * col("n_src")))
+      .drop("rn", "n_src")
+  }
+
   /** Document fingerprints: content hash (md5, cross-engine stable),
     * 64-bit xxhash, and a word-level polynomial rolling hash — the
     * last two feed sharding/near-dup machinery and are exact-integer

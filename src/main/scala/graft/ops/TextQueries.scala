@@ -73,6 +73,22 @@ object TextQueries {
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("cum_tokens"), col("shard_id"))
 
+  /** Corpus-level term document frequency (the IDF statistic). */
+  def q44TermDf(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.termDocFreq(Tables.documents(spark, dir))
+
+  /** PII-style redaction: emails + long digit runs → tags + count. */
+  def q45Redact(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withRedaction(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_redactions"), col("redacted"))
+
+  /** Deterministic weighted source mixing (reproducible data recipe). */
+  val mixWeights: Map[String, Double] = Map(
+    "src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1)
+  def q46MixQuota(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.mixBySourceQuota(Tables.documents(spark, dir), mixWeights)
+      .select(col("doc_id"), col("source"))
+
   /** Near-dup clusters: exact-Jaccard pairs → connected components →
     * (doc_id, component_id=min reachable id). The full dedup story:
     * group near-dups, keep the representative per component. */
@@ -91,7 +107,10 @@ object TextQueries {
     "q36_simhash_pairs" -> (q36SimhashPairs _),
     "q37_fingerprint"   -> (q37Fingerprint _),
     "q38_token_shard"   -> (q38TokenShard _),
-    "q39_dedup_clusters" -> (q39DedupClusters _)
+    "q39_dedup_clusters" -> (q39DedupClusters _),
+    "q44_term_df"       -> (q44TermDf _),
+    "q45_redact"        -> (q45Redact _),
+    "q46_mix_quota"     -> (q46MixQuota _)
   )
 
   private val BPEISH = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
@@ -167,6 +186,32 @@ object TextQueries {
         |FROM (
         |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
         |  FROM documents) t""".stripMargin,
+
+    "q44_term_df" ->
+      """SELECT term, count(*) AS df
+        |FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+        |      FROM documents) t
+        |GROUP BY term""".stripMargin,
+
+    "q45_redact" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.emailPattern}'))
+         |     + len(regexp_extract_all(text, '${TextAnalysis.longDigitsPattern}')) AS BIGINT) AS n_redactions,
+         |  regexp_replace(
+         |    regexp_replace(text, '${TextAnalysis.emailPattern}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.longDigitsPattern}', '<NUM>', 'g') AS redacted
+         |FROM documents""".stripMargin,
+
+    "q46_mix_quota" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n_src,
+        |    CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+        |                WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1
+        |                ELSE 0.0 END AS wt
+        |  FROM documents) t
+        |WHERE rn <= ceil(wt * n_src)""".stripMargin,
 
     "q39_dedup_clusters" ->
       """WITH RECURSIVE

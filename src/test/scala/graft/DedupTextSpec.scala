@@ -122,6 +122,54 @@ class DedupTextSpec extends AnyFunSuite {
       docs.select("text").distinct().count())
   }
 
+  test("redaction scrubs planted emails and long digit runs, counts match") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "contact bob.smith@example.com or call 5551234567 now"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.io c@d.org and id 123456789")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.withRedaction(planted)
+      .select("doc_id", "n_redactions", "redacted")
+      .collect().map(x => (x.getLong(0), (x.getLong(1), x.getString(2)))).toMap
+    assert(r(1L)._1 == 2 && r(1L)._2 == "contact <EMAIL> or call <NUM> now")
+    assert(r(2L)._1 == 0 && r(2L)._2 == "no pii here at all")
+    assert(r(3L)._1 == 3 && r(3L)._2 == "two mails <EMAIL> <EMAIL> and id <NUM>")
+  }
+
+  test("term df and tf-idf: df counts docs once, rare terms outweigh common") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "common common rare"),
+      (2L, "common other"),
+      (3L, "common third")
+    ).toDF("doc_id", "text")
+    val df = TextAnalysis.termDocFreq(corpus)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(df("common") == 3, "repeated in-doc terms count once")
+    assert(df("rare") == 1)
+    val ti = TextAnalysis.withTfIdf(corpus)
+      .filter($"doc_id" === 1L)
+      .collect().map(r => r.getAs[String]("term") -> r.getAs[Double]("tf_idf")).toMap
+    assert(ti("common") == 0.0, "df == N terms carry zero idf")
+    assert(ti("rare") > 0.0, "rare terms must outweigh ubiquitous ones")
+  }
+
+  test("source mixing keeps exactly ceil(weight * source size) per source") {
+    import spark.implicits._
+    val mixed = TextAnalysis.mixBySourceQuota(docs,
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val per = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mixed("src0") == per("src0"))
+    assert(mixed("src1") == math.ceil(per("src1") * 0.5).toLong)
+    assert(mixed("src2") == math.ceil(per("src2") * 0.25).toLong)
+    assert(mixed("src3") == math.ceil(per("src3") * 0.1).toLong)
+    assert(!mixed.contains("src4"), "unlisted sources are dropped")
+  }
+
   test("connected components label chains transitively to the min id") {
     import spark.implicits._
     // chain 1-2-3-4 plus isolated pair 10-11: two components
