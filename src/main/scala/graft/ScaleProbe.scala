@@ -44,6 +44,19 @@ object ScaleProbe {
         Tables.embeddings(spark, "/root/testdata/sf0.1").filter($"vec_id" < 100),
         k = 10).count())
     println(s"  ann rows: $ann")
+    val ivf = time("ivf_topk")(
+      operators.Similarity.ivfTopK(
+        Tables.embeddings(spark, "/root/testdata/sf0.1"),
+        Tables.embeddings(spark, "/root/testdata/sf0.1").filter($"vec_id" < 100),
+        k = 10).count())
+    println(s"  ivf rows: $ivf")
+    // deep-graph CC: a 50k-node chain (diameter 50k) — min-label would
+    // need 50k rounds; star contraction is the only viable path
+    val chain = spark.range(1L, 50000L)
+      .select($"id".as("d1"), ($"id" - 1).as("d2"))
+    val cc = time("star_cc_50k_chain")(
+      operators.Dedup.connectedComponentsStars(chain).count())
+    println(s"  chain nodes labeled: $cc")
     spark.stop()
   }
 }
