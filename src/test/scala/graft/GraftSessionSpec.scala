@@ -15,6 +15,34 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(r.getSeq[Long](1).length == 4)
   }
 
+  test("GraftExtensions injects all five functions through the extensions hook") {
+    // drive the same path BaseSessionStateBuilder runs at session
+    // construction (spark.sql.extensions=graft.GraftExtensions):
+    // apply the extension, materialize its injections into the live
+    // registry, and resolve every function from SQL
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions()(ext)
+    // registerFunctions is private[sql] in Scala but public in
+    // bytecode (it IS the hook the session builder invokes) — reflect
+    // to drive it against the live registry
+    classOf[org.apache.spark.sql.SparkSessionExtensions]
+      .getMethod("registerFunctions",
+        classOf[org.apache.spark.sql.catalyst.analysis.FunctionRegistry])
+      .invoke(ext, spark.sessionState.functionRegistry)
+    val r = spark.sql(
+      """SELECT
+        |  simhash64(shingle_hashes('one two three four', 2)) AS sh,
+        |  size(minhash_sigs(shingle_hashes('one two three four', 2), 8)) AS mh,
+        |  size(srp_buckets(array(1.0D, 0.0D, -1.0D), 4, 8, 42)) AS srp,
+        |  cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cs
+        |""".stripMargin).collect()(0)
+    assert(r.getLong(0) != 0L && r.getInt(1) == 8 && r.getInt(2) == 4)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
+    // validated builders surface real errors, not IndexOutOfBounds
+    val e = intercept[Exception](spark.sql("SELECT shingle_hashes('x')").collect())
+    assert(e.getMessage.contains("shingle_hashes"), s"got: ${e.getMessage}")
+  }
+
   test("functions are deterministic across invocations") {
     GraftSession.registerFunctions(spark)
     val q = "SELECT simhash64(shingle_hashes('alpha beta gamma delta', 2)) AS x"

@@ -49,6 +49,19 @@ class RobustnessSpec extends AnyFunSuite {
     val corpus = Tables.embeddings(spark, sf)
     assert(Similarity.bruteForceTopK(corpus, emptyQ, 5).count() == 0)
     assert(Similarity.annTopK(corpus, emptyQ, 5).count() == 0)
+    assert(Similarity.ivfTopK(corpus, emptyQ, 5).count() == 0)
+  }
+
+  test("round-2 text operators tolerate empty and degenerate inputs") {
+    val docs = Tables.documents(spark, sf)
+    val empty = docs.filter($"doc_id" < 0)
+    assert(TextAnalysis.termDocFreq(empty).count() == 0)
+    assert(TextAnalysis.withRedaction(empty).count() == 0)
+    assert(TextAnalysis.mixBySourceQuota(docs, Map.empty).count() == 0,
+      "no weights -> nothing kept")
+    assert(operators.Dedup.connectedComponentsStars(
+      docs.filter(lit(false)).select($"doc_id".as("d1"), $"doc_id".as("d2")))
+      .count() == 0, "star CC on an empty edge set")
   }
 
   test("TB pipeline on generated data scales past the reference's 240 rows") {
