@@ -74,6 +74,32 @@ object TextAnalysis {
         .otherwise("unknown"))
   }
 
+  /** Repetition/boilerplate signal: bigram concentration — the share
+    * of a doc's word bigrams taken by its single most frequent bigram
+    * (a Gopher-style repetition filter; boilerplate and looped text
+    * score high, natural prose low). Explode + two map-side-combinable
+    * aggregations; exact integers with one final IEEE division, so the
+    * ratio is deterministic cross-engine. Docs with < 2 words have no
+    * bigram support and drop out (same convention as shingles). */
+  def bigramRepetition(docs: DataFrame, text: String = "text"): DataFrame = {
+    // let-bind the split array (CollapseProject would re-split per
+    // element access otherwise — see shingleExpr)
+    val bigramsExpr = transform(array(words(col(text))), w =>
+      when(size(w) >= 2,
+        transform(sequence(lit(0), size(w) - 2), i =>
+          concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
+        .otherwise(array().cast("array<string>"))
+    ).getItem(0)
+    docs
+      .select(col("doc_id"), explode(bigramsExpr).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_bigrams"),
+        max("c").as("top_bigram_n"))
+      .withColumn("top_ratio",
+        col("top_bigram_n").cast("double") / col("n_bigrams").cast("double"))
+  }
+
   /** Per-term document frequency over the corpus — the corpus-level
     * statistic behind IDF weighting, stopword induction, and hot-
     * shingle capping. One explode + one map-side-combinable count;

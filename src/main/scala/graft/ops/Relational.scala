@@ -364,6 +364,22 @@ object Relational {
         sum(dec($"l_quantity")).cast("double").as("sum_qty"))
   }
 
+  /** GROUPING SETS with an explicit, non-hierarchical set list —
+    * the general form rollup/cube specialize (one aggregation pass,
+    * Expand under the hood; the grouping id disambiguates null-vs-
+    * grouped exactly as in q23/q24). */
+  def q28GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_gs")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |                        (o_orderstatus, o_orderpriority))""".stripMargin)
+  }
+
   /** String-function battery (F3–F6 generalized): case, substring,
     * trim/pad, concat, replace, length — all codegen'd per row. */
   def q25StringFuncs(spark: SparkSession, dir: String): DataFrame = {
@@ -439,7 +455,8 @@ object Relational {
     "q24_cube"            -> (q24Cube _),
     "q25_string_funcs"    -> (q25StringFuncs _),
     "q26_date_arith"      -> (q26DateArith _),
-    "q27_window_suite"    -> (q27WindowSuite _)
+    "q27_window_suite"    -> (q27WindowSuite _),
+    "q28_grouping_sets"   -> (q28GroupingSets _)
   )
 
   // ---------------------------------------------------------------- oracles
@@ -613,6 +630,15 @@ object Relational {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q28_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |                        (o_orderstatus, o_orderpriority))""".stripMargin,
 
     "q25_string_funcs" ->
       """SELECT p_partkey,

@@ -89,6 +89,10 @@ object TextQueries {
     TextAnalysis.mixBySourceQuota(Tables.documents(spark, dir), mixWeights)
       .select(col("doc_id"), col("source"))
 
+  /** Bigram-concentration repetition signal (boilerplate filter). */
+  def q47Repetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramRepetition(Tables.documents(spark, dir))
+
   /** Near-dup clusters: exact-Jaccard pairs → connected components →
     * (doc_id, component_id=min reachable id). The full dedup story:
     * group near-dups, keep the representative per component. */
@@ -110,7 +114,8 @@ object TextQueries {
     "q39_dedup_clusters" -> (q39DedupClusters _),
     "q44_term_df"       -> (q44TermDf _),
     "q45_redact"        -> (q45Redact _),
-    "q46_mix_quota"     -> (q46MixQuota _)
+    "q46_mix_quota"     -> (q46MixQuota _),
+    "q47_repetition"    -> (q47Repetition _)
   )
 
   private val BPEISH = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
@@ -212,6 +217,20 @@ object TextQueries {
         |                ELSE 0.0 END AS wt
         |  FROM documents) t
         |WHERE rn <= ceil(wt * n_src)""".stripMargin,
+
+    "q47_repetition" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(len(w) - 1),
+        |      i -> w[i+1] || ' ' || w[i+2])) AS bigram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d
+        |  WHERE len(w) >= 2),
+        |c AS (SELECT doc_id, bigram, count(*) AS c FROM b GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |  CAST(max(c) AS BIGINT) AS top_bigram_n,
+        |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_ratio
+        |FROM c GROUP BY doc_id""".stripMargin,
 
     "q39_dedup_clusters" ->
       """WITH RECURSIVE

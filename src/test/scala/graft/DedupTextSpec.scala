@@ -170,6 +170,23 @@ class DedupTextSpec extends AnyFunSuite {
     assert(!mixed.contains("src4"), "unlisted sources are dropped")
   }
 
+  test("bigram repetition: looped text scores ~1, varied text low, short docs drop") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spam spam spam spam spam spam"),          // one bigram repeated
+      (2L, "each word here appears only once total"), // all bigrams unique
+      (3L, "solo")                                    // no bigram support
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramRepetition(corpus)
+      .collect().map(x => x.getLong(0) -> x.getAs[Double]("top_ratio")).toMap
+    assert(r(1L) == 1.0)
+    assert(r(2L) < 0.2)
+    assert(!r.contains(3L))
+    // fixture sanity: ratios are valid fractions
+    val f = TextAnalysis.bigramRepetition(docs)
+    assert(f.filter(col("top_ratio") <= 0 || col("top_ratio") > 1).count() == 0)
+  }
+
   test("connected components label chains transitively to the min id") {
     import spark.implicits._
     // chain 1-2-3-4 plus isolated pair 10-11: two components

@@ -91,6 +91,18 @@ class RelationalSpec extends AnyFunSuite {
     assert(df.filter($"k_val".isNull).count() == 0)
   }
 
+  test("approx percentile tracks exact median within sketch error (the 100TB swap)") {
+    import org.apache.spark.sql.functions._
+    val df = Tables.customer(spark, sf)
+      .agg(
+        median(col("c_acctbal").cast("double")).as("exact"),
+        percentile_approx(col("c_acctbal").cast("double"), lit(0.5), lit(10000)).as("approx"))
+      .first()
+    val (ex, ap) = (df.getDouble(0), df.getDouble(1))
+    assert(math.abs(ex - ap) <= math.abs(ex) * 0.05 + 1.0,
+      s"approx median $ap drifted from exact $ex")
+  }
+
   test("all queries execute at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
