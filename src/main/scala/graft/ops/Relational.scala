@@ -364,6 +364,24 @@ object Relational {
         sum(dec($"l_quantity")).cast("double").as("sum_qty"))
   }
 
+  /** Full outer join — completes the join-type suite (inner q03/q18,
+    * left q04, semi q15, anti q14, as-of q54): customers without
+    * orders and orders whose key misses both survive with nulls.
+    * Scale: same hash-shuffle as any equi-join; AQE may still
+    * broadcast a small side (full-outer broadcast is legal on the
+    * non-preserved side in Spark ≥3.4). */
+  def q29FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_name", $"c_nationkey")
+      .join(
+        Tables.orders(spark, dir)
+          .filter($"o_totalprice" > 250000.0)
+          .select($"o_custkey", $"o_orderkey", $"o_totalprice"),
+        $"c_custkey" === $"o_custkey", "full_outer")
+      .select($"c_custkey", $"c_name", $"c_nationkey", $"o_orderkey", $"o_totalprice")
+  }
+
   /** GROUPING SETS with an explicit, non-hierarchical set list —
     * the general form rollup/cube specialize (one aggregation pass,
     * Expand under the hood; the grouping id disambiguates null-vs-
@@ -456,7 +474,8 @@ object Relational {
     "q25_string_funcs"    -> (q25StringFuncs _),
     "q26_date_arith"      -> (q26DateArith _),
     "q27_window_suite"    -> (q27WindowSuite _),
-    "q28_grouping_sets"   -> (q28GroupingSets _)
+    "q28_grouping_sets"   -> (q28GroupingSets _),
+    "q29_full_outer"      -> (q29FullOuter _)
   )
 
   // ---------------------------------------------------------------- oracles
@@ -630,6 +649,13 @@ object Relational {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q29_full_outer" ->
+      """SELECT c_custkey, c_name, c_nationkey, o_orderkey, o_totalprice
+        |FROM customer
+        |FULL OUTER JOIN (SELECT o_custkey, o_orderkey, o_totalprice
+        |                 FROM orders WHERE o_totalprice > 250000.0) o
+        |  ON c_custkey = o_custkey""".stripMargin,
 
     "q28_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
