@@ -197,8 +197,12 @@ object Dedup {
       .select(col("d1").as("a"), col("d2").as("b"))
       .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
       .distinct().cache()
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // seed with round 1's fixpoint value directly — label₀(u) =
+    // min(u, min Γ(u)) is what the first propagation round would
+    // compute from identity labels, so starting here saves one full
+    // join+materialize round
+    var labels = edges.groupBy(col("a").as("node"))
+      .agg(least(min(col("b")), col("a")).as("label"))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
