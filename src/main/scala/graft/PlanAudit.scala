@@ -9,8 +9,8 @@ import org.apache.spark.sql.SparkSession
   * before they show up in the bench. */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.ui.enabled","false").config("spark.sql.shuffle.partitions","4").getOrCreate()
+    val spark = GraftSession.create(appName = "graft-plan-audit",
+      master = "local[4]", shufflePartitions = Some(4))
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
