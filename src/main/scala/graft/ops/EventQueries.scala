@@ -54,15 +54,41 @@ object EventQueries {
         col("state_val"))
   }
 
+  /** Keyed interval (range) join: signup → purchase attribution within
+    * 2 hours per user — batch mode of the stream-stream join shape
+    * (same expressions; the streaming variant is spec-driven with
+    * MemoryStreams). */
+  def q55IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    EventStreams.intervalJoin(signups, purchases, "user_id", "2 hours")
+      .select(col("user_id"),
+        col("l_event_id").as("signup_id"),
+        col("r_event_id").as("purchase_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_tumbling_window" -> (q50Tumbling _),
     "q51_sliding_window"  -> (q51Sliding _),
     "q52_session_window"  -> (q52Sessions _),
+    "q55_interval_join"   -> (q55IntervalJoin _),
     "q53_multimodal_meta" -> (q53MultimodalMeta _),
     "q54_asof_join"       -> (q54AsofJoin _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q55_interval_join" ->
+      """SELECT s.user_id,
+        |  s.event_id AS signup_id,
+        |  p.event_id AS purchase_id
+        |FROM events s JOIN events p
+        |  ON s.user_id = p.user_id
+        | AND s.event_type = 'signup' AND p.event_type = 'purchase'
+        | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 2 HOUR""".stripMargin,
+
     "q50_tumbling_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, count(*) AS n_events,

@@ -68,6 +68,33 @@ object EventStreams {
         date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** Keyed interval (range) join: each left row pairs with the right
+    * rows of the SAME key whose `ts` falls in
+    * [left.ts, left.ts + window] — the click-attribution / funnel
+    * shape. Works in batch and as a stream-stream inner join (both
+    * sides watermarked; the equality key + range condition is exactly
+    * what lets Spark bound each side's join state).
+    *
+    * Scale: executes as a hash join on the key with the range as a
+    * join-level predicate — never a cartesian; a pure range join
+    * without an equality key would need bucketized time binning
+    * instead. Column names are prefixed l_/r_ (minus the key) so the
+    * caller never fights ambiguous attributes. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   window: String = "1 hour"): DataFrame = {
+    val l = left.columns.foldLeft(left) { (d, c) =>
+      if (c == key) d else d.withColumnRenamed(c, s"l_$c")
+    }
+    val r = right.columns.foldLeft(right) { (d, c) =>
+      if (c == key) d else d.withColumnRenamed(c, s"r_$c")
+    }
+    l.join(r,
+      l(key) === r(key) &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"))
+      .drop(r(key))
+  }
+
   // ----------------------------------------------------------- streaming
 
   /** File-source streaming read of the events fixture. Requires

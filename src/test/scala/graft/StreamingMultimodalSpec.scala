@@ -97,6 +97,45 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch join on the same rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // signups and purchases; only purchases within [signup, signup+60s]
+    // of the same user should pair
+    val signups = Seq((1L, 10L, t(100)), (2L, 20L, t(100)))
+    val purchases = Seq(
+      (3L, 10L, t(130)),  // pairs with signup 1
+      (4L, 10L, t(400)),  // outside the window
+      (5L, 20L, t(100)),  // boundary-inclusive pair with signup 2
+      (6L, 30L, t(120)))  // no signup for this user
+    val sStream = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val pStream = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("event_id", "user_id", "ts")
+      .withWatermark("ts", "10 seconds")
+      .select("user_id", "event_id", "ts")
+    val joined = EventStreams.intervalJoin(
+      shape(sStream.toDF()), shape(pStream.toDF()), "user_id", "60 seconds")
+      .select($"user_id", $"l_event_id".as("signup_id"), $"r_event_id".as("purchase_id"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("stream_interval").start()
+    try {
+      sStream.addData(signups: _*)
+      pStream.addData(purchases: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stream_interval").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = EventStreams.intervalJoin(
+        shape(signups.toDF()), shape(purchases.toDF()), "user_id", "60 seconds")
+      .select($"user_id", $"l_event_id", $"r_event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == batch, s"stream $got != batch $batch")
+    assert(got == Set((10L, 1L, 3L), (20L, 2L, 5L)))
+  }
+
   test("streaming dedup collapses duplicated files to distinct event_ids") {
     // duplicate the fixture into a temp stream dir: every event twice
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
