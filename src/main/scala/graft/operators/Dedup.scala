@@ -227,6 +227,31 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("component_id"))
   }
 
+  /** Benchmark decontamination: flag corpus docs sharing at least
+    * `minOverlap` distinct k-gram shingles with ANY benchmark/eval
+    * document — the overlap check run before training so eval sets
+    * don't leak into the corpus. Returns (doc_id, n_overlap) for
+    * flagged docs; anti-join the corpus against it to scrub.
+    *
+    * Scale shape: eval sets are small next to the corpus, so the
+    * distinct benchmark shingle set broadcasts and the corpus-side
+    * count is map-side combinable — one pass over the corpus, no
+    * self-join. Shingles are 64-bit hashes (same w.h.p. equivalence
+    * as [[ngramJaccardPairs]]). */
+  def contamination(docs: DataFrame, benchmark: DataFrame,
+                    k: Int = 3, minOverlap: Int = 3): DataFrame = {
+    graft.functions.ShingleHashes.register(docs.sparkSession)
+    def shingled(df: DataFrame) = df
+      .withColumn("fh", expr(s"shingle_hashes(text, $k)"))
+      .filter(size(col("fh")) > 0)
+      .select(col("doc_id"), explode(col("fh")).as("shingle"))
+    val benchSh = shingled(benchmark).select("shingle").distinct()
+    shingled(docs)
+      .join(broadcast(benchSh), Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
   /** Alternating large-star / small-star connected components
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC'14) — same contract as [[connectedComponents]]: every node

@@ -89,6 +89,16 @@ object TextQueries {
     TextAnalysis.mixBySourceQuota(Tables.documents(spark, dir), mixWeights)
       .select(col("doc_id"), col("source"))
 
+  /** Benchmark decontamination: src0 plays the eval set; every other
+    * doc sharing >= 3 distinct 3-gram shingles with it is flagged. */
+  def q48Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.contamination(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"),
+      k = 3, minOverlap = 3)
+  }
+
   /** Bigram-concentration repetition signal (boilerplate filter). */
   def q47Repetition(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.bigramRepetition(Tables.documents(spark, dir))
@@ -115,7 +125,8 @@ object TextQueries {
     "q44_term_df"       -> (q44TermDf _),
     "q45_redact"        -> (q45Redact _),
     "q46_mix_quota"     -> (q46MixQuota _),
-    "q47_repetition"    -> (q47Repetition _)
+    "q47_repetition"    -> (q47Repetition _),
+    "q48_decontaminate" -> (q48Decontaminate _)
   )
 
   private val BPEISH = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
@@ -217,6 +228,20 @@ object TextQueries {
         |                ELSE 0.0 END AS wt
         |  FROM documents) t
         |WHERE rn <= ceil(wt * n_src)""".stripMargin,
+
+    "q48_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_distinct(list_transform(range(len(w) - 2),
+        |      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS shingle
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents) d
+        |  WHERE len(w) >= 3),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0')
+        |SELECT doc_id, count(*) AS n_overlap
+        |FROM sh JOIN bench USING (shingle)
+        |WHERE source != 'src0'
+        |GROUP BY doc_id
+        |HAVING count(*) >= 3""".stripMargin,
 
     "q47_repetition" ->
       """WITH b AS (

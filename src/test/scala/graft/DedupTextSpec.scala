@@ -170,6 +170,22 @@ class DedupTextSpec extends AnyFunSuite {
     assert(!mixed.contains("src4"), "unlisted sources are dropped")
   }
 
+  test("decontamination flags docs overlapping the benchmark, spares the rest") {
+    import spark.implicits._
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words then the quick brown fox jumps over something"), // 4 shared 3-grams
+      (2L, "completely unrelated sentence with different vocabulary entirely"),
+      (3L, "quick brown fox appears here")  // 1 shared 3-gram, below threshold 3
+    ).toDF("doc_id", "text")
+    val flagged = Dedup.contamination(corpus, bench, k = 3, minOverlap = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.contains(1L) && flagged(1L) >= 3)
+    assert(!flagged.contains(2L) && !flagged.contains(3L))
+  }
+
   test("bigram repetition: looped text scores ~1, varied text low, short docs drop") {
     import spark.implicits._
     val corpus = Seq(
