@@ -87,6 +87,25 @@ class FetchServeSpec extends AnyFunSuite {
       .filter(col("f.coordinates").isNotNull).count() == 10)
   }
 
+  test("serving payloads: per-country trends match the golden country_trends") {
+    val out = Files.createTempDirectory("graft_serve2").toString
+    TbServe.writePayloads(spark, TbPipeline.run(spark, tbCsv, popCsv), out)
+    val golden = scala.io.Source.fromFile(
+      "/root/reference/data/processed/country_trends.csv").getLines().toSeq
+    val header = golden.head.split(",", -1).toSeq
+    val iso = header.indexOf("iso3")
+    val yr = header.indexOf("year")
+    val tc = header.indexOf("total_cases")
+    val goldenIdn = golden.tail.filter(_.split(",", -1)(iso) == "IDN")
+      .map { l => val f = l.split(",", -1)
+        (f(yr).toLong, f(tc).toDouble.round) }.toSet
+    val served = spark.read.json(s"$out/trends/IDN.json")
+      .select(explode(col("trends")).as("t"))
+      .select(col("t.year").cast("long"), col("t.total_cases").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1).round)).toSet
+    assert(served == goldenIdn, s"served $served != golden $goldenIdn")
+  }
+
   test("S12: writer/reader resolve filesystem URIs via scheme (file:// round-trip)") {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")

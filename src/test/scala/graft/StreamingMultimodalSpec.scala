@@ -97,6 +97,37 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("AvailableNow incremental re-run processes only newly landed files (T1 parity)") {
+    // the reference's T1 protocol (30-day re-collect) maps to a
+    // scheduled batch re-run; the Spark-native form is a file-source
+    // stream with Trigger.AvailableNow + a checkpoint: each run drains
+    // exactly the files that arrived since the last run, no reprocess
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_incr_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_incr_out").toString
+    val src = java.nio.file.Paths.get(s"$sf/events.parquet")
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(EventStreams.rawSchema).parquet(dir)
+        .select("event_id", "event_type")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val n = events.count()
+    java.nio.file.Files.copy(src, java.nio.file.Paths.get(s"$dir/batch1.parquet"))
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == n, "first run drains the first file")
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == n,
+      "re-run with no new files must process nothing")
+    java.nio.file.Files.copy(src, java.nio.file.Paths.get(s"$dir/batch2.parquet"))
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == 2 * n,
+      "re-run after a new file lands processes exactly that file")
+  }
+
   test("stream-stream interval join matches the batch join on the same rows") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
