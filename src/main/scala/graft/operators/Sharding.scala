@@ -37,4 +37,22 @@ object Sharding {
   def stratifiedSample(docs: DataFrame, fractions: Map[String, Double],
                        strataCol: String = "source", seed: Long = 42L): DataFrame =
     docs.stat.sampleBy(strataCol, fractions, seed)
+
+  /** Content-hash Bernoulli sample: keep a row iff
+    * xxhash64(id, seed) mod 1e6 < fraction·1e6.
+    *
+    * Unlike `sample()`/`sampleBy()` — whose kept set depends on the
+    * partition layout, so a repartition or cluster resize silently
+    * changes WHICH rows survive — the decision here is a pure function
+    * of (id, seed): stable across partitionings, executors, reruns,
+    * and engine versions. At 100 TB that stability is the difference
+    * between a reproducible data recipe and one that shifts under
+    * every infra change. Per-row filter, no shuffle. */
+  def hashSample(docs: DataFrame, fraction: Double,
+                 idCol: String = "doc_id", seed: Long = 42L): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1]: $fraction")
+    docs.filter(
+      pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L)) <
+        lit((fraction * 1000000L).toLong))
+  }
 }

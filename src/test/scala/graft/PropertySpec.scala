@@ -101,6 +101,22 @@ class PropertySpec extends AnyFunSuite {
     assert(perShard.filter($"tok" > $"biggest" + budget).count() == 0)
   }
 
+  test("hash sample is identical across partition layouts and hits its fraction") {
+    val docs = graft.Tables.documents(spark, SparkTestSession.sf)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Sharding.hashSample(df, 0.3).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    val a = ids(docs.repartition(1))
+    val b = ids(docs.repartition(17))
+    assert(a == b, "kept set must be a pure function of (id, seed), not layout")
+    val n = docs.count().toDouble
+    assert(math.abs(a.size / n - 0.3) < 0.15, s"fraction off: ${a.size / n}")
+    // different seed -> different (but equally stable) sample
+    val c = Sharding.hashSample(docs, 0.3, seed = 7L).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(c != a)
+  }
+
   test("stratified sample respects fractions within tolerance") {
     val docs = Tables.documents(spark, SparkTestSession.sf)
     val fracs = Map("src0" -> 0.5, "src1" -> 0.1)
