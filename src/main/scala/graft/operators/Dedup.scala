@@ -227,6 +227,33 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("component_id"))
   }
 
+  /** End-to-end corpus dedup — the operator a pipeline actually calls:
+    * exact dedup first (mandatory pre-pass, see [[exactDedup]]), then
+    * MinHash-LSH near-dup pairs on the survivors, connected
+    * components, and keep one representative (min doc_id) per
+    * component. Returns the deduplicated corpus with the original
+    * columns.
+    *
+    * Each stage is the scale-shaped variant: O(n) hash pass → bucketed
+    * LSH (never O(n²)) → iterative CC (swap in
+    * [[connectedComponentsStars]] via `starCC = true` for deep/
+    * adversarial duplicate graphs). */
+  def dedupCorpus(docs: DataFrame, k: Int = 3, numHashes: Int = 16,
+                  bands: Int = 4, threshold: Double = 0.6,
+                  starCC: Boolean = false): DataFrame = {
+    // exact pass: survivors = smallest doc_id per distinct text
+    val exactSurvivors = docs.join(
+      exactDedup(docs).select("doc_id"), Seq("doc_id"), "left_semi")
+    val pairs = minHashPairs(exactSurvivors, k, numHashes, bands, threshold)
+      .select("d1", "d2")
+    val comp = if (starCC) connectedComponentsStars(pairs)
+               else connectedComponents(pairs)
+    // unclustered docs survive; clustered ones only as the component min
+    exactSurvivors.join(comp, Seq("doc_id"), "left")
+      .filter(col("component_id").isNull || col("component_id") === col("doc_id"))
+      .drop("component_id")
+  }
+
   /** Benchmark decontamination: flag corpus docs sharing at least
     * `minOverlap` distinct k-gram shingles with ANY benchmark/eval
     * document — the overlap check run before training so eval sets

@@ -99,6 +99,23 @@ object TextQueries {
       k = 3, minOverlap = 3)
   }
 
+  /** Flagship end-to-end dedup: exact pass → near-dup pairs →
+    * connected components → one representative per component. Uses the
+    * exact-Jaccard pair leg so DuckDB can replay the whole composition
+    * (the production operator, [[Dedup.dedupCorpus]], swaps in
+    * MinHash-LSH pairs — spec-pinned instead). */
+  def q49DedupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsRebalanced(spark, dir)
+    val exact = docs.join(
+      Dedup.exactDedup(docs).select("doc_id"), Seq("doc_id"), "left_semi")
+    val pairs = Dedup.ngramJaccardPairs(exact, k = 3, threshold = 0.6)
+      .select("d1", "d2")
+    val comp = Dedup.connectedComponents(pairs)
+    exact.join(comp, Seq("doc_id"), "left")
+      .filter(col("component_id").isNull || col("component_id") === col("doc_id"))
+      .select(col("doc_id"), col("source"))
+  }
+
   /** Bigram-concentration repetition signal (boilerplate filter). */
   def q47Repetition(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.bigramRepetition(Tables.documents(spark, dir))
@@ -126,7 +143,8 @@ object TextQueries {
     "q45_redact"        -> (q45Redact _),
     "q46_mix_quota"     -> (q46MixQuota _),
     "q47_repetition"    -> (q47Repetition _),
-    "q48_decontaminate" -> (q48Decontaminate _)
+    "q48_decontaminate" -> (q48Decontaminate _),
+    "q49_dedup_corpus"  -> (q49DedupCorpus _)
   )
 
   private val BPEISH = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
@@ -228,6 +246,31 @@ object TextQueries {
         |                ELSE 0.0 END AS wt
         |  FROM documents) t
         |WHERE rn <= ceil(wt * n_src)""".stripMargin,
+
+    "q49_dedup_corpus" ->
+      """WITH RECURSIVE
+        |ex AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |docs2 AS (SELECT d.doc_id, d.source, d.text
+        |          FROM documents d JOIN ex USING (doc_id)),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs2),
+        |s AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 2),
+        |        i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS shingle
+        |      FROM d WHERE len(w) >= 3),
+        |n AS (SELECT doc_id, count(*) AS ns FROM s GROUP BY doc_id),
+        |c AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |p AS (SELECT d1, d2 FROM c JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+        |      WHERE CAST(common AS DOUBLE) / (n1.ns + n2.ns - common) >= 0.6),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+        |reach(a, b) AS (SELECT a, b FROM edges
+        |                UNION
+        |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component_id
+        |         FROM reach GROUP BY a)
+        |SELECT d2.doc_id, d2.source
+        |FROM docs2 d2 LEFT JOIN comp USING (doc_id)
+        |WHERE comp.component_id IS NULL OR comp.component_id = d2.doc_id""".stripMargin,
 
     "q48_decontaminate" ->
       """WITH sh AS (

@@ -248,6 +248,31 @@ class DedupTextSpec extends AnyFunSuite {
     assert(survivors.count() == expected)
   }
 
+  test("dedupCorpus: planted exact+near dups removed, originals kept, columns intact") {
+    import spark.implicits._
+    // plant: an exact copy of doc 0 and the fixture's own near-dups
+    val withDupes = docs.select("doc_id", "text", "source")
+      .unionByName(docs.filter($"doc_id" === 0)
+        .select(($"doc_id" + 900000).as("doc_id"), $"text", $"source"))
+    val out = Dedup.dedupCorpus(withDupes).cache()
+    assert(out.columns.toSet == Set("doc_id", "text", "source"))
+    assert(out.filter($"doc_id" === 900000).count() == 0, "exact copy must die")
+    assert(out.filter($"doc_id" === 0).count() == 1, "original survives")
+    // near-dup components keep exactly their min id
+    val pairs = Dedup.minHashPairs(withDupes.join(
+        Dedup.exactDedup(withDupes).select("doc_id"), Seq("doc_id"), "left_semi"))
+      .select("d1", "d2")
+    val comp = Dedup.connectedComponents(pairs)
+    val expected = withDupes.count() - 1 /* exact dup */ -
+      comp.filter($"doc_id" =!= $"component_id").count()
+    assert(out.count() == expected)
+    // star-contraction path gives the identical corpus
+    val outStars = Dedup.dedupCorpus(withDupes, starCC = true)
+    assert(outStars.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      out.select("doc_id").collect().map(_.getLong(0)).toSet)
+    out.unpersist()
+  }
+
   test("dedup plans contain no cartesian product") {
     val plan = Dedup.minHashPairs(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"),
