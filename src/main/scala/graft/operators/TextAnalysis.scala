@@ -74,6 +74,36 @@ object TextAnalysis {
         .otherwise("unknown"))
   }
 
+  /** Document chunking: split each doc into fixed-size token windows
+    * with `overlap` tokens of context between consecutive chunks — the
+    * preprocessing splitter for pretraining/RAG pipelines. One row per
+    * (doc, chunk); chunk count = ceil((n − overlap) / step) with
+    * step = chunkTokens − overlap, always ≥ 1 (short docs become one
+    * whole-doc chunk). Pure per-row array work + one explode: no
+    * shuffle, embarrassingly parallel — integer arithmetic only, so
+    * chunk boundaries are deterministic cross-engine. */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int = 128,
+                overlap: Int = 16, text: String = "text"): DataFrame = {
+    require(overlap >= 0 && chunkTokens > overlap,
+      s"need chunkTokens > overlap >= 0, got $chunkTokens/$overlap")
+    val step = chunkTokens - overlap
+    // let-bind the words array (CollapseProject re-split trap)
+    val chunksExpr = transform(array(words(col(text))), w => {
+      // floor((n - overlap + step - 1) / step) over positive ints:
+      // double-divide + floor is exact here (operands << 2^53) and
+      // matches DuckDB's integer `//`
+      val nChunks = greatest(lit(1L),
+        floor((size(w).cast("long") - overlap + step - 1) / lit(step)).cast("long"))
+      transform(sequence(lit(0L), nChunks - 1), i =>
+        slice(w, (i * step + 1).cast("int"), lit(chunkTokens)))
+    }).getItem(0)
+    docs
+      .select(col("doc_id"), posexplode(chunksExpr).as(Seq("chunk_id", "cw")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        concat_ws(" ", col("cw")).as("chunk_text"),
+        size(col("cw")).cast("long").as("n_chunk_tokens"))
+  }
+
   /** Repetition/boilerplate signal: bigram concentration — the share
     * of a doc's word bigrams taken by its single most frequent bigram
     * (a Gopher-style repetition filter; boilerplate and looped text

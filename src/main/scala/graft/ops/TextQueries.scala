@@ -116,6 +116,12 @@ object TextQueries {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Fixed-window document chunking with overlap (RAG/pretraining
+    * splitter): 32-token chunks, 8-token overlap. */
+  def q56Chunks(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkDocs(Tables.documents(spark, dir),
+      chunkTokens = 32, overlap = 8)
+
   /** Bigram-concentration repetition signal (boilerplate filter). */
   def q47Repetition(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.bigramRepetition(Tables.documents(spark, dir))
@@ -144,7 +150,8 @@ object TextQueries {
     "q46_mix_quota"     -> (q46MixQuota _),
     "q47_repetition"    -> (q47Repetition _),
     "q48_decontaminate" -> (q48Decontaminate _),
-    "q49_dedup_corpus"  -> (q49DedupCorpus _)
+    "q49_dedup_corpus"  -> (q49DedupCorpus _),
+    "q56_chunks"        -> (q56Chunks _)
   )
 
   private val BPEISH = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
@@ -246,6 +253,17 @@ object TextQueries {
         |                ELSE 0.0 END AS wt
         |  FROM documents) t
         |WHERE rn <= ceil(wt * n_src)""".stripMargin,
+
+    // 32-token chunks, 8 overlap -> step 24
+    "q56_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |x AS (SELECT doc_id, w,
+        |        greatest(1, (len(w) - 8 + 23) // 24) AS nc FROM d),
+        |c AS (SELECT doc_id, w, unnest(range(nc)) AS chunk_id FROM x)
+        |SELECT doc_id, chunk_id,
+        |  array_to_string(list_slice(w, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ') AS chunk_text,
+        |  CAST(len(list_slice(w, chunk_id * 24 + 1, chunk_id * 24 + 32)) AS BIGINT) AS n_chunk_tokens
+        |FROM c""".stripMargin,
 
     "q49_dedup_corpus" ->
       """WITH RECURSIVE

@@ -186,6 +186,24 @@ class DedupTextSpec extends AnyFunSuite {
     assert(!flagged.contains(2L) && !flagged.contains(3L))
   }
 
+  test("chunking: overlap stitches, short docs stay whole, tokens re-concatenate") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 words
+      (2L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocs(corpus, chunkTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    // step 3: chunks at words 1-4, 4-7, 7-10
+    assert(chunks((1L, 0L)) == "w1 w2 w3 w4")
+    assert(chunks((1L, 1L)) == "w4 w5 w6 w7")
+    assert(chunks((1L, 2L)) == "w7 w8 w9 w10")
+    assert(!chunks.contains((1L, 3L)))
+    assert(chunks((2L, 0L)) == "tiny doc")
+    // every adjacent chunk pair shares exactly the overlap token
+    assert(chunks((1L, 0L)).split(" ").last == chunks((1L, 1L)).split(" ").head)
+  }
+
   test("bigram repetition: looped text scores ~1, varied text low, short docs drop") {
     import spark.implicits._
     val corpus = Seq(
