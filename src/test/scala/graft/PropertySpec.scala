@@ -101,6 +101,37 @@ class PropertySpec extends AnyFunSuite {
     assert(perShard.filter($"tok" > $"biggest" + budget).count() == 0)
   }
 
+  test("chunking is lossless: dropping each chunk's overlap reconstructs the doc") {
+    val docs = graft.Tables.documents(spark, SparkTestSession.sf)
+    val overlap = 8
+    val chunks = graft.operators.TextAnalysis
+      .chunkDocs(docs, chunkTokens = 32, overlap = overlap)
+      .select("doc_id", "chunk_id", "chunk_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).map { case (id, rows) =>
+        val ordered = rows.sortBy(_._2).map(_._3.split(" ").toSeq)
+        id -> (ordered.head ++ ordered.tail.flatMap(_.drop(overlap))).mkString(" ")
+      }
+    val originals = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(chunks.size == originals.size)
+    chunks.foreach { case (id, rebuilt) =>
+      assert(rebuilt == originals(id), s"doc $id did not reconstruct")
+    }
+  }
+
+  test("hash samples nest: a smaller fraction is a subset of a larger one") {
+    val docs = graft.Tables.documents(spark, SparkTestSession.sf)
+    def ids(frac: Double) = Sharding.hashSample(docs, frac).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val small = ids(0.1)
+    val big = ids(0.3)
+    // threshold samplers nest by construction — growing a sample never
+    // swaps rows out, the property that makes staged data scaling sane
+    assert(small.subsetOf(big), s"missing: ${small -- big}")
+    assert(small.size < big.size)
+  }
+
   test("hash sample is identical across partition layouts and hits its fraction") {
     val docs = graft.Tables.documents(spark, SparkTestSession.sf)
     def ids(df: org.apache.spark.sql.DataFrame) =
