@@ -48,12 +48,18 @@ object Sources {
       .option("url", url).option("dbtable", table)
       .mode(mode).save()
 
-  /** S6–S8: file sinks with optional partitioning. */
+  /** S6–S8: file sinks with optional partitioning and output-file
+    * sizing. `maxRecordsPerFile` caps rows per written file — at scale
+    * this is the knob that stops one fat task from emitting a 50 GB
+    * file (and, with partitionBy, bounds the largest file of a skewed
+    * partition) without a repartition pass. */
   def writeFile(df: DataFrame, path: String, format: String,
                 partitionBy: Seq[String] = Nil,
-                mode: SaveMode = SaveMode.Overwrite): Unit = {
+                mode: SaveMode = SaveMode.Overwrite,
+                maxRecordsPerFile: Option[Long] = None): Unit = {
     val w0 = df.write.mode(mode)
-    val w = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
+    val w1 = maxRecordsPerFile.fold(w0)(n => w0.option("maxRecordsPerFile", n))
+    val w = if (partitionBy.nonEmpty) w1.partitionBy(partitionBy: _*) else w1
     format match {
       case "csv" => w.option("header", "true").csv(path)
       case "json" => w.json(path)

@@ -117,4 +117,17 @@ class FetchServeSpec extends AnyFunSuite {
     val back = Sources.parquet(spark, s"file://$dir/t")
     assert(back.orderBy("id").collect().map(_.getString(1)).toSeq == Seq("a", "b"))
   }
+
+  test("writer caps output file size via maxRecordsPerFile") {
+    val docs = Tables.documents(spark, SparkTestSession.sf).coalesce(1)
+    val n = docs.count()
+    val dir = Files.createTempDirectory("graft_maxrec").toString
+    Sources.writeFile(docs, s"$dir/capped", "parquet",
+      maxRecordsPerFile = Some(100L))
+    val files = new java.io.File(s"$dir/capped").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= (n / 100).toInt,
+      s"one coalesced task must still split output: got ${files.length} files for $n rows")
+    assert(Sources.parquet(spark, s"$dir/capped").count() == n)
+  }
 }
