@@ -40,6 +40,10 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // ONE bare JSON line on stdout (the driver contract). build.sbt
+    // sets `run / outputStrategy := StdoutOutput` so the forked run's
+    // stdout passes through verbatim — without it, sbt's logger would
+    // prefix the line with "[info] " and break json-parsing consumers.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -18,6 +18,8 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Exact dedup by content hash: keep the smallest doc_id per md5(text).
     * One hash-shuffle; at 100 TB this is the standard first pass — and
     * it MUST run before MinHash/SimHash: exact-duplicate cliques of c
@@ -166,11 +168,18 @@ object Dedup {
     // collision probability is negligible next to MinHash's own
     // approximation): set ops over longs are ~10x cheaper than over
     // shingle strings (measured via ScaleProbe).
+    // Materialize the candidate hash sets ONCE: `fhs` feeds both the d1
+    // and d2 verification joins, and without the checkpoint each join
+    // re-runs the semi-join + `shingle_hashes` re-derivation (the
+    // expensive per-row pass) — measured as ~1 s of the q35 time at
+    // sf0.1. Candidate sets are LSH-pruned and ids-only upstream, so
+    // the materialized frame is small.
     val fhs = docs
       .join(candIds, Seq("doc_id"), "left_semi")
       .withColumn("fh", expr(s"shingle_hashes(text, $k)"))
       .filter(size(col("fh")) > 0)
       .select(col("doc_id"), col("fh"))
+      .localCheckpoint()
     cands
       .join(fhs.select(col("doc_id").as("d1"), col("fh").as("fh1")), "d1")
       .join(fhs.select(col("doc_id").as("d2"), col("fh").as("fh2")), "d2")
@@ -224,6 +233,12 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    // A non-fixpoint exit degrades to a single (possibly non-minimal)
+    // label per node — results LOOK valid, so the failure must be loud.
+    if (!converged)
+      log.warn(s"connectedComponents: no fixpoint after $maxIter rounds; " +
+        "labels may not be component minima (raise maxIter or use " +
+        "connectedComponentsStars for deep graphs)")
     labels.select(col("node").as("doc_id"), col("label").as("component_id"))
   }
 
@@ -346,6 +361,15 @@ object Dedup {
       edges = afterSmall
       i += 1
     }
+    // Unlike the min-label variant (which degrades to one wrong label),
+    // a non-fixpoint edge set here emits MULTIPLE (doc_id, component_id)
+    // rows per node, and dedupCorpus's `component_id === doc_id` filter
+    // would then keep/drop duplicates arbitrarily. Fail fast instead of
+    // returning a silently-corrupt labeling.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStars: no fixpoint after $maxIter rounds; " +
+        "the star projection would emit multiple labels per node")
     // fixpoint: stars (x, m) with m the component min
     edges.select(col("a").as("doc_id"), col("b").as("component_id"))
       .union(edges.select(col("b").as("doc_id"), col("b").as("component_id")))

@@ -51,8 +51,11 @@ object Sharding {
   def hashSample(docs: DataFrame, fraction: Double,
                  idCol: String = "doc_id", seed: Long = 42L): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1]: $fraction")
+    // round, don't truncate: 0.3 * 1e6 is 299999.99999... in binary
+    // floating point, and toLong would make the effective threshold
+    // 299999 — a systematic ~1e-6 under-sample vs the nominal fraction
     docs.filter(
       pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L)) <
-        lit((fraction * 1000000L).toLong))
+        lit(math.round(fraction * 1000000.0)))
   }
 }

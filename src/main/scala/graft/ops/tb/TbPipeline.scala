@@ -103,32 +103,29 @@ object TbPipeline {
 
   // ------------------------------------------------------------- reshape
 
-  /** R1: pivot long→wide with the EXPLICIT whitelist (removes the
-    * distinct-scan job the reference pays, SURVEY §4.1), rename the
-    * *_num indicators, backfill missing columns with 0 — the backfill is
-    * load-bearing: the raw snapshot lacks c_newinc/e_prev_num so
-    * new_cases/prevalence are integer 0 everywhere in the goldens
-    * (spark_data_processor.py:518-546, SURVEY §7.4-4).
+  /** R1: pivot long→wide with the EXPLICIT full whitelist — a
+    * plan-time constant, so unlike the reference's dynamic pivot
+    * (spark_data_processor.py:518-546) NO job runs before the pivot:
+    * the schema is deterministic and the distinct-scan the reference
+    * pays (and the distinct-collect an earlier version of this method
+    * paid) is gone. Indicators absent from the snapshot surface as
+    * all-null columns and land as 0 via `na.fill` — the same values
+    * the reference's explicit lit(0) backfill produces (the raw
+    * snapshot lacks c_newinc/e_prev_num, so new_cases/prevalence are 0
+    * everywhere in the goldens; golden comparison is numeric, SURVEY
+    * §7.4-4). Downstream products select explicit columns, so the
+    * extra always-0 *_100k columns never reach an output surface.
     *
     * `first(value)` is deterministic here because (country,iso3,year,
     * indicator) is unique post-cleaning — asserted in the test suite. */
   def pivotIndicators(clean: DataFrame): DataFrame = {
-    val present = clean.select("indicator").distinct().collect()
-      .map(_.getString(0)).toSet
-    // Explicit value list = deterministic schema + no extra job. Only
-    // pivot on indicators actually present, like the reference's
-    // dynamic pivot output.
-    val values = validIndicators.filter(present)
     val pivoted = clean.groupBy("country", "iso3", "year")
-      .pivot("indicator", values)
+      .pivot("indicator", validIndicators)
       .agg(first("value"))
       .na.fill(0)
-    val renamed = pivotRenames.foldLeft(pivoted) { case (d, (from, to)) =>
-      if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d
+    pivotRenames.foldLeft(pivoted) { case (d, (from, to)) =>
+      d.withColumnRenamed(from, to)
     }
-    Seq("total_cases", "new_cases", "deaths", "prevalence")
-      .foldLeft(renamed)((d, c) =>
-        if (d.columns.contains(c)) d else d.withColumn(c, lit(0)))
   }
 
   // ------------------------------------------------------------- enrich

@@ -75,24 +75,52 @@ object EventStreams {
     * sides watermarked; the equality key + range condition is exactly
     * what lets Spark bound each side's join state).
     *
+    * Contract: both sides must carry an event-time column named
+    * `tsCol` (default "ts"), distinct from `key`; `window` must be a
+    * simple positive interval like "1 hour" / "30 minutes". Output
+    * columns are prefixed l_/r_ (minus the key), so neither side may
+    * already contain a column named `l_<c>`/`r_<c>` for one of its
+    * own columns.
+    *
     * Scale: executes as a hash join on the key with the range as a
     * join-level predicate — never a cartesian; a pure range join
     * without an equality key would need bucketized time binning
-    * instead. Column names are prefixed l_/r_ (minus the key) so the
-    * caller never fights ambiguous attributes. */
+    * instead. */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
-                   window: String = "1 hour"): DataFrame = {
+                   window: String = "1 hour", tsCol: String = "ts"): DataFrame = {
+    require(key != tsCol, s"key ('$key') must differ from the event-time column ('$tsCol')")
+    require(left.columns.contains(tsCol), s"left side has no '$tsCol' column (pass tsCol=...)")
+    require(right.columns.contains(tsCol), s"right side has no '$tsCol' column (pass tsCol=...)")
+    require(left.columns.contains(key) && right.columns.contains(key),
+      s"both sides need the join key '$key'")
+    // the window string is spliced into INTERVAL syntax — accept only
+    // the simple positive forms so a malformed caller fails here, not
+    // deep inside analysis
+    require(window.trim.matches("""(?i)\d+\s+(second|minute|hour|day)s?"""),
+      s"window must look like '30 minutes' / '1 hour', got '$window'")
+    def collides(cols: Array[String], p: String) =
+      cols.filter(_ != key).map(c => s"$p$c").toSet.intersect(cols.toSet)
+    require(collides(left.columns, "l_").isEmpty,
+      s"left side already has prefixed columns ${collides(left.columns, "l_").mkString(",")}")
+    require(collides(right.columns, "r_").isEmpty,
+      s"right side already has prefixed columns ${collides(right.columns, "r_").mkString(",")}")
     val l = left.columns.foldLeft(left) { (d, c) =>
       if (c == key) d else d.withColumnRenamed(c, s"l_$c")
     }
     val r = right.columns.foldLeft(right) { (d, c) =>
       if (c == key) d else d.withColumnRenamed(c, s"r_$c")
     }
-    l.join(r,
-      l(key) === r(key) &&
-        col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"))
-      .drop(r(key))
+    // Alias both sides and resolve the key by qualified name: in the
+    // self-join case (left and right derived from the same frame) the
+    // two key columns share an attribute id, and `l(key) === r(key)`
+    // builds a trivially-true predicate Spark then has to repair (it
+    // logs a WARN). Qualified resolution is unambiguous by
+    // construction.
+    l.as("gl").join(r.as("gr"),
+      col(s"gl.$key") === col(s"gr.$key") &&
+        col(s"r_$tsCol") >= col(s"l_$tsCol") &&
+        col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $window"))
+      .drop(col(s"gr.$key"))
   }
 
   // ----------------------------------------------------------- streaming
@@ -187,7 +215,13 @@ object EventStreams {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.end <= gapMillis =>
-                  cur = Some(s.copy(end = t, n = s.n + 1, total = s.total + e.value))
+                  // A cross-batch late-but-above-watermark event can
+                  // arrive with t < s.end (or even t < s.start): merge
+                  // with max/min so it extends the session instead of
+                  // dragging end backwards (which would also shrink the
+                  // event-time timeout horizon below end+gap).
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    end = math.max(s.end, t), n = s.n + 1, total = s.total + e.value))
                 case Some(s) =>
                   out += emit(userId, s)
                   cur = Some(SessionState(t, t, 1, e.value))

@@ -148,6 +148,20 @@ class PropertySpec extends AnyFunSuite {
     assert(c != a)
   }
 
+  test("hash sample threshold is the ROUNDED nominal fraction (no 1e-6 truncation bias)") {
+    // 0.3 * 1e6 is 299999.99999... in binary floating point; a toLong
+    // truncation would set the threshold to 299999 and silently exclude
+    // rows whose hash bucket is exactly 299999. Find such a row and
+    // assert it is kept at fraction 0.3.
+    import org.apache.spark.sql.functions._
+    val boundary = spark.range(0, 5000000).toDF("doc_id")
+      .filter(pmod(xxhash64(col("doc_id"), lit(42L)), lit(1000000L)) === 299999L)
+      .limit(1)
+    assert(boundary.count() == 1, "need a bucket-299999 id in the probe range")
+    assert(Sharding.hashSample(boundary, 0.3).count() == 1,
+      "bucket 299999 must fall inside a 0.3 sample (threshold 300000)")
+  }
+
   test("stratified sample respects fractions within tolerance") {
     val docs = Tables.documents(spark, SparkTestSession.sf)
     val fracs = Map("src0" -> 0.5, "src1" -> 0.1)

@@ -97,6 +97,49 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late-but-above-watermark events extend, never shrink, an open session") {
+    // With a non-zero watermark delay an event can arrive in a LATER
+    // micro-batch with a timestamp older than the open session's end
+    // (or even its start). It must merge via max/min — an end=t merge
+    // would drag session_end backwards and shrink the event-time
+    // timeout below the documented end+gap horizon.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, sec: Long, user: Long) = EventStreams.Event(
+      id, new java.sql.Timestamp(sec * 1000), user, "click", 1.0)
+    val ms = MemoryStream[EventStreams.Event]
+    val sessions = EventStreams.userSessions(
+      ms.toDS().withWatermark("ts", "120 seconds"), gapMillis = 60 * 1000)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("stream_sessions_ooo").start()
+    try {
+      // batch 1: open session [100s, 160s]; watermark advances to 40s
+      ms.addData(ev(1, 100, 1), ev(2, 160, 1))
+      q.processAllAvailable()
+      // batch 2: two above-watermark stragglers — one inside the
+      // session (130s < end) and one before its start (70s)
+      ms.addData(ev(3, 130, 1), ev(4, 70, 1))
+      q.processAllAvailable()
+      assert(spark.table("stream_sessions_ooo").count() == 0,
+        "session still open — nothing emitted yet")
+      // user 2 pushes the watermark past user 1's close horizon
+      // (160s + 60s gap), firing the event-time timeout
+      ms.addData(ev(5, 1000, 2))
+      q.processAllAvailable()
+      ms.addData(ev(6, 2000, 2))
+      q.processAllAvailable()
+      val u1 = spark.table("stream_sessions_ooo").as[EventStreams.UserSession]
+        .collect().filter(_.user_id == 1L)
+      assert(u1.length == 1, s"expected one merged session, got ${u1.toSeq}")
+      assert(u1.head.session_start.getTime == 70000L,
+        s"start must extend to the earliest event, got ${u1.head.session_start}")
+      assert(u1.head.session_end.getTime == 160000L,
+        s"end must never move backwards, got ${u1.head.session_end}")
+      assert(u1.head.n_events == 4)
+    } finally q.stop()
+  }
+
   test("AvailableNow incremental re-run processes only newly landed files (T1 parity)") {
     // the reference's T1 protocol (30-day re-collect) maps to a
     // scheduled batch re-run; the Spark-native form is a file-source
@@ -165,6 +208,33 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == batch, s"stream $got != batch $batch")
     assert(got == Set((10L, 1L, 3L), (20L, 2L, 5L)))
+  }
+
+  test("intervalJoin validates its contract and honors a custom tsCol") {
+    import spark.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val l = Seq((10L, t(100))).toDF("user_id", "seen_at")
+    val r = Seq((10L, t(130)), (10L, t(400))).toDF("user_id", "seen_at")
+    // custom event-time column name works end to end
+    val j = EventStreams.intervalJoin(l, r, "user_id", "60 seconds", tsCol = "seen_at")
+    assert(j.count() == 1)
+    assert(j.columns.toSet == Set("user_id", "l_seen_at", "r_seen_at"))
+    // missing ts column, key == tsCol, and junk interval all fail fast
+    intercept[IllegalArgumentException] {
+      EventStreams.intervalJoin(l, r, "user_id", "60 seconds") // no "ts" col
+    }
+    intercept[IllegalArgumentException] {
+      EventStreams.intervalJoin(l, r, "seen_at", "60 seconds", tsCol = "seen_at")
+    }
+    intercept[IllegalArgumentException] {
+      EventStreams.intervalJoin(l, r, "user_id", "60; DROP", tsCol = "seen_at")
+    }
+    // a pre-existing l_-prefixed column that would collide is rejected
+    intercept[IllegalArgumentException] {
+      EventStreams.intervalJoin(
+        l.withColumn("l_seen_at", col("seen_at")), r, "user_id",
+        "60 seconds", tsCol = "seen_at")
+    }
   }
 
   test("streaming dedup collapses duplicated files to distinct event_ids") {
