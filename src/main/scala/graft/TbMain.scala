@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.tb.{TbPipeline, TbServing}
+import graft.ops.tb.{TbCollect, TbPipeline, TbServing}
 import graft.sources.Fetch
 
 /** CLI orchestrator for the TB parity pipeline (SURVEY §7.1 cli/Main,
@@ -29,22 +29,40 @@ object TbMain {
       master = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
     spark.sparkContext.setLogLevel("WARN")
 
-    // Phase 1 — collect (main_orchestrator.py:397-436)
+    // Phase 1 — collect (main_orchestrator.py:397-436), with the
+    // reference's try-next-on-failure chain (tb_data_collection.py:
+    // 53-182, 320-350): primary CSV snapshot → GHO API JSONL (landed
+    // by an external fetcher, path via GRAFT_GHO_JSONL) → synthetic.
     val rawDir = java.nio.file.Paths.get(outDir, "raw")
-    def land(src: String, name: String): String = {
+    def land(src: String, name: String): Option[String] = {
       val dest = rawDir.resolve(name)
       // one marker per source: landing the first must not mark the
       // second as fresh
       val marker = rawDir.resolve(s"$name.last_update.txt")
-      val fetched = Fetch.fetchIfStale(src, dest, marker)
-      println(s"[collect] $name ${if (fetched) "fetched" else "fresh (<30d), skipped"} -> $dest")
-      dest.toString
+      try {
+        val fetched = Fetch.fetchIfStale(src, dest, marker)
+        println(s"[collect] $name ${if (fetched) "fetched" else "fresh (<30d), skipped"} -> $dest")
+        Some(dest.toString)
+      } catch {
+        case e: Exception =>
+          println(s"[collect] $name FAILED (${e.getMessage}) — falling back")
+          None
+      }
     }
-    val tbCsv = land(tbSrc, "who_tb_data.csv")
-    val popCsv = land(popSrc, "worldbank_population.csv")
+    val (leg, tbLong) = TbCollect.collectTb(spark,
+      primaryCsv = land(tbSrc, "who_tb_data.csv"),
+      ghoJsonl = sys.env.get("GRAFT_GHO_JSONL"))
+    println(s"[collect] TB data source leg: ${leg.name}")
+    // population has no synthetic fallback in the reference (an empty
+    // frame just skips the save, tb_data_collection.py:341-344); the
+    // engine mirrors that but still needs a frame — empty on failure.
+    val popRaw = land(popSrc, "worldbank_population.csv")
+      .map(p => TbPipeline.readPopulationCsv(spark, p))
+      .getOrElse(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), TbPipeline.popSchema))
 
     // Phase 2 — process
-    val p = TbPipeline.run(spark, tbCsv, popCsv)
+    val p = TbPipeline.runFrames(tbLong, popRaw)
     // Products partitioned by year on disk: the serving layer's year
     // point-filters become partition pruning at scale.
     TbPipeline.write(p.countrySummary, s"$outDir/country_summary", format)

@@ -239,11 +239,17 @@ object TbPipeline {
     * (process_complete_pipeline, spark_data_processor.py:756-795).
     * Lazy end-to-end: one cache point at the rated cut, products share
     * the lineage (vs the reference's ~10 eager jobs, SURVEY §7.4-6). */
-  def run(spark: SparkSession, tbCsv: String, popCsv: String): TbProducts = {
+  def run(spark: SparkSession, tbCsv: String, popCsv: String): TbProducts =
+    runFrames(readTbCsv(spark, tbCsv), readPopulationCsv(spark, popCsv))
+
+  /** Same pipeline from already-landed frames — the entry point the
+    * collect fallback chain ([[TbCollect]]) feeds, since its non-CSV
+    * legs (GHO JSONL, synthetic) never touch a CSV file. */
+  def runFrames(tbLong: DataFrame, popRaw: DataFrame): TbProducts = {
     val rated = deriveRates(
       joinPopulation(
-        pivotIndicators(cleanTb(readTbCsv(spark, tbCsv))),
-        cleanPopulation(readPopulationCsv(spark, popCsv)))).cache()
+        pivotIndicators(cleanTb(tbLong)),
+        cleanPopulation(popRaw))).cache()
     TbProducts(
       countrySummary(rated),
       yearlyTrends(rated),
