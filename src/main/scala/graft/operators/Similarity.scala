@@ -166,6 +166,22 @@ object Similarity {
     scoreTopK(candidates, corpus, queries, k, idCol, vecCol)
   }
 
+  /** Exact all-pairs cosine above a threshold — the brute-force
+    * ORACLE leg for [[cosineNearDupPairs]] (same contract), O(n²) by
+    * construction: every pair is scored. Correctness baseline and
+    * recall denominator only — never the scale path; at real corpus
+    * sizes use the LSH variant. */
+  def bruteForcePairs(corpus: DataFrame, threshold: Double,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    registerFns(corpus)
+    val a = corpus.select(col(idCol).as("d1"), col(vecCol).as("v1"))
+    val b = corpus.select(col(idCol).as("d2"), col(vecCol).as("v2"))
+    a.join(b, col("d1") < col("d2"))
+      .withColumn("cos", expr("cosine_sim(v1, v2)"))
+      .filter(col("cos") >= threshold)
+      .select("d1", "d2", "cos")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold — the
     * embedding leg of the dedup suite. LSH self-join candidates,
     * exact-cosine verification; O(collisions), never O(n²). */

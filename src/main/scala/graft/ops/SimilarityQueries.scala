@@ -46,11 +46,39 @@ object SimilarityQueries {
     Similarity.ivfTopK(
       corpus(spark, dir), queryVectors(spark, dir), k = 10)
 
+  /** SRP-LSH recall@10 vs the exact baseline — the numeric signal for
+    * q41's rows-only output: a one-row (n_exact, n_approx, n_hits,
+    * recall) summary, deterministic under the fixed seed, hash-checked
+    * against the pinned expected value for this fixture. */
+  def q57AnnRecall(spark: SparkSession, dir: String): DataFrame =
+    Agreement.summarize(
+      q41AnnTopK(spark, dir), q40CosineTopK(spark, dir),
+      Seq("query_id", "neighbor_id"))
+
+  /** IVF-flat recall@10 vs the exact baseline (q43's signal). */
+  def q58IvfRecall(spark: SparkSession, dir: String): DataFrame =
+    Agreement.summarize(
+      q43AnnIvf(spark, dir), q40CosineTopK(spark, dir),
+      Seq("query_id", "neighbor_id"))
+
+  /** Embedding near-dup recall: LSH pair set vs the exact all-pairs
+    * baseline (q42's signal). The exact leg is the disclosed O(n²)
+    * oracle path — recall denominator only, never the scale path. */
+  def q59NeardupRecall(spark: SparkSession, dir: String): DataFrame =
+    Agreement.summarize(
+      q42AnnNeardup(spark, dir),
+      Similarity.bruteForcePairs(corpus(spark, dir), threshold = 0.4)
+        .select(col("d1"), col("d2")),
+      Seq("d1", "d2"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_topk" -> (q40CosineTopK _),
     "q41_ann_topk"    -> (q41AnnTopK _),
     "q42_ann_neardup" -> (q42AnnNeardup _),
-    "q43_ann_ivf"     -> (q43AnnIvf _)
+    "q43_ann_ivf"     -> (q43AnnIvf _),
+    "q57_ann_recall"  -> (q57AnnRecall _),
+    "q58_ivf_recall"  -> (q58IvfRecall _),
+    "q59_neardup_recall" -> (q59NeardupRecall _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -63,6 +91,29 @@ object SimilarityQueries {
         |               c.vec_id ASC) AS rank
         |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
         |  WHERE q.vec_id < 10) t
-        |WHERE rank <= 10""".stripMargin
+        |WHERE rank <= 10""".stripMargin,
+
+    // The agreement rows are PINNED expected values for the sf0.01
+    // fixture + the fixed seeds (42): the ANN side depends on Spark's
+    // xxhash64/SRP bucketing, which DuckDB cannot reproduce, so the
+    // oracle is the known-correct constant (recall written as the same
+    // integer division Spark performs — bit-identical doubles). The
+    // LOW SRP recall (10/100) is a property of LSH on this
+    // deliberately-unclustered random fixture, not of the
+    // implementation — the clustered-fixture spec in SimilaritySpec
+    // pins the high-recall case; IVF (34/100) adapts to density and
+    // fares better on the same data.
+    "q57_ann_recall" ->
+      """SELECT CAST(100 AS BIGINT) AS n_exact, CAST(100 AS BIGINT) AS n_approx,
+        |  CAST(10 AS BIGINT) AS n_hits,
+        |  CAST(10 AS DOUBLE)/CAST(100 AS DOUBLE) AS recall""".stripMargin,
+    "q58_ivf_recall" ->
+      """SELECT CAST(100 AS BIGINT) AS n_exact, CAST(100 AS BIGINT) AS n_approx,
+        |  CAST(34 AS BIGINT) AS n_hits,
+        |  CAST(34 AS DOUBLE)/CAST(100 AS DOUBLE) AS recall""".stripMargin,
+    "q59_neardup_recall" ->
+      """SELECT CAST(59 AS BIGINT) AS n_exact, CAST(9 AS BIGINT) AS n_approx,
+        |  CAST(9 AS BIGINT) AS n_hits,
+        |  CAST(9 AS DOUBLE)/CAST(59 AS DOUBLE) AS recall""".stripMargin
   )
 }

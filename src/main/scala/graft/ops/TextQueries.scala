@@ -134,6 +134,26 @@ object TextQueries {
       Dedup.ngramJaccardPairs(docsRebalanced(spark, dir), k = 3, threshold = 0.6)
         .select(col("d1"), col("d2")))
 
+  /** MinHash-LSH recall vs the exact-Jaccard pair set at the same
+    * threshold — the numeric signal for q35's rows-only output
+    * (one hash-checkable row, deterministic under fixed seeds). */
+  def q60MinhashRecall(spark: SparkSession, dir: String): DataFrame =
+    Agreement.summarize(
+      q35MinhashPairs(spark, dir).select(col("d1"), col("d2")),
+      Dedup.ngramJaccardPairs(docsRebalanced(spark, dir), k = 3, threshold = 0.6)
+        .select(col("d1"), col("d2")),
+      Seq("d1", "d2"))
+
+  /** SimHash agreement vs the exact-Jaccard near-dup set at q34's
+    * threshold (q36's signal): n_hits/n_exact = recall, and
+    * n_hits vs n_approx exposes the precision side of hamming<=6. */
+  def q61SimhashAgreement(spark: SparkSession, dir: String): DataFrame =
+    Agreement.summarize(
+      q36SimhashPairs(spark, dir).select(col("d1"), col("d2")),
+      Dedup.ngramJaccardPairs(docsRebalanced(spark, dir), k = 3, threshold = 0.2)
+        .select(col("d1"), col("d2")),
+      Seq("d1", "d2"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_text_tokens"   -> (q30TextTokens _),
     "q31_text_quality"  -> (q31TextQuality _),
@@ -151,7 +171,9 @@ object TextQueries {
     "q47_repetition"    -> (q47Repetition _),
     "q48_decontaminate" -> (q48Decontaminate _),
     "q49_dedup_corpus"  -> (q49DedupCorpus _),
-    "q56_chunks"        -> (q56Chunks _)
+    "q56_chunks"        -> (q56Chunks _),
+    "q60_minhash_recall" -> (q60MinhashRecall _),
+    "q61_simhash_agreement" -> (q61SimhashAgreement _)
   )
 
   private val BPEISH = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
@@ -335,6 +357,22 @@ object TextQueries {
         |                UNION
         |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
         |SELECT a AS doc_id, least(a, min(b)) AS component_id
-        |FROM reach GROUP BY a""".stripMargin
+        |FROM reach GROUP BY a""".stripMargin,
+
+    // PINNED expected values for the sf0.01 fixture + fixed seeds
+    // (the LSH side uses Spark's xxhash64, which DuckDB cannot
+    // reproduce; recall is written as the same integer division Spark
+    // performs). MinHash at 16 hashes / 4 bands recovers the full
+    // exact pair set here (25/25); simhash hamming<=6 finds 20 of the
+    // 25 exact near-dups with no false positives (20 of 20 approx
+    // pairs are true pairs).
+    "q60_minhash_recall" ->
+      """SELECT CAST(25 AS BIGINT) AS n_exact, CAST(25 AS BIGINT) AS n_approx,
+        |  CAST(25 AS BIGINT) AS n_hits,
+        |  CAST(25 AS DOUBLE)/CAST(25 AS DOUBLE) AS recall""".stripMargin,
+    "q61_simhash_agreement" ->
+      """SELECT CAST(25 AS BIGINT) AS n_exact, CAST(20 AS BIGINT) AS n_approx,
+        |  CAST(20 AS BIGINT) AS n_hits,
+        |  CAST(20 AS DOUBLE)/CAST(25 AS DOUBLE) AS recall""".stripMargin
   )
 }

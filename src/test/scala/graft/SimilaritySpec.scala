@@ -113,4 +113,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(p.filter($"cos" < 0.4).count() == 0)
     assert(p.filter($"d1" >= $"d2").count() == 0)
   }
+
+  test("Agreement.summarize: counts are set overlap, recall guards empty exact") {
+    import spark.implicits._
+    val approx = Seq((1L, 2L), (1L, 3L)).toDF("d1", "d2")
+    val exact = Seq((1L, 2L), (1L, 4L), (2L, 5L)).toDF("d1", "d2")
+    val r = graft.ops.Agreement.summarize(approx, exact, Seq("d1", "d2")).first()
+    assert(r.getLong(0) == 3 && r.getLong(1) == 2 && r.getLong(2) == 1)
+    assert(r.getDouble(3) == 1.0 / 3.0)
+    val empty = graft.ops.Agreement.summarize(
+      approx, exact.filter($"d1" < 0), Seq("d1", "d2")).first()
+    assert(empty.getLong(0) == 0 && empty.getDouble(3) == 0.0)
+  }
 }
