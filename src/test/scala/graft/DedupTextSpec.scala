@@ -291,6 +291,66 @@ class DedupTextSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("hot LSH bucket: a planted near-identical clique completes bounded and correct") {
+    // The LSH worst case: c docs that all share one (band, band_hash)
+    // bucket generate c*(c-1)/2 candidate pairs in the self-join — at
+    // cluster scale this is the one-straggler-task failure mode AQE's
+    // skew-join splits at runtime. Plant the clique (each doc gets one
+    // unique token so the exact-dedup pre-pass cannot collapse it) and
+    // assert the whole path completes inside a hard time limit with
+    // exactly the clique's pair set — no candidate loss, no blowup.
+    import org.scalatest.concurrent.TimeLimits.failAfter
+    import org.scalatest.concurrent.{Signaler, ThreadSignaler}
+    import org.scalatest.time.{Seconds, Span}
+    import spark.implicits._
+    implicit val signaler: Signaler = ThreadSignaler
+    // the runtime guard this test leans on must actually be on
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+    val c = 150
+    val base = (0 until 40).map(i => s"w$i").mkString(" ")
+    val clique = (0 until c).map(i => (10000L + i, s"$base unique$i"))
+    val fillers = (0 until 200).map { i =>
+      (20000L + i, (0 until 40).map(j => s"f${i}_$j").mkString(" "))
+    }
+    val planted = (clique ++ fillers).toDF("doc_id", "text")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val pairs = failAfter(Span(180, Seconds)) {
+      Dedup.minHashPairs(planted, k = 3, numHashes = 16, bands = 4,
+        threshold = 0.6).select("d1", "d2").collect()
+    }
+    // 41-shingle docs differing in one trailing token: jaccard ~ 39/43
+    // >> 0.6, identical first 38 shingles -> same bucket w.h.p.
+    assert(pairs.length == c * (c - 1) / 2,
+      s"expected the full clique pair set, got ${pairs.length}")
+    assert(pairs.forall(r => r.getLong(0) >= 10000L && r.getLong(1) < 20000L),
+      "filler docs must not pair")
+  }
+
+  test("hot shingle: the df-cap removes the quadratic stop-phrase join, keeps true pairs") {
+    // A shingle occurring in every doc makes the inverted-index
+    // self-join quadratic in corpus size; maxShingleDocFreq is the
+    // structural guard (drop hot shingles from index AND sizes). Docs
+    // sharing ONLY the stop-phrase must produce no pair under the cap,
+    // while a planted true near-dup pair survives.
+    import spark.implicits._
+    val phrase = "the quick brown fox jumps over"
+    val docsHot = (0 until 300).map { i =>
+      val tail = (0 until 12).map(j => s"t${i}_$j").mkString(" ")
+      (i.toLong, s"$phrase $tail")
+    } :+ (9000L, s"$phrase alpha beta gamma delta epsilon zeta") :+
+      (9001L, s"$phrase alpha beta gamma delta epsilon eta")
+    val df = docsHot.toDF("doc_id", "text")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val capped = Dedup.ngramJaccardPairs(df, k = 3, threshold = 0.3,
+        maxShingleDocFreq = Some(50))
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((9000L, 9001L)),
+      "a true near-dup sharing non-hot shingles must survive the cap")
+    assert(capped.forall { case (a, b) => a >= 9000L && b >= 9000L },
+      s"stop-phrase-only overlaps must not pair under the cap, got $capped")
+  }
+
   test("dedup plans contain no cartesian product") {
     val plan = Dedup.minHashPairs(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"),
