@@ -1,62 +1,115 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev tool: headroom probe beyond the driver's sf0.1 bench — unions
-  * the documents fixture N times (id-offset copies = planted exact
-  * dups and 10-cliques of near-dups) and times the dedup suite at
-  * 10x scale. Run manually; results recorded in ARCHITECTURE.md.
+/** Dev tool: headroom probe beyond the driver's sf0.1 bench. Scales
+  * the documents/embeddings fixtures N× with CONTENT-UNIQUE copies and
+  * times the LSH/CC/ANN paths at each scale, printing a table +
+  * per-scale JSON lines (recorded in ARCHITECTURE.md §headroom).
+  *
+  * Content-unique means: every copied doc's vocabulary is suffixed
+  * with its copy id (no cross-copy shingle collisions) and every
+  * copied vector is deterministically rotated off its source direction
+  * — so 10× data is 10× WORK, and the table checks near-linear
+  * scaling of each path. The other regime — copies that ARE near-dups
+  * of each other, where candidate pairs grow quadratically in the
+  * clique size — is the adversarial case covered by the hot-bucket
+  * skew spec and the exact-dedup pre-pass (see Dedup.exactDedup's
+  * scaladoc); mixing it into the scaling table would measure pair
+  * OUTPUT growth, not engine overhead.
+  *
+  * Usage: ScaleProbe [scale ...]   (default: 1 10)
   */
 object ScaleProbe {
+
+  private def timeIt[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** N content-unique copies of the documents fixture: copy i suffixes
+    * every token with "xi", so shingles never collide across copies
+    * while each copy keeps the fixture's own near-dup structure. */
+  def scaledDocs(spark: SparkSession, dir: String, copies: Int): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir).select("doc_id", "text", "source")
+    (0 until copies).map { i =>
+      base.select(
+        ($"doc_id" + lit(i * 10000000L)).as("doc_id"),
+        (if (i == 0) $"text"
+         else regexp_replace($"text", "([A-Za-z0-9]+)", s"$$1x$i")).as("text"),
+        $"source")
+    }.reduce(_ unionByName _)
+  }
+
+  /** N direction-unique copies of the embeddings fixture: copy i adds
+    * a deterministic per-element offset (sin of ids), rotating the
+    * vector off its source so cross-copy cosines stay unclustered. */
+  def scaledEmbeddings(spark: SparkSession, dir: String, copies: Int): DataFrame = {
+    import spark.implicits._
+    val base = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    (0 until copies).map { i =>
+      if (i == 0) base
+      else base.select(
+        ($"vec_id" + lit(i * 10000000L)).as("vec_id"),
+        expr(s"transform(embedding, (x, j) -> x + float(sin(vec_id * 31 + j * 7 + $i)) * 0.5f)")
+          .as("embedding"))
+    }.reduce(_ unionByName _)
+  }
+
   def main(args: Array[String]): Unit = {
-    val copies = args.headOption.map(_.toInt).getOrElse(10)
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val scales = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 10)
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val spark = GraftSession.create(appName = "graft-scale-probe",
+      master = s"local[$cpus]", shufflePartitions = Some(cpus))
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val base = Tables.documents(spark, "/root/testdata/sf0.1")
-    val big = (0 until copies).map { i =>
-      base.select(($"doc_id" + lit(i * 1000000L)).as("doc_id"), $"text", $"source")
-    }.reduce(_ unionByName _)
-      .repartition(8).cache()
-    val n = big.count()
-    println(s"corpus: $n docs (${copies}x sf0.1)")
+    scales.foreach { s =>
+      val docs = scaledDocs(spark, dir, s)
+        .repartition(cpus * 2).cache()
+      val emb = scaledEmbeddings(spark, dir, s)
+        .repartition(cpus * 2).cache()
+      val nd = docs.count(); val ne = emb.count()
+      val queries = emb.filter($"vec_id" < 100)
+      println(s"== scale ${s}x: $nd docs, $ne vectors")
 
-    def time[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+      val probes: Seq[(String, () => Long)] = Seq(
+        "q33_exact_dedup" -> (() => operators.Dedup.exactDedup(docs).count()),
+        "q35_minhash_pairs" -> (() =>
+          operators.Dedup.minHashPairs(docs, k = 3, numHashes = 16,
+            bands = 4, threshold = 0.6).count()),
+        "q36_simhash_pairs" -> (() =>
+          operators.Dedup.simHashPairs(docs, maxHamming = 6).count()),
+        "q39_dedup_clusters" -> (() =>
+          operators.Dedup.connectedComponents(
+            operators.Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.6)
+              .select($"d1", $"d2")).count()),
+        "q49_dedup_corpus" -> (() =>
+          operators.Dedup.dedupCorpus(docs).count()),
+        "q41_ann_topk" -> (() =>
+          operators.Similarity.annTopK(emb, queries, k = 10).count()),
+        "q43_ann_ivf" -> (() =>
+          operators.Similarity.ivfTopK(emb, queries, k = 10).count()))
+
+      val rows = probes.map { case (name, f) =>
+        val (n, sec) = timeIt(f())
+        println(f"$name%-22s $sec%8.2f s   (rows=$n)")
+        s""""$name":{"sec":${math.round(sec * 1000) / 1000.0},"rows":$n}"""
+      }
+      println(s"""{"probe":"scale","scale":$s,"docs":$nd,"vecs":$ne,""" +
+        rows.mkString(",") + "}")
+      docs.unpersist(); emb.unpersist()
     }
-    val exact = time("exact_dedup")(operators.Dedup.exactDedup(big).count())
-    println(s"  distinct texts: $exact")
-    val mh = time("minhash_pairs")(
-      operators.Dedup.minHashPairs(big, threshold = 0.9).count())
-    println(s"  pairs j>=0.9: $mh")
-    val sh = time("simhash_pairs")(
-      operators.Dedup.simHashPairs(big, maxHamming = 3).count())
-    println(s"  pairs hamming<=3: $sh")
-    val ann = time("ann_topk")(
-      operators.Similarity.annTopK(
-        Tables.embeddings(spark, "/root/testdata/sf0.1"),
-        Tables.embeddings(spark, "/root/testdata/sf0.1").filter($"vec_id" < 100),
-        k = 10).count())
-    println(s"  ann rows: $ann")
-    val ivf = time("ivf_topk")(
-      operators.Similarity.ivfTopK(
-        Tables.embeddings(spark, "/root/testdata/sf0.1"),
-        Tables.embeddings(spark, "/root/testdata/sf0.1").filter($"vec_id" < 100),
-        k = 10).count())
-    println(s"  ivf rows: $ivf")
+
     // deep-graph CC: a 50k-node chain (diameter 50k) — min-label would
     // need 50k rounds; star contraction is the only viable path
-    val chain = spark.range(1L, 50000L)
-      .select($"id".as("d1"), ($"id" - 1).as("d2"))
-    val cc = time("star_cc_50k_chain")(
-      operators.Dedup.connectedComponentsStars(chain).count())
-    println(s"  chain nodes labeled: $cc")
+    val chain = spark.range(1L, 50000L).select($"id".as("d1"), ($"id" - 1).as("d2"))
+    val (cc, sec) = timeIt(operators.Dedup.connectedComponentsStars(chain).count())
+    println(f"star_cc_50k_chain      $sec%8.2f s   (nodes=$cc)")
     spark.stop()
   }
 }
