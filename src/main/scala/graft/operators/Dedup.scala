@@ -269,6 +269,63 @@ object Dedup {
       .drop("component_id")
   }
 
+  /** Incremental (delta) dedup: keep only the delta-batch docs that
+    * are NOVEL vs the existing corpus — no exact copy (content hash)
+    * and no near-duplicate (k-shingle Jaccard >= threshold) among
+    * corpus docs. This is the operator a growing corpus actually runs
+    * per ingest batch at 100 TB: the corpus is never re-deduped, only
+    * the delta is tested against it.
+    *
+    * Scale shape: the exact leg anti-joins the delta against the
+    * corpus's DISTINCT content hashes (map-side-combinable distinct,
+    * one shuffle keyed by hash — in production that distinct-hash set
+    * is the incrementally-maintained dedup index). The near leg joins
+    * the corpus's inverted shingle index against the DELTA's shingles
+    * only — cross-side pairs, never corpus×corpus — so join volume is
+    * proportional to the delta, and AQE broadcasts the small delta
+    * side. `maxShingleDocFreq` caps hot shingles on both sides exactly
+    * like [[ngramJaccardPairs]].
+    *
+    * Novelty WITHIN the delta is deliberately out of scope — compose
+    * with [[dedupCorpus]] on the delta first. */
+  def deltaDedup(corpus: DataFrame, delta: DataFrame, k: Int = 3,
+                 threshold: Double = 0.6,
+                 maxShingleDocFreq: Option[Int] = None): DataFrame = {
+    graft.functions.ShingleHashes.register(corpus.sparkSession)
+    val corpusHashes = corpus.select(md5(col("text")).as("content_md5")).distinct()
+    val exactNovel = delta
+      .withColumn("content_md5", md5(col("text")))
+      .join(corpusHashes, Seq("content_md5"), "left_anti")
+      .drop("content_md5")
+      // feeds both the shingle leg and the final anti-join — one pass
+      .localCheckpoint()
+    def shingled(df: DataFrame, idName: String): DataFrame = df
+      .withColumn("fh", expr(s"shingle_hashes(text, $k)"))
+      .filter(size(col("fh")) > 0)
+      .select(col("doc_id").as(idName), explode(col("fh")).as("shingle"))
+    val (cSh, dSh) = maxShingleDocFreq match {
+      case None => (shingled(corpus, "c_id"), shingled(exactNovel, "d_id"))
+      case Some(cap) =>
+        // hot shingles measured over BOTH sides so the capped universe
+        // is consistent for the jaccard sizes below
+        val all = shingled(corpus, "c_id")
+          .unionByName(shingled(exactNovel, "c_id"))
+        val hot = all.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("shingle")
+        (shingled(corpus, "c_id").join(hot, Seq("shingle"), "left_anti"),
+          shingled(exactNovel, "d_id").join(hot, Seq("shingle"), "left_anti"))
+    }
+    val nC = cSh.groupBy("c_id").agg(count(lit(1)).as("nc"))
+    val nD = dSh.groupBy("d_id").agg(count(lit(1)).as("nd"))
+    val dupDelta = cSh.join(dSh, "shingle")
+      .groupBy("c_id", "d_id").agg(count(lit(1)).as("common"))
+      .join(nC, "c_id").join(nD, "d_id")
+      .filter(col("common").cast("double") /
+        (col("nc") + col("nd") - col("common")) >= threshold)
+      .select(col("d_id").as("doc_id")).distinct()
+    exactNovel.join(dupDelta, Seq("doc_id"), "left_anti")
+  }
+
   /** Benchmark decontamination: flag corpus docs sharing at least
     * `minOverlap` distinct k-gram shingles with ANY benchmark/eval
     * document — the overlap check run before training so eval sets

@@ -190,6 +190,37 @@ object TextAnalysis {
       .drop("rn", "n_src")
   }
 
+  /** The composed cleaning recipe — the filter chain a pretraining
+    * corpus actually runs (C4/Gopher-style), as ONE operator: token
+    * bounds, heuristic quality floor, language allowlist, and a
+    * repetition (top-bigram concentration) ceiling. Returns surviving
+    * docs with their signal columns so downstream stages can re-weight
+    * without recomputing.
+    *
+    * Scale shape: every signal except repetition is per-row codegen'd
+    * work folded into one pass over the text; repetition needs its own
+    * (doc,bigram) aggregation and a doc_id join back — the recipe's
+    * only shuffles, both map-side combinable. Docs with < 2 words have
+    * no bigram support; they fail the token floor anyway for any
+    * minTokens >= 2 (coalesce treats missing support as maximal
+    * repetition, so the behavior is explicit, not accidental). */
+  def cleanCorpus(docs: DataFrame,
+                  minTokens: Int = 20, maxTokens: Int = 100000,
+                  minQuality: Double = 0.5, maxTopBigramRatio: Double = 0.2,
+                  langs: Seq[String] = Seq("en"),
+                  text: String = "text"): DataFrame = {
+    val scored = withLanguageId(withQualityScore(withTokenCounts(docs, text), text), text)
+    val rep = bigramRepetition(docs, text).select(col("doc_id"), col("top_ratio"))
+    scored.join(rep, Seq("doc_id"), "left")
+      .filter(col("n_tokens_ws").between(minTokens, maxTokens) &&
+        col("quality_score") >= minQuality &&
+        col("lang_pred").isin(langs: _*) &&
+        coalesce(col("top_ratio"), lit(1.0)) <= maxTopBigramRatio)
+      .select(col("doc_id"), col("source"),
+        col("n_tokens_ws").cast("long").as("n_tokens_ws"),
+        col("quality_score"), col("lang_pred"), col("top_ratio"))
+  }
+
   /** Document fingerprints: content hash (md5, cross-engine stable),
     * 64-bit xxhash, and a word-level polynomial rolling hash — the
     * last two feed sharding/near-dup machinery and are exact-integer

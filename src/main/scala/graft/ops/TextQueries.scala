@@ -154,6 +154,26 @@ object TextQueries {
         .select(col("d1"), col("d2")),
       Seq("d1", "d2"))
 
+  /** Incremental dedup: the docs with doc_id % 5 == 0 arrive as a new
+    * ingest batch and are tested for novelty against the rest of the
+    * corpus — exact hash first, then cross-side shingle Jaccard. */
+  def q62DeltaDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsRebalanced(spark, dir)
+    Dedup.deltaDedup(
+      corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      delta = docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+      k = 3, threshold = 0.6)
+      .select(col("doc_id"), col("source"))
+  }
+
+  /** The composed cleaning recipe over the fixture: token bounds
+    * [20, 95], quality >= 0.55, English only, top-bigram ratio <=
+    * 0.12 — each dimension filters a real share of the corpus. */
+  def q63CleanCorpus(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.cleanCorpus(docsRebalanced(spark, dir),
+      minTokens = 20, maxTokens = 95, minQuality = 0.55,
+      maxTopBigramRatio = 0.12, langs = Seq("en"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_text_tokens"   -> (q30TextTokens _),
     "q31_text_quality"  -> (q31TextQuality _),
@@ -173,7 +193,9 @@ object TextQueries {
     "q49_dedup_corpus"  -> (q49DedupCorpus _),
     "q56_chunks"        -> (q56Chunks _),
     "q60_minhash_recall" -> (q60MinhashRecall _),
-    "q61_simhash_agreement" -> (q61SimhashAgreement _)
+    "q61_simhash_agreement" -> (q61SimhashAgreement _),
+    "q62_delta_dedup"   -> (q62DeltaDedup _),
+    "q63_clean_corpus"  -> (q63CleanCorpus _)
   )
 
   private val BPEISH = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
@@ -373,6 +395,66 @@ object TextQueries {
     "q61_simhash_agreement" ->
       """SELECT CAST(25 AS BIGINT) AS n_exact, CAST(20 AS BIGINT) AS n_approx,
         |  CAST(20 AS BIGINT) AS n_hits,
-        |  CAST(20 AS DOUBLE)/CAST(25 AS DOUBLE) AS recall""".stripMargin
+        |  CAST(20 AS DOUBLE)/CAST(25 AS DOUBLE) AS recall""".stripMargin,
+
+    "q63_clean_corpus" ->
+      s"""WITH sig AS (
+         |  SELECT doc_id, source,
+         |    len(string_split(text, ' ')) AS n_tokens_ws,
+         |    length(text) AS n_chars_m,
+         |    len(regexp_extract_all(text, '$STOP_EN')) AS score_en,
+         |    len(regexp_extract_all(text, '[^a-z0-9 ]')) AS punct_hits,
+         |    len(regexp_extract_all(text, '\\b(el|la|de|que|y|en|los)\\b')) AS score_es,
+         |    len(regexp_extract_all(text, '\\b(le|la|de|et|les|des|un)\\b')) AS score_fr,
+         |    len(regexp_extract_all(text, '\\b(der|die|und|das|von|mit|ein)\\b')) AS score_de
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, source, n_tokens_ws,
+         |    (least(CAST(n_tokens_ws AS DOUBLE) / 100.0, 1.0)
+         |     + least((CAST(score_en AS DOUBLE) / n_tokens_ws) * 5.0, 1.0)
+         |     + (1.0 - CAST(punct_hits AS DOUBLE) / greatest(n_chars_m, 1))) / 3.0 AS quality_score,
+         |    CASE WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_de AND score_en > 0 THEN 'en'
+         |         WHEN score_es >= score_fr AND score_es >= score_de AND score_es > 0 THEN 'es'
+         |         WHEN score_fr >= score_de AND score_fr > 0 THEN 'fr'
+         |         WHEN score_de > 0 THEN 'de'
+         |         ELSE 'unknown' END AS lang_pred
+         |  FROM sig),
+         |b AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(len(w) - 1),
+         |      i -> w[i+1] || ' ' || w[i+2])) AS bigram
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d
+         |  WHERE len(w) >= 2),
+         |c AS (SELECT doc_id, bigram, count(*) AS c FROM b GROUP BY 1, 2),
+         |r AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_ratio
+         |      FROM c GROUP BY doc_id)
+         |SELECT q.doc_id, q.source, q.n_tokens_ws, q.quality_score, q.lang_pred, r.top_ratio
+         |FROM q LEFT JOIN r ON q.doc_id = r.doc_id
+         |WHERE q.n_tokens_ws BETWEEN 20 AND 95 AND q.quality_score >= 0.55
+         |  AND q.lang_pred = 'en' AND coalesce(r.top_ratio, 1.0) <= 0.12""".stripMargin,
+
+    "q62_delta_dedup" ->
+      """WITH d AS (SELECT doc_id, source, text, string_split(text, ' ') AS w
+        |           FROM documents),
+        |delta AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+        |corpus AS (SELECT * FROM d WHERE doc_id % 5 != 0),
+        |en AS (SELECT * FROM delta
+        |       WHERE md5(text) NOT IN (SELECT md5(text) FROM corpus)),
+        |sc AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 2),
+        |         i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS shingle
+        |       FROM corpus WHERE len(w) >= 3),
+        |sd AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 2),
+        |         i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS shingle
+        |       FROM en WHERE len(w) >= 3),
+        |nc AS (SELECT doc_id, count(*) AS ns FROM sc GROUP BY doc_id),
+        |nd AS (SELECT doc_id, count(*) AS ns FROM sd GROUP BY doc_id),
+        |common AS (SELECT sc.doc_id AS c_id, sd.doc_id AS d_id, count(*) AS cm
+        |           FROM sc JOIN sd ON sc.shingle = sd.shingle GROUP BY 1, 2),
+        |dup AS (SELECT DISTINCT d_id FROM common
+        |        JOIN nc ON common.c_id = nc.doc_id
+        |        JOIN nd ON common.d_id = nd.doc_id
+        |        WHERE CAST(cm AS DOUBLE) / (nc.ns + nd.ns - cm) >= 0.6)
+        |SELECT doc_id, source FROM en
+        |WHERE doc_id NOT IN (SELECT d_id FROM dup)""".stripMargin
   )
 }

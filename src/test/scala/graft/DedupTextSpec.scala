@@ -351,6 +351,49 @@ class DedupTextSpec extends AnyFunSuite {
       s"stop-phrase-only overlaps must not pair under the cap, got $capped")
   }
 
+  test("delta dedup: corpus dups drop (exact+near), novel and delta-internal dups survive") {
+    import spark.implicits._
+    val base = (0 until 30).map(i => s"c$i").mkString(" ")
+    val other = (0 until 30).map(i => s"o$i").mkString(" ")
+    val corpus = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, base),                              // exact copy of corpus 1 → drop
+      (11L, other.replace("o29", "changed")),   // near-dup of corpus 2 → drop
+      (12L, (0 until 30).map(i => s"n$i").mkString(" ")), // novel → keep
+      (13L, (0 until 30).map(i => s"m$i").mkString(" ")), // novel twin A → keep
+      (14L, (0 until 30).map(i => s"m$i").mkString(" "))  // novel twin B → keep
+    ).toDF("doc_id", "text")                    // (self-novelty out of scope)
+    val kept = Dedup.deltaDedup(corpus, delta, k = 3, threshold = 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(12L, 13L, 14L), s"got $kept")
+    // a hot-shingle cap above the max df is a no-op here too
+    val capped = Dedup.deltaDedup(corpus, delta, k = 3, threshold = 0.6,
+      maxShingleDocFreq = Some(1000))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(capped == kept)
+  }
+
+  test("clean corpus recipe: each dimension rejects its planted doc, good doc survives") {
+    import spark.implicits._
+    val good = "the quick value of a table is to scan and merge " +
+      ((0 until 30).map(i => s"w$i").mkString(" ")) // stopwords + length + variety
+    val tooShort = "the a of"
+    val looped = ("the a " * 30).trim                 // repetition ceiling
+    val nonEnglish = "el la de que y en los " + (0 until 20).map(i => s"x$i").mkString(" ")
+    val junk = "!!! ??? *** " + (0 until 25).map(_ => "###").mkString(" ") // punct tanks quality
+    val df = Seq((1L, good), (2L, tooShort), (3L, looped), (4L, nonEnglish), (5L, junk))
+      .map { case (id, t) => (id, t, "src") }.toDF("doc_id", "text", "source")
+    val kept = TextAnalysis.cleanCorpus(df, minTokens = 10, maxTokens = 100,
+        minQuality = 0.5, maxTopBigramRatio = 0.3, langs = Seq("en"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L), s"got $kept")
+    // signal columns ride along for downstream re-weighting
+    val row = TextAnalysis.cleanCorpus(df, minTokens = 10, maxTokens = 100,
+      minQuality = 0.5, maxTopBigramRatio = 0.3, langs = Seq("en")).first()
+    assert(row.schema.fieldNames.toSeq == Seq("doc_id", "source", "n_tokens_ws",
+      "quality_score", "lang_pred", "top_ratio"))
+  }
+
   test("dedup plans contain no cartesian product") {
     val plan = Dedup.minHashPairs(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"),
