@@ -326,6 +326,28 @@ object Dedup {
     exactNovel.join(dupDelta, Seq("doc_id"), "left_anti")
   }
 
+  /** Streaming exact leg of [[deltaDedup]]: docs arriving on a stream
+    * are kept only if their content hash is absent from the static
+    * corpus index AND unseen within the stream's watermark horizon —
+    * i.e. continuous ingest dedup. The corpus side is the same
+    * distinct-hash index the batch leg uses (re-read and broadcast per
+    * micro-batch as a stream-static anti-join); within-stream repeats
+    * are evicted by `dropDuplicatesWithinWatermark`, so state stays
+    * bounded on an unbounded source. Near-dup novelty stays a batch
+    * concern (shingle-index joins need the full candidate aggregation;
+    * run [[deltaDedup]] on each landed micro-batch output if needed). */
+  def streamingDeltaDedup(stream: DataFrame, corpus: DataFrame,
+                          tsCol: String = "ts",
+                          watermark: String = "1 hour"): DataFrame = {
+    val corpusHashes = corpus.select(md5(col("text")).as("content_md5")).distinct()
+    stream
+      .withColumn("content_md5", md5(col("text")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_md5")
+      .join(corpusHashes, Seq("content_md5"), "left_anti")
+      .drop("content_md5")
+  }
+
   /** Benchmark decontamination: flag corpus docs sharing at least
     * `minOverlap` distinct k-gram shingles with ANY benchmark/eval
     * document — the overlap check run before training so eval sets

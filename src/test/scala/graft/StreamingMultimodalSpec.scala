@@ -237,6 +237,31 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming delta dedup: corpus dups and in-stream repeats drop, novel docs pass") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq((1L, "seen before text")).toDF("doc_id", "text")
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = operators.Dedup.streamingDeltaDedup(
+      ms.toDF().toDF("doc_id", "text", "ts"), corpus)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("stream_delta").start()
+    try {
+      ms.addData(
+        (10L, "seen before text", t(100)),  // exact corpus dup → drop
+        (11L, "brand new text", t(101)),    // novel → keep
+        (12L, "brand new text", t(102)))    // in-stream repeat → drop
+      q.processAllAvailable()
+      ms.addData((13L, "another novel text", t(200)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("stream_delta").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 13L), s"got $kept")
+  }
+
   test("streaming dedup collapses duplicated files to distinct event_ids") {
     // duplicate the fixture into a temp stream dir: every event twice
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
