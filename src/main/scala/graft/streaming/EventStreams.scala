@@ -87,7 +87,10 @@ object EventStreams {
     * without an equality key would need bucketized time binning
     * instead. */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
-                   window: String = "1 hour", tsCol: String = "ts"): DataFrame = {
+                   window: String = "1 hour", tsCol: String = "ts",
+                   joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_outer", "right_outer", "full_outer")(joinType),
+      s"joinType must be inner/left_outer/right_outer/full_outer, got '$joinType'")
     require(key != tsCol, s"key ('$key') must differ from the event-time column ('$tsCol')")
     require(left.columns.contains(tsCol), s"left side has no '$tsCol' column (pass tsCol=...)")
     require(right.columns.contains(tsCol), s"right side has no '$tsCol' column (pass tsCol=...)")
@@ -116,11 +119,23 @@ object EventStreams {
     // builds a trivially-true predicate Spark then has to repair (it
     // logs a WARN). Qualified resolution is unambiguous by
     // construction.
-    l.as("gl").join(r.as("gr"),
+    // Outer variants are streaming-legal BECAUSE of the equality key +
+    // time-range condition: with both sides watermarked, Spark can
+    // prove when an unmatched row's match window has closed and emit
+    // it with nulls — an un-keyed or un-bounded outer stream join
+    // would have to hold state forever and is rejected at analysis.
+    val joined = l.as("gl").join(r.as("gr"),
       col(s"gl.$key") === col(s"gr.$key") &&
         col(s"r_$tsCol") >= col(s"l_$tsCol") &&
-        col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $window"))
-      .drop(col(s"gr.$key"))
+        col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $window"),
+      joinType)
+    // outer joins null the unmatched side's key: surface ONE coalesced
+    // key column via an explicit projection (withColumn/drop cannot
+    // disambiguate two same-name attributes)
+    joined.select(
+      coalesce(col(s"gl.$key"), col(s"gr.$key")).as(key) +:
+        (l.columns.filter(_ != key).map(c => col(s"gl.$c")) ++
+          r.columns.filter(_ != key).map(c => col(s"gr.$c"))).toSeq: _*)
   }
 
   // ----------------------------------------------------------- streaming

@@ -210,6 +210,46 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(got == Set((10L, 1L, 3L), (20L, 2L, 5L)))
   }
 
+  test("left-outer stream-stream interval join emits unmatched rows after watermark close") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val sStream = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val pStream = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("event_id", "user_id", "ts")
+      .withWatermark("ts", "10 seconds")
+      .select("user_id", "event_id", "ts")
+    val joined = EventStreams.intervalJoin(
+      shape(sStream.toDF()), shape(pStream.toDF()), "user_id",
+      "60 seconds", joinType = "left_outer")
+      .select($"user_id", $"l_event_id".as("signup_id"), $"r_event_id".as("purchase_id"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("stream_interval_lo").start()
+    try {
+      // user 10 converts; user 40 never purchases
+      sStream.addData((1L, 10L, t(100)), (7L, 40L, t(100)))
+      pStream.addData((3L, 10L, t(130)))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past user 40's match window
+      // (100s + 60s + 10s delay) so the unmatched signup can emit
+      sStream.addData((8L, 99L, t(1000)))
+      pStream.addData((9L, 99L, t(1000)))
+      q.processAllAvailable()
+      sStream.addData((10L, 99L, t(2000)))
+      pStream.addData((11L, 99L, t(2000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stream_interval_lo")
+      .filter($"user_id".isin(10L, 40L))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got == Set((10L, 1L, 3L), (40L, 7L, -1L)),
+      s"expected one match and one null-padded unmatched signup, got $got")
+  }
+
   test("intervalJoin validates its contract and honors a custom tsCol") {
     import spark.implicits._
     def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
