@@ -70,11 +70,29 @@ object EventQueries {
         col("r_event_id").as("purchase_id"))
   }
 
+  /** Left-outer variant of q55: every signup appears, unconverted ones
+    * null-padded — the funnel/attribution report shape. Same
+    * expressions the streaming left-outer path uses (watermark-closed
+    * emission is spec-driven; batch is the oracle). */
+  def q64IntervalJoinOuter(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    EventStreams.intervalJoin(signups, purchases, "user_id", "2 hours",
+        joinType = "left_outer")
+      .select(col("user_id"),
+        col("l_event_id").as("signup_id"),
+        col("r_event_id").as("purchase_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_tumbling_window" -> (q50Tumbling _),
     "q51_sliding_window"  -> (q51Sliding _),
     "q52_session_window"  -> (q52Sessions _),
     "q55_interval_join"   -> (q55IntervalJoin _),
+    "q64_interval_join_outer" -> (q64IntervalJoinOuter _),
     "q53_multimodal_meta" -> (q53MultimodalMeta _),
     "q54_asof_join"       -> (q54AsofJoin _)
   )
@@ -87,6 +105,15 @@ object EventQueries {
         |FROM events s JOIN events p
         |  ON s.user_id = p.user_id
         | AND s.event_type = 'signup' AND p.event_type = 'purchase'
+        | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 2 HOUR""".stripMargin,
+
+    "q64_interval_join_outer" ->
+      """SELECT s.user_id,
+        |  s.event_id AS signup_id,
+        |  p.event_id AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON s.user_id = p.user_id
         | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 2 HOUR""".stripMargin,
 
     "q50_tumbling_window" ->
