@@ -29,22 +29,33 @@ object SimilarityQueries {
     Similarity.bruteForceTopK(
       corpus(spark, dir), queryVectors(spark, dir), k = 10)
 
-  /** SRP-LSH approximate top-10, same contract (rows-only check). */
+  /** SRP-LSH approximate top-10, same contract (rows-only check).
+    * Dials (32 tables × 6 bits) chosen with `graft.RecallProbe`: on
+    * this deliberately-unclustered random fixture they lift recall@10
+    * from 0.10 (8×8 defaults) to 0.81 at equal wall time — fewer bits
+    * = bigger buckets = more candidates, more tables = more chances;
+    * `bits` must grow with corpus size to keep the candidate share
+    * constant (bucket occupancy ≈ n/2^bits per table). */
   def q41AnnTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.annTopK(
-      corpus(spark, dir), queryVectors(spark, dir), k = 10)
+      corpus(spark, dir), queryVectors(spark, dir), k = 10,
+      tables = 32, bits = 6)
 
-  /** Embedding-cosine near-dup pairs via LSH (rows-only check). */
+  /** Embedding-cosine near-dup pairs via LSH (rows-only check); same
+    * RecallProbe-tuned dials as q41. */
   def q42AnnNeardup(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(
-      corpus(spark, dir), threshold = 0.4)
+      corpus(spark, dir), threshold = 0.4, tables = 32, bits = 6)
       .select(col("d1"), col("d2"))
 
   /** IVF-flat approximate top-10 — the density-adaptive ANN variant
-    * (rows-only check; spec-pinned against brute force). */
+    * (rows-only check; spec-pinned against brute force). RecallProbe:
+    * nlist=64/nprobe=8 beats 32/4 on both recall (0.46 vs 0.34) and
+    * time at the same probed share (nprobe/nlist = 1/8). */
   def q43AnnIvf(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(
-      corpus(spark, dir), queryVectors(spark, dir), k = 10)
+      corpus(spark, dir), queryVectors(spark, dir), k = 10,
+      nlist = 64, nprobe = 8)
 
   /** SRP-LSH recall@10 vs the exact baseline — the numeric signal for
     * q41's rows-only output: a one-row (n_exact, n_approx, n_hits,
@@ -97,23 +108,21 @@ object SimilarityQueries {
     // fixture + the fixed seeds (42): the ANN side depends on Spark's
     // xxhash64/SRP bucketing, which DuckDB cannot reproduce, so the
     // oracle is the known-correct constant (recall written as the same
-    // integer division Spark performs — bit-identical doubles). The
-    // LOW SRP recall (10/100) is a property of LSH on this
-    // deliberately-unclustered random fixture, not of the
-    // implementation — the clustered-fixture spec in SimilaritySpec
-    // pins the high-recall case; IVF (34/100) adapts to density and
-    // fares better on the same data.
+    // integer division Spark performs — bit-identical doubles).
+    // Recalls reflect the RecallProbe-tuned dials on a deliberately-
+    // unclustered random fixture — the hardest case for LSH; the
+    // clustered-fixture spec in SimilaritySpec pins the near-1.0 case.
     "q57_ann_recall" ->
       """SELECT CAST(100 AS BIGINT) AS n_exact, CAST(100 AS BIGINT) AS n_approx,
-        |  CAST(10 AS BIGINT) AS n_hits,
-        |  CAST(10 AS DOUBLE)/CAST(100 AS DOUBLE) AS recall""".stripMargin,
+        |  CAST(81 AS BIGINT) AS n_hits,
+        |  CAST(81 AS DOUBLE)/CAST(100 AS DOUBLE) AS recall""".stripMargin,
     "q58_ivf_recall" ->
       """SELECT CAST(100 AS BIGINT) AS n_exact, CAST(100 AS BIGINT) AS n_approx,
-        |  CAST(34 AS BIGINT) AS n_hits,
-        |  CAST(34 AS DOUBLE)/CAST(100 AS DOUBLE) AS recall""".stripMargin,
+        |  CAST(46 AS BIGINT) AS n_hits,
+        |  CAST(46 AS DOUBLE)/CAST(100 AS DOUBLE) AS recall""".stripMargin,
     "q59_neardup_recall" ->
-      """SELECT CAST(59 AS BIGINT) AS n_exact, CAST(9 AS BIGINT) AS n_approx,
-        |  CAST(9 AS BIGINT) AS n_hits,
-        |  CAST(9 AS DOUBLE)/CAST(59 AS DOUBLE) AS recall""".stripMargin
+      """SELECT CAST(59 AS BIGINT) AS n_exact, CAST(48 AS BIGINT) AS n_approx,
+        |  CAST(48 AS BIGINT) AS n_hits,
+        |  CAST(48 AS DOUBLE)/CAST(59 AS DOUBLE) AS recall""".stripMargin
   )
 }
