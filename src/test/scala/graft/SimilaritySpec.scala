@@ -114,6 +114,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(p.filter($"d1" >= $"d2").count() == 0)
   }
 
+  test("clustered corpus: SRP-LSH recall approaches 1 even with the default dials") {
+    // The random fixture is LSH's hardest case (no structure to hash
+    // into buckets — recall there is pinned by the q57 oracle with
+    // RecallProbe-tuned dials). Real embedding corpora are clustered;
+    // on 20 tight clusters the default 8x8 dials must recover nearly
+    // every true neighbor, because same-cluster vectors share SRP
+    // signs w.h.p.
+    import spark.implicits._
+    val dim = 16
+    val pts = spark.range(1000).select($"id".as("vec_id"))
+      .withColumn("cluster", pmod($"vec_id", lit(20)))
+      .withColumn("embedding", expr(
+        // (cluster+1) and an irrational-ish stride keep every cluster
+        // direction well-defined and distinct (cluster * j alone makes
+        // cluster 0 the all-zero vector = pure noise)
+        s"transform(sequence(1, $dim), j -> float(sin((cluster + 1) * (j * 2 + 1) * 0.37d) + sin(vec_id * j * 131L) * 0.02d))"))
+      .drop("cluster")
+    val queries = pts.filter($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(pts, queries, k = 10))
+    val ann = pairs(Similarity.annTopK(pts, queries, k = 10))
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.9, s"clustered-data recall $recall should be near 1")
+  }
+
   test("Agreement.summarize: counts are set overlap, recall guards empty exact") {
     import spark.implicits._
     val approx = Seq((1L, 2L), (1L, 3L)).toDF("d1", "d2")
