@@ -81,7 +81,12 @@ object CosineSim {
   }
 
   /** Register `cosine_sim` (idempotent). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    // truly idempotent: a createOrReplace on an existing name logs a
+    // "replaced a previously registered function" WARN per call, which
+    // spams every operator invocation's driver log
+    if (spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"))) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
       exprs => {
@@ -90,4 +95,5 @@ object CosineSim {
         CosineSim(exprs.head, exprs(1))
       },
       "built-in")
+  }
 }

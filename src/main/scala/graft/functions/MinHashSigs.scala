@@ -67,7 +67,12 @@ object MinHashSigs {
 
   /** Register `minhash_sigs` (idempotent); the k argument must be a
     * foldable integer literal. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    // truly idempotent: a createOrReplace on an existing name logs a
+    // "replaced a previously registered function" WARN per call, which
+    // spams every operator invocation's driver log
+    if (spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sigs"))) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sigs",
       exprs => {
@@ -76,4 +81,5 @@ object MinHashSigs {
         MinHashSigs(exprs.head, FunctionArgs.foldableInt("minhash_sigs", exprs(1), "k"))
       },
       "built-in")
+  }
 }

@@ -92,7 +92,12 @@ object ShingleHashes {
   }
 
   /** Register `shingle_hashes` (idempotent); k must be a foldable literal. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    // truly idempotent: a createOrReplace on an existing name logs a
+    // "replaced a previously registered function" WARN per call, which
+    // spams every operator invocation's driver log
+    if (spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("shingle_hashes"))) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_hashes",
       exprs => {
@@ -101,4 +106,5 @@ object ShingleHashes {
         ShingleHashes(exprs.head, FunctionArgs.foldableInt("shingle_hashes", exprs(1), "k"))
       },
       "built-in")
+  }
 }

@@ -70,7 +70,12 @@ object SimHash64 {
 
   /** Register `simhash64` in the session's function registry
     * (idempotent); afterwards it is callable from SQL and `expr`. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    // truly idempotent: a createOrReplace on an existing name logs a
+    // "replaced a previously registered function" WARN per call, which
+    // spams every operator invocation's driver log
+    if (spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"))) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64",
       exprs => {
@@ -79,4 +84,5 @@ object SimHash64 {
         SimHash64(exprs.head)
       },
       "built-in")
+  }
 }

@@ -104,7 +104,12 @@ object SrpBuckets {
 
   /** Register `srp_buckets` (idempotent); tables/bits/seed must be
     * foldable integer literals. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    // truly idempotent: a createOrReplace on an existing name logs a
+    // "replaced a previously registered function" WARN per call, which
+    // spams every operator invocation's driver log
+    if (spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("srp_buckets"))) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "srp_buckets",
       exprs => {
@@ -116,4 +121,5 @@ object SrpBuckets {
           FunctionArgs.foldableLong("srp_buckets", exprs(3), "seed"))
       },
       "built-in")
+  }
 }
