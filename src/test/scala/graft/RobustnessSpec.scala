@@ -93,4 +93,20 @@ class RobustnessSpec extends AnyFunSuite {
     val pivoted = TbPipeline.pivotIndicators(clean)
     assert(pivoted.count() == 0)
   }
+
+  test("delta dedup and clean corpus tolerate empty sides") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val docs = Seq((1L, (0 until 25).map(i => s"w$i").mkString(" "), "src"))
+      .toDF("doc_id", "text", "source")
+    val empty = docs.filter(lit(false))
+    // empty corpus: every delta doc is novel
+    assert(Dedup.deltaDedup(empty, docs).count() == 1)
+    // empty delta: nothing to test, nothing returned
+    assert(Dedup.deltaDedup(docs, empty).count() == 0)
+    // empty input to the recipe: empty output, no divide-by-zero
+    assert(TextAnalysis.cleanCorpus(empty).count() == 0)
+    // streaming leg's static index also tolerates an empty corpus —
+    // exercised in batch shape here (same hash-index expressions)
+    assert(Dedup.exactDedup(empty).count() == 0)
+  }
 }
