@@ -82,6 +82,34 @@ object SimilarityQueries {
         .select(col("d1"), col("d2")),
       Seq("d1", "d2"))
 
+  /** Hybrid text+vector retrieval — the RAG query shape: keyword
+    * pre-filter on the documents table, join the embedding column,
+    * exact-cosine rerank against a query vector, top-10 by rank.
+    * The keyword filter prunes BEFORE any vector work (the whole point
+    * of hybrid retrieval at scale: candidates, then rerank), the
+    * query vector broadcasts, and the top-k goes through orderBy+limit
+    * (TakeOrderedAndProject — per-partition heaps, no global sort);
+    * ranks are integers so float ulp stays out of the oracle hash. */
+  def q65HybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSim.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables.documents(spark, dir)
+    val emb = graft.Tables.embeddings(spark, dir)
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val top = docs
+      .filter(col("text").contains("spark") && col("doc_id") =!= 0)
+      .select("doc_id")
+      .join(emb, col("doc_id") === col("vec_id"))
+      .crossJoin(broadcast(qv))
+      .withColumn("cos", expr("cosine_sim(embedding, qv)"))
+      .orderBy(col("cos").desc, col("doc_id").asc)
+      .limit(10)
+    top
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("cos").desc, col("doc_id").asc)).cast("long"))
+      .select("doc_id", "rank")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_topk" -> (q40CosineTopK _),
     "q41_ann_topk"    -> (q41AnnTopK _),
@@ -89,7 +117,8 @@ object SimilarityQueries {
     "q43_ann_ivf"     -> (q43AnnIvf _),
     "q57_ann_recall"  -> (q57AnnRecall _),
     "q58_ivf_recall"  -> (q58IvfRecall _),
-    "q59_neardup_recall" -> (q59NeardupRecall _)
+    "q59_neardup_recall" -> (q59NeardupRecall _),
+    "q65_hybrid_search" -> (q65HybridSearch _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -123,6 +152,18 @@ object SimilarityQueries {
     "q59_neardup_recall" ->
       """SELECT CAST(59 AS BIGINT) AS n_exact, CAST(48 AS BIGINT) AS n_approx,
         |  CAST(48 AS BIGINT) AS n_hits,
-        |  CAST(48 AS DOUBLE)/CAST(59 AS DOUBLE) AS recall""".stripMargin
+        |  CAST(48 AS DOUBLE)/CAST(59 AS DOUBLE) AS recall""".stripMargin,
+
+    "q65_hybrid_search" ->
+      """SELECT doc_id, rank FROM (
+        |  SELECT d.doc_id,
+        |    row_number() OVER (
+        |      ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+        |               d.doc_id ASC) AS rank
+        |  FROM documents d
+        |  JOIN embeddings e ON d.doc_id = e.vec_id
+        |  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |  WHERE d.text LIKE '%spark%' AND d.doc_id != 0) t
+        |WHERE rank <= 10""".stripMargin
   )
 }
