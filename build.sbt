@@ -15,6 +15,11 @@ run / fork := true
 // via sbt's logger: the logger prefixes every line with "[info] ",
 // which breaks consumers that json-parse the Bench/Verify output lines.
 run / outputStrategy := Some(StdoutOutput)
+// …and don't append "[success] Total time: …" after the run: the
+// Bench/Verify contract is that the JSON result line is the LAST line
+// on stdout, so a line-tail parser never sees sbt chrome.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

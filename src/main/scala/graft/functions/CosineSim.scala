@@ -80,20 +80,12 @@ object CosineSim {
     java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
-  /** Register `cosine_sim` (idempotent). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    // truly idempotent: a createOrReplace on an existing name logs a
-    // "replaced a previously registered function" WARN per call, which
-    // spams every operator invocation's driver log
-    if (spark.sessionState.functionRegistry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"))) return
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim",
-      exprs => {
-        FunctionArgs.requireArity("cosine_sim", exprs, 2,
-          "cosine_sim(a array<float|double>, b array<float|double>)")
-        CosineSim(exprs.head, exprs(1))
-      },
-      "built-in")
-  }
+  /** Register `cosine_sim` — once per session, claiming the name over
+    * any foreign pre-registration (see [[Registration]]). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Registration.once(spark, "cosine_sim") { exprs =>
+      FunctionArgs.requireArity("cosine_sim", exprs, 2,
+        "cosine_sim(a array<float|double>, b array<float|double>)")
+      CosineSim(exprs.head, exprs(1))
+    }
 }

@@ -67,19 +67,10 @@ object MinHashSigs {
 
   /** Register `minhash_sigs` (idempotent); the k argument must be a
     * foldable integer literal. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    // truly idempotent: a createOrReplace on an existing name logs a
-    // "replaced a previously registered function" WARN per call, which
-    // spams every operator invocation's driver log
-    if (spark.sessionState.functionRegistry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sigs"))) return
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sigs",
-      exprs => {
-        FunctionArgs.requireArity("minhash_sigs", exprs, 2,
-          "minhash_sigs(features array<bigint>, k INT literal)")
-        MinHashSigs(exprs.head, FunctionArgs.foldableInt("minhash_sigs", exprs(1), "k"))
-      },
-      "built-in")
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Registration.once(spark, "minhash_sigs") { exprs =>
+      FunctionArgs.requireArity("minhash_sigs", exprs, 2,
+        "minhash_sigs(features array<bigint>, k INT literal)")
+      MinHashSigs(exprs.head, FunctionArgs.foldableInt("minhash_sigs", exprs(1), "k"))
+    }
 }

@@ -92,19 +92,10 @@ object ShingleHashes {
   }
 
   /** Register `shingle_hashes` (idempotent); k must be a foldable literal. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    // truly idempotent: a createOrReplace on an existing name logs a
-    // "replaced a previously registered function" WARN per call, which
-    // spams every operator invocation's driver log
-    if (spark.sessionState.functionRegistry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("shingle_hashes"))) return
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingle_hashes",
-      exprs => {
-        FunctionArgs.requireArity("shingle_hashes", exprs, 2,
-          "shingle_hashes(text STRING, k INT literal)")
-        ShingleHashes(exprs.head, FunctionArgs.foldableInt("shingle_hashes", exprs(1), "k"))
-      },
-      "built-in")
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Registration.once(spark, "shingle_hashes") { exprs =>
+      FunctionArgs.requireArity("shingle_hashes", exprs, 2,
+        "shingle_hashes(text STRING, k INT literal)")
+      ShingleHashes(exprs.head, FunctionArgs.foldableInt("shingle_hashes", exprs(1), "k"))
+    }
 }

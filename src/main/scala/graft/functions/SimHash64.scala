@@ -70,19 +70,10 @@ object SimHash64 {
 
   /** Register `simhash64` in the session's function registry
     * (idempotent); afterwards it is callable from SQL and `expr`. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    // truly idempotent: a createOrReplace on an existing name logs a
-    // "replaced a previously registered function" WARN per call, which
-    // spams every operator invocation's driver log
-    if (spark.sessionState.functionRegistry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"))) return
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64",
-      exprs => {
-        FunctionArgs.requireArity("simhash64", exprs, 1,
-          "simhash64(features array<bigint>)")
-        SimHash64(exprs.head)
-      },
-      "built-in")
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Registration.once(spark, "simhash64") { exprs =>
+      FunctionArgs.requireArity("simhash64", exprs, 1,
+        "simhash64(features array<bigint>)")
+      SimHash64(exprs.head)
+    }
 }

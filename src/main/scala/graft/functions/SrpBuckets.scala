@@ -104,22 +104,13 @@ object SrpBuckets {
 
   /** Register `srp_buckets` (idempotent); tables/bits/seed must be
     * foldable integer literals. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    // truly idempotent: a createOrReplace on an existing name logs a
-    // "replaced a previously registered function" WARN per call, which
-    // spams every operator invocation's driver log
-    if (spark.sessionState.functionRegistry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("srp_buckets"))) return
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "srp_buckets",
-      exprs => {
-        FunctionArgs.requireArity("srp_buckets", exprs, 4,
-          "srp_buckets(vec array<float|double>, tables INT, bits INT, seed BIGINT)")
-        SrpBuckets(exprs.head,
-          FunctionArgs.foldableInt("srp_buckets", exprs(1), "tables"),
-          FunctionArgs.foldableInt("srp_buckets", exprs(2), "bits"),
-          FunctionArgs.foldableLong("srp_buckets", exprs(3), "seed"))
-      },
-      "built-in")
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Registration.once(spark, "srp_buckets") { exprs =>
+      FunctionArgs.requireArity("srp_buckets", exprs, 4,
+        "srp_buckets(vec array<float|double>, tables INT, bits INT, seed BIGINT)")
+      SrpBuckets(exprs.head,
+        FunctionArgs.foldableInt("srp_buckets", exprs(1), "tables"),
+        FunctionArgs.foldableInt("srp_buckets", exprs(2), "bits"),
+        FunctionArgs.foldableLong("srp_buckets", exprs(3), "seed"))
+    }
 }

@@ -297,8 +297,15 @@ object Dedup {
       .withColumn("content_md5", md5(col("text")))
       .join(corpusHashes, Seq("content_md5"), "left_anti")
       .drop("content_md5")
-      // feeds both the shingle leg and the final anti-join — one pass
-      .localCheckpoint()
+      // Feeds both the shingle leg and the final anti-join — persist so
+      // the anti-join runs once, not a localCheckpoint: this frame
+      // carries the batch's full TEXT, and a checkpoint would pin it in
+      // non-replicated executor block storage where an executor loss
+      // FAILS the job (lineage truncated). MEMORY_AND_DISK keeps the
+      // lineage — recomputable on loss, spills instead of OOMing at
+      // ingest-batch scale. (minHashPairs' checkpoints are ids/hashes
+      // only, where the recompute-vs-pin tradeoff goes the other way.)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def shingled(df: DataFrame, idName: String): DataFrame = df
       .withColumn("fh", expr(s"shingle_hashes(text, $k)"))
       .filter(size(col("fh")) > 0)

@@ -24,10 +24,15 @@ object SimilarityQueries {
   private def queryVectors(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
 
-  /** Exact brute-force cosine top-10 for the first 10 vectors. */
+  /** Exact brute-force cosine top-10 for the first 10 vectors.
+    * Memoized per (session, dir): q57 and q58 re-read this output as
+    * their exact baseline — without the memo each recall query would
+    * re-pay the full |corpus|x|queries| scoring pass. */
   def q40CosineTopK(spark: SparkSession, dir: String): DataFrame =
-    Similarity.bruteForceTopK(
-      corpus(spark, dir), queryVectors(spark, dir), k = 10)
+    Memo.of(spark, s"cosine_topk:$dir:k=10") {
+      Similarity.bruteForceTopK(
+        corpus(spark, dir), queryVectors(spark, dir), k = 10)
+    }
 
   /** SRP-LSH approximate top-10, same contract (rows-only check).
     * Dials (32 tables × 6 bits) chosen with `graft.RecallProbe`: on
@@ -37,25 +42,31 @@ object SimilarityQueries {
     * `bits` must grow with corpus size to keep the candidate share
     * constant (bucket occupancy ≈ n/2^bits per table). */
   def q41AnnTopK(spark: SparkSession, dir: String): DataFrame =
-    Similarity.annTopK(
-      corpus(spark, dir), queryVectors(spark, dir), k = 10,
-      tables = 32, bits = 6)
+    Memo.of(spark, s"ann_topk:$dir:t32b6") {
+      Similarity.annTopK(
+        corpus(spark, dir), queryVectors(spark, dir), k = 10,
+        tables = 32, bits = 6)
+    }
 
   /** Embedding-cosine near-dup pairs via LSH (rows-only check); same
     * RecallProbe-tuned dials as q41. */
   def q42AnnNeardup(spark: SparkSession, dir: String): DataFrame =
-    Similarity.cosineNearDupPairs(
-      corpus(spark, dir), threshold = 0.4, tables = 32, bits = 6)
-      .select(col("d1"), col("d2"))
+    Memo.of(spark, s"ann_neardup:$dir:t32b6:0.4") {
+      Similarity.cosineNearDupPairs(
+        corpus(spark, dir), threshold = 0.4, tables = 32, bits = 6)
+        .select(col("d1"), col("d2"))
+    }
 
   /** IVF-flat approximate top-10 — the density-adaptive ANN variant
     * (rows-only check; spec-pinned against brute force). RecallProbe:
     * nlist=64/nprobe=8 beats 32/4 on both recall (0.46 vs 0.34) and
     * time at the same probed share (nprobe/nlist = 1/8). */
   def q43AnnIvf(spark: SparkSession, dir: String): DataFrame =
-    Similarity.ivfTopK(
-      corpus(spark, dir), queryVectors(spark, dir), k = 10,
-      nlist = 64, nprobe = 8)
+    Memo.of(spark, s"ann_ivf:$dir:n64p8") {
+      Similarity.ivfTopK(
+        corpus(spark, dir), queryVectors(spark, dir), k = 10,
+        nlist = 64, nprobe = 8)
+    }
 
   /** SRP-LSH recall@10 vs the exact baseline — the numeric signal for
     * q41's rows-only output: a one-row (n_exact, n_approx, n_hits,

@@ -48,18 +48,35 @@ object TextQueries {
     Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
 
+  /** Exact 3-gram Jaccard pair set at a threshold, memoized per
+    * (session, dir, threshold): q34 returns it directly, q39/q60/q61
+    * consume it as edge list / recall denominator — without the memo a
+    * full Verify/Bench run recomputes the O(n²)-verified self-join once
+    * per consumer (the "oracle tax", ~3x). */
+  private def exactJaccardPairs(spark: SparkSession, dir: String,
+                                threshold: Double): DataFrame =
+    Memo.of(spark, s"ngram_jaccard:$dir:k=3:t=$threshold") {
+      Dedup.ngramJaccardPairs(docsRebalanced(spark, dir), k = 3, threshold = threshold)
+    }
+
   /** Exact 3-gram Jaccard near-dup pairs (brute-force oracle path). */
   def q34NgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(docsRebalanced(spark, dir), k = 3, threshold = 0.2)
+    exactJaccardPairs(spark, dir, threshold = 0.2)
 
-  /** MinHash+LSH near-dup pairs (scale path; rows-only check). */
+  /** MinHash+LSH near-dup pairs (scale path; rows-only check).
+    * Memoized: q60 re-reads this output as its approx side. */
   def q35MinhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minHashPairs(docsRebalanced(spark, dir),
-      k = 3, numHashes = 16, bands = 4, threshold = 0.6)
+    Memo.of(spark, s"minhash_pairs:$dir") {
+      Dedup.minHashPairs(docsRebalanced(spark, dir),
+        k = 3, numHashes = 16, bands = 4, threshold = 0.6)
+    }
 
-  /** SimHash near-dup pairs (scale path; rows-only check). */
+  /** SimHash near-dup pairs (scale path; rows-only check).
+    * Memoized: q61 re-reads this output as its approx side. */
   def q36SimhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simHashPairs(docsRebalanced(spark, dir), maxHamming = 6)
+    Memo.of(spark, s"simhash_pairs:$dir") {
+      Dedup.simHashPairs(docsRebalanced(spark, dir), maxHamming = 6)
+    }
 
   /** Content fingerprints (md5 columns only — xxhash64/rolling are
     * Spark-side integers DuckDB can't reproduce; spec-tested instead). */
@@ -131,8 +148,7 @@ object TextQueries {
     * group near-dups, keep the representative per component. */
   def q39DedupClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(
-      Dedup.ngramJaccardPairs(docsRebalanced(spark, dir), k = 3, threshold = 0.6)
-        .select(col("d1"), col("d2")))
+      exactJaccardPairs(spark, dir, threshold = 0.6).select(col("d1"), col("d2")))
 
   /** MinHash-LSH recall vs the exact-Jaccard pair set at the same
     * threshold — the numeric signal for q35's rows-only output
@@ -140,8 +156,7 @@ object TextQueries {
   def q60MinhashRecall(spark: SparkSession, dir: String): DataFrame =
     Agreement.summarize(
       q35MinhashPairs(spark, dir).select(col("d1"), col("d2")),
-      Dedup.ngramJaccardPairs(docsRebalanced(spark, dir), k = 3, threshold = 0.6)
-        .select(col("d1"), col("d2")),
+      exactJaccardPairs(spark, dir, threshold = 0.6).select(col("d1"), col("d2")),
       Seq("d1", "d2"))
 
   /** SimHash agreement vs the exact-Jaccard near-dup set at q34's
@@ -150,8 +165,7 @@ object TextQueries {
   def q61SimhashAgreement(spark: SparkSession, dir: String): DataFrame =
     Agreement.summarize(
       q36SimhashPairs(spark, dir).select(col("d1"), col("d2")),
-      Dedup.ngramJaccardPairs(docsRebalanced(spark, dir), k = 3, threshold = 0.2)
-        .select(col("d1"), col("d2")),
+      exactJaccardPairs(spark, dir, threshold = 0.2).select(col("d1"), col("d2")),
       Seq("d1", "d2"))
 
   /** Incremental dedup: the docs with doc_id % 5 == 0 arrive as a new

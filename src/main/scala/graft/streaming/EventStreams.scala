@@ -96,11 +96,21 @@ object EventStreams {
     require(right.columns.contains(tsCol), s"right side has no '$tsCol' column (pass tsCol=...)")
     require(left.columns.contains(key) && right.columns.contains(key),
       s"both sides need the join key '$key'")
-    // the window string is spliced into INTERVAL syntax — accept only
-    // the simple positive forms so a malformed caller fails here, not
-    // deep inside analysis
-    require(window.trim.matches("""(?i)\d+\s+(second|minute|hour|day)s?"""),
-      s"window must look like '30 minutes' / '1 hour', got '$window'")
+    // parse the window to a typed day-time interval (never spliced
+    // into SQL text): a malformed caller fails here, not deep inside
+    // analysis, and the join condition is built from Columns only
+    val windowPattern = """(?i)(\d+)\s+(second|minute|hour|day)s?""".r
+    val windowSeconds: Long = window.trim match {
+      case windowPattern(n, unit) =>
+        n.toLong * (unit.toLowerCase match {
+          case "second" => 1L
+          case "minute" => 60L
+          case "hour"   => 3600L
+          case "day"    => 86400L
+        })
+      case _ => throw new IllegalArgumentException(
+        s"window must look like '30 minutes' / '1 hour', got '$window'")
+    }
     def collides(cols: Array[String], p: String) =
       cols.filter(_ != key).map(c => s"$p$c").toSet.intersect(cols.toSet)
     require(collides(left.columns, "l_").isEmpty,
@@ -127,7 +137,12 @@ object EventStreams {
     val joined = l.as("gl").join(r.as("gr"),
       col(s"gl.$key") === col(s"gr.$key") &&
         col(s"r_$tsCol") >= col(s"l_$tsCol") &&
-        col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $window"),
+        // a Duration literal lowers to a DayTimeIntervalType Literal —
+        // unlike make_dt_interval(...), which is a function call the
+        // streaming state-watermark analyzer can't fold, so the outer
+        // join's state bound would be unprovable
+        col(s"r_$tsCol") <= col(s"l_$tsCol") +
+          lit(java.time.Duration.ofSeconds(windowSeconds)),
       joinType)
     // outer joins null the unmatched side's key: surface ONE coalesced
     // key column via an explicit projection (withColumn/drop cannot
