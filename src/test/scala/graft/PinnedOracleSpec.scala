@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{FixtureId, SimilarityQueries, TextQueries}
+
+/** Durability guards for the five pinned agreement oracles (q57–q61):
+  *
+  *  1. Fixture identity — the pinned constants are only valid for the
+  *     exact fixture content they were measured on. If /root/testdata
+  *     regenerates, this fails loudly with the re-pin instructions
+  *     instead of letting the driver gate hash-compare stale numbers.
+  *  2. Recall floors — a re-pin after a fixture change pastes whatever
+  *     RecallProbe prints, so a compensating pair of changes (fixture +
+  *     pin) could silently lock in a recall regression. The floors
+  *     bound how far a paste can drift before a human has to look.
+  *
+  * Floors are deliberately below the current measured values (0.81,
+  * 0.57, 0.81, 1.0, 0.8) so ordinary fixture regeneration passes after
+  * a re-pin, while a real quality regression (bad dials, broken
+  * bucketing) trips them.
+  */
+class PinnedOracleSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  // the pins are measured at sf0.01 (the driver's correctness scale),
+  // not the sf0.001 dir the rest of the suite uses
+  private val pinDir = "/root/testdata/sf0.01"
+  private def fixturePresent: Boolean =
+    new java.io.File(s"$pinDir/documents.parquet").exists()
+
+  test("pinned oracle constants match the current fixture content") {
+    assume(fixturePresent, s"$pinDir not present in this environment")
+    val h = FixtureId.contentHash(spark, pinDir)
+    assert(h == SimilarityQueries.PinnedFixtureHash,
+      f"fixture content hash 0x$h%016x != pinned 0x${SimilarityQueries.PinnedFixtureHash}%016x — " +
+        "testdata regenerated; run `sbt \"runMain graft.RecallProbe /root/testdata/sf0.01\"` " +
+        "and paste the printed hash + five oracle rows")
+  }
+
+  test("recall floors hold at the production dials (re-pin can't lock in a regression)") {
+    assume(fixturePresent, s"$pinDir not present in this environment")
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      df.first().getDouble(3)
+    val floors = Seq(
+      ("q57 srp ann", recallOf(SimilarityQueries.q57AnnRecall(spark, pinDir)), 0.75),
+      ("q58 ivf ann", recallOf(SimilarityQueries.q58IvfRecall(spark, pinDir)), 0.50),
+      ("q59 embedding near-dup", recallOf(SimilarityQueries.q59NeardupRecall(spark, pinDir)), 0.70),
+      ("q60 minhash", recallOf(TextQueries.q60MinhashRecall(spark, pinDir)), 0.90),
+      ("q61 simhash", recallOf(TextQueries.q61SimhashAgreement(spark, pinDir)), 0.70))
+    floors.foreach { case (name, recall, floor) =>
+      assert(recall >= floor, f"$name recall $recall%.2f below floor $floor%.2f")
+    }
+  }
+}
