@@ -200,9 +200,45 @@ object EventStreams {
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, end: Long, n: Long, total: Double)
+  /** Streaming state: ALL of a user's still-open sessions, pairwise
+    * separated by more than the gap (the disjoint-interval invariant
+    * [[insertEvent]] maintains). More than one can be open at once
+    * when the watermark delay exceeds the gap: a straggler far before
+    * the newest session's start must form its OWN session, not be
+    * absorbed into whichever session happens to be open. */
+  case class SessionsState(sessions: Seq[SessionState])
   case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
                          session_end: java.sql.Timestamp, n_events: Long,
                          total_value: Double)
+
+  /** Fold one event into a disjoint, start-sorted session list:
+    * singleton-insert, then re-coalesce any neighbors the event pulled
+    * within the gap (an event can bridge two sessions into one).
+    * The in-order arrival case (t at or past the newest session) is
+    * O(1), so batch sessionization over sorted events stays linear;
+    * only genuine stragglers pay the O(k) general insert. */
+  private def insertEvent(sessions: Vector[SessionState], t: Long, v: Double,
+                          gap: Long): Vector[SessionState] =
+    sessions.lastOption match {
+      case Some(last) if t > last.end + gap =>
+        sessions :+ SessionState(t, t, 1, v)
+      case Some(last) if t >= last.start - gap && sessions.init.forall(t > _.end + gap) =>
+        sessions.init :+ last.copy(start = math.min(last.start, t),
+          end = math.max(last.end, t), n = last.n + 1, total = last.total + v)
+      case None => Vector(SessionState(t, t, 1, v))
+      case _ =>
+        // straggler landing at/behind earlier sessions: general path
+        val sorted = (sessions :+ SessionState(t, t, 1, v))
+          .sortBy(s => (s.start, s.end))
+        sorted.foldLeft(Vector.empty[SessionState]) { (acc, s) =>
+          acc.lastOption match {
+            case Some(p) if s.start - p.end <= gap =>
+              acc.init :+ SessionState(p.start, math.max(p.end, s.end),
+                p.n + s.n, p.total + s.total)
+            case _ => acc :+ s
+          }
+        }
+    }
 
   /** Arbitrary-stateful sessionization with `flatMapGroupsWithState`:
     * the KeyValueGroupedDataset custom-state path for semantics the
@@ -213,12 +249,19 @@ object EventStreams {
     * still-open session is emitted at end-of-data (end of data closes
     * every session).
     *
-    * Streaming mode: a session may span micro-batches, so the open
-    * session STAYS in state with an event-time timeout at
-    * `end + gap`; it is emitted exactly once — either merged into a
-    * later batch's events, or on timeout when the watermark passes its
-    * close horizon. Requires `withWatermark("ts", ...)` upstream
-    * (EventTimeTimeout's contract). */
+    * Streaming mode: sessions may span micro-batches, so open sessions
+    * STAY in state — a SET of disjoint intervals, not just the newest
+    * one: when the watermark delay exceeds the gap, a straggler can
+    * arrive more than `gap` before the newest session's start, and it
+    * must open its own session rather than be coalesced into an
+    * unrelated one (which would diverge from the batch oracle's sorted
+    * sessionization). A session is emitted exactly once, when the
+    * watermark passes its `end + gap` close horizon — no event that
+    * could still merge into it (all arrive at/after the watermark) can
+    * exist past that point, which is also why two open sessions can
+    * never retroactively fuse after one is emitted. Requires
+    * `withWatermark("ts", ...)` upstream (EventTimeTimeout's
+    * contract). */
   def userSessions(events: Dataset[Event], gapMillis: Long): Dataset[UserSession] = {
     import events.sparkSession.implicits._
     val streaming = events.isStreaming
@@ -229,50 +272,33 @@ object EventStreams {
         new java.sql.Timestamp(s.end), s.n, s.total)
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, UserSession](
+      .flatMapGroupsWithState[SessionsState, UserSession](
         OutputMode.Append, timeoutConf) {
-        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          if (streaming && state.hasTimedOut) {
-            // watermark passed end+gap: the session can never extend
-            val s = state.get
-            state.remove()
-            Iterator.single(emit(userId, s))
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionsState]) =>
+          // one code path for new-data and timeout invocations: fold
+          // any events into the disjoint session set, then emit every
+          // session the watermark has closed (on timeout the iterator
+          // is empty and this reduces to close-and-emit)
+          var sessions: Vector[SessionState] =
+            state.getOption.map(_.sessions.toVector).getOrElse(Vector.empty)
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            sessions = insertEvent(sessions, e.ts.getTime, e.value, gapMillis)
+          }
+          if (!streaming) {
+            // end of data closes every session
+            sessions.sortBy(_.start).iterator.map(emit(userId, _))
           } else {
-            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
-            var cur: Option[SessionState] = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.end <= gapMillis =>
-                  // A cross-batch late-but-above-watermark event can
-                  // arrive with t < s.end (or even t < s.start): merge
-                  // with max/min so it extends the session instead of
-                  // dragging end backwards (which would also shrink the
-                  // event-time timeout horizon below end+gap).
-                  cur = Some(s.copy(start = math.min(s.start, t),
-                    end = math.max(s.end, t), n = s.n + 1, total = s.total + e.value))
-                case Some(s) =>
-                  out += emit(userId, s)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
-              }
-            }
-            cur match {
-              case Some(s) if streaming =>
-                // keep the open session; close it when the watermark
-                // passes its gap horizon (never set a timeout below the
-                // current watermark — Spark rejects it)
-                state.update(s)
-                state.setTimeoutTimestamp(
-                  math.max(s.end + gapMillis, state.getCurrentWatermarkMs() + 1))
-              case Some(s) =>
-                out += emit(userId, s)
-                if (state.exists) state.remove()
-              case None => ()
-            }
-            out.iterator
+            val wm = state.getCurrentWatermarkMs()
+            val (closed, open) = sessions.partition(_.end + gapMillis < wm)
+            if (open.nonEmpty) {
+              state.update(SessionsState(open))
+              // wake when the earliest open session's horizon passes
+              // (never set a timeout at/below the current watermark —
+              // Spark rejects it)
+              state.setTimeoutTimestamp(
+                math.max(open.map(_.end + gapMillis).min, wm + 1))
+            } else if (state.exists) state.remove()
+            closed.sortBy(_.start).iterator.map(emit(userId, _))
           }
       }
   }

@@ -140,6 +140,44 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("straggler more than gap before the open session opens its own session") {
+    // watermark delay (120s) > gap (60s): an above-watermark event can
+    // land more than a gap BEFORE the open session's start. It must
+    // become its own session — coalescing it into the unrelated open
+    // session would diverge from the batch oracle's sorted
+    // sessionization (the disjoint-interval state exists for this).
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, sec: Long, user: Long) = EventStreams.Event(
+      id, new java.sql.Timestamp(sec * 1000), user, "click", 1.0)
+    val ms = MemoryStream[EventStreams.Event]
+    val sessions = EventStreams.userSessions(
+      ms.toDS().withWatermark("ts", "120 seconds"), gapMillis = 60 * 1000)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("stream_sessions_straggler").start()
+    try {
+      // batch 1: session [200s, 200s]; watermark advances to 80s
+      ms.addData(ev(1, 200, 1))
+      q.processAllAvailable()
+      // batch 2: straggler at 100s — above the 80s watermark but 100s
+      // < 140s = start - gap, so it must NOT merge
+      ms.addData(ev(2, 100, 1))
+      q.processAllAvailable()
+      // user 2 pushes the watermark past both close horizons
+      ms.addData(ev(3, 1000, 2))
+      q.processAllAvailable()
+      ms.addData(ev(4, 2000, 2))
+      q.processAllAvailable()
+      val u1 = spark.table("stream_sessions_straggler")
+        .as[EventStreams.UserSession].collect().filter(_.user_id == 1L)
+        .sortBy(_.session_start.getTime)
+      assert(u1.length == 2, s"expected two disjoint sessions, got ${u1.toSeq}")
+      assert(u1(0).session_start.getTime == 100000L && u1(0).n_events == 1)
+      assert(u1(1).session_start.getTime == 200000L && u1(1).n_events == 1)
+    } finally q.stop()
+  }
+
   test("AvailableNow incremental re-run processes only newly landed files (T1 parity)") {
     // the reference's T1 protocol (30-day re-collect) maps to a
     // scheduled batch re-run; the Spark-native form is a file-source
