@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.storage.StorageLevel
+
+import graft.operators.{Dedup, Sharding, TextAnalysis}
+
+/** CLI orchestrator for the training-corpus pipeline — the extension
+  * suite's counterpart to [[TbMain]]'s parity pipeline: the flagship
+  * composition (clean → exact dedup → MinHash-LSH near-dup → connected
+  * components → deterministic sample → token-budget shards) drivable
+  * end-to-end from one entry point: parquet in, cleaned sharded corpus
+  * + a stage-count report out.
+  *
+  * Usage: CorpusMain <docsParquet> <outDir> [sampleFraction]
+  *
+  * Every stage is the scale-shaped variant (see the operator docs):
+  * the clean filters are per-row codegen'd expressions, exact dedup is
+  * one O(n) hash pass, near-dup candidates come from LSH buckets
+  * (never O(n²)), the sample is a partition-independent content-hash
+  * Bernoulli, and sharding is a per-source window. The output is
+  * partitioned by shard_id so a training reader can take whole shards
+  * (≈ tokenBudget tokens each) as its unit of work.
+  */
+object CorpusMain {
+
+  case class Report(nInput: Long, nCleaned: Long, nDeduped: Long,
+                    nSampled: Long, nShards: Long, totalTokens: Long)
+
+  /** The pipeline body, separated from `main` so a spec can run it on
+    * an existing session and compare the report against the composed
+    * operators. Stage counts are report-only actions; `deduped` is
+    * persisted because three consumers read it (its own count, the
+    * sample, the write) and the LSH+CC chain is the expensive leg. */
+  def run(spark: SparkSession, docsParquet: String, outDir: String,
+          sampleFraction: Double = 1.0,
+          minTokens: Int = 20, maxTokens: Int = 100000,
+          minQuality: Double = 0.5, maxTopBigramRatio: Double = 0.2,
+          langs: Seq[String] = Seq("en"),
+          k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+          threshold: Double = 0.6, tokenBudget: Long = 5000L): Report = {
+    val docs = spark.read.parquet(docsParquet)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val nInput = docs.count()
+
+    // Phase 1 — clean: keep ids from the composed recipe, semi-join the
+    // full rows back (cleanCorpus returns signals, the corpus keeps its
+    // original columns)
+    val keepIds = TextAnalysis.cleanCorpus(docs, minTokens, maxTokens,
+      minQuality, maxTopBigramRatio, langs).select("doc_id")
+    val cleaned = docs.join(keepIds, Seq("doc_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nCleaned = cleaned.count()
+    println(s"[clean] $nInput -> $nCleaned docs " +
+      s"(tokens in [$minTokens,$maxTokens], quality >= $minQuality, " +
+      s"langs ${langs.mkString("/")}, top-bigram <= $maxTopBigramRatio)")
+
+    // Phase 2 — dedup: exact pass, LSH near-dup pairs, connected
+    // components, one representative per component
+    val deduped = Dedup.dedupCorpus(cleaned, k, numHashes, bands, threshold)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nDeduped = deduped.count()
+    println(s"[dedup] $nCleaned -> $nDeduped docs (exact + minhash-LSH @ j>=$threshold)")
+
+    // Phase 3 — deterministic sample (content-hash Bernoulli: the kept
+    // set is a pure function of ids, stable across partitionings)
+    val sampled =
+      if (sampleFraction >= 1.0) deduped
+      else Sharding.hashSample(deduped, sampleFraction)
+    val nSampled = sampled.count()
+    println(s"[sample] $nDeduped -> $nSampled docs (fraction $sampleFraction)")
+
+    // Phase 4 — token-budget shards, written partitioned by shard so a
+    // consumer reads whole ≈tokenBudget-token units
+    val sharded = Sharding.tokenBudgetShards(sampled, tokenBudget)
+    sharded.write.mode("overwrite").partitionBy("shard_id")
+      .parquet(s"$outDir/corpus")
+    // shard/token totals off the WRITTEN files — verifies the artifact
+    // a consumer will read, and costs one scan of the output instead of
+    // re-running the pipeline
+    val out = spark.read.parquet(s"$outDir/corpus")
+    val r = out.agg(
+      org.apache.spark.sql.functions.countDistinct("shard_id"),
+      org.apache.spark.sql.functions.sum("n_tokens")).first()
+    val report = Report(nInput, nCleaned, nDeduped, nSampled,
+      r.getLong(0), r.getLong(1))
+    println(s"[shard] ${report.nShards} shards, ${report.totalTokens} tokens " +
+      s"-> $outDir/corpus")
+
+    import spark.implicits._
+    Seq(report).toDS().write.mode("overwrite").parquet(s"$outDir/report")
+    cleaned.unpersist(blocking = false)
+    deduped.unpersist(blocking = false)
+    report
+  }
+
+  def main(args: Array[String]): Unit = {
+    val input = args.lift(0).getOrElse("/root/testdata/sf0.001/documents.parquet")
+    val outDir = args.lift(1).getOrElse("/tmp/corpus_out")
+    val fraction = args.lift(2).map(_.toDouble).getOrElse(1.0)
+    val spark = GraftSession.create(appName = "graft-corpus",
+      master = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+    spark.sparkContext.setLogLevel("WARN")
+    val report = run(spark, input, outDir, fraction)
+    println(s"""{"n_input":${report.nInput},"n_cleaned":${report.nCleaned},""" +
+      s""""n_deduped":${report.nDeduped},"n_sampled":${report.nSampled},""" +
+      s""""n_shards":${report.nShards},"total_tokens":${report.totalTokens}}""")
+    spark.stop()
+  }
+}

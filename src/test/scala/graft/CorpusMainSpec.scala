@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Sharding, TextAnalysis}
+
+/** CorpusMain drives the flagship composition end-to-end; this spec
+  * pins its stage counts against the SAME operators composed directly,
+  * and the written artifact against the report. */
+class CorpusMainSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+
+  private lazy val docsPath = s"$sf/documents.parquet"
+
+  test("CorpusMain report matches the directly-composed operators") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_corpus").toString
+    val report = CorpusMain.run(spark, docsPath, outDir)
+
+    val docs = spark.read.parquet(docsPath)
+    val cleaned = docs.join(
+      TextAnalysis.cleanCorpus(docs).select("doc_id"), Seq("doc_id"), "left_semi")
+    val deduped = Dedup.dedupCorpus(cleaned)
+    assert(report.nInput == docs.count())
+    assert(report.nCleaned == cleaned.count())
+    assert(report.nDeduped == deduped.count())
+    assert(report.nSampled == report.nDeduped, "fraction 1.0 must not drop rows")
+    // the pipeline must actually filter something on this fixture, or
+    // the stage counts prove nothing
+    assert(report.nCleaned < report.nInput)
+    assert(report.nDeduped < report.nCleaned)
+
+    // written artifact == report: same rows, same shard/token totals,
+    // and every doc is a survivor of the composed dedup
+    val out = spark.read.parquet(s"$outDir/corpus")
+    assert(out.count() == report.nSampled)
+    assert(out.select("shard_id").distinct().count() == report.nShards)
+    assert(out.agg(org.apache.spark.sql.functions.sum("n_tokens"))
+      .first().getLong(0) == report.totalTokens)
+    assert(out.join(deduped, Seq("doc_id"), "left_anti").count() == 0)
+
+    // report round-trips through its parquet
+    val rep = spark.read.parquet(s"$outDir/report").first()
+    assert(rep.getAs[Long]("nDeduped") == report.nDeduped)
+  }
+
+  test("CorpusMain sample fraction composes hashSample semantics") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_corpus_s").toString
+    val report = CorpusMain.run(spark, docsPath, outDir, sampleFraction = 0.5)
+    val docs = spark.read.parquet(docsPath)
+    val cleaned = docs.join(
+      TextAnalysis.cleanCorpus(docs).select("doc_id"), Seq("doc_id"), "left_semi")
+    val expected = Sharding.hashSample(Dedup.dedupCorpus(cleaned), 0.5).count()
+    assert(report.nSampled == expected)
+    assert(report.nSampled < report.nDeduped)
+  }
+}
