@@ -123,9 +123,16 @@ object TextQueries {
     * MinHash-LSH pairs — spec-pinned instead). */
   def q49DedupCorpus(spark: SparkSession, dir: String): DataFrame = {
     val docs = docsRebalanced(spark, dir)
-    val exact = docs.join(
-      Dedup.exactDedup(docs).select("doc_id"), Seq("doc_id"), "left_semi")
-    val pairs = Dedup.ngramJaccardPairs(exact, k = 3, threshold = 0.6)
+    val survivorIds = Dedup.exactDedup(docs).select("doc_id")
+    val exact = docs.join(survivorIds, Seq("doc_id"), "left_semi")
+    // Jaccard is pairwise, so the pair set over the exact-dedup
+    // survivors IS the full-corpus pair set with both endpoints
+    // restricted to survivors — which lets this composition reuse the
+    // memoized leg q39/q60 already computed instead of re-running the
+    // shingle self-join on an almost-identical input.
+    val pairs = exactJaccardPairs(spark, dir, threshold = 0.6)
+      .join(survivorIds.withColumnRenamed("doc_id", "d1"), Seq("d1"), "left_semi")
+      .join(survivorIds.withColumnRenamed("doc_id", "d2"), Seq("d2"), "left_semi")
       .select("d1", "d2")
     val comp = Dedup.connectedComponents(pairs)
     exact.join(comp, Seq("doc_id"), "left")
