@@ -61,9 +61,11 @@ object Similarity {
   }
 
   /** Per-table LSH bucket ids for a vector column: native SRP
-    * projection (packed sign bits of seeded Gaussian hyperplanes). */
+    * projection (packed sign bits of seeded Gaussian hyperplanes).
+    * call_function, not an expr() splice — `vecCol` is a
+    * caller-supplied column name. */
   private def bucketsOf(vecCol: String, tables: Int, bits: Int, seed: Long): Column =
-    expr(s"srp_buckets($vecCol, $tables, $bits, $seed)")
+    call_function("srp_buckets", col(vecCol), lit(tables), lit(bits), lit(seed))
 
   /** SRP-LSH approximate top-k: same contract as [[bruteForceTopK]],
     * but neighbors are drawn from LSH bucket collisions only, then

@@ -231,6 +231,8 @@ object TextAnalysis {
       .withColumn("fp_xx64", xxhash64(col(text)))
       .withColumn("fp_rolling",
         // chained xxhash64 fold: order-sensitive like a rolling hash but
-        // free of ANSI overflow (multiply-add wraps are errors in Spark 4)
-        expr(s"aggregate(split($text, ' '), cast(7 as bigint), (acc, w) -> xxhash64(acc, w))"))
+        // free of ANSI overflow (multiply-add wraps are errors in Spark 4);
+        // typed HOF, not SQL text — `text` is a caller-supplied name
+        aggregate(split(col(text), " "), lit(7L),
+          (acc, w) => xxhash64(acc, w)))
 }
