@@ -155,6 +155,34 @@ object TextAnalysis {
         col("tf") * log(col("n_docs").cast("double") / col("df")))
   }
 
+  /** Keyword extraction: the top-k terms of each document ranked by
+    * frequency lift tf/df — high in-doc frequency, rare in the corpus.
+    * The classic tf·idf ordering multiplies by ln(N/df); since N is a
+    * constant and ln is monotone, ranking by tf·ln(N/df) vs tf/df
+    * differs only in how tf and rarity trade off, and tf/df has a
+    * property the oracle gate needs: the score is ONE integer-input
+    * IEEE division, bit-identical across engines, whereas ln is a
+    * transcendental whose last ulp differs between libm
+    * implementations and can flip near-tie ranks cross-engine.
+    * Output carries integer ranks + counts only (floats stay out of
+    * the hash, per the repo's oracle-parity rules).
+    *
+    * Scale shape: tf is one map-side-combinable count keyed
+    * (doc, term); df is a corpus dimension that broadcasts; the only
+    * wide shuffle is the per-doc window, keyed by doc_id. */
+  def topTermsPerDoc(docs: DataFrame, k: Int = 3,
+                     text: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col("doc_id"), explode(words(col(text))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy((col("tf").cast("double") / col("df")).desc, col("term").asc)
+    tf.join(broadcast(termDocFreq(docs, text)), Seq("term"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "term", "tf", "df", "rank")
+  }
+
   /** PII-style redaction: emails and long digit runs replaced with
     * fixed tags, plus a per-row redaction count — the scrub pass every
     * training corpus runs before anything else sees the text. Patterns

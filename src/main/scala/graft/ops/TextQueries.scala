@@ -94,6 +94,12 @@ object TextQueries {
   def q44TermDf(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.termDocFreq(Tables.documents(spark, dir))
 
+  /** Keyword extraction: top-3 terms per doc by frequency lift tf/df
+    * (see [[TextAnalysis.topTermsPerDoc]] for why tf/df and not
+    * tf·ln(N/df) under a cross-engine hash gate). */
+  def q66TopTerms(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topTermsPerDoc(Tables.documents(spark, dir), k = 3)
+
   /** PII-style redaction: emails + long digit runs → tags + count. */
   def q45Redact(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.withRedaction(Tables.documents(spark, dir))
@@ -216,7 +222,8 @@ object TextQueries {
     "q60_minhash_recall" -> (q60MinhashRecall _),
     "q61_simhash_agreement" -> (q61SimhashAgreement _),
     "q62_delta_dedup"   -> (q62DeltaDedup _),
-    "q63_clean_corpus"  -> (q63CleanCorpus _)
+    "q63_clean_corpus"  -> (q63CleanCorpus _),
+    "q66_top_terms"     -> (q66TopTerms _)
   )
 
   private val BPEISH = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
@@ -298,6 +305,22 @@ object TextQueries {
         |FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
         |      FROM documents) t
         |GROUP BY term""".stripMargin,
+
+    // tf/df is one integer-input double division in both engines —
+    // bit-identical ordering (ln would not be; see topTermsPerDoc)
+    "q66_top_terms" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |           FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM t GROUP BY 1)
+        |SELECT doc_id, term, tf, df, rank FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term ASC) AS rank
+        |  FROM tf JOIN df USING (term)) x
+        |WHERE rank <= 3""".stripMargin,
 
     "q45_redact" ->
       s"""SELECT doc_id,
