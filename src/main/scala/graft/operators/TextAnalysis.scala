@@ -104,6 +104,59 @@ object TextAnalysis {
         size(col("cw")).cast("long").as("n_chunk_tokens"))
   }
 
+  /** Chunk-level duplicate detection: the sub-document counterpart of
+    * exact dedup — boilerplate paragraphs (headers, license blocks,
+    * navigation text) repeat ACROSS documents whose full texts are
+    * unique, so document-level dedup never sees them. Chunk the corpus
+    * ([[chunkDocs]]), hash each chunk, count how many of a doc's
+    * chunks also occur in at least `minDocs − 1` OTHER docs, and
+    * return the docs with at least `minDupChunks` such chunks —
+    * the candidates for boilerplate scrubbing.
+    *
+    * Scale shape: chunk hashes are md5 longs-equivalent (string keyed
+    * once), the per-hash doc frequency is a map-side-combinable
+    * distinct-count, and the flagged join is hash-keyed — one explode
+    * + two aggregations, no self-join, so cost is linear in chunk
+    * volume. */
+  def dupChunkDocs(docs: DataFrame, chunkTokens: Int = 32, overlap: Int = 0,
+                   minDocs: Int = 2, minDupChunks: Int = 2,
+                   text: String = "text"): DataFrame = {
+    val chunks = chunkDocs(docs, chunkTokens, overlap, text)
+      .select(col("doc_id"), md5(col("chunk_text")).as("chunk_md5"))
+      // a chunk repeated WITHIN one doc is in-doc repetition
+      // (bigramRepetition's beat) — here only cross-doc sharing counts
+      .distinct()
+    val shared = chunks.groupBy("chunk_md5")
+      .agg(count(lit(1)).as("n_docs_with_chunk"))
+      .filter(col("n_docs_with_chunk") >= minDocs)
+    chunks.join(shared, Seq("chunk_md5"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_chunks"))
+      .filter(col("n_dup_chunks") >= minDupChunks)
+  }
+
+  /** Per-source corpus health report — the one-page stats every
+    * pipeline run records next to its output (and [[graft.CorpusMain]]
+    * emits per corpus): doc/token volume, mean doc length, language
+    * share, exact-duplicate volume. All columns derive from integer
+    * counts (the mean is one IEEE division), keeping the row
+    * hash-stable cross-engine; per-row doubles like quality_score
+    * stay out (a float SUM is partition-order-dependent — the repo's
+    * oracle-parity rule). One scan, map-side-combinable aggregates. */
+  def corpusStats(docs: DataFrame, text: String = "text"): DataFrame =
+    withLanguageId(docs, text)
+      .withColumn("n_tokens", size(words(col(text))).cast("long"))
+      .withColumn("content_md5", md5(col(text)))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        countDistinct("content_md5").as("n_distinct_texts"),
+        count(when(col("lang_pred") === "en", 1)).as("n_en_docs"))
+      .withColumn("mean_doc_tokens",
+        col("total_tokens").cast("double") / col("n_docs"))
+      .withColumn("n_exact_dup_docs", col("n_docs") - col("n_distinct_texts"))
+      .select("source", "n_docs", "total_tokens", "mean_doc_tokens",
+        "n_en_docs", "n_distinct_texts", "n_exact_dup_docs")
+
   /** Repetition/boilerplate signal: bigram concentration — the share
     * of a doc's word bigrams taken by its single most frequent bigram
     * (a Gopher-style repetition filter; boilerplate and looped text

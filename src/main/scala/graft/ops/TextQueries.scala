@@ -100,6 +100,18 @@ object TextQueries {
   def q66TopTerms(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.topTermsPerDoc(Tables.documents(spark, dir), k = 3)
 
+  /** Chunk-level (sub-document) duplicate detection: docs sharing at
+    * least one aligned 32-token chunk with another doc — boilerplate
+    * that document-level dedup can't see. */
+  def q67DupChunks(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dupChunkDocs(Tables.documents(spark, dir),
+      chunkTokens = 32, overlap = 0, minDocs = 2, minDupChunks = 1)
+
+  /** Per-source corpus health report (volume, mean length, language
+    * share, exact-dup volume) — integer-derived columns only. */
+  def q68CorpusStats(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.corpusStats(Tables.documents(spark, dir))
+
   /** PII-style redaction: emails + long digit runs → tags + count. */
   def q45Redact(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.withRedaction(Tables.documents(spark, dir))
@@ -223,7 +235,9 @@ object TextQueries {
     "q61_simhash_agreement" -> (q61SimhashAgreement _),
     "q62_delta_dedup"   -> (q62DeltaDedup _),
     "q63_clean_corpus"  -> (q63CleanCorpus _),
-    "q66_top_terms"     -> (q66TopTerms _)
+    "q66_top_terms"     -> (q66TopTerms _),
+    "q67_dup_chunks"    -> (q67DupChunks _),
+    "q68_corpus_stats"  -> (q68CorpusStats _)
   )
 
   private val BPEISH = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
@@ -305,6 +319,45 @@ object TextQueries {
         |FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
         |      FROM documents) t
         |GROUP BY term""".stripMargin,
+
+    // 32-token chunks, overlap 0 -> step 32; DISTINCT per (doc, chunk
+    // hash) so only cross-doc sharing counts (mirrors dupChunkDocs)
+    "q67_dup_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |x AS (SELECT doc_id, w, greatest(1, (len(w) + 31) // 32) AS nc FROM d),
+        |c AS (SELECT doc_id, w, unnest(range(nc)) AS chunk_id FROM x),
+        |ch AS (SELECT DISTINCT doc_id,
+        |         md5(array_to_string(list_slice(w, chunk_id * 32 + 1, chunk_id * 32 + 32), ' ')) AS chunk_md5
+        |       FROM c),
+        |sh AS (SELECT chunk_md5 FROM ch GROUP BY chunk_md5 HAVING count(*) >= 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_chunks
+        |FROM ch JOIN sh USING (chunk_md5)
+        |GROUP BY doc_id""".stripMargin,
+
+    "q68_corpus_stats" ->
+      """WITH l AS (
+        |  SELECT doc_id, source, text,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    CASE WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_de AND score_en > 0 THEN 'en'
+        |         WHEN score_es >= score_fr AND score_es >= score_de AND score_es > 0 THEN 'es'
+        |         WHEN score_fr >= score_de AND score_fr > 0 THEN 'fr'
+        |         WHEN score_de > 0 THEN 'de'
+        |         ELSE 'unknown' END AS lang_pred
+        |  FROM (
+        |    SELECT doc_id, source, text,
+        |      len(regexp_extract_all(text, '\b(the|a|of|to|in|and|is)\b')) AS score_en,
+        |      len(regexp_extract_all(text, '\b(el|la|de|que|y|en|los)\b')) AS score_es,
+        |      len(regexp_extract_all(text, '\b(le|la|de|et|les|des|un)\b')) AS score_fr,
+        |      len(regexp_extract_all(text, '\b(der|die|und|das|von|mit|ein)\b')) AS score_de
+        |    FROM documents) s)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_tokens) AS DOUBLE) / count(*) AS mean_doc_tokens,
+        |  CAST(count(CASE WHEN lang_pred = 'en' THEN 1 END) AS BIGINT) AS n_en_docs,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+        |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dup_docs
+        |FROM l GROUP BY source""".stripMargin,
 
     // tf/df is one integer-input double division in both engines —
     // bit-identical ordering (ln would not be; see topTermsPerDoc)
