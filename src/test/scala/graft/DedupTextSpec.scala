@@ -204,6 +204,57 @@ class DedupTextSpec extends AnyFunSuite {
     assert(chunks((1L, 0L)).split(" ").last == chunks((1L, 1L)).split(" ").head)
   }
 
+  test("top terms: planted rare term outranks common terms, k respected") {
+    import spark.implicits._
+    // 'zyzzyva' appears 3x in ONE doc (tf=3, df=1 -> lift 3.0); 'the'
+    // is in every doc (lift <= tf/n_docs); doc 1's top term must be
+    // the rare one and every doc gets at most k rows
+    val corpus = Seq(
+      (1L, "zyzzyva zyzzyva zyzzyva the quick brown fox"),
+      (2L, "the quick brown fox jumps over dog"),
+      (3L, "the lazy dog sleeps all day long")).toDF("doc_id", "text")
+    val top = TextAnalysis.topTermsPerDoc(corpus, k = 2).cache()
+    assert(top.filter($"doc_id" === 1 && $"rank" === 1)
+      .select("term").as[String].head() == "zyzzyva")
+    assert(top.groupBy("doc_id").count().filter($"count" > 2).count() == 0)
+  }
+
+  test("dup chunks: planted shared boilerplate flagged, unique docs spared") {
+    import spark.implicits._
+    val boiler = (1 to 32).map(i => s"license$i").mkString(" ")
+    def unique(id: Long) = (1 to 32).map(i => s"w${id}_$i").mkString(" ")
+    // docs 1/2 share an ALIGNED 32-token boilerplate block (their first
+    // chunk); docs 3/4 are fully unique
+    val corpus = Seq(
+      (1L, s"$boiler ${unique(1)}"),
+      (2L, s"$boiler ${unique(2)}"),
+      (3L, unique(3)),
+      (4L, unique(4))).toDF("doc_id", "text")
+    val flagged = TextAnalysis.dupChunkDocs(corpus,
+      chunkTokens = 32, overlap = 0, minDocs = 2, minDupChunks = 1)
+    assert(flagged.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // in-doc repetition alone must NOT flag (cross-doc sharing only)
+    val selfRep = Seq((9L, s"$boiler $boiler")).toDF("doc_id", "text")
+      .unionByName(corpus.filter($"doc_id" >= 3))
+    assert(TextAnalysis.dupChunkDocs(selfRep, 32, 0, 2, 1)
+      .filter($"doc_id" === 9).count() == 0)
+  }
+
+  test("corpus stats: counts reconcile with direct aggregates per source") {
+    import spark.implicits._
+    val stats = TextAnalysis.corpusStats(docs).cache()
+    val direct = docs.groupBy("source").agg(
+      count(lit(1)).as("n"), countDistinct(md5($"text")).as("nd"))
+    val joined = stats.join(direct, "source")
+    assert(joined.filter($"n_docs" =!= $"n").count() == 0)
+    assert(joined.filter($"n_distinct_texts" =!= $"nd").count() == 0)
+    assert(joined.filter(
+      $"n_exact_dup_docs" =!= ($"n_docs" - $"n_distinct_texts")).count() == 0)
+    assert(stats.filter($"n_en_docs" > $"n_docs").count() == 0)
+    assert(stats.filter(
+      abs($"mean_doc_tokens" * $"n_docs" - $"total_tokens") > 1e-6).count() == 0)
+  }
+
   test("bigram repetition: looped text scores ~1, varied text low, short docs drop") {
     import spark.implicits._
     val corpus = Seq(
