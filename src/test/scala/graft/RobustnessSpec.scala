@@ -18,6 +18,39 @@ class RobustnessSpec extends AnyFunSuite {
   private lazy val emptyDocs =
     Tables.documents(spark, sf).filter($"doc_id" < 0)
 
+  test("Memo: builds once per (session, key), re-builds after clear, keys distinguish") {
+    var builds = 0
+    def build() = { builds += 1; Seq((1L, "x")).toDF("doc_id", "text") }
+    val a1 = graft.ops.Memo.of(spark, "robustness:memo:a")(build())
+    val a2 = graft.ops.Memo.of(spark, "robustness:memo:a")(build())
+    assert((a1 eq a2) && builds == 1, "same key must return the same persisted frame")
+    graft.ops.Memo.of(spark, "robustness:memo:b")(build())
+    assert(builds == 2, "distinct keys must build independently")
+    graft.ops.Memo.clear(spark)
+    val a3 = graft.ops.Memo.of(spark, "robustness:memo:a")(build())
+    assert(builds == 3 && !(a3 eq a1), "clear must drop entries so builds re-run")
+    graft.ops.Memo.clear(spark)
+  }
+
+  test("Registration claims a name over a foreign pre-registration, once") {
+    // a user registered their own constant-valued 'cosine_sim'-alike
+    // BEFORE graft: graft's register must replace it (operators depend
+    // on graft semantics), and later registers must not churn it
+    val name = "graft_reg_probe"
+    spark.udf.register(name, () => 42)
+    graft.functions.Registration.once(spark, name) { exprs =>
+      org.apache.spark.sql.catalyst.expressions.Literal(7)
+    }
+    assert(spark.sql(s"SELECT $name()").first().getInt(0) == 7,
+      "graft's builder must win over the pre-existing foreign function")
+    // a second once() is a no-op set lookup (same registered builder)
+    graft.functions.Registration.once(spark, name) { exprs =>
+      org.apache.spark.sql.catalyst.expressions.Literal(8)
+    }
+    assert(spark.sql(s"SELECT $name()").first().getInt(0) == 7,
+      "once() must not re-register an already-claimed name")
+  }
+
   test("dedup family on empty input returns empty, no exceptions") {
     assert(Dedup.exactDedup(emptyDocs).count() == 0)
     assert(Dedup.ngramJaccardPairs(emptyDocs).count() == 0)
