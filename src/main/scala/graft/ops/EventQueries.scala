@@ -87,8 +87,44 @@ object EventQueries {
         col("r_event_id").as("purchase_id"))
   }
 
+  /** Windowed top-k: the 2 most frequent event types per tumbling
+    * hour — the "trending items per window" report. Rank keys are
+    * (count desc, type asc): integer-exact ordering, so the window
+    * rank survives the cross-engine hash gate. One aggregation +
+    * one per-window window function; the rank's partition key is the
+    * window start, so parallelism = number of windows. */
+  def q69WindowTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("window_start")
+      .orderBy(col("n_events").desc, col("event_type").asc)
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 2)
+  }
+
+  /** Unique users + event volume per tumbling hour — the audience
+    * dashboard row. Exact countDistinct (batch analytics; a streaming
+    * variant would use approx_count_distinct, whose HLL sketch no
+    * cross-engine oracle can replay). */
+  def q70WindowUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n_users"), col("n_events"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_tumbling_window" -> (q50Tumbling _),
+    "q69_window_topk"     -> (q69WindowTopk _),
+    "q70_window_users"    -> (q70WindowUsers _),
     "q51_sliding_window"  -> (q51Sliding _),
     "q52_session_window"  -> (q52Sessions _),
     "q55_interval_join"   -> (q55IntervalJoin _),
@@ -121,6 +157,22 @@ object EventQueries {
         |  event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q69_window_topk" ->
+      """WITH c AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |    event_type, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT window_start, event_type, n_events, rank FROM (
+        |  SELECT c.*, row_number() OVER (PARTITION BY window_start
+        |    ORDER BY n_events DESC, event_type ASC) AS rank
+        |  FROM c) t
+        |WHERE rank <= 2""".stripMargin,
+
+    "q70_window_users" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
 
     // each event lands in two 1h/30m sliding windows: the one starting
     // at its truncated half-hour, and the previous half-hour
