@@ -53,12 +53,16 @@ object Bench {
             false
         }
         val sec = (System.nanoTime() - t0) / 1e9
-        // min over the passes where the query ran to completion; a
-        // query that failed every pass keeps its (failing) elapsed time
-        // so the map stays fully populated.
-        if (ok || !everOk.getOrElse(name, false))
+        // min over SUCCESSFUL passes only — the first success discards
+        // any earlier fast-failure timing (a 0.01s crash must not pose
+        // as the query's cost); a query that failed every pass keeps
+        // its failing elapsed time so the map stays fully populated.
+        val wasOk = everOk.getOrElse(name, false)
+        if (ok)
+          best(name) = if (wasOk) math.min(best(name), sec) else sec
+        else if (!wasOk)
           best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
-        everOk(name) = everOk.getOrElse(name, false) || ok
+        everOk(name) = wasOk || ok
       }
     }
     val qs = names.map { case (k, _) => "\"" + k + "\":" + best(k) }
