@@ -24,6 +24,30 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC scan — the other columnar format Spark ships natively; same
+    * pushdown/pruning properties as parquet. Write side: `writeFile`
+    * with format="orc". */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Raw text-line corpus ingest (one document per line — the common
+    * landing shape for web-scrape/training dumps): content-addressed
+    * doc ids via xxhash64 of the line. Unlike
+    * monotonically_increasing_id / zipWithIndex, the id is a pure
+    * function of the content — stable across partitionings, reruns,
+    * and cluster sizes (a 100 TB recipe must not renumber when the
+    * split layout changes), and exact-duplicate lines get EQUAL ids by
+    * construction, which the dedup operators treat as already-collapsed
+    * copies. `source` records the originating file for provenance. */
+  def textLines(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.text(path)
+      .select(
+        xxhash64(col("value")).as("doc_id"),
+        col("value").as("text"),
+        input_file_name().as("source"))
+  }
+
   /** S11: JDBC source. Predicates on the returned frame push down to
     * the database as WHERE clauses (JDBCRelation pushdown). For big
     * tables pass partitioning so the read parallelizes:

@@ -56,20 +56,40 @@ class SourcesSkewSpec extends AnyFunSuite {
     assert(df.schema == schema)
   }
 
-  test("file sink round-trips csv/json/parquet through one writer") {
+  test("file sink round-trips csv/json/parquet/orc through one writer") {
     val dir = tmpdir("graft_sink2")
     val df = Tables.region(spark, sf)
-    for (fmt <- Seq("csv", "json", "parquet")) {
+    for (fmt <- Seq("csv", "json", "parquet", "orc")) {
       Sources.writeFile(df, s"$dir/$fmt", fmt)
       val back = fmt match {
         case "csv" => spark.read.option("header", "true")
           .schema(df.schema).csv(s"$dir/$fmt")
         case "json" => spark.read.schema(df.schema).json(s"$dir/$fmt")
         case "parquet" => spark.read.parquet(s"$dir/$fmt")
+        case "orc" => Sources.orc(spark, s"$dir/$fmt")
       }
       assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet,
         s"$fmt round-trip mismatch")
     }
+  }
+
+  test("text-line corpus ingest: content-addressed ids, layout-independent") {
+    val dir = tmpdir("graft_textsrc")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "dump.txt"),
+      "alpha beta gamma\nsecond document here\nalpha beta gamma\n")
+    val docs = Sources.textLines(spark, s"$dir/dump.txt").cache()
+    assert(docs.count() == 3)
+    assert(docs.columns.toSeq == Seq("doc_id", "text", "source"))
+    // content-addressed: duplicate lines share an id, ids are a pure
+    // function of content (stable under repartition)
+    assert(docs.select("doc_id").distinct().count() == 2)
+    val again = Sources.textLines(spark, s"$dir/dump.txt").repartition(7)
+    assert(again.select("doc_id", "text").collect().map(_.toSeq).toSet ==
+      docs.select("doc_id", "text").collect().map(_.toSeq).toSet)
+    // provenance column carries the originating file
+    import spark.implicits._
+    assert(docs.select("source").as[String].collect().forall(_.endsWith("dump.txt")))
   }
 
   test("salted join returns exactly the rows of the plain join") {
