@@ -31,7 +31,11 @@ object CorpusMain {
     * an existing session and compare the report against the composed
     * operators. Stage counts are report-only actions; `deduped` is
     * persisted because three consumers read it (its own count, the
-    * sample, the write) and the LSH+CC chain is the expensive leg. */
+    * sample, the write) and the LSH+CC chain is the expensive leg.
+    *
+    * Input is parquet with (doc_id, text, source, ...) columns, or a
+    * raw text dump (`.txt` — one document per line) ingested through
+    * [[graft.sources.Sources.textLines]] with content-addressed ids. */
   def run(spark: SparkSession, docsParquet: String, outDir: String,
           sampleFraction: Double = 1.0,
           minTokens: Int = 20, maxTokens: Int = 100000,
@@ -39,7 +43,9 @@ object CorpusMain {
           langs: Seq[String] = Seq("en"),
           k: Int = 3, numHashes: Int = 16, bands: Int = 4,
           threshold: Double = 0.6, tokenBudget: Long = 5000L): Report = {
-    val docs = spark.read.parquet(docsParquet)
+    val docs = (if (docsParquet.endsWith(".txt"))
+        graft.sources.Sources.textLines(spark, docsParquet)
+      else spark.read.parquet(docsParquet))
       .repartition(spark.sparkContext.defaultParallelism)
     val nInput = docs.count()
 

@@ -256,9 +256,15 @@ object Dedup {
   def dedupCorpus(docs: DataFrame, k: Int = 3, numHashes: Int = 16,
                   bands: Int = 4, threshold: Double = 0.6,
                   starCC: Boolean = false): DataFrame = {
-    // exact pass: survivors = smallest doc_id per distinct text
+    // exact pass: survivors = smallest doc_id per distinct text. The
+    // semi-join recovers the survivor's full row — and dropDuplicates
+    // closes the one hole in that recovery: with CONTENT-ADDRESSED ids
+    // (Sources.textLines: doc_id = xxhash64(text)) an exact-duplicate
+    // pair shares one id, so the semi-join alone would re-admit both
+    // physical rows. For unique-id corpora it's a no-op.
     val exactSurvivors = docs.join(
       exactDedup(docs).select("doc_id"), Seq("doc_id"), "left_semi")
+      .dropDuplicates("doc_id")
     val pairs = minHashPairs(exactSurvivors, k, numHashes, bands, threshold)
       .select("d1", "d2")
     val comp = if (starCC) connectedComponentsStars(pairs)

@@ -43,6 +43,25 @@ class CorpusMainSpec extends AnyFunSuite {
     assert(rep.getAs[Long]("nDeduped") == report.nDeduped)
   }
 
+  test("CorpusMain ingests a raw .txt dump end-to-end (content-addressed ids)") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_txt_in")
+    // 30 English lines long enough to clear the clean recipe's token
+    // floor, with one exact duplicate that must collapse
+    val line = (1 to 25).map(i => s"the quick brown fox is a token$i of the corpus and").mkString(" ")
+    val lines = (1 to 29).map(i => s"doc $i says the a of to in and is " + line) :+
+      ("doc 1 says the a of to in and is " + line)
+    java.nio.file.Files.writeString(srcDir.resolve("dump.txt"), lines.mkString("\n"))
+    val outDir = java.nio.file.Files.createTempDirectory("graft_txt_out").toString
+    val report = CorpusMain.run(spark, s"$srcDir/dump.txt", outDir,
+      minQuality = 0.0, maxTopBigramRatio = 1.0, minTokens = 5, maxTokens = 100000)
+    // duplicate line shares its content-addressed id -> 29 distinct docs in
+    assert(report.nInput == 30)
+    assert(report.nDeduped <= 29, "the exact duplicate line must collapse")
+    assert(report.nDeduped > 0)
+    val out = spark.read.parquet(s"$outDir/corpus")
+    assert(out.count() == report.nSampled)
+  }
+
   test("CorpusMain sample fraction composes hashSample semantics") {
     val outDir = java.nio.file.Files.createTempDirectory("graft_corpus_s").toString
     val report = CorpusMain.run(spark, docsPath, outDir, sampleFraction = 0.5)
