@@ -40,6 +40,7 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val best = scala.collection.mutable.Map.empty[String, Double]
     val everOk = scala.collection.mutable.Map.empty[String, Boolean]
+    val nFail = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
     for (_ <- 1 to passes) {
       ops.Memo.clear(spark)
       names.foreach { case (name, fn) =>
@@ -60,21 +61,35 @@ object Bench {
         val wasOk = everOk.getOrElse(name, false)
         if (ok)
           best(name) = if (wasOk) math.min(best(name), sec) else sec
-        else if (!wasOk)
-          best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
+        else {
+          nFail(name) += 1
+          if (!wasOk)
+            best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
+        }
         everOk(name) = wasOk || ok
       }
     }
-    val qs = names.map { case (k, _) => "\"" + k + "\":" + best(k) }
+    // 3-decimal timings: ms precision is below the noise floor of a
+    // wall-clock bench, and the compact form keeps the whole line
+    // inside the driver's bounded stdout-tail capture — full-precision
+    // floats pushed the line past the buffer and the driver's `parsed`
+    // field came back null (r1–r4) even though the line was valid JSON.
+    def f(d: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    val qs = names.map { case (k, _) => "\"" + k + "\":" + f(best(k)) }
       .mkString("{", ",", "}")
     val failed = names.collect { case (k, _) if !everOk(k) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    // A query that failed SOME passes but succeeded at least once has a
+    // valid min but is hiding instability — surface it as flaky with
+    // its failed-pass count instead of leaving it stderr-only.
+    val flaky = names.collect { case (k, _) if everOk(k) && nFail(k) > 0 =>
+      "\"" + k + "\":" + nFail(k) }.mkString("{", ",", "}")
     val total = names.map { case (k, _) => best(k) }.sum
     // ONE bare JSON line on stdout (the driver contract). build.sbt
     // sets `run / outputStrategy := StdoutOutput` so the forked run's
     // stdout passes through verbatim — without it, sbt's logger would
     // prefix the line with "[info] " and break json-parsing consumers.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"passes":$passes,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flaky,"passes":$passes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

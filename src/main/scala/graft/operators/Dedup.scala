@@ -257,14 +257,23 @@ object Dedup {
                   bands: Int = 4, threshold: Double = 0.6,
                   starCC: Boolean = false): DataFrame = {
     // exact pass: survivors = smallest doc_id per distinct text. The
-    // semi-join recovers the survivor's full row — and dropDuplicates
-    // closes the one hole in that recovery: with CONTENT-ADDRESSED ids
-    // (Sources.textLines: doc_id = xxhash64(text)) an exact-duplicate
-    // pair shares one id, so the semi-join alone would re-admit both
-    // physical rows. For unique-id corpora it's a no-op.
+    // semi-join recovers the survivor's full row — and the per-id
+    // collapse closes the one hole in that recovery: with
+    // CONTENT-ADDRESSED ids (Sources.textLines: doc_id = xxhash64(text))
+    // an exact-duplicate pair shares one id, so the semi-join alone
+    // would re-admit both physical rows. For unique-id corpora it's a
+    // no-op. The representative is the struct-MIN over the remaining
+    // columns, not dropDuplicates — dropDuplicates keeps whichever row
+    // a partition delivers first, so two ingests of the same line from
+    // different files would nondeterministically flip e.g. `source`
+    // between runs. (Requires orderable column types — no maps; true of
+    // every corpus schema here.)
+    val others = docs.columns.filterNot(_ == "doc_id")
     val exactSurvivors = docs.join(
       exactDedup(docs).select("doc_id"), Seq("doc_id"), "left_semi")
-      .dropDuplicates("doc_id")
+      .groupBy("doc_id")
+      .agg(min(struct(others.map(col): _*)).as("_rep"))
+      .select(col("doc_id") +: others.map(c => col("_rep")(c).as(c)): _*)
     val pairs = minHashPairs(exactSurvivors, k, numHashes, bands, threshold)
       .select("d1", "d2")
     val comp = if (starCC) connectedComponentsStars(pairs)

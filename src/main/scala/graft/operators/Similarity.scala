@@ -129,8 +129,9 @@ object Similarity {
     * training vectors to their nearest centroid, replace each centroid
     * with the per-dimension MEAN of its members — the k-means step
     * that moves list centers toward the data's density, which is what
-    * lifts recall at a fixed probed share (measured via RecallProbe:
-    * 0.46 -> 0.63 recall@10 at nprobe/nlist = 1/8 on the fixture).
+    * lifts recall at a fixed probed share (measured via RecallProbe on
+    * the pinned dials nlist=64/nprobe=8, lloyd=2: 0.46 -> 0.57
+    * recall@10 at a 1/8 probed share — the sweep row q58 is pinned to).
     *
     * Determinism at any partitioning: the mean accumulates in exact
     * DECIMAL (FP addition is not associative across partitions, and a

@@ -14,16 +14,27 @@ import org.apache.spark.sql.functions._
   * hash next to them, a spec asserts it still matches, and RecallProbe
   * prints the current hash + re-pin SQL when it changes.
   *
-  * The hash is an order-independent bit_xor of xxhash64 over every
-  * column of `documents` and `embeddings` — one cheap scan per table,
-  * no collect of data.
+  * The hash is an order-independent wraparound SUM (mod 2^64) of
+  * xxhash64 over every column of `documents` and `embeddings` — one
+  * cheap scan per table, no collect of data. SUM rather than bit_xor:
+  * xor is blind to even-multiplicity changes (the same row added twice
+  * cancels itself out), while a sum moves by n·rowhash for any n ≠ 0.
+  * The sum accumulates in decimal(38,0) — Spark's bigint SUM would
+  * throw on overflow under ANSI — and wraps to a signed long on the
+  * driver.
   */
 object FixtureId {
 
+  private val Two64 = BigInt(1) << 64
+
   def contentHash(spark: SparkSession, dir: String): Long = {
-    def h(df: DataFrame): Long = df
-      .agg(coalesce(expr("bit_xor(xxhash64(struct(*)))"), lit(0L)))
-      .first().getLong(0)
-    h(graft.Tables.documents(spark, dir)) ^ h(graft.Tables.embeddings(spark, dir))
+    def h(df: DataFrame): BigInt = BigInt(df
+      .agg(coalesce(
+        sum(expr("cast(xxhash64(struct(*)) as decimal(38,0))")),
+        lit(java.math.BigDecimal.ZERO)))
+      .first().getDecimal(0).toBigInteger)
+    val s = (h(graft.Tables.documents(spark, dir))
+           + h(graft.Tables.embeddings(spark, dir))).mod(Two64)
+    (if (s >= Two64 / 2) s - Two64 else s).toLong
   }
 }

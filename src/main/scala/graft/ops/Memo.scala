@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
@@ -12,9 +13,18 @@ import org.apache.spark.storage.StorageLevel
   *
   * Entries persist at MEMORY_AND_DISK — recomputable on executor
   * loss (unlike a localCheckpoint), spilling instead of OOMing — and
-  * are keyed per SparkSession (weakly, so a stopped session's entries
-  * are collectable) and per caller-supplied key, which must encode
-  * every input that changes the result (dir + all dials).
+  * are keyed per session UUID and per caller-supplied key, which must
+  * encode every input that changes the result (dir + all dials).
+  *
+  * Lifecycle: keying by `sessionUUID` (a plain String) rather than the
+  * SparkSession object avoids the weak-map trap where the cached
+  * DataFrames transitively pin their own session and nothing is ever
+  * collected. Cleanup is explicit instead: the first memo insert for a
+  * session registers an application-end listener that drops every
+  * entry of every session when the backing SparkContext stops (a
+  * stopped context's persisted blocks are gone anyway — the map entry
+  * is the only thing left to free), and [[clear]] handles the
+  * intra-lifetime case (benchmark passes).
   *
   * Benchmarks that time repeated passes must call [[clear]] between
   * passes: a memo hit costs ~nothing, and a min-of-N over passes
@@ -23,21 +33,37 @@ import org.apache.spark.storage.StorageLevel
 object Memo {
 
   private val perSession =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+    scala.collection.mutable.Map.empty[String, scala.collection.mutable.Map[String, DataFrame]]
+
+  /** A session key that does NOT strongly reference the session
+    * (SparkSession.sessionUUID is private[sql]; identity hash is
+    * unique per live object, and a stale entry after a collision-free
+    * GC is bounded by the app-end sweep below). */
+  private def sid(spark: SparkSession): String =
+    "idhash:" + System.identityHashCode(spark).toHexString
 
   /** The memoized frame for `key`, building + persisting it on first
     * use in this session. `build` runs at most once per (session, key)
     * and must be deterministic for the key. */
   def of(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
     synchronized {
-      val m = perSession.computeIfAbsent(
-        spark, _ => scala.collection.mutable.Map.empty[String, DataFrame])
-      m.getOrElseUpdate(key, build.persist(StorageLevel.MEMORY_AND_DISK))
+      val id = sid(spark)
+      if (!perSession.contains(id)) {
+        perSession(id) = scala.collection.mutable.Map.empty[String, DataFrame]
+        spark.sparkContext.addSparkListener(new SparkListener {
+          override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit =
+            Memo.dropAll()
+        })
+      }
+      perSession(id).getOrElseUpdate(key, build.persist(StorageLevel.MEMORY_AND_DISK))
     }
 
   /** Unpersist and forget every entry of this session. */
   def clear(spark: SparkSession): Unit = synchronized {
-    Option(perSession.remove(spark))
+    perSession.remove(sid(spark))
       .foreach(_.values.foreach(_.unpersist(blocking = false)))
   }
+
+  /** Context is gone: blocks are already freed, just drop the refs. */
+  private def dropAll(): Unit = synchronized { perSession.clear() }
 }

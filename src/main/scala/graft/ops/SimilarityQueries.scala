@@ -128,7 +128,7 @@ object SimilarityQueries {
     * were measured on. Printed by `graft.RecallProbe`; asserted by
     * SimilaritySpec so a regenerated fixture fails loudly instead of
     * letting five oracles test stale constants. */
-  val PinnedFixtureHash: Long = 0x7964ee22a6499f63L
+  val PinnedFixtureHash: Long = 0x9e054ff911db4ea1L
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_topk" -> (q40CosineTopK _),
