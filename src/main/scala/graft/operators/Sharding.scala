@@ -31,6 +31,50 @@ object Sharding {
       .withColumn("shard_id", expr(s"(cum_tokens - 1) div $tokenBudget"))
   }
 
+  /** Sequence packing for pretraining: concatenate each stream's
+    * documents (by `orderCol`, within `partitionCol`) into one virtual
+    * token tape and cut it every `seqLen` tokens — the classic
+    * concat-and-chunk packer that feeds fixed-context trainers with
+    * zero padding waste. Output is one row per (document, sequence)
+    * FRAGMENT: a doc shorter than the remaining capacity lands whole;
+    * a doc spanning a cut point is split across consecutive sequences
+    * (`frag_start`/`frag_len` are token offsets within the doc,
+    * `seq_offset` is the fragment's position inside its sequence).
+    *
+    * All outputs are integer arithmetic over an exclusive running sum,
+    * so the packing is a pure function of (stream, order) — stable
+    * across partitionings and engines, per the repo's determinism
+    * rules for data recipes.
+    *
+    * Scale: the running sum windows per `partitionCol` stream, the
+    * natural parallel unit (same shape as [[tokenBudgetShards]]); the
+    * fragment explode emits ≤ 1 + n_tokens/seqLen rows per doc. No
+    * global window, no shuffle beyond the per-stream sort. */
+  def packSequences(docs: DataFrame, seqLen: Long,
+                    partitionCol: String = "source",
+                    orderCol: String = "doc_id"): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    val w = Window.partitionBy(partitionCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("start_tok",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("n_tokens") > 0)
+      // sequences this doc overlaps: floor(start/L) .. floor(last/L)
+      .withColumn("seq_id", explode(sequence(
+        expr(s"start_tok div $seqLen"),
+        expr(s"(start_tok + n_tokens - 1) div $seqLen"))))
+      .withColumn("cut_lo", greatest(col("seq_id") * seqLen, col("start_tok")))
+      .withColumn("cut_hi",
+        least((col("seq_id") + lit(1L)) * seqLen, col("start_tok") + col("n_tokens")))
+      .select(
+        col(partitionCol), col(orderCol), col("seq_id"),
+        (col("cut_lo") - col("start_tok")).as("frag_start"),
+        (col("cut_hi") - col("cut_lo")).as("frag_len"),
+        pmod(col("cut_lo"), lit(seqLen)).as("seq_offset"))
+  }
+
   /** Per-stratum sampling fractions (data mixing): deterministic under
     * a fixed seed. Sampling is engine-internal randomness — pin with
     * property tests (fraction tolerance), not cross-engine oracles. */

@@ -236,6 +236,63 @@ object TextAnalysis {
       .select("doc_id", "term", "tf", "df", "rank")
   }
 
+  /** BM25 keyword retrieval: rank documents against a bag of query
+    * terms by Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) —
+    * the standard sparse-retrieval scorer (and the keyword leg a hybrid
+    * RAG stack runs beside vector search).
+    *
+    * `logIdf = true` gives the canonical Robertson/Lucene idf
+    * ln(1 + (N − df + 0.5)/(df + 0.5)); the default keeps the raw
+    * rational idf (N − df + 0.5)/(df + 0.5) — same monotone per-term
+    * ordering, but built from integer-input IEEE divisions only, so a
+    * cross-engine oracle can replay it bit-identically (ln's last ulp
+    * differs between libm implementations — the q66 rationale). For
+    * oracle parity the formula is also associated literally: tf·(k1+1)
+    * is computed as tf·k1 + tf (1.2 + 1 rounds UNPREDICTABLY vs the
+    * literal 2.2 — an exact tie in round-to-nearest), and the per-doc
+    * score sums per-QUERY-TERM partial aggregates in fixed list order,
+    * never in row-arrival order (FP addition does not associate).
+    *
+    * Scale shape: tf is one map-side-combinable count keyed
+    * (doc, term) after an `isin` pushdown on the query terms; df and
+    * the (N, avgdl) scalars are broadcast dimensions; the doc-length
+    * join is keyed by doc_id; top-k goes through orderBy+limit
+    * (TakeOrderedAndProject — per-partition heaps, no global sort). */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75,
+               logIdf: Boolean = false, text: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), explode(words(col(text))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    val dl = docs.select(col("doc_id"),
+      size(words(col(text))).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val idfRaw = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val idf = if (logIdf) log(lit(1.0) + idfRaw) else idfRaw
+    val sat = (col("tf") * lit(k1) + col("tf")) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    val perTerm = tf
+      .join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("s", idf * sat)
+    val termCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("s"))).as(s"_s$i") }
+    val scored = perTerm.groupBy("doc_id")
+      .agg(termCols.head, termCols.tail: _*)
+      .withColumn("score", queryTerms.indices
+        .map(i => coalesce(col(s"_s$i"), lit(0.0)))
+        .reduceLeft(_ + _))
+    scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .select("doc_id", "rank")
+  }
+
   /** PII-style redaction: emails and long digit runs replaced with
     * fixed tags, plus a per-row redaction count — the scrub pass every
     * training corpus runs before anything else sees the text. Patterns

@@ -382,6 +382,34 @@ object Relational {
       .select($"c_custkey", $"c_name", $"c_nationkey", $"o_orderkey", $"o_totalprice")
   }
 
+  /** Sketch-based approximate statistics with exact-side verification —
+    * the 100 TB shapes: HyperLogLog++ distinct counts
+    * (`approx_count_distinct` — mergeable, fixed memory, one pass, vs
+    * the exact distinct's full shuffle of the key space) and quantile
+    * sketches (`approx_percentile`). Sketch ESTIMATES are
+    * implementation-specific (and the quantile sketch's partition-merge
+    * order makes its estimate run-varying), so they stay OUT of the
+    * oracle hash; what the gate checks is the exact values plus
+    * integer FLAGS asserting each estimate landed inside its published
+    * error bound (HLL rsd 0.02 → 3σ = 6%; percentile accuracy 10⁴ →
+    * rank error ≤ n/10⁴, ≪ 1 quantity unit here) — the property a user
+    * of the sketch actually relies on. */
+  def q73SketchBounds(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val users = Tables.events(spark, dir).agg(
+      countDistinct($"user_id").as("n_users_exact"),
+      approx_count_distinct($"user_id", 0.02).as("hll"))
+    val qty = Tables.lineitem(spark, dir).agg(
+      expr("percentile(l_quantity, 0.5)").as("p50_exact"),
+      expr("approx_percentile(l_quantity, 0.5, 10000)").as("p50_apx"))
+    users.crossJoin(qty).select(
+      $"n_users_exact",
+      (abs($"hll" - $"n_users_exact").cast("double") <=
+        $"n_users_exact" * lit(0.06)).cast("long").as("hll_within_bound"),
+      $"p50_exact",
+      (abs($"p50_apx" - $"p50_exact") <= lit(1.0)).cast("long").as("p50_within_bound"))
+  }
+
   /** GROUPING SETS with an explicit, non-hierarchical set list —
     * the general form rollup/cube specialize (one aggregation pass,
     * Expand under the hood; the grouping id disambiguates null-vs-
@@ -475,7 +503,8 @@ object Relational {
     "q26_date_arith"      -> (q26DateArith _),
     "q27_window_suite"    -> (q27WindowSuite _),
     "q28_grouping_sets"   -> (q28GroupingSets _),
-    "q29_full_outer"      -> (q29FullOuter _)
+    "q29_full_outer"      -> (q29FullOuter _),
+    "q73_sketch_bounds"   -> (q73SketchBounds _)
   )
 
   // ---------------------------------------------------------------- oracles
@@ -656,6 +685,17 @@ object Relational {
         |FULL OUTER JOIN (SELECT o_custkey, o_orderkey, o_totalprice
         |                 FROM orders WHERE o_totalprice > 250000.0) o
         |  ON c_custkey = o_custkey""".stripMargin,
+
+    // the sketch estimates are engine-internal; the gate checks the
+    // exact values + in-bound flags (TRUE on the oracle side: the
+    // bound is the sketch's published guarantee, so a flag of 0 is a
+    // real failure, not a parity artifact)
+    "q73_sketch_bounds" ->
+      """SELECT
+        |  (SELECT count(DISTINCT user_id) FROM events) AS n_users_exact,
+        |  CAST(1 AS BIGINT) AS hll_within_bound,
+        |  (SELECT quantile_cont(l_quantity, 0.5) FROM lineitem) AS p50_exact,
+        |  CAST(1 AS BIGINT) AS p50_within_bound""".stripMargin,
 
     "q28_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,

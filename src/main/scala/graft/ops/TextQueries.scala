@@ -213,6 +213,17 @@ object TextQueries {
       minTokens = 20, maxTokens = 95, minQuality = 0.55,
       maxTopBigramRatio = 0.12, langs = Seq("en"))
 
+  /** Sequence packing: concat each source stream's docs and cut every
+    * 64 tokens — fragments with in-doc and in-sequence offsets. */
+  def q71PackSequences(spark: SparkSession, dir: String): DataFrame =
+    Sharding.packSequences(Tables.documents(spark, dir), seqLen = 64)
+
+  /** BM25 top-10 for a fixed keyword query (log-free rational idf —
+    * see [[TextAnalysis.bm25TopK]] for the oracle-parity rationale). */
+  val bm25Terms: Seq[String] = Seq("spark", "join", "window")
+  def q72Bm25(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25TopK(Tables.documents(spark, dir), bm25Terms, k = 10)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_text_tokens"   -> (q30TextTokens _),
     "q31_text_quality"  -> (q31TextQuality _),
@@ -237,7 +248,9 @@ object TextQueries {
     "q63_clean_corpus"  -> (q63CleanCorpus _),
     "q66_top_terms"     -> (q66TopTerms _),
     "q67_dup_chunks"    -> (q67DupChunks _),
-    "q68_corpus_stats"  -> (q68CorpusStats _)
+    "q68_corpus_stats"  -> (q68CorpusStats _),
+    "q71_pack_sequences" -> (q71PackSequences _),
+    "q72_bm25_topk"     -> (q72Bm25 _)
   )
 
   private val BPEISH = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
@@ -552,6 +565,55 @@ object TextQueries {
         |        JOIN nd ON common.d_id = nd.doc_id
         |        WHERE CAST(cm AS DOUBLE) / (nc.ns + nd.ns - cm) >= 0.6)
         |SELECT doc_id, source FROM en
-        |WHERE doc_id NOT IN (SELECT d_id FROM dup)""".stripMargin
+        |WHERE doc_id NOT IN (SELECT d_id FROM dup)""".stripMargin,
+
+    // concat-and-chunk packing: pure integer arithmetic over an
+    // exclusive per-source running sum — engine-order-free
+    "q71_pack_sequences" ->
+      """WITH d AS (SELECT source, doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |           FROM documents),
+        |s AS (SELECT source, doc_id, n,
+        |        CAST(coalesce(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+        |      FROM d),
+        |f AS (SELECT source, doc_id, n, st,
+        |        unnest(range(st // 64, (st + n - 1) // 64 + 1)) AS seq_id
+        |      FROM s WHERE n > 0)
+        |SELECT source, doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+        |  CAST(greatest(seq_id * 64, st) - st AS BIGINT) AS frag_start,
+        |  CAST(least((seq_id + 1) * 64, st + n) - greatest(seq_id * 64, st) AS BIGINT) AS frag_len,
+        |  CAST(greatest(seq_id * 64, st) % 64 AS BIGINT) AS seq_offset
+        |FROM f""".stripMargin,
+
+    // BM25 with the log-free rational idf and the SAME literal
+    // association as the Spark side (tf*1.2 + tf, fixed per-term sum
+    // order) — every FP op is an integer-input IEEE op both engines
+    // perform identically; only integer ranks reach the hash
+    "q72_bm25_topk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM d),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |t AS (SELECT doc_id, unnest(w) AS term FROM d),
+        |qt AS (SELECT doc_id, term FROM t
+        |       WHERE term IN ('spark', 'join', 'window')),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM qt GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM qt GROUP BY 1),
+        |s AS (SELECT tf.doc_id, tf.term,
+        |        ((n_docs - df + 0.5) / (df + 0.5)) *
+        |        ((tf * 1.2 + tf) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS sc
+        |      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+        |agg AS (SELECT doc_id,
+        |          coalesce(sum(sc) FILTER (WHERE term = 'spark'), 0.0)
+        |          + coalesce(sum(sc) FILTER (WHERE term = 'join'), 0.0)
+        |          + coalesce(sum(sc) FILTER (WHERE term = 'window'), 0.0) AS score
+        |        FROM s GROUP BY doc_id)
+        |SELECT doc_id, rank FROM (
+        |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM agg) x
+        |WHERE rank <= 10""".stripMargin
   )
 }

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Sharding, TextAnalysis}
+
+/** Planted-semantics specs for the retrieval/packing additions:
+  * BM25 ranking, concat-and-chunk sequence packing, and the
+  * sketch-bound guarantees q73 asserts through the oracle gate.
+  */
+class TextRetrievalSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------- bm25
+
+  private val plantedDocs = Seq(
+    (1L, "spark spark spark alpha beta"),   // tf=3, short
+    (2L, "spark gamma delta epsilon zeta"), // tf=1, same length
+    (3L, "alpha beta gamma delta epsilon"), // no query term
+    (4L, "spark spark eta theta iota kappa lambda mu nu xi")) // tf=2, longer
+    .toDF("doc_id", "text")
+
+  test("bm25: higher tf wins at equal length; termless docs don't appear") {
+    val ranked = TextAnalysis.bm25TopK(plantedDocs, Seq("spark"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ranked.size == 3, "doc 3 has no query term and must be absent")
+    assert(!ranked.contains(3L))
+    assert(ranked(1L) < ranked(2L), "tf=3 must outrank tf=1 at equal dl")
+    // doc 4 has tf=2 but is twice as long — length normalization (b)
+    // must place it below the short tf=3 doc
+    assert(ranked(1L) < ranked(4L))
+  }
+
+  test("bm25: canonical log-idf variant preserves the planted ordering") {
+    val raw = TextAnalysis.bm25TopK(plantedDocs, Seq("spark"), k = 10)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    val ln = TextAnalysis.bm25TopK(plantedDocs, Seq("spark"), k = 10, logIdf = true)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    assert(raw == ln, "single-term ranking is idf-monotone: variants must agree")
+  }
+
+  test("bm25: multi-term query sums evidence across terms") {
+    val docs = Seq(
+      (1L, "spark join alpha beta gamma"),  // both terms once
+      (2L, "spark alpha beta gamma delta"), // one term once
+      (3L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val ranked = TextAnalysis.bm25TopK(docs, Seq("spark", "join"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ranked(1L) < ranked(2L), "two matched terms must outrank one")
+    assert(!ranked.contains(3L))
+  }
+
+  // ------------------------------------------- sequence packing (q71)
+
+  private def packed(seqLen: Long) =
+    Sharding.packSequences(
+      Tables.documents(spark, SparkTestSession.sf), seqLen = seqLen)
+
+  test("packSequences is lossless: per-doc fragment lengths sum to the doc's tokens") {
+    val docs = Tables.documents(spark, SparkTestSession.sf)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+    val bad = packed(64)
+      .groupBy("doc_id").agg(sum("frag_len").as("packed"))
+      .join(docs, Seq("doc_id"), "full_outer")
+      .filter($"packed".isNull || $"n".isNull || $"packed" =!= $"n")
+    assert(bad.count() == 0)
+  }
+
+  test("packSequences tiles: every sequence but the stream's last is exactly full") {
+    val perSeq = packed(64)
+      .groupBy("source", "seq_id")
+      .agg(sum("frag_len").as("fill"), min("seq_offset").as("off0"))
+    val lastSeq = perSeq.groupBy("source").agg(max("seq_id").as("last_id"))
+    val nonLast = perSeq.join(lastSeq, Seq("source"))
+      .filter($"seq_id" =!= $"last_id")
+    assert(nonLast.filter($"fill" =!= 64L || $"off0" =!= 0L).count() == 0,
+      "a non-final sequence with fill != seqLen means the tape has gaps")
+  }
+
+  test("packSequences is partitioning-invariant (a pure function of stream order)") {
+    val docs = Tables.documents(spark, SparkTestSession.sf)
+    val a = Sharding.packSequences(docs, 64).collect().map(_.toSeq).toSet
+    val b = Sharding.packSequences(docs.repartition(7), 64)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("packSequences splits an over-long doc across consecutive sequences") {
+    val one = Seq(("s", 1L, Seq.fill(150)("w").mkString(" ")))
+      .toDF("source", "doc_id", "text")
+    val frags = Sharding.packSequences(one, 64)
+      .orderBy("seq_id")
+      .select("seq_id", "frag_start", "frag_len", "seq_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(frags.toSeq == Seq((0L, 0L, 64L, 0L), (1L, 64L, 64L, 0L), (2L, 128L, 22L, 0L)))
+  }
+
+  // ------------------------------------------------ sketch bounds (q73)
+
+  test("sketch bounds hold: HLL within 3-sigma, approx percentile within a unit") {
+    val row = ops.Relational.q73SketchBounds(spark, SparkTestSession.sf).first()
+    assert(row.getAs[Long]("hll_within_bound") == 1L)
+    assert(row.getAs[Long]("p50_within_bound") == 1L)
+  }
+
+  test("approx_count_distinct stays in bound on an adversarial skewed set") {
+    // one hot key + a long unique tail — the cardinality shape HLL
+    // sees in event streams
+    val df = spark.range(100000)
+      .select(when($"id" % 2 === 0, 0L).otherwise($"id").as("k"))
+    val r = df.agg(
+      countDistinct($"k").as("exact"),
+      approx_count_distinct($"k", 0.02).as("apx")).first()
+    val (exact, apx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(apx - exact).toDouble <= 0.06 * exact,
+      s"HLL estimate $apx vs exact $exact breaches the 3-sigma bound")
+  }
+}
