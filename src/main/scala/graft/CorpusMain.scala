@@ -12,7 +12,7 @@ import graft.operators.{Dedup, Sharding, TextAnalysis}
   * end-to-end from one entry point: parquet in, cleaned sharded corpus
   * + a stage-count report out.
   *
-  * Usage: CorpusMain <docsParquet> <outDir> [sampleFraction]
+  * Usage: CorpusMain <docsParquet> <outDir> [sampleFraction] [seqLen]
   *
   * Every stage is the scale-shaped variant (see the operator docs):
   * the clean filters are per-row codegen'd expressions, exact dedup is
@@ -25,7 +25,8 @@ import graft.operators.{Dedup, Sharding, TextAnalysis}
 object CorpusMain {
 
   case class Report(nInput: Long, nCleaned: Long, nDeduped: Long,
-                    nSampled: Long, nShards: Long, totalTokens: Long)
+                    nSampled: Long, nShards: Long, totalTokens: Long,
+                    nSequences: Long = 0L, nFragments: Long = 0L)
 
   /** The pipeline body, separated from `main` so a spec can run it on
     * an existing session and compare the report against the composed
@@ -42,7 +43,8 @@ object CorpusMain {
           minQuality: Double = 0.5, maxTopBigramRatio: Double = 0.2,
           langs: Seq[String] = Seq("en"),
           k: Int = 3, numHashes: Int = 16, bands: Int = 4,
-          threshold: Double = 0.6, tokenBudget: Long = 5000L): Report = {
+          threshold: Double = 0.6, tokenBudget: Long = 5000L,
+          seqLen: Option[Long] = None): Report = {
     val docs = (if (docsParquet.endsWith(".txt"))
         graft.sources.Sources.textLines(spark, docsParquet)
       else spark.read.parquet(docsParquet))
@@ -88,10 +90,33 @@ object CorpusMain {
     val r = out.agg(
       org.apache.spark.sql.functions.countDistinct("shard_id"),
       org.apache.spark.sql.functions.sum("n_tokens")).first()
-    val report = Report(nInput, nCleaned, nDeduped, nSampled,
-      r.getLong(0), r.getLong(1))
-    println(s"[shard] ${report.nShards} shards, ${report.totalTokens} tokens " +
+    println(s"[shard] ${r.getLong(0)} shards, ${r.getLong(1)} tokens " +
       s"-> $outDir/corpus")
+
+    // Phase 5 (optional) — sequence packing: cut each source stream's
+    // token tape every seqLen tokens for fixed-context trainers. The
+    // fragment table is written beside the shard output (same corpus,
+    // two consumption shapes: whole shards for tokenizer workers,
+    // packed sequences for the trainer).
+    val (nSeqs, nFrags) = seqLen match {
+      case Some(l) =>
+        Sharding.packSequences(sampled, l)
+          .write.mode("overwrite").parquet(s"$outDir/sequences")
+        val p = spark.read.parquet(s"$outDir/sequences")
+        val s = p.agg(
+          org.apache.spark.sql.functions.count_distinct(
+            org.apache.spark.sql.functions.col("source"),
+            org.apache.spark.sql.functions.col("seq_id")),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1))).first()
+        println(s"[pack] ${s.getLong(0)} sequences of $l tokens " +
+          s"(${s.getLong(1)} doc fragments) -> $outDir/sequences")
+        (s.getLong(0), s.getLong(1))
+      case None => (0L, 0L)
+    }
+
+    val report = Report(nInput, nCleaned, nDeduped, nSampled,
+      r.getLong(0), r.getLong(1), nSeqs, nFrags)
 
     import spark.implicits._
     Seq(report).toDS().write.mode("overwrite").parquet(s"$outDir/report")
@@ -100,17 +125,20 @@ object CorpusMain {
     report
   }
 
+  /** Usage: CorpusMain [docsParquet] [outDir] [sampleFraction] [seqLen] */
   def main(args: Array[String]): Unit = {
     val input = args.lift(0).getOrElse("/root/testdata/sf0.001/documents.parquet")
     val outDir = args.lift(1).getOrElse("/tmp/corpus_out")
     val fraction = args.lift(2).map(_.toDouble).getOrElse(1.0)
+    val seqLen = args.lift(3).map(_.toLong)
     val spark = GraftSession.create(appName = "graft-corpus",
       master = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
     spark.sparkContext.setLogLevel("WARN")
-    val report = run(spark, input, outDir, fraction)
+    val report = run(spark, input, outDir, fraction, seqLen = seqLen)
     println(s"""{"n_input":${report.nInput},"n_cleaned":${report.nCleaned},""" +
       s""""n_deduped":${report.nDeduped},"n_sampled":${report.nSampled},""" +
-      s""""n_shards":${report.nShards},"total_tokens":${report.totalTokens}}""")
+      s""""n_shards":${report.nShards},"total_tokens":${report.totalTokens},""" +
+      s""""n_sequences":${report.nSequences},"n_fragments":${report.nFragments}}""")
     spark.stop()
   }
 }

@@ -62,6 +62,25 @@ class CorpusMainSpec extends AnyFunSuite {
     assert(out.count() == report.nSampled)
   }
 
+  test("CorpusMain packing stage writes lossless sequences of the sampled corpus") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_corpus_p").toString
+    val report = CorpusMain.run(spark, docsPath, outDir, seqLen = Some(64L))
+    val seqs = spark.read.parquet(s"$outDir/sequences")
+    assert(report.nFragments == seqs.count())
+    assert(report.nSequences ==
+      seqs.select("source", "seq_id").distinct().count())
+    // lossless vs the written corpus: fragment tokens == corpus tokens
+    val corpusTokens = spark.read.parquet(s"$outDir/corpus")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens")).first().getLong(0)
+    val fragTokens = seqs
+      .agg(org.apache.spark.sql.functions.sum("frag_len")).first().getLong(0)
+    assert(fragTokens == corpusTokens)
+    // report round-trips the packing counts
+    val rep = spark.read.parquet(s"$outDir/report").first()
+    assert(rep.getAs[Long]("nSequences") == report.nSequences)
+    assert(rep.getAs[Long]("nFragments") == report.nFragments)
+  }
+
   test("CorpusMain sample fraction composes hashSample semantics") {
     val outDir = java.nio.file.Files.createTempDirectory("graft_corpus_s").toString
     val report = CorpusMain.run(spark, docsPath, outDir, sampleFraction = 0.5)
