@@ -191,7 +191,7 @@ object Similarity {
       .withColumn("h", xxhash64(col("cid"), lit(seed)))
       .orderBy("h").limit(nlist)
       .select("cid", "cvec")
-    val cents =
+    val centsPlan =
       if (lloydIters <= 0) seeds
       else {
         // bounded deterministic training sample: smallest seeded
@@ -204,6 +204,17 @@ object Similarity {
           .select("vid", "cv")
         refineCentroids(train, seeds, lloydIters)
       }
+    // Materialize the centroid table ONCE (nlist rows — trivial to
+    // cache, expensive to rebuild): it feeds two broadcasts (corpus
+    // assignment + query probing) and AQE's exchange reuse does not
+    // reliably dedupe them, so an unpersisted plan re-runs the whole
+    // multi-stage Lloyd chain per consumer (measured ~2× q43 wall
+    // time). Routed through Memo so benchmark passes and session end
+    // reclaim it; the key carries every input that shapes the result.
+    val cents = graft.ops.Memo.of(corpus.sparkSession,
+      s"ivf_cents:$nlist:$lloydIters:$seed:${System.identityHashCode(corpus)}") {
+      centsPlan
+    }
     // corpus → nearest centroid list
     val assigned = assignToCentroids(
       corpus.select(col(idCol).as("vid"), col(vecCol).as("cv")), cents)
