@@ -49,30 +49,52 @@ object Sharding {
     * Scale: the running sum windows per `partitionCol` stream, the
     * natural parallel unit (same shape as [[tokenBudgetShards]]); the
     * fragment explode emits ≤ 1 + n_tokens/seqLen rows per doc. No
-    * global window, no shuffle beyond the per-stream sort. */
+    * global window, no shuffle beyond the per-stream sort.
+    *
+    * When one stream dominates the corpus (a single crawl source can
+    * be most of 100 TB), a per-stream window is one task — set
+    * `substreamDocs = Some(S)` to cut each stream into blocks of S
+    * consecutive `orderCol` ids, each packed as its own tape (the tape
+    * flushes at block boundaries: the last sequence of each block is
+    * allowed to run short, exactly like the stream's natural end).
+    * Block membership is `orderCol div S` — deterministic, no extra
+    * scan — so the parallel unit is bounded at ≤ S docs regardless of
+    * stream skew. */
   def packSequences(docs: DataFrame, seqLen: Long,
                     partitionCol: String = "source",
-                    orderCol: String = "doc_id"): DataFrame = {
+                    orderCol: String = "doc_id",
+                    substreamDocs: Option[Long] = None): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")
-    val w = Window.partitionBy(partitionCol).orderBy(orderCol)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs
+    require(substreamDocs.forall(_ > 0), "substreamDocs must be positive")
+    // a constant substream (None) keeps the whole stream as one tape;
+    // the constant key changes nothing about the window's groups
+    val sub = substreamDocs
+      .map(s => expr(s"$orderCol div $s")).getOrElse(lit(0L))
+    val w = Window.partitionBy(col(partitionCol), col("_substream"))
+      .orderBy(orderCol).rowsBetween(Window.unboundedPreceding, -1)
+    val frags = docs
+      .withColumn("_substream", sub)
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
       .withColumn("start_tok",
         coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .filter(col("n_tokens") > 0)
-      // sequences this doc overlaps: floor(start/L) .. floor(last/L)
+      // sequences this doc overlaps: floor(start/L) .. floor(last/L);
+      // seq_id restarts per tape, so with substreams a sequence's
+      // identity is (partitionCol, substream, seq_id)
       .withColumn("seq_id", explode(sequence(
         expr(s"start_tok div $seqLen"),
         expr(s"(start_tok + n_tokens - 1) div $seqLen"))))
       .withColumn("cut_lo", greatest(col("seq_id") * seqLen, col("start_tok")))
       .withColumn("cut_hi",
         least((col("seq_id") + lit(1L)) * seqLen, col("start_tok") + col("n_tokens")))
-      .select(
-        col(partitionCol), col(orderCol), col("seq_id"),
-        (col("cut_lo") - col("start_tok")).as("frag_start"),
-        (col("cut_hi") - col("cut_lo")).as("frag_len"),
-        pmod(col("cut_lo"), lit(seqLen)).as("seq_offset"))
+    val base = Seq(
+      col(partitionCol), col(orderCol), col("seq_id"),
+      (col("cut_lo") - col("start_tok")).as("frag_start"),
+      (col("cut_hi") - col("cut_lo")).as("frag_len"),
+      pmod(col("cut_lo"), lit(seqLen)).as("seq_offset"))
+    if (substreamDocs.isDefined)
+      frags.select(base.patch(1, Seq(col("_substream").as("substream")), 0): _*)
+    else frags.select(base: _*)
   }
 
   /** Per-stratum sampling fractions (data mixing): deterministic under

@@ -98,6 +98,38 @@ class TextRetrievalSpec extends AnyFunSuite {
     assert(frags.toSeq == Seq((0L, 0L, 64L, 0L), (1L, 64L, 64L, 0L), (2L, 128L, 22L, 0L)))
   }
 
+  test("packSequences substream valve: bounded tapes, still lossless, flush at block edges") {
+    val docs = Tables.documents(spark, SparkTestSession.sf)
+    val packed = Sharding.packSequences(docs, 64, substreamDocs = Some(50L))
+    // lossless: per-doc fragment tokens still sum to the doc's tokens
+    val n = docs.select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+    val bad = packed.groupBy("doc_id").agg(sum("frag_len").as("packed"))
+      .join(n, Seq("doc_id")).filter($"packed" =!= $"n")
+    assert(bad.count() == 0)
+    // block membership is orderCol div S
+    assert(packed.filter($"substream" =!= expr("doc_id div 50")).count() == 0)
+    // every tape starts at sequence 0, offset 0 (the flush semantics)
+    val starts = packed.groupBy("source", "substream")
+      .agg(min("seq_id").as("s0"), min("seq_offset").as("o0"))
+    assert(starts.filter($"s0" =!= 0L || $"o0" =!= 0L).count() == 0)
+    // within a block, packing matches the single-tape packer applied
+    // to just that block's docs
+    val oneBlock = docs.filter($"doc_id" >= 50 && $"doc_id" < 100)
+    val alone = Sharding.packSequences(oneBlock, 64)
+      .select("doc_id", "seq_id", "frag_start", "frag_len", "seq_offset")
+      .collect().map(_.toSeq).toSet
+    val inFull = packed.filter($"substream" === 1L && $"source" === "src0")
+      .select("doc_id", "seq_id", "frag_start", "frag_len", "seq_offset")
+      .collect().map(_.toSeq).toSet
+    val aloneSrc0 = Sharding.packSequences(
+        oneBlock.filter($"source" === "src0"), 64)
+      .select("doc_id", "seq_id", "frag_start", "frag_len", "seq_offset")
+      .collect().map(_.toSeq).toSet
+    assert(inFull == aloneSrc0,
+      "a substream's packing must equal the single-tape packer on its own docs")
+    assert(alone.nonEmpty && inFull.nonEmpty)
+  }
+
   // ------------------------------------------------ sketch bounds (q73)
 
   test("sketch bounds hold: HLL within 3-sigma, approx percentile within a unit") {
