@@ -93,7 +93,15 @@ object ScaleProbe {
         "q41_ann_topk" -> (() =>
           operators.Similarity.annTopK(emb, queries, k = 10).count()),
         "q43_ann_ivf" -> (() =>
-          operators.Similarity.ivfTopK(emb, queries, k = 10).count()))
+          operators.Similarity.ivfTopK(emb, queries, k = 10).count()),
+        // substream valve engaged: the probe's copies all share one
+        // doc_id range per source, the skew shape the valve exists for
+        "q71_pack_sequences" -> (() =>
+          operators.Sharding.packSequences(docs, seqLen = 64,
+            substreamDocs = Some(10000L)).count()),
+        "q72_bm25_topk" -> (() =>
+          operators.TextAnalysis.bm25TopK(docs,
+            Seq("spark", "join", "window"), k = 10).count()))
 
       val rows = probes.map { case (name, f) =>
         val (n, sec) = timeIt(f())
