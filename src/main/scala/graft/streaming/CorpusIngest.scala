@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Continuous corpus ingest — the service form of [[graft.CorpusMain]]:
+  * document files land in a directory, each micro-batch is cleaned,
+  * deduped within itself, tested for novelty against everything
+  * already ingested, and the survivors appended to the corpus. The
+  * corpus is only ever grown by batch-local work (the deltaDedup
+  * contract: delta×corpus joins, never corpus×corpus re-dedup), which
+  * is what keeps per-batch cost flat as the corpus passes 100 TB.
+  *
+  * Exactly-once shape: each batch writes to its own
+  * `ingest_batch=<id>` partition directory with overwrite — a batch
+  * replay after a crash rewrites the same directory instead of
+  * double-appending, so the sink is idempotent under the checkpoint's
+  * at-least-once replay. Readers see one corpus table via partition
+  * discovery (`spark.read.parquet(outDir/corpus)`).
+  */
+object CorpusIngest {
+
+  /** One micro-batch: clean → in-batch dedup → delta-vs-corpus
+    * novelty → idempotent partition write. Public so the spec can
+    * drive single batches and compare against the composed operators. */
+  def processBatch(batch: DataFrame, outDir: String, batchId: Long,
+                   minTokens: Int = 20, maxTokens: Int = 100000,
+                   minQuality: Double = 0.5, maxTopBigramRatio: Double = 0.2,
+                   langs: Seq[String] = Seq("en"),
+                   k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                   threshold: Double = 0.6): Unit = {
+    val spark = batch.sparkSession
+    val keepIds = TextAnalysis.cleanCorpus(batch, minTokens, maxTokens,
+      minQuality, maxTopBigramRatio, langs).select("doc_id")
+    val cleaned = batch.join(keepIds, Seq("doc_id"), "left_semi")
+    // novelty WITHIN the batch first (deltaDedup's documented contract)
+    val batchNovel = Dedup.dedupCorpus(cleaned, k, numHashes, bands, threshold)
+    val corpusPath = s"$outDir/corpus"
+    // CRITICAL replay semantics: exclude THIS batch's partition from
+    // the corpus read. A crash-replay of batch N would otherwise see
+    // its own previous output as "corpus", classify every doc as
+    // non-novel, and overwrite the partition with an empty set —
+    // silent data loss. The exclusion is a partition-pruned filter,
+    // so the replayed directory is never even scanned.
+    val existing = readCorpusExcluding(spark, corpusPath, batchId)
+    val novel = existing match {
+      case Some(corpus) =>
+        Dedup.deltaDedup(corpus.select(batchNovel.columns.map(col): _*),
+          batchNovel, k, threshold)
+      case None => batchNovel
+    }
+    novel.write.mode("overwrite")
+      .parquet(s"$corpusPath/ingest_batch=$batchId")
+  }
+
+  /** The accumulated corpus, or None before the first batch lands.
+    * Partition discovery folds every ingest_batch directory into one
+    * table; the partition column itself is provenance, not content. */
+  /** Scheme-transparent existence probe (file://, hdfs://, ... — same
+    * stance as the S12 fetch/serve paths). */
+  private def pathExists(spark: SparkSession, p: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    path.getFileSystem(spark.sessionState.newHadoopConf()).exists(path)
+  }
+
+  def readCorpus(spark: SparkSession, corpusPath: String): Option[DataFrame] =
+    if (!pathExists(spark, corpusPath)) None
+    else {
+      val df = spark.read.parquet(corpusPath)
+      if (df.columns.contains("ingest_batch")) Some(df.drop("ingest_batch"))
+      else Some(df)
+    }
+
+  /** The corpus as of BEFORE `batchId` — what novelty must be judged
+    * against (see the replay note in [[processBatch]]). */
+  private def readCorpusExcluding(spark: SparkSession, corpusPath: String,
+                                  batchId: Long): Option[DataFrame] =
+    if (!pathExists(spark, corpusPath)) None
+    else {
+      val df = spark.read.parquet(corpusPath)
+        .filter(col("ingest_batch") =!= batchId)
+        .drop("ingest_batch")
+      // an excluded-only corpus (first batch replayed) is an empty
+      // frame — treat like no corpus so dedupCorpus output stands
+      if (df.isEmpty) None else Some(df)
+    }
+
+  /** Start the ingest stream over a landing directory of document
+    * parquet files (schema must include doc_id/text/source).
+    * `Trigger.AvailableNow` turns the same query into an incremental
+    * batch ingester: each invocation processes exactly the files that
+    * landed since the last checkpoint, then stops — the T1/T2
+    * scheduled-re-run shape. */
+  def start(spark: SparkSession, inDir: String, outDir: String,
+            schema: org.apache.spark.sql.types.StructType,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        processBatch(batch, outDir, id)
+      }
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(trigger)
+      .start()
+
+  /** Usage: CorpusIngest <landingDir> <outDir> — processes every file
+    * that landed since the last run's checkpoint (AvailableNow), then
+    * prints the corpus size. Re-invoke on a schedule for incremental
+    * ingest; leave a continuous trigger to [[start]] callers. */
+  def main(args: Array[String]): Unit = {
+    val inDir = args.lift(0).getOrElse("/tmp/corpus_landing")
+    val outDir = args.lift(1).getOrElse("/tmp/corpus_ingest")
+    val spark = graft.GraftSession.create(appName = "graft-corpus-ingest",
+      master = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+    spark.sparkContext.setLogLevel("WARN")
+    // schema from the landed files themselves (one batch-read listing)
+    val schema = spark.read.parquet(inDir).schema
+    start(spark, inDir, outDir, schema).awaitTermination()
+    val n = readCorpus(spark, s"$outDir/corpus").map(_.count()).getOrElse(0L)
+    println(s"""{"corpus_docs":$n,"out":"$outDir/corpus"}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, TextAnalysis}
+import graft.streaming.CorpusIngest
+
+/** Continuous-ingest contract: per-wave results equal the composed
+  * batch operators, the corpus only ever grows by novel docs, and a
+  * re-run with nothing new changes nothing (checkpoint + idempotent
+  * partition writes). */
+class CorpusIngestSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private val fixtureDocs = Tables.documents(spark, SparkTestSession.sf)
+  private val docSchema = fixtureDocs.schema
+
+  /** Land a wave as ONE parquet file directly in the landing dir (the
+    * file stream source lists files, not nested write directories). */
+  private def landFile(df: org.apache.spark.sql.DataFrame,
+                       inDir: String, name: String): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wave").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(inDir, name))
+  }
+
+  /** Composed batch expectation for one wave against a corpus state. */
+  private def expectedNovel(wave: org.apache.spark.sql.DataFrame,
+                            corpus: Option[org.apache.spark.sql.DataFrame]) = {
+    val cleaned = wave.join(
+      TextAnalysis.cleanCorpus(wave).select("doc_id"), Seq("doc_id"), "left_semi")
+    val batchNovel = Dedup.dedupCorpus(cleaned)
+    corpus match {
+      case Some(c) => Dedup.deltaDedup(
+        c.select(batchNovel.columns.map(col): _*), batchNovel)
+      case None => batchNovel
+    }
+  }
+
+  test("ingest stream: wave-accurate novelty, growth only, idempotent re-run") {
+    val inDir = java.nio.file.Files.createTempDirectory("graft_ingest_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ingest_out").toString
+
+    // wave 1: first half of the fixture
+    val wave1 = fixtureDocs.filter($"doc_id" < 250)
+    landFile(wave1, inDir, "wave1.parquet")
+    CorpusIngest.start(spark, inDir, outDir, docSchema).awaitTermination()
+
+    val corpus1 = CorpusIngest.readCorpus(spark, s"$outDir/corpus").get
+    val exp1 = expectedNovel(wave1, None)
+    assert(corpus1.count() == exp1.count())
+    assert(corpus1.join(exp1.select("doc_id"), Seq("doc_id"), "left_anti").count() == 0)
+
+    // wave 2: second half PLUS exact copies of wave-1 docs (must all
+    // be rejected as non-novel against the accumulated corpus)
+    val wave2 = fixtureDocs.filter($"doc_id" >= 250)
+      .unionByName(fixtureDocs.filter($"doc_id" < 40))
+    landFile(wave2, inDir, "wave2.parquet")
+    CorpusIngest.start(spark, inDir, outDir, docSchema).awaitTermination()
+
+    val corpus2 = CorpusIngest.readCorpus(spark, s"$outDir/corpus").get
+    val exp2 = expectedNovel(wave2, Some(corpus1))
+    assert(corpus2.count() == corpus1.count() + exp2.count(),
+      "corpus grows by exactly the novel docs of wave 2")
+    // re-ingested wave-1 copies must not reappear: every wave-1 id
+    // occurs at most once in the final corpus
+    assert(corpus2.groupBy("doc_id").count().filter($"count" > 1).count() == 0)
+
+    // nothing new landed: a third run must not change the corpus
+    CorpusIngest.start(spark, inDir, outDir, docSchema).awaitTermination()
+    val corpus3 = CorpusIngest.readCorpus(spark, s"$outDir/corpus").get
+    assert(corpus3.count() == corpus2.count())
+
+    // provenance partitions: one directory per processed batch
+    val parts = spark.read.parquet(s"$outDir/corpus")
+      .select("ingest_batch").distinct().as[Long].collect().sorted
+    assert(parts.length == 2, s"expected batches 0 and 1, got ${parts.toSeq}")
+  }
+
+  test("batch replay is idempotent: reprocessing overwrites, never double-appends") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ingest_rep").toString
+    val wave = fixtureDocs.filter($"doc_id" < 100)
+    CorpusIngest.processBatch(wave, outDir, batchId = 0L)
+    val once = CorpusIngest.readCorpus(spark, s"$outDir/corpus").get.count()
+    // crash-replay of the SAME batch id
+    CorpusIngest.processBatch(wave, outDir, batchId = 0L)
+    val twice = CorpusIngest.readCorpus(spark, s"$outDir/corpus").get.count()
+    assert(once == twice, "replaying a batch id must overwrite its partition")
+  }
+}
