@@ -237,6 +237,33 @@ object Similarity {
     scoreTopK(candidates, corpus, queries, k, idCol, vecCol)
   }
 
+  /** Per-vector affine int8 quantization: x ≈ qmin + (q+128)·qscale
+    * with q ∈ tinyint — 4× smaller than float32, 8× smaller than
+    * float64, which at 100 TB of embeddings is the difference between
+    * a corpus that fits executor memory for list-scoring and one that
+    * doesn't. Per-vector (not per-corpus) ranges keep outlier vectors
+    * from crushing everyone else's resolution; a constant vector
+    * degrades to scale 1 instead of dividing by zero (ANSI-safe).
+    *
+    * Columns added: `q array<tinyint>`, `qmin double`,
+    * `qscale double`. All arithmetic is per-row HOF work — no shuffle,
+    * fully parallel. [[dequantize]] reconstructs; the spec pins
+    * reconstruction cosine ≥ 0.999 and top-k agreement on the
+    * fixture. */
+  def quantizeInt8(df: DataFrame, vecCol: String = "embedding"): DataFrame =
+    df
+      .withColumn("qmin", array_min(col(vecCol)).cast("double"))
+      .withColumn("qscale",
+        greatest((array_max(col(vecCol)).cast("double") - col("qmin")) / lit(255.0),
+          lit(1e-30)))
+      .withColumn("q", expr(
+        s"transform($vecCol, x -> cast(round((cast(x as double) - qmin) / qscale) - 128 as tinyint))"))
+
+  /** Reconstruct a double vector from [[quantizeInt8]]'s columns. */
+  def dequantize(df: DataFrame, outCol: String = "dq"): DataFrame =
+    df.withColumn(outCol,
+      expr("transform(q, v -> qmin + (cast(v as double) + 128.0d) * qscale)"))
+
   /** Exact all-pairs cosine above a threshold — the brute-force
     * ORACLE leg for [[cosineNearDupPairs]] (same contract), O(n²) by
     * construction: every pair is scored. Correctness baseline and

@@ -130,6 +130,16 @@ object SimilarityQueries {
     * letting five oracles test stale constants. */
   val PinnedFixtureHash: Long = 0x9e054ff911db4ea1L
 
+  /** Int8 quantization audit row per vector: the affine params plus an
+    * integer checksum of the codes. qmin/qscale are safe in the hash
+    * (exact float→double widening, one subtraction, one division —
+    * bit-identical cross-engine); the per-element codes reduce to a
+    * BIGINT sum so the hash never sees a long float vector. */
+  def q74Quantize(spark: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("qmin"), col("qscale"),
+        expr("aggregate(q, 0L, (a, x) -> a + cast(x as bigint))").as("q_sum"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_topk" -> (q40CosineTopK _),
     "q41_ann_topk"    -> (q41AnnTopK _),
@@ -138,7 +148,8 @@ object SimilarityQueries {
     "q57_ann_recall"  -> (q57AnnRecall _),
     "q58_ivf_recall"  -> (q58IvfRecall _),
     "q59_neardup_recall" -> (q59NeardupRecall _),
-    "q65_hybrid_search" -> (q65HybridSearch _)
+    "q65_hybrid_search" -> (q65HybridSearch _),
+    "q74_quantize"    -> (q74Quantize _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -177,6 +188,21 @@ object SimilarityQueries {
       """SELECT CAST(59 AS BIGINT) AS n_exact, CAST(48 AS BIGINT) AS n_approx,
         |  CAST(48 AS BIGINT) AS n_hits,
         |  CAST(48 AS DOUBLE)/CAST(59 AS DOUBLE) AS recall""".stripMargin,
+
+    // round() here: both engines see the SAME double (exact float
+    // widening + one sub + one div), and ties-at-.5 round identically
+    // away from zero on non-negative inputs; verified hash-green on
+    // the pinned fixture
+    "q74_quantize" ->
+      """SELECT vec_id,
+        |  CAST(list_min(embedding) AS DOUBLE) AS qmin,
+        |  greatest((CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0,
+        |           1e-30) AS qscale,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(round((CAST(x AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) /
+        |      greatest((CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0, 1e-30))
+        |      AS BIGINT) - 128)) AS BIGINT) AS q_sum
+        |FROM embeddings""".stripMargin,
 
     "q65_hybrid_search" ->
       """SELECT doc_id, rank FROM (

@@ -138,6 +138,41 @@ class TextRetrievalSpec extends AnyFunSuite {
     assert(row.getAs[Long]("p50_within_bound") == 1L)
   }
 
+  // -------------------------------------------- int8 quantization
+
+  test("int8 quantization: tinyint storage, cosine-faithful reconstruction, top-k agreement") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, SparkTestSession.sf)
+    val quant = Similarity.quantizeInt8(emb)
+    assert(quant.schema("q").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = false).asInstanceOf[Any]
+      || quant.schema("q").dataType.simpleString == "array<tinyint>")
+    val recon = Similarity.dequantize(quant)
+      .withColumn("cos_rec", Similarity.cosine(
+        expr("transform(embedding, x -> cast(x as double))"), $"dq"))
+    val worst = recon.agg(min("cos_rec")).first().getDouble(0)
+    assert(worst >= 0.999, s"worst reconstruction cosine $worst")
+    // retrieval survives quantization: top-10 on reconstructed vectors
+    // agrees with exact top-10 on the raw vectors
+    val dq = recon.select($"vec_id", $"dq".as("embedding"))
+    val approx = Similarity.bruteForceTopK(dq, dq.filter($"vec_id" < 10), k = 10)
+      .select("query_id", "neighbor_id")
+    val exact = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 10), k = 10)
+      .select("query_id", "neighbor_id")
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id")).count()
+    assert(hits >= 95, s"quantized recall@10 over 10 queries: $hits/100")
+  }
+
+  test("quantization handles a constant vector without ANSI division failure") {
+    import graft.operators.Similarity
+    val one = Seq((1L, Seq.fill(8)(0.25f))).toDF("vec_id", "embedding")
+    val r = Similarity.dequantize(Similarity.quantizeInt8(one))
+      .select(expr("aggregate(dq, 0.0d, (a, x) -> a + abs(x - 0.25d))"))
+      .first().getDouble(0)
+    assert(r < 1e-9, s"constant vector must reconstruct exactly, err=$r")
+  }
+
   test("approx_count_distinct stays in bound on an adversarial skewed set") {
     // one hot key + a long unique tail — the cardinality shape HLL
     // sees in event streams
