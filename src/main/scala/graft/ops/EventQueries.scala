@@ -121,8 +121,31 @@ object EventQueries {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("n_users"), col("n_events"))
 
+  /** Heavy hitters: exact top-10 users by event volume, each checked
+    * for membership in the one-pass Misra-Gries frequent-items sketch
+    * (`stat.freqItems`). The sketch's CONTENTS are partition-order
+    * dependent and stay out of the hash; its GUARANTEE — every item
+    * with frequency > support appears — is what `hh_covered` asserts
+    * (top-10 users here are far above support 0.001). One row per
+    * top user, all-integer output; the sketch side is a broadcast of
+    * one tiny array row, no collect. */
+  def q75HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+    val hh = ev.stat.freqItems(Seq("user_id"), 0.001)
+      .select(col("user_id_freqItems").as("hh"))
+    ev.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      .orderBy(col("n_events").desc, col("user_id").asc).limit(10)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_events").desc, col("user_id").asc)).cast("long"))
+      .crossJoin(broadcast(hh))
+      .select(col("user_id"), col("n_events"), col("rank"),
+        array_contains(col("hh"), col("user_id")).cast("long").as("hh_covered"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_tumbling_window" -> (q50Tumbling _),
+    "q75_heavy_hitters"   -> (q75HeavyHitters _),
     "q69_window_topk"     -> (q69WindowTopk _),
     "q70_window_users"    -> (q70WindowUsers _),
     "q51_sliding_window"  -> (q51Sliding _),
@@ -134,6 +157,17 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // hh_covered is the sketch's published guarantee (item frequency
+    // far above support ⇒ present) — TRUE on the oracle side; a 0
+    // from Spark is a real sketch failure, not a parity artifact
+    "q75_heavy_hitters" ->
+      """SELECT user_id, n_events, rank, CAST(1 AS BIGINT) AS hh_covered
+        |FROM (
+        |  SELECT user_id, count(*) AS n_events,
+        |    row_number() OVER (ORDER BY count(*) DESC, user_id ASC) AS rank
+        |  FROM events GROUP BY user_id) t
+        |WHERE rank <= 10""".stripMargin,
+
     "q55_interval_join" ->
       """SELECT s.user_id,
         |  s.event_id AS signup_id,
