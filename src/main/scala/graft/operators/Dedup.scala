@@ -348,6 +348,60 @@ object Dedup {
     exactNovel.join(dupDelta, Seq("doc_id"), "left_anti")
   }
 
+  /** The materialized form of the structures [[deltaDedup]] derives
+    * from the corpus on every call: the distinct content-hash set
+    * (exact leg), the inverted shingle index, and per-doc shingle
+    * counts (near leg). A pipeline that ingests continuously persists
+    * these and APPENDS each batch's novel docs — per-batch cost then
+    * scales with the index read + the delta, never with re-shingling
+    * the corpus text (at 100 TB the difference between an ingest that
+    * stays flat and one that grows linearly with corpus age). */
+  case class DedupIndex(hashes: DataFrame, shingles: DataFrame,
+                        counts: DataFrame)
+
+  /** Index rows for `docs` — what an ingest appends per batch. */
+  def buildDedupIndex(docs: DataFrame, k: Int = 3): DedupIndex = {
+    graft.functions.ShingleHashes.register(docs.sparkSession)
+    val hashes = docs.select(md5(col("text")).as("content_md5")).distinct()
+    val shingles = docs
+      .withColumn("fh", expr(s"shingle_hashes(text, $k)"))
+      .filter(size(col("fh")) > 0)
+      .select(col("doc_id").as("c_id"), explode(col("fh")).as("shingle"))
+    val counts = shingles.groupBy("c_id").agg(count(lit(1)).as("nc"))
+    DedupIndex(hashes, shingles, counts)
+  }
+
+  /** [[deltaDedup]] against a prebuilt index — produces the identical
+    * novel set (spec-pinned equivalence) without touching corpus text.
+    * `k` must match the index's build parameter. The hot-shingle cap
+    * is not offered here: capping needs corpus-wide document
+    * frequencies, which an incremental index would maintain as its own
+    * materialized column — compose with `maxShingleDocFreq` at index
+    * build time if needed. */
+  def deltaDedupIndexed(index: DedupIndex, delta: DataFrame, k: Int = 3,
+                        threshold: Double = 0.6): DataFrame = {
+    graft.functions.ShingleHashes.register(delta.sparkSession)
+    val exactNovel = delta
+      .withColumn("content_md5", md5(col("text")))
+      .join(index.hashes, Seq("content_md5"), "left_anti")
+      .drop("content_md5")
+      // same persist rationale as deltaDedup: full-text frame with two
+      // consumers; keep lineage, spill not pin
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dSh = exactNovel
+      .withColumn("fh", expr(s"shingle_hashes(text, $k)"))
+      .filter(size(col("fh")) > 0)
+      .select(col("doc_id").as("d_id"), explode(col("fh")).as("shingle"))
+    val nD = dSh.groupBy("d_id").agg(count(lit(1)).as("nd"))
+    val dupDelta = index.shingles.join(dSh, "shingle")
+      .groupBy("c_id", "d_id").agg(count(lit(1)).as("common"))
+      .join(index.counts, "c_id").join(nD, "d_id")
+      .filter(col("common").cast("double") /
+        (col("nc") + col("nd") - col("common")) >= threshold)
+      .select(col("d_id").as("doc_id")).distinct()
+    exactNovel.join(dupDelta, Seq("doc_id"), "left_anti")
+  }
+
   /** Streaming exact leg of [[deltaDedup]]: docs arriving on a stream
     * are kept only if their content hash is absent from the static
     * corpus index AND unseen within the stream's watermark horizon —

@@ -39,21 +39,36 @@ object CorpusIngest {
     // novelty WITHIN the batch first (deltaDedup's documented contract)
     val batchNovel = Dedup.dedupCorpus(cleaned, k, numHashes, bands, threshold)
     val corpusPath = s"$outDir/corpus"
-    // CRITICAL replay semantics: exclude THIS batch's partition from
-    // the corpus read. A crash-replay of batch N would otherwise see
+    // Novelty is judged against the MATERIALIZED dedup index, not the
+    // corpus text: per-batch cost reads (hash set + shingle index),
+    // never re-shingles the accumulated corpus — the property that
+    // keeps batch latency flat as the corpus grows.
+    //
+    // CRITICAL replay semantics: exclude THIS batch's partitions from
+    // the index read. A crash-replay of batch N would otherwise see
     // its own previous output as "corpus", classify every doc as
     // non-novel, and overwrite the partition with an empty set —
     // silent data loss. The exclusion is a partition-pruned filter,
-    // so the replayed directory is never even scanned.
-    val existing = readCorpusExcluding(spark, corpusPath, batchId)
+    // so the replayed directories are never even scanned.
+    val existing = readIndexExcluding(spark, outDir, batchId)
     val novel = existing match {
-      case Some(corpus) =>
-        Dedup.deltaDedup(corpus.select(batchNovel.columns.map(col): _*),
-          batchNovel, k, threshold)
+      case Some(index) => Dedup.deltaDedupIndexed(index, batchNovel, k, threshold)
       case None => batchNovel
     }
     novel.write.mode("overwrite")
       .parquet(s"$corpusPath/ingest_batch=$batchId")
+    // Index maintenance: derive this batch's index rows from the
+    // DURABLE partition just written (not the in-memory plan), so the
+    // index always mirrors the corpus on disk; overwrite per batch id
+    // keeps the replay idempotence of the corpus writes.
+    val landed = spark.read.parquet(s"$corpusPath/ingest_batch=$batchId")
+    val idx = Dedup.buildDedupIndex(landed, k)
+    idx.hashes.write.mode("overwrite")
+      .parquet(s"$outDir/index/hashes/ingest_batch=$batchId")
+    idx.shingles.write.mode("overwrite")
+      .parquet(s"$outDir/index/shingles/ingest_batch=$batchId")
+    idx.counts.write.mode("overwrite")
+      .parquet(s"$outDir/index/counts/ingest_batch=$batchId")
   }
 
   /** The accumulated corpus, or None before the first batch lands.
@@ -74,19 +89,27 @@ object CorpusIngest {
       else Some(df)
     }
 
-  /** The corpus as of BEFORE `batchId` — what novelty must be judged
-    * against (see the replay note in [[processBatch]]). */
-  private def readCorpusExcluding(spark: SparkSession, corpusPath: String,
-                                  batchId: Long): Option[DataFrame] =
-    if (!pathExists(spark, corpusPath)) None
+  /** The materialized dedup index as of BEFORE `batchId` (see the
+    * replay note in [[processBatch]]). "No corpus yet" is decided by
+    * the HASH table alone: every ingested doc has a content hash, so
+    * an empty-after-exclusion hash set means first batch (or its
+    * replay) — while an empty SHINGLE table beside a non-empty hash
+    * set is a legitimate index (docs shorter than k tokens) and must
+    * not disable the exact-dup filter. */
+  private def readIndexExcluding(spark: SparkSession, outDir: String,
+                                 batchId: Long): Option[Dedup.DedupIndex] = {
+    val paths = Seq("hashes", "shingles", "counts")
+      .map(t => s"$outDir/index/$t")
+    if (!paths.forall(pathExists(spark, _))) None
     else {
-      val df = spark.read.parquet(corpusPath)
+      def tbl(p: String) = spark.read.parquet(p)
         .filter(col("ingest_batch") =!= batchId)
         .drop("ingest_batch")
-      // an excluded-only corpus (first batch replayed) is an empty
-      // frame — treat like no corpus so dedupCorpus output stands
-      if (df.isEmpty) None else Some(df)
+      val hashes = tbl(paths(0))
+      if (hashes.isEmpty) None
+      else Some(Dedup.DedupIndex(hashes, tbl(paths(1)), tbl(paths(2))))
     }
+  }
 
   /** Start the ingest stream over a landing directory of document
     * parquet files (schema must include doc_id/text/source).

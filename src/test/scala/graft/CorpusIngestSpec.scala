@@ -82,6 +82,35 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(parts.length == 2, s"expected batches 0 and 1, got ${parts.toSeq}")
   }
 
+  test("deltaDedupIndexed equals deltaDedup on the same corpus/delta split") {
+    val corpus = fixtureDocs.filter($"doc_id" % 5 =!= 0)
+    val delta = fixtureDocs.filter($"doc_id" % 5 === 0)
+    val direct = Dedup.deltaDedup(corpus, delta)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val indexed = Dedup.deltaDedupIndexed(
+        Dedup.buildDedupIndex(corpus), delta)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(indexed == direct,
+      s"missing=${(direct -- indexed).take(5)} extra=${(indexed -- direct).take(5)}")
+  }
+
+  test("the materialized index mirrors the written corpus after every batch") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ingest_idx").toString
+    CorpusIngest.processBatch(fixtureDocs.filter($"doc_id" < 200), outDir, 0L)
+    CorpusIngest.processBatch(fixtureDocs.filter($"doc_id" >= 200), outDir, 1L)
+    val corpus = CorpusIngest.readCorpus(spark, s"$outDir/corpus").get
+    val rebuilt = Dedup.buildDedupIndex(corpus)
+    val storedHashes = spark.read.parquet(s"$outDir/index/hashes")
+      .select("content_md5").collect().map(_.getString(0)).toSet
+    assert(storedHashes ==
+      rebuilt.hashes.collect().map(_.getString(0)).toSet)
+    val storedCounts = spark.read.parquet(s"$outDir/index/counts")
+      .select("c_id", "nc").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val rebuiltCounts = rebuilt.counts
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(storedCounts == rebuiltCounts)
+  }
+
   test("batch replay is idempotent: reprocessing overwrites, never double-appends") {
     val outDir = java.nio.file.Files.createTempDirectory("graft_ingest_rep").toString
     val wave = fixtureDocs.filter($"doc_id" < 100)
