@@ -181,7 +181,26 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 32, nprobe: Int = 4, lloydIters: Int = 2,
               seed: Long = 42L,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfTopKIndexed(
+      ivfBuildIndex(corpus, nlist, lloydIters, seed, idCol, vecCol),
+      queries, k, nprobe, idCol, vecCol)
+
+  /** Materialized IVF index: the centroid table (cid, cvec) and the
+    * posting lists (vid, cv, list_id — vectors clustered by their
+    * nearest centroid). An ingest pipeline persists both and appends
+    * new vectors via [[ivfAssign]] against the FROZEN centroids; query
+    * time is [[ivfTopKIndexed]] — no retraining, no corpus re-scan.
+    * (Centroid drift under a shifting distribution is the operator's
+    * documented retrain trigger, not something queries pay for.) */
+  case class IvfIndex(centroids: DataFrame, lists: DataFrame)
+
+  /** Train centroids (seeded sample + bounded Lloyd refinement) and
+    * cluster the corpus into posting lists — [[ivfTopK]]'s build leg,
+    * exposed for index materialization. */
+  def ivfBuildIndex(corpus: DataFrame,
+                    nlist: Int = 32, lloydIters: Int = 2, seed: Long = 42L,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
     registerFns(corpus)
     // deterministic density-following sample: the nlist corpus rows
     // with the smallest seeded id-hashes; the centroid's own vec_id is
@@ -215,26 +234,48 @@ object Similarity {
       s"ivf_cents:$nlist:$lloydIters:$seed:${System.identityHashCode(corpus)}") {
       centsPlan
     }
-    // corpus → nearest centroid list
-    val assigned = assignToCentroids(
-      corpus.select(col(idCol).as("vid"), col(vecCol).as("cv")), cents)
-      .select(col("vid").as("neighbor_id"), col("list_id"))
+    IvfIndex(cents, ivfAssign(cents,
+      corpus.select(col(idCol).as("vid"), col(vecCol).as("cv"))))
+  }
+
+  /** Cluster vectors (vid, cv) into posting-list rows against frozen
+    * centroids — the per-batch append of a vector ingest. */
+  def ivfAssign(centroids: DataFrame, vectors: DataFrame): DataFrame =
+    assignToCentroids(vectors, centroids).select("vid", "cv", "list_id")
+
+  /** IVF query against a materialized index: probe the `nprobe`
+    * nearest lists per query, exactly score only their members. Same
+    * output contract (and bit-identical results) as [[ivfTopK]] at
+    * equal dials — the spec pins the equivalence. */
+  def ivfTopKIndexed(index: IvfIndex, queries: DataFrame, k: Int,
+                     nprobe: Int = 4,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    registerFns(queries)
     // query → nprobe nearest lists (query batch is small; the window
     // partitions by query)
     val wq = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cid").asc)
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .crossJoin(broadcast(cents))
+      .crossJoin(broadcast(index.centroids))
       .withColumn("cos", expr("cosine_sim(qv, cvec)"))
       .withColumn("pr", row_number().over(wq))
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("cid").as("list_id"))
     // every vector sits in exactly one list and probes are distinct
-    // lists, so (query, neighbor) candidates are already unique
-    val candidates = assigned.join(probes.hint("broadcast"), Seq("list_id"))
+    // lists, so (query, neighbor) candidates are already unique; the
+    // lists carry their vectors (the IVF layout), so scoring needs no
+    // corpus join
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    index.lists
+      .select(col("vid").as("neighbor_id"), col("cv"), col("list_id"))
+      .join(probes.hint("broadcast"), Seq("list_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "neighbor_id")
-    scoreTopK(candidates, corpus, queries, k, idCol, vecCol)
+      .join(broadcast(qv), "query_id")
+      .withColumn("cos", expr("cosine_sim(qv, cv)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
   }
 
   /** Per-vector affine int8 quantization: x ≈ qmin + (q+128)·qscale

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+import graft.streaming.VectorIngest
+
+/** Vector-ingest contract: bootstrap trains frozen centroids, appends
+  * cluster against them, the materialized index answers queries
+  * exactly as the composed operators would, and replays are
+  * idempotent. */
+class VectorIngestSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private val emb = Tables.embeddings(spark, SparkTestSession.sf)
+
+  test("bootstrap + append: index equals frozen-centroid composition; queries match") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_vec_idx").toString
+    val wave1 = emb.filter($"vec_id" < 250)
+    val wave2 = emb.filter($"vec_id" >= 250)
+    VectorIngest.processBatch(wave1, outDir, 0L)
+    VectorIngest.processBatch(wave2, outDir, 1L)
+
+    val idx = VectorIngest.readIndex(spark, outDir).get
+    // centroids are wave-1's deterministic training, frozen
+    val expCents = Similarity.ivfBuildIndex(wave1).centroids
+      .collect().map(_.toSeq).toSet
+    assert(idx.centroids.collect().map(_.toSeq).toSet == expCents)
+    // every vector is in exactly one list
+    assert(idx.lists.count() == emb.count())
+    assert(idx.lists.select("vid").distinct().count() == emb.count())
+    // queries against the materialized index == the composed
+    // frozen-centroid expectation over the full corpus
+    val queries = emb.filter($"vec_id" < 10)
+    val got = VectorIngest.topK(spark, outDir, queries, k = 10)
+      .collect().map(_.toSeq).toSet
+    val expIdx = Similarity.IvfIndex(
+      Similarity.ivfBuildIndex(wave1).centroids,
+      Similarity.ivfAssign(Similarity.ivfBuildIndex(wave1).centroids,
+        emb.select($"vec_id".as("vid"), $"embedding".as("cv"))))
+    val exp = Similarity.ivfTopKIndexed(expIdx, queries, k = 10)
+      .collect().map(_.toSeq).toSet
+    assert(got == exp)
+  }
+
+  test("append replay is idempotent against the frozen centroids") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_vec_rep").toString
+    VectorIngest.processBatch(emb.filter($"vec_id" < 250), outDir, 0L)
+    VectorIngest.processBatch(emb.filter($"vec_id" >= 250), outDir, 1L)
+    val once = VectorIngest.readIndex(spark, outDir).get.lists
+      .collect().map(_.toSeq).toSet
+    // crash-replay of both batches in order
+    VectorIngest.processBatch(emb.filter($"vec_id" < 250), outDir, 0L)
+    VectorIngest.processBatch(emb.filter($"vec_id" >= 250), outDir, 1L)
+    val twice = VectorIngest.readIndex(spark, outDir).get.lists
+      .collect().map(_.toSeq).toSet
+    assert(once == twice)
+  }
+
+  test("ivfTopKIndexed over ivfBuildIndex is exactly ivfTopK (the refactor contract)") {
+    val queries = emb.filter($"vec_id" < 10)
+    val direct = Similarity.ivfTopK(emb, queries, k = 10, nlist = 16, nprobe = 4)
+      .collect().map(_.toSeq).toSet
+    val viaIndex = Similarity.ivfTopKIndexed(
+        Similarity.ivfBuildIndex(emb, nlist = 16), queries, k = 10, nprobe = 4)
+      .collect().map(_.toSeq).toSet
+    assert(direct == viaIndex)
+  }
+}
