@@ -263,30 +263,38 @@ object TextAnalysis {
                logIdf: Boolean = false, text: String = "text"): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col("doc_id"), explode(words(col(text))).as("term"))
-      .filter(col("term").isin(queryTerms: _*))
-    val dl = docs.select(col("doc_id"),
-      size(words(col(text))).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
-    val idfRaw = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
-    val idf = if (logIdf) log(lit(1.0) + idfRaw) else idfRaw
-    val sat = (col("tf") * lit(k1) + col("tf")) /
-      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
-    val perTerm = tf
-      .join(broadcast(df), Seq("term"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
-      .withColumn("s", idf * sat)
-    val termCols = queryTerms.zipWithIndex.map { case (t, i) =>
-      sum(when(col("term") === t, col("s"))).as(s"_s$i") }
-    val scored = perTerm.groupBy("doc_id")
-      .agg(termCols.head, termCols.tail: _*)
-      .withColumn("score", queryTerms.indices
-        .map(i => coalesce(col(s"_s$i"), lit(0.0)))
-        .reduceLeft(_ + _))
+    // ONE text scan: explode once, fold doc length AND every per-term
+    // tf in the same partial-aggregated pass (a naive tf/df/dl/stats
+    // split reads the text column four times — the dominant cost at
+    // corpus scale, where scans are I/O-bound)
+    val perDocAggs = count(lit(1)).as("dl") +:
+      queryTerms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("term") === t, 1L).otherwise(0L)).as(s"_tf$i") }
+    val perDoc = docs
+      .select(col("doc_id"), explode(words(col(text))).as("term"))
+      .groupBy("doc_id")
+      .agg(perDocAggs.head, perDocAggs.tail: _*)
+    // corpus stats + per-term document frequencies in one tiny agg
+    val statAggs =
+      Seq(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")) ++
+      queryTerms.indices.map(i =>
+        sum(when(col(s"_tf$i") > 0, 1L).otherwise(0L)).as(s"_df$i"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    // per-term score, summed in fixed query-term list order (FP
+    // addition does not associate; row-arrival order must not matter)
+    def termScore(i: Int): Column = {
+      val tf = col(s"_tf$i"); val df = col(s"_df$i")
+      val idfRaw = (col("n_docs") - df + lit(0.5)) / (df + lit(0.5))
+      val idf = if (logIdf) log(lit(1.0) + idfRaw) else idfRaw
+      val sat = (tf * lit(k1) + tf) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+      when(tf > 0, idf * sat).otherwise(lit(0.0))
+    }
+    val scored = perDoc.crossJoin(broadcast(stats))
+      .filter(queryTerms.indices.map(i => col(s"_tf$i") > 0).reduceLeft(_ || _))
+      .withColumn("score",
+        queryTerms.indices.map(termScore).reduceLeft(_ + _))
     scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
