@@ -270,10 +270,16 @@ object TextAnalysis {
     val perDocAggs = count(lit(1)).as("dl") +:
       queryTerms.zipWithIndex.map { case (t, i) =>
         sum(when(col("term") === t, 1L).otherwise(0L)).as(s"_tf$i") }
-    val perDoc = docs
-      .select(col("doc_id"), explode(words(col(text))).as("term"))
-      .groupBy("doc_id")
-      .agg(perDocAggs.head, perDocAggs.tail: _*)
+    // memoized: the per-doc frame feeds both the stats agg and the
+    // scoring pass — without materialization each consumer re-runs the
+    // scan+explode subplan (Catalyst has no cross-subplan CSE)
+    val perDoc = graft.ops.Memo.of(docs.sparkSession,
+      s"bm25_perdoc:$text:${queryTerms.mkString(",")}:${System.identityHashCode(docs)}") {
+      docs
+        .select(col("doc_id"), explode(words(col(text))).as("term"))
+        .groupBy("doc_id")
+        .agg(perDocAggs.head, perDocAggs.tail: _*)
+    }
     // corpus stats + per-term document frequencies in one tiny agg
     val statAggs =
       Seq(count(lit(1)).as("n_docs"),
