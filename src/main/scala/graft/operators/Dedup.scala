@@ -268,7 +268,7 @@ object Dedup {
     // different files would nondeterministically flip e.g. `source`
     // between runs. (Requires orderable column types — no maps; true of
     // every corpus schema here.)
-    val others = docs.columns.filterNot(_ == "doc_id")
+    val others = docs.columns.filterNot(_ == "doc_id").toIndexedSeq
     val exactSurvivors = docs.join(
       exactDedup(docs).select("doc_id"), Seq("doc_id"), "left_semi")
       .groupBy("doc_id")

@@ -142,4 +142,26 @@ class RobustnessSpec extends AnyFunSuite {
     // exercised in batch shape here (same hash-index expressions)
     assert(Dedup.exactDedup(empty).count() == 0)
   }
+
+  test("round-5 operators tolerate empty and degenerate inputs") {
+    import graft.operators.Sharding
+    val docs = Seq((1L, (0 until 25).map(i => s"w$i").mkString(" "), "src"))
+      .toDF("doc_id", "text", "source")
+    val empty = docs.filter(lit(false))
+    // packing an empty corpus: no fragments, no window crash
+    assert(Sharding.packSequences(empty, 64).count() == 0)
+    // BM25 with no matching docs: empty top-k, no divide-by-zero in
+    // avgdl (count 0) — the stats agg runs over an empty frame
+    assert(TextAnalysis.bm25TopK(empty, Seq("spark")).count() == 0)
+    // BM25 where no doc matches any term: empty, not erroring
+    assert(TextAnalysis.bm25TopK(docs, Seq("absent_term")).count() == 0)
+    // indexed delta dedup with empty delta / empty-index shingles
+    val idx = Dedup.buildDedupIndex(docs)
+    assert(Dedup.deltaDedupIndexed(idx, empty).count() == 0)
+    val emptyIdx = Dedup.buildDedupIndex(empty)
+    assert(Dedup.deltaDedupIndexed(emptyIdx, docs).count() == 1)
+    // quantizing an empty frame
+    assert(Similarity.quantizeInt8(
+      Tables.embeddings(spark, sf).filter($"vec_id" < 0)).count() == 0)
+  }
 }
