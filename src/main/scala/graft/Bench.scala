@@ -69,27 +69,44 @@ object Bench {
         everOk(name) = wasOk || ok
       }
     }
-    // 3-decimal timings: ms precision is below the noise floor of a
-    // wall-clock bench, and the compact form keeps the whole line
-    // inside the driver's bounded stdout-tail capture — full-precision
-    // floats pushed the line past the buffer and the driver's `parsed`
-    // field came back null (r1–r4) even though the line was valid JSON.
-    def f(d: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, d)
-    val qs = names.map { case (k, _) => "\"" + k + "\":" + f(best(k)) }
-      .mkString("{", ",", "}")
-    val failed = names.collect { case (k, _) if !everOk(k) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    // A query that failed SOME passes but succeeded at least once has a
-    // valid min but is hiding instability — surface it as flaky with
-    // its failed-pass count instead of leaving it stderr-only.
-    val flaky = names.collect { case (k, _) if everOk(k) && nFail(k) > 0 =>
-      "\"" + k + "\":" + nFail(k) }.mkString("{", ",", "}")
-    val total = names.map { case (k, _) => best(k) }.sum
     // ONE bare JSON line on stdout (the driver contract). build.sbt
     // sets `run / outputStrategy := StdoutOutput` so the forked run's
     // stdout passes through verbatim — without it, sbt's logger would
     // prefix the line with "[info] " and break json-parsing consumers.
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flaky,"passes":$passes,"sf":"$sfDir"}""")
+    println(summaryJson(names.map(_._1), best, everOk, nFail.toMap, passes, sfDir))
     spark.stop()
+  }
+
+  /** The driver-contract summary line, separated from `main` so a spec
+    * can pin its shape: valid JSON, all queries present, failures and
+    * flaky counts surfaced, and compact enough for the driver's
+    * bounded stdout-tail capture (~2 KB) — full-precision floats
+    * pushed the line past that buffer and the driver's `parsed` field
+    * came back null (r1–r4) even though the line was valid JSON.
+    * 3-decimal timings: ms precision is below a wall-clock bench's
+    * noise floor. */
+  def summaryJson(names: Seq[String], best: collection.Map[String, Double],
+                  everOk: collection.Map[String, Boolean],
+                  nFail: collection.Map[String, Int],
+                  passes: Int, sfDir: String): String = {
+    def build(prec: Int): String = {
+      def f(d: Double) = s"%.${prec}f".formatLocal(java.util.Locale.ROOT, d)
+      val qs = names.map(k => "\"" + k + "\":" + f(best(k)))
+        .mkString("{", ",", "}")
+      val failed = names.filterNot(everOk.getOrElse(_, false))
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      // A query that failed SOME passes but succeeded at least once
+      // has a valid min but is hiding instability — surface it as
+      // flaky with its failed-pass count, not stderr-only.
+      val flaky = names
+        .filter(k => everOk.getOrElse(k, false) && nFail.getOrElse(k, 0) > 0)
+        .map(k => "\"" + k + "\":" + nFail(k)).mkString("{", ",", "}")
+      val total = names.map(best).sum
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flaky,"passes":$passes,"sf":"$sfDir"}"""
+    }
+    // self-clamping precision: slow rounds / more queries widen the
+    // line; degrade per-query precision before the tail budget breaks
+    // (10 ms resolution is still far above the bench's noise floor)
+    Iterator(3, 2, 1, 0).map(build).find(_.length < 1950).getOrElse(build(0))
   }
 }

@@ -69,6 +69,16 @@ object CorpusIngest {
       .parquet(s"$outDir/index/shingles/ingest_batch=$batchId")
     idx.counts.write.mode("overwrite")
       .parquet(s"$outDir/index/counts/ingest_batch=$batchId")
+    // Per-batch observability: the stage funnel an operator watches to
+    // catch drift (a cleaning recipe suddenly rejecting everything, a
+    // batch that is all duplicates). Batch-sized counts, idempotent
+    // like every other per-batch artifact; read the whole funnel with
+    // spark.read.parquet(outDir/reports).
+    import spark.implicits._
+    Seq((batch.count(), cleaned.count(), batchNovel.count(), landed.count()))
+      .toDF("n_input", "n_cleaned", "n_batch_novel", "n_novel")
+      .write.mode("overwrite")
+      .parquet(s"$outDir/reports/ingest_batch=$batchId")
   }
 
   /** The accumulated corpus, or None before the first batch lands.

@@ -1,0 +1,44 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver parses Bench's LAST stdout line from a bounded tail
+  * capture (~2 KB). This spec pins the contract without running the
+  * bench: valid JSON, every registered query present, failures/flaky
+  * surfaced, and the line small enough for the tail buffer even with
+  * worst-case timings. */
+class BenchContractSpec extends AnyFunSuite {
+
+  private val names = SparkEntry.queries.keys.toSeq.sorted
+  private val mapper = new ObjectMapper()
+
+  test("summary line is valid JSON with every registered query, under the tail budget") {
+    val best = names.map(_ -> 123.456789).toMap
+    val line = Bench.summaryJson(names, best,
+      names.map(_ -> true).toMap, Map.empty, passes = 2,
+      sfDir = "/root/testdata/sf0.1")
+    assert(line.length < 2000,
+      s"line is ${line.length} B — the driver tail capture truncates ~2 KB " +
+        "and its parsed field goes null; shorten names or precision")
+    val json = mapper.readTree(line)
+    assert(json.get("queries").fieldNames().asScala.toSet == names.toSet)
+    assert(json.get("value").asDouble() > 0)
+    assert(json.get("failed").isEmpty && json.get("flaky").isEmpty)
+  }
+
+  test("failures and flaky passes appear in their own fields") {
+    val ns = Seq("q_ok", "q_dead", "q_flaky")
+    val line = Bench.summaryJson(ns,
+      Map("q_ok" -> 1.0, "q_dead" -> 0.5, "q_flaky" -> 2.0),
+      Map("q_ok" -> true, "q_dead" -> false, "q_flaky" -> true),
+      Map("q_dead" -> 2, "q_flaky" -> 1), passes = 2, sfDir = "x")
+    val json = mapper.readTree(line)
+    assert(json.get("failed").elements().asScala.map(_.asText()).toSeq == Seq("q_dead"))
+    assert(json.get("flaky").get("q_flaky").asInt() == 1)
+    assert(json.get("flaky").size() == 1)
+    assert(json.get("queries").fieldNames().asScala.toSet == ns.toSet)
+  }
+}

@@ -80,6 +80,14 @@ class CorpusIngestSpec extends AnyFunSuite {
     val parts = spark.read.parquet(s"$outDir/corpus")
       .select("ingest_batch").distinct().as[Long].collect().sorted
     assert(parts.length == 2, s"expected batches 0 and 1, got ${parts.toSeq}")
+
+    // per-batch funnel reports mirror what actually landed
+    val reports = spark.read.parquet(s"$outDir/reports")
+      .select($"ingest_batch".cast("long"), $"n_input", $"n_novel")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(reports(0L)._1 == wave1.count() && reports(0L)._2 == corpus1.count())
+    assert(reports(1L)._1 == wave2.count())
+    assert(reports(1L)._2 == corpus2.count() - corpus1.count())
   }
 
   test("deltaDedupIndexed equals deltaDedup on the same corpus/delta split") {
