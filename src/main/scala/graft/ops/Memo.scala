@@ -32,8 +32,16 @@ import org.apache.spark.storage.StorageLevel
   */
 object Memo {
 
+  /** Entries per session before insertion-order eviction. Memo keys
+    * that embed a DataFrame identity (ivf centroids, bm25 per-doc
+    * stats) mint a NEW key per operator call on a fresh frame — in a
+    * long-running service that would pin an unbounded set of cached
+    * frames. A Verify/Bench run uses well under this many legs, so the
+    * cap never evicts on the measured paths. */
+  private val MaxEntriesPerSession = 64
+
   private val perSession =
-    scala.collection.mutable.Map.empty[String, scala.collection.mutable.Map[String, DataFrame]]
+    scala.collection.mutable.Map.empty[String, scala.collection.mutable.LinkedHashMap[String, DataFrame]]
 
   /** A session key that does NOT strongly reference the session
     * (SparkSession.sessionUUID is private[sql]; identity hash is
@@ -49,13 +57,19 @@ object Memo {
     synchronized {
       val id = sid(spark)
       if (!perSession.contains(id)) {
-        perSession(id) = scala.collection.mutable.Map.empty[String, DataFrame]
+        perSession(id) = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
         spark.sparkContext.addSparkListener(new SparkListener {
           override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit =
             Memo.dropAll()
         })
       }
-      perSession(id).getOrElseUpdate(key, build.persist(StorageLevel.MEMORY_AND_DISK))
+      val m = perSession(id)
+      val frame = m.getOrElseUpdate(key, build.persist(StorageLevel.MEMORY_AND_DISK))
+      if (m.size > MaxEntriesPerSession)
+        m.keys.take(m.size - MaxEntriesPerSession).toSeq.foreach { old =>
+          m.remove(old).foreach(_.unpersist(blocking = false))
+        }
+      frame
     }
 
   /** Unpersist and forget every entry of this session. */

@@ -33,11 +33,19 @@ object CorpusIngest {
                    k: Int = 3, numHashes: Int = 16, bands: Int = 4,
                    threshold: Double = 0.6): Unit = {
     val spark = batch.sparkSession
-    val keepIds = TextAnalysis.cleanCorpus(batch, minTokens, maxTokens,
+    // Several consumers (clean recipe, dedup legs, report counts) each
+    // trigger actions over this micro-batch; unpersisted, every action
+    // re-reads the batch's source files. Batch-sized, so
+    // MEMORY_AND_DISK spills rather than OOMs.
+    val pinned = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keepIds = TextAnalysis.cleanCorpus(pinned, minTokens, maxTokens,
       minQuality, maxTopBigramRatio, langs).select("doc_id")
-    val cleaned = batch.join(keepIds, Seq("doc_id"), "left_semi")
-    // novelty WITHIN the batch first (deltaDedup's documented contract)
+    val cleaned = pinned.join(keepIds, Seq("doc_id"), "left_semi")
+    // novelty WITHIN the batch first (deltaDedup's documented contract);
+    // persisted because the novelty join, the write, and the report
+    // count all consume it — the LSH+CC chain must not run three times
     val batchNovel = Dedup.dedupCorpus(cleaned, k, numHashes, bands, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpusPath = s"$outDir/corpus"
     // Novelty is judged against the MATERIALIZED dedup index, not the
     // corpus text: per-batch cost reads (hash set + shingle index),
@@ -75,10 +83,12 @@ object CorpusIngest {
     // like every other per-batch artifact; read the whole funnel with
     // spark.read.parquet(outDir/reports).
     import spark.implicits._
-    Seq((batch.count(), cleaned.count(), batchNovel.count(), landed.count()))
+    Seq((pinned.count(), cleaned.count(), batchNovel.count(), landed.count()))
       .toDF("n_input", "n_cleaned", "n_batch_novel", "n_novel")
       .write.mode("overwrite")
       .parquet(s"$outDir/reports/ingest_batch=$batchId")
+    batchNovel.unpersist(blocking = false)
+    pinned.unpersist(blocking = false)
   }
 
   /** The accumulated corpus, or None before the first batch lands.

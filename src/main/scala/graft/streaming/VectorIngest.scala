@@ -33,11 +33,15 @@ object VectorIngest {
     val spark = batch.sparkSession
     val centPath = s"$outDir/index/centroids"
     val listsPath = s"$outDir/index/lists"
-    val vecs = batch.select(col(idCol).as("vid"), col(vecCol).as("cv"))
+    // bootstrap training reads the batch several times (seed draw,
+    // Lloyd sample, assignment) — pin it so each pass reads the cache,
+    // not the source files again
+    val pinned = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vecs = pinned.select(col(idCol).as("vid"), col(vecCol).as("cv"))
     val lists =
       if (!pathExists(spark, centPath)) {
         // bootstrap: train on this batch, freeze the centroids
-        val idx = Similarity.ivfBuildIndex(batch, nlist, lloydIters, seed,
+        val idx = Similarity.ivfBuildIndex(pinned, nlist, lloydIters, seed,
           idCol, vecCol)
         idx.centroids.write.mode("overwrite").parquet(centPath)
         idx.lists
@@ -45,6 +49,7 @@ object VectorIngest {
         Similarity.ivfAssign(spark.read.parquet(centPath), vecs)
     lists.write.mode("overwrite")
       .parquet(s"$listsPath/ingest_batch=$batchId")
+    pinned.unpersist(blocking = false)
   }
 
   /** The materialized index, or None before the bootstrap batch. */
