@@ -67,9 +67,11 @@ object Sharding {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")
     require(substreamDocs.forall(_ > 0), "substreamDocs must be positive")
     // a constant substream (None) keeps the whole stream as one tape;
-    // the constant key changes nothing about the window's groups
+    // the constant key changes nothing about the window's groups.
+    // call_function("div", ...), not an expr() splice — `orderCol` is a
+    // caller-supplied column name
     val sub = substreamDocs
-      .map(s => expr(s"$orderCol div $s")).getOrElse(lit(0L))
+      .map(s => call_function("div", col(orderCol), lit(s))).getOrElse(lit(0L))
     val w = Window.partitionBy(col(partitionCol), col("_substream"))
       .orderBy(orderCol).rowsBetween(Window.unboundedPreceding, -1)
     val frags = docs
@@ -82,8 +84,9 @@ object Sharding {
       // seq_id restarts per tape, so with substreams a sequence's
       // identity is (partitionCol, substream, seq_id)
       .withColumn("seq_id", explode(sequence(
-        expr(s"start_tok div $seqLen"),
-        expr(s"(start_tok + n_tokens - 1) div $seqLen"))))
+        call_function("div", col("start_tok"), lit(seqLen)),
+        call_function("div",
+          col("start_tok") + col("n_tokens") - lit(1L), lit(seqLen)))))
       .withColumn("cut_lo", greatest(col("seq_id") * seqLen, col("start_tok")))
       .withColumn("cut_hi",
         least((col("seq_id") + lit(1L)) * seqLen, col("start_tok") + col("n_tokens")))

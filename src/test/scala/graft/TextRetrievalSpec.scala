@@ -144,10 +144,8 @@ class TextRetrievalSpec extends AnyFunSuite {
     import graft.operators.Similarity
     val emb = Tables.embeddings(spark, SparkTestSession.sf)
     val quant = Similarity.quantizeInt8(emb)
-    assert(quant.schema("q").dataType ==
-      org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.ByteType, containsNull = false).asInstanceOf[Any]
-      || quant.schema("q").dataType.simpleString == "array<tinyint>")
+    assert(quant.schema("q").dataType.simpleString == "array<tinyint>",
+      s"int8 storage claim: got ${quant.schema("q").dataType.simpleString}")
     val recon = Similarity.dequantize(quant)
       .withColumn("cos_rec", Similarity.cosine(
         expr("transform(embedding, x -> cast(x as double))"), $"dq"))
