@@ -122,25 +122,33 @@ object EventQueries {
         col("n_users"), col("n_events"))
 
   /** Heavy hitters: exact top-10 users by event volume, each checked
-    * for membership in the one-pass Misra-Gries frequent-items sketch
+    * against the one-pass Misra-Gries frequent-items sketch
     * (`stat.freqItems`). The sketch's CONTENTS are partition-order
-    * dependent and stay out of the hash; its GUARANTEE — every item
-    * with frequency > support appears — is what `hh_covered` asserts
-    * (top-10 users here are far above support 0.001). One row per
-    * top user, all-integer output; the sketch side is a broadcast of
-    * one tiny array row, no collect. */
+    * dependent and stay out of the hash; its GUARANTEE is conditional
+    * — every item with frequency ABOVE the support threshold appears —
+    * and `hh_covered` asserts exactly that conditional: a top user
+    * below support·N vacuously passes (measured: sf0.1's rank-10 user
+    * sits under the 0.001 share and is legitimately absent), a top
+    * user above support that the sketch missed is a real failure. One
+    * row per top user, all-integer output; the sketch side is a
+    * broadcast of one tiny array row, no collect. */
   def q75HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val support = 0.001
     val ev = Tables.events(spark, dir)
-    val hh = ev.stat.freqItems(Seq("user_id"), 0.001)
+    val hh = ev.stat.freqItems(Seq("user_id"), support)
       .select(col("user_id_freqItems").as("hh"))
+    val total = ev.agg(count(lit(1)).as("n_total"))
     ev.groupBy("user_id").agg(count(lit(1)).as("n_events"))
       .orderBy(col("n_events").desc, col("user_id").asc).limit(10)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("n_events").desc, col("user_id").asc)).cast("long"))
       .crossJoin(broadcast(hh))
+      .crossJoin(broadcast(total))
       .select(col("user_id"), col("n_events"), col("rank"),
-        array_contains(col("hh"), col("user_id")).cast("long").as("hh_covered"))
+        (col("n_events").cast("double") <= lit(support) * col("n_total") ||
+          array_contains(col("hh"), col("user_id")))
+          .cast("long").as("hh_covered"))
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
