@@ -50,7 +50,7 @@ object Maintenance {
   }
 
   /** (parquet file count, total bytes) under a directory. */
-  private def listParquet(spark: SparkSession, dir: String): (Long, Long) = {
+  private[graft] def listParquet(spark: SparkSession, dir: String): (Long, Long) = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     val it = fs.listFiles(path, true)

@@ -94,6 +94,30 @@ object CorpusIngest {
   /** The accumulated corpus, or None before the first batch lands.
     * Partition discovery folds every ingest_batch directory into one
     * table; the partition column itself is provenance, not content. */
+  /** Publish a read-optimized snapshot of the ingest corpus: the
+    * append-oriented `ingest_batch` layout is replay-idempotent but
+    * accrues one directory of smallish files per batch — the snapshot
+    * rewrites it doc_id-sorted at ~`targetFileBytes` per file, so
+    * per-file min/max ranges are disjoint and filtered reads prune
+    * files (see [[graft.operators.Maintenance]]). Provenance stays in
+    * the ingest log; the snapshot drops the partition column. Publish
+    * to a NEW directory and swap — readers never see a half-written
+    * table. Returns the snapshot row count. */
+  def publishSnapshot(spark: SparkSession, outDir: String,
+                      snapshotDir: String,
+                      targetFileBytes: Long = 128L << 20): Long = {
+    val corpus = readCorpus(spark, s"$outDir/corpus").getOrElse(
+      throw new IllegalStateException(s"no corpus at $outDir/corpus"))
+    val (_, bytes) =
+      graft.operators.Maintenance.listParquet(spark, s"$outDir/corpus")
+    val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    corpus
+      .repartitionByRange(nOut, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite").parquet(snapshotDir)
+    spark.read.parquet(snapshotDir).count()
+  }
+
   /** Scheme-transparent existence probe (file://, hdfs://, ... — same
     * stance as the S12 fetch/serve paths). */
   private def pathExists(spark: SparkSession, p: String): Boolean = {

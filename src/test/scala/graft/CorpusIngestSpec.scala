@@ -119,6 +119,28 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(storedCounts == rebuiltCounts)
   }
 
+  test("publishSnapshot: same docs, no provenance column, sorted file layout") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ingest_snap").toString
+    val snapDir = java.nio.file.Files.createTempDirectory("graft_snap").toString + "/v1"
+    CorpusIngest.processBatch(fixtureDocs.filter($"doc_id" < 200), outDir, 0L)
+    CorpusIngest.processBatch(fixtureDocs.filter($"doc_id" >= 200), outDir, 1L)
+    val n = CorpusIngest.publishSnapshot(spark, outDir, snapDir,
+      targetFileBytes = 16L << 10)
+    val corpus = CorpusIngest.readCorpus(spark, s"$outDir/corpus").get
+    val snap = spark.read.parquet(snapDir)
+    assert(n == corpus.count() && snap.count() == n)
+    assert(!snap.columns.contains("ingest_batch"))
+    assert(snap.join(corpus.select("doc_id"), Seq("doc_id"), "left_anti").count() == 0)
+    // sorted layout: per-file doc_id ranges are disjoint
+    val ranges = snap.groupBy(input_file_name().as("f"))
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2)
+      case _ =>
+    }
+  }
+
   test("batch replay is idempotent: reprocessing overwrites, never double-appends") {
     val outDir = java.nio.file.Files.createTempDirectory("graft_ingest_rep").toString
     val wave = fixtureDocs.filter($"doc_id" < 100)
