@@ -410,6 +410,22 @@ object Relational {
       (abs($"p50_apx" - $"p50_exact") <= lit(1.0)).cast("long").as("p50_within_bound"))
   }
 
+  /** INTERSECT / EXCEPT (distinct set semantics), completing the set-
+    * operation family beside q12's union: high-balance customers that
+    * do / do not have orders, labeled and unioned into one frame.
+    * Scale: both rewrite to semi/anti joins under the hood — same
+    * shuffle shape as q14/q15, no extra machinery. */
+  def q76SetOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rich = Tables.customer(spark, dir)
+      .filter($"c_acctbal" > 5000.0).select($"c_custkey")
+    val withOrders = Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey")
+    rich.intersect(withOrders).withColumn("op", lit("intersect"))
+      .unionByName(rich.except(withOrders).withColumn("op", lit("except")))
+  }
+
   /** GROUPING SETS with an explicit, non-hierarchical set list —
     * the general form rollup/cube specialize (one aggregation pass,
     * Expand under the hood; the grouping id disambiguates null-vs-
@@ -504,7 +520,8 @@ object Relational {
     "q27_window_suite"    -> (q27WindowSuite _),
     "q28_grouping_sets"   -> (q28GroupingSets _),
     "q29_full_outer"      -> (q29FullOuter _),
-    "q73_sketch_bounds"   -> (q73SketchBounds _)
+    "q73_sketch_bounds"   -> (q73SketchBounds _),
+    "q76_set_ops"         -> (q76SetOps _)
   )
 
   // ---------------------------------------------------------------- oracles
@@ -685,6 +702,16 @@ object Relational {
         |FULL OUTER JOIN (SELECT o_custkey, o_orderkey, o_totalprice
         |                 FROM orders WHERE o_totalprice > 250000.0) o
         |  ON c_custkey = o_custkey""".stripMargin,
+
+    "q76_set_ops" ->
+      """WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0),
+        |wo AS (SELECT c_custkey FROM customer
+        |       WHERE c_custkey IN (SELECT o_custkey FROM orders))
+        |SELECT c_custkey, 'intersect' AS op
+        |FROM (SELECT c_custkey FROM rich INTERSECT SELECT c_custkey FROM wo)
+        |UNION ALL
+        |SELECT c_custkey, 'except' AS op
+        |FROM (SELECT c_custkey FROM rich EXCEPT SELECT c_custkey FROM wo)""".stripMargin,
 
     // the sketch estimates are engine-internal; the gate checks the
     // exact values + in-bound flags (TRUE on the oracle side: the
