@@ -320,6 +320,7 @@ object Dedup {
       // lineage — recomputable on loss, spills instead of OOMing at
       // ingest-batch scale. (minHashPairs' checkpoints are ids/hashes
       // only, where the recompute-vs-pin tradeoff goes the other way.)
+      // Released by novelOnly before this call returns.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def shingled(df: DataFrame, idName: String): DataFrame = df
       .withColumn("fh", expr(s"shingle_hashes(text, $k)"))
@@ -345,7 +346,28 @@ object Dedup {
       .filter(col("common").cast("double") /
         (col("nc") + col("nd") - col("common")) >= threshold)
       .select(col("d_id").as("doc_id")).distinct()
-    exactNovel.join(dupDelta, Seq("doc_id"), "left_anti")
+    novelOnly(delta, exactNovel, dupDelta)
+  }
+
+  /** Close out a delta-dedup call: materialize the novel doc_ids NOW
+    * (ids-only eager localCheckpoint), release the pinned full-text
+    * frame, and restore the delta's columns with a semi-join. The
+    * eager action is the point — it is what lets the operator
+    * unpersist its internal full-text cache before returning; the lazy
+    * shape left one CacheManager-held full-text frame behind PER CALL,
+    * which in a continuous ingest (one call per micro-batch) grew the
+    * cache without bound. The checkpointed ids are tiny and reclaimed
+    * by the ContextCleaner once the returned frame is dropped; an
+    * executor loss after return costs a caller retry of the batch, the
+    * same stance as [[minHashPairs]]'s ids-only checkpoints.
+    * Precondition (both callers document it): doc_id unique in
+    * `delta`. */
+  private def novelOnly(delta: DataFrame, exactNovel: DataFrame,
+                        dupDelta: DataFrame): DataFrame = {
+    val novelIds = exactNovel.join(dupDelta, Seq("doc_id"), "left_anti")
+      .select("doc_id").localCheckpoint(true)
+    exactNovel.unpersist(blocking = false)
+    delta.join(novelIds, Seq("doc_id"), "left_semi")
   }
 
   /** The materialized form of the structures [[deltaDedup]] derives
@@ -386,7 +408,7 @@ object Dedup {
       .join(index.hashes, Seq("content_md5"), "left_anti")
       .drop("content_md5")
       // same persist rationale as deltaDedup: full-text frame with two
-      // consumers; keep lineage, spill not pin
+      // consumers; keep lineage, spill not pin; released by novelOnly
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dSh = exactNovel
       .withColumn("fh", expr(s"shingle_hashes(text, $k)"))
@@ -399,7 +421,7 @@ object Dedup {
       .filter(col("common").cast("double") /
         (col("nc") + col("nd") - col("common")) >= threshold)
       .select(col("d_id").as("doc_id")).distinct()
-    exactNovel.join(dupDelta, Seq("doc_id"), "left_anti")
+    novelOnly(delta, exactNovel, dupDelta)
   }
 
   /** Streaming exact leg of [[deltaDedup]]: docs arriving on a stream

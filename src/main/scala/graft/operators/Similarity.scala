@@ -231,7 +231,7 @@ object Similarity {
     // time). Routed through Memo so benchmark passes and session end
     // reclaim it; the key carries every input that shapes the result.
     val cents = graft.ops.Memo.of(corpus.sparkSession,
-      s"ivf_cents:$nlist:$lloydIters:$seed:${System.identityHashCode(corpus)}") {
+      s"ivf_cents:$nlist:$lloydIters:$seed:$idCol:$vecCol:${graft.ops.Memo.frameKey(corpus)}") {
       centsPlan
     }
     IvfIndex(cents, ivfAssign(cents,

@@ -208,6 +208,67 @@ object TextAnalysis {
         col("tf") * log(col("n_docs").cast("double") / col("df")))
   }
 
+  /** Sparse-vector cosine similarity join over weighted term vectors —
+    * the lexical complement to [[graft.operators.Dedup.ngramJaccardPairs]]
+    * (which is set-based and ignores term frequency) and to the
+    * embedding paths in [[graft.operators.Similarity]] (which need a
+    * model). Returns (d1, d2, n_common, wdot) for every unordered doc
+    * pair whose cosine over tf×inverse-df weights meets `threshold`.
+    *
+    * Weighting is EXACT integer arithmetic, not tf·ln(N/df):
+    * w = min(tf, tfCap) · (scale div df). The log damping is a
+    * transcendental whose last ulp differs across libm implementations
+    * (the [[topTermsPerDoc]] rationale), while `scale div df` is
+    * bit-identical in any engine — so the whole operator, including
+    * the threshold decision, is deterministic under the cross-engine
+    * hash gate. The threshold compare is algebraic, no sqrt:
+    * dot² · 100² ≥ (100·t)² · ss1 · ss2, evaluated in DECIMAL — and
+    * outputs carry integers only. Resolution costs: thresholds
+    * quantize to 0.01; terms with df ≥ scale weigh 0 and drop out
+    * (self-pruning of ultra-common terms — at corpus scale exactly the
+    * terms that carry no similarity signal); tf saturates at `tfCap`
+    * (sublinear-tf stance, and it bounds the decimal headroom — ANSI
+    * mode turns any overflow beyond the documented envelope into a
+    * loud error, never a silent wrap; lower `scale` for pathological
+    * inputs).
+    *
+    * Scale shape: the pair space is never formed — docs meet only
+    * through the inverted term index (same ids-only join discipline as
+    * the shingle paths), tf/df/ss are map-side-combinable aggregates,
+    * and `maxDf` caps the join's worst case: a term in f docs yields
+    * f·(f−1)/2 candidate rows, so stop-term df-capping is the same
+    * mandatory lever as ngramJaccardPairs' maxShingleDocFreq. */
+  def tfidfCosinePairs(docs: DataFrame, threshold: Double = 0.5,
+                       maxDf: Option[Int] = None, scale: Int = 10000,
+                       tfCap: Int = 1000, text: String = "text"): DataFrame = {
+    val terms = docs.select(col("doc_id"), explode(words(col(text))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(least(count(lit(1)), lit(tfCap.toLong)).as("tf"))
+    val dfreq = terms.groupBy("term").agg(count(lit(1)).as("df"))
+    val kept = maxDf.map(c => dfreq.filter(col("df") <= c)).getOrElse(dfreq)
+    val w = terms.join(kept, Seq("term"))
+      .withColumn("w", (col("tf") * expr(s"$scale div df"))
+        .cast(org.apache.spark.sql.types.DecimalType(14, 0)))
+      .filter(col("w") > 0)
+      .select("doc_id", "term", "w")
+    val ss = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("ss"))
+    val pairs = w.as("a")
+      .join(w.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(col("a.w") * col("b.w")).as("dot"))
+    val tN = math.round(threshold * 100)
+    pairs
+      .join(ss.select(col("doc_id").as("d1"), col("ss").as("ss1")), Seq("d1"))
+      .join(ss.select(col("doc_id").as("d2"), col("ss").as("ss2")), Seq("d2"))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * lit(10000L) >=
+          lit(tN * tN) * col("ss1") * col("ss2"))
+      .select(col("d1"), col("d2"), col("n_common"),
+        col("dot").cast("long").as("wdot"))
+  }
+
   /** Keyword extraction: the top-k terms of each document ranked by
     * frequency lift tf/df — high in-doc frequency, rare in the corpus.
     * The classic tf·idf ordering multiplies by ln(N/df); since N is a
@@ -274,7 +335,7 @@ object TextAnalysis {
     // scoring pass — without materialization each consumer re-runs the
     // scan+explode subplan (Catalyst has no cross-subplan CSE)
     val perDoc = graft.ops.Memo.of(docs.sparkSession,
-      s"bm25_perdoc:$text:${queryTerms.mkString(",")}:${System.identityHashCode(docs)}") {
+      s"bm25_perdoc:$text:${queryTerms.mkString(",")}:${graft.ops.Memo.frameKey(docs)}") {
       docs
         .select(col("doc_id"), explode(words(col(text))).as("term"))
         .groupBy("doc_id")

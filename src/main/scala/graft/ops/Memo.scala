@@ -20,7 +20,7 @@ import org.apache.spark.storage.StorageLevel
   * SparkSession object avoids the weak-map trap where the cached
   * DataFrames transitively pin their own session and nothing is ever
   * collected. Cleanup is explicit instead: the first memo insert for a
-  * session registers an application-end listener that drops every
+  * CONTEXT registers an application-end listener that drops every
   * entry of every session when the backing SparkContext stops (a
   * stopped context's persisted blocks are gone anyway — the map entry
   * is the only thing left to free), and [[clear]] handles the
@@ -43,12 +43,33 @@ object Memo {
   private val perSession =
     scala.collection.mutable.Map.empty[String, scala.collection.mutable.LinkedHashMap[String, DataFrame]]
 
-  /** A session key that does NOT strongly reference the session
-    * (SparkSession.sessionUUID is private[sql]; identity hash is
-    * unique per live object, and a stale entry after a collision-free
-    * GC is bounded by the app-end sweep below). */
+  /** Session identity WITHOUT strongly referencing the session
+    * (SparkSession.sessionUUID is private[sql]): a monotonically
+    * assigned id held in a weak side table. Unlike an identity hash,
+    * an id is never reissued after the session is collected, so a
+    * recycled heap address can't serve another session's cache. */
+  private val sessionIds =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+  private val nextSessionId = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def sid(spark: SparkSession): String =
-    "idhash:" + System.identityHashCode(spark).toHexString
+    sessionIds.computeIfAbsent(spark, _ => "s" + nextSessionId.incrementAndGet())
+
+  /** One app-end listener per SparkContext (keyed by applicationId —
+    * unique per context, so a stop/start cycle in one JVM still gets a
+    * listener), instead of one per first-memo-insert, which in a
+    * long-running service accumulated listeners without bound. */
+  private val listenerRegistered = scala.collection.mutable.Set.empty[String]
+
+  /** Content-derived identity for a DataFrame, for memo keys that cache
+    * per-input-frame results (ivf centroids, bm25 per-doc stats): the
+    * canonicalized analyzed plan's semantic hash. Two reads of the same
+    * table produce the same key (good — same result), while any plan
+    * difference (raw vs transformed column, different path) changes it.
+    * Unlike System.identityHashCode, it cannot alias after a GC. */
+  def frameKey(df: DataFrame): String =
+    "plan" + df.queryExecution.analyzed.semanticHash().toHexString
 
   /** The memoized frame for `key`, building + persisting it on first
     * use in this session. `build` runs at most once per (session, key)
@@ -58,10 +79,12 @@ object Memo {
       val id = sid(spark)
       if (!perSession.contains(id)) {
         perSession(id) = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
-        spark.sparkContext.addSparkListener(new SparkListener {
-          override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit =
-            Memo.dropAll()
-        })
+        val appId = spark.sparkContext.applicationId
+        if (listenerRegistered.add(appId))
+          spark.sparkContext.addSparkListener(new SparkListener {
+            override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit =
+              Memo.dropAll()
+          })
       }
       val m = perSession(id)
       val frame = m.getOrElseUpdate(key, build.persist(StorageLevel.MEMORY_AND_DISK))

@@ -390,10 +390,14 @@ object Relational {
     * implementation-specific (and the quantile sketch's partition-merge
     * order makes its estimate run-varying), so they stay OUT of the
     * oracle hash; what the gate checks is the exact values plus
-    * integer FLAGS asserting each estimate landed inside its published
-    * error bound (HLL rsd 0.02 → 3σ = 6%; percentile accuracy 10⁴ →
-    * rank error ≤ n/10⁴, ≪ 1 quantity unit here) — the property a user
-    * of the sketch actually relies on. */
+    * integer FLAGS asserting each estimate landed inside its error
+    * envelope. HLL++'s rsd (0.02 here) is a standard DEVIATION, not a
+    * bound — ~0.3% of inputs legitimately exceed 3σ — so the flag
+    * checks 6σ = 12%, a level the estimator effectively never exceeds
+    * (same stance as q75: assert the guarantee the sketch actually
+    * makes, not a fixture-lucky tighter one). The percentile flag IS a
+    * guarantee: accuracy 10⁴ → rank error ≤ n/10⁴, ≪ 1 quantity unit
+    * here. */
   def q73SketchBounds(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val users = Tables.events(spark, dir).agg(
@@ -405,7 +409,7 @@ object Relational {
     users.crossJoin(qty).select(
       $"n_users_exact",
       (abs($"hll" - $"n_users_exact").cast("double") <=
-        $"n_users_exact" * lit(0.06)).cast("long").as("hll_within_bound"),
+        $"n_users_exact" * lit(0.12)).cast("long").as("hll_within_bound"),
       $"p50_exact",
       (abs($"p50_apx" - $"p50_exact") <= lit(1.0)).cast("long").as("p50_within_bound"))
   }
@@ -714,9 +718,10 @@ object Relational {
         |FROM (SELECT c_custkey FROM rich EXCEPT SELECT c_custkey FROM wo)""".stripMargin,
 
     // the sketch estimates are engine-internal; the gate checks the
-    // exact values + in-bound flags (TRUE on the oracle side: the
-    // bound is the sketch's published guarantee, so a flag of 0 is a
-    // real failure, not a parity artifact)
+    // exact values + in-bound flags (TRUE on the oracle side: HLL at
+    // 6σ of its rsd and the quantile sketch at its hard rank bound —
+    // envelopes the estimators effectively never exceed, so a flag of
+    // 0 is a real failure, not a parity artifact)
     "q73_sketch_bounds" ->
       """SELECT
         |  (SELECT count(DISTINCT user_id) FROM events) AS n_users_exact,

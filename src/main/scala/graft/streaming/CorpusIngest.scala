@@ -160,16 +160,27 @@ object CorpusIngest {
     * `Trigger.AvailableNow` turns the same query into an incremental
     * batch ingester: each invocation processes exactly the files that
     * landed since the last checkpoint, then stops — the T1/T2
-    * scheduled-re-run shape. */
+    * scheduled-re-run shape.
+    *
+    * The clean/dedup dials mirror [[processBatch]]'s signature (same
+    * defaults) so a tuned deployment configures the stream entry point
+    * directly instead of re-implementing it around processBatch. */
   def start(spark: SparkSession, inDir: String, outDir: String,
             schema: org.apache.spark.sql.types.StructType,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+            trigger: Trigger = Trigger.AvailableNow(),
+            minTokens: Int = 20, maxTokens: Int = 100000,
+            minQuality: Double = 0.5, maxTopBigramRatio: Double = 0.2,
+            langs: Seq[String] = Seq("en"),
+            k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+            threshold: Double = 0.6): StreamingQuery =
     spark.readStream
       .schema(schema)
       .parquet(inDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        processBatch(batch, outDir, id)
+        processBatch(batch, outDir, id, minTokens, maxTokens,
+          minQuality, maxTopBigramRatio, langs, k, numHashes, bands,
+          threshold)
       }
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .trigger(trigger)

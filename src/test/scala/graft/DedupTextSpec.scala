@@ -424,6 +424,29 @@ class DedupTextSpec extends AnyFunSuite {
     assert(capped == kept)
   }
 
+  test("delta dedup releases its internal full-text cache per call") {
+    // the continuous-ingest contract: one deltaDedup(Indexed) call per
+    // micro-batch must not leave a CacheManager-pinned full-text frame
+    // behind, or a long-running ingest grows the cache without bound.
+    // Probe: persisted-but-not-checkpointed RDD count is unchanged
+    // across calls (the ids-only local checkpoints are exempt — the
+    // ContextCleaner reclaims those once the result frame is dropped).
+    import spark.implicits._
+    val sc = spark.sparkContext
+    def cachedNonCkpt() =
+      sc.getPersistentRDDs.values.count(r => !r.isCheckpointed)
+    val corpus = Seq((1L, (0 until 30).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val delta = Seq((10L, (0 until 30).map(i => s"n$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val before = cachedNonCkpt()
+    Dedup.deltaDedup(corpus, delta, k = 3, threshold = 0.6).count()
+    val index = Dedup.buildDedupIndex(corpus, k = 3)
+    Dedup.deltaDedupIndexed(index, delta, k = 3, threshold = 0.6).count()
+    assert(cachedNonCkpt() == before,
+      "deltaDedup/deltaDedupIndexed must unpersist their internal frame")
+  }
+
   test("clean corpus recipe: each dimension rejects its planted doc, good doc survives") {
     import spark.implicits._
     val good = "the quick value of a table is to scan and merge " +

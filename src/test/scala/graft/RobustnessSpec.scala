@@ -32,6 +32,22 @@ class RobustnessSpec extends AnyFunSuite {
     graft.ops.Memo.clear(spark)
   }
 
+  test("Memo.frameKey: content-derived frame identity, not object identity") {
+    import spark.implicits._
+    val base = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_fk").toString
+    base.write.mode("overwrite").parquet(dir)
+    // two independent reads of the same table → same plan → same key
+    // (the cache SHOULD be shared: same input, same result)
+    assert(graft.ops.Memo.frameKey(spark.read.parquet(dir)) ==
+      graft.ops.Memo.frameKey(spark.read.parquet(dir)))
+    // a transformed column → different plan → different key (the bug
+    // class this replaces: identityHashCode collided raw-vs-derived
+    // frames and could serve the wrong cached centroids)
+    assert(graft.ops.Memo.frameKey(base) !=
+      graft.ops.Memo.frameKey(base.withColumn("text", upper($"text"))))
+  }
+
   test("Registration claims a name over a foreign pre-registration, once") {
     // a user registered their own constant-valued 'cosine_sim'-alike
     // BEFORE graft: graft's register must replace it (operators depend
