@@ -127,4 +127,37 @@ object Sharding {
       pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L)) <
         lit(math.round(fraction * 1000000.0)))
   }
+
+  /** Reproducible training order: a seed-keyed pseudo-random
+    * permutation of the corpus, bucketed into `nShards` reader shards.
+    * order_key = md5(doc_id:seed) — change the seed, get an
+    * independent permutation; rerun the job on any cluster size, get
+    * the SAME one (the reproducibility property a training run needs
+    * for resume/ablation). md5, not xxhash64, so any engine can replay
+    * the exact order (the portability stance of [[hashSample]]'s
+    * documented alternative).
+    *
+    * Scale shape: shard assignment is a narrow map (two hex nibbles of
+    * the key → bucket mod nShards — no global sort, no skew: buckets
+    * are uniform by construction). The per-shard position is a window
+    * keyed BY shard, so parallelism equals nShards — size nShards to
+    * the reader fleet, not below the cluster's cores, and the wide
+    * stage stays balanced. A global row_number (parallelism 1) never
+    * appears. */
+  def trainOrder(docs: DataFrame, nShards: Int, seed: Long = 42L,
+                 idCol: String = "doc_id"): DataFrame = {
+    require(nShards >= 1 && nShards <= 256, s"nShards must be in [1,256]: $nShards")
+    val hex = "0123456789abcdef"
+    val okey = md5(concat_ws(":", col(idCol).cast("string"), lit(seed.toString)))
+    val bucket =
+      (call_function("locate", substring(col("okey"), 1, 1), lit(hex)) - lit(1))
+        .cast("long") * lit(16L) +
+      (call_function("locate", substring(col("okey"), 2, 1), lit(hex)) - lit(1))
+        .cast("long")
+    docs
+      .withColumn("okey", okey)
+      .withColumn("shard", pmod(bucket, lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("okey"), col(idCol))).cast("long"))
+  }
 }

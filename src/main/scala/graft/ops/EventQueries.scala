@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsOf, Multimodal}
+import graft.operators.{AsOf, Maintenance, Multimodal}
 import graft.streaming.EventStreams
 
 /** Event-time window inventory over `events`, plus multimodal
@@ -151,8 +151,37 @@ object EventQueries {
           .cast("long").as("hh_covered"))
   }
 
+  /** Z-order (Morton) clustering code over (user_id, hour-of-day) —
+    * the layout key [[graft.operators.Maintenance.zorderWrite]] sorts
+    * by. The query materializes the full derivation — min/max
+    * normalization to 8-bit buckets, then the bit interleave — so the
+    * oracle replays every step in integer-exact SQL; the layout
+    * EFFECT (file pruning on either dimension, not just the leading
+    * one) is measured in MaintenanceSpec. */
+  def q78ZorderCode(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id").cast("long").as("u"),
+        hour(col("ts")).cast("long").as("h"))
+    val mm = e.agg(
+      min(col("u")).as("mn1"), max(col("u")).as("mx1"),
+      min(col("h")).as("mn2"), max(col("h")).as("mx2"))
+    e.crossJoin(broadcast(mm))
+      .select(col("event_id"),
+        Maintenance.scaleToBits(col("u"), col("mn1"), col("mx1"), 8).as("b1"),
+        Maintenance.scaleToBits(col("h"), col("mn2"), col("mx2"), 8).as("b2"))
+      .withColumn("zb", Maintenance.mortonCode(col("b1"), col("b2"), 8))
+  }
+
+  /** The Morton interleave as portable SQL — the oracle-side mirror of
+    * [[graft.operators.Maintenance.mortonCode]]. */
+  private def zInterleaveSql(c1: String, c2: String, bits: Int): String =
+    (0 until bits).flatMap(i => Seq(
+      s"((($c1 >> $i) & 1) << ${2 * i + 1})",
+      s"((($c2 >> $i) & 1) << ${2 * i})")).mkString(" | ")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_tumbling_window" -> (q50Tumbling _),
+    "q78_zorder_code"     -> (q78ZorderCode _),
     "q75_heavy_hitters"   -> (q75HeavyHitters _),
     "q69_window_topk"     -> (q69WindowTopk _),
     "q70_window_users"    -> (q70WindowUsers _),
@@ -165,6 +194,22 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // integer-exact replay of the whole z-code derivation: the //
+    // bucket rescale and the shift/mask interleave are bit-identical
+    // across engines, so the code — unlike a float-scaled variant —
+    // hash-matches
+    "q78_zorder_code" ->
+      s"""WITH e AS (SELECT event_id, CAST(user_id AS BIGINT) AS u,
+         |            CAST(extract(hour FROM ts) AS BIGINT) AS h FROM events),
+         |mm AS (SELECT min(u) AS mn1, max(u) AS mx1,
+         |              min(h) AS mn2, max(h) AS mx2 FROM e),
+         |b AS (SELECT event_id,
+         |        ((u - mn1) * 256) // (mx1 - mn1 + 1) AS b1,
+         |        ((h - mn2) * 256) // (mx2 - mn2 + 1) AS b2
+         |      FROM e CROSS JOIN mm)
+         |SELECT event_id, b1, b2,
+         |  (${zInterleaveSql("b1", "b2", 8)}) AS zb
+         |FROM b""".stripMargin,
     // hh_covered is the sketch's published guarantee (item frequency
     // far above support ⇒ present) — TRUE on the oracle side; a 0
     // from Spark is a real sketch failure, not a parity artifact

@@ -430,6 +430,31 @@ object Relational {
       .unionByName(rich.except(withOrders).withColumn("op", lit("except")))
   }
 
+  /** Correlated-subquery SQL surface: EXISTS plus a correlated scalar
+    * subquery, as a user would write them. Catalyst de-correlates
+    * both — EXISTS rewrites to a left-semi join (q15's shuffle shape)
+    * and the per-nation average to one aggregate joined back on the
+    * correlation key — so the declarative form pays exactly what the
+    * hand-written join would; nothing re-executes per outer row. The
+    * threshold is the oracle-parity average (exact decimal sum cast to
+    * double, one IEEE divide), so the comparison is deterministic in
+    * both engines. */
+  def q80ExistsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("g80_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("g80_orders")
+    spark.sql("""
+      SELECT c.c_custkey, c.c_name, c.c_acctbal
+      FROM g80_customer c
+      WHERE EXISTS (SELECT 1 FROM g80_orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 150000)
+        AND c.c_acctbal > (
+          SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                 / count(*)
+          FROM g80_customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+    """)
+  }
+
   /** GROUPING SETS with an explicit, non-hierarchical set list —
     * the general form rollup/cube specialize (one aggregation pass,
     * Expand under the hood; the grouping id disambiguates null-vs-
@@ -525,6 +550,7 @@ object Relational {
     "q28_grouping_sets"   -> (q28GroupingSets _),
     "q29_full_outer"      -> (q29FullOuter _),
     "q73_sketch_bounds"   -> (q73SketchBounds _),
+    "q80_exists_subquery" -> (q80ExistsSubquery _),
     "q76_set_ops"         -> (q76SetOps _)
   )
 
@@ -722,6 +748,20 @@ object Relational {
     // 6σ of its rsd and the quantile sketch at its hard rank bound —
     // envelopes the estimators effectively never exceed, so a flag of
     // 0 is a real failure, not a parity artifact)
+    // same declarative EXISTS/correlated text (modulo view names); the
+    // per-nation threshold follows the decimal-sum-then-one-divide
+    // parity rule so the boundary compare is bit-identical
+    "q80_exists_subquery" ->
+      """SELECT c.c_custkey, c.c_name, c.c_acctbal
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 150000)
+        |  AND c.c_acctbal > (
+        |    SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        |           / count(*)
+        |    FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin,
+
     "q73_sketch_bounds" ->
       """SELECT
         |  (SELECT count(DISTINCT user_id) FROM events) AS n_users_exact,

@@ -224,6 +224,27 @@ object TextQueries {
   def q72Bm25(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.bm25TopK(Tables.documents(spark, dir), bm25Terms, k = 10)
 
+  /** Sparse TF-IDF cosine near-dup pairs (exact integer weighting —
+    * see [[TextAnalysis.tfidfCosinePairs]]): frequency-weighted
+    * lexical similarity, the signal set-based Jaccard (q34) is blind
+    * to. The df cap at 50 (10% of the fixture corpus) is load-bearing:
+    * without it the fixture's shared synthetic vocabulary pushes ~90%
+    * of ALL pairs over the threshold, with it exactly the planted
+    * rare-term structure survives (300 pairs, stable from t=0.5 to
+    * 0.8) — the measured demonstration of why stop-term df-capping is
+    * mandatory at corpus scale. */
+  def q77TfidfPairs(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfCosinePairs(docsRebalanced(spark, dir),
+      threshold = 0.5, maxDf = Some(50))
+
+  /** Seed-keyed reproducible training order + shard assignment (see
+    * [[Sharding.trainOrder]]): the oracle replays the md5 permutation,
+    * nibble-bucket shard, and per-shard positions exactly — the
+    * correctness claim IS the cross-engine reproducibility. */
+  def q79TrainOrder(spark: SparkSession, dir: String): DataFrame =
+    Sharding.trainOrder(Tables.documents(spark, dir), nShards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"), col("okey"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_text_tokens"   -> (q30TextTokens _),
     "q31_text_quality"  -> (q31TextQuality _),
@@ -250,7 +271,9 @@ object TextQueries {
     "q67_dup_chunks"    -> (q67DupChunks _),
     "q68_corpus_stats"  -> (q68CorpusStats _),
     "q71_pack_sequences" -> (q71PackSequences _),
-    "q72_bm25_topk"     -> (q72Bm25 _)
+    "q72_bm25_topk"     -> (q72Bm25 _),
+    "q77_tfidf_pairs"   -> (q77TfidfPairs _),
+    "q79_train_order"   -> (q79TrainOrder _)
   )
 
   private val BPEISH = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
@@ -614,6 +637,51 @@ object TextQueries {
         |SELECT doc_id, rank FROM (
         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
         |  FROM agg) x
-        |WHERE rank <= 10""".stripMargin
+        |WHERE rank <= 10""".stripMargin,
+
+    // exact integer weighting (w = min(tf,1000)·(10000//df), df<=50)
+    // and the algebraic threshold compare (dot²·100² >= (100t)²·ss1·ss2)
+    // reproduce the Spark side bit-for-bit: every quantity is integer
+    // arithmetic — HUGEINT here, DECIMAL there — so the hash gate sees
+    // no float at all
+    "q77_tfidf_pairs" ->
+      """WITH terms AS (
+        |  SELECT doc_id, term, least(count(*), 1000) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents) t
+        |  GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM terms GROUP BY term),
+        |w AS (
+        |  SELECT doc_id, t.term, CAST(tf * (10000 // df) AS HUGEINT) AS w
+        |  FROM terms t JOIN dfreq USING (term)
+        |  WHERE df <= 50 AND tf * (10000 // df) > 0),
+        |ss AS (SELECT doc_id, sum(w*w) AS ss FROM w GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |         CAST(count(*) AS BIGINT) AS n_common, sum(a.w*b.w) AS dot
+        |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, n_common, CAST(dot AS BIGINT) AS wdot
+        |FROM pairs
+        |JOIN ss s1 ON d1 = s1.doc_id
+        |JOIN ss s2 ON d2 = s2.doc_id
+        |WHERE dot > 0 AND dot*dot*10000 >= 2500 * s1.ss * s2.ss""".stripMargin,
+
+    // md5 permutation + hex-nibble bucket + per-shard row_number: all
+    // string/integer ops, replayed verbatim — proving the train order
+    // really is engine/cluster-independent
+    "q79_train_order" ->
+      """WITH o AS (SELECT doc_id,
+        |             md5(CAST(doc_id AS VARCHAR) || ':' || '42') AS okey
+        |           FROM documents),
+        |b AS (SELECT doc_id, okey,
+        |        ((strpos('0123456789abcdef', substr(okey, 1, 1)) - 1) * 16
+        |         + strpos('0123456789abcdef', substr(okey, 2, 1)) - 1) % 8 AS shard
+        |      FROM o)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY okey, doc_id)
+        |       AS BIGINT) AS pos,
+        |  okey
+        |FROM b""".stripMargin
   )
 }

@@ -183,4 +183,72 @@ class TextRetrievalSpec extends AnyFunSuite {
     assert(math.abs(apx - exact).toDouble <= 0.06 * exact,
       s"HLL estimate $apx vs exact $exact breaches the 3-sigma bound")
   }
+
+  // -------------------------------------------- tf-idf cosine pairs
+
+  test("tfidf cosine pairs: rare-term twins pair; stop-term-only overlap doesn't under maxDf") {
+    // docs 1+2 share rare terms (high weight); docs 3+4 share only the
+    // corpus-wide stop term, which the df cap removes entirely.
+    // Expected cosine for (1,2): 3 shared df=2 terms (w=5000) + 1
+    // unique df=1 term (w=10000) each → 75e6/175e6 ≈ 0.43.
+    val docs = Seq(
+      (1L, "zebra quark boson lepton the"),
+      (2L, "zebra quark boson hadron the"),
+      (3L, "apple the"),
+      (4L, "banana the")
+    ).toDF("doc_id", "text")
+    val pairs = TextAnalysis.tfidfCosinePairs(docs, threshold = 0.4,
+        maxDf = Some(3))
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"rare-term twins must pair, got $pairs")
+    assert(!pairs.contains((3L, 4L)),
+      s"stop-term-only overlap must not pair under the df cap, got $pairs")
+  }
+
+  test("tfidf cosine pairs: tf weighting separates what Jaccard cannot") {
+    // same term SET (Jaccard = 1.0) but very different term-frequency
+    // profiles -> cosine over tf-weighted vectors drops below a high
+    // threshold while a set-based measure is blind to the difference
+    val docs = Seq(
+      (1L, "alpha " * 9 + "beta"),
+      (2L, "beta " * 9 + "alpha")
+    ).map { case (id, t) => (id, t.trim) }.toDF("doc_id", "text")
+    val high = TextAnalysis.tfidfCosinePairs(docs, threshold = 0.9).count()
+    val low = TextAnalysis.tfidfCosinePairs(docs, threshold = 0.2).count()
+    assert(high == 0L, "orthogonal-ish tf profiles must fail a 0.9 threshold")
+    assert(low == 1L, "the shared-vocabulary pair must pass a 0.2 threshold")
+  }
+
+  test("tfidf cosine pairs: empty and degenerate inputs yield empty, not errors") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.tfidfCosinePairs(empty).count() == 0L)
+    val one = Seq((1L, "solo doc")).toDF("doc_id", "text")
+    assert(TextAnalysis.tfidfCosinePairs(one).count() == 0L)
+  }
+
+  // ------------------------------------------------------ train order
+
+  test("train order: partitioning-independent, uniform-ish shards, contiguous positions") {
+    val docs = Tables.documents(spark, SparkTestSession.sf).select("doc_id")
+    val a = Sharding.trainOrder(docs, nShards = 8)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val b = Sharding.trainOrder(docs.repartition(13), nShards = 8)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(a.sameElements(b),
+      "order must not depend on physical partitioning (the reproducibility claim)")
+    val byShard = a.groupBy(_._2)
+    assert(byShard.keySet.subsetOf((0L until 8L).toSet))
+    byShard.foreach { case (s, rows) =>
+      val ps = rows.map(_._3).sorted
+      assert(ps.sameElements(1L to rows.length.toLong),
+        s"shard $s positions must be contiguous 1..n, got ${ps.take(5).mkString(",")}…")
+    }
+    // a different seed yields a different permutation (independence)
+    val c = Sharding.trainOrder(docs, nShards = 8, seed = 7L)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(!a.sameElements(c), "changing the seed must change the order")
+  }
 }
