@@ -80,29 +80,45 @@ object Bench {
   /** The driver-contract summary line, separated from `main` so a spec
     * can pin its shape: valid JSON, all queries present, failures and
     * flaky counts surfaced, and compact enough for the driver's
-    * bounded stdout-tail capture (~2 KB) — full-precision floats
-    * pushed the line past that buffer and the driver's `parsed` field
-    * came back null (r1–r4) even though the line was valid JSON.
-    * 3-decimal timings: ms precision is below a wall-clock bench's
-    * noise floor. */
+    * bounded stdout-tail capture (measured: the driver keeps the LAST
+    * 2000 chars of stdout — BENCH_r1–r5 tails are exactly 2000 B) —
+    * full-precision floats with full query names pushed the line past
+    * that buffer and the driver's `parsed` field came back null
+    * (r1–r4) even though the line was valid JSON.
+    *
+    * Per-query keys are the canonical `qNN` ids — the prefix before
+    * the first `_` of the registered name, which the driver brief's
+    * own contract example uses (`"queries":{"q1":sec,…}`). Full names
+    * at 86 queries cost ~1800 chars of keys alone, forcing the
+    * precision clamp all the way to whole seconds (worthless for
+    * round-over-round comparison); the 4-char ids keep 3-decimal
+    * timings with headroom past 150 queries. If ids ever collide the
+    * full names come back (defensive — correctness of the mapping
+    * beats compactness). */
   def summaryJson(names: Seq[String], best: collection.Map[String, Double],
                   everOk: collection.Map[String, Boolean],
                   nFail: collection.Map[String, Int],
                   passes: Int, sfDir: String): String = {
+    val shortIds = names.map(n => n -> n.takeWhile(_ != '_')).toMap
+    val id: Map[String, String] =
+      if (shortIds.values.toSeq.distinct.size == names.size) shortIds
+      else names.map(n => n -> n).toMap
     def build(prec: Int): String = {
       def f(d: Double) = s"%.${prec}f".formatLocal(java.util.Locale.ROOT, d)
-      val qs = names.map(k => "\"" + k + "\":" + f(best(k)))
+      val qs = names.map(k => "\"" + id(k) + "\":" + f(best(k)))
         .mkString("{", ",", "}")
       val failed = names.filterNot(everOk.getOrElse(_, false))
-        .map("\"" + _ + "\"").mkString("[", ",", "]")
+        .map("\"" + id(_) + "\"").mkString("[", ",", "]")
       // A query that failed SOME passes but succeeded at least once
       // has a valid min but is hiding instability — surface it as
       // flaky with its failed-pass count, not stderr-only.
       val flaky = names
         .filter(k => everOk.getOrElse(k, false) && nFail.getOrElse(k, 0) > 0)
-        .map(k => "\"" + k + "\":" + nFail(k)).mkString("{", ",", "}")
+        .map(k => "\"" + id(k) + "\":" + nFail(k)).mkString("{", ",", "}")
       val total = names.map(best).sum
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flaky,"passes":$passes,"sf":"$sfDir"}"""
+      // the total always carries 3 decimals — it is the headline number
+      // and fits regardless of query count
+      s"""{"metric":"total","value":${"%.3f".formatLocal(java.util.Locale.ROOT, total)},"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flaky,"passes":$passes,"sf":"$sfDir"}"""
     }
     // self-clamping precision: slow rounds / more queries widen the
     // line; degrade per-query precision before the tail budget breaks

@@ -144,6 +144,45 @@ object Sharding {
     * the reader fleet, not below the cluster's cores, and the wide
     * stage stays balanced. A global row_number (parallelism 1) never
     * appears. */
+  /** Temperature-weighted source mixing (α = 0.5): per-group quota
+    * ∝ √(group size) instead of ∝ size — the standard flattening used
+    * to keep small languages/sources represented in an LLM mix (pure
+    * proportional sampling starves them; uniform over-samples noise).
+    *
+    * Every step is integer-exact so the kept set is reproducible on
+    * any engine or cluster shape: weights are ⌊√n⌋ (exact — IEEE sqrt
+    * is correctly rounded and its floor at these magnitudes cannot
+    * straddle an integer), quotas are integer division
+    * (budget·w) div Σw, and the picks are the first `quota` docs per
+    * group under the seed-keyed md5 order [[trainOrder]] uses —
+    * deterministic "random", no RNG state.
+    *
+    * Scale shape: group weights are one tiny aggregate broadcast back
+    * (never collected); the per-group pick is one window over the
+    * group partition. Groups are the parallel unit, as in
+    * [[tokenBudgetShards]]. */
+  def temperatureMix(docs: DataFrame, budget: Long,
+                     groupCol: String = "lang", seed: Long = 42L,
+                     idCol: String = "doc_id"): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    val weights = docs.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_grp"))
+      .withColumn("w_grp", floor(sqrt(col("n_grp").cast("double"))).cast("long"))
+    val total = weights.agg(sum(col("w_grp")).as("tot_w"))
+    val quotas = weights.crossJoin(broadcast(total))
+      .withColumn("quota", expr(s"(${budget}L * w_grp) div tot_w"))
+      .select(col(groupCol), col("quota"))
+    val pick = Window.partitionBy(groupCol)
+      .orderBy(col("okey"), col(idCol))
+    docs
+      .withColumn("okey",
+        md5(concat_ws(":", col(idCol).cast("string"), lit(seed.toString))))
+      .withColumn("pick_rank", row_number().over(pick).cast("long"))
+      .join(broadcast(quotas), Seq(groupCol))
+      .filter(col("pick_rank") <= col("quota"))
+      .select(col(idCol), col(groupCol), col("pick_rank"))
+  }
+
   def trainOrder(docs: DataFrame, nShards: Int, seed: Long = 42L,
                  idCol: String = "doc_id"): DataFrame = {
     require(nShards >= 1 && nShards <= 256, s"nShards must be in [1,256]: $nShards")

@@ -344,4 +344,85 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select("d1", "d2", "cos")
   }
+
+  /** SemDeDup-style semantic dedup over the STORED int8 codes — no
+    * float vector ever leaves the scan. Every decision is integer
+    * arithmetic, so the whole kept/pruned verdict is engine- and
+    * partitioning-deterministic (and the DuckDB oracle replays it
+    * bit-for-bit — unlike float-cosine gates, where the last ulp is
+    * engine-dependent and only agreement rows survive a hash check).
+    *
+    * Pipeline:
+    *   1. quantize ([[quantizeInt8]]'s exact formula) → codes
+    *      c ∈ [−128,127] and an integer self-product ss = Σc².
+    *   2. candidate generation: `bands` sign-bit buckets — band b
+    *      keys on the sign pattern of dims [b·bandBits, (b+1)·bandBits);
+    *      vectors meet only inside an equal (band, bucket) cell. Sign
+    *      tests on float32 are exact, so bucketing is deterministic
+    *      (this is SRP-LSH with axis-aligned hyperplanes).
+    *   3. gate: quantized cosine ≥ t, decided as
+    *      dot>0 ∧ dot²·10⁴ ≥ simNumSqE4·ss₁·ss₂  (simNumSqE4 = t²·10⁴)
+    *      — all in BIGINT (safe for dims ≤ ~1800: dot ≤ d·128²,
+    *      dot²·10⁴ must stay under 2⁶³).
+    *   4. keep rule: a vector is pruned iff ANY lower-id candidate
+    *      passes the gate (keep-first; one join, no sequential greedy
+    *      chain — the standard parallel relaxation).
+    *
+    * Scale shape: ids-only through the band explode and bucket
+    * self-join (the LSH pattern of [[cosineNearDupPairs]]); codes join
+    * back only for candidate pairs. `bandBits` must grow with corpus
+    * size to keep bucket occupancy bounded (occupancy ≈ n/2^bandBits
+    * per band); hot buckets (near-zero dims) salt like any skewed key.
+    * At 100 TB the int8 codes are ¼ the bytes of float32 through every
+    * shuffle — the reason dedup runs on codes, not vectors.
+    *
+    * Output: one row per input vector —
+    * (idCol, kept BIGINT 1/0, dup_of BIGINT nullable = min pruning id).
+    */
+  def semanticDedup(corpus: DataFrame, bands: Int = 8, bandBits: Int = 6,
+                    simNumSqE4: Long = 2025L,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(bands >= 1 && bandBits >= 1 && bandBits <= 16,
+      s"need bands >= 1 and bandBits in [1,16], got $bands/$bandBits")
+    require(simNumSqE4 >= 0L && simNumSqE4 <= 10000L,
+      s"simNumSqE4 is t^2 * 1e4, must be in [0,10000]: $simNumSqE4")
+    val coded = corpus
+      .withColumn("qmin", array_min(col(vecCol)).cast("double"))
+      .withColumn("qscale",
+        greatest((array_max(col(vecCol)).cast("double") - col("qmin")) / lit(255.0),
+          lit(1e-30)))
+      .withColumn("c", expr(
+        s"transform($vecCol, x -> cast(round((cast(x as double) - qmin) / qscale) as bigint) - 128L)"))
+      .withColumn("ss", expr("aggregate(c, 0L, (a, x) -> a + x * x)"))
+    // sign-pattern bucket of band b over the ORIGINAL floats (sign of
+    // a float compares exactly; the quantized code's sign would shift
+    // with qmin)
+    def bandBucket(b: Int): Column =
+      (0 until bandBits).map { i =>
+        when(element_at(col(vecCol), b * bandBits + i + 1) >= lit(0f),
+          lit(1L << (bandBits - 1 - i))).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val sigs = coded.select(col(idCol).as("vid"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).cast("long").as("band"), bandBucket(b).as("bkt"))): _*)).as("e"))
+      .select(col("vid"), col("e.band").as("band"), col("e.bkt").as("bkt"))
+    val cand = sigs.as("a").join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.bkt") === col("b.bkt") &&
+        col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("d1"), col("b.vid").as("d2"))
+      .dropDuplicates("d1", "d2")
+    val side1 = coded.select(col(idCol).as("d1"), col("c").as("c1"), col("ss").as("ss1"))
+    val side2 = coded.select(col(idCol).as("d2"), col("c").as("c2"), col("ss").as("ss2"))
+    val pruned = cand.join(side1, "d1").join(side2, "d2")
+      .withColumn("dot", expr("aggregate(zip_with(c1, c2, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * lit(10000L) >= lit(simNumSqE4) * col("ss1") * col("ss2"))
+      .groupBy(col("d2").as(idCol))
+      .agg(min(col("d1")).as("dup_of"))
+    corpus.select(col(idCol))
+      .join(pruned, Seq(idCol), "left")
+      .select(col(idCol),
+        col("dup_of").isNull.cast("long").as("kept"),
+        col("dup_of"))
+  }
 }

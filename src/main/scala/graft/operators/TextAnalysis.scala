@@ -134,6 +134,46 @@ object TextAnalysis {
       .filter(col("n_dup_chunks") >= minDupChunks)
   }
 
+  /** Global passage-level dedup with reassembly (the CCNet/C4
+    * paragraph-dedup shape): chunk the corpus into fixed token windows
+    * ([[chunkDocs]], overlap 0), keep only the globally-FIRST
+    * occurrence of each distinct chunk content (order = (doc_id,
+    * chunk_id) — deterministic on any cluster), and rebuild each doc
+    * from its surviving chunks in order. Removes boilerplate the
+    * document-level dedup family can't touch ([[dupChunkDocs]] only
+    * *detects* it; this operator scrubs it), including repeats WITHIN
+    * one document.
+    *
+    * Scale shape: two shuffles — one on the chunk hash (the
+    * first-occurrence window; balanced, since hot identical chunks all
+    * collapse onto single keys with tiny payloads after the hash), one
+    * back on doc_id for reassembly. The chunk text rides both (it is
+    * needed to rebuild); an ids-only variant would re-join text by
+    * (doc_id, chunk_id) and trade a third shuffle for narrower rows —
+    * worth it only when chunks are huge.
+    *
+    * Output: (doc_id, n_chunks, n_kept, pruned_text), docs whose every
+    * chunk was pruned drop out (their content survives elsewhere). */
+  def prunePassages(docs: DataFrame, chunkTokens: Int = 32,
+                    text: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ch = chunkDocs(docs, chunkTokens, overlap = 0, text = text)
+    val firstSeen = Window.partitionBy(md5(col("chunk_text")))
+      .orderBy(col("doc_id"), col("chunk_id"))
+    val counts = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    val rebuilt = ch
+      .withColumn("rn", row_number().over(firstSeen))
+      .filter(col("rn") === 1)
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        // collect_list order is nondeterministic — sort by chunk_id
+        // (struct sort: first field ascending) before joining back
+        expr("array_join(transform(array_sort(collect_list(struct(chunk_id, chunk_text))), x -> x.chunk_text), ' ')")
+          .as("pruned_text"))
+    counts.join(rebuilt, Seq("doc_id"))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"), col("pruned_text"))
+  }
+
   /** Per-source corpus health report — the one-page stats every
     * pipeline run records next to its output (and [[graft.CorpusMain]]
     * emits per corpus): doc/token volume, mean doc length, language

@@ -179,7 +179,32 @@ object EventQueries {
       s"((($c1 >> $i) & 1) << ${2 * i + 1})",
       s"((($c2 >> $i) & 1) << ${2 * i})")).mkString(" | ")
 
+  /** RANGE-frame window over event-time days: trailing-7-day revenue
+    * and volume per day — the moving-aggregate report. RANGE (value
+    * bounds over day numbers), not ROWS: gap days must still widen the
+    * frame, which a row-count frame gets wrong. Revenue is integer
+    * cents (round(value·100) — same IEEE double op both engines) so
+    * the running sums are order-free exact integers; the window input
+    * is the DAILY aggregate, bounded by calendar days, so the
+    * unpartitioned ordered window is safe at any corpus scale (the
+    * per-event table never flows through a single partition). */
+  def q86RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .select(
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_int"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("day_int")
+      .agg(sum(col("cents")).as("day_cents"), count(lit(1)).as("n_events"))
+    val w7 = Window.orderBy(col("day_int")).rangeBetween(-6, 0)
+    daily.select(col("day_int"), col("day_cents"), col("n_events"),
+      sum(col("day_cents")).over(w7).as("c7_cents"),
+      sum(col("n_events")).over(w7).as("n7_events"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_range_frame"     -> (q86RangeFrame _),
     "q50_tumbling_window" -> (q50Tumbling _),
     "q78_zorder_code"     -> (q78ZorderCode _),
     "q75_heavy_hitters"   -> (q75HeavyHitters _),
@@ -194,6 +219,22 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // integer-cents daily aggregate + RANGE 6 PRECEDING — replayed
+    // value for value (gap days widen the frame in both engines)
+    "q86_range_frame" ->
+      """WITH e AS (SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_int,
+        |             CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events),
+        |d AS (SELECT day_int, CAST(sum(cents) AS BIGINT) AS day_cents,
+        |        CAST(count(*) AS BIGINT) AS n_events
+        |      FROM e GROUP BY day_int)
+        |SELECT CAST(day_int AS BIGINT) AS day_int, day_cents, n_events,
+        |  CAST(sum(day_cents) OVER (ORDER BY day_int
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS c7_cents,
+        |  CAST(sum(n_events) OVER (ORDER BY day_int
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n7_events
+        |FROM d""".stripMargin,
+
     // integer-exact replay of the whole z-code derivation: the //
     // bucket rescale and the shift/mask interleave are bit-identical
     // across engines, so the code — unlike a float-scaled variant —

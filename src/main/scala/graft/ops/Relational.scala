@@ -519,7 +519,93 @@ object Relational {
       row_number().over(w).cast("long").as("rn"))
   }
 
+  /** Column profiler — the ANALYZE/data-profiling surface: one output
+    * row per lineitem column with non-null count, exact distinct
+    * count, and min/max (numeric columns as doubles — timestamps as
+    * epoch seconds, exact at ms precision; string columns as strings;
+    * the other family's slots are typed nulls so the row shape is
+    * uniform).
+    *
+    * Scale shape: one aggregate leg PER COLUMN, unioned — each leg's
+    * scan prunes to a single column (parquet reads one column's pages,
+    * `ReadSchema` one field), and legs run as independent stages. The
+    * alternative — all stats in one pass via multi-`count(DISTINCT)` —
+    * plans an Expand that multiplies every input row by the column
+    * count before one giant shuffle: strictly worse at 100 TB than
+    * eleven pruned single-column passes. */
+  def q83Profile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    def numLeg(name: String): DataFrame =
+      li.agg(
+        count(col(name)).as("n_nonnull"),
+        countDistinct(col(name)).as("n_distinct"),
+        min(col(name)).cast("double").as("min_num"),
+        max(col(name)).cast("double").as("max_num"))
+      .select(lit(name).as("col_name"), col("n_nonnull"), col("n_distinct"),
+        col("min_num"), col("max_num"),
+        lit(null).cast("string").as("min_str"), lit(null).cast("string").as("max_str"))
+    def strLeg(name: String): DataFrame =
+      li.agg(
+        count(col(name)).as("n_nonnull"),
+        countDistinct(col(name)).as("n_distinct"),
+        min(col(name)).as("min_str"),
+        max(col(name)).as("max_str"))
+      .select(lit(name).as("col_name"), col("n_nonnull"), col("n_distinct"),
+        lit(null).cast("double").as("min_num"), lit(null).cast("double").as("max_num"),
+        col("min_str"), col("max_str"))
+    // NTZ timestamps can't cast straight to double; route through
+    // TIMESTAMP (session is UTC) for epoch seconds, exact at ms
+    def tsLeg(name: String): DataFrame =
+      li.agg(
+        count(col(name)).as("n_nonnull"),
+        countDistinct(col(name)).as("n_distinct"),
+        min(col(name)).cast("timestamp").cast("double").as("min_num"),
+        max(col(name)).cast("timestamp").cast("double").as("max_num"))
+      .select(lit(name).as("col_name"), col("n_nonnull"), col("n_distinct"),
+        col("min_num"), col("max_num"),
+        lit(null).cast("string").as("min_str"), lit(null).cast("string").as("max_str"))
+    val numeric = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val strings = Seq("l_returnflag", "l_linestatus")
+    (numeric.map(numLeg) ++ Seq(tsLeg("l_shipdate")) ++ strings.map(strLeg))
+      .reduce(_ unionByName _)
+  }
+
+  /** Recursive CTE (Spark 4's WITH RECURSIVE / UnionLoop): ancestor
+    * chains over the implicit doc_id ternary tree (parent = ⌊id/3⌋),
+    * counting ancestors and depth per doc. The SQL text is passed to
+    * BOTH engines verbatim (the q80 stance): the correctness claim is
+    * that the engine's recursive evaluation — anchor, iterated step,
+    * termination on empty delta — matches the reference semantics
+    * exactly. Division is floor(x/3) (exact for these magnitudes) so
+    * the identical text parses in Spark and DuckDB.
+    *
+    * Scale: each iteration is one distributed join/projection over the
+    * previous delta; depth is log₃(max id), so the loop count is tiny
+    * even at 100 TB of ids — the dangerous shape would be a deep-chain
+    * recursion (depth ∝ n), which is exactly why the dedup family's
+    * [[graft.operators.Dedup.connectedComponentsStars]] exists instead
+    * of a recursive-CTE closure. */
+  val q85RecursiveSql: String =
+    """WITH RECURSIVE anc(doc_id, anc_id, depth) AS (
+      |  SELECT doc_id, CAST(floor(doc_id / 3) AS BIGINT), CAST(1 AS BIGINT)
+      |  FROM documents WHERE doc_id > 0
+      |  UNION ALL
+      |  SELECT doc_id, CAST(floor(anc_id / 3) AS BIGINT), depth + 1
+      |  FROM anc WHERE anc_id > 0
+      |)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_anc,
+      |  CAST(max(depth) AS BIGINT) AS max_depth
+      |FROM anc GROUP BY doc_id""".stripMargin
+
+  def q85Recursive(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    spark.sql(q85RecursiveSql)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_profile"         -> (q83Profile _),
+    "q85_recursive_cte"   -> (q85Recursive _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project"  -> (q02FilterProject _),
     "q03_join_top_revenue" -> (q03JoinTopRevenue _),
@@ -558,7 +644,45 @@ object Relational {
 
   private val NET = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
 
+  /** One profiler leg of the q83 oracle (see [[q83Profile]]). */
+  private def profileLegSql(name: String, kind: String): String = kind match {
+    case "num" =>
+      s"""SELECT '$name' AS col_name, CAST(count($name) AS BIGINT) AS n_nonnull,
+         |  CAST(count(DISTINCT $name) AS BIGINT) AS n_distinct,
+         |  CAST(min($name) AS DOUBLE) AS min_num, CAST(max($name) AS DOUBLE) AS max_num,
+         |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+         |FROM lineitem""".stripMargin
+    case "ts" =>
+      // epoch_ms/1000.0 reproduces Spark's cast-to-double seconds
+      // bit-for-bit: both divisions are correctly-rounded quotients of
+      // the same rational (ms-precision inputs)
+      s"""SELECT '$name' AS col_name, CAST(count($name) AS BIGINT) AS n_nonnull,
+         |  CAST(count(DISTINCT $name) AS BIGINT) AS n_distinct,
+         |  CAST(epoch_ms(min($name)) AS DOUBLE) / 1000.0 AS min_num,
+         |  CAST(epoch_ms(max($name)) AS DOUBLE) / 1000.0 AS max_num,
+         |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+         |FROM lineitem""".stripMargin
+    case _ =>
+      s"""SELECT '$name' AS col_name, CAST(count($name) AS BIGINT) AS n_nonnull,
+         |  CAST(count(DISTINCT $name) AS BIGINT) AS n_distinct,
+         |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+         |  min($name) AS min_str, max($name) AS max_str
+         |FROM lineitem""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q83_profile" ->
+      (Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(profileLegSql(_, "num")) ++
+       Seq(profileLegSql("l_shipdate", "ts")) ++
+       Seq("l_returnflag", "l_linestatus").map(profileLegSql(_, "str")))
+        .mkString("\n", "\nUNION ALL\n", ""),
+
+    // the SAME text Spark executes ([[q85RecursiveSql]]) — recursive
+    // evaluation semantics are the thing under test
+    "q85_recursive_cte" -> q85RecursiveSql,
+
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

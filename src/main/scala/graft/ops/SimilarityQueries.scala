@@ -140,7 +140,20 @@ object SimilarityQueries {
       .select(col("vec_id"), col("qmin"), col("qscale"),
         expr("aggregate(q, 0L, (a, x) -> a + cast(x as bigint))").as("q_sum"))
 
+  /** SemDeDup-style semantic dedup over the stored int8 codes (see
+    * [[Similarity.semanticDedup]]): 8 sign-bit bands generate
+    * candidates, an all-integer quantized-cosine gate (t = 0.45,
+    * matching the fixture's 0.4-float-cosine near-dup regime) decides,
+    * keep-first prunes. Unlike the float-cosine ANN family (rows-only
+    * + agreement rows), every decision here is integer arithmetic, so
+    * the FULL kept/pruned output hash-matches a DuckDB replay — no
+    * pinned constants, no fixture coupling. */
+  def q81SemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(corpus(spark, dir),
+      bands = 8, bandBits = 6, simNumSqE4 = 2025L)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_semantic_dedup" -> (q81SemanticDedup _),
     "q40_cosine_topk" -> (q40CosineTopK _),
     "q41_ann_topk"    -> (q41AnnTopK _),
     "q42_ann_neardup" -> (q42AnnNeardup _),
@@ -152,7 +165,48 @@ object SimilarityQueries {
     "q74_quantize"    -> (q74Quantize _)
   )
 
+  /** One sign-band bucket expression of the q81 oracle: the sign
+    * pattern of dims [b·bits, (b+1)·bits) as an integer. */
+  private def signBandSql(b: Int, bits: Int): String =
+    (0 until bits).map(i =>
+      s"(CASE WHEN embedding[${b * bits + i + 1}] >= 0 THEN ${1L << (bits - 1 - i)} ELSE 0 END)")
+      .mkString("CAST(", " + ", " AS BIGINT)")
+
+  /** q81 oracle: the full integer replay — quantize (q74's proven
+    * formula), sign-band candidates, BIGINT cosine gate, keep-first.
+    * HUGEINT on the DuckDB side where Spark uses LONG; identical
+    * values (everything fits in 63 bits at 64 dims). */
+  private def q81OracleSql(bands: Int, bits: Int, numSqE4: Long): String = {
+    val bandCols = (0 until bands).map(b => s"${signBandSql(b, bits)} AS b$b").mkString(",\n  ")
+    val bandUnion = (0 until bands)
+      .map(b => s"SELECT vec_id, $b AS band, b$b AS bkt FROM u").mkString("\n       UNION ALL ")
+    s"""WITH qp AS (SELECT vec_id, embedding,
+       |  CAST(list_min(embedding) AS DOUBLE) AS qmin,
+       |  greatest((CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0, 1e-30) AS qscale
+       |  FROM embeddings),
+       |u AS (SELECT vec_id,
+       |  $bandCols,
+       |  list_transform(embedding, x -> CAST(round((CAST(x AS DOUBLE) - qmin) / qscale) AS BIGINT) - 128) AS c
+       |  FROM qp),
+       |bb AS ($bandUnion),
+       |cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+       |         FROM bb a JOIN bb b ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
+       |s AS (SELECT vec_id, c, CAST(list_sum(list_transform(c, x -> x * x)) AS HUGEINT) AS ss FROM u),
+       |p AS (SELECT d1, d2, CAST(list_dot_product(s1.c, s2.c) AS HUGEINT) AS dot,
+       |        s1.ss AS ss1, s2.ss AS ss2
+       |      FROM cand JOIN s s1 ON d1 = s1.vec_id JOIN s s2 ON d2 = s2.vec_id),
+       |pr AS (SELECT d2, min(d1) AS dup_of FROM p
+       |       WHERE dot > 0 AND dot * dot * 10000 >= $numSqE4 * ss1 * ss2
+       |       GROUP BY d2)
+       |SELECT e.vec_id,
+       |  CAST(CASE WHEN pr.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
+       |  pr.dup_of
+       |FROM embeddings e LEFT JOIN pr ON e.vec_id = pr.d2""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q81_semantic_dedup" -> q81OracleSql(bands = 8, bits = 6, numSqE4 = 2025L),
+
     "q40_cosine_topk" ->
       """SELECT query_id, neighbor_id, rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

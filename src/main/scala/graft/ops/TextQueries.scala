@@ -245,7 +245,29 @@ object TextQueries {
     Sharding.trainOrder(Tables.documents(spark, dir), nShards = 8)
       .select(col("doc_id"), col("shard"), col("pos"), col("okey"))
 
+  /** Global passage-level dedup with reassembly (CCNet/C4 paragraph
+    * dedup): 32-token chunks, keep each distinct chunk's globally
+    * first occurrence, rebuild docs from survivors. The fixture's
+    * exact-dup docs collapse to empty (their every chunk is a repeat)
+    * and near-dup docs lose exactly their copied passages — the
+    * sub-document scrub the doc-level dedup family can't do. */
+  def q82PassagePrune(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.prunePassages(docsRebalanced(spark, dir), chunkTokens = 32)
+
+  /** Temperature mixing (α=0.5) over language groups with a 200-doc
+    * budget: √-weighting flattens the language distribution — en
+    * (218 docs ∝ 44% of the corpus) gets 60 picks where proportional
+    * sampling would give 87, the four small languages get 34 each
+    * instead of ~26-30 — the standard LLM-mix upweighting of small
+    * sources, engine-reproducible because every step is integer/md5
+    * arithmetic. */
+  def q84TemperatureMix(spark: SparkSession, dir: String): DataFrame =
+    Sharding.temperatureMix(Tables.documents(spark, dir), budget = 200L,
+      groupCol = "lang")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_passage_prune" -> (q82PassagePrune _),
+    "q84_temperature_mix" -> (q84TemperatureMix _),
     "q30_text_tokens"   -> (q30TextTokens _),
     "q31_text_quality"  -> (q31TextQuality _),
     "q32_lang_id"       -> (q32LangId _),
@@ -280,6 +302,44 @@ object TextQueries {
   private val STOP_EN = "\\b(the|a|of|to|in|and|is)\\b"
 
   val oracles: Map[String, String] = Map(
+    // 32-token chunks (overlap 0), first occurrence by (doc_id,
+    // chunk_id), reassembly ordered by chunk_id — all string/integer
+    // ops, replayed in full
+    "q82_passage_prune" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |x AS (SELECT doc_id, w, greatest(1, (len(w) + 31) // 32) AS nc FROM d),
+        |c AS (SELECT doc_id, w, unnest(range(nc)) AS chunk_id FROM x),
+        |ch AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |         array_to_string(list_slice(w, chunk_id * 32 + 1, chunk_id * 32 + 32), ' ') AS chunk_text
+        |       FROM c),
+        |k AS (SELECT doc_id, chunk_id, chunk_text,
+        |        row_number() OVER (PARTITION BY md5(chunk_text)
+        |          ORDER BY doc_id, chunk_id) AS rn
+        |      FROM ch),
+        |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM ch GROUP BY doc_id),
+        |r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |        string_agg(chunk_text, ' ' ORDER BY chunk_id) AS pruned_text
+        |      FROM k WHERE rn = 1 GROUP BY doc_id)
+        |SELECT n.doc_id, n.n_chunks, r.n_kept, r.pruned_text
+        |FROM n JOIN r USING (doc_id)""".stripMargin,
+
+    // ⌊√n⌋ group weights, integer-division quotas, md5-keyed picks —
+    // the full temperature-mix recipe replayed step for step
+    "q84_temperature_mix" ->
+      """WITH g AS (SELECT lang, count(*) AS n_grp,
+        |             CAST(floor(sqrt(count(*))) AS BIGINT) AS w_grp
+        |           FROM documents GROUP BY lang),
+        |t AS (SELECT sum(w_grp) AS tot_w FROM g),
+        |q AS (SELECT lang, (200 * w_grp) // tot_w AS quota FROM g CROSS JOIN t),
+        |r AS (SELECT doc_id, lang,
+        |        md5(CAST(doc_id AS VARCHAR) || ':' || '42') AS okey
+        |      FROM documents),
+        |p AS (SELECT doc_id, lang,
+        |        CAST(row_number() OVER (PARTITION BY lang ORDER BY okey, doc_id) AS BIGINT) AS pick_rank
+        |      FROM r)
+        |SELECT p.doc_id, p.lang, p.pick_rank
+        |FROM p JOIN q USING (lang) WHERE pick_rank <= quota""".stripMargin,
+
     "q30_text_tokens" ->
       s"""SELECT doc_id,
          |  len(string_split(text, ' ')) AS n_tokens_ws,

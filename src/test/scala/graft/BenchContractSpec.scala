@@ -21,16 +21,33 @@ class BenchContractSpec extends AnyFunSuite {
       names.map(_ -> true).toMap, Map.empty, passes = 2,
       sfDir = "/root/testdata/sf0.1")
     assert(line.length < 2000,
-      s"line is ${line.length} B — the driver tail capture truncates ~2 KB " +
+      s"line is ${line.length} B — the driver tail capture truncates at 2000 B " +
         "and its parsed field goes null; shorten names or precision")
     val json = mapper.readTree(line)
-    assert(json.get("queries").fieldNames().asScala.toSet == names.toSet)
+    // per-query keys are the canonical qNN ids (unique by construction
+    // in the registry; the fallback test below covers collisions)
+    val shortIds = names.map(_.takeWhile(_ != '_')).toSet
+    assert(shortIds.size == names.size, "registered qNN ids must be unique")
+    assert(json.get("queries").fieldNames().asScala.toSet == shortIds)
     assert(json.get("value").asDouble() > 0)
     assert(json.get("failed").isEmpty && json.get("flaky").isEmpty)
   }
 
-  test("failures and flaky passes appear in their own fields") {
-    val ns = Seq("q_ok", "q_dead", "q_flaky")
+  test("per-query timings keep millisecond precision at the current query count") {
+    // the r6 regression this pins: 86 full-name keys forced the
+    // precision clamp to whole seconds — with qNN ids three decimals
+    // must survive even with worst-case (slow) timings
+    val best = names.map(_ -> 123.456789).toMap
+    val line = Bench.summaryJson(names, best,
+      names.map(_ -> true).toMap, Map.empty, passes = 2,
+      sfDir = "/root/testdata/sf0.1")
+    val json = mapper.readTree(line)
+    val v = json.get("queries").get(names.head.takeWhile(_ != '_')).asDouble()
+    assert(math.abs(v - 123.457) < 1e-9, s"expected 3-decimal timing, got $v")
+  }
+
+  test("failures and flaky passes appear in their own fields (full names when ids collide)") {
+    val ns = Seq("q_ok", "q_dead", "q_flaky") // all share prefix "q"
     val line = Bench.summaryJson(ns,
       Map("q_ok" -> 1.0, "q_dead" -> 0.5, "q_flaky" -> 2.0),
       Map("q_ok" -> true, "q_dead" -> false, "q_flaky" -> true),

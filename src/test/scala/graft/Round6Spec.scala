@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Sharding, Similarity, TextAnalysis}
+import graft.ops.Relational
+
+/** Round-6 operators: semantic dedup over int8 codes, passage-level
+  * dedup with reassembly, temperature mixing, the column profiler,
+  * recursive CTEs, and RANGE-frame windows. */
+class Round6Spec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sf)
+
+  // ------------------------------------------------------ semanticDedup
+
+  test("semanticDedup prunes planted identical vectors back to the original") {
+    val planted = emb.unionByName(
+      emb.filter($"vec_id" < 5)
+        .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding", $"label"))
+    val out = Similarity.semanticDedup(planted)
+    // identical vectors share every sign band and gate at cosine 1
+    val pruned = out.filter($"vec_id" >= 1000000L).collect()
+    assert(pruned.length == 5)
+    assert(pruned.forall(_.getLong(1) == 0L), "copies must not be kept")
+    assert(pruned.map(r => (r.getLong(0) - 1000000L, r.getLong(2))).forall {
+      case (orig, dupOf) => dupOf == orig
+    }, "dup_of must point at the lower-id original")
+    // every original stays kept or is pruned by another ORIGINAL
+    assert(out.filter($"vec_id" < 1000000L && $"dup_of" >= 1000000L).count() == 0)
+  }
+
+  test("semanticDedup emits one verdict row per input vector") {
+    val out = Similarity.semanticDedup(emb)
+    assert(out.count() == emb.count())
+    assert(out.filter(($"kept" === 1L) =!= $"dup_of".isNull).count() == 0)
+  }
+
+  test("semanticDedup tightening the gate prunes a subset") {
+    val loose = Similarity.semanticDedup(emb, simNumSqE4 = 2025L)
+      .filter($"kept" === 0L).select("vec_id").collect().map(_.getLong(0)).toSet
+    val tight = Similarity.semanticDedup(emb, simNumSqE4 = 9801L)
+      .filter($"kept" === 0L).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(tight.subsetOf(loose), "t=0.99 pruned set must be inside t=0.45's")
+  }
+
+  test("semanticDedup verdict is partitioning-invariant") {
+    def run(parts: Int) =
+      Similarity.semanticDedup(emb.repartition(parts))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(run(3) == run(7))
+  }
+
+  // ------------------------------------------------------ prunePassages
+
+  test("prunePassages keeps only globally-first chunk occurrences") {
+    val docs = Seq(
+      (1L, "a b c d"),   // chunks [a b] [c d] — both first
+      (2L, "a b x y"),   // [a b] repeats doc 1 → dropped; [x y] kept
+      (3L, "c d")        // fully duplicate of doc 1's chunk → vanishes
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.prunePassages(docs, chunkTokens = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 2L, "a b c d"),
+      (2L, 2L, 1L, "x y")))
+  }
+
+  test("prunePassages drops in-doc repeats too") {
+    val docs = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.prunePassages(docs, chunkTokens = 2).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(2) == 1L && out(0).getString(3) == "a b")
+  }
+
+  test("prunePassages kept-chunk total equals distinct chunk contents") {
+    val docs = Tables.documents(spark, sf)
+    val out = TextAnalysis.prunePassages(docs, chunkTokens = 32)
+    val keptTotal = out.agg(sum("n_kept")).as[Long].head()
+    val distinctChunks = TextAnalysis.chunkDocs(docs, 32, overlap = 0)
+      .select("chunk_text").distinct().count()
+    assert(keptTotal == distinctChunks)
+  }
+
+  // ----------------------------------------------------- temperatureMix
+
+  test("temperatureMix quotas follow the integer sqrt-weight formula") {
+    val docs = Tables.documents(spark, sf)
+    val counts = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = counts.view.mapValues(n => math.floor(math.sqrt(n.toDouble)).toLong).toMap
+    val totW = w.values.sum
+    val expected = w.view.mapValues(wg => 200L * wg / totW).toMap
+    val picked = Sharding.temperatureMix(docs, budget = 200L)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(picked == expected.filter(_._2 > 0))
+  }
+
+  test("temperatureMix flattens: big group's pick share < its corpus share") {
+    val docs = Tables.documents(spark, sf)
+    val total = docs.count().toDouble
+    val big = docs.groupBy("lang").count().orderBy($"count".desc).head()
+    val picks = Sharding.temperatureMix(docs, budget = 200L)
+    val bigPicks = picks.filter($"lang" === big.getString(0)).count().toDouble
+    assert(bigPicks / picks.count() < big.getLong(1) / total)
+  }
+
+  test("temperatureMix kept set is partitioning-invariant") {
+    val docs = Tables.documents(spark, sf)
+    def run(parts: Int) =
+      Sharding.temperatureMix(docs.repartition(parts), budget = 200L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(run(2) == run(9))
+  }
+
+  // ----------------------------------------------------------- profiler
+
+  test("q83 profile rows match directly-computed stats") {
+    val out = Relational.q83Profile(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.size == 11)
+    val li = Tables.lineitem(spark, sf)
+    val n = li.count()
+    assert(out.values.forall(_.getLong(1) == n), "fixture has no nulls")
+    assert(out("l_returnflag").getLong(2) ==
+      li.select("l_returnflag").distinct().count())
+    assert(out("l_quantity").getDouble(3) ==
+      li.agg(min("l_quantity")).as[Double].head())
+    assert(out("l_returnflag").isNullAt(3) && out("l_returnflag").isNullAt(4))
+    assert(out("l_orderkey").isNullAt(5) && out("l_orderkey").isNullAt(6))
+  }
+
+  // ------------------------------------------------------ recursive CTE
+
+  test("q85 recursive CTE matches the iterative ancestor chain") {
+    val out = Relational.q85Recursive(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = Tables.documents(spark, sf).select("doc_id")
+      .as[Long].collect().filter(_ > 0)
+    def chain(id: Long): Long = {
+      var a = id / 3; var steps = 1L
+      while (a > 0) { a = a / 3; steps += 1 }
+      steps
+    }
+    assert(out.size == ids.length)
+    ids.foreach(id => assert(out(id) == chain(id), s"doc $id"))
+  }
+
+  // -------------------------------------------------- RANGE-frame window
+
+  test("q86 trailing-7-day sums equal a join-based recomputation") {
+    val out = graft.ops.EventQueries.q86RangeFrame(spark, sf)
+    val daily = out.select("day_int", "day_cents", "n_events")
+    val expected = daily.as("a").join(daily.as("b"),
+        $"b.day_int".between($"a.day_int" - 6, $"a.day_int"))
+      .groupBy($"a.day_int".as("day_int"))
+      .agg(sum($"b.day_cents").as("c7_cents"), sum($"b.n_events").as("n7_events"))
+    val got = out.select("day_int", "c7_cents", "n7_events")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    expected.collect().foreach { r =>
+      assert(got(r.getLong(0)) == ((r.getLong(1), r.getLong(2))), s"day ${r.getLong(0)}")
+    }
+  }
+
+  test("q86 RANGE frame spans gap days (unlike a ROWS frame)") {
+    // if the fixture has >= 7 distinct days, every window past the 7th
+    // day must cover at most 7 day-rows but ALWAYS a 7-day value span
+    val out = graft.ops.EventQueries.q86RangeFrame(spark, sf).orderBy("day_int")
+    val days = out.select("day_int").as[Long].collect()
+    assert(days.length == days.distinct.length)
+    // trailing window never sums more than the full-corpus total
+    val tot = out.agg(sum("day_cents")).as[Long].head()
+    assert(out.filter($"c7_cents" > tot).count() == 0)
+  }
+}
