@@ -203,8 +203,62 @@ object EventQueries {
       sum(col("n_events")).over(w7).as("n7_events"))
   }
 
+  /** Ordered funnel: view → signup-after-view → purchase-after-signup,
+    * per user, counted per stage. Each stage is "first qualifying
+    * event at-or-after the previous stage's first time" — the
+    * classic product-analytics funnel, NOT a bag-of-events AND (order
+    * matters: a purchase before the signup doesn't convert).
+    *
+    * Scale shape: three aggregates all keyed on user_id — the stage
+    * joins are co-partitioned on the same key, so after the first
+    * exchange the chain reuses the partitioning (no new shuffle per
+    * stage); stage frames only ever shrink. Timestamps and counts
+    * only — deterministic. */
+  def q89Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val t2 = ev.join(t1, "user_id")
+      .filter(col("event_type") === "signup" && col("ts") >= col("t1"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val t3 = ev.join(t2, "user_id")
+      .filter(col("event_type") === "purchase" && col("ts") >= col("t2"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+    stage("1_view", t1)
+      .unionByName(stage("2_signup_after_view", t2))
+      .unionByName(stage("3_purchase_after_signup", t3))
+  }
+
+  /** Cohort retention: users cohorted by FIRST-PURCHASE day, counted
+    * as retained when they have any event `offset` days later
+    * (offsets 0–7) — the (cohort × offset) retention matrix. All
+    * integer day arithmetic; (user, day) pairs are de-duplicated
+    * BEFORE the cohort join, so the join input is bounded by
+    * users × active-days, not raw event volume — the shape that
+    * matters when events are 100 TB but users × days is not. */
+  def q90CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"),
+        col("event_type"))
+    val cohort = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    ev.select("user_id", "day").distinct()
+      .join(cohort, "user_id")
+      .withColumn("day_offset", col("day") - col("cohort_day"))
+      .filter(col("day_offset").between(0, 7))
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q86_range_frame"     -> (q86RangeFrame _),
+    "q89_funnel"          -> (q89Funnel _),
+    "q90_cohort_retention" -> (q90CohortRetention _),
     "q50_tumbling_window" -> (q50Tumbling _),
     "q78_zorder_code"     -> (q78ZorderCode _),
     "q75_heavy_hitters"   -> (q75HeavyHitters _),
@@ -219,6 +273,41 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // staged first-qualifying-time CTEs — order-aware, replayed
+    // stage for stage
+    "q89_funnel" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t2
+        |       FROM events e JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE e.event_type = 'signup' AND e.ts >= t1.t1
+        |       GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS t3
+        |       FROM events e JOIN t2 ON e.user_id = t2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts >= t2.t2
+        |       GROUP BY e.user_id)
+        |SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM t1
+        |UNION ALL
+        |SELECT '2_signup_after_view', CAST(count(*) AS BIGINT) FROM t2
+        |UNION ALL
+        |SELECT '3_purchase_after_signup', CAST(count(*) AS BIGINT) FROM t3""".stripMargin,
+
+    // first-purchase cohorts × day offsets, integer day arithmetic
+    "q90_cohort_retention" ->
+      """WITH e AS (SELECT user_id,
+        |             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |             event_type
+        |           FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM e
+        |      WHERE event_type = 'purchase' GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, day FROM e)
+        |SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+        |  CAST(a.day - c.cohort_day AS BIGINT) AS day_offset,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM a JOIN c ON a.user_id = c.user_id
+        |WHERE a.day - c.cohort_day BETWEEN 0 AND 7
+        |GROUP BY 1, 2""".stripMargin,
+
     // integer-cents daily aggregate + RANGE 6 PRECEDING — replayed
     // value for value (gap days widen the frame in both engines)
     "q86_range_frame" ->

@@ -603,9 +603,68 @@ object Relational {
     spark.sql(q85RecursiveSql)
   }
 
+  /** Equi-width histogram of l_extendedprice (12 bins) — the
+    * profiler's distribution companion (ANALYZE ... COMPUTE STATISTICS
+    * histograms). Bin edges come from the data min/max (one tiny
+    * aggregate, broadcast back — never collected); the bin index is
+    * pure scalar double arithmetic on each row, written with the SAME
+    * association in both engines (⌊(x−mn)·12/(mx−mn)⌋ clamped to 11),
+    * so identical IEEE inputs give identical bins — no float ever
+    * reaches the hash (bin ids and counts are integers; the edges are
+    * single IEEE ops on the same doubles).
+    *
+    * Scale: one pass for min/max, one map-side-combinable count per
+    * bin — the two-scan histogram every engine ships. */
+  def q87Histogram(spark: SparkSession, dir: String): DataFrame = {
+    val nBins = 12
+    val li = Tables.lineitem(spark, dir).select(col("l_extendedprice").as("x"))
+    val mm = li.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    li.crossJoin(broadcast(mm))
+      .select(
+        least(floor((col("x") - col("mn")) * lit(nBins.toDouble) / (col("mx") - col("mn"))),
+          lit((nBins - 1).toDouble)).cast("long").as("bin"),
+        col("mn"), col("mx"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_rows"), min("mn").as("mn"), min("mx").as("mx"))
+      .select(col("bin"), col("n_rows"),
+        (col("mn") + col("bin").cast("double") * (col("mx") - col("mn")) / lit(nBins.toDouble)).as("bin_lo"),
+        (col("mn") + (col("bin") + 1).cast("double") * (col("mx") - col("mn")) / lit(nBins.toDouble)).as("bin_hi"))
+  }
+
+  /** Pearson correlation (quantity vs extended price) from
+    * DECIMAL-EXACT sufficient statistics: n, Σx, Σy, Σxy, Σx², Σy²
+    * accumulate as decimals (order-free exact — the oracle-parity rule
+    * for sums), and only the final correlation formula runs in double,
+    * as the identical op sequence on identical inputs in both engines.
+    * Spark's own `stat.corr` streams doubles (partition-order-
+    * dependent last ulp — fine for analytics, unusable under a
+    * cross-engine hash gate); the spec cross-checks against it at
+    * 1e-9. One map-side-combinable aggregate, one row out. */
+  def q88Correlation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(dec(col("l_quantity")).as("x"), dec(col("l_extendedprice")).as("y"))
+    val sums = li.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    sums.select(
+        col("n"),
+        col("sx").cast("double").as("sx"), col("sy").cast("double").as("sy"),
+        col("sxy").cast("double").as("sxy"), col("sxx").cast("double").as("sxx"),
+        col("syy").cast("double").as("syy"))
+      .withColumn("r",
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+         sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_profile"         -> (q83Profile _),
     "q85_recursive_cte"   -> (q85Recursive _),
+    "q87_histogram"       -> (q87Histogram _),
+    "q88_correlation"     -> (q88Correlation _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project"  -> (q02FilterProject _),
     "q03_join_top_revenue" -> (q03JoinTopRevenue _),
@@ -682,6 +741,35 @@ object Relational {
     // the SAME text Spark executes ([[q85RecursiveSql]]) — recursive
     // evaluation semantics are the thing under test
     "q85_recursive_cte" -> q85RecursiveSql,
+
+    // identical association on both sides: ((x-mn)*12)/(mx-mn), floor,
+    // clamp — same doubles in, same bins out
+    "q87_histogram" ->
+      """WITH mm AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+        |            FROM lineitem),
+        |b AS (SELECT least(CAST(floor((l_extendedprice - mn) * 12.0 / (mx - mn)) AS BIGINT),
+        |               CAST(11 AS BIGINT)) AS bin, mn, mx
+        |      FROM lineitem CROSS JOIN mm)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(mn) + CAST(bin AS DOUBLE) * (min(mx) - min(mn)) / 12.0 AS bin_lo,
+        |  min(mn) + CAST(bin + 1 AS DOUBLE) * (min(mx) - min(mn)) / 12.0 AS bin_hi
+        |FROM b GROUP BY bin""".stripMargin,
+
+    // decimal-exact sufficient statistics, double only in the final
+    // formula — the identical IEEE op sequence in both engines
+    "q88_correlation" ->
+      """WITH s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+        |  FROM lineitem)
+        |SELECT n, sx, sy, sxy, sxx, syy,
+        |  (n * sxy - sx * sy) /
+        |  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS r
+        |FROM s""".stripMargin,
 
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,

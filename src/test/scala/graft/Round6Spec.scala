@@ -168,6 +168,66 @@ class Round6Spec extends AnyFunSuite {
     }
   }
 
+  // ----------------------------------------------- histogram / correlation
+
+  test("q87 histogram covers every row with monotone contiguous bins") {
+    val out = Relational.q87Histogram(spark, sf).orderBy("bin").collect()
+    val li = Tables.lineitem(spark, sf)
+    assert(out.map(_.getLong(1)).sum == li.count())
+    assert(out.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 11))
+    out.foreach { r =>
+      assert(r.getDouble(2) < r.getDouble(3), s"bin ${r.getLong(0)} lo<hi")
+    }
+    // edges tile [min, max] without gaps
+    out.sliding(2).foreach {
+      case Array(a, b) if b.getLong(0) == a.getLong(0) + 1 =>
+        assert(math.abs(a.getDouble(3) - b.getDouble(2)) < 1e-9)
+      case _ =>
+    }
+  }
+
+  test("q88 decimal-exact correlation agrees with Spark's streaming corr") {
+    val out = Relational.q88Correlation(spark, sf).head()
+    val r = out.getDouble(6)
+    assert(r >= -1.0 && r <= 1.0)
+    val streaming = Tables.lineitem(spark, sf)
+      .stat.corr("l_quantity", "l_extendedprice")
+    assert(math.abs(r - streaming) < 1e-9,
+      s"decimal-path r=$r vs streaming corr=$streaming")
+  }
+
+  // ------------------------------------------------- funnel / retention
+
+  test("q89 funnel stages only ever shrink and respect event order") {
+    val out = graft.ops.EventQueries.q89Funnel(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.size == 3)
+    assert(out("1_view") >= out("2_signup_after_view"))
+    assert(out("2_signup_after_view") >= out("3_purchase_after_signup"))
+    // order-awareness: stage-2 users must be a subset of stage-1 users
+    // computed independently
+    val ev = Tables.events(spark, sf)
+    val viewers = ev.filter($"event_type" === "view")
+      .select("user_id").distinct().count()
+    assert(out("1_view") == viewers)
+  }
+
+  test("q90 retention: offset-0 row equals the cohort size") {
+    val out = graft.ops.EventQueries.q90CohortRetention(spark, sf)
+    val ev = Tables.events(spark, sf)
+    val cohorts = ev.filter($"event_type" === "purchase")
+      .groupBy("user_id")
+      .agg(min(datediff(to_date($"ts"), lit("1970-01-01").cast("date")).cast("long")).as("cd"))
+      .groupBy("cd").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every cohort member purchased (= was active) on day 0
+    out.filter($"day_offset" === 0L).collect().foreach { r =>
+      assert(r.getLong(2) == cohorts(r.getLong(0)),
+        s"cohort ${r.getLong(0)} day-0 retention must equal cohort size")
+    }
+    assert(out.filter($"day_offset" < 0 || $"day_offset" > 7).count() == 0)
+  }
+
   test("q86 RANGE frame spans gap days (unlike a ROWS frame)") {
     // if the fixture has >= 7 distinct days, every window past the 7th
     // day must cover at most 7 day-rows but ALWAYS a 7-day value span
