@@ -255,10 +255,64 @@ object EventQueries {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Exact distinct users per event type via the SALTED two-stage
+    * decomposition ([[graft.operators.Skew.saltedDistinctCount]], 8
+    * buckets): the aggregation-side skew tool, proven row-identical to
+    * the plain `count(DISTINCT ...)` by the oracle — which IS the
+    * plain form, so the gate certifies the decomposition, not just the
+    * numbers. */
+  def q91SaltedDistinct(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedDistinctCount(
+      Tables.events(spark, dir), key = "event_type", value = "user_id",
+      buckets = 8)
+
+  /** Event-transition matrix (the Markov/path-analysis shape): count
+    * (this event type → user's next event type) pairs, with the share
+    * of each source type's outgoing transitions. The sequencing window
+    * orders by (ts, event_id) — a unique key, so `lead` is
+    * deterministic under ties; per-user partitions keep the window
+    * parallel. Counts are integers; the share is one int/int IEEE
+    * division. */
+  def q92Transitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seq = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val out = Window.partitionBy("from_type")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(seq))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_out",
+        col("n").cast("double") / sum(col("n")).over(out).cast("double"))
+  }
+
+  /** SCD type-2 dimension build: turn the signup change log into
+    * validity intervals — one row per (user, version) with
+    * [eff_from, eff_to) and eff_to NULL on the current row. The
+    * whole derivation is one per-user window (lead + row_number over
+    * (ts, event_id)); timestamps leave as strings per the oracle-parity
+    * rule. The warehouse pattern for slowly-changing dimensions,
+    * entirely shuffle-once. */
+  def q93Scd2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), col("value"), col("ts"), col("event_id"))
+      .select(col("user_id"), col("value"),
+        row_number().over(w).cast("long").as("version"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("eff_from_s"),
+        date_format(lead(col("ts"), 1).over(w), "yyyy-MM-dd HH:mm:ss").as("eff_to_s"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q86_range_frame"     -> (q86RangeFrame _),
     "q89_funnel"          -> (q89Funnel _),
     "q90_cohort_retention" -> (q90CohortRetention _),
+    "q91_salted_distinct" -> (q91SaltedDistinct _),
+    "q92_transitions"     -> (q92Transitions _),
+    "q93_scd2"            -> (q93Scd2 _),
     "q50_tumbling_window" -> (q50Tumbling _),
     "q78_zorder_code"     -> (q78ZorderCode _),
     "q75_heavy_hitters"   -> (q75HeavyHitters _),
@@ -273,6 +327,36 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the oracle IS the plain count(DISTINCT) — certifying the salted
+    // decomposition itself, not just the numbers
+    "q91_salted_distinct" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // unique (ts, event_id) ordering makes lead deterministic; the
+    // share is one int/int division both engines perform identically
+    "q92_transitions" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (SELECT event_type AS from_type, next_type AS to_type,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM s WHERE next_type IS NOT NULL
+        |      GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p_out
+        |FROM c""".stripMargin,
+
+    "q93_scd2" ->
+      """SELECT user_id, value,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS eff_from_s,
+        |  strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS eff_to_s
+        |FROM events
+        |WHERE event_type = 'signup'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
     // staged first-qualifying-time CTEs — order-aware, replayed
     // stage for stage
     "q89_funnel" ->

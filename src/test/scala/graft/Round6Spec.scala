@@ -228,6 +228,49 @@ class Round6Spec extends AnyFunSuite {
     assert(out.filter($"day_offset" < 0 || $"day_offset" > 7).count() == 0)
   }
 
+  // ------------------------------------- salted distinct / transitions / scd2
+
+  test("saltedDistinctCount is row-identical to plain countDistinct") {
+    val ev = Tables.events(spark, sf)
+    val salted = graft.operators.Skew
+      .saltedDistinctCount(ev, "event_type", "user_id", buckets = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = ev.groupBy("event_type")
+      .agg(countDistinct($"user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("q92 transition shares sum to 1 per source type") {
+    val out = graft.ops.EventQueries.q92Transitions(spark, sf)
+    out.groupBy("from_type").agg(sum($"p_out").as("s"))
+      .collect().foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-9))
+    // every non-final event contributes exactly one transition
+    val ev = Tables.events(spark, sf)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(out.agg(sum($"n")).as[Long].head() == expected)
+  }
+
+  test("q93 SCD-2 intervals chain per user with one open current row") {
+    val out = graft.ops.EventQueries.q93Scd2(spark, sf)
+    // exactly one NULL eff_to (current version) per user
+    val opens = out.filter($"eff_to_s".isNull)
+      .groupBy("user_id").count().collect()
+    assert(opens.forall(_.getLong(1) == 1L))
+    // versions are contiguous and each close matches the next open
+    out.orderBy("user_id", "version")
+      .collect().groupBy(_.getLong(0)).foreach { case (_, rows) =>
+        rows.map(_.getLong(2)).zipWithIndex.foreach { case (v, i) =>
+          assert(v == i + 1, "versions must be 1..n")
+        }
+        rows.sliding(2).foreach {
+          case Array(a, b) => assert(a.getString(4) == b.getString(3),
+            "eff_to must equal the next version's eff_from")
+          case _ =>
+        }
+      }
+  }
+
   test("q86 RANGE frame spans gap days (unlike a ROWS frame)") {
     // if the fixture has >= 7 distinct days, every window past the 7th
     // day must cover at most 7 day-rows but ALWAYS a 7-day value span
