@@ -306,7 +306,32 @@ object EventQueries {
         date_format(lead(col("ts"), 1).over(w), "yyyy-MM-dd HH:mm:ss").as("eff_to_s"))
   }
 
+  /** Rolling 7-day active users (DAU/WAU per day) — the sliding
+    * DISTINCT shape. Unlike q86's trailing sums, distinct does NOT
+    * decompose over window frames (a RANGE frame can't merge distinct
+    * sets), so the exact path is a range join: the bounded calendar
+    * (distinct days) joins the de-duplicated (user, day) grid on
+    * day ∈ [d−6, d], then counts distinct per day. Join volume is
+    * days × 7-day user-days — bounded by users × days, never raw event
+    * volume. At extreme scale the approximate alternative is mergeable
+    * HLL sketches per day (the q73 family); this is the exact form. */
+  def q94RollingActive(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+      .distinct()
+    val days = ud.select(col("day").as("d")).distinct()
+    val dau = ud.groupBy(col("day").as("d"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val wau = broadcast(days).join(ud,
+        col("day").between(col("d") - 6, col("d")))
+      .groupBy("d").agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, "d").select(col("d").as("day_int"), col("dau"), col("wau"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_rolling_active"  -> (q94RollingActive _),
     "q86_range_frame"     -> (q86RangeFrame _),
     "q89_funnel"          -> (q89Funnel _),
     "q90_cohort_retention" -> (q90CohortRetention _),
@@ -327,6 +352,21 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // sliding distinct via the bounded-calendar range join, replayed
+    // exactly — distinct cannot ride a RANGE frame
+    "q94_rolling_active" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+        |             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        |           FROM events),
+        |days AS (SELECT DISTINCT day AS d FROM e),
+        |dau AS (SELECT day AS d, count(DISTINCT user_id) AS dau FROM e GROUP BY day),
+        |wau AS (SELECT days.d, count(DISTINCT e.user_id) AS wau
+        |        FROM days JOIN e ON e.day BETWEEN days.d - 6 AND days.d
+        |        GROUP BY days.d)
+        |SELECT CAST(dau.d AS BIGINT) AS day_int,
+        |  CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau
+        |FROM dau JOIN wau ON dau.d = wau.d""".stripMargin,
+
     // the oracle IS the plain count(DISTINCT) — certifying the salted
     // decomposition itself, not just the numbers
     "q91_salted_distinct" ->

@@ -271,6 +271,21 @@ class Round6Spec extends AnyFunSuite {
       }
   }
 
+  test("q94 rolling active: wau >= dau and matches a direct 7-day union") {
+    val out = graft.ops.EventQueries.q94RollingActive(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    assert(out.forall { case (_, dau, wau) => wau >= dau })
+    // recompute one mid-calendar day's WAU by brute force
+    val ev = Tables.events(spark, sf)
+      .select($"user_id",
+        datediff(to_date($"ts"), lit("1970-01-01").cast("date")).cast("long").as("day"))
+    val d = out.map(_._1).sorted.apply(out.length / 2)
+    val direct = ev.filter($"day".between(d - 6, d))
+      .select("user_id").distinct().count()
+    assert(out.find(_._1 == d).get._3 == direct)
+  }
+
   test("q86 RANGE frame spans gap days (unlike a ROWS frame)") {
     // if the fixture has >= 7 distinct days, every window past the 7th
     // day must cover at most 7 day-rows but ALWAYS a 7-day value span
