@@ -101,7 +101,11 @@ object ScaleProbe {
             substreamDocs = Some(10000L)).count()),
         "q72_bm25_topk" -> (() =>
           operators.TextAnalysis.bm25TopK(docs,
-            Seq("spark", "join", "window"), k = 10).count()))
+            Seq("spark", "join", "window"), k = 10).count()),
+        "q81_semantic_dedup" -> (() =>
+          operators.Similarity.semanticDedup(emb).count()),
+        "q82_passage_prune" -> (() =>
+          operators.TextAnalysis.prunePassages(docs, chunkTokens = 32).count()))
 
       val rows = probes.map { case (name, f) =>
         val (n, sec) = timeIt(f())
