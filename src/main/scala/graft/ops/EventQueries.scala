@@ -330,8 +330,28 @@ object EventQueries {
     dau.join(wau, "d").select(col("d").as("day_int"), col("dau"), col("wau"))
   }
 
+  /** Latest-row-per-key compaction (the CDC/upsert-merge read shape):
+    * each user's most recent event wins, ordered by the unique
+    * (ts, event_id) so ties cannot flap. One window shuffle on the
+    * key; at scale this is exactly the merge-on-read compaction a
+    * change-capture table needs — and the same rank<=1 window
+    * [[graft.operators.Maintenance.compactParquet]]'s sorted variant
+    * would push into a file rewrite. */
+  def q95LatestPerKey(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("last_type"),
+        col("value").as("last_value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts_s"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q94_rolling_active"  -> (q94RollingActive _),
+    "q95_latest_per_key"  -> (q95LatestPerKey _),
     "q86_range_frame"     -> (q86RangeFrame _),
     "q89_funnel"          -> (q89Funnel _),
     "q90_cohort_retention" -> (q90CohortRetention _),
@@ -352,6 +372,14 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q95_latest_per_key" ->
+      """SELECT user_id, event_type AS last_type, value AS last_value,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts_s
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1""".stripMargin,
+
     // sliding distinct via the bounded-calendar range join, replayed
     // exactly — distinct cannot ride a RANGE frame
     "q94_rolling_active" ->

@@ -660,11 +660,31 @@ object Relational {
          sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
   }
 
+  /** Exact interpolated percentile band per group (p25/p50/p75/p90 of
+    * extended price per return flag) — the distribution summary the
+    * single median (q09, whose hash-green run proved the two engines'
+    * linear interpolation is bit-identical) generalizes to. Exact
+    * percentiles sort within groups; at 100 TB swap in
+    * `approx_percentile`'s mergeable sketch (the q73 stance: exact
+    * kept here because the oracle needs replayable values). */
+  def q96PercentileBand(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        percentile($"l_extendedprice", lit(0.25)).as("p25"),
+        percentile($"l_extendedprice", lit(0.50)).as("p50"),
+        percentile($"l_extendedprice", lit(0.75)).as("p75"),
+        percentile($"l_extendedprice", lit(0.90)).as("p90"),
+        count(lit(1)).as("n"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_profile"         -> (q83Profile _),
     "q85_recursive_cte"   -> (q85Recursive _),
     "q87_histogram"       -> (q87Histogram _),
     "q88_correlation"     -> (q88Correlation _),
+    "q96_percentile_band" -> (q96PercentileBand _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project"  -> (q02FilterProject _),
     "q03_join_top_revenue" -> (q03JoinTopRevenue _),
@@ -754,6 +774,17 @@ object Relational {
         |  min(mn) + CAST(bin AS DOUBLE) * (min(mx) - min(mn)) / 12.0 AS bin_lo,
         |  min(mn) + CAST(bin + 1 AS DOUBLE) * (min(mx) - min(mn)) / 12.0 AS bin_hi
         |FROM b GROUP BY bin""".stripMargin,
+
+    // quantile_cont's linear interpolation matches Spark's percentile
+    // bit-for-bit (proven by q09's hash-green median)
+    "q96_percentile_band" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25,
+        |  quantile_cont(l_extendedprice, 0.50) AS p50,
+        |  quantile_cont(l_extendedprice, 0.75) AS p75,
+        |  quantile_cont(l_extendedprice, 0.90) AS p90,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     // decimal-exact sufficient statistics, double only in the final
     // formula — the identical IEEE op sequence in both engines

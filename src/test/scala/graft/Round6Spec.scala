@@ -286,6 +286,33 @@ class Round6Spec extends AnyFunSuite {
     assert(out.find(_._1 == d).get._3 == direct)
   }
 
+  test("q95 latest-per-key keeps exactly each user's most recent event") {
+    val out = graft.ops.EventQueries.q95LatestPerKey(spark, sf)
+    val ev = Tables.events(spark, sf)
+    assert(out.count() == ev.select("user_id").distinct().count())
+    // spot-check one user against a direct sort
+    val u = ev.select("user_id").head().getLong(0)
+    val direct = ev.filter($"user_id" === u)
+      .orderBy($"ts".desc, $"event_id".desc).head()
+    val got = out.filter($"user_id" === u).head()
+    assert(got.getString(1) == direct.getAs[String]("event_type"))
+    assert(got.getDouble(2) == direct.getAs[Double]("value"))
+  }
+
+  test("q96 percentile bands are ordered and bracket the median") {
+    val out = Relational.q96PercentileBand(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val Seq(p25, p50, p75, p90) = (1 to 4).map(r.getDouble)
+      assert(p25 <= p50 && p50 <= p75 && p75 <= p90)
+    }
+    // p50 equals the engine's own median
+    val med = Tables.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg(median($"l_extendedprice").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    out.foreach(r => assert(r.getDouble(2) == med(r.getString(0))))
+  }
+
   test("q86 RANGE frame spans gap days (unlike a ROWS frame)") {
     // if the fixture has >= 7 distinct days, every window past the 7th
     // day must cover at most 7 day-rows but ALWAYS a 7-day value span
