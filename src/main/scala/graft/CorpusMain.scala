@@ -26,7 +26,8 @@ object CorpusMain {
 
   case class Report(nInput: Long, nCleaned: Long, nDeduped: Long,
                     nSampled: Long, nShards: Long, totalTokens: Long,
-                    nSequences: Long = 0L, nFragments: Long = 0L)
+                    nSequences: Long = 0L, nFragments: Long = 0L,
+                    nPassagePruned: Long = 0L)
 
   /** The pipeline body, separated from `main` so a spec can run it on
     * an existing session and compare the report against the composed
@@ -44,7 +45,8 @@ object CorpusMain {
           langs: Seq[String] = Seq("en"),
           k: Int = 3, numHashes: Int = 16, bands: Int = 4,
           threshold: Double = 0.6, tokenBudget: Long = 5000L,
-          seqLen: Option[Long] = None): Report = {
+          seqLen: Option[Long] = None,
+          prunePassageTokens: Option[Int] = None): Report = {
     val docs = (if (docsParquet.endsWith(".txt"))
         graft.sources.Sources.textLines(spark, docsParquet)
       else spark.read.parquet(docsParquet))
@@ -70,13 +72,32 @@ object CorpusMain {
     val nDeduped = deduped.count()
     println(s"[dedup] $nCleaned -> $nDeduped docs (exact + minhash-LSH @ j>=$threshold)")
 
+    // Phase 2.5 (optional) — passage-level scrub: doc-level dedup
+    // can't see boilerplate chunks shared by otherwise-unique docs;
+    // prunePassages keeps each distinct chunk's globally-first
+    // occurrence and rebuilds the text. Docs whose every chunk was a
+    // repeat drop out (their content survives elsewhere).
+    val (scrubbed, nScrubbed) = prunePassageTokens match {
+      case Some(ct) =>
+        val pruned = TextAnalysis.prunePassages(deduped, chunkTokens = ct)
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("pruned_text"))
+        val rebuilt = deduped.drop("text").join(pruned, Seq("doc_id"))
+          .withColumnRenamed("pruned_text", "text")
+        val n = rebuilt.count()
+        println(s"[passages] $nDeduped -> $n docs after passage-level " +
+          s"scrub ($ct-token chunks)")
+        (rebuilt, n)
+      case None => (deduped, nDeduped)
+    }
+
     // Phase 3 — deterministic sample (content-hash Bernoulli: the kept
     // set is a pure function of ids, stable across partitionings)
     val sampled =
-      if (sampleFraction >= 1.0) deduped
-      else Sharding.hashSample(deduped, sampleFraction)
+      if (sampleFraction >= 1.0) scrubbed
+      else Sharding.hashSample(scrubbed, sampleFraction)
     val nSampled = sampled.count()
-    println(s"[sample] $nDeduped -> $nSampled docs (fraction $sampleFraction)")
+    println(s"[sample] $nScrubbed -> $nSampled docs (fraction $sampleFraction)")
 
     // Phase 4 — token-budget shards, written partitioned by shard so a
     // consumer reads whole ≈tokenBudget-token units
@@ -116,7 +137,8 @@ object CorpusMain {
     }
 
     val report = Report(nInput, nCleaned, nDeduped, nSampled,
-      r.getLong(0), r.getLong(1), nSeqs, nFrags)
+      r.getLong(0), r.getLong(1), nSeqs, nFrags,
+      nPassagePruned = nDeduped - nScrubbed)
 
     import spark.implicits._
     Seq(report).toDS().write.mode("overwrite").parquet(s"$outDir/report")

@@ -81,6 +81,31 @@ class CorpusMainSpec extends AnyFunSuite {
     assert(rep.getAs[Long]("nFragments") == report.nFragments)
   }
 
+  test("CorpusMain passage-prune stage composes prunePassages on the deduped corpus") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_corpus_pp").toString
+    val report = CorpusMain.run(spark, docsPath, outDir,
+      prunePassageTokens = Some(32))
+    val docs = spark.read.parquet(docsPath)
+    val cleaned = docs.join(
+      TextAnalysis.cleanCorpus(docs).select("doc_id"), Seq("doc_id"), "left_semi")
+    val deduped = Dedup.dedupCorpus(cleaned)
+    val pruned = TextAnalysis.prunePassages(deduped, chunkTokens = 32)
+    assert(report.nPassagePruned == deduped.count() - pruned.count())
+    assert(report.nSampled == pruned.count())
+    // the written corpus carries the REBUILT text, not the original
+    val out = spark.read.parquet(s"$outDir/corpus")
+    val joined = out.select("doc_id", "text")
+      .join(pruned.select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("pruned_text")), Seq("doc_id"))
+    assert(joined.filter(
+      org.apache.spark.sql.functions.col("text") =!=
+      org.apache.spark.sql.functions.col("pruned_text")).count() == 0)
+    // report round-trips the new field
+    val rep = spark.read.parquet(s"$outDir/report").first()
+    assert(rep.getAs[Long]("nPassagePruned") == report.nPassagePruned)
+  }
+
   test("CorpusMain sample fraction composes hashSample semantics") {
     val outDir = java.nio.file.Files.createTempDirectory("graft_corpus_s").toString
     val report = CorpusMain.run(spark, docsPath, outDir, sampleFraction = 0.5)
