@@ -679,12 +679,30 @@ object Relational {
         count(lit(1)).as("n"))
   }
 
+  /** Null-semantics surface: NULL-SAFE equality (`<=>` /
+    * IS NOT DISTINCT FROM) through a join. A nullable key (nullif on
+    * the hottest priority) joins its own distinct values; under plain
+    * `=` the NULL group silently vanishes (NULL = NULL is NULL, rows
+    * dropped — the classic silent-data-loss bug in key reconciliation),
+    * under null-safe equality it survives as a first-class group. The
+    * oracle row with p IS NULL and n > 0 is the existence proof; the
+    * spec pins the contrast against the `=` join. */
+  def q97NullSemantics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .select(expr("nullif(o_orderpriority, '1-URGENT')").as("prio_n"))
+    val d = o.select($"prio_n".as("p")).distinct()
+    o.join(d, $"prio_n" <=> $"p")
+      .groupBy($"p").agg(count(lit(1)).as("n"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_profile"         -> (q83Profile _),
     "q85_recursive_cte"   -> (q85Recursive _),
     "q87_histogram"       -> (q87Histogram _),
     "q88_correlation"     -> (q88Correlation _),
     "q96_percentile_band" -> (q96PercentileBand _),
+    "q97_null_semantics"  -> (q97NullSemantics _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project"  -> (q02FilterProject _),
     "q03_join_top_revenue" -> (q03JoinTopRevenue _),
@@ -774,6 +792,16 @@ object Relational {
         |  min(mn) + CAST(bin AS DOUBLE) * (min(mx) - min(mn)) / 12.0 AS bin_lo,
         |  min(mn) + CAST(bin + 1 AS DOUBLE) * (min(mx) - min(mn)) / 12.0 AS bin_hi
         |FROM b GROUP BY bin""".stripMargin,
+
+    // IS NOT DISTINCT FROM is DuckDB's null-safe <=>; the NULL group's
+    // row is the existence proof of null-safe join semantics
+    "q97_null_semantics" ->
+      """WITH o AS (SELECT nullif(o_orderpriority, '1-URGENT') AS prio_n
+        |           FROM orders),
+        |d AS (SELECT DISTINCT prio_n AS p FROM o)
+        |SELECT p, CAST(count(*) AS BIGINT) AS n
+        |FROM o JOIN d ON o.prio_n IS NOT DISTINCT FROM d.p
+        |GROUP BY p""".stripMargin,
 
     // quantile_cont's linear interpolation matches Spark's percentile
     // bit-for-bit (proven by q09's hash-green median)

@@ -240,6 +240,40 @@ object EventStreams {
         }
     }
 
+  case class LatestRow(user_id: Long, last_type: String,
+                       last_value: Double, last_ts: java.sql.Timestamp,
+                       last_event_id: Long)
+
+  /** CDC latest-per-key as continuously-maintained state — the
+    * streaming twin of the batch compaction (EventQueries q95): each
+    * micro-batch folds its events into a one-row-per-key state and
+    * emits the key's current winner (Update output mode downstream).
+    * Ordering is (ts, event_id) — `Timestamp.compareTo` carries the
+    * nanos field, so sub-millisecond order survives the encoder — and
+    * ties cannot flap for the same reason q95's can't: the sort key is
+    * unique. State is O(1) per key forever (one row), so the query
+    * runs indefinitely without watermark eviction; at 100 TB of keys
+    * the state store shards by key exactly like the batch shuffle. */
+  def latestPerKey(events: Dataset[Event]): Dataset[LatestRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[LatestRow, LatestRow](GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[LatestRow]) =>
+          def newer(a: LatestRow, b: LatestRow): Boolean = {
+            val c = a.last_ts.compareTo(b.last_ts)
+            c > 0 || (c == 0 && a.last_event_id > b.last_event_id)
+          }
+          var best = state.getOption.orNull
+          it.foreach { e =>
+            val cand = LatestRow(userId, e.event_type, e.value, e.ts, e.event_id)
+            if (best == null || newer(cand, best)) best = cand
+          }
+          state.update(best)
+          best
+      }
+  }
+
   /** Arbitrary-stateful sessionization with `flatMapGroupsWithState`:
     * the KeyValueGroupedDataset custom-state path for semantics the
     * built-in session_window can't express (e.g. emitting per-session

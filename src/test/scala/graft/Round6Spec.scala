@@ -313,6 +313,63 @@ class Round6Spec extends AnyFunSuite {
     out.foreach(r => assert(r.getDouble(2) == med(r.getString(0))))
   }
 
+  test("q97 null-safe join keeps the NULL group a plain join drops") {
+    val out = Relational.q97NullSemantics(spark, sf)
+    val nullRow = out.filter($"p".isNull).collect()
+    assert(nullRow.length == 1 && nullRow(0).getLong(1) > 0,
+      "the NULL group must survive the null-safe join")
+    // contrast: plain equality silently loses exactly those rows
+    val o = Tables.orders(spark, sf)
+      .select(expr("nullif(o_orderpriority, '1-URGENT')").as("prio_n"))
+    val d = o.select($"prio_n".as("p")).distinct()
+    val plain = o.join(d, $"prio_n" === $"p").count()
+    assert(plain == out.agg(sum($"n")).as[Long].head() - nullRow(0).getLong(1))
+  }
+
+  test("streaming latestPerKey state equals the batch q95 compaction") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.EventStreams
+    def ev(id: Long, sec: Long, user: Long, tpe: String, v: Double) =
+      EventStreams.Event(id, new java.sql.Timestamp(sec * 1000), user, tpe, v)
+    val ms = MemoryStream[EventStreams.Event]
+    val q = EventStreams.latestPerKey(ms.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("stream_latest").start()
+    try {
+      ms.addData(ev(1, 100, 1, "view", 1.0), ev(2, 200, 1, "click", 2.0))
+      q.processAllAvailable()
+      // batch 2: a LATER event updates user 1; an EARLIER straggler
+      // must NOT displace user 2's newer state
+      ms.addData(ev(3, 300, 1, "purchase", 3.0), ev(4, 500, 2, "signup", 4.0))
+      q.processAllAvailable()
+      ms.addData(ev(5, 400, 2, "error", 5.0))
+      q.processAllAvailable()
+      // the LAST update per key is the current state
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy($"last_ts".desc, $"last_event_id".desc)
+      val finalState = spark.table("stream_latest")
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(4))).toMap
+      assert(finalState(1L) == (("purchase", 3L)))
+      assert(finalState(2L) == (("signup", 4L)), "straggler must not win")
+    } finally q.stop()
+  }
+
+  test("batch latestPerKey equals q95 on the fixture") {
+    import graft.streaming.EventStreams
+    import spark.implicits._
+    val evs = Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStreams.Event]
+    val fromState = EventStreams.latestPerKey(evs)
+      .collect().map(r => r.user_id -> r.last_type).toMap
+    val fromBatch = graft.ops.EventQueries.q95LatestPerKey(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fromState == fromBatch)
+  }
+
   test("q86 RANGE frame spans gap days (unlike a ROWS frame)") {
     // if the fixture has >= 7 distinct days, every window past the 7th
     // day must cover at most 7 day-rows but ALWAYS a 7-day value span
