@@ -696,7 +696,27 @@ object Relational {
       .groupBy($"p").agg(count(lit(1)).as("n"))
   }
 
+  /** Correlated LATERAL join — the "top-N related rows per outer row"
+    * SQL surface (same text both engines, the q80/q85 stance). Spark
+    * plans the correlated LIMIT subquery as a de-correlated
+    * window-rank under the hood, so the declarative form costs what
+    * the hand-written rank query would; the per-customer ORDER BY has
+    * a unique tie-break so the picked rows are deterministic. */
+  val q98LateralSql: String =
+    """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      |FROM g98_customer c JOIN LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM g98_orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o ON true""".stripMargin
+
+  def q98Lateral(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("g98_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("g98_orders")
+    spark.sql(q98LateralSql)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_lateral"         -> (q98Lateral _),
     "q83_profile"         -> (q83Profile _),
     "q85_recursive_cte"   -> (q85Recursive _),
     "q87_histogram"       -> (q87Histogram _),
@@ -1022,6 +1042,14 @@ object Relational {
     // same declarative EXISTS/correlated text (modulo view names); the
     // per-nation threshold follows the decimal-sum-then-one-divide
     // parity rule so the boundary compare is bit-identical
+    // the same LATERAL text modulo view names (the q80 stance)
+    "q98_lateral" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o ON true""".stripMargin,
+
     "q80_exists_subquery" ->
       """SELECT c.c_custkey, c.c_name, c.c_acctbal
         |FROM customer c

@@ -370,6 +370,21 @@ class Round6Spec extends AnyFunSuite {
     assert(fromState == fromBatch)
   }
 
+  test("q98 LATERAL picks each customer's top-2 orders exactly") {
+    val out = Relational.q98Lateral(spark, sf)
+    // per-customer cap of 2, and the picks match a window-rank rewrite
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    val expected = Tables.orders(spark, sf)
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 2)
+      .select($"o_custkey", $"o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = out.select($"c_custkey", $"o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
   test("q86 RANGE frame spans gap days (unlike a ROWS frame)") {
     // if the fixture has >= 7 distinct days, every window past the 7th
     // day must cover at most 7 day-rows but ALWAYS a 7-day value span
