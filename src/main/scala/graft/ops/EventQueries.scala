@@ -349,9 +349,56 @@ object EventQueries {
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts_s"))
   }
 
+  /** Forward-fill / LOCF (last observation carried forward): error
+    * events carry no reading (their value nulls out), and each event
+    * sees its user's most recent non-null reading — `last(...,
+    * ignoreNulls)` over the unique (ts, event_id) row frame. The
+    * gap-repair primitive for sensor/metric streams; leading nulls
+    * stay null (nothing to carry). Values pass through untouched (no
+    * arithmetic), so raw doubles are hash-safe. */
+  def q99ForwardFill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("v",
+        when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+      .select(col("event_id"), col("user_id"),
+        last(col("v"), ignoreNulls = true).over(w).as("v_filled"))
+  }
+
+  /** Dense-calendar gap fill: big-ticket purchase revenue per day has
+    * genuine empty days (value ≥ 300 is rare) — generate the full
+    * [min, max] day calendar with `sequence`, left-join the daily
+    * aggregate, and carry the last known value across the gaps
+    * (q99's LOCF over the calendar). `is_gap` marks synthesized days.
+    * The time-series completion every reporting layer needs; the
+    * calendar is bounded by days, so the unpartitioned fill window is
+    * safe at any event volume. */
+  def q100GapFill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase" && col("value") >= 300)
+      .select(
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("day").agg(sum(col("cents")).as("day_cents"))
+    val cal = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"))).as("day_int"))
+    val w = Window.orderBy("day_int")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily.withColumnRenamed("day", "day_int"), Seq("day_int"), "left")
+      .select(col("day_int"),
+        last(col("day_cents"), ignoreNulls = true).over(w).as("filled_cents"),
+        col("day_cents").isNull.cast("long").as("is_gap"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q94_rolling_active"  -> (q94RollingActive _),
     "q95_latest_per_key"  -> (q95LatestPerKey _),
+    "q99_forward_fill"    -> (q99ForwardFill _),
+    "q100_gap_fill"       -> (q100GapFill _),
     "q86_range_frame"     -> (q86RangeFrame _),
     "q89_funnel"          -> (q89Funnel _),
     "q90_cohort_retention" -> (q90CohortRetention _),
@@ -372,6 +419,33 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // last_value IGNORE NULLS over the same unique row frame — LOCF
+    // replayed exactly; leading nulls stay null in both engines
+    "q99_forward_fill" ->
+      """SELECT event_id, user_id,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM (SELECT event_id, user_id, ts,
+        |        CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        |      FROM events) t""".stripMargin,
+
+    // dense generate_series calendar + LOCF across genuine empty days
+    "q100_gap_fill" ->
+      """WITH e AS (SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |             CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events
+        |           WHERE event_type = 'purchase' AND value >= 300),
+        |agg AS (SELECT day, CAST(sum(cents) AS BIGINT) AS day_cents FROM e GROUP BY day),
+        |mm AS (SELECT min(day) AS mn, max(day) AS mx FROM agg),
+        |cal AS (SELECT unnest(generate_series(mn, mx)) AS day_int FROM mm),
+        |j AS (SELECT day_int, day_cents FROM cal LEFT JOIN agg ON cal.day_int = agg.day)
+        |SELECT CAST(day_int AS BIGINT) AS day_int,
+        |  CAST(last_value(day_cents IGNORE NULLS) OVER (ORDER BY day_int
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS filled_cents,
+        |  CAST(CASE WHEN day_cents IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+        |FROM j""".stripMargin,
+
     "q95_latest_per_key" ->
       """SELECT user_id, event_type AS last_type, value AS last_value,
         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts_s

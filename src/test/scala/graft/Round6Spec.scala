@@ -385,6 +385,41 @@ class Round6Spec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q99 forward-fill carries the last non-null reading, not the null") {
+    import graft.ops.EventQueries
+    val out = EventQueries.q99ForwardFill(spark, sf)
+    val ev = Tables.events(spark, sf)
+    // error events must show a value carried from an EARLIER non-error
+    // event (or null if none preceded) — spot-check via a join
+    val errs = ev.filter($"event_type" === "error")
+      .select($"event_id", $"user_id", $"ts")
+    val joined = out.join(errs, Seq("event_id", "user_id"))
+    val filled = joined.filter($"v_filled".isNotNull).count()
+    assert(filled > 0, "some error events must inherit a prior reading")
+    // non-error events keep their own value verbatim
+    val own = out.join(
+        ev.filter($"event_type" =!= "error").select($"event_id", $"value"),
+        Seq("event_id"))
+      .filter($"v_filled" =!= $"value")
+    assert(own.count() == 0)
+  }
+
+  test("q100 gap fill synthesizes the dense calendar and carries values") {
+    // sf0.001 has no value>=300 purchases at all; the gate's sf0.01
+    // is where the big-ticket series has its genuine empty days
+    val out = graft.ops.EventQueries.q100GapFill(spark, "/root/testdata/sf0.01")
+      .orderBy("day_int").collect()
+    val days = out.map(_.getLong(0))
+    assert(days.last - days.head + 1 == days.length, "calendar must be dense")
+    assert(out.exists(_.getLong(2) == 1L), "fixture must have genuine gap days")
+    // a gap day's filled value equals the previous day's filled value
+    out.sliding(2).foreach {
+      case Array(prev, cur) if cur.getLong(2) == 1L =>
+        assert(cur.getLong(1) == prev.getLong(1))
+      case _ =>
+    }
+  }
+
   test("q86 RANGE frame spans gap days (unlike a ROWS frame)") {
     // if the fixture has >= 7 distinct days, every window past the 7th
     // day must cover at most 7 day-rows but ALWAYS a 7-day value span
