@@ -82,8 +82,12 @@ object CorpusMain {
         val pruned = TextAnalysis.prunePassages(deduped, chunkTokens = ct)
           .select(org.apache.spark.sql.functions.col("doc_id"),
             org.apache.spark.sql.functions.col("pruned_text"))
+        // persisted like `deduped`: the chunk-window chain would
+        // otherwise re-run for every downstream consumer (count,
+        // sample, write)
         val rebuilt = deduped.drop("text").join(pruned, Seq("doc_id"))
           .withColumnRenamed("pruned_text", "text")
+          .persist(StorageLevel.MEMORY_AND_DISK)
         val n = rebuilt.count()
         println(s"[passages] $nDeduped -> $n docs after passage-level " +
           s"scrub ($ct-token chunks)")
@@ -144,6 +148,7 @@ object CorpusMain {
     Seq(report).toDS().write.mode("overwrite").parquet(s"$outDir/report")
     cleaned.unpersist(blocking = false)
     deduped.unpersist(blocking = false)
+    if (!(scrubbed eq deduped)) scrubbed.unpersist(blocking = false)
     report
   }
 
