@@ -27,7 +27,7 @@ object CorpusMain {
   case class Report(nInput: Long, nCleaned: Long, nDeduped: Long,
                     nSampled: Long, nShards: Long, totalTokens: Long,
                     nSequences: Long = 0L, nFragments: Long = 0L,
-                    nPassagePruned: Long = 0L)
+                    nScrubDropped: Long = 0L)
 
   /** The pipeline body, separated from `main` so a spec can run it on
     * an existing session and compare the report against the composed
@@ -142,7 +142,7 @@ object CorpusMain {
 
     val report = Report(nInput, nCleaned, nDeduped, nSampled,
       r.getLong(0), r.getLong(1), nSeqs, nFrags,
-      nPassagePruned = nDeduped - nScrubbed)
+      nScrubDropped = nDeduped - nScrubbed)
 
     import spark.implicits._
     Seq(report).toDS().write.mode("overwrite").parquet(s"$outDir/report")
@@ -152,18 +152,23 @@ object CorpusMain {
     report
   }
 
-  /** Usage: CorpusMain [docsParquet] [outDir] [sampleFraction] [seqLen] */
+  /** Usage: CorpusMain [docsParquet] [outDir] [sampleFraction] [seqLen]
+    * [pruneChunkTokens] — seqLen/pruneChunkTokens of 0 disable those
+    * stages. */
   def main(args: Array[String]): Unit = {
     val input = args.lift(0).getOrElse("/root/testdata/sf0.001/documents.parquet")
     val outDir = args.lift(1).getOrElse("/tmp/corpus_out")
     val fraction = args.lift(2).map(_.toDouble).getOrElse(1.0)
-    val seqLen = args.lift(3).map(_.toLong)
+    val seqLen = args.lift(3).map(_.toLong).filter(_ > 0)
+    val pruneTokens = args.lift(4).map(_.toInt).filter(_ > 0)
     val spark = GraftSession.create(appName = "graft-corpus",
       master = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
     spark.sparkContext.setLogLevel("WARN")
-    val report = run(spark, input, outDir, fraction, seqLen = seqLen)
+    val report = run(spark, input, outDir, fraction, seqLen = seqLen,
+      prunePassageTokens = pruneTokens)
     println(s"""{"n_input":${report.nInput},"n_cleaned":${report.nCleaned},""" +
-      s""""n_deduped":${report.nDeduped},"n_sampled":${report.nSampled},""" +
+      s""""n_deduped":${report.nDeduped},"n_scrub_dropped":${report.nScrubDropped},""" +
+      s""""n_sampled":${report.nSampled},""" +
       s""""n_shards":${report.nShards},"total_tokens":${report.totalTokens},""" +
       s""""n_sequences":${report.nSequences},"n_fragments":${report.nFragments}}""")
     spark.stop()

@@ -44,6 +44,9 @@ object Maintenance {
       else df.repartitionByRange(nOut, sortCols.map(col): _*)
         .sortWithinPartitions(sortCols.map(col): _*)
     shaped.write.mode("overwrite").parquet(outDir)
+    // an overwritten path invalidates any plan-keyed memo entry built
+    // over it (Memo.frameKey's contract): drop the session's cache
+    graft.ops.Memo.clear(spark)
     val (filesAfter, _) = listParquet(spark, outDir)
     CompactStats(filesBefore, filesAfter, bytesBefore,
       spark.read.parquet(outDir).count())
@@ -104,6 +107,8 @@ object Maintenance {
       .sortWithinPartitions("_z")
       .drop("_z")
       .write.mode("overwrite").parquet(outDir)
+    // see compactParquet: overwrite-publish invalidates plan-keyed memos
+    graft.ops.Memo.clear(df.sparkSession)
   }
 
   /** (parquet file count, total bytes) under a directory. */

@@ -128,22 +128,15 @@ object Sharding {
         lit(math.round(fraction * 1000000.0)))
   }
 
-  /** Reproducible training order: a seed-keyed pseudo-random
-    * permutation of the corpus, bucketed into `nShards` reader shards.
-    * order_key = md5(doc_id:seed) — change the seed, get an
-    * independent permutation; rerun the job on any cluster size, get
-    * the SAME one (the reproducibility property a training run needs
-    * for resume/ablation). md5, not xxhash64, so any engine can replay
-    * the exact order (the portability stance of [[hashSample]]'s
-    * documented alternative).
-    *
-    * Scale shape: shard assignment is a narrow map (two hex nibbles of
-    * the key → bucket mod nShards — no global sort, no skew: buckets
-    * are uniform by construction). The per-shard position is a window
-    * keyed BY shard, so parallelism equals nShards — size nShards to
-    * the reader fleet, not below the cluster's cores, and the wide
-    * stage stays balanced. A global row_number (parallelism 1) never
-    * appears. */
+  /** The seed-keyed md5 order key both [[trainOrder]] and
+    * [[temperatureMix]] sort by — ONE definition so the documented
+    * "same order" contract between them is compile-time coupling, not
+    * a copy. md5, not xxhash64, so any engine can replay the exact
+    * order (the portability stance of [[hashSample]]'s documented
+    * alternative). */
+  private def orderKey(idCol: String, seed: Long) =
+    md5(concat_ws(":", col(idCol).cast("string"), lit(seed.toString)))
+
   /** Temperature-weighted source mixing (α = 0.5): per-group quota
     * ∝ √(group size) instead of ∝ size — the standard flattening used
     * to keep small languages/sources represented in an LLM mix (pure
@@ -175,19 +168,32 @@ object Sharding {
     val pick = Window.partitionBy(groupCol)
       .orderBy(col("okey"), col(idCol))
     docs
-      .withColumn("okey",
-        md5(concat_ws(":", col(idCol).cast("string"), lit(seed.toString))))
+      .withColumn("okey", orderKey(idCol, seed))
       .withColumn("pick_rank", row_number().over(pick).cast("long"))
       .join(broadcast(quotas), Seq(groupCol))
       .filter(col("pick_rank") <= col("quota"))
       .select(col(idCol), col(groupCol), col("pick_rank"))
   }
 
+  /** Reproducible training order: a seed-keyed pseudo-random
+    * permutation of the corpus ([[orderKey]]), bucketed into `nShards`
+    * reader shards. Change the seed, get an independent permutation;
+    * rerun the job on any cluster size, get the SAME one (the
+    * reproducibility property a training run needs for
+    * resume/ablation).
+    *
+    * Scale shape: shard assignment is a narrow map (two hex nibbles of
+    * the key → bucket mod nShards — no global sort, no skew: buckets
+    * are uniform by construction). The per-shard position is a window
+    * keyed BY shard, so parallelism equals nShards — size nShards to
+    * the reader fleet, not below the cluster's cores, and the wide
+    * stage stays balanced. A global row_number (parallelism 1) never
+    * appears. */
   def trainOrder(docs: DataFrame, nShards: Int, seed: Long = 42L,
                  idCol: String = "doc_id"): DataFrame = {
     require(nShards >= 1 && nShards <= 256, s"nShards must be in [1,256]: $nShards")
     val hex = "0123456789abcdef"
-    val okey = md5(concat_ws(":", col(idCol).cast("string"), lit(seed.toString)))
+    val okey = orderKey(idCol, seed)
     val bucket =
       (call_function("locate", substring(col("okey"), 1, 1), lit(hex)) - lit(1))
         .cast("long") * lit(16L) +

@@ -390,13 +390,11 @@ object Similarity {
       s"need bands >= 1 and bandBits in [1,16], got $bands/$bandBits")
     require(simNumSqE4 >= 0L && simNumSqE4 <= 10000L,
       s"simNumSqE4 is t^2 * 1e4, must be in [0,10000]: $simNumSqE4")
-    val coded = corpus
-      .withColumn("qmin", array_min(col(vecCol)).cast("double"))
-      .withColumn("qscale",
-        greatest((array_max(col(vecCol)).cast("double") - col("qmin")) / lit(255.0),
-          lit(1e-30)))
-      .withColumn("c", expr(
-        s"transform($vecCol, x -> cast(round((cast(x as double) - qmin) / qscale) as bigint) - 128L)"))
+    // codes come FROM [[quantizeInt8]] (not a re-derivation) so the
+    // "q74's proven formula" claim is compile-time true — only the
+    // tinyint→bigint widening happens here
+    val coded = quantizeInt8(corpus, vecCol)
+      .withColumn("c", expr("transform(q, v -> cast(v as bigint))"))
       .withColumn("ss", expr("aggregate(c, 0L, (a, x) -> a + x * x)"))
     // sign-pattern bucket of band b over the ORIGINAL floats (sign of
     // a float compares exactly; the quantized code's sign would shift

@@ -65,9 +65,20 @@ object Memo {
   /** Content-derived identity for a DataFrame, for memo keys that cache
     * per-input-frame results (ivf centroids, bm25 per-doc stats): the
     * canonicalized analyzed plan's semantic hash. Two reads of the same
-    * table produce the same key (good — same result), while any plan
-    * difference (raw vs transformed column, different path) changes it.
-    * Unlike System.identityHashCode, it cannot alias after a GC. */
+    * table produce the same key, while any plan difference (raw vs
+    * transformed column, different path) changes it. Unlike
+    * System.identityHashCode, it cannot alias after a GC.
+    *
+    * CONTRACT — the key is the PLAN, not the files: rewriting a path's
+    * contents mid-session (an overwrite publish, a compaction) leaves a
+    * fresh read of that path with the same key, which would serve the
+    * pre-rewrite cache. Writers inside this repo that overwrite paths
+    * ([[graft.streaming.CorpusIngest.publishSnapshot]],
+    * [[graft.operators.Maintenance.compactParquet]]/`zorderWrite`) call
+    * [[clear]] after publishing for exactly this reason; external
+    * callers that rewrite an input path must do the same (entries are
+    * rebuild-on-demand — clearing costs one recompute, staleness costs
+    * wrong results). */
   def frameKey(df: DataFrame): String =
     "plan" + df.queryExecution.analyzed.semanticHash().toHexString
 

@@ -281,13 +281,20 @@ object TextQueries {
     * once. */
   def q101PageRank(spark: SparkSession, dir: String): DataFrame = {
     val SCALE = 1000000000000L
-    val t = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        explode(array_distinct(split(col("text"), " "))).as("term"))
-    val e = t.as("a").join(t.as("b"),
-        col("a.doc_id") === col("b.doc_id") && col("a.term") =!= col("b.term"))
-      .select(col("a.term").as("src"), col("b.term").as("dst"))
-      .distinct()
+    // the edge build (per-doc term self-join + distinct) is the
+    // expensive leg and has FOUR consumers in one plan (deg + three
+    // iteration joins); Catalyst has no cross-subplan CSE, so without
+    // a persist each consumer re-runs the self-join — memoized like
+    // the other multi-consumer legs (cleared per bench pass)
+    val e = Memo.of(spark, s"pr_edges:$dir") {
+      val t = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("term"))
+      t.as("a").join(t.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.term") =!= col("b.term"))
+        .select(col("a.term").as("src"), col("b.term").as("dst"))
+        .distinct()
+    }
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val nn = deg.agg(count(lit(1)).as("n"))
     var r = deg.crossJoin(broadcast(nn))

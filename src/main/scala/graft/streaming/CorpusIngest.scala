@@ -115,6 +115,10 @@ object CorpusIngest {
       .repartitionByRange(nOut, col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
       .write.mode("overwrite").parquet(snapshotDir)
+    // the publish overwrote snapshotDir: any plan-keyed memo entry
+    // built over a prior read of it is now stale (Memo.frameKey's
+    // contract) — entries rebuild on demand, so clearing is cheap
+    graft.ops.Memo.clear(spark)
     spark.read.parquet(snapshotDir).count()
   }
 

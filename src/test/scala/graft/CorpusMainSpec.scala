@@ -90,7 +90,7 @@ class CorpusMainSpec extends AnyFunSuite {
       TextAnalysis.cleanCorpus(docs).select("doc_id"), Seq("doc_id"), "left_semi")
     val deduped = Dedup.dedupCorpus(cleaned)
     val pruned = TextAnalysis.prunePassages(deduped, chunkTokens = 32)
-    assert(report.nPassagePruned == deduped.count() - pruned.count())
+    assert(report.nScrubDropped == deduped.count() - pruned.count())
     assert(report.nSampled == pruned.count())
     // the written corpus carries the REBUILT text, not the original
     val out = spark.read.parquet(s"$outDir/corpus")
@@ -103,7 +103,7 @@ class CorpusMainSpec extends AnyFunSuite {
       org.apache.spark.sql.functions.col("pruned_text")).count() == 0)
     // report round-trips the new field
     val rep = spark.read.parquet(s"$outDir/report").first()
-    assert(rep.getAs[Long]("nPassagePruned") == report.nPassagePruned)
+    assert(rep.getAs[Long]("nScrubDropped") == report.nScrubDropped)
   }
 
   test("CorpusMain sample fraction composes hashSample semantics") {
