@@ -715,8 +715,25 @@ object Relational {
     spark.sql(q98LateralSql)
   }
 
+  /** Ordered string aggregation — LISTAGG WITHIN GROUP (SQL:2016),
+    * new in Spark 4: the denormalized "top members as one cell" report
+    * shape. The WITHIN GROUP order carries a unique tie-break
+    * (acctbal desc, then name) so the concatenated string is
+    * deterministic on any partitioning — an UNORDERED listagg is the
+    * string-typed cousin of a float sum and could never face the hash
+    * gate. */
+  def q102Listagg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("g102_customer")
+    spark.sql(
+      """SELECT c_nationkey,
+        |  count(*) AS n,
+        |  listagg(c_name, ',') WITHIN GROUP (ORDER BY c_acctbal DESC, c_name) AS names
+        |FROM g102_customer GROUP BY c_nationkey""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_lateral"         -> (q98Lateral _),
+    "q102_listagg"        -> (q102Listagg _),
     "q83_profile"         -> (q83Profile _),
     "q85_recursive_cte"   -> (q85Recursive _),
     "q87_histogram"       -> (q87Histogram _),
@@ -1042,6 +1059,14 @@ object Relational {
     // same declarative EXISTS/correlated text (modulo view names); the
     // per-nation threshold follows the decimal-sum-then-one-divide
     // parity rule so the boundary compare is bit-identical
+    // string_agg with ORDER BY is DuckDB's LISTAGG WITHIN GROUP; the
+    // unique order key makes the concatenation engine-deterministic
+    "q102_listagg" ->
+      """SELECT c_nationkey,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  string_agg(c_name, ',' ORDER BY c_acctbal DESC, c_name) AS names
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
+
     // the same LATERAL text modulo view names (the q80 stance)
     "q98_lateral" ->
       """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice

@@ -274,6 +274,45 @@ object EventStreams {
       }
   }
 
+  case class FunnelState(stage: Int, sinceMs: Long, sinceNanos: Int)
+  case class FunnelRow(user_id: Long, stage: Long)
+
+  /** Real-time ordered funnel — the streaming twin of the batch
+    * funnel (EventQueries q89): per user, a stage counter advances
+    * when the NEXT stage's event arrives at-or-after the time the
+    * previous stage completed (order-aware: a purchase before the
+    * signup doesn't convert). Each micro-batch folds its events in
+    * event-time order into the per-user state and emits the current
+    * stage (Update mode); `stage = k` means the first k funnel steps
+    * completed in order.
+    *
+    * State is O(1) per user forever (a counter + one timestamp), so no
+    * watermark eviction is needed. Cross-batch stragglers are the
+    * documented limit (the packDocStream stance): an event arriving in
+    * a LATER batch than a successor stage's event cannot retroactively
+    * re-chain the funnel — per-user in-order arrival (or an upstream
+    * watermark sort) is assumed; the stream≡batch spec covers the
+    * in-order case. */
+  def funnelState(events: Dataset[Event],
+                  stages: Seq[String]): Dataset[FunnelRow] = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelRow](GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue, 0))
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val atOrAfter = e.ts.getTime > s.sinceMs ||
+              (e.ts.getTime == s.sinceMs && e.ts.getNanos >= s.sinceNanos)
+            if (s.stage < stages.length && e.event_type == stages(s.stage) && atOrAfter)
+              s = FunnelState(s.stage + 1, e.ts.getTime, e.ts.getNanos)
+          }
+          state.update(s)
+          FunnelRow(userId, s.stage.toLong)
+      }
+  }
+
   /** Arbitrary-stateful sessionization with `flatMapGroupsWithState`:
     * the KeyValueGroupedDataset custom-state path for semantics the
     * built-in session_window can't express (e.g. emitting per-session

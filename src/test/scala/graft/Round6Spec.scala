@@ -439,6 +439,66 @@ class Round6Spec extends AnyFunSuite {
     assert(out.toSet == again.toSet)
   }
 
+  test("streaming funnelState matches the batch q89 stage counts (in-order feed)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.EventStreams
+    def ev(id: Long, sec: Long, user: Long, tpe: String) =
+      EventStreams.Event(id, new java.sql.Timestamp(sec * 1000), user, tpe, 1.0)
+    val ms = MemoryStream[EventStreams.Event]
+    val q = EventStreams.funnelState(ms.toDS(), Seq("view", "signup", "purchase"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("stream_funnel").start()
+    try {
+      // user 1 converts fully across batches; user 2's purchase comes
+      // BEFORE its signup in event time — stage must stop at 2
+      ms.addData(ev(1, 100, 1, "view"), ev(2, 150, 2, "view"),
+        ev(3, 160, 2, "purchase"))
+      q.processAllAvailable()
+      ms.addData(ev(4, 200, 1, "signup"), ev(5, 300, 1, "purchase"),
+        ev(6, 400, 2, "signup"))
+      q.processAllAvailable()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy($"stage".desc)
+      val finalStage = spark.table("stream_funnel")
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(finalStage(1L) == 3L, "in-order view->signup->purchase converts")
+      assert(finalStage(2L) == 2L, "purchase before signup must not count")
+    } finally q.stop()
+  }
+
+  test("batch funnelState stage counts equal q89 on the fixture") {
+    import graft.streaming.EventStreams
+    import spark.implicits._
+    val evs = Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStreams.Event]
+    val staged = EventStreams.funnelState(evs, Seq("view", "signup", "purchase"))
+      .collect().map(_.stage)
+    val counts = Map(
+      "1_view" -> staged.count(_ >= 1).toLong,
+      "2_signup_after_view" -> staged.count(_ >= 2).toLong,
+      "3_purchase_after_signup" -> staged.count(_ >= 3).toLong)
+    val batch = graft.ops.EventQueries.q89Funnel(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == batch)
+  }
+
+  test("q102 listagg order is deterministic and round-trips its members") {
+    val out = Relational.q102Listagg(spark, sf).collect()
+    val cust = Tables.customer(spark, sf)
+    out.foreach { r =>
+      val names = r.getString(2).split(",")
+      assert(names.length == r.getLong(1))
+      // descending acctbal order with name tie-break, verified directly
+      val expected = cust.filter($"c_nationkey" === r.get(0))
+        .orderBy($"c_acctbal".desc, $"c_name")
+        .select("c_name").collect().map(_.getString(0))
+      assert(names.toSeq == expected.toSeq)
+    }
+  }
+
   test("q86 RANGE frame spans gap days (unlike a ROWS frame)") {
     // if the fixture has >= 7 distinct days, every window past the 7th
     // day must cover at most 7 day-rows but ALWAYS a 7-day value span
