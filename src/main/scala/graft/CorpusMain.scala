@@ -13,6 +13,7 @@ import graft.operators.{Dedup, Sharding, TextAnalysis}
   * + a stage-count report out.
   *
   * Usage: CorpusMain <docsParquet> <outDir> [sampleFraction] [seqLen]
+  * [pruneChunkTokens]
   *
   * Every stage is the scale-shaped variant (see the operator docs):
   * the clean filters are per-row codegen'd expressions, exact dedup is

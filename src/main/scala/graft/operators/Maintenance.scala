@@ -45,8 +45,9 @@ object Maintenance {
         .sortWithinPartitions(sortCols.map(col): _*)
     shaped.write.mode("overwrite").parquet(outDir)
     // an overwritten path invalidates any plan-keyed memo entry built
-    // over it (Memo.frameKey's contract): drop the session's cache
-    graft.ops.Memo.clear(spark)
+    // over it, in ANY session (Memo.frameKey's contract) — targeted,
+    // so unrelated memoized legs survive
+    graft.ops.Memo.invalidatePath(outDir)
     val (filesAfter, _) = listParquet(spark, outDir)
     CompactStats(filesBefore, filesAfter, bytesBefore,
       spark.read.parquet(outDir).count())
@@ -108,7 +109,7 @@ object Maintenance {
       .drop("_z")
       .write.mode("overwrite").parquet(outDir)
     // see compactParquet: overwrite-publish invalidates plan-keyed memos
-    graft.ops.Memo.clear(df.sparkSession)
+    graft.ops.Memo.invalidatePath(outDir)
   }
 
   /** (parquet file count, total bytes) under a directory. */

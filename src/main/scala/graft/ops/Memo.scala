@@ -75,12 +75,47 @@ object Memo {
     * pre-rewrite cache. Writers inside this repo that overwrite paths
     * ([[graft.streaming.CorpusIngest.publishSnapshot]],
     * [[graft.operators.Maintenance.compactParquet]]/`zorderWrite`) call
-    * [[clear]] after publishing for exactly this reason; external
-    * callers that rewrite an input path must do the same (entries are
-    * rebuild-on-demand — clearing costs one recompute, staleness costs
-    * wrong results). */
+    * [[invalidatePath]] after publishing for exactly this reason;
+    * external callers that rewrite an input path must do the same
+    * (entries are rebuild-on-demand — invalidating costs one
+    * recompute, staleness costs wrong results). In-app Spark writes
+    * additionally self-heal (InsertIntoHadoopFsRelation triggers
+    * `cacheManager.recacheByPath`); the hazard [[invalidatePath]]
+    * closes is the rewrite Spark cannot see — another process, a
+    * distcp, a snapshot restore — plus the memo-map hygiene either
+    * way. */
   def frameKey(df: DataFrame): String =
     "plan" + df.queryExecution.analyzed.semanticHash().toHexString
+
+  /** Whether a memoized frame's plan reads under `path` — the file
+    * sources' root paths, compared on scheme-less URI paths. */
+  private def readsPath(df: DataFrame, path: String): Boolean = {
+    val target = new org.apache.hadoop.fs.Path(path).toUri.getPath
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+        if (l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.exists { r =>
+              val p = r.toUri.getPath
+              p == target || p.startsWith(target + "/") ||
+                target.startsWith(p + "/")
+            }
+          case _ => false
+        }) => ()
+    }.isDefined
+  }
+
+  /** Drop (and unpersist) every entry — of EVERY session: the memo is
+    * multi-session, and a rewritten path is stale for all of them —
+    * whose plan reads `path`. Called by the overwrite publishers;
+    * targeted, so unrelated expensive legs (the reason the memo
+    * exists) survive a compaction of some other directory. */
+  def invalidatePath(path: String): Unit = synchronized {
+    perSession.values.foreach { m =>
+      val stale = m.collect { case (k, df) if readsPath(df, path) => k }.toSeq
+      stale.foreach(k => m.remove(k).foreach(_.unpersist(blocking = false)))
+    }
+  }
 
   /** The memoized frame for `key`, building + persisting it on first
     * use in this session. `build` runs at most once per (session, key)

@@ -116,9 +116,9 @@ object CorpusIngest {
       .sortWithinPartitions(col("doc_id"))
       .write.mode("overwrite").parquet(snapshotDir)
     // the publish overwrote snapshotDir: any plan-keyed memo entry
-    // built over a prior read of it is now stale (Memo.frameKey's
-    // contract) — entries rebuild on demand, so clearing is cheap
-    graft.ops.Memo.clear(spark)
+    // built over a prior read of it — in ANY session — is now stale
+    // (Memo.frameKey's contract); entries rebuild on demand
+    graft.ops.Memo.invalidatePath(snapshotDir)
     spark.read.parquet(snapshotDir).count()
   }
 

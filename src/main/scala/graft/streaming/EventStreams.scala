@@ -287,7 +287,10 @@ object EventStreams {
     * completed in order.
     *
     * State is O(1) per user forever (a counter + one timestamp), so no
-    * watermark eviction is needed. Cross-batch stragglers are the
+    * watermark eviction is needed. Within a batch the fold re-scans
+    * until no stage advances (≤ stages.length passes), so equal-
+    * timestamp chains resolve exactly as q89's `ts >= t_prev` does
+    * regardless of event_id order. Cross-batch stragglers remain the
     * documented limit (the packDocStream stance): an event arriving in
     * a LATER batch than a successor stage's event cannot retroactively
     * re-chain the funnel — per-user in-order arrival (or an upstream
@@ -302,11 +305,21 @@ object EventStreams {
       .mapGroupsWithState[FunnelState, FunnelRow](GroupStateTimeout.NoTimeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
           var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue, 0))
-          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val atOrAfter = e.ts.getTime > s.sinceMs ||
-              (e.ts.getTime == s.sinceMs && e.ts.getNanos >= s.sinceNanos)
-            if (s.stage < stages.length && e.event_type == stages(s.stage) && atOrAfter)
-              s = FunnelState(s.stage + 1, e.ts.getTime, e.ts.getNanos)
+          // full-precision event-time order: getNanos carries the
+          // sub-millisecond part getTime floors away (latestPerKey's
+          // Timestamp.compareTo stance)
+          val evs = it.toSeq
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          var progressed = true
+          while (progressed && s.stage < stages.length) {
+            val before = s.stage
+            evs.foreach { e =>
+              val atOrAfter = e.ts.getTime > s.sinceMs ||
+                (e.ts.getTime == s.sinceMs && e.ts.getNanos >= s.sinceNanos)
+              if (s.stage < stages.length && e.event_type == stages(s.stage) && atOrAfter)
+                s = FunnelState(s.stage + 1, e.ts.getTime, e.ts.getNanos)
+            }
+            progressed = s.stage > before
           }
           state.update(s)
           FunnelRow(userId, s.stage.toLong)

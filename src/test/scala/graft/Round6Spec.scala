@@ -468,6 +468,52 @@ class Round6Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnelState resolves equal-timestamp chains regardless of event_id order") {
+    import graft.streaming.EventStreams
+    import spark.implicits._
+    // successor stage has the SMALLER event_id at the SAME timestamp:
+    // a single sorted pass would skip it; the fixpoint re-scan must
+    // reach stage 2 (q89's ts >= t1 counts it)
+    val evs = Seq(
+      EventStreams.Event(1L, new java.sql.Timestamp(100000L), 7L, "signup", 1.0),
+      EventStreams.Event(2L, new java.sql.Timestamp(100000L), 7L, "view", 1.0)
+    ).toDS()
+    val out = EventStreams.funnelState(evs, Seq("view", "signup")).collect()
+    assert(out.length == 1 && out(0).stage == 2L)
+  }
+
+  test("Memo.invalidatePath drops only entries reading the rewritten path") {
+    import graft.ops.Memo
+    import spark.implicits._
+    val dir1 = java.nio.file.Files.createTempDirectory("graft_inv1").toString + "/t"
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_inv2").toString + "/t"
+    Seq(1L, 2L).toDF("v").write.parquet(dir1)
+    Seq(1L, 2L, 3L).toDF("v").write.parquet(dir2)
+    assert(Memo.of(spark, "r6spec:inv1") { spark.read.parquet(dir1) }.count() == 2)
+    assert(Memo.of(spark, "r6spec:inv2") { spark.read.parquet(dir2) }.count() == 3)
+    // rewrite both paths OUTSIDE any Spark write (an in-app Spark
+    // overwrite triggers cacheManager.recacheByPath and self-heals;
+    // the contract's hazard is the external rewrite, simulated here
+    // by swapping the directory's files on the filesystem)
+    def extRewrite(dir: String, rows: Seq[Long]): Unit = {
+      val staging = java.nio.file.Files.createTempDirectory("graft_inv_s").toString + "/t"
+      rows.toDF("v").coalesce(1).write.parquet(staging)
+      val target = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(target).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+      java.nio.file.Files.move(java.nio.file.Paths.get(staging), target)
+    }
+    extRewrite(dir1, Seq(1L, 2L, 3L, 4L))
+    extRewrite(dir2, Seq(9L))
+    Memo.invalidatePath(dir1)
+    assert(Memo.of(spark, "r6spec:inv1") { spark.read.parquet(dir1) }.count() == 4,
+      "invalidated entry must rebuild against the rewritten files")
+    assert(Memo.of(spark, "r6spec:inv2") { spark.read.parquet(dir2) }.count() == 3,
+      "unrelated entry must survive, still serving its persisted frame " +
+        "(the documented staleness hazard — which is why writers invalidate)")
+    Memo.clear(spark)
+  }
+
   test("batch funnelState stage counts equal q89 on the fixture") {
     import graft.streaming.EventStreams
     import spark.implicits._
@@ -487,15 +533,20 @@ class Round6Spec extends AnyFunSuite {
 
   test("q102 listagg order is deterministic and round-trips its members") {
     val out = Relational.q102Listagg(spark, sf).collect()
-    val cust = Tables.customer(spark, sf)
+    // one collect, grouped and sorted driver-side (not one Spark job
+    // per nation)
+    val byNation = Tables.customer(spark, sf)
+      .select($"c_nationkey".cast("long"), $"c_acctbal", $"c_name")
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(r => (-r.getDouble(1), r.getString(2)))
+        .map(_.getString(2)).toSeq)
+      .toMap
+    assert(out.nonEmpty)
     out.foreach { r =>
       val names = r.getString(2).split(",")
       assert(names.length == r.getLong(1))
-      // descending acctbal order with name tie-break, verified directly
-      val expected = cust.filter($"c_nationkey" === r.get(0))
-        .orderBy($"c_acctbal".desc, $"c_name")
-        .select("c_name").collect().map(_.getString(0))
-      assert(names.toSeq == expected.toSeq)
+      assert(names.toSeq == byNation(r.getAs[Number](0).longValue()))
     }
   }
 
