@@ -47,6 +47,22 @@ class Round6Spec extends AnyFunSuite {
     assert(tight.subsetOf(loose), "t=0.99 pruned set must be inside t=0.45's")
   }
 
+  test("semanticDedup resolves a planted 200-clone hot clique exactly") {
+    // every clone shares every sign band with vector 0 — the hot-bucket
+    // shape; candidates are the clique's ~20k pairs, and the keep-first
+    // rule must point every clone at the ORIGINAL (min id), not chain
+    val v0 = emb.filter($"vec_id" === 0)
+      .select($"embedding").head.getSeq[Float](0).toArray
+    val clones = spark.range(1000000L, 1000200L)
+      .select($"id".as("vec_id"),
+        typedLit(v0).as("embedding"), lit(0).as("label"))
+    val out = Similarity.semanticDedup(emb.unionByName(clones))
+      .filter($"vec_id" >= 1000000L).collect()
+    assert(out.length == 200)
+    assert(out.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L),
+      "every clone must be pruned by vector 0 itself")
+  }
+
   test("semanticDedup verdict is partitioning-invariant") {
     def run(parts: Int) =
       Similarity.semanticDedup(emb.repartition(parts))
