@@ -394,9 +394,28 @@ object EventQueries {
         col("day_cents").isNull.cast("long").as("is_gap"))
   }
 
+  /** ANSI error-handling surface: `try_cast` turns malformed input
+    * into NULL instead of a job-killing exception — the posture a
+    * 100 TB ingest needs (one bad row must not fail a stage; count it,
+    * don't crash on it). The JSON-extracted numeric parses, the
+    * event-type word doesn't, and the per-type tallies prove both
+    * paths; under plain ANSI CAST the same query would throw. */
+  def q103TryCast(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("try_cast(get_json_object(props, '$.k') as bigint)").as("k_num"),
+        expr("try_cast(event_type as bigint)").as("bad_num"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("k_num")).as("n_parsed"),
+        sum(col("k_num")).as("k_sum"),
+        count(col("bad_num")).as("n_bad_parsed"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q94_rolling_active"  -> (q94RollingActive _),
     "q95_latest_per_key"  -> (q95LatestPerKey _),
+    "q103_try_cast"       -> (q103TryCast _),
     "q99_forward_fill"    -> (q99ForwardFill _),
     "q100_gap_fill"       -> (q100GapFill _),
     "q86_range_frame"     -> (q86RangeFrame _),
@@ -419,6 +438,21 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // TRY_CAST -> NULL on malformed input in both engines; the json
+    // extraction mirrors get_json_object's string-out contract
+    "q103_try_cast" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(k_num) AS BIGINT) AS n_parsed,
+        |  CAST(sum(k_num) AS BIGINT) AS k_sum,
+        |  CAST(count(bad_num) AS BIGINT) AS n_bad_parsed
+        |FROM (
+        |  SELECT event_type,
+        |    try_cast(props ->> '$.k' AS BIGINT) AS k_num,
+        |    try_cast(event_type AS BIGINT) AS bad_num
+        |  FROM events) t
+        |GROUP BY event_type""".stripMargin,
+
     // last_value IGNORE NULLS over the same unique row frame — LOCF
     // replayed exactly; leading nulls stay null in both engines
     "q99_forward_fill" ->

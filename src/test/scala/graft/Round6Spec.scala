@@ -566,6 +566,15 @@ class Round6Spec extends AnyFunSuite {
     }
   }
 
+  test("q103 try_cast nulls malformed input instead of failing the job") {
+    val out = graft.ops.EventQueries.q103TryCast(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1), "every props.k must parse")
+      assert(r.getLong(4) == 0L, "no event-type word may parse as a number")
+    }
+  }
+
   test("q86 RANGE frame spans gap days (unlike a ROWS frame)") {
     // if the fixture has >= 7 distinct days, every window past the 7th
     // day must cover at most 7 day-rows but ALWAYS a 7-day value span
