@@ -9,13 +9,16 @@ import org.apache.spark.sql.SparkSession
   * sbt appends nothing after it).
   *
   * Each query is timed over `SPARK_GRAFT_BENCH_PASSES` passes
-  * (default 2) and reports the per-query MINIMUM; the total is the
+  * (default 3) and reports the per-query MINIMUM; the total is the
   * sum of minima. One pass per query is not a measurement on a shared
   * machine: a co-tenant load spike during a single pass inflates that
   * query's number with no way to tell noise from regression (round 3's
   * driver run recorded 3.4x on three queries that a clean replay
-  * showed were flat-to-faster). The min over passes is the standard
-  * load-robust estimator of the code's actual cost.
+  * showed were flat-to-faster; round 6's min-of-2 was load-poisoned on
+  * BOTH passes for q36/q48 — 3.47 s / 2.27 s recorded vs 0.90 s /
+  * 0.55 s on an idle replay, hence the bump to 3). The min over
+  * passes is the standard load-robust estimator of the code's actual
+  * cost.
   *
   * Memoized shared legs (graft.ops.Memo) are cleared between passes:
   * within a pass, queries legitimately share work (q57 reuses q40's
@@ -26,7 +29,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt)
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt)
     val spark = GraftSession.create(
       appName = "graft-bench",
       master = s"local[$cpus]",

@@ -51,6 +51,13 @@ object RecallProbe {
         measure(s"ivf n=$nlist p=$nprobe lloyd=$lloyd")(
           operators.Similarity.ivfTopK(emb, queries, k = 10,
             nlist = nlist, nprobe = nprobe, lloydIters = lloyd))
+      // the equal-candidate-volume family (probed share fixed at 1/8):
+      // coarser lists probe fewer/bigger cells, finer lists more/smaller
+      // ones, at the same expected share of the corpus scored per query
+      for ((nlist, nprobe) <- Seq((16, 2), (64, 8), (128, 16)); lloyd <- Seq(2, 3, 4))
+        measure(s"ivf@1/8 n=$nlist p=$nprobe lloyd=$lloyd")(
+          operators.Similarity.ivfTopK(emb, queries, k = 10,
+            nlist = nlist, nprobe = nprobe, lloydIters = lloyd))
     }
 
     // ---- re-pin block: the five agreement rows at the PRODUCTION

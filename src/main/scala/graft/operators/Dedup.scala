@@ -302,10 +302,18 @@ object Dedup {
     * like [[ngramJaccardPairs]].
     *
     * Novelty WITHIN the delta is deliberately out of scope — compose
-    * with [[dedupCorpus]] on the delta first. */
+    * with [[dedupCorpus]] on the delta first.
+    *
+    * `releaseEagerly` picks the cache lifecycle (see [[novelOnly]]):
+    * `true` — the continuous-ingest default — pays one eager ids-only
+    * checkpoint job + a restoring semi-join so the internal full-text
+    * cache is provably released before this returns; `false` stays
+    * fully lazy for one-shot batch callers (release on the caller's
+    * first completed action instead). */
   def deltaDedup(corpus: DataFrame, delta: DataFrame, k: Int = 3,
                  threshold: Double = 0.6,
-                 maxShingleDocFreq: Option[Int] = None): DataFrame = {
+                 maxShingleDocFreq: Option[Int] = None,
+                 releaseEagerly: Boolean = true): DataFrame = {
     graft.functions.ShingleHashes.register(corpus.sparkSession)
     val corpusHashes = corpus.select(md5(col("text")).as("content_md5")).distinct()
     val exactNovel = delta
@@ -346,42 +354,99 @@ object Dedup {
       .filter(col("common").cast("double") /
         (col("nc") + col("nd") - col("common")) >= threshold)
       .select(col("d_id").as("doc_id")).distinct()
-    novelOnly(delta, exactNovel, dupDelta)
+    novelOnly(delta, exactNovel, dupDelta, releaseEagerly)
   }
 
-  /** Close out a delta-dedup call: materialize the novel doc_ids NOW
-    * (ids-only eager localCheckpoint), release the pinned full-text
-    * frame, and restore the delta's columns with a semi-join. The
-    * eager action is the point — it is what lets the operator
-    * unpersist its internal full-text cache before returning; the lazy
-    * shape left one CacheManager-held full-text frame behind PER CALL,
-    * which in a continuous ingest (one call per micro-batch) grew the
-    * cache without bound. The checkpointed ids are tiny and reclaimed
-    * by the ContextCleaner once the returned frame is dropped; an
-    * executor loss after return costs a caller retry of the batch, the
-    * same stance as [[minHashPairs]]'s ids-only checkpoints.
+  /** Close out a delta-dedup call. Two lifecycles, caller's choice:
+    *
+    * `releaseEagerly = true` (the continuous-ingest contract):
+    * materialize the novel doc_ids NOW (ids-only eager
+    * localCheckpoint), release the pinned full-text frame, and restore
+    * the delta's columns with a semi-join. The eager action is the
+    * point — it is what lets the operator unpersist its internal
+    * full-text cache before returning; the lazy shape left one
+    * CacheManager-held full-text frame behind PER CALL, which in a
+    * continuous ingest (one call per micro-batch) grew the cache
+    * without bound. The checkpointed ids are tiny and reclaimed by the
+    * ContextCleaner once the returned frame is dropped; an executor
+    * loss after return costs a caller retry of the batch, the same
+    * stance as [[minHashPairs]]'s ids-only checkpoints.
+    *
+    * `releaseEagerly = false` (one-shot batch): stay fully lazy — no
+    * checkpoint job, and no restoring semi-join either: `exactNovel`
+    * already carries every column of `delta` (the exact leg only
+    * anti-joins away rows), so the novel frame IS
+    * `exactNovel ∖ dupDelta` directly — one anti-join, delta is never
+    * re-read. The persisted full-text frame is released when the
+    * caller's action completes (a QueryExecutionListener on the delta
+    * session; if the caller never runs an action the frame lives until
+    * session end — the bounded, disclosed cost of skipping the eager
+    * job). A long-running ingest must keep the default: per-batch
+    * listener release works, but the eager variant's deterministic
+    * release point is the safer contract there.
+    *
     * Precondition (both callers document it): doc_id unique in
     * `delta`. */
   private def novelOnly(delta: DataFrame, exactNovel: DataFrame,
-                        dupDelta: DataFrame): DataFrame = {
-    val novelIds = exactNovel.join(dupDelta, Seq("doc_id"), "left_anti")
-      .select("doc_id").localCheckpoint(true)
-    exactNovel.unpersist(blocking = false)
-    delta.join(novelIds, Seq("doc_id"), "left_semi")
+                        dupDelta: DataFrame,
+                        releaseEagerly: Boolean): DataFrame =
+    if (releaseEagerly) {
+      val novelIds = exactNovel.join(dupDelta, Seq("doc_id"), "left_anti")
+        .select("doc_id").localCheckpoint(true)
+      exactNovel.unpersist(blocking = false)
+      delta.join(novelIds, Seq("doc_id"), "left_semi")
+    } else {
+      releaseAfterNextAction(exactNovel)
+      exactNovel.join(dupDelta, Seq("doc_id"), "left_anti")
+    }
+
+  /** Unpersist `frame` after the session's next completed action —
+    * the lazy leg of [[novelOnly]]'s lifecycle. One self-removing
+    * listener per call; the first action on the session (success or
+    * failure) releases the cache. The first action is the right
+    * release point here because the caller receives a SINGLE frame
+    * derived from `frame` — by the time any action on it completes,
+    * the cached blocks have served every consumer in that plan. */
+  private def releaseAfterNextAction(frame: DataFrame): Unit = {
+    val spark = frame.sparkSession
+    val listener: org.apache.spark.sql.util.QueryExecutionListener =
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        private def done(): Unit = {
+          frame.unpersist(blocking = false)
+          spark.listenerManager.unregister(this)
+        }
+        override def onSuccess(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               durationNs: Long): Unit = done()
+        override def onFailure(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               exception: Exception): Unit = done()
+      }
+    spark.listenerManager.register(listener)
   }
 
   /** The materialized form of the structures [[deltaDedup]] derives
     * from the corpus on every call: the distinct content-hash set
-    * (exact leg), the inverted shingle index, and per-doc shingle
-    * counts (near leg). A pipeline that ingests continuously persists
-    * these and APPENDS each batch's novel docs — per-batch cost then
-    * scales with the index read + the delta, never with re-shingling
-    * the corpus text (at 100 TB the difference between an ingest that
-    * stays flat and one that grows linearly with corpus age). */
+    * (exact leg), the inverted shingle index, per-doc shingle counts,
+    * and per-shingle document frequencies (near leg + skew cap). A
+    * pipeline that ingests continuously persists these and APPENDS
+    * each batch's novel docs — per-batch cost then scales with the
+    * index read + the delta, never with re-shingling the corpus text
+    * (at 100 TB the difference between an ingest that stays flat and
+    * one that grows linearly with corpus age).
+    *
+    * `dfs` (shingle, df) is what makes `maxShingleDocFreq` available
+    * on the indexed path: the hot-shingle decision needs CORPUS-WIDE
+    * document frequencies, and deriving them per batch would be a
+    * corpus-sized groupBy — materialized as index rows, the per-batch
+    * cost is a scan of the (distinct-shingle-sized) df table instead. */
   case class DedupIndex(hashes: DataFrame, shingles: DataFrame,
-                        counts: DataFrame)
+                        counts: DataFrame, dfs: DataFrame)
 
-  /** Index rows for `docs` — what an ingest appends per batch. */
+  /** Index rows for `docs` — what an ingest appends per batch. An
+    * ingest accumulating per-batch index partitions sums the partial
+    * `dfs` rows across batches (df is additive over disjoint doc
+    * sets); `hashes` similarly needs a distinct over the union. */
   def buildDedupIndex(docs: DataFrame, k: Int = 3): DedupIndex = {
     graft.functions.ShingleHashes.register(docs.sparkSession)
     val hashes = docs.select(md5(col("text")).as("content_md5")).distinct()
@@ -390,18 +455,26 @@ object Dedup {
       .filter(size(col("fh")) > 0)
       .select(col("doc_id").as("c_id"), explode(col("fh")).as("shingle"))
     val counts = shingles.groupBy("c_id").agg(count(lit(1)).as("nc"))
-    DedupIndex(hashes, shingles, counts)
+    val dfs = shingles.groupBy("shingle").agg(count(lit(1)).as("df"))
+    DedupIndex(hashes, shingles, counts, dfs)
   }
 
   /** [[deltaDedup]] against a prebuilt index — produces the identical
     * novel set (spec-pinned equivalence) without touching corpus text.
-    * `k` must match the index's build parameter. The hot-shingle cap
-    * is not offered here: capping needs corpus-wide document
-    * frequencies, which an incremental index would maintain as its own
-    * materialized column — compose with `maxShingleDocFreq` at index
-    * build time if needed. */
+    * `k` must match the index's build parameter.
+    *
+    * `maxShingleDocFreq` matches [[deltaDedup]]'s semantics exactly:
+    * hot = df over corpus ∪ delta > cap, with the corpus side read
+    * from the index's materialized `dfs` rows (never recomputed from
+    * corpus text or a corpus-wide groupBy). Per-doc corpus sizes are
+    * adjusted by SUBTRACTING each doc's hot-shingle count — the
+    * hot set is small by construction (a df cap keeps only genuinely
+    * hot shingles), so that adjustment is a broadcast join against
+    * the corpus index scan, not a corpus-sized reshuffle. */
   def deltaDedupIndexed(index: DedupIndex, delta: DataFrame, k: Int = 3,
-                        threshold: Double = 0.6): DataFrame = {
+                        threshold: Double = 0.6,
+                        maxShingleDocFreq: Option[Int] = None,
+                        releaseEagerly: Boolean = true): DataFrame = {
     graft.functions.ShingleHashes.register(delta.sparkSession)
     val exactNovel = delta
       .withColumn("content_md5", md5(col("text")))
@@ -410,18 +483,42 @@ object Dedup {
       // same persist rationale as deltaDedup: full-text frame with two
       // consumers; keep lineage, spill not pin; released by novelOnly
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dSh = exactNovel
+    val dShAll = exactNovel
       .withColumn("fh", expr(s"shingle_hashes(text, $k)"))
       .filter(size(col("fh")) > 0)
       .select(col("doc_id").as("d_id"), explode(col("fh")).as("shingle"))
+    val (cSh, dSh, nC) = maxShingleDocFreq match {
+      case None => (index.shingles, dShAll, index.counts)
+      case Some(cap) =>
+        // combined df mirrors deltaDedup's both-sides measurement:
+        // corpus df from the materialized index, delta df from this
+        // batch's shingles — full-outer summed so a shingle hot on
+        // either side alone is still capped consistently
+        val dDf = dShAll.groupBy("shingle").agg(count(lit(1)).as("ddf"))
+        val hot = index.dfs.join(dDf, Seq("shingle"), "full_outer")
+          .filter(coalesce(col("df"), lit(0L)) + coalesce(col("ddf"), lit(0L)) > cap)
+          .select("shingle")
+        // nc over the capped universe = stored nc − the doc's hot rows
+        // (docs left at nc=0 have no surviving shingles, so they never
+        // reach the common-join — same as vanishing from the direct
+        // path's recomputed counts)
+        val hotPerDoc = index.shingles.join(hot, Seq("shingle"))
+          .groupBy("c_id").agg(count(lit(1)).as("n_hot"))
+        val ncAdj = index.counts.join(hotPerDoc, Seq("c_id"), "left")
+          .select(col("c_id"),
+            (col("nc") - coalesce(col("n_hot"), lit(0L))).as("nc"))
+        (index.shingles.join(hot, Seq("shingle"), "left_anti"),
+          dShAll.join(hot, Seq("shingle"), "left_anti"),
+          ncAdj)
+    }
     val nD = dSh.groupBy("d_id").agg(count(lit(1)).as("nd"))
-    val dupDelta = index.shingles.join(dSh, "shingle")
+    val dupDelta = cSh.join(dSh, "shingle")
       .groupBy("c_id", "d_id").agg(count(lit(1)).as("common"))
-      .join(index.counts, "c_id").join(nD, "d_id")
+      .join(nC, "c_id").join(nD, "d_id")
       .filter(col("common").cast("double") /
         (col("nc") + col("nd") - col("common")) >= threshold)
       .select(col("d_id").as("doc_id")).distinct()
-    novelOnly(delta, exactNovel, dupDelta)
+    novelOnly(delta, exactNovel, dupDelta, releaseEagerly)
   }
 
   /** Streaming exact leg of [[deltaDedup]]: docs arriving on a stream

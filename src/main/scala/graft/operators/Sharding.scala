@@ -158,7 +158,14 @@ object Sharding {
                      groupCol: String = "lang", seed: Long = 42L,
                      idCol: String = "doc_id"): DataFrame = {
     require(budget >= 0, s"budget must be >= 0: $budget")
-    val weights = docs.groupBy(groupCol)
+    // NULL-group rows are excluded from the WHOLE computation, not just
+    // the final equi-join: without this filter they'd count into the
+    // weights (deducting quota from the budget) while the null-dropping
+    // join below could never spend it — budget silently lost to a group
+    // that can't be picked. A mix over docs with unlabeled rows must
+    // label them first (or mix on a non-null bucketing column).
+    val grouped = docs.filter(col(groupCol).isNotNull)
+    val weights = grouped.groupBy(groupCol)
       .agg(count(lit(1)).as("n_grp"))
       .withColumn("w_grp", floor(sqrt(col("n_grp").cast("double"))).cast("long"))
     val total = weights.agg(sum(col("w_grp")).as("tot_w"))
@@ -167,7 +174,7 @@ object Sharding {
       .select(col(groupCol), col("quota"))
     val pick = Window.partitionBy(groupCol)
       .orderBy(col("okey"), col(idCol))
-    docs
+    grouped
       .withColumn("okey", orderKey(idCol, seed))
       .withColumn("pick_rank", row_number().over(pick).cast("long"))
       .join(broadcast(quotas), Seq(groupCol))

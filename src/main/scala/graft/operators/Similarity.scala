@@ -26,6 +26,11 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** [[semanticDedup]]'s dimension ceiling: dot ≤ d·128², and the gate
+    * compares dot²·10⁴ in BIGINT — d ≤ 1800 keeps the product under
+    * 2⁶³ with margin (d=1854 is the exact overflow edge). */
+  val MaxSemanticDedupDim = 1800
+
   /** Exact cosine similarity between two array<double> columns —
     * the higher-order-function reference formulation. Query paths use
     * the native `cosine_sim` (bit-identical, JIT'd); this stays as
@@ -390,6 +395,23 @@ object Similarity {
       s"need bands >= 1 and bandBits in [1,16], got $bands/$bandBits")
     require(simNumSqE4 >= 0L && simNumSqE4 <= 10000L,
       s"simNumSqE4 is t^2 * 1e4, must be in [0,10000]: $simNumSqE4")
+    // enforce BOTH dim bounds up front (one head() row — the embedding
+    // tables' uniform-dimension contract makes the first row
+    // representative): past ~1800 dims the BIGINT gate would wrap
+    // (non-ANSI) or fail the job mid-stage instead of erroring here,
+    // and below bands*bandBits the sign buckets would read past the
+    // array end
+    corpus.select(col(vecCol)).head(1).headOption.foreach { r =>
+      val d = r.getSeq[Any](0).size
+      require(d <= MaxSemanticDedupDim,
+        s"semanticDedup's integer gate (dot^2 * 1e4 in BIGINT) is safe " +
+          s"only for dims <= $MaxSemanticDedupDim; got $d — reduce the " +
+          "embedding dimension (e.g. a projection) or use " +
+          "cosineNearDupPairs (float gate) instead")
+      require(d >= bands * bandBits,
+        s"vectors have $d dims but the sign bands read " +
+          s"bands*bandBits = ${bands * bandBits} positions")
+    }
     // codes come FROM [[quantizeInt8]] (not a re-derivation) so the
     // "q74's proven formula" claim is compile-time true — only the
     // tinyint→bigint widening happens here

@@ -399,12 +399,21 @@ object EventQueries {
     * 100 TB ingest needs (one bad row must not fail a stage; count it,
     * don't crash on it). The JSON-extracted numeric parses, the
     * event-type word doesn't, and the per-type tallies prove both
-    * paths; under plain ANSI CAST the same query would throw. */
+    * paths; under plain ANSI CAST the same query would throw.
+    *
+    * The parse is try_cast→DOUBLE then floor then try_cast→BIGINT —
+    * in BOTH engines — because a direct string→BIGINT try_cast
+    * diverges on non-integral strings: Spark truncates '1.5' to 1,
+    * DuckDB rounds it to 2. Floor-of-double is the same function in
+    * both (and the outer try_cast nulls the ±inf/NaN doubles a
+    * pathological string could produce instead of throwing). */
   def q103TryCast(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_type"),
-        expr("try_cast(get_json_object(props, '$.k') as bigint)").as("k_num"),
-        expr("try_cast(event_type as bigint)").as("bad_num"))
+        expr("try_cast(floor(try_cast(get_json_object(props, '$.k') as double)) as bigint)")
+          .as("k_num"),
+        expr("try_cast(floor(try_cast(event_type as double)) as bigint)")
+          .as("bad_num"))
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),
@@ -439,7 +448,10 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     // TRY_CAST -> NULL on malformed input in both engines; the json
-    // extraction mirrors get_json_object's string-out contract
+    // extraction mirrors get_json_object's string-out contract. The
+    // numeric parse goes through DOUBLE + floor on both sides — a
+    // direct string->BIGINT try_cast truncates in Spark but ROUNDS in
+    // DuckDB on non-integral strings (see q103TryCast's scaladoc)
     "q103_try_cast" ->
       """SELECT event_type,
         |  CAST(count(*) AS BIGINT) AS n,
@@ -448,8 +460,8 @@ object EventQueries {
         |  CAST(count(bad_num) AS BIGINT) AS n_bad_parsed
         |FROM (
         |  SELECT event_type,
-        |    try_cast(props ->> '$.k' AS BIGINT) AS k_num,
-        |    try_cast(event_type AS BIGINT) AS bad_num
+        |    try_cast(floor(try_cast(props ->> '$.k' AS DOUBLE)) AS BIGINT) AS k_num,
+        |    try_cast(floor(try_cast(event_type AS DOUBLE)) AS BIGINT) AS bad_num
         |  FROM events) t
         |GROUP BY event_type""".stripMargin,
 

@@ -88,21 +88,42 @@ object Memo {
     "plan" + df.queryExecution.analyzed.semanticHash().toHexString
 
   /** Whether a memoized frame's plan reads under `path` — the file
-    * sources' root paths, compared on scheme-less URI paths. */
+    * sources' root paths, compared on scheme-less URI paths.
+    *
+    * Leaf classification is closed-world so no read can silently
+    * escape [[invalidatePath]]: DSv1 (`HadoopFsRelation`) and DSv2
+    * (`FileTable`) file reads match on their root paths; leaves that
+    * provably read no files (local/in-memory relations, `range`) never
+    * match; any OTHER leaf — a catalog table, a JDBC relation, a
+    * source this code doesn't know — is treated as POSSIBLY reading
+    * `path`, so its entry is invalidated. Conservative costs one
+    * rebuild of a cheap-to-rebuild entry; the alternative (assuming
+    * "unknown" means "unaffected") re-opens the staleness hazard this
+    * method exists to close. */
   private def readsPath(df: DataFrame, path: String): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, FileTable}
     val target = new org.apache.hadoop.fs.Path(path).toUri.getPath
-    df.queryExecution.analyzed.collectFirst {
-      case l: org.apache.spark.sql.execution.datasources.LogicalRelation
-        if (l.relation match {
-          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            h.location.rootPaths.exists { r =>
-              val p = r.toUri.getPath
-              p == target || p.startsWith(target + "/") ||
-                target.startsWith(p + "/")
-            }
-          case _ => false
-        }) => ()
-    }.isDefined
+    def underTarget(roots: Seq[org.apache.hadoop.fs.Path]): Boolean =
+      roots.exists { r =>
+        val p = r.toUri.getPath
+        p == target || p.startsWith(target + "/") ||
+          target.startsWith(p + "/")
+      }
+    df.queryExecution.analyzed.collectLeaves().exists {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => underTarget(h.location.rootPaths)
+        case _ => true // non-file DSv1 relation: can't prove unaffected
+      }
+      case v2: DataSourceV2Relation => v2.table match {
+        case f: FileTable => underTarget(f.fileIndex.rootPaths)
+        case _ => true // non-file DSv2 table (catalog, kafka, ...)
+      }
+      case _: logical.LocalRelation | _: logical.OneRowRelation |
+           _: logical.Range => false // provably file-free
+      case _ => true // unknown leaf: invalidate rather than risk staleness
+    }
   }
 
   /** Drop (and unpersist) every entry — of EVERY session: the memo is

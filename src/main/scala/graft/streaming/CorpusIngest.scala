@@ -31,7 +31,8 @@ object CorpusIngest {
                    minQuality: Double = 0.5, maxTopBigramRatio: Double = 0.2,
                    langs: Seq[String] = Seq("en"),
                    k: Int = 3, numHashes: Int = 16, bands: Int = 4,
-                   threshold: Double = 0.6): Unit = {
+                   threshold: Double = 0.6,
+                   maxShingleDocFreq: Option[Int] = None): Unit = {
     val spark = batch.sparkSession
     // Several consumers (clean recipe, dedup legs, report counts) each
     // trigger actions over this micro-batch; unpersisted, every action
@@ -60,7 +61,9 @@ object CorpusIngest {
     // so the replayed directories are never even scanned.
     val existing = readIndexExcluding(spark, outDir, batchId)
     val novel = existing match {
-      case Some(index) => Dedup.deltaDedupIndexed(index, batchNovel, k, threshold)
+      case Some(index) =>
+        Dedup.deltaDedupIndexed(index, batchNovel, k, threshold,
+          maxShingleDocFreq = maxShingleDocFreq)
       case None => batchNovel
     }
     novel.write.mode("overwrite")
@@ -77,6 +80,12 @@ object CorpusIngest {
       .parquet(s"$outDir/index/shingles/ingest_batch=$batchId")
     idx.counts.write.mode("overwrite")
       .parquet(s"$outDir/index/counts/ingest_batch=$batchId")
+    // per-batch PARTIAL dfs (df over this batch's docs only): df is
+    // additive over disjoint doc sets, so the reader sums partials —
+    // appending stays batch-local work, the corpus-wide df is never
+    // recomputed from the shingle table
+    idx.dfs.write.mode("overwrite")
+      .parquet(s"$outDir/index/dfs/ingest_batch=$batchId")
     // Per-batch observability: the stage funnel an operator watches to
     // catch drift (a cleaning recipe suddenly rejecting everything, a
     // batch that is all duplicates). Batch-sized counts, idempotent
@@ -146,16 +155,28 @@ object CorpusIngest {
     * not disable the exact-dup filter. */
   private def readIndexExcluding(spark: SparkSession, outDir: String,
                                  batchId: Long): Option[Dedup.DedupIndex] = {
-    val paths = Seq("hashes", "shingles", "counts")
+    val paths = Seq("hashes", "shingles", "counts", "dfs")
       .map(t => s"$outDir/index/$t")
-    if (!paths.forall(pathExists(spark, _))) None
+    if (!paths.take(3).forall(pathExists(spark, _))) None
     else {
       def tbl(p: String) = spark.read.parquet(p)
         .filter(col("ingest_batch") =!= batchId)
         .drop("ingest_batch")
       val hashes = tbl(paths(0))
+      val shingles = tbl(paths(1))
+      // corpus-wide df = sum of the per-batch partials; an index laid
+      // down before the dfs table existed falls back to deriving df
+      // from the shingle rows (lazy — the aggregation only ever runs
+      // if a capped deltaDedupIndexed call consumes it)
+      val dfs =
+        if (pathExists(spark, paths(3)))
+          tbl(paths(3)).groupBy("shingle")
+            .agg(org.apache.spark.sql.functions.sum("df").as("df"))
+        else shingles.groupBy("shingle")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("df"))
       if (hashes.isEmpty) None
-      else Some(Dedup.DedupIndex(hashes, tbl(paths(1)), tbl(paths(2))))
+      else Some(Dedup.DedupIndex(hashes, shingles, tbl(paths(2)), dfs))
     }
   }
 
@@ -176,7 +197,8 @@ object CorpusIngest {
             minQuality: Double = 0.5, maxTopBigramRatio: Double = 0.2,
             langs: Seq[String] = Seq("en"),
             k: Int = 3, numHashes: Int = 16, bands: Int = 4,
-            threshold: Double = 0.6): StreamingQuery =
+            threshold: Double = 0.6,
+            maxShingleDocFreq: Option[Int] = None): StreamingQuery =
     spark.readStream
       .schema(schema)
       .parquet(inDir)
@@ -184,7 +206,7 @@ object CorpusIngest {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         processBatch(batch, outDir, id, minTokens, maxTokens,
           minQuality, maxTopBigramRatio, langs, k, numHashes, bands,
-          threshold)
+          threshold, maxShingleDocFreq)
       }
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .trigger(trigger)

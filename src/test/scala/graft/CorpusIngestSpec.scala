@@ -102,6 +102,31 @@ class CorpusIngestSpec extends AnyFunSuite {
       s"missing=${(direct -- indexed).take(5)} extra=${(indexed -- direct).take(5)}")
   }
 
+  test("deltaDedupIndexed equals deltaDedup under a hot-shingle cap") {
+    val corpus = fixtureDocs.filter($"doc_id" % 5 =!= 0)
+    val delta = fixtureDocs.filter($"doc_id" % 5 === 0)
+    // cap low enough to actually drop shingles on the fixture (the
+    // equivalence must hold on a cap that BITES, not a no-op one) —
+    // and the capped answer must differ from the uncapped one, or the
+    // case degenerates into the test above (cap=25 measured as a no-op
+    // at this scale: the fixture's cross-doc shingle dfs are small)
+    val cap = 2
+    val direct = Dedup.deltaDedup(corpus, delta,
+        maxShingleDocFreq = Some(cap))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val indexed = Dedup.deltaDedupIndexed(
+        Dedup.buildDedupIndex(corpus), delta,
+        maxShingleDocFreq = Some(cap))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(indexed == direct,
+      s"missing=${(direct -- indexed).take(5)} extra=${(indexed -- direct).take(5)}")
+    val uncapped = Dedup.deltaDedup(corpus, delta)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(indexed != uncapped,
+      s"cap=$cap did not bite on the fixture — raise the fixture's " +
+        "shingle overlap or lower the cap")
+  }
+
   test("the materialized index mirrors the written corpus after every batch") {
     val outDir = java.nio.file.Files.createTempDirectory("graft_ingest_idx").toString
     CorpusIngest.processBatch(fixtureDocs.filter($"doc_id" < 200), outDir, 0L)

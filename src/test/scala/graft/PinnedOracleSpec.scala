@@ -16,7 +16,7 @@ import graft.ops.{FixtureId, SimilarityQueries, TextQueries}
   *     bound how far a paste can drift before a human has to look.
   *
   * Floors are deliberately below the current measured values (0.81,
-  * 0.57, 0.81, 1.0, 0.8) so ordinary fixture regeneration passes after
+  * 0.68, 0.81, 1.0, 0.8) so ordinary fixture regeneration passes after
   * a re-pin, while a real quality regression (bad dials, broken
   * bucketing) trips them.
   */
@@ -44,7 +44,10 @@ class PinnedOracleSpec extends AnyFunSuite {
       df.first().getDouble(3)
     val floors = Seq(
       ("q57 srp ann", recallOf(SimilarityQueries.q57AnnRecall(spark, pinDir)), 0.75),
-      ("q58 ivf ann", recallOf(SimilarityQueries.q58IvfRecall(spark, pinDir)), 0.50),
+      // floor raised with the round-7 dial change (64/8 → 128/16 at
+      // the same 1/8 probed share, 0.57 → 0.68): a re-pin must not
+      // quietly fall back below the recovered headroom
+      ("q58 ivf ann", recallOf(SimilarityQueries.q58IvfRecall(spark, pinDir)), 0.60),
       ("q59 embedding near-dup", recallOf(SimilarityQueries.q59NeardupRecall(spark, pinDir)), 0.70),
       ("q60 minhash", recallOf(TextQueries.q60MinhashRecall(spark, pinDir)), 0.90),
       ("q61 simhash", recallOf(TextQueries.q61SimhashAgreement(spark, pinDir)), 0.70))

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Sharding, Similarity}
+import graft.ops.TextQueries
+
+/** Round-7 contracts: the q101 per-doc term cap bounds edge blowup,
+  * deltaDedup's lazy lifecycle still releases its cache, temperature
+  * mixing excludes NULL groups from the whole computation, and
+  * semanticDedup rejects dimensions past its BIGINT-gate ceiling. */
+class Round7Spec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  test("q101 edge build: an adversarially long doc contributes a bounded edge set") {
+    // one doc with 500 distinct terms: uncapped, the per-doc self-join
+    // would emit 500·499 = 249,500 directed edges from this row alone;
+    // the cap bounds it at N·(N−1)
+    val n = TextQueries.PageRankMaxTermsPerDoc
+    val longDoc = (0 until 500).map(i => f"t$i%03d").mkString(" ")
+    val docs = Seq((1L, longDoc), (2L, "alpha beta alpha gamma"))
+      .toDF("doc_id", "text")
+    val edges = TextQueries.coOccurrenceEdges(docs, n).collect()
+    val fromLong = edges.count(r => r.getString(0).startsWith("t"))
+    assert(fromLong == n * (n - 1),
+      s"long doc must contribute exactly N*(N-1) = ${n * (n - 1)} edges, got $fromLong")
+    // tf-ranking, not arbitrary truncation: doc 2's repeated term is
+    // kept (tf=2 outranks the tf=1 terms) and all its terms fit under
+    // the cap anyway — 3 distinct terms → 6 directed edges
+    val fromShort = edges.filterNot(r => r.getString(0).startsWith("t"))
+    assert(fromShort.length == 6)
+  }
+
+  test("q101 cap keeps the doc's TOP terms by tf, ties broken on the term string") {
+    // 2 terms over the cap; the two lowest-tf terms must be the ones
+    // dropped, and among equal-tf terms the lexicographically smallest
+    // survive (the exact window the oracle SQL replays)
+    val n = TextQueries.PageRankMaxTermsPerDoc
+    val words = (0 until n - 1).flatMap(i => Seq.fill(3)(f"k$i%02d")) ++ // tf=3 each
+      Seq("aa", "bb", "cc") // tf=1: only 'aa' fits in the last slot
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val terms = TextQueries.coOccurrenceEdges(docs, n)
+      .select("src").distinct().as[String].collect().toSet
+    assert(terms.contains("aa") && !terms.contains("bb") && !terms.contains("cc"),
+      s"tie-break must keep 'aa' only, got ${terms.filterNot(_.startsWith("k"))}")
+    assert(terms.size == n)
+  }
+
+  test("deltaDedup releaseEagerly=false: cache is released after the caller's action") {
+    val sc = spark.sparkContext
+    def cachedNonCkpt() =
+      sc.getPersistentRDDs.values.count(r => !r.isCheckpointed)
+    val corpus = Seq((1L, (0 until 30).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val delta = Seq((10L, (0 until 30).map(i => s"n$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val before = cachedNonCkpt()
+    val out = Dedup.deltaDedup(corpus, delta, k = 3, threshold = 0.6,
+      releaseEagerly = false)
+    assert(out.count() == 1)
+    // the release rides the session's QueryExecutionListener bus —
+    // asynchronous by design; poll with a deadline instead of racing it
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (cachedNonCkpt() > before && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(cachedNonCkpt() == before,
+      "lazy-mode deltaDedup must unpersist its internal frame once the " +
+        "caller's action completes")
+  }
+
+  test("temperatureMix: NULL-group rows neither weigh into quotas nor get picked") {
+    val docs = (0 until 40).map(i => (i.toLong, if (i % 4 == 0) null else s"g${i % 3}"))
+      .toDF("doc_id", "lang")
+    val mixed = Sharding.temperatureMix(docs, budget = 12L)
+    val viaPrefilter = Sharding.temperatureMix(docs.filter($"lang".isNotNull), budget = 12L)
+    // NULL rows must change NOTHING: same picks as if the caller had
+    // filtered them out (previously they deducted quota the join could
+    // never spend)
+    val a = mixed.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = viaPrefilter.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b)
+    assert(a.forall(_._2 != null))
+  }
+
+  test("semanticDedup rejects vectors past the BIGINT-gate dimension ceiling") {
+    val big = Seq((1L, Array.fill(Similarity.MaxSemanticDedupDim + 1)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDedup(big)
+    }
+    assert(e.getMessage.contains("dims"))
+    // and the lower bound still trips when bands*bandBits exceeds dim
+    val small = Seq((1L, Array.fill(16)(0.5f))).toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.semanticDedup(small, bands = 8, bandBits = 6)
+    }
+    assert(e2.getMessage.contains("bands"))
+  }
+}
