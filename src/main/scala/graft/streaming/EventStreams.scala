@@ -277,6 +277,30 @@ object EventStreams {
   case class FunnelState(stage: Int, sinceMs: Long, sinceNanos: Int)
   case class FunnelRow(user_id: Long, stage: Long)
 
+  /** Fold a batch of events (ANY arrival order) into a funnel state:
+    * sort by full-precision event time, then advance stages with
+    * re-scan passes so equal-timestamp chains resolve exactly as the
+    * batch funnel's `ts >= t_prev` does. Shared by [[funnelState]]
+    * (per micro-batch) and [[funnelStateBuffered]] (per
+    * watermark-released slice). */
+  private def foldFunnel(init: FunnelState, events: Seq[Event],
+                         stages: Seq[String]): FunnelState = {
+    val evs = events.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    var s = init
+    var progressed = true
+    while (progressed && s.stage < stages.length) {
+      val before = s.stage
+      evs.foreach { e =>
+        val atOrAfter = e.ts.getTime > s.sinceMs ||
+          (e.ts.getTime == s.sinceMs && e.ts.getNanos >= s.sinceNanos)
+        if (s.stage < stages.length && e.event_type == stages(s.stage) && atOrAfter)
+          s = FunnelState(s.stage + 1, e.ts.getTime, e.ts.getNanos)
+      }
+      progressed = s.stage > before
+    }
+    s
+  }
+
   /** Real-time ordered funnel — the streaming twin of the batch
     * funnel (EventQueries q89): per user, a stage counter advances
     * when the NEXT stage's event arrives at-or-after the time the
@@ -295,7 +319,9 @@ object EventStreams {
     * a LATER batch than a successor stage's event cannot retroactively
     * re-chain the funnel — per-user in-order arrival (or an upstream
     * watermark sort) is assumed; the stream≡batch spec covers the
-    * in-order case. */
+    * in-order case. For cross-batch out-of-order feeds use
+    * [[funnelStateBuffered]], which trades bounded state for exact
+    * reorder tolerance inside the watermark horizon. */
   def funnelState(events: Dataset[Event],
                   stages: Seq[String]): Dataset[FunnelRow] = {
     require(stages.nonEmpty, "need at least one funnel stage")
@@ -304,25 +330,77 @@ object EventStreams {
       .groupByKey(_.user_id)
       .mapGroupsWithState[FunnelState, FunnelRow](GroupStateTimeout.NoTimeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
-          var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue, 0))
           // full-precision event-time order: getNanos carries the
           // sub-millisecond part getTime floors away (latestPerKey's
           // Timestamp.compareTo stance)
-          val evs = it.toSeq
-            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
-          var progressed = true
-          while (progressed && s.stage < stages.length) {
-            val before = s.stage
-            evs.foreach { e =>
-              val atOrAfter = e.ts.getTime > s.sinceMs ||
-                (e.ts.getTime == s.sinceMs && e.ts.getNanos >= s.sinceNanos)
-              if (s.stage < stages.length && e.event_type == stages(s.stage) && atOrAfter)
-                s = FunnelState(s.stage + 1, e.ts.getTime, e.ts.getNanos)
-            }
-            progressed = s.stage > before
-          }
+          val s = foldFunnel(
+            state.getOption.getOrElse(FunnelState(0, Long.MinValue, 0)),
+            it.toSeq, stages)
           state.update(s)
           FunnelRow(userId, s.stage.toLong)
+      }
+  }
+
+  case class FunnelBufState(funnel: FunnelState, buf: Seq[Event])
+
+  /** Watermark-buffered real-time funnel: [[funnelState]]'s documented
+    * limit removed — events may arrive ACROSS micro-batches in any
+    * order, as long as they're no later than the upstream watermark
+    * delay. Events are held in per-user state until the watermark
+    * passes their event time; only then are they folded, in full
+    * event-time order, into the funnel counter — by which point no
+    * earlier event can still arrive (that is the watermark contract),
+    * so the fold is exactly the batch funnel's. A view landing one
+    * batch AFTER its signup still converts (the case [[funnelState]]'s
+    * tripwire documents away).
+    *
+    * The price is the buffer: state per user is O(events inside the
+    * watermark horizon), not O(1) — bounded by the delay the caller
+    * chose, evicted as the watermark advances (an `EventTimeTimeout`
+    * wakes idle users so ripened events fold without new data).
+    * Requires `withWatermark("ts", ...)` upstream in streaming mode;
+    * in batch mode there is no watermark and end-of-data releases
+    * everything (≡ the batch funnel). Emitted rows carry the stage
+    * over RELEASED events only — a stage reached by still-buffered
+    * events appears once the watermark confirms it, so downstream
+    * always reads confirmed-final counters, one batch later than
+    * [[funnelState]] would show them. */
+  def funnelStateBuffered(events: Dataset[Event],
+                          stages: Seq[String]): Dataset[FunnelRow] = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    import events.sparkSession.implicits._
+    val streaming = events.isStreaming
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelBufState, FunnelRow](
+        OutputMode.Update, timeoutConf) {
+        (userId: Long, it: Iterator[Event], state: GroupState[FunnelBufState]) =>
+          val prev = state.getOption.getOrElse(
+            FunnelBufState(FunnelState(0, Long.MinValue, 0), Nil))
+          val all = prev.buf ++ it.toSeq
+          if (!streaming) {
+            // no watermark exists in batch mode: end of data IS the
+            // release point (nothing further can arrive)
+            val s = foldFunnel(prev.funnel, all, stages)
+            state.update(FunnelBufState(s, Nil))
+            Iterator.single(FunnelRow(userId, s.stage.toLong))
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            // release rule: ts <= watermark — no event at or before
+            // the watermark can still arrive, so this slice is final
+            val (ripe, young) = all.partition(_.ts.getTime <= wm)
+            val s = foldFunnel(prev.funnel, ripe, stages)
+            state.update(FunnelBufState(s, young))
+            if (young.nonEmpty)
+              // wake when the earliest buffered event ripens (never
+              // at/below the current watermark — Spark rejects it)
+              state.setTimeoutTimestamp(
+                math.max(young.map(_.ts.getTime).min, wm + 1))
+            Iterator.single(FunnelRow(userId, s.stage.toLong))
+          }
       }
   }
 

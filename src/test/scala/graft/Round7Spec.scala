@@ -84,6 +84,59 @@ class Round7Spec extends AnyFunSuite {
     assert(a.forall(_._2 != null))
   }
 
+  test("funnelStateBuffered converts cross-batch out-of-order arrivals within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.EventStreams
+    def ev(id: Long, sec: Long, user: Long, tpe: String) =
+      EventStreams.Event(id, new java.sql.Timestamp(sec * 1000), user, tpe, 1.0)
+    val stages = Seq("view", "signup", "purchase")
+    val ms = MemoryStream[EventStreams.Event]
+    val q = EventStreams.funnelStateBuffered(
+        ms.toDS().withWatermark("ts", "10 seconds"), stages)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("buf_funnel").start()
+    try {
+      // user 1's SIGNUP lands a batch BEFORE its VIEW — the exact feed
+      // funnelState documents as unsupported (its counter would stick
+      // at 1: the view converts, the already-seen signup can't)
+      ms.addData(ev(1, 105, 1, "signup"))
+      q.processAllAvailable()
+      ms.addData(ev(2, 100, 1, "view")) // late, but inside the 10 s delay
+      q.processAllAvailable()
+      // watermark carriers from another user: first lifts the wm past
+      // both buffered events (95 → 110), second triggers user 1's
+      // event-time timeout so the ripened events fold with no new data
+      ms.addData(ev(3, 120, 99, "view"))
+      q.processAllAvailable()
+      ms.addData(ev(4, 121, 99, "view"))
+      q.processAllAvailable()
+      val stage = spark.table("buf_funnel")
+        .filter($"user_id" === 1).agg(max("stage")).first().getLong(0)
+      assert(stage == 2L,
+        s"view@100 + signup@105 released in event-time order must reach stage 2, got $stage")
+    } finally q.stop()
+  }
+
+  test("funnelStateBuffered in batch mode equals funnelState on in-order data") {
+    import graft.streaming.EventStreams
+    def ev(id: Long, sec: Long, user: Long, tpe: String) =
+      EventStreams.Event(id, new java.sql.Timestamp(sec * 1000), user, tpe, 1.0)
+    val stages = Seq("view", "signup", "purchase")
+    // per-user histories including an out-of-order pair (batch mode
+    // sorts everything — end of data is the release point)
+    val evs = Seq(
+      ev(1, 100, 1, "view"), ev(2, 200, 1, "signup"), ev(3, 300, 1, "purchase"),
+      ev(4, 150, 2, "view"), ev(5, 140, 2, "signup"), // signup BEFORE the view in event time → stage 1
+      ev(6, 500, 3, "purchase")).toDS()
+    def rows(df: org.apache.spark.sql.Dataset[EventStreams.FunnelRow]) =
+      df.collect().map(r => r.user_id -> r.stage).toMap
+    val buffered = rows(EventStreams.funnelStateBuffered(evs, stages))
+    val plain = rows(EventStreams.funnelState(evs, stages))
+    assert(buffered == plain)
+    assert(buffered == Map(1L -> 3L, 2L -> 1L, 3L -> 0L))
+  }
+
   test("semanticDedup rejects vectors past the BIGINT-gate dimension ceiling") {
     val big = Seq((1L, Array.fill(Similarity.MaxSemanticDedupDim + 1)(0.5f)))
       .toDF("vec_id", "embedding")
