@@ -105,7 +105,14 @@ object ScaleProbe {
         "q81_semantic_dedup" -> (() =>
           operators.Similarity.semanticDedup(emb).count()),
         "q82_passage_prune" -> (() =>
-          operators.TextAnalysis.prunePassages(docs, chunkTokens = 32).count()))
+          operators.TextAnalysis.prunePassages(docs, chunkTokens = 32).count()),
+        // r7: the capped co-occurrence edge build — per-doc top-16
+        // terms bound every doc at ≤ 240 directed edges, so edge
+        // volume scales with DOCS, not with length² (the r6 shape's
+        // pathology); content-unique copies keep vocabularies disjoint
+        "q101_pr_edges" -> (() =>
+          ops.TextQueries.coOccurrenceEdges(docs,
+            ops.TextQueries.PageRankMaxTermsPerDoc).count()))
 
       val rows = probes.map { case (name, f) =>
         val (n, sec) = timeIt(f())

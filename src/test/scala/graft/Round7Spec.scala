@@ -137,6 +137,32 @@ class Round7Spec extends AnyFunSuite {
     assert(buffered == Map(1L -> 3L, 2L -> 1L, 3L -> 0L))
   }
 
+  test("Memo.invalidatePath leaf classification: file reads under the path die, file-free plans survive") {
+    import graft.ops.Memo
+    val dir = java.nio.file.Files.createTempDirectory("graft_memo_inv").toString
+    val other = java.nio.file.Files.createTempDirectory("graft_memo_oth").toString
+    Seq((1L, "a")).toDF("id", "v").write.mode("overwrite").parquet(s"$dir/t")
+    Seq((2L, "b")).toDF("id", "v").write.mode("overwrite").parquet(s"$other/t")
+    var builds = 0
+    def entry(key: String)(df: => org.apache.spark.sql.DataFrame) =
+      Memo.of(spark, key) { builds += 1; df }
+    entry("inv_file") { spark.read.parquet(s"$dir/t") }
+    entry("inv_other") { spark.read.parquet(s"$other/t") }
+    entry("inv_local") { Seq((3L, "c")).toDF("id", "v") } // LocalRelation: provably file-free
+    entry("inv_range") { spark.range(5).toDF() }          // Range: provably file-free
+    assert(builds == 4)
+    Memo.invalidatePath(dir)
+    // only the entry reading under `dir` rebuilds; the other-file,
+    // local and range entries must still be cache hits
+    entry("inv_other") { spark.read.parquet(s"$other/t") }
+    entry("inv_local") { Seq((3L, "c")).toDF("id", "v") }
+    entry("inv_range") { spark.range(5).toDF() }
+    assert(builds == 4, "entries not reading the path must survive invalidation")
+    entry("inv_file") { spark.read.parquet(s"$dir/t") }
+    assert(builds == 5, "the entry reading the rewritten path must rebuild")
+    Memo.clear(spark)
+  }
+
   test("semanticDedup rejects vectors past the BIGINT-gate dimension ceiling") {
     val big = Seq((1L, Array.fill(Similarity.MaxSemanticDedupDim + 1)(0.5f)))
       .toDF("vec_id", "embedding")
