@@ -78,27 +78,38 @@ object Dedup {
     // operator's shuffle bytes. `shingle_hashes` emits the distinct
     // hashes of exactly `shingleExpr`'s shingle set.
     graft.functions.ShingleHashes.register(docs.sparkSession)
+    // `ns` (the per-doc distinct-shingle count) is projected ALONGSIDE
+    // the explode — it is just size(fh), already in hand — and rides
+    // the self-join, where it is constant within each (d1, d2) group.
+    // That removes the separate per-doc aggregation AND its two
+    // restoring joins from the plan (re-deriving ns via groupBy
+    // re-scanned the docs and re-shuffled twice, measured as a third
+    // of this operator's time at sf0.1).
     val shAll = docs
       .withColumn("fh", expr(s"shingle_hashes(text, $k)"))
       .filter(size(col("fh")) > 0)
-      .select(col("doc_id"), explode(col("fh")).as("shingle"))
+      .select(col("doc_id"), size(col("fh")).cast("long").as("ns"),
+        explode(col("fh")).as("shingle"))
     val sh = maxShingleDocFreq match {
       case None => shAll
       case Some(cap) =>
         // df per shingle is a map-side-combinable count; the anti-join
-        // against the (tiny) hot-shingle list broadcasts.
+        // against the (tiny) hot-shingle list broadcasts. Under the
+        // cap, ns must count the CAPPED universe — size(fh) no longer
+        // matches — so the surviving rows re-derive it with a window
+        // over the post-cap shingle set (one extra shuffle, only on
+        // the capped path).
         val hot = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select("shingle")
         shAll.join(hot, Seq("shingle"), "left_anti")
+          .withColumn("ns", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
     }
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
-    val common = sh.as("a").join(sh.as("b"),
+    sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("ns", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("ns", "n2"), "d2")
+      .agg(count(lit(1)).as("common"),
+        max(col("a.ns")).as("n1"), max(col("b.ns")).as("n2"))
       .withColumn("jaccard",
         col("common").cast("double") / (col("n1") + col("n2") - col("common")))
       .filter(col("jaccard") >= threshold)
@@ -330,27 +341,39 @@ object Dedup {
       // only, where the recompute-vs-pin tradeoff goes the other way.)
       // Released by novelOnly before this call returns.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def shingled(df: DataFrame, idName: String): DataFrame = df
+    // per-doc shingle counts are projected alongside the explode and
+    // carried through the cross-side join (constant per (c_id, d_id)
+    // group) — same plan surgery as [[ngramJaccardPairs]]: no separate
+    // count aggregations, no restoring joins
+    def shingled(df: DataFrame, idName: String, nsName: String): DataFrame = df
       .withColumn("fh", expr(s"shingle_hashes(text, $k)"))
       .filter(size(col("fh")) > 0)
-      .select(col("doc_id").as(idName), explode(col("fh")).as("shingle"))
+      .select(col("doc_id").as(idName),
+        size(col("fh")).cast("long").as(nsName),
+        explode(col("fh")).as("shingle"))
     val (cSh, dSh) = maxShingleDocFreq match {
-      case None => (shingled(corpus, "c_id"), shingled(exactNovel, "d_id"))
+      case None =>
+        (shingled(corpus, "c_id", "nc"), shingled(exactNovel, "d_id", "nd"))
       case Some(cap) =>
         // hot shingles measured over BOTH sides so the capped universe
-        // is consistent for the jaccard sizes below
-        val all = shingled(corpus, "c_id")
-          .unionByName(shingled(exactNovel, "c_id"))
+        // is consistent for the jaccard sizes below; under the cap the
+        // carried count must cover the CAPPED universe, so surviving
+        // rows re-derive it with a per-doc window (capped path only)
+        val all = shingled(corpus, "c_id", "nc")
+          .unionByName(shingled(exactNovel, "c_id", "nc"))
         val hot = all.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select("shingle")
-        (shingled(corpus, "c_id").join(hot, Seq("shingle"), "left_anti"),
-          shingled(exactNovel, "d_id").join(hot, Seq("shingle"), "left_anti"))
+        def recount(df: DataFrame, id: String, ns: String) =
+          df.join(hot, Seq("shingle"), "left_anti")
+            .withColumn(ns, count(lit(1)).over(
+              org.apache.spark.sql.expressions.Window.partitionBy(id)))
+        (recount(shingled(corpus, "c_id", "nc"), "c_id", "nc"),
+          recount(shingled(exactNovel, "d_id", "nd"), "d_id", "nd"))
     }
-    val nC = cSh.groupBy("c_id").agg(count(lit(1)).as("nc"))
-    val nD = dSh.groupBy("d_id").agg(count(lit(1)).as("nd"))
     val dupDelta = cSh.join(dSh, "shingle")
-      .groupBy("c_id", "d_id").agg(count(lit(1)).as("common"))
-      .join(nC, "c_id").join(nD, "d_id")
+      .groupBy("c_id", "d_id")
+      .agg(count(lit(1)).as("common"),
+        max(col("nc")).as("nc"), max(col("nd")).as("nd"))
       .filter(col("common").cast("double") /
         (col("nc") + col("nd") - col("common")) >= threshold)
       .select(col("d_id").as("doc_id")).distinct()
