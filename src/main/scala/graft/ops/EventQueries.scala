@@ -401,19 +401,26 @@ object EventQueries {
     * event-type word doesn't, and the per-type tallies prove both
     * paths; under plain ANSI CAST the same query would throw.
     *
-    * The parse is try_cast→DOUBLE then floor then try_cast→BIGINT —
-    * in BOTH engines — because a direct string→BIGINT try_cast
-    * diverges on non-integral strings: Spark truncates '1.5' to 1,
-    * DuckDB rounds it to 2. Floor-of-double is the same function in
-    * both (and the outer try_cast nulls the ±inf/NaN doubles a
-    * pathological string could produce instead of throwing). */
+    * The parse is try_cast→DOUBLE, an explicit finite-range gate, then
+    * floor→BIGINT — in BOTH engines — because the direct paths
+    * diverge twice: a string→BIGINT try_cast truncates '1.5' in Spark
+    * but ROUNDS it in DuckDB, and on '1e999'-style overflow strings
+    * Spark's floor(double)→LONG SATURATES to Long.MaxValue while
+    * DuckDB's floor stays a double whose try_cast nulls. The range
+    * gate (|d| < 9.2e18, comfortably inside the BIGINT domain) nulls
+    * ±inf and near-overflow doubles identically in both engines, and
+    * NaN fails the comparison into NULL the same way. */
+  private val FiniteGate =
+    "case when %s > -9.2e18 and %s < 9.2e18 then %s end"
+  private def floorParse(src: String): String = {
+    val d = s"try_cast($src as double)"
+    s"try_cast(floor(${FiniteGate.format(d, d, d)}) as bigint)"
+  }
   def q103TryCast(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_type"),
-        expr("try_cast(floor(try_cast(get_json_object(props, '$.k') as double)) as bigint)")
-          .as("k_num"),
-        expr("try_cast(floor(try_cast(event_type as double)) as bigint)")
-          .as("bad_num"))
+        expr(floorParse("get_json_object(props, '$.k')")).as("k_num"),
+        expr(floorParse("event_type")).as("bad_num"))
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),
@@ -449,9 +456,11 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     // TRY_CAST -> NULL on malformed input in both engines; the json
     // extraction mirrors get_json_object's string-out contract. The
-    // numeric parse goes through DOUBLE + floor on both sides — a
-    // direct string->BIGINT try_cast truncates in Spark but ROUNDS in
-    // DuckDB on non-integral strings (see q103TryCast's scaladoc)
+    // numeric parse goes through DOUBLE + a finite-range gate + floor
+    // on both sides — a direct string->BIGINT try_cast truncates in
+    // Spark but ROUNDS in DuckDB on non-integral strings, and on
+    // overflow strings Spark's floor saturates where DuckDB nulls
+    // (see q103TryCast's scaladoc)
     "q103_try_cast" ->
       """SELECT event_type,
         |  CAST(count(*) AS BIGINT) AS n,
@@ -460,8 +469,12 @@ object EventQueries {
         |  CAST(count(bad_num) AS BIGINT) AS n_bad_parsed
         |FROM (
         |  SELECT event_type,
-        |    try_cast(floor(try_cast(props ->> '$.k' AS DOUBLE)) AS BIGINT) AS k_num,
-        |    try_cast(floor(try_cast(event_type AS DOUBLE)) AS BIGINT) AS bad_num
+        |    try_cast(floor(CASE WHEN try_cast(props ->> '$.k' AS DOUBLE) > -9.2e18
+        |                         AND try_cast(props ->> '$.k' AS DOUBLE) < 9.2e18
+        |                        THEN try_cast(props ->> '$.k' AS DOUBLE) END) AS BIGINT) AS k_num,
+        |    try_cast(floor(CASE WHEN try_cast(event_type AS DOUBLE) > -9.2e18
+        |                         AND try_cast(event_type AS DOUBLE) < 9.2e18
+        |                        THEN try_cast(event_type AS DOUBLE) END) AS BIGINT) AS bad_num
         |  FROM events) t
         |GROUP BY event_type""".stripMargin,
 

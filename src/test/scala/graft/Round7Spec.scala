@@ -70,6 +70,46 @@ class Round7Spec extends AnyFunSuite {
         "caller's action completes")
   }
 
+  test("lazy deltaDedup stays correct when an unrelated action fires the release early") {
+    // the lazy lifecycle releases on the session's NEXT completed
+    // action, whosever it is — an interleaved unrelated query may
+    // unpersist the internal frame before the caller consumes the
+    // result; that costs lineage recompute, never correctness
+    val corpus = Seq((1L, (0 until 30).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, (0 until 30).map(i => s"c$i").mkString(" ")), // exact dup → drop
+      (11L, (0 until 30).map(i => s"n$i").mkString(" "))) // novel → keep
+      .toDF("doc_id", "text")
+    val out = Dedup.deltaDedup(corpus, delta, k = 3, threshold = 0.6,
+      releaseEagerly = false)
+    spark.range(10).count() // unrelated action: fires the release listener
+    Thread.sleep(200)       // let the async listener actually run
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(11L))
+  }
+
+  test("q103 numeric parse floors identically for integral, fractional, and junk strings") {
+    // the double+gate+floor normalization exists because string->BIGINT
+    // try_cast truncates in Spark but rounds in DuckDB on '1.5', and on
+    // overflow strings Spark's floor(double)->LONG SATURATES to
+    // Long.MaxValue while DuckDB's floor stays double and nulls (this
+    // spec caught that: an ungated floor returned 2^63-1 for '1e999').
+    // Pin the Spark-side values the shared contract promises (floor
+    // toward -inf; non-numeric and out-of-range strings become NULL)
+    val gate = "case when try_cast(s as double) > -9.2e18 " +
+      "and try_cast(s as double) < 9.2e18 then try_cast(s as double) end"
+    val rows = Seq("7", "1.5", "-2.5", "abc", "1e999", "")
+      .toDF("s")
+      .selectExpr("s", s"try_cast(floor($gate) as bigint) as v")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(rows("7") == Some(7L))
+    assert(rows("1.5") == Some(1L), "floor, not round and not truncate-toward-zero")
+    assert(rows("-2.5") == Some(-3L), "floor goes toward -inf for negatives")
+    assert(rows("abc").isEmpty && rows("").isEmpty)
+    assert(rows("1e999").isEmpty, "inf must null out, not throw or wrap")
+  }
+
   test("temperatureMix: NULL-group rows neither weigh into quotas nor get picked") {
     val docs = (0 until 40).map(i => (i.toLong, if (i % 4 == 0) null else s"g${i % 3}"))
       .toDF("doc_id", "lang")
