@@ -428,7 +428,30 @@ object EventQueries {
         sum(col("k_num")).as("k_sum"),
         count(col("bad_num")).as("n_bad_parsed"))
 
+  /** Per-user ordered funnel stage via [[graft.streaming.EventStreams
+    * .funnelStateBuffered]] in BATCH mode — the oracle leg for the
+    * watermark-buffered streaming funnel: in batch there is no
+    * watermark, end-of-data releases everything, and the fold over the
+    * full sorted history equals the greedy earliest-chain the SQL
+    * replays (each stage takes the MINIMUM eligible timestamp — the
+    * fold's first-eligible-in-sorted-order IS that minimum). q89
+    * aggregates the same chaining into stage counts; this exposes the
+    * per-user assignment, so the stateful operator itself sits under
+    * the cross-engine hash gate. */
+  def q104FunnelStages(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[graft.streaming.EventStreams.Event]
+    graft.streaming.EventStreams
+      .funnelStateBuffered(evs, Seq("view", "signup", "purchase"))
+      .toDF()
+      .select(col("user_id"), col("stage"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_funnel_stages"  -> (q104FunnelStages _),
     "q94_rolling_active"  -> (q94RollingActive _),
     "q95_latest_per_key"  -> (q95LatestPerKey _),
     "q103_try_cast"       -> (q103TryCast _),
@@ -454,6 +477,30 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // greedy earliest-chain funnel per user (q89's construction, kept
+    // as the per-user assignment): stage k needs the k-th event type
+    // at-or-after the (k-1)-th stage's minimum eligible time
+    "q104_funnel_stages" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE e.event_type = 'signup' AND e.ts >= t1.t
+        |       GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN t2 ON e.user_id = t2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts >= t2.t
+        |       GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN t3.user_id IS NOT NULL THEN 3
+        |            WHEN t2.user_id IS NOT NULL THEN 2
+        |            WHEN t1.user_id IS NOT NULL THEN 1
+        |            ELSE 0 END AS BIGINT) AS stage
+        |FROM u
+        |LEFT JOIN t1 ON u.user_id = t1.user_id
+        |LEFT JOIN t2 ON u.user_id = t2.user_id
+        |LEFT JOIN t3 ON u.user_id = t3.user_id""".stripMargin,
     // TRY_CAST -> NULL on malformed input in both engines; the json
     // extraction mirrors get_json_object's string-out contract. The
     // numeric parse goes through DOUBLE + a finite-range gate + floor
