@@ -469,15 +469,27 @@ object Dedup {
   /** Index rows for `docs` — what an ingest appends per batch. An
     * ingest accumulating per-batch index partitions sums the partial
     * `dfs` rows across batches (df is additive over disjoint doc
-    * sets); `hashes` similarly needs a distinct over the union. */
+    * sets); `hashes` similarly needs a distinct over the union.
+    *
+    * Shingle rows are DENORMALIZED with their doc's shingle count
+    * (`nc`) — the same carry-through-the-join surgery as
+    * [[ngramJaccardPairs]]: the count is size(fh), free at projection
+    * time, and rides the batch join so [[deltaDedupIndexed]] never
+    * joins a counts table per batch (at 100 TB that join re-shuffles
+    * corpus-sized rows every ingest batch; a per-row long does not).
+    * The `counts` table remains as the stored per-doc statistic
+    * (derived, one distinct — the index-mirrors-corpus audit reads
+    * it), but the query path no longer consumes it. */
   def buildDedupIndex(docs: DataFrame, k: Int = 3): DedupIndex = {
     graft.functions.ShingleHashes.register(docs.sparkSession)
     val hashes = docs.select(md5(col("text")).as("content_md5")).distinct()
     val shingles = docs
       .withColumn("fh", expr(s"shingle_hashes(text, $k)"))
       .filter(size(col("fh")) > 0)
-      .select(col("doc_id").as("c_id"), explode(col("fh")).as("shingle"))
-    val counts = shingles.groupBy("c_id").agg(count(lit(1)).as("nc"))
+      .select(col("doc_id").as("c_id"),
+        size(col("fh")).cast("long").as("nc"),
+        explode(col("fh")).as("shingle"))
+    val counts = shingles.select("c_id", "nc").distinct()
     val dfs = shingles.groupBy("shingle").agg(count(lit(1)).as("df"))
     DedupIndex(hashes, shingles, counts, dfs)
   }
@@ -489,11 +501,11 @@ object Dedup {
     * `maxShingleDocFreq` matches [[deltaDedup]]'s semantics exactly:
     * hot = df over corpus ∪ delta > cap, with the corpus side read
     * from the index's materialized `dfs` rows (never recomputed from
-    * corpus text or a corpus-wide groupBy). Per-doc corpus sizes are
-    * adjusted by SUBTRACTING each doc's hot-shingle count — the
-    * hot set is small by construction (a df cap keeps only genuinely
-    * hot shingles), so that adjustment is a broadcast join against
-    * the corpus index scan, not a corpus-sized reshuffle. */
+    * corpus text or a corpus-wide groupBy). Per-doc sizes over the
+    * capped universe are re-derived with one per-doc window on the
+    * surviving rows (capped path only); the uncapped path reads the
+    * `nc` a shingle row already carries — no counts join either
+    * way. */
   def deltaDedupIndexed(index: DedupIndex, delta: DataFrame, k: Int = 3,
                         threshold: Double = 0.6,
                         maxShingleDocFreq: Option[Int] = None,
@@ -509,9 +521,11 @@ object Dedup {
     val dShAll = exactNovel
       .withColumn("fh", expr(s"shingle_hashes(text, $k)"))
       .filter(size(col("fh")) > 0)
-      .select(col("doc_id").as("d_id"), explode(col("fh")).as("shingle"))
-    val (cSh, dSh, nC) = maxShingleDocFreq match {
-      case None => (index.shingles, dShAll, index.counts)
+      .select(col("doc_id").as("d_id"),
+        size(col("fh")).cast("long").as("nd"),
+        explode(col("fh")).as("shingle"))
+    val (cSh, dSh) = maxShingleDocFreq match {
+      case None => (index.shingles, dShAll)
       case Some(cap) =>
         // combined df mirrors deltaDedup's both-sides measurement:
         // corpus df from the materialized index, delta df from this
@@ -521,23 +535,20 @@ object Dedup {
         val hot = index.dfs.join(dDf, Seq("shingle"), "full_outer")
           .filter(coalesce(col("df"), lit(0L)) + coalesce(col("ddf"), lit(0L)) > cap)
           .select("shingle")
-        // nc over the capped universe = stored nc − the doc's hot rows
-        // (docs left at nc=0 have no surviving shingles, so they never
-        // reach the common-join — same as vanishing from the direct
-        // path's recomputed counts)
-        val hotPerDoc = index.shingles.join(hot, Seq("shingle"))
-          .groupBy("c_id").agg(count(lit(1)).as("n_hot"))
-        val ncAdj = index.counts.join(hotPerDoc, Seq("c_id"), "left")
-          .select(col("c_id"),
-            (col("nc") - coalesce(col("n_hot"), lit(0L))).as("nc"))
-        (index.shingles.join(hot, Seq("shingle"), "left_anti"),
-          dShAll.join(hot, Seq("shingle"), "left_anti"),
-          ncAdj)
+        // the carried counts are stale under the cap (they counted the
+        // full universe): surviving rows re-derive them with a per-doc
+        // window, exactly like deltaDedup's capped branch
+        def recount(df: DataFrame, id: String, ns: String) =
+          df.join(hot, Seq("shingle"), "left_anti")
+            .withColumn(ns, count(lit(1)).over(
+              org.apache.spark.sql.expressions.Window.partitionBy(id)))
+        (recount(index.shingles, "c_id", "nc"),
+          recount(dShAll, "d_id", "nd"))
     }
-    val nD = dSh.groupBy("d_id").agg(count(lit(1)).as("nd"))
     val dupDelta = cSh.join(dSh, "shingle")
-      .groupBy("c_id", "d_id").agg(count(lit(1)).as("common"))
-      .join(nC, "c_id").join(nD, "d_id")
+      .groupBy("c_id", "d_id")
+      .agg(count(lit(1)).as("common"),
+        max(col("nc")).as("nc"), max(col("nd")).as("nd"))
       .filter(col("common").cast("double") /
         (col("nc") + col("nd") - col("common")) >= threshold)
       .select(col("d_id").as("doc_id")).distinct()

@@ -163,7 +163,16 @@ object CorpusIngest {
         .filter(col("ingest_batch") =!= batchId)
         .drop("ingest_batch")
       val hashes = tbl(paths(0))
-      val shingles = tbl(paths(1))
+      // an index laid down before the r7 denormalization stored
+      // shingle rows without the carried per-doc count — restore it
+      // with a per-doc window (lazy; one shuffle, only if consumed)
+      val shinglesRaw = tbl(paths(1))
+      val shingles =
+        if (shinglesRaw.columns.contains("nc")) shinglesRaw
+        else shinglesRaw.withColumn("nc",
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).over(
+              org.apache.spark.sql.expressions.Window.partitionBy("c_id")))
       // corpus-wide df = sum of the per-batch partials; an index laid
       // down before the dfs table existed falls back to deriving df
       // from the shingle rows (lazy — the aggregation only ever runs
