@@ -174,6 +174,74 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_chunks"), col("n_kept"), col("pruned_text"))
   }
 
+  /** Any-offset duplicate-SPAN detection — the exact-substring-dedup
+    * shape (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): every stride-1 window of `windowTokens`
+    * tokens is hashed; a window occurring in >= `minDocs` distinct
+    * docs marks its positions duplicated; per doc, overlapping or
+    * adjacent matched windows coalesce (gaps-and-islands) into MAXIMAL
+    * spans `[span_start, span_end)` in token coordinates. Catches
+    * duplicated passages at ANY alignment — [[dupChunkDocs]] only sees
+    * boundary-aligned chunks, so a one-token offset hides a duplicate
+    * from it but not from this operator.
+    *
+    * Scale shape — the reason this formulation wins at 100 TB: there
+    * is NO pairwise work anywhere. Window rows are linear in corpus
+    * tokens (one row per token position, ids+hash only — the text
+    * never rides the shuffle); the df count is one hash-keyed
+    * aggregate (hot boilerplate windows collapse onto single keys with
+    * count-only payloads, so skew concentrates into cheap partial
+    * counts, not joins); the semi-join back is on the same key; the
+    * islands pass is one per-doc window over MATCHED positions only
+    * (a small fraction of the corpus). Compare the pair-based family
+    * ([[Dedup.ngramJaccardPairs]]) where hot shingles explode
+    * quadratically and need a df cap — here a hot window costs its
+    * row count, nothing more.
+    *
+    * Positions are 0-based; `span_end` is exclusive; two matched
+    * windows at positions p < p' merge iff p' - p <= windowTokens
+    * (overlap OR exact adjacency — either way the duplicated token
+    * range is contiguous). All-integer output, engine-replayable. */
+  def dupSpans(docs: DataFrame, windowTokens: Int = 15, minDocs: Int = 2,
+               text: String = "text"): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1: $windowTokens")
+    require(minDocs >= 2, s"minDocs must be >= 2 (cross-doc sharing): $minDocs")
+    import org.apache.spark.sql.expressions.Window
+    val L = windowTokens
+    // (doc_id, pos, h): md5 of the window's joined text. transform +
+    // posexplode keeps it one codegen'd projection per row; slice is
+    // 1-based, positions 0-based.
+    val wins = docs
+      .select(col("doc_id"), words(col(text)).as("w"))
+      .filter(size(col("w")) >= L)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, size(w) - $L), i -> md5(concat_ws(' ', slice(w, i + 1, $L))))"))
+          .as(Seq("pos", "h")))
+    // a window repeated only WITHIN one doc is in-doc repetition
+    // (bigramRepetition's beat) — distinct doc count decides sharing
+    val shared = wins.select("h", "doc_id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("h")
+    // pos rides as long from here on (posexplode emits int; the span
+    // arithmetic and the cross-engine gate both want BIGINT)
+    val matched = wins.join(shared, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos").cast("long").as("pos")).distinct()
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    matched
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byPos) <= L, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("g", sum(col("brk")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(L)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"))
+  }
+
   /** Per-source corpus health report — the one-page stats every
     * pipeline run records next to its output (and [[graft.CorpusMain]]
     * emits per corpus): doc/token volume, mean doc length, language

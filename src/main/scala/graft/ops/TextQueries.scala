@@ -121,6 +121,14 @@ object TextQueries {
     TextAnalysis.dupChunkDocs(Tables.documents(spark, dir),
       chunkTokens = 32, overlap = 0, minDocs = 2, minDupChunks = 1)
 
+  /** Any-offset duplicate spans (exact-substring-dedup shape): maximal
+    * coalesced token ranges shared verbatim with another doc at ANY
+    * alignment — q67's aligned chunks miss a one-token shift; this
+    * does not. 15-token windows, all-integer output. */
+  def q106DupSpans(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dupSpans(Tables.documents(spark, dir),
+      windowTokens = 15, minDocs = 2)
+
   /** Per-source corpus health report (volume, mean length, language
     * share, exact-dup volume) — integer-derived columns only. */
   def q68CorpusStats(spark: SparkSession, dir: String): DataFrame =
@@ -435,6 +443,7 @@ object TextQueries {
     "q63_clean_corpus"  -> (q63CleanCorpus _),
     "q66_top_terms"     -> (q66TopTerms _),
     "q67_dup_chunks"    -> (q67DupChunks _),
+    "q106_dup_spans"    -> (q106DupSpans _),
     "q68_corpus_stats"  -> (q68CorpusStats _),
     "q71_pack_sequences" -> (q71PackSequences _),
     "q72_bm25_topk"     -> (q72Bm25 _),
@@ -614,6 +623,27 @@ object TextQueries {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_chunks
         |FROM ch JOIN sh USING (chunk_md5)
         |GROUP BY doc_id""".stripMargin,
+
+    // stride-1 15-token windows; cross-doc shared windows mark their
+    // positions; gaps-and-islands (break when the gap exceeds the
+    // window length) coalesces them into maximal [start, end) spans
+    "q106_dup_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |wins AS (SELECT doc_id, i AS pos,
+        |           md5(array_to_string(list_slice(w, i + 1, i + 15), ' ')) AS h
+        |         FROM d, UNNEST(range(len(w) - 14)) AS t(i) WHERE len(w) >= 15),
+        |shared AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |m AS (SELECT DISTINCT doc_id, pos FROM wins JOIN shared USING (h)),
+        |isl AS (SELECT doc_id, pos,
+        |          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 15
+        |               THEN 0 ELSE 1 END AS brk
+        |        FROM m),
+        |grp AS (SELECT doc_id, pos,
+        |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+        |        FROM isl)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 15 AS span_end,
+        |       max(pos) + 15 - min(pos) AS span_tokens
+        |FROM grp GROUP BY doc_id, g""".stripMargin,
 
     "q68_corpus_stats" ->
       """WITH l AS (

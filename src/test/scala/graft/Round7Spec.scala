@@ -203,6 +203,46 @@ class Round7Spec extends AnyFunSuite {
     Memo.clear(spark)
   }
 
+  test("dupSpans coalesces any-offset shared windows into maximal spans, split on real gaps") {
+    import graft.operators.TextAnalysis
+    // doc 1 carries TWO copies of a 20-token passage from doc 2,
+    // separated by 40 unique filler tokens; doc 3 shares nothing.
+    // With L=15 the matched stride-1 windows inside each copy coalesce
+    // into one span each (6 windows, max gap 1 <= L) and the 40-token
+    // unique gap (> L) keeps the two spans separate.
+    val passage = (0 until 20).map(i => s"p$i").mkString(" ")
+    val fill = (0 until 40).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$passage $fill $passage"),
+      (2L, s"lead in $passage trailing tokens here"),
+      (3L, (0 until 30).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val spans = TextAnalysis.dupSpans(docs, windowTokens = 15, minDocs = 2)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1: copies at token offsets 0 and 60, each 20 tokens
+    // doc 2: passage at offset 2; doc 3: absent
+    assert(spans.toSeq == Seq(
+      (1L, 0L, 20L, 20L), (1L, 60L, 80L, 20L), (2L, 2L, 22L, 20L)),
+      s"got ${spans.toSeq}")
+    // a one-token shift is invisible to aligned chunking at any chunk
+    // size that doesn't divide the offset — the operator's reason to
+    // exist; sanity-check the aligned detector misses doc 2's copy
+    val aligned = TextAnalysis.dupChunkDocs(docs, chunkTokens = 16,
+      overlap = 0, minDocs = 2, minDupChunks = 1)
+    assert(aligned.filter(col("doc_id") === 2L).isEmpty,
+      "aligned 16-token chunks should miss the offset-2 copy")
+  }
+
+  test("dupSpans ignores windows repeated only within one doc") {
+    import graft.operators.TextAnalysis
+    val rep = ((0 until 20).map(i => s"r$i") ++ (0 until 20).map(i => s"r$i")).mkString(" ")
+    val docs = Seq((1L, rep), (2L, (0 until 25).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.dupSpans(docs, windowTokens = 15, minDocs = 2).isEmpty,
+      "self-repetition must not count as cross-doc duplication")
+  }
+
   test("semanticDedup rejects vectors past the BIGINT-gate dimension ceiling") {
     val big = Seq((1L, Array.fill(Similarity.MaxSemanticDedupDim + 1)(0.5f)))
       .toDF("vec_id", "embedding")
