@@ -423,30 +423,10 @@ object Dedup {
       exactNovel.join(dupDelta, Seq("doc_id"), "left_anti")
     }
 
-  /** Unpersist `frame` after the session's next completed action —
-    * the lazy leg of [[novelOnly]]'s lifecycle. One self-removing
-    * listener per call; the first action on the session (success or
-    * failure) releases the cache. The first action is the right
-    * release point here because the caller receives a SINGLE frame
-    * derived from `frame` — by the time any action on it completes,
-    * the cached blocks have served every consumer in that plan. */
-  private def releaseAfterNextAction(frame: DataFrame): Unit = {
-    val spark = frame.sparkSession
-    val listener: org.apache.spark.sql.util.QueryExecutionListener =
-      new org.apache.spark.sql.util.QueryExecutionListener {
-        private def done(): Unit = {
-          frame.unpersist(blocking = false)
-          spark.listenerManager.unregister(this)
-        }
-        override def onSuccess(funcName: String,
-                               qe: org.apache.spark.sql.execution.QueryExecution,
-                               durationNs: Long): Unit = done()
-        override def onFailure(funcName: String,
-                               qe: org.apache.spark.sql.execution.QueryExecution,
-                               exception: Exception): Unit = done()
-      }
-    spark.listenerManager.register(listener)
-  }
+  /** The lazy leg of [[novelOnly]]'s lifecycle — shared with the
+    * other single-plan-pin operators. */
+  private def releaseAfterNextAction(frame: DataFrame): Unit =
+    CacheLifecycle.releaseAfterNextAction(frame)
 
   /** The materialized form of the structures [[deltaDedup]] derives
     * from the corpus on every call: the distinct content-hash set

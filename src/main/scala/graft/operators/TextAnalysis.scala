@@ -219,15 +219,28 @@ object TextAnalysis {
           s"transform(sequence(0, size(w) - $L), i -> md5(concat_ws(' ', slice(w, i + 1, $L))))"))
           .as(Seq("pos", "h")))
     // a window repeated only WITHIN one doc is in-doc repetition
-    // (bigramRepetition's beat) — distinct doc count decides sharing
-    val shared = wins.select("h", "doc_id").distinct()
-      .groupBy("h").agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") >= minDocs)
-      .select("h")
+    // (bigramRepetition's beat) — distinct doc count decides sharing.
+    // For the minDocs=2 default, "≥2 distinct docs" ⟺ min(doc) ≠
+    // max(doc): ONE combinable aggregate over the window rows, no
+    // distinct pre-shuffle and no count-distinct Expand — on the
+    // biggest frame in the plan, that is the shuffle that matters.
+    val shared =
+      if (minDocs == 2)
+        wins.groupBy("h")
+          .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+          .filter(col("lo") =!= col("hi"))
+          .select("h")
+      else
+        wins.select("h", "doc_id").distinct()
+          .groupBy("h").agg(count(lit(1)).as("n_docs"))
+          .filter(col("n_docs") >= minDocs)
+          .select("h")
     // pos rides as long from here on (posexplode emits int; the span
-    // arithmetic and the cross-engine gate both want BIGINT)
+    // arithmetic and the cross-engine gate both want BIGINT).
+    // (doc_id, pos) is unique by construction — one window per
+    // position — so no dedup is needed after the semi-join.
     val matched = wins.join(shared, Seq("h"), "left_semi")
-      .select(col("doc_id"), col("pos").cast("long").as("pos")).distinct()
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     matched
       .withColumn("brk",

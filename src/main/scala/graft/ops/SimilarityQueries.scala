@@ -158,8 +158,22 @@ object SimilarityQueries {
     Similarity.semanticDedup(corpus(spark, dir),
       bands = 8, bandBits = 6, simNumSqE4 = 2025L)
 
+  /** Dominant principal direction by EXACT-INTEGER power iteration
+    * ([[graft.operators.Spectral.dominantProjection]]): corpus-global
+    * affine codes → floor-mean centering → two integer power steps →
+    * per-vector BIGINT projection. The whole 1-D PCA is a pure
+    * function of the input multiset — no float ever enters a
+    * reduction — so the full 500-row projection hash-matches a DuckDB
+    * replay exactly (engine parity holds whatever the spectrum; the
+    * statistical-convergence contract is spec-pinned on a
+    * strong-eigengap corpus, Round7Spec). */
+  def q107PowerIteration(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Spectral.dominantProjection(
+      Tables.embeddings(spark, dir), iterations = 2)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_semantic_dedup" -> (q81SemanticDedup _),
+    "q107_power_iteration" -> (q107PowerIteration _),
     "q40_cosine_topk" -> (q40CosineTopK _),
     "q41_ann_topk"    -> (q41AnnTopK _),
     "q42_ann_neardup" -> (q42AnnNeardup _),
@@ -263,6 +277,34 @@ object SimilarityQueries {
         |      greatest((CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0, 1e-30))
         |      AS BIGINT) - 128)) AS BIGINT) AS q_sum
         |FROM embeddings""".stripMargin,
+
+    // full integer replay of the two power steps: q74's proven code
+    // formula, floor-mean centering (operands non-negative, so // and
+    // Spark's div agree), sign-split truncating rescale divisions
+    "q107_power_iteration" ->
+      """WITH rng AS (
+        |  SELECT CAST(min(list_min(embedding)) AS DOUBLE) AS gmin,
+        |    greatest((CAST(max(list_max(embedding)) AS DOUBLE) - CAST(min(list_min(embedding)) AS DOUBLE)) / 255.0,
+        |             1e-30) AS gscale
+        |  FROM embeddings),
+        |codes AS (
+        |  SELECT vec_id, i AS d,
+        |    CAST(round((CAST(embedding[i+1] AS DOUBLE) - gmin) / gscale) AS BIGINT) AS c
+        |  FROM embeddings, rng, UNNEST(range(len(embedding))) t(i)),
+        |mu AS (SELECT d, sum(c) // count(*) AS m FROM codes GROUP BY d),
+        |y AS (SELECT vec_id, codes.d AS d, c - m AS y FROM codes JOIN mu USING (d)),
+        |p1 AS (SELECT vec_id, sum(y) AS p FROM y GROUP BY vec_id),
+        |u1 AS (SELECT d, sum(y.y * p1.p) AS u FROM y JOIN p1 USING (vec_id) GROUP BY d),
+        |m1 AS (SELECT greatest(max(abs(u)), 1) AS mx FROM u1),
+        |v1 AS (SELECT d, CASE WHEN u < 0 THEN -(((-u) * 1000) // mx)
+        |                      ELSE (u * 1000) // mx END AS v FROM u1, m1),
+        |p2 AS (SELECT vec_id, sum(y.y * v1.v) AS p FROM y JOIN v1 USING (d) GROUP BY vec_id),
+        |u2 AS (SELECT d, sum(y.y * p2.p) AS u FROM y JOIN p2 USING (vec_id) GROUP BY d),
+        |m2 AS (SELECT greatest(max(abs(u)), 1) AS mx FROM u2),
+        |v2 AS (SELECT d, CASE WHEN u < 0 THEN -(((-u) * 1000) // mx)
+        |                      ELSE (u * 1000) // mx END AS v FROM u2, m2)
+        |SELECT vec_id, CAST(sum(y.y * v2.v) AS BIGINT) AS proj
+        |FROM y JOIN v2 USING (d) GROUP BY vec_id""".stripMargin,
 
     "q65_hybrid_search" ->
       """SELECT doc_id, rank FROM (
