@@ -112,7 +112,16 @@ object ScaleProbe {
         // pathology); content-unique copies keep vocabularies disjoint
         "q101_pr_edges" -> (() =>
           ops.TextQueries.coOccurrenceEdges(docs,
-            ops.TextQueries.PageRankMaxTermsPerDoc).count()))
+            ops.TextQueries.PageRankMaxTermsPerDoc).count()),
+        // r7: linear-shuffle substring dedup — window rows ∝ corpus
+        // tokens (never pairs), so time should track data volume;
+        // content-unique copies add zero cross-copy matches
+        "q106_dup_spans" -> (() =>
+          operators.TextAnalysis.dupSpans(docs, windowTokens = 15).count()),
+        // r7: integer power iteration — per iteration one scan + a
+        // d-row aggregate, so time ∝ n·d with a fixed job count
+        "q107_power_iteration" -> (() =>
+          operators.Spectral.dominantProjection(emb, iterations = 2).count()))
 
       val rows = probes.map { case (name, f) =>
         val (n, sec) = timeIt(f())
