@@ -731,9 +731,48 @@ object Relational {
         |FROM g102_customer GROUP BY c_nationkey""".stripMargin)
   }
 
+  /** Modal statistics per group: the mode of l_quantity (most
+    * frequent value, ties broken on the smaller value — an UNBROKEN
+    * mode tie is the integer cousin of a float sum and could never
+    * face the hash gate) and the DISCRETE median (smallest value
+    * whose cumulative count reaches ⌈n/2⌉ — an actual data value,
+    * where q09's percentile_cont interpolates between two).
+    *
+    * Scale: ONE combinable groupBy on (group, value) — everything
+    * downstream (mode rank, cumulative counts, the ⌈n/2⌉ pick)
+    * windows over the DISTINCT-VALUE frame, which is
+    * |groups|·|distinct values| rows regardless of corpus size. The
+    * naive alternative — a row_number over the raw rows per group —
+    * sorts the full table inside ≤3 partitions; this never touches
+    * row-level data after the first aggregate. */
+  def q108ModalStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag", $"l_quantity".as("qty"))
+      .agg(count(lit(1)).as("cnt"))
+    val modeW = Window.partitionBy("l_returnflag")
+      .orderBy(col("cnt").desc, col("qty").asc)
+    val mode = counts
+      .withColumn("rn", row_number().over(modeW))
+      .filter($"rn" === 1)
+      .select($"l_returnflag", $"qty".cast("double").as("mode_qty"),
+        $"cnt".as("mode_cnt"))
+    val byQty = Window.partitionBy("l_returnflag").orderBy("qty")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy("l_returnflag")
+    val disc = counts
+      .withColumn("cum", sum($"cnt").over(byQty))
+      .withColumn("n", sum($"cnt").over(whole))
+      .filter($"cum" >= expr("(n + 1) div 2"))
+      .groupBy($"l_returnflag")
+      .agg(min($"qty").cast("double").as("p50_disc"), min($"n").as("n_rows"))
+    mode.join(disc, Seq("l_returnflag"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_lateral"         -> (q98Lateral _),
     "q102_listagg"        -> (q102Listagg _),
+    "q108_modal_stats"    -> (q108ModalStats _),
     "q83_profile"         -> (q83Profile _),
     "q85_recursive_cte"   -> (q85Recursive _),
     "q87_histogram"       -> (q87Histogram _),
@@ -1066,6 +1105,27 @@ object Relational {
         |  CAST(count(*) AS BIGINT) AS n,
         |  string_agg(c_name, ',' ORDER BY c_acctbal DESC, c_name) AS names
         |FROM customer GROUP BY c_nationkey""".stripMargin,
+
+    // mode (ties -> smaller value) + discrete median, both derived
+    // from the same (group, value) counts frame the Spark plan uses
+    "q108_modal_stats" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity AS qty, count(*) AS cnt
+        |           FROM lineitem GROUP BY 1, 2),
+        |m AS (SELECT l_returnflag, CAST(qty AS DOUBLE) AS mode_qty,
+        |        CAST(cnt AS BIGINT) AS mode_cnt
+        |      FROM (SELECT *, row_number() OVER (
+        |              PARTITION BY l_returnflag ORDER BY cnt DESC, qty ASC) AS rn
+        |            FROM c) t WHERE rn = 1),
+        |w AS (SELECT l_returnflag, qty,
+        |        sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY qty
+        |                       ROWS UNBOUNDED PRECEDING) AS cum,
+        |        sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+        |      FROM c),
+        |d AS (SELECT l_returnflag, CAST(min(qty) AS DOUBLE) AS p50_disc,
+        |        CAST(min(n) AS BIGINT) AS n_rows
+        |      FROM w WHERE cum >= (n + 1) // 2 GROUP BY 1)
+        |SELECT m.l_returnflag, mode_qty, mode_cnt, p50_disc, n_rows
+        |FROM m JOIN d USING (l_returnflag)""".stripMargin,
 
     // the same LATERAL text modulo view names (the q80 stance)
     "q98_lateral" ->

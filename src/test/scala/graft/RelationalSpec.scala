@@ -109,4 +109,37 @@ class RelationalSpec extends AnyFunSuite {
       assert(n >= 0, s"$name failed")
     }
   }
+
+  test("q108 semantics: mode tie breaks low, discrete median is an actual data value") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // group A: values 5 and 2 both appear twice (tie -> 2 wins), plus
+    // one 9; n=5 so the discrete median is the value at cum >= 3 -> 5.
+    // group B: even count, n=4 of (1,1,3,7): cum >= 2 ceil pick -> 1
+    // (the SMALLER middle value — discrete, never the 2.0 interp).
+    val rows = Seq(
+      ("A", 5.0), ("A", 5.0), ("A", 2.0), ("A", 2.0), ("A", 9.0),
+      ("B", 1.0), ("B", 1.0), ("B", 3.0), ("B", 7.0))
+      .toDF("l_returnflag", "l_quantity")
+    val counts = rows.groupBy($"l_returnflag", $"l_quantity".as("qty"))
+      .agg(count(lit(1)).as("cnt"))
+    val modeW = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag").orderBy(col("cnt").desc, col("qty").asc)
+    val mode = counts.withColumn("rn", row_number().over(modeW))
+      .filter($"rn" === 1).select($"l_returnflag", $"qty")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(mode == Map("A" -> 2.0, "B" -> 1.0), s"mode tie-break: $mode")
+    val byQty = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag").orderBy("qty")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy("l_returnflag")
+    val disc = counts
+      .withColumn("cum", sum($"cnt").over(byQty))
+      .withColumn("n", sum($"cnt").over(whole))
+      .filter($"cum" >= expr("(n + 1) div 2"))
+      .groupBy($"l_returnflag").agg(min($"qty").as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(disc == Map("A" -> 5.0, "B" -> 1.0), s"discrete median: $disc")
+  }
 }
