@@ -3,8 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Spectral analysis over embedding corpora: the dominant principal
-  * direction by power iteration, computed in EXACT INTEGER arithmetic
+/** Spectral analysis over embedding corpora: dominant principal
+  * directions by power iteration, computed in EXACT INTEGER arithmetic
   * so the result is bit-identical on any cluster shape, any partition
   * order, and any engine — the same determinism stance as the rest of
   * the similarity suite (int8 codes + integer gates,
@@ -42,9 +42,16 @@ import org.apache.spark.sql.functions._
   *      engines truncate non-negative integer division identically;
   *      the sign split removes the floor-vs-trunc divergence on
   *      negatives).
-  *   4. Output each vector's integer projection onto the final
-  *      direction — the 1-D PCA coordinate (up to the direction's
-  *      deterministic overall scale/sign).
+  *   4. [[pca2Projection]] then DEFLATES exactly: y₂ = y·S − v·(y·v)
+  *      with S = v·v — all integer, and y₂·v = (y·v)·S − S·(y·v) = 0
+  *      IDENTICALLY, so the deflated matrix is exactly orthogonal to
+  *      the first direction (no float deflation residue). The second
+  *      power loop runs on y₂; its direction w satisfies u·v = Σ_i
+  *      p₂ᵢ(y₂ᵢ·v) = 0 exactly before the truncating rescale, so
+  *      ŵ·v̂ ≈ 0 up to truncation (spec-pinned).
+  *   5. Output each vector's integer projection(s) — the 1-D or 2-D
+  *      PCA coordinates (up to each direction's deterministic overall
+  *      scale/sign).
   *
   * Convergence is governed by the spectrum like any power method:
   * with a real eigengap one or two iterations suffice (spec-pinned at
@@ -52,15 +59,17 @@ import org.apache.spark.sql.functions._
   * corpus); on a near-isotropic corpus (λ₂/λ₁ → 1 — e.g. the
   * synthetic fixture, measured 0.987) NO power method converges in
   * few steps and there is no meaningful dominant direction to find —
-  * raise `iterations` if the spectrum warrants it. The q107 oracle
-  * gate certifies ENGINE PARITY of the exact computation, which holds
-  * regardless of the spectrum.
+  * raise `iterations` if the spectrum warrants it. The q107/q109
+  * oracle gates certify ENGINE PARITY of the exact computation, which
+  * holds regardless of the spectrum.
   *
   * Overflow bounds (documented, enforced by construction): |y| ≤ 255,
-  * |v| ≤ 1000, so |p| ≤ 255·1000·d — BIGINT-safe to d ≈ 3.6×10¹³.
-  * The per-dim accumulator u_d = Σ y·p ≤ n·255·(255·1000·d) runs in
-  * decimal(38,0): exact to n·d ≈ 1.5×10²⁹ — unbounded for any real
-  * corpus. No float enters any reduction.
+  * |v| ≤ 1000, so first-pass |p| ≤ 255·1000·d. Deflated elements
+  * |y₂| ≤ 255·(10⁶d) + 1000·(255·1000·d) ≈ 5·10⁸·d — row-side dots
+  * stay in BIGINT for d ≤ ~4000. Per-dim accumulators multiply
+  * decimal(38,0)·p BEFORE summing (a long·long product of the
+  * deflated magnitudes would wrap), exact to n·d ≈ 10¹² corpora. No
+  * float enters any reduction.
   *
   * Scale shape: per iteration, ONE scan of the centered codes. The
   * row-side dot products are per-row higher-order-function work (no
@@ -68,9 +77,9 @@ import org.apache.spark.sql.functions._
   * map-side combine down to d rows per task before a d-row shuffle —
   * at 1000 executors the wide stage moves kilobytes. gmin/gmax, μ and
   * v ride as broadcast 1-row frames; nothing data-sized touches the
-  * driver (one O(1) head() probes the dimension, and the centered
-  * codes are pinned once for all iterations, released on the caller's
-  * first action).
+  * driver (one O(1) take(1) probes the dimension, and each centered
+  * matrix is pinned once for all its iterations, released on the
+  * caller's first action).
   */
 object Spectral {
 
@@ -88,14 +97,10 @@ object Spectral {
       s"transform(array_sort(collect_list(struct(d, $valueCol))), x -> x.$valueCol)")
       .as("arr"))
 
-  /** Per-vector integer projection onto the dominant principal
-    * direction after `iterations` exact-integer power steps.
-    * Output: (idCol, proj: bigint). */
-  def dominantProjection(df: DataFrame, iterations: Int = 2,
-                         idCol: String = "vec_id",
-                         vecCol: String = "embedding"): DataFrame = {
-    require(iterations >= 1, s"iterations must be >= 1: $iterations")
-    // corpus-global affine range: two scalar aggregates, broadcast back
+  /** Corpus-global codes, floor-mean centered, pinned for the
+    * iteration loop (single-plan-pin lifecycle). */
+  private def centeredCodes(df: DataFrame, idCol: String,
+                            vecCol: String): DataFrame = {
     val range = df.agg(
       min(array_min(col(vecCol))).cast("double").as("gmin"),
       max(array_max(col(vecCol))).cast("double").as("gmax"))
@@ -105,35 +110,32 @@ object Spectral {
       .withColumn("c", expr(
         s"transform($vecCol, x -> cast(round((cast(x as double) - gmin) / gscale) as bigint))"))
       .select(col(idCol), col("c"))
-    // floor-mean per dimension: tiny (d-row) aggregate, broadcast back
     val mu = asArray(
       coded.select(posexplode(col("c")).as(Seq("d", "cv")))
         .groupBy("d").agg(expr("sum(cv) div count(1)").as("m")), "m")
       .withColumnRenamed("arr", "mu_arr")
-    // the centered codes feed every iteration's u-step AND the final
-    // projection — each is a broadcast subquery that would otherwise
-    // re-scan the source and re-quantize; pin once, release on the
-    // caller's first action (the single-plan-pin lifecycle)
-    val centered = coded.crossJoin(broadcast(mu))
+    coded.crossJoin(broadcast(mu))
       .withColumn("y", expr("zip_with(c, mu_arr, (a, b) -> a - b)"))
       .select(col(idCol), col("y"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    CacheLifecycle.releaseAfterNextAction(centered)
-    // v₀ = ones. The dimension is one O(1) head() probe (the uniform-
-    // dimension contract of the embedding tables makes the first row
-    // representative — [[Similarity.semanticDedup]]'s stance); the
-    // literal array keeps v₀ out of the job graph entirely.
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
-    var v = df.sparkSession.range(1)
+  }
+
+  /** `iterations` exact-integer power steps over a pinned centered
+    * matrix (column `y`); returns the 1-row direction frame
+    * (`v_arr`). */
+  private def powerLoop(centered: DataFrame, dim: Int,
+                        iterations: Int): DataFrame = {
+    var v = centered.sparkSession.range(1)
       .select(typedLit(Seq.fill(dim)(1L)).as("v_arr"))
     for (_ <- 1 to iterations) {
       val p = centered.crossJoin(broadcast(v))
         .withColumn("p", dot("y", "v_arr"))
-      // u_d = Σ y·p — decimal(38,0) accumulator (exact, order-free)
+      // u_d = Σ y·p — the product is taken in decimal(38,0) (a
+      // long·long product wraps at the deflated magnitudes), the sum
+      // is exact and order-free
       val u = p
         .select(posexplode(col("y")).as(Seq("d", "yv")), col("p"))
         .groupBy("d")
-        .agg(sum((col("yv") * col("p")).cast("decimal(38,0)")).as("u"))
+        .agg(sum(col("yv").cast("decimal(38,0)") * col("p")).as("u"))
       val mx = u.agg(greatest(max(abs(col("u"))), lit(1L).cast("decimal(38,0)")).as("m"))
       v = asArray(
         u.crossJoin(broadcast(mx))
@@ -145,8 +147,66 @@ object Spectral {
           .select(col("d"), col("v")), "v")
         .withColumnRenamed("arr", "v_arr")
     }
-    centered.crossJoin(broadcast(v))
-      .withColumn("proj", dot("y", "v_arr"))
-      .select(col(idCol), col("proj"))
+    v
+  }
+
+  /** O(1) dimension probe (uniform-dimension contract of the
+    * embedding tables — [[Similarity.semanticDedup]]'s stance);
+    * None on an empty corpus. */
+  private def probeDim(df: DataFrame, vecCol: String): Option[Int] =
+    df.select(size(col(vecCol))).take(1).headOption.map(_.getInt(0))
+
+  /** Per-vector integer projection onto the dominant principal
+    * direction after `iterations` exact-integer power steps.
+    * Output: (idCol, proj: bigint). */
+  def dominantProjection(df: DataFrame, iterations: Int = 2,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    probeDim(df, vecCol) match {
+      case None => df.select(col(idCol), lit(0L).as("proj")).limit(0)
+      case Some(dim) =>
+        val centered = centeredCodes(df, idCol, vecCol)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        CacheLifecycle.releaseAfterNextAction(centered)
+        val v = powerLoop(centered, dim, iterations)
+        centered.crossJoin(broadcast(v))
+          .withColumn("proj", dot("y", "v_arr"))
+          .select(col(idCol), col("proj"))
+    }
+  }
+
+  /** Two-component integer PCA: the dominant direction, then an EXACT
+    * integer deflation (y₂ = y·S − v·(y·v), identically orthogonal to
+    * v — no float deflation residue), then the dominant direction of
+    * the deflated matrix. Output: (idCol, proj1, proj2) — the 2-D PCA
+    * coordinates, bit-stable cross-engine. */
+  def pca2Projection(df: DataFrame, iterations: Int = 2,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    probeDim(df, vecCol) match {
+      case None =>
+        df.select(col(idCol), lit(0L).as("proj1"), lit(0L).as("proj2")).limit(0)
+      case Some(dim) =>
+        val centered = centeredCodes(df, idCol, vecCol)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        CacheLifecycle.releaseAfterNextAction(centered)
+        val v = powerLoop(centered, dim, iterations)
+          .withColumn("s", dot("v_arr", "v_arr"))
+        // deflate, carrying proj1 alongside so the final pass needs no
+        // join back by id; the deflated matrix feeds its own loop and
+        // the final projection — pin it like the first
+        val centered2 = centered.crossJoin(broadcast(v))
+          .withColumn("p1", dot("y", "v_arr"))
+          .withColumn("y", expr("zip_with(y, v_arr, (a, b) -> a * s - b * p1)"))
+          .select(col(idCol), col("p1"), col("y"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        CacheLifecycle.releaseAfterNextAction(centered2)
+        val w = powerLoop(centered2, dim, iterations)
+        centered2.crossJoin(broadcast(w))
+          .withColumn("proj2", dot("y", "v_arr"))
+          .select(col(idCol), col("p1").as("proj1"), col("proj2"))
+    }
   }
 }

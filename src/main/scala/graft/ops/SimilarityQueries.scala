@@ -171,9 +171,19 @@ object SimilarityQueries {
     graft.operators.Spectral.dominantProjection(
       Tables.embeddings(spark, dir), iterations = 2)
 
+  /** Two-component integer PCA ([[graft.operators.Spectral
+    * .pca2Projection]]): the q107 direction, an EXACT integer
+    * deflation (y₂ = y·S − v·(y·v) — identically orthogonal to v, no
+    * float residue), and the deflated matrix's own dominant
+    * direction. Full 500-row (proj1, proj2) hash replay. */
+  def q109Pca2(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Spectral.pca2Projection(
+      Tables.embeddings(spark, dir), iterations = 2)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_semantic_dedup" -> (q81SemanticDedup _),
     "q107_power_iteration" -> (q107PowerIteration _),
+    "q109_pca2"       -> (q109Pca2 _),
     "q40_cosine_topk" -> (q40CosineTopK _),
     "q41_ann_topk"    -> (q41AnnTopK _),
     "q42_ann_neardup" -> (q42AnnNeardup _),
@@ -184,6 +194,32 @@ object SimilarityQueries {
     "q65_hybrid_search" -> (q65HybridSearch _),
     "q74_quantize"    -> (q74Quantize _)
   )
+
+  /** Shared CTE chain of the q107/q109 oracles: global affine codes →
+    * floor-mean centering → two integer power steps ending in the
+    * first direction `v2(d, v)` over centered rows `y(vec_id, d, y)`. */
+  private val PowerPrefixSql: String =
+    """WITH rng AS (
+      |  SELECT CAST(min(list_min(embedding)) AS DOUBLE) AS gmin,
+      |    greatest((CAST(max(list_max(embedding)) AS DOUBLE) - CAST(min(list_min(embedding)) AS DOUBLE)) / 255.0,
+      |             1e-30) AS gscale
+      |  FROM embeddings),
+      |codes AS MATERIALIZED (
+      |  SELECT vec_id, i AS d,
+      |    CAST(round((CAST(embedding[i+1] AS DOUBLE) - gmin) / gscale) AS BIGINT) AS c
+      |  FROM embeddings, rng, UNNEST(range(len(embedding))) t(i)),
+      |mu AS (SELECT d, sum(c) // count(*) AS m FROM codes GROUP BY d),
+      |y AS MATERIALIZED (SELECT vec_id, codes.d AS d, c - m AS y FROM codes JOIN mu USING (d)),
+      |p1 AS (SELECT vec_id, sum(y) AS p FROM y GROUP BY vec_id),
+      |u1 AS (SELECT d, sum(y.y * p1.p) AS u FROM y JOIN p1 USING (vec_id) GROUP BY d),
+      |m1 AS (SELECT greatest(max(abs(u)), 1) AS mx FROM u1),
+      |v1 AS MATERIALIZED (SELECT d, CASE WHEN u < 0 THEN -(((-u) * 1000) // mx)
+      |                      ELSE (u * 1000) // mx END AS v FROM u1, m1),
+      |p2 AS (SELECT vec_id, sum(y.y * v1.v) AS p FROM y JOIN v1 USING (d) GROUP BY vec_id),
+      |u2 AS (SELECT d, sum(y.y * p2.p) AS u FROM y JOIN p2 USING (vec_id) GROUP BY d),
+      |m2 AS (SELECT greatest(max(abs(u)), 1) AS mx FROM u2),
+      |v2 AS MATERIALIZED (SELECT d, CASE WHEN u < 0 THEN -(((-u) * 1000) // mx)
+      |                      ELSE (u * 1000) // mx END AS v FROM u2, m2)""".stripMargin
 
   /** One sign-band bucket expression of the q81 oracle: the sign
     * pattern of dims [b·bits, (b+1)·bits) as an integer. */
@@ -282,29 +318,33 @@ object SimilarityQueries {
     // formula, floor-mean centering (operands non-negative, so // and
     // Spark's div agree), sign-split truncating rescale divisions
     "q107_power_iteration" ->
-      """WITH rng AS (
-        |  SELECT CAST(min(list_min(embedding)) AS DOUBLE) AS gmin,
-        |    greatest((CAST(max(list_max(embedding)) AS DOUBLE) - CAST(min(list_min(embedding)) AS DOUBLE)) / 255.0,
-        |             1e-30) AS gscale
-        |  FROM embeddings),
-        |codes AS (
-        |  SELECT vec_id, i AS d,
-        |    CAST(round((CAST(embedding[i+1] AS DOUBLE) - gmin) / gscale) AS BIGINT) AS c
-        |  FROM embeddings, rng, UNNEST(range(len(embedding))) t(i)),
-        |mu AS (SELECT d, sum(c) // count(*) AS m FROM codes GROUP BY d),
-        |y AS (SELECT vec_id, codes.d AS d, c - m AS y FROM codes JOIN mu USING (d)),
-        |p1 AS (SELECT vec_id, sum(y) AS p FROM y GROUP BY vec_id),
-        |u1 AS (SELECT d, sum(y.y * p1.p) AS u FROM y JOIN p1 USING (vec_id) GROUP BY d),
-        |m1 AS (SELECT greatest(max(abs(u)), 1) AS mx FROM u1),
-        |v1 AS (SELECT d, CASE WHEN u < 0 THEN -(((-u) * 1000) // mx)
-        |                      ELSE (u * 1000) // mx END AS v FROM u1, m1),
-        |p2 AS (SELECT vec_id, sum(y.y * v1.v) AS p FROM y JOIN v1 USING (d) GROUP BY vec_id),
-        |u2 AS (SELECT d, sum(y.y * p2.p) AS u FROM y JOIN p2 USING (vec_id) GROUP BY d),
-        |m2 AS (SELECT greatest(max(abs(u)), 1) AS mx FROM u2),
-        |v2 AS (SELECT d, CASE WHEN u < 0 THEN -(((-u) * 1000) // mx)
-        |                      ELSE (u * 1000) // mx END AS v FROM u2, m2)
+      (PowerPrefixSql + """
         |SELECT vec_id, CAST(sum(y.y * v2.v) AS BIGINT) AS proj
-        |FROM y JOIN v2 USING (d) GROUP BY vec_id""".stripMargin,
+        |FROM y JOIN v2 USING (d) GROUP BY vec_id""".stripMargin),
+
+    // q107's chain + exact integer deflation (y2 = y*S - v*(y*v),
+    // identically orthogonal to v) + the same two power steps on y2
+    "q109_pca2" ->
+      (PowerPrefixSql + """,
+        |s1 AS (SELECT sum(v * v) AS s FROM v2),
+        |pr1 AS MATERIALIZED (SELECT vec_id, sum(y.y * v2.v) AS p
+        |        FROM y JOIN v2 USING (d) GROUP BY vec_id),
+        |y2 AS MATERIALIZED (SELECT y.vec_id, y.d, y.y * s - v2.v * pr1.p AS y
+        |       FROM y JOIN v2 USING (d) JOIN pr1 USING (vec_id), s1),
+        |qp1 AS (SELECT vec_id, sum(y) AS p FROM y2 GROUP BY vec_id),
+        |qu1 AS (SELECT d, sum(y2.y * qp1.p) AS u FROM y2 JOIN qp1 USING (vec_id) GROUP BY d),
+        |qm1 AS (SELECT greatest(max(abs(u)), 1) AS mx FROM qu1),
+        |qv1 AS MATERIALIZED (SELECT d, CASE WHEN u < 0 THEN -(((-u) * 1000) // mx)
+        |                       ELSE (u * 1000) // mx END AS v FROM qu1, qm1),
+        |qp2 AS (SELECT vec_id, sum(y2.y * qv1.v) AS p FROM y2 JOIN qv1 USING (d) GROUP BY vec_id),
+        |qu2 AS (SELECT d, sum(y2.y * qp2.p) AS u FROM y2 JOIN qp2 USING (vec_id) GROUP BY d),
+        |qm2 AS (SELECT greatest(max(abs(u)), 1) AS mx FROM qu2),
+        |qv2 AS MATERIALIZED (SELECT d, CASE WHEN u < 0 THEN -(((-u) * 1000) // mx)
+        |                       ELSE (u * 1000) // mx END AS v FROM qu2, qm2)
+        |SELECT y2.vec_id, CAST(min(pr1.p) AS BIGINT) AS proj1,
+        |       CAST(sum(y2.y * qv2.v) AS BIGINT) AS proj2
+        |FROM y2 JOIN qv2 USING (d) JOIN pr1 ON y2.vec_id = pr1.vec_id
+        |GROUP BY y2.vec_id""".stripMargin),
 
     "q65_hybrid_search" ->
       """SELECT doc_id, rank FROM (

@@ -294,6 +294,39 @@ class Round7Spec extends AnyFunSuite {
     assert(r >= 0.99, s"|corr| vs converged float reference = $r")
   }
 
+  test("pca2Projection recovers two planted orthogonal directions") {
+    import graft.operators.Spectral
+    // x_i = a_i·w1 + b_i·w2 + tiny noise with var(a) >> var(b) and
+    // w1 ⊥ w2 (disjoint dimension supports): proj1 must track a,
+    // proj2 must track b after the exact integer deflation.
+    val n = 200; val d = 16
+    val w1 = Array.tabulate(d)(j => if (j % 2 == 0) ((j * 5) % 7 + 1) / 7.0 else 0.0)
+    val w2 = Array.tabulate(d)(j => if (j % 2 == 1) ((j * 3) % 5 + 1) / 5.0 else 0.0)
+    def a(i: Int) = (i - 100) * 10.0
+    def b(i: Int) = ((i * 37) % 200) - 100.0
+    val rows = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(d)(j =>
+        (a(i) * w1(j) + b(i) * w2(j) + 0.01 * ((i * 7 + j * 13) % 5)).toFloat))
+    }
+    val out = Spectral.pca2Projection(rows.toDF("vec_id", "embedding"),
+      iterations = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def corr(ps: Seq[(Double, Double)]): Double = {
+      val m = ps.length
+      val (ma, mb) = (ps.map(_._1).sum / m, ps.map(_._2).sum / m)
+      val cov = ps.map { case (x, y) => (x - ma) * (y - mb) }.sum
+      cov / math.sqrt(ps.map(p => math.pow(p._1 - ma, 2)).sum *
+        ps.map(p => math.pow(p._2 - mb, 2)).sum)
+    }
+    val ids = (0 until n).map(_.toLong)
+    val c1 = math.abs(corr(ids.map(i => (out(i)._1.toDouble, a(i.toInt)))))
+    val c2 = math.abs(corr(ids.map(i => (out(i)._2.toDouble, b(i.toInt)))))
+    val cx = math.abs(corr(ids.map(i => (out(i)._1.toDouble, out(i)._2.toDouble))))
+    assert(c1 >= 0.99, s"proj1 must track the dominant planted direction: $c1")
+    assert(c2 >= 0.99, s"proj2 must track the second planted direction: $c2")
+    assert(cx <= 0.05, s"the two components must separate the signals: $cx")
+  }
+
   test("dominantProjection is partition-order-independent and constant-safe") {
     import graft.operators.Spectral
     val emb = Tables.embeddings(spark, SparkTestSession.sf).limit(100)
@@ -308,6 +341,10 @@ class Round7Spec extends AnyFunSuite {
       .toDF("vec_id", "embedding")
     val z = Spectral.dominantProjection(const, iterations = 2).collect()
     assert(z.length == 5 && z.forall(_.getLong(1) == 0L))
+    // empty corpus: empty result with the same schema, no probe crash
+    val e = Spectral.dominantProjection(
+      const.filter(col("vec_id") < 0), iterations = 2)
+    assert(e.columns.toSeq == Seq("vec_id", "proj") && e.isEmpty)
   }
 
   test("semanticDedup rejects vectors past the BIGINT-gate dimension ceiling") {
