@@ -156,6 +156,24 @@ object Spectral {
   private def probeDim(df: DataFrame, vecCol: String): Option[Int] =
     df.select(size(col(vecCol))).take(1).headOption.map(_.getInt(0))
 
+  /** The first-direction frame, memoized per (input plan, dials):
+    * [[dominantProjection]] and [[pca2Projection]] run the IDENTICAL
+    * first power loop, so a session running both (a Verify/Bench
+    * pass) pays for it once. Only this 1-ROW frame rides the memo —
+    * the data-sized centered matrix keeps its release-after-action
+    * lifecycle, because [[graft.ops.Memo]] entries live until
+    * session end / [[graft.ops.Memo.clear]] and must never pin a
+    * corpus-sized frame past the caller's action. The build closure
+    * binds THIS caller's pinned centered frame, so a memo miss runs
+    * the loop against cached blocks either way. */
+  private def firstDirection(df: DataFrame, centered: DataFrame,
+                             dim: Int, iterations: Int,
+                             idCol: String, vecCol: String): DataFrame =
+    graft.ops.Memo.of(df.sparkSession,
+      s"spectral_v1:$iterations:$idCol:$vecCol:${graft.ops.Memo.frameKey(df)}") {
+      powerLoop(centered, dim, iterations)
+    }
+
   /** Per-vector integer projection onto the dominant principal
     * direction after `iterations` exact-integer power steps.
     * Output: (idCol, proj: bigint). */
@@ -169,7 +187,7 @@ object Spectral {
         val centered = centeredCodes(df, idCol, vecCol)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         CacheLifecycle.releaseAfterNextAction(centered)
-        val v = powerLoop(centered, dim, iterations)
+        val v = firstDirection(df, centered, dim, iterations, idCol, vecCol)
         centered.crossJoin(broadcast(v))
           .withColumn("proj", dot("y", "v_arr"))
           .select(col(idCol), col("proj"))
@@ -192,7 +210,7 @@ object Spectral {
         val centered = centeredCodes(df, idCol, vecCol)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         CacheLifecycle.releaseAfterNextAction(centered)
-        val v = powerLoop(centered, dim, iterations)
+        val v = firstDirection(df, centered, dim, iterations, idCol, vecCol)
           .withColumn("s", dot("v_arr", "v_arr"))
         // deflate, carrying proj1 alongside so the final pass needs no
         // join back by id; the deflated matrix feeds its own loop and
