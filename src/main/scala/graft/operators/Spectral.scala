@@ -83,6 +83,13 @@ import org.apache.spark.sql.functions._
   */
 object Spectral {
 
+  /** [[pca2Projection]]'s dimension ceiling: deflated elements reach
+    * |y₂| ≤ 255·S + 1000·|p₁| ≈ 5.1·10⁸·d, so a deflated row dot
+    * |y₂·w| ≤ 5.1·10¹¹·d² — BIGINT-safe only to d ≈ 4250. Enforced up
+    * front (the [[Similarity.MaxSemanticDedupDim]] stance: error at
+    * plan-build, never wrap non-ANSI mid-stage). */
+  val MaxPca2Dim = 4000
+
   /** Rescale bound for the direction vector between iterations. */
   val VScale = 1000L
 
@@ -207,6 +214,11 @@ object Spectral {
       case None =>
         df.select(col(idCol), lit(0L).as("proj1"), lit(0L).as("proj2")).limit(0)
       case Some(dim) =>
+        require(dim <= MaxPca2Dim,
+          s"pca2Projection's deflated row dots (|y2*w| <= 5.1e11 * d^2 " +
+            s"in BIGINT) are safe only for dims <= $MaxPca2Dim; got $dim " +
+            "— project the embeddings down first, or use " +
+            "dominantProjection (safe to d ~ 3.6e13) per component")
         val centered = centeredCodes(df, idCol, vecCol)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         CacheLifecycle.releaseAfterNextAction(centered)

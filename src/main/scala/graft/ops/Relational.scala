@@ -747,6 +747,10 @@ object Relational {
     * row-level data after the first aggregate. */
   def q108ModalStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // qty ordering feeds both windows; l_quantity/l_returnflag are
+    // NOT NULL by the TPC-H schema, which the cross-engine hash gate
+    // RELIES on — a nullable value column would diverge (Spark sorts
+    // NULLS FIRST on ASC, DuckDB NULLS LAST), the q103 lesson
     val counts = Tables.lineitem(spark, dir)
       .groupBy($"l_returnflag", $"l_quantity".as("qty"))
       .agg(count(lit(1)).as("cnt"))

@@ -347,6 +347,19 @@ class Round7Spec extends AnyFunSuite {
     assert(e.columns.toSeq == Seq("vec_id", "proj") && e.isEmpty)
   }
 
+  test("pca2Projection rejects vectors past the deflated BIGINT dot ceiling") {
+    import graft.operators.Spectral
+    val big = Seq((1L, Array.fill(Spectral.MaxPca2Dim + 1)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Spectral.pca2Projection(big)
+    }
+    assert(e.getMessage.contains("dims"))
+    // dominantProjection has no such ceiling: same frame passes
+    assert(Spectral.dominantProjection(big).columns.toSeq ==
+      Seq("vec_id", "proj"))
+  }
+
   test("semanticDedup rejects vectors past the BIGINT-gate dimension ceiling") {
     val big = Seq((1L, Array.fill(Similarity.MaxSemanticDedupDim + 1)(0.5f)))
       .toDF("vec_id", "embedding")
