@@ -68,6 +68,26 @@ object Dedup {
     * carry no dedup signal). None (default) preserves the oracle
     * semantics exactly; a cap at or above the corpus max df is a
     * no-op, which the property spec pins. */
+  /** Surviving shingle rows under a hot-shingle cap, with the carried
+    * per-doc count (`ns`) adjusted to the capped universe: carried −
+    * the doc's dropped-row tally. The subtract form is the scale
+    * choice, shared by every capped path: a per-doc re-count window
+    * shuffles EVERY surviving row by doc id (on the indexed delta
+    * path that is corpus-sized work per ingest batch — exactly what
+    * the materialized index exists to avoid), while this aggregates
+    * only the rows the cap drops and joins the (usually
+    * broadcast-small) tally back; identical result, since carried −
+    * dropped = surviving rows per doc. */
+  private def capAdjust(df: DataFrame, hot: DataFrame,
+                        id: String, ns: String): DataFrame = {
+    val dropped = df.join(hot, Seq("shingle"), "left_semi")
+      .groupBy(id).agg(count(lit(1)).as("hot_n"))
+    df.join(hot, Seq("shingle"), "left_anti")
+      .join(dropped, Seq(id), "left")
+      .withColumn(ns, col(ns) - coalesce(col("hot_n"), lit(0L)))
+      .drop("hot_n")
+  }
+
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.6,
                         maxShingleDocFreq: Option[Int] = None): DataFrame = {
     // The inverted index keys on 64-bit shingle HASHES, not shingle
@@ -93,17 +113,14 @@ object Dedup {
     val sh = maxShingleDocFreq match {
       case None => shAll
       case Some(cap) =>
-        // df per shingle is a map-side-combinable count; the anti-join
-        // against the (tiny) hot-shingle list broadcasts. Under the
+        // df per shingle is a map-side-combinable count; the joins
+        // against the (tiny) hot-shingle list broadcast. Under the
         // cap, ns must count the CAPPED universe — size(fh) no longer
-        // matches — so the surviving rows re-derive it with a window
-        // over the post-cap shingle set (one extra shuffle, only on
-        // the capped path).
+        // matches — adjusted by [[capAdjust]]'s dropped-row subtract
+        // (capped path only).
         val hot = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select("shingle")
-        shAll.join(hot, Seq("shingle"), "left_anti")
-          .withColumn("ns", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+        capAdjust(shAll, hot, "doc_id", "ns")
     }
     sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -357,18 +374,14 @@ object Dedup {
       case Some(cap) =>
         // hot shingles measured over BOTH sides so the capped universe
         // is consistent for the jaccard sizes below; under the cap the
-        // carried count must cover the CAPPED universe, so surviving
-        // rows re-derive it with a per-doc window (capped path only)
+        // carried count must cover the CAPPED universe — adjusted by
+        // [[capAdjust]]'s dropped-row subtract (capped path only)
         val all = shingled(corpus, "c_id", "nc")
           .unionByName(shingled(exactNovel, "c_id", "nc"))
         val hot = all.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select("shingle")
-        def recount(df: DataFrame, id: String, ns: String) =
-          df.join(hot, Seq("shingle"), "left_anti")
-            .withColumn(ns, count(lit(1)).over(
-              org.apache.spark.sql.expressions.Window.partitionBy(id)))
-        (recount(shingled(corpus, "c_id", "nc"), "c_id", "nc"),
-          recount(shingled(exactNovel, "d_id", "nd"), "d_id", "nd"))
+        (capAdjust(shingled(corpus, "c_id", "nc"), hot, "c_id", "nc"),
+          capAdjust(shingled(exactNovel, "d_id", "nd"), hot, "d_id", "nd"))
     }
     val dupDelta = cSh.join(dSh, "shingle")
       .groupBy("c_id", "d_id")
@@ -482,10 +495,11 @@ object Dedup {
     * hot = df over corpus ∪ delta > cap, with the corpus side read
     * from the index's materialized `dfs` rows (never recomputed from
     * corpus text or a corpus-wide groupBy). Per-doc sizes over the
-    * capped universe are re-derived with one per-doc window on the
-    * surviving rows (capped path only); the uncapped path reads the
-    * `nc` a shingle row already carries — no counts join either
-    * way. */
+    * capped universe are the carried `nc`/`nd` MINUS each doc's
+    * dropped-row tally (capped path only) — only the rows the cap
+    * drops are aggregated, never a corpus-wide per-doc shuffle; the
+    * uncapped path reads the carried `nc` as-is — no counts join
+    * either way. */
   def deltaDedupIndexed(index: DedupIndex, delta: DataFrame, k: Int = 3,
                         threshold: Double = 0.6,
                         maxShingleDocFreq: Option[Int] = None,
@@ -516,14 +530,12 @@ object Dedup {
           .filter(coalesce(col("df"), lit(0L)) + coalesce(col("ddf"), lit(0L)) > cap)
           .select("shingle")
         // the carried counts are stale under the cap (they counted the
-        // full universe): surviving rows re-derive them with a per-doc
-        // window, exactly like deltaDedup's capped branch
-        def recount(df: DataFrame, id: String, ns: String) =
-          df.join(hot, Seq("shingle"), "left_anti")
-            .withColumn(ns, count(lit(1)).over(
-              org.apache.spark.sql.expressions.Window.partitionBy(id)))
-        (recount(index.shingles, "c_id", "nc"),
-          recount(dShAll, "d_id", "nd"))
+        // full universe): [[capAdjust]]'s dropped-row subtract keeps
+        // the per-batch cost proportional to the rows the cap drops —
+        // a re-count window here would shuffle every surviving CORPUS
+        // shingle row by c_id on every ingest batch
+        (capAdjust(index.shingles, hot, "c_id", "nc"),
+          capAdjust(dShAll, hot, "d_id", "nd"))
     }
     val dupDelta = cSh.join(dSh, "shingle")
       .groupBy("c_id", "d_id")
