@@ -278,25 +278,33 @@ object EventStreams {
   case class FunnelRow(user_id: Long, stage: Long)
 
   /** Fold a batch of events (ANY arrival order) into a funnel state:
-    * sort by full-precision event time, then advance stages with
-    * re-scan passes so equal-timestamp chains resolve exactly as the
-    * batch funnel's `ts >= t_prev` does. Shared by [[funnelState]]
-    * (per micro-batch) and [[funnelStateBuffered]] (per
-    * watermark-released slice). */
+    * sort by full-precision event time, then per stage take the FIRST
+    * eligible event in time order — i.e. the MIN eligible timestamp,
+    * exactly the batch funnel's `min(ts) where ts >= t_prev` chaining
+    * (q89). The scan restarts after each advance; a single
+    * continue-forward pass would be greedy, not minimal — with
+    * stages (view, signup) and events signup@100, view@100,
+    * signup@200 (sort order puts the tied signup first), a forward
+    * scan passes signup@100 before view@100 opens the stage and then
+    * grabs signup@200, while the batch funnel chains t2 = min signup
+    * >= 100 = 100. Shared by [[funnelState]] (per micro-batch) and
+    * [[funnelStateBuffered]] (per watermark-released slice); O(stages
+    * · events) like the re-scan bound it replaces. */
   private def foldFunnel(init: FunnelState, events: Seq[Event],
                          stages: Seq[String]): FunnelState = {
     val evs = events.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
     var s = init
     var progressed = true
     while (progressed && s.stage < stages.length) {
-      val before = s.stage
-      evs.foreach { e =>
-        val atOrAfter = e.ts.getTime > s.sinceMs ||
-          (e.ts.getTime == s.sinceMs && e.ts.getNanos >= s.sinceNanos)
-        if (s.stage < stages.length && e.event_type == stages(s.stage) && atOrAfter)
-          s = FunnelState(s.stage + 1, e.ts.getTime, e.ts.getNanos)
+      progressed = false
+      evs.find { e =>
+        e.event_type == stages(s.stage) &&
+          (e.ts.getTime > s.sinceMs ||
+            (e.ts.getTime == s.sinceMs && e.ts.getNanos >= s.sinceNanos))
+      }.foreach { e =>
+        s = FunnelState(s.stage + 1, e.ts.getTime, e.ts.getNanos)
+        progressed = true
       }
-      progressed = s.stage > before
     }
     s
   }

@@ -158,6 +158,23 @@ class Round7Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnelState takes the MIN eligible event per stage, not the greedy one") {
+    import graft.streaming.EventStreams
+    // signup@100 sorts BEFORE the view@100 that opens its stage; a
+    // greedy continue-forward scan would pass it and chain through
+    // signup@200, losing purchase@150 (stage 2). q89's min-eligible
+    // chaining gives t2 = min signup >= 100 = 100, t3 = 150 -> stage 3.
+    val evs = Seq(
+      EventStreams.Event(1L, new java.sql.Timestamp(100000L), 7L, "signup", 1.0),
+      EventStreams.Event(2L, new java.sql.Timestamp(100000L), 7L, "view", 1.0),
+      EventStreams.Event(3L, new java.sql.Timestamp(150000L), 7L, "purchase", 1.0),
+      EventStreams.Event(4L, new java.sql.Timestamp(200000L), 7L, "signup", 1.0)
+    ).toDS()
+    val out = EventStreams.funnelState(evs, Seq("view", "signup", "purchase"))
+      .collect()
+    assert(out.length == 1 && out(0).stage == 3L)
+  }
+
   test("funnelStateBuffered in batch mode equals funnelState on in-order data") {
     import graft.streaming.EventStreams
     def ev(id: Long, sec: Long, user: Long, tpe: String) =
