@@ -111,7 +111,14 @@ object Memo {
         p == target || p.startsWith(target + "/") ||
           target.startsWith(p + "/")
       }
-    df.queryExecution.analyzed.collectLeaves().exists {
+    // collectWithSubqueries, not collectLeaves: a file read inside an
+    // IN/EXISTS/scalar subquery is a separate plan tree hanging off an
+    // expression — invisible to the outer plan's leaves, and a
+    // memoized frame built over one would silently escape
+    // invalidation, the exact hole the closed-world stance forbids
+    df.queryExecution.analyzed.collectWithSubqueries {
+      case l if l.children.isEmpty => l
+    }.exists {
       case l: LogicalRelation => l.relation match {
         case h: HadoopFsRelation => underTarget(h.location.rootPaths)
         case _ => true // non-file DSv1 relation: can't prove unaffected

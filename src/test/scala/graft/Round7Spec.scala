@@ -217,6 +217,20 @@ class Round7Spec extends AnyFunSuite {
     assert(builds == 4, "entries not reading the path must survive invalidation")
     entry("inv_file") { spark.read.parquet(s"$dir/t") }
     assert(builds == 5, "the entry reading the rewritten path must rebuild")
+    // a read hidden inside an IN-subquery is a separate plan tree off
+    // an expression — collectLeaves alone would miss it
+    spark.read.parquet(s"$dir/t").createOrReplaceTempView("memo_inv_sub")
+    entry("inv_subquery") {
+      spark.range(5).toDF("id")
+        .filter("id IN (SELECT id FROM memo_inv_sub)")
+    }
+    assert(builds == 6)
+    Memo.invalidatePath(dir)
+    entry("inv_subquery") {
+      spark.range(5).toDF("id")
+        .filter("id IN (SELECT id FROM memo_inv_sub)")
+    }
+    assert(builds == 7, "a subquery read under the path must invalidate")
     Memo.clear(spark)
   }
 
