@@ -261,7 +261,12 @@ object TextQueries {
     // counts/dfs derive from it with one aggregation each.
     val raw = Dedup.buildDedupIndex(
       docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), k = 3)
-    val shingles = Memo.of(spark, s"dedup_index_shingles:$dir:k=3")(raw.shingles)
+    // the key carries EVERY dial that shapes the frame (the Memo
+    // contract): the doc_id bound and the %5 corpus split are as much
+    // inputs as dir/k — an unqualified "index shingles for dir" key
+    // would serve this q105-specific subset to any future consumer
+    val shingles = Memo.of(spark,
+      s"q105_index_shingles:$dir:k=3:id_lt=1000:corpus=mod5ne0")(raw.shingles)
     // populate the cache BEFORE the consuming plan runs: the capped
     // path scans the shingle table from several joins of one job, and
     // a lazily-persisted frame can be recomputed by each of them
@@ -269,7 +274,8 @@ object TextQueries {
     // every consumer a cache read (the parquet-index read, replayed)
     shingles.count()
     val index = Dedup.DedupIndex(
-      Memo.of(spark, s"dedup_index_hashes:$dir")(raw.hashes),
+      Memo.of(spark,
+        s"q105_index_hashes:$dir:k=3:id_lt=1000:corpus=mod5ne0")(raw.hashes),
       shingles,
       shingles.select("c_id", "nc").distinct(),
       shingles.groupBy("shingle").agg(count(lit(1)).as("df")))
