@@ -138,6 +138,15 @@ object CorpusIngest {
     path.getFileSystem(spark.sessionState.newHadoopConf()).exists(path)
   }
 
+  /** A directory is a READABLE parquet table only if it holds at least
+    * one footer — a dir whose every partition was excluded, compacted
+    * away, or devolved (the straddle spec's dfs case) exists but makes
+    * `spark.read.parquet` throw UNABLE_TO_INFER_SCHEMA. One recursive
+    * driver-side listing, same cost class as the existence probe. */
+  private def hasParquetData(spark: SparkSession, p: String): Boolean =
+    pathExists(spark, p) &&
+      graft.operators.Maintenance.listParquet(spark, p)._1 > 0
+
   def readCorpus(spark: SparkSession, corpusPath: String): Option[DataFrame] =
     if (!pathExists(spark, corpusPath)) None
     else {
@@ -153,37 +162,59 @@ object CorpusIngest {
     * replay) — while an empty SHINGLE table beside a non-empty hash
     * set is a legitimate index (docs shorter than k tokens) and must
     * not disable the exact-dup filter. */
-  private def readIndexExcluding(spark: SparkSession, outDir: String,
+  private[graft] def readIndexExcluding(spark: SparkSession, outDir: String,
                                  batchId: Long): Option[Dedup.DedupIndex] = {
     val paths = Seq("hashes", "shingles", "counts", "dfs")
       .map(t => s"$outDir/index/$t")
-    if (!paths.take(3).forall(pathExists(spark, _))) None
+    if (!paths.take(3).forall(hasParquetData(spark, _))) None
     else {
       def tbl(p: String) = spark.read.parquet(p)
         .filter(col("ingest_batch") =!= batchId)
         .drop("ingest_batch")
       val hashes = tbl(paths(0))
-      // an index laid down before the r7 denormalization stored
-      // shingle rows without the carried per-doc count — restore it
-      // with a per-doc window (lazy; one shuffle, only if consumed)
-      val shinglesRaw = tbl(paths(1))
+      import org.apache.spark.sql.functions.{count => cnt, lit, sum => fsum}
+      // An index can STRADDLE the r7 denormalization: batches laid
+      // down before it store shingle rows without the carried per-doc
+      // count (`nc`) and wrote no `dfs` partials (the two shipped
+      // together), while later batches have both. mergeSchema makes
+      // the straddle VISIBLE — pre-r7 rows read as nc = NULL — where
+      // a plain read would take whichever file's schema the reader
+      // sampled and either drop nc everywhere or silently feed NULL
+      // counts into the jaccard filter. (mergeSchema reads every file
+      // footer — a per-batch driver metadata cost, the price of not
+      // guessing the format vintage.)
+      val shinglesRaw = spark.read.option("mergeSchema", "true")
+        .parquet(paths(1))
+        .filter(col("ingest_batch") =!= batchId)
+        .drop("ingest_batch")
+      val hasNc = shinglesRaw.columns.contains("nc")
+      // legacy rows (the pre-r7 vintage) restore nc with a per-doc
+      // window over ONLY themselves — a doc's rows all land in one
+      // batch, so the legacy subset contains every row of its docs;
+      // post-r7 rows never pay the shuffle (lazy; runs only if a
+      // near-dup leg consumes it)
+      val legacy = if (hasNc) shinglesRaw.filter(col("nc").isNull)
+                   else shinglesRaw
+      val legacyFilled = legacy.withColumn("nc",
+        cnt(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("c_id")))
       val shingles =
-        if (shinglesRaw.columns.contains("nc")) shinglesRaw
-        else shinglesRaw.withColumn("nc",
-          org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)).over(
-              org.apache.spark.sql.expressions.Window.partitionBy("c_id")))
-      // corpus-wide df = sum of the per-batch partials; an index laid
-      // down before the dfs table existed falls back to deriving df
-      // from the shingle rows (lazy — the aggregation only ever runs
-      // if a capped deltaDedupIndexed call consumes it)
+        if (hasNc) shinglesRaw.filter(col("nc").isNotNull)
+          .unionByName(legacyFilled)
+        else legacyFilled
+      // corpus-wide df = sum of the per-batch partials PLUS the
+      // legacy rows' own counts — partials exist only for post-r7
+      // batches, so summing them alone would undercount every shingle
+      // the legacy prefix contains; an index with no dfs table at all
+      // derives df wholly from the shingle rows (lazy, capped path
+      // only, same as before)
       val dfs =
-        if (pathExists(spark, paths(3)))
-          tbl(paths(3)).groupBy("shingle")
-            .agg(org.apache.spark.sql.functions.sum("df").as("df"))
-        else shingles.groupBy("shingle")
-          .agg(org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)).as("df"))
+        if (hasParquetData(spark, paths(3)))
+          tbl(paths(3)).select(col("shingle"), col("df"))
+            .unionByName(
+              legacy.groupBy("shingle").agg(cnt(lit(1)).as("df")))
+            .groupBy("shingle").agg(fsum("df").as("df"))
+        else shingles.groupBy("shingle").agg(cnt(lit(1)).as("df"))
       if (hashes.isEmpty) None
       else Some(Dedup.DedupIndex(hashes, shingles, tbl(paths(2)), dfs))
     }

@@ -144,6 +144,43 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(storedCounts == rebuiltCounts)
   }
 
+  test("a straddled index (pre-denormalization batches) repairs df and nc exactly") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ingest_str").toString
+    CorpusIngest.processBatch(fixtureDocs.filter($"doc_id" < 200), outDir, 0L)
+    // devolve batch 0 to the pre-denormalization vintage: its shingle
+    // rows lose the carried nc and its dfs partial disappears — the
+    // state an index upgraded mid-ingest is actually in
+    val shDir = s"$outDir/index/shingles/ingest_batch=0"
+    val legacy = spark.read.parquet(shDir).drop("nc")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_str_tmp").toString
+    legacy.write.mode("overwrite").parquet(tmp)
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf)
+      p.delete()
+    }
+    rmrf(new java.io.File(shDir))
+    new java.io.File(tmp).renameTo(new java.io.File(shDir))
+    rmrf(new java.io.File(s"$outDir/index/dfs/ingest_batch=0"))
+    // a post-upgrade batch lands beside it
+    CorpusIngest.processBatch(
+      fixtureDocs.filter($"doc_id" >= 200 && $"doc_id" < 400), outDir, 1L)
+    // the straddled read must reconstruct EXACTLY the index a fresh
+    // build over the accumulated corpus produces: summing only the
+    // post-upgrade dfs partials would undercount every shingle the
+    // legacy prefix contains, and a schema-sampled read could feed
+    // NULL nc into the jaccard filter
+    val idx = CorpusIngest.readIndexExcluding(spark, outDir, 99L).get
+    val corpus = CorpusIngest.readCorpus(spark, s"$outDir/corpus").get
+    val rebuilt = Dedup.buildDedupIndex(corpus)
+    def dfMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dfMap(idx.dfs.select($"shingle", $"df")) ==
+      dfMap(rebuilt.dfs.select($"shingle", $"df".cast("long"))))
+    assert(dfMap(idx.shingles.select($"c_id", $"nc").distinct()) ==
+      dfMap(rebuilt.counts))
+    assert(idx.shingles.filter($"nc".isNull).count() == 0)
+  }
+
   test("publishSnapshot: same docs, no provenance column, sorted file layout") {
     val outDir = java.nio.file.Files.createTempDirectory("graft_ingest_snap").toString
     val snapDir = java.nio.file.Files.createTempDirectory("graft_snap").toString + "/v1"
