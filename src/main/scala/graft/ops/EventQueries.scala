@@ -450,7 +450,44 @@ object EventQueries {
       .select(col("user_id"), col("stage"))
   }
 
+  /** Last-touch attribution: each purchase is credited to the user's
+    * most recent PRECEDING non-purchase event (the "channel"), then
+    * channels roll up to attributed-purchase counts and revenue — the
+    * marketing-analytics sibling of the as-of join (q54 matches on a
+    * dimension table; this matches within one ordered stream).
+    *
+    * One window, no join: last(channel, ignoreNulls) over
+    * (user, time) rows-preceding frames carries the latest
+    * non-purchase type forward to each purchase row. Partitioned by
+    * user — parallel at any scale, the q99 LOCF shape. First-touch
+    * would be the same window with first(); multi-touch would explode
+    * a preceding-rows frame. Order ties break on event_id (the q92
+    * determinism stance); revenue sums in exact DECIMAL. Purchases
+    * with no preceding touch report as the 'direct' channel — kept,
+    * not dropped, so the counts reconcile to total purchases. */
+  def q113Attribution(spark: SparkSession, dir: String): DataFrame =
+    attribution(Tables.events(spark, dir))
+
+  /** The operator core over any (event_id, ts, user_id, event_type,
+    * value) frame — q113 binds it to the fixture. */
+  def attribution(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast("decimal(12,2)")).cast("double")
+          .as("revenue"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_attribution"    -> (q113Attribution _),
     "q104_funnel_stages"  -> (q104FunnelStages _),
     "q94_rolling_active"  -> (q94RollingActive _),
     "q95_latest_per_key"  -> (q95LatestPerKey _),
@@ -477,6 +514,23 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same preceding-rows IGNORE NULLS window; decimal-exact
+    // revenue, the q50 stance
+    "q113_attribution" ->
+      """WITH a AS (
+        |  SELECT event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |                    THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS touch
+        |  FROM events)
+        |SELECT coalesce(touch, 'direct') AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM a WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
+
     // greedy earliest-chain funnel per user (q89's construction, kept
     // as the per-user assignment): stage k needs the k-th event type
     // at-or-after the (k-1)-th stage's minimum eligible time

@@ -773,7 +773,90 @@ object Relational {
     mode.join(disc, Seq("l_returnflag"))
   }
 
+  /** 2-D skyline / Pareto frontier: orders no other order dominates,
+    * where p dominates o iff p is at-least-as-early AND at-least-as-
+    * expensive, strictly better in one. (The "best trade-offs" query —
+    * here: the price frontier over time.) Equal (date, price) twins
+    * don't dominate each other and both stay.
+    *
+    * Shape: the textbook formulation is a quadratic self-anti-join
+    * (the oracle runs exactly that, NOT EXISTS) — O(n²) never
+    * survives 100 TB. This plan is the two-stage sort-based skyline:
+    *   1. LOCAL frontier per month partition — a partitioned RANGE
+    *      window: keep a row iff it is its day's max price AND
+    *      strictly beats every strictly-earlier day's max in the
+    *      month. Parallel over partitions, one shuffle on month.
+    *   2. GLOBAL pass with the same two windows over the survivors
+    *      only. Correct because the global frontier is a subset of
+    *      every local frontier (dominance within a month is dominance
+    *      globally), and any global dominator is itself represented
+    *      among the survivors: for p dominating o from an earlier
+    *      date, p's month keeps its earliest max-price point c with
+    *      c.date <= p.date and c.price >= p.price, so stage 2 still
+    *      sees a dominator of o. The stage-2 frame is bounded by
+    *      Σ per-month frontier sizes — months × frontier width, not
+    *      row count — so its unpartitioned window is a documented
+    *      small-frame case (the q86/q100 stance), and the pattern
+    *      generalizes to any partition key that chunks the sort
+    *      dimension. */
+  def q110Skyline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def frontier(df: DataFrame, part: Seq[String]): DataFrame = {
+      val dayMax = Window.partitionBy(($"day" +: part.map(col)): _*)
+      val prev = (if (part.isEmpty) Window.orderBy($"day")
+                  else Window.partitionBy(part.map(col): _*).orderBy($"day"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      df.withColumn("day_max", max($"o_totalprice").over(dayMax))
+        .withColumn("prev_max", max($"o_totalprice").over(prev))
+        .filter($"o_totalprice" === $"day_max" &&
+          ($"prev_max".isNull || $"o_totalprice" > $"prev_max"))
+        .drop("day_max", "prev_max")
+    }
+    val base = Tables.orders(spark, dir).select(
+      $"o_orderkey",
+      datediff($"o_orderdate".cast("date"), lit("1970-01-01").cast("date"))
+        .as("day"),
+      date_format($"o_orderdate", "yyyy-MM").as("mon"),
+      date_format($"o_orderdate", "yyyy-MM-dd").as("odate"),
+      $"o_totalprice")
+    frontier(frontier(base, Seq("mon")), Nil)
+      .select($"o_orderkey", $"odate", $"o_totalprice")
+  }
+
+  /** Per-group OLS regression (extendedprice on quantity, by return
+    * flag): slope / intercept / r² from DECIMAL-EXACT sufficient
+    * statistics, double only in the final formulas — q88's stance
+    * widened from one global correlation to a per-group model fit.
+    * DuckDB's own regr_slope/regr_r2 accumulate in streaming doubles
+    * (partition-order dependent), so the oracle states the SAME
+    * explicit formula over the same decimal sums instead — the
+    * operation sequence, literally associated alike on both sides, is
+    * what the hash gate certifies. One combinable groupBy, 3 groups
+    * out; nothing here grows with row count. */
+  def q114GroupRegression(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_returnflag", dec($"l_quantity").as("x"),
+        dec($"l_extendedprice").as("y"))
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"x").cast("double").as("sx"), sum($"y").cast("double").as("sy"),
+        sum($"x" * $"y").cast("double").as("sxy"),
+        sum($"x" * $"x").cast("double").as("sxx"),
+        sum($"y" * $"y").cast("double").as("syy"))
+      .withColumn("slope",
+        ($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx"))
+      .withColumn("intercept", ($"sy" - $"slope" * $"sx") / $"n")
+      .withColumn("r2",
+        ($"slope" * ($"n" * $"sxy" - $"sx" * $"sy")) /
+          ($"n" * $"syy" - $"sy" * $"sy"))
+      .select($"l_returnflag", $"n", $"slope", $"intercept", $"r2")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_skyline"        -> (q110Skyline _),
+    "q114_group_regression" -> (q114GroupRegression _),
     "q98_lateral"         -> (q98Lateral _),
     "q102_listagg"        -> (q102Listagg _),
     "q108_modal_stats"    -> (q108ModalStats _),
@@ -893,6 +976,38 @@ object Relational {
         |  quantile_cont(l_extendedprice, 0.90) AS p90,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // the textbook quadratic NOT-EXISTS skyline — the semantic
+    // definition the two-stage windowed plan must reproduce exactly
+    "q110_skyline" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
+        |  o_totalprice
+        |FROM orders o
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders p
+        |  WHERE p.o_orderdate <= o.o_orderdate
+        |    AND p.o_totalprice >= o.o_totalprice
+        |    AND (p.o_orderdate < o.o_orderdate
+        |         OR p.o_totalprice > o.o_totalprice))""".stripMargin,
+
+    // decimal-exact sufficient statistics per group, the q88 stance;
+    // regr_slope/regr_r2 would stream doubles in partition order and
+    // can never face the hash gate — the explicit formula can
+    "q114_group_regression" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+        |  (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept,
+        |  (((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (n * sxy - sx * sy)) /
+        |    (n * syy - sy * sy) AS r2
+        |FROM s""".stripMargin,
 
     // decimal-exact sufficient statistics, double only in the final
     // formula — the identical IEEE op sequence in both engines

@@ -421,7 +421,87 @@ object TextQueries {
     r.select(col("term"), col("deg"), col("rank"))
   }
 
+  /** [[q111EditDistancePairs]]' blocking dials: pairs form only inside
+    * a 24-char-prefix block of ≤ 64 docs, and distance runs on 200-char
+    * heads. */
+  private val EditBlockChars = 24
+  private val EditBlockCap = 64L
+  private val EditHeadChars = 200
+  private val EditMaxDist = 30
+
+  /** Character-level near-dup pairs by bounded Levenshtein distance —
+    * the edit-distance leg of the dedup family (ngram Jaccard is
+    * set-based and misses single-char edit chains; SimHash is
+    * token-hashed; this one sees transpositions and typos directly).
+    *
+    * Candidate generation is prefix BLOCKING, the classic
+    * record-linkage move: only docs sharing their first 24 chars ever
+    * meet, so the join is equi on the block key — never a cross
+    * product. Two bounds make the worst case safe at corpus scale:
+    * blocks larger than 64 docs are dropped entirely (boilerplate
+    * headers are the skew risk here, the same pathology
+    * maxShingleDocFreq caps on the shingle paths — a block of f docs
+    * costs f·(f−1)/2 pairs), and the O(len²) distance itself runs on
+    * 200-char heads, a constant per pair.
+    *
+    * ASCII guard, load-bearing for the oracle: DuckDB's levenshtein
+    * counts UTF-8 BYTES ('héllo'→'hello' = 2) where Spark counts
+    * chars (= 1), so the comparison is pinned to docs where the two
+    * units coincide. A production corpus would route non-ASCII docs
+    * through the token-based legs instead. */
+  def q111EditDistancePairs(spark: SparkSession, dir: String): DataFrame =
+    editDistancePairs(Tables.documents(spark, dir))
+
+  /** The operator core over any (doc_id, text) frame — q111 binds it
+    * to the fixture; the spec drives crafted corpora through it. */
+  def editDistancePairs(docs: DataFrame): DataFrame = {
+    val d = docs
+      .filter(col("text").rlike("^[ -~]*$"))
+      .select(col("doc_id"),
+        substring(col("text"), 1, EditBlockChars).as("blk"),
+        substring(col("text"), 1, EditHeadChars).as("head"))
+    val ok = d.groupBy("blk").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= EditBlockCap).select("blk")
+    val b = d.join(ok, Seq("blk"), "left_semi")
+    b.as("a").join(b.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        levenshtein(col("a.head"), col("b.head")).cast("long").as("lev"))
+      .filter(col("lev") <= EditMaxDist)
+  }
+
+  /** Token diversity per doc — Simpson's index 1 − Σc²/n² (the
+    * probability two independently drawn tokens differ). The
+    * repetition signal [[q47Repetition]]'s top-bigram ratio sees
+    * locally, this sees globally: template/boilerplate docs score low
+    * even when no single bigram dominates. Deliberately Simpson, NOT
+    * Shannon entropy: entropy sums c·log₂c terms — transcendental
+    * last-ulps differ across libm implementations AND float addition
+    * doesn't associate across partitions, two independent hash-gate
+    * killers (the BM25 rational-idf rationale) — while n and Σc² are
+    * exact BIGINTs and the single final division is one IEEE op on
+    * both engines. Two combinable aggregates; no shuffle beyond the
+    * (doc_id, token) groupBy the tf queries already pay. */
+  def q112TokenDiversity(spark: SparkSession, dir: String): DataFrame =
+    tokenDiversity(Tables.documents(spark, dir))
+
+  /** The operator core over any (doc_id, text) frame. */
+  def tokenDiversity(docs: DataFrame): DataFrame = {
+    val c = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    c.groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("c")).as("sumc2"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        ((col("n_tokens") * col("n_tokens") - col("sumc2")).cast("double") /
+          (col("n_tokens") * col("n_tokens")).cast("double")).as("diversity"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_edit_distance" -> (q111EditDistancePairs _),
+    "q112_token_diversity" -> (q112TokenDiversity _),
     "q82_passage_prune" -> (q82PassagePrune _),
     "q84_temperature_mix" -> (q84TemperatureMix _),
     "q101_pagerank"     -> (q101PageRank _),
@@ -472,6 +552,37 @@ object TextQueries {
        |           GROUP BY e.dst) c ON r.term = c.dst)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same blocking dials as the Spark side; the ASCII guard pins
+    // DuckDB's byte-counting levenshtein to inputs where bytes=chars
+    "q111_edit_distance" ->
+      """WITH d AS (
+        |  SELECT doc_id, substr(text, 1, 24) AS blk,
+        |    substr(text, 1, 200) AS head
+        |  FROM documents WHERE regexp_matches(text, '^[ -~]*$')),
+        |ok AS (SELECT blk FROM d GROUP BY blk HAVING count(*) <= 64)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(levenshtein(a.head, b.head) AS BIGINT) AS lev
+        |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE a.blk IN (SELECT blk FROM ok)
+        |  AND levenshtein(a.head, b.head) <= 30""".stripMargin,
+
+    // integer-exact Simpson diversity; the one division is the only
+    // float op and runs on identical BIGINT inputs in both engines
+    "q112_token_diversity" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        |      FROM t GROUP BY 1, 2),
+        |s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |        CAST(count(*) AS BIGINT) AS n_distinct,
+        |        CAST(sum(c * c) AS BIGINT) AS sumc2
+        |      FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  CAST(n_tokens * n_tokens - sumc2 AS DOUBLE) /
+        |    CAST(n_tokens * n_tokens AS DOUBLE) AS diversity
+        |FROM s""".stripMargin,
+
     // fixed-point integer PageRank, three unrolled iterations — every
     // division floors identically in both engines; the per-doc top-16
     // term cap (tf desc, term asc — the Spark side's exact window)

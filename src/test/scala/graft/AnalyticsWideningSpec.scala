@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{EventQueries, Relational, TextQueries}
+
+/** Contracts for the round-7 widening queries (q110–q114): the
+  * two-stage windowed skyline reproduces the quadratic dominance
+  * definition exactly, edit-distance blocking caps its worst case,
+  * Simpson diversity hits its closed-form anchors, attribution
+  * resolves crafted touch chains, and the decimal-stats regression
+  * agrees with Spark's own streaming regr_* aggregates. */
+class AnalyticsWideningSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q110 skyline equals the brute-force dominance filter") {
+    // the oracle's NOT EXISTS, replayed in Spark as an anti-join over
+    // the raw fixture — the definition the windowed plan must match
+    val o = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderdate".as("d"), $"o_totalprice".as("p"))
+    val dominated = o.as("a").join(o.as("b"),
+        $"b.d" <= $"a.d" && $"b.p" >= $"a.p" &&
+          ($"b.d" < $"a.d" || $"b.p" > $"a.p"), "left_semi")
+      .select($"a.o_orderkey")
+    val brute = o.join(dominated, Seq("o_orderkey"), "left_anti")
+      .select($"o_orderkey").as[Long].collect().toSet
+    val sky = Relational.q110Skyline(spark, dir)
+      .select($"o_orderkey").as[Long].collect().toSet
+    assert(sky == brute, s"windowed=${sky.size} brute=${brute.size}")
+    assert(sky.nonEmpty)
+  }
+
+  test("q110 skyline keeps equal (date, price) twins — neither dominates") {
+    val sky = Relational.q110Skyline(spark, dir).collect()
+    // determinism under re-run (window plans have no order ambiguity)
+    val again = Relational.q110Skyline(spark, dir).collect()
+    assert(sky.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("edit-distance pairs: finds close pairs, drops oversized blocks and non-ASCII") {
+    val prefix = "the quick brown fox jump" // exactly 24 chars
+    val docs = Seq(
+      (1L, prefix + "s over the lazy dog tonight"),
+      (2L, prefix + "s over the lazy cat tonight"), // lev 3 from doc 1
+      (3L, "completely different text with no shared prefix at all"),
+      (4L, prefix + "x " + ("y" * 300)), // same block, far beyond maxDist
+      (5L, "héllo non-ascii twin one two three"),
+      (6L, "héllo non-ascii twin one two threx")
+    ).toDF("doc_id", "text")
+    val pairs = TextQueries.editDistancePairs(docs)
+      .select($"d1", $"d2", $"lev").as[(Long, Long, Long)].collect().toSet
+    assert(pairs.map(p => (p._1, p._2)) == Set((1L, 2L)),
+      s"expected only the (1,2) pair, got $pairs")
+    assert(pairs.head._3 == 3L) // dog→cat = 3 substitutions
+    // an oversized block (boilerplate header skew) is dropped entirely:
+    // 65 docs sharing the block key yield zero pairs, not 65·64/2
+    val big = (0 until 65).map(i => (100L + i, prefix + s" variant $i"))
+      .toDF("doc_id", "text")
+    assert(TextQueries.editDistancePairs(big).count() == 0)
+    // one under the cap and the pairs appear
+    val okSized = (0 until 64).map(i => (100L + i, prefix + s" variant $i"))
+      .toDF("doc_id", "text")
+    assert(TextQueries.editDistancePairs(okSized).count() == 64L * 63 / 2)
+  }
+
+  test("token diversity: closed-form anchors and range") {
+    val docs = Seq(
+      (1L, "a a a a"),       // one distinct token → 0
+      (2L, "a b c d"),       // all distinct, n=4 → 1 − 4/16 = 0.75
+      (3L, "a a b b")        // 1 − (4+4)/16 = 0.5
+    ).toDF("doc_id", "text")
+    val m = TextQueries.tokenDiversity(docs)
+      .select($"doc_id", $"diversity").as[(Long, Double)].collect().toMap
+    assert(m(1L) == 0.0 && m(2L) == 0.75 && m(3L) == 0.5)
+    val fx = TextQueries.q112TokenDiversity(spark, dir)
+      .agg(min($"diversity"), max($"diversity")).as[(Double, Double)].head()
+    assert(fx._1 >= 0.0 && fx._2 < 1.0)
+  }
+
+  test("attribution: latest preceding touch wins; untouched purchases are 'direct'") {
+    def ev(id: Long, sec: Long, user: Long, tpe: String, v: Double) =
+      (id, new java.sql.Timestamp(sec * 1000), user, tpe, v)
+    val events = Seq(
+      // user 1: view → click → purchase (credit: click, the LATEST)
+      ev(1, 100, 1, "view", 0), ev(2, 200, 1, "click", 0),
+      ev(3, 300, 1, "purchase", 10.0),
+      // user 1 buys again with no new touch: the click still carries
+      ev(4, 400, 1, "purchase", 5.0),
+      // user 2: purchase before any touch → direct
+      ev(5, 50, 2, "purchase", 2.5),
+      // user 2 then touches and buys → view
+      ev(6, 60, 2, "view", 0), ev(7, 70, 2, "purchase", 1.5)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val byChannel = EventQueries.attribution(events).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(byChannel("click") == ((2L, 15.0)))
+    assert(byChannel("direct") == ((1L, 2.5)))
+    assert(byChannel("view") == ((1L, 1.5)))
+    assert(!byChannel.contains("purchase"))
+  }
+
+  test("group regression agrees with Spark's own regr_* aggregates") {
+    // Spark's regr_slope/regr_intercept/regr_r2 stream doubles in
+    // partition order — unusable under the hash gate, but a fine
+    // 1e-9 cross-check that the decimal-stats formulas are the same
+    // model (the q88 stat.corr stance)
+    val ours = Relational.q114GroupRegression(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val ref = Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(expr("regr_slope(l_extendedprice, l_quantity)").as("s"),
+        expr("regr_intercept(l_extendedprice, l_quantity)").as("i"),
+        expr("regr_r2(l_extendedprice, l_quantity)").as("r"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(ours.keySet == ref.keySet)
+    for ((k, (s, i, r)) <- ours) {
+      val (s2, i2, r2) = ref(k)
+      assert(math.abs(s - s2) <= 1e-9 * math.max(1.0, math.abs(s2)), s"slope $k")
+      assert(math.abs(i - i2) <= 1e-9 * math.max(1.0, math.abs(i2)), s"intercept $k")
+      assert(math.abs(r - r2) <= 1e-9, s"r2 $k")
+    }
+  }
+}
