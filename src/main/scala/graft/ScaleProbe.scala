@@ -121,7 +121,27 @@ object ScaleProbe {
         // r7: integer power iteration — per iteration one scan + a
         // d-row aggregate, so time ∝ n·d with a fixed job count
         "q107_power_iteration" -> (() =>
-          operators.Spectral.dominantProjection(emb, iterations = 2).count()))
+          operators.Spectral.dominantProjection(emb, iterations = 2).count()),
+        // r7 widening: prefix blocking — content-unique copies change
+        // every token, so blocks never span copies and pair work
+        // scales with docs, not docs²
+        "q111_edit_pairs" -> (() =>
+          ops.TextQueries.editDistancePairs(docs).count()),
+        // r7 widening: two combinable aggregates, linear by shape
+        "q112_diversity" -> (() =>
+          ops.TextQueries.tokenDiversity(docs).count()),
+        // r7 widening: two-stage skyline over synthetic orders (the
+        // fixture's orders table doesn't scale with the docs copies):
+        // hash-dated/priced rows, 100k per scale step — stage 1 is a
+        // partitioned window, stage 2 sees only Σ per-month frontiers
+        "q110_skyline" -> (() => {
+          val synth = spark.range(100000L * s).select(
+            $"id".as("o_orderkey"),
+            to_timestamp(date_add(lit("1992-01-01").cast("date"),
+              pmod(hash($"id"), lit(2557)).cast("int"))).as("o_orderdate"),
+            pmod(hash($"id" * 7), lit(1000000)).cast("double").as("o_totalprice"))
+          ops.Relational.skylineFrontier(synth).count()
+        }))
 
       val rows = probes.map { case (name, f) =>
         val (n, sec) = timeIt(f())

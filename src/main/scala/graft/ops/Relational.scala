@@ -801,6 +801,15 @@ object Relational {
     *      dimension. */
   def q110Skyline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    skylineFrontier(Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderdate", $"o_totalprice"))
+  }
+
+  /** The operator core over any (o_orderkey, o_orderdate,
+    * o_totalprice) frame — q110 binds it to the fixture; ScaleProbe
+    * drives synthetic volumes through it. */
+  def skylineFrontier(orders: DataFrame): DataFrame = {
+    import orders.sparkSession.implicits._
     def frontier(df: DataFrame, part: Seq[String]): DataFrame = {
       val dayMax = Window.partitionBy(($"day" +: part.map(col)): _*)
       val prev = (if (part.isEmpty) Window.orderBy($"day")
@@ -812,7 +821,7 @@ object Relational {
           ($"prev_max".isNull || $"o_totalprice" > $"prev_max"))
         .drop("day_max", "prev_max")
     }
-    val base = Tables.orders(spark, dir).select(
+    val base = orders.select(
       $"o_orderkey",
       datediff($"o_orderdate".cast("date"), lit("1970-01-01").cast("date"))
         .as("day"),
