@@ -412,6 +412,103 @@ object EventStreams {
       }
   }
 
+  case class TouchState(channel: String, sinceMs: Long, sinceNanos: Int,
+                        eventId: Long)
+  case class CreditedPurchase(user_id: Long, event_id: Long, channel: String,
+                              value: Double)
+  case class TouchBufState(touch: TouchState, buf: Seq[Event])
+
+  /** Fold an in-event-time-order slice of one user's events into the
+    * attribution state, crediting each purchase to the latest touch
+    * seen so far ('direct' before any touch) — exactly the batch
+    * q113 window's `last(non-purchase) over rows preceding` with the
+    * same (ts, event_id) tie order: an equal-timestamp touch with a
+    * smaller event_id precedes the purchase and wins the credit. */
+  private def foldTouches(init: TouchState, events: Seq[Event])
+      : (TouchState, Seq[CreditedPurchase]) = {
+    val evs = events.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    var t = init
+    val out = Seq.newBuilder[CreditedPurchase]
+    evs.foreach { e =>
+      if (e.event_type == "purchase")
+        out += CreditedPurchase(e.user_id, e.event_id, t.channel, e.value)
+      else t = TouchState(e.event_type, e.ts.getTime, e.ts.getNanos, e.event_id)
+    }
+    (t, out.result())
+  }
+  private val NoTouch = TouchState("direct", Long.MinValue, 0, Long.MinValue)
+
+  /** Continuous last-touch attribution — the streaming twin of the
+    * batch attribution query (EventQueries q113, whose groupBy is the
+    * downstream windowed count over these rows): each purchase is
+    * emitted exactly once, credited to the user's latest preceding
+    * non-purchase event. State is O(1) per user forever (the current
+    * touch), no watermark eviction needed — the latestPerKey stance.
+    *
+    * Cross-batch stragglers are the documented limit, exactly
+    * [[funnelState]]'s: a TOUCH arriving in a later micro-batch than
+    * the purchase it should have credited cannot retroactively re-credit
+    * (the purchase already emitted as whatever the state held). Per-user
+    * in-order arrival is the contract; the stream≡batch spec covers it,
+    * and [[attributionStateBuffered]] removes the limit at the price of
+    * a watermark-horizon buffer. */
+  def attributionState(events: Dataset[Event]): Dataset[CreditedPurchase] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, CreditedPurchase](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[Event], state: GroupState[TouchState]) =>
+          val (t, credits) = foldTouches(
+            state.getOption.getOrElse(NoTouch), it.toSeq)
+          state.update(t)
+          credits.iterator
+      }
+  }
+
+  /** Watermark-buffered last-touch attribution: events may arrive
+    * across micro-batches in any order within the watermark delay.
+    * Purchases are held in per-user state until the watermark passes
+    * their event time — by which point every touch that could precede
+    * them has arrived (the watermark contract) — then credited in full
+    * event-time order. Emitted credits are FINAL (Append semantics
+    * downstream), one batch later than [[attributionState]] would show
+    * them; state is O(events in the horizon) per user, evicted as the
+    * watermark advances, with an `EventTimeTimeout` waking idle users
+    * so ripened purchases credit without new data. Requires
+    * `withWatermark("ts", ...)` upstream in streaming mode; in batch
+    * mode end-of-data releases everything (≡ the batch q113). */
+  def attributionStateBuffered(events: Dataset[Event])
+      : Dataset[CreditedPurchase] = {
+    import events.sparkSession.implicits._
+    val streaming = events.isStreaming
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchBufState, CreditedPurchase](
+        OutputMode.Append, timeoutConf) {
+        (_: Long, it: Iterator[Event], state: GroupState[TouchBufState]) =>
+          val prev = state.getOption.getOrElse(TouchBufState(NoTouch, Nil))
+          val all = prev.buf ++ it.toSeq
+          if (!streaming) {
+            val (t, credits) = foldTouches(prev.touch, all)
+            state.update(TouchBufState(t, Nil))
+            credits.iterator
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            val (ripe, young) = all.partition(_.ts.getTime <= wm)
+            val (t, credits) = foldTouches(prev.touch, ripe)
+            state.update(TouchBufState(t, young))
+            if (young.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(young.map(_.ts.getTime).min, wm + 1))
+            credits.iterator
+          }
+      }
+  }
+
   /** Arbitrary-stateful sessionization with `flatMapGroupsWithState`:
     * the KeyValueGroupedDataset custom-state path for semantics the
     * built-in session_window can't express (e.g. emitting per-session

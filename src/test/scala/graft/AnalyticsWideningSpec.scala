@@ -103,6 +103,56 @@ class AnalyticsWideningSpec extends AnyFunSuite {
     assert(!byChannel.contains("purchase"))
   }
 
+  test("attributionState in batch mode reproduces the batch q113 channel rollup") {
+    import graft.streaming.EventStreams
+    val evs = Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStreams.Event]
+    def rollup(credits: org.apache.spark.sql.Dataset[EventStreams.CreditedPurchase]) =
+      credits.groupBy($"channel")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(12,2)")).cast("double").as("rev"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+    val streamed = rollup(EventStreams.attributionState(evs))
+    val buffered = rollup(EventStreams.attributionStateBuffered(evs))
+    val batch = EventQueries.q113Attribution(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(streamed == batch)
+    assert(buffered == batch)
+  }
+
+  test("attributionStateBuffered credits a purchase whose touch lands a batch late") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.EventStreams
+    def ev(id: Long, sec: Long, user: Long, tpe: String, v: Double) =
+      EventStreams.Event(id, new java.sql.Timestamp(sec * 1000), user, tpe, v)
+    val ms = MemoryStream[EventStreams.Event]
+    val q = EventStreams.attributionStateBuffered(
+        ms.toDS().withWatermark("ts", "10 seconds"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("buf_attr").start()
+    try {
+      // the purchase arrives a batch BEFORE the click that should get
+      // the credit — attributionState would emit it as 'direct'
+      ms.addData(ev(1, 105, 1, "purchase", 9.0))
+      q.processAllAvailable()
+      ms.addData(ev(2, 100, 1, "click", 0.0)) // late, inside the delay
+      q.processAllAvailable()
+      // watermark carriers: lift the wm past 105, then fire the idle
+      // user's event-time timeout so the ripened purchase credits
+      ms.addData(ev(3, 120, 99, "view", 0.0))
+      q.processAllAvailable()
+      ms.addData(ev(4, 121, 99, "view", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("buf_attr").filter($"user_id" === 1)
+        .select($"event_id", $"channel").as[(Long, String)].collect().toSet
+      assert(rows == Set((1L, "click")),
+        s"late click inside the watermark must win the credit, got $rows")
+    } finally q.stop()
+  }
+
   test("group regression agrees with Spark's own regr_* aggregates") {
     // Spark's regr_slope/regr_intercept/regr_r2 stream doubles in
     // partition order — unusable under the hash gate, but a fine
