@@ -486,8 +486,50 @@ object EventQueries {
           .as("revenue"))
   }
 
+  /** Rolling z-score anomaly flags per user — "is this event's value
+    * an outlier against the user's own recent baseline?", the
+    * per-entity drift tripwire a metrics pipeline runs continuously.
+    *
+    * The baseline is the 5 PRECEDING events (current row excluded —
+    * an outlier must not dilute its own baseline); rows without a
+    * full 5-event history pass unflagged. The z-test runs entirely in
+    * INTEGER arithmetic: values become cents via floor(value·100)
+    * (floor, not cast — Spark's double→bigint cast truncates toward
+    * zero where DuckDB rounds, the q103 divergence), the frame sums
+    * S = Σc and Q = Σc² are exact BIGINTs, and |x − μ| > k·σ is
+    * compared SQUARED with both sides pre-multiplied by n²:
+    * (n·c − S)² > k²·(n·Q − S²) — no division, no sqrt, no float
+    * anywhere, so the flag is bit-stable cross-engine (a float
+    * stddev_samp would differ in last ulps and flip boundary flags).
+    * k = 3. Scale: one partitioned window, frame size constant —
+    * the q99 LOCF shape; nothing global. */
+  def q116RollingAnomaly(spark: SparkSession, dir: String): DataFrame =
+    rollingAnomaly(Tables.events(spark, dir))
+
+  /** The operator core over any (event_id, ts, user_id, value)
+    * frame. */
+  def rollingAnomaly(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-5, -1)
+    events
+      .withColumn("c", floor(col("value") * lit(100.0)).cast("long"))
+      .withColumn("bn", count(lit(1)).over(w))
+      .withColumn("s", sum(col("c")).over(w))
+      .withColumn("q", sum(col("c") * col("c")).over(w))
+      .filter(col("bn") === 5)
+      .withColumn("dev", col("bn") * col("c") - col("s"))
+      .withColumn("var_n2", col("bn") * col("q") - col("s") * col("s"))
+      .withColumn("is_anomaly",
+        (col("dev") * col("dev") > lit(9L) * col("var_n2")).cast("int"))
+      .select(col("event_id"), col("user_id"), col("c").as("cents"),
+        col("dev"), col("var_n2"), col("is_anomaly"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_attribution"    -> (q113Attribution _),
+    "q116_rolling_anomaly" -> (q116RollingAnomaly _),
     "q104_funnel_stages"  -> (q104FunnelStages _),
     "q94_rolling_active"  -> (q94RollingActive _),
     "q95_latest_per_key"  -> (q95LatestPerKey _),
@@ -514,6 +556,26 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // same integer cents, same frame, same squared compare — the
+    // whole z-test is BIGINT arithmetic in both engines
+    "q116_rolling_anomaly" ->
+      """WITH f AS (
+        |  SELECT event_id, user_id,
+        |    CAST(floor(value * 100.0) AS BIGINT) AS c,
+        |    count(*) OVER w AS bn,
+        |    sum(CAST(floor(value * 100.0) AS BIGINT)) OVER w AS s,
+        |    sum(CAST(floor(value * 100.0) AS BIGINT)
+        |        * CAST(floor(value * 100.0) AS BIGINT)) OVER w AS q
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, c AS cents,
+        |  CAST(bn * c - s AS BIGINT) AS dev,
+        |  CAST(bn * q - s * s AS BIGINT) AS var_n2,
+        |  CAST(CASE WHEN (bn * c - s) * (bn * c - s) > 9 * (bn * q - s * s)
+        |            THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+        |FROM f WHERE bn = 5""".stripMargin,
+
     // the same preceding-rows IGNORE NULLS window; decimal-exact
     // revenue, the q50 stance
     "q113_attribution" ->

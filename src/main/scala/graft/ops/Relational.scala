@@ -863,9 +863,31 @@ object Relational {
       .select($"l_returnflag", $"n", $"slope", $"intercept", $"r2")
   }
 
+  /** Equal-frequency binning / quantile discretization (the ML
+    * feature-prep primitive): ntile(8) of extended price within each
+    * return flag, reported as per-bin (count, lo, hi). ntile is
+    * deterministic only over a TOTAL order — the tie-break on
+    * (orderkey, linenumber) is load-bearing, same stance as every
+    * ranked output here. Scale: one partitioned sort (the window),
+    * then a combinable groupBy on (flag, bin) — 24 rows out; swap
+    * ntile for approx_percentile cutpoints when a global sort per
+    * group is too hot (the q96 stance). */
+  def q115QuantileBins(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+    Tables.lineitem(spark, dir)
+      .withColumn("bin", ntile(8).over(w))
+      .groupBy($"l_returnflag", $"bin")
+      .agg(count(lit(1)).as("n"),
+        min($"l_extendedprice").as("lo"),
+        max($"l_extendedprice").as("hi"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q110_skyline"        -> (q110Skyline _),
     "q114_group_regression" -> (q114GroupRegression _),
+    "q115_quantile_bins"  -> (q115QuantileBins _),
     "q98_lateral"         -> (q98Lateral _),
     "q102_listagg"        -> (q102Listagg _),
     "q108_modal_stats"    -> (q108ModalStats _),
@@ -985,6 +1007,21 @@ object Relational {
         |  quantile_cont(l_extendedprice, 0.90) AS p90,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // identical total order -> identical ntile assignment; DuckDB's
+    // ntile splits remainder rows to the leading tiles exactly like
+    // Spark's (SQL standard)
+    "q115_quantile_bins" ->
+      """WITH b AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    ntile(8) OVER (PARTITION BY l_returnflag
+        |                   ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+        |      AS bin
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(bin AS INTEGER) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        |FROM b GROUP BY 1, 2""".stripMargin,
 
     // the textbook quadratic NOT-EXISTS skyline — the semantic
     // definition the two-stage windowed plan must reproduce exactly

@@ -511,9 +511,66 @@ object TextQueries {
           (col("n_tokens") * col("n_tokens")).cast("double")).as("diversity"))
   }
 
+  /** Distribution-drift report per source — "does this source's
+    * length profile deviate from the corpus?", the per-slice health
+    * check a mixing pipeline runs before re-weighting (q68's corpus
+    * stats see means; this sees SHAPE).
+    *
+    * A Pearson chi-square of each source's n_chars histogram against
+    * the corpus-wide expectation, in pure INTEGER arithmetic:
+    *   - bins: 12 equal-width over the global [mn, mx], assigned as
+    *     ((n_chars − mn)·12) div (mx − mn + 1) — all-integer (n_chars
+    *     is integral), lands in [0, 11] by construction, no float
+    *     binning edge to disagree on (the q87 histogram is the float
+    *     cousin; +1 in the divisor is what caps the top value at 11).
+    *   - χ² = Σ_b (o·N − t·n_s)² / (N·t·n_s) — the classic
+    *     (o − e)²/e with e = t·n_s/N cleared of fractions; reported
+    *     ×100 floor-divided per bin and SUMMED AS INTEGERS, so the
+    *     statistic is bit-stable cross-engine (a float χ² sums
+    *     partition-order-dependently). Fixture envelope: o·N ≤
+    *     5·10³·5·10³ → numerator² ≤ 6.25·10¹⁴, ×100 well inside
+    *     BIGINT; at corpus scales beyond ~10⁸ docs move the per-bin
+    *     term to decimal(38,0) (same shape, wider lane).
+    * Scale: two combinable aggregates ((source, bin) counts, then
+    * bin totals), a broadcast 1-row global range, and a
+    * sources×bins-sized join — nothing data-sized shuffles twice. */
+  def q117SourceDrift(spark: SparkSession, dir: String): DataFrame =
+    sourceDrift(Tables.documents(spark, dir))
+
+  /** The operator core over any (source, n_chars) frame. */
+  def sourceDrift(docs: DataFrame): DataFrame = {
+    val range = docs.agg(min(col("n_chars")).as("mn"),
+      max(col("n_chars")).as("mx"),
+      count(lit(1)).as("nn"))
+    val binned = docs.crossJoin(broadcast(range))
+      .withColumn("bin",
+        expr("((n_chars - mn) * 12) div (mx - mn + 1)"))
+    val o = binned.groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("o"))
+    val t = o.groupBy("bin").agg(sum(col("o")).as("t"))
+    val ns = o.groupBy("source").agg(sum(col("o")).as("n_s"))
+    // DENSE sources × occupied-bins grid before the join: a source
+    // with ZERO docs in some bin is the strongest drift signal of all
+    // — its (0 − e)²/e term must contribute, and a sparse (source,
+    // bin) count frame would silently drop exactly those terms. Both
+    // grid sides are aggregate-sized; the cross join is sources×bins.
+    ns.crossJoin(t)
+      .join(o, Seq("source", "bin"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(range.select(col("nn"))))
+      .withColumn("num", col("o") * col("nn") - col("t") * col("n_s"))
+      .withColumn("term_e2",
+        expr("(num * num * 100) div (nn * t * n_s)"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_docs"),
+        sum(col("term_e2")).as("chi2_e2"),
+        count(lit(1)).as("n_bins"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_edit_distance" -> (q111EditDistancePairs _),
     "q112_token_diversity" -> (q112TokenDiversity _),
+    "q117_source_drift" -> (q117SourceDrift _),
     "q82_passage_prune" -> (q82PassagePrune _),
     "q84_temperature_mix" -> (q84TemperatureMix _),
     "q101_pagerank"     -> (q101PageRank _),
@@ -577,6 +634,31 @@ object TextQueries {
         |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
         |WHERE a.blk IN (SELECT blk FROM ok)
         |  AND levenshtein(a.head, b.head) <= 30""".stripMargin,
+
+    // same integer binning, dense grid, and floor-divided per-bin
+    // terms — the whole chi-square is BIGINT in both engines
+    "q117_source_drift" ->
+      """WITH r AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx,
+        |             CAST(count(*) AS BIGINT) AS nn FROM documents),
+        |b AS (SELECT source,
+        |        ((n_chars - mn) * 12) // (mx - mn + 1) AS bin
+        |      FROM documents CROSS JOIN r),
+        |o AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS o
+        |      FROM b GROUP BY 1, 2),
+        |t AS (SELECT bin, CAST(sum(o) AS BIGINT) AS t FROM o GROUP BY bin),
+        |ns AS (SELECT source, CAST(sum(o) AS BIGINT) AS n_s FROM o GROUP BY source),
+        |g AS (SELECT ns.source, t.bin, ns.n_s, t.t,
+        |        coalesce(o.o, 0) AS o
+        |      FROM ns CROSS JOIN t
+        |      LEFT JOIN o ON o.source = ns.source AND o.bin = t.bin),
+        |terms AS (SELECT source, n_s,
+        |        CAST(((o * nn - t * n_s) * (o * nn - t * n_s) * 100)
+        |             // (nn * t * n_s) AS BIGINT) AS term_e2
+        |      FROM g CROSS JOIN r)
+        |SELECT source, max(n_s) AS n_docs,
+        |  CAST(sum(term_e2) AS BIGINT) AS chi2_e2,
+        |  CAST(count(*) AS BIGINT) AS n_bins
+        |FROM terms GROUP BY source""".stripMargin,
 
     // integer-exact Simpson diversity; the one division is the only
     // float op and runs on identical BIGINT inputs in both engines

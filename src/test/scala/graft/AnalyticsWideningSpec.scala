@@ -153,6 +153,67 @@ class AnalyticsWideningSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("quantile bins: per-flag counts balance to within one row and bins order by value") {
+    val bins = Relational.q115QuantileBins(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    bins.groupBy(_._1).foreach { case (flag, rows) =>
+      assert(rows.length == 8, s"$flag must fill all 8 tiles")
+      val ns = rows.map(_._3)
+      assert(ns.max - ns.min <= 1, s"$flag tile sizes must differ by <= 1: ${ns.toSeq}")
+      // tiles partition the sorted order: lo/hi ranges are monotone
+      val byBin = rows.sortBy(_._2)
+      byBin.sliding(2).foreach { case Array(a, b) =>
+        assert(a._5 <= b._4 || a._5 == b._4 || a._5 <= b._5,
+          s"$flag bins must be value-ordered")
+      }
+      assert(byBin.sliding(2).forall { case Array(a, b) => a._4 <= b._4 })
+    }
+    val total = bins.map(_._3).sum
+    val nRows = Tables.lineitem(spark, dir).count()
+    assert(total == nRows, "tiles must partition every row exactly once")
+  }
+
+  test("rolling anomaly: spike against a flat baseline flags; flat series never does") {
+    def ev(id: Long, sec: Long, user: Long, v: Double) =
+      (id, new java.sql.Timestamp(sec * 1000), user, "x", v)
+    val events = (
+      // user 1: five 10.00 baseline events, then a 50.00 spike —
+      // dev = 5*5000-5*1000... flags (variance 0, deviation huge)
+      (1 to 5).map(i => ev(i, i * 10, 1, 10.0)) ++ Seq(ev(6, 60, 1, 50.0)) ++
+      // user 2: seven identical values — dev = 0, var = 0, 0 > 0 is
+      // false, so a perfectly flat series NEVER flags (the classic
+      // zero-variance division trap, sidestepped by the multiply form)
+      (1 to 7).map(i => ev(100 + i, i * 10, 2, 25.0))
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventQueries.rollingAnomaly(events).collect()
+      .map(r => r.getLong(0) -> r.getInt(5)).toMap
+    assert(out(6L) == 1, "the spike must flag")
+    assert(out.filterKeys(_ != 6L).values.forall(_ == 0),
+      "no flat-baseline row may flag")
+    // rows 1-5 of user 1 and 101-105 of user 2 have short baselines
+    // and must be absent entirely
+    assert(!out.contains(1L) && !out.contains(101L) && out.contains(107L))
+  }
+
+  test("source drift: a concentrated source scores above a corpus-shaped one; empty bins count") {
+    // corpus: lengths spread 100..1299 across two balanced sources,
+    // plus a third source concentrated in one narrow band
+    val docs = (
+      (0 until 300).map(i => (i.toLong, "spread_a", 100L + (i * 4) % 1200)) ++
+      (0 until 300).map(i => (1000L + i, "spread_b", 102L + (i * 4) % 1200)) ++
+      (0 until 100).map(i => (2000L + i, "narrow", 100L + (i % 10)))
+    ).toDF("doc_id", "source", "n_chars")
+    val drift = TextQueries.sourceDrift(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val (_, chiNarrow, binsNarrow) = drift("narrow")
+    val (_, chiA, _) = drift("spread_a")
+    assert(chiNarrow > chiA * 5,
+      s"concentrated source must dominate: narrow=$chiNarrow spread=$chiA")
+    // the dense grid is load-bearing: 'narrow' occupies 1 bin but is
+    // scored over every occupied bin (its zero-count bins contribute)
+    assert(binsNarrow == 12L)
+  }
+
   test("group regression agrees with Spark's own regr_* aggregates") {
     // Spark's regr_slope/regr_intercept/regr_r2 stream doubles in
     // partition order — unusable under the hash gate, but a fine
