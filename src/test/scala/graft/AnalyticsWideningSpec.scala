@@ -34,6 +34,37 @@ class AnalyticsWideningSpec extends AnyFunSuite {
     assert(sky.nonEmpty)
   }
 
+  test("two-stage skyline equals the single-pass global frontier at synthetic volume") {
+    // the decomposition claim (local frontier per month, then global
+    // over survivors) at a volume where the quadratic brute force
+    // can't run: both formulations are window-based, so equality here
+    // is evidence the month partitioning loses nothing — 20k
+    // hash-dated rows, ~7 years of dates
+    import org.apache.spark.sql.expressions.Window
+    val synth = spark.range(20000L).select(
+      $"id".as("o_orderkey"),
+      to_timestamp(date_add(lit("1992-01-01").cast("date"),
+        pmod(hash($"id"), lit(2557)).cast("int"))).as("o_orderdate"),
+      pmod(hash($"id" * 7), lit(1000000)).cast("double").as("o_totalprice"))
+    val twoStage = Relational.skylineFrontier(synth)
+      .select($"o_orderkey").as[Long].collect().toSet
+    // single global pass: day-max + strictly-better-than-every-
+    // earlier-day, no month decomposition
+    val base = synth.select($"o_orderkey",
+      datediff($"o_orderdate".cast("date"), lit("1970-01-01").cast("date")).as("day"),
+      $"o_totalprice")
+    val dayMax = Window.partitionBy($"day")
+    val prev = Window.orderBy($"day")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val single = base
+      .withColumn("dm", max($"o_totalprice").over(dayMax))
+      .withColumn("pm", max($"o_totalprice").over(prev))
+      .filter($"o_totalprice" === $"dm" && ($"pm".isNull || $"o_totalprice" > $"pm"))
+      .select($"o_orderkey").as[Long].collect().toSet
+    assert(twoStage == single, s"two-stage=${twoStage.size} single=${single.size}")
+    assert(twoStage.nonEmpty)
+  }
+
   test("q110 skyline keeps equal (date, price) twins — neither dominates") {
     val sky = Relational.q110Skyline(spark, dir).collect()
     // determinism under re-run (window plans have no order ambiguity)
