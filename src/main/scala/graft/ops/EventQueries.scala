@@ -492,7 +492,10 @@ object EventQueries {
     *
     * The baseline is the 5 PRECEDING events (current row excluded —
     * an outlier must not dilute its own baseline); rows without a
-    * full 5-event history pass unflagged. The z-test runs entirely in
+    * full 5-event history are OMITTED from the output (not emitted
+    * unflagged) — consumers joining flags back to the stream read
+    * absent as not-assessed via a left join, and the spec pins the
+    * absence. The z-test runs entirely in
     * INTEGER arithmetic: values become cents via floor(value·100)
     * (floor, not cast — Spark's double→bigint cast truncates toward
     * zero where DuckDB rounds, the q103 divergence), the frame sums

@@ -783,16 +783,20 @@ object Relational {
     * (the oracle runs exactly that, NOT EXISTS) — O(n²) never
     * survives 100 TB. This plan is the two-stage sort-based skyline:
     *   1. LOCAL frontier per month partition — a partitioned RANGE
-    *      window: keep a row iff it is its day's max price AND
-    *      strictly beats every strictly-earlier day's max in the
-    *      month. Parallel over partitions, one shuffle on month.
+    *      window over FULL-PRECISION event time (unix micros, the
+    *      exact values the oracle's raw timestamp comparisons see —
+    *      a calendar-day bin would silently coarsen dominance for
+    *      intra-day inputs): keep a row iff it is its instant's max
+    *      price AND strictly beats every strictly-earlier instant's
+    *      max in the month. Parallel over partitions, one shuffle on
+    *      month.
     *   2. GLOBAL pass with the same two windows over the survivors
     *      only. Correct because the global frontier is a subset of
     *      every local frontier (dominance within a month is dominance
     *      globally), and any global dominator is itself represented
     *      among the survivors: for p dominating o from an earlier
-    *      date, p's month keeps its earliest max-price point c with
-    *      c.date <= p.date and c.price >= p.price, so stage 2 still
+    *      instant, p's month keeps its earliest max-price point c with
+    *      c.t <= p.t and c.price >= p.price, so stage 2 still
     *      sees a dominator of o. The stage-2 frame is bounded by
     *      Σ per-month frontier sizes — months × frontier width, not
     *      row count — so its unpartitioned window is a documented
@@ -811,20 +815,19 @@ object Relational {
   def skylineFrontier(orders: DataFrame): DataFrame = {
     import orders.sparkSession.implicits._
     def frontier(df: DataFrame, part: Seq[String]): DataFrame = {
-      val dayMax = Window.partitionBy(($"day" +: part.map(col)): _*)
-      val prev = (if (part.isEmpty) Window.orderBy($"day")
-                  else Window.partitionBy(part.map(col): _*).orderBy($"day"))
+      val tMax = Window.partitionBy(($"t" +: part.map(col)): _*)
+      val prev = (if (part.isEmpty) Window.orderBy($"t")
+                  else Window.partitionBy(part.map(col): _*).orderBy($"t"))
         .rangeBetween(Window.unboundedPreceding, -1)
-      df.withColumn("day_max", max($"o_totalprice").over(dayMax))
+      df.withColumn("t_max", max($"o_totalprice").over(tMax))
         .withColumn("prev_max", max($"o_totalprice").over(prev))
-        .filter($"o_totalprice" === $"day_max" &&
+        .filter($"o_totalprice" === $"t_max" &&
           ($"prev_max".isNull || $"o_totalprice" > $"prev_max"))
-        .drop("day_max", "prev_max")
+        .drop("t_max", "prev_max")
     }
     val base = orders.select(
       $"o_orderkey",
-      datediff($"o_orderdate".cast("date"), lit("1970-01-01").cast("date"))
-        .as("day"),
+      unix_micros($"o_orderdate".cast("timestamp")).as("t"),
       date_format($"o_orderdate", "yyyy-MM").as("mon"),
       date_format($"o_orderdate", "yyyy-MM-dd").as("odate"),
       $"o_totalprice")

@@ -475,6 +475,11 @@ object TextQueries {
         .filter(col("bn") <= EditBlockCap)
         .drop("bn")
     }
+    // populate the cache BEFORE the self-join consumes it twice: a
+    // lazily-persisted frame can be computed independently by both
+    // join sides in the same job (the q105 lesson, same file) — the
+    // eager count is what actually holds the scan count at one
+    blocked.count()
     blocked.as("a").join(blocked.as("b"),
         col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),

@@ -176,47 +176,64 @@ object CorpusIngest {
       // An index can STRADDLE the r7 denormalization: batches laid
       // down before it store shingle rows without the carried per-doc
       // count (`nc`) and wrote no `dfs` partials (the two shipped
-      // together), while later batches have both. mergeSchema makes
-      // the straddle VISIBLE — pre-r7 rows read as nc = NULL — where
-      // a plain read would take whichever file's schema the reader
-      // sampled and either drop nc everywhere or silently feed NULL
-      // counts into the jaccard filter. (mergeSchema reads every file
-      // footer — a per-batch driver metadata cost, the price of not
-      // guessing the format vintage.)
-      val shinglesRaw = spark.read.option("mergeSchema", "true")
-        .parquet(paths(1))
-        .filter(col("ingest_batch") =!= batchId)
-        .drop("ingest_batch")
-      val hasNc = shinglesRaw.columns.contains("nc")
-      // legacy rows (the pre-r7 vintage) restore nc with a per-doc
-      // window over ONLY themselves — a doc's rows all land in one
-      // batch, so the legacy subset contains every row of its docs;
-      // post-r7 rows never pay the shuffle (lazy; runs only if a
-      // near-dup leg consumes it)
-      val legacy = if (hasNc) shinglesRaw.filter(col("nc").isNull)
-                   else shinglesRaw
-      val legacyFilled = legacy.withColumn("nc",
-        cnt(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("c_id")))
-      val shingles =
-        if (hasNc) shinglesRaw.filter(col("nc").isNotNull)
-          .unionByName(legacyFilled)
-        else legacyFilled
-      // corpus-wide df = sum of the per-batch partials PLUS the
-      // legacy rows' own counts — partials exist only for post-r7
-      // batches, so summing them alone would undercount every shingle
-      // the legacy prefix contains; an index with no dfs table at all
-      // derives df wholly from the shingle rows (lazy, capped path
-      // only, same as before)
-      val dfs =
-        if (hasParquetData(spark, paths(3)))
-          tbl(paths(3)).select(col("shingle"), col("df"))
-            .unionByName(
-              legacy.groupBy("shingle").agg(cnt(lit(1)).as("df")))
-            .groupBy("shingle").agg(fsum("df").as("df"))
-        else shingles.groupBy("shingle").agg(cnt(lit(1)).as("df"))
-      if (hashes.isEmpty) None
-      else Some(Dedup.DedupIndex(hashes, shingles, tbl(paths(2)), dfs))
+      // together), while later batches have both. The vintage is
+      // decided DRIVER-SIDE, one footer per batch directory (a batch
+      // is written at once, so one file speaks for the directory) —
+      // and the clean steady state (no legacy dirs) reads the table
+      // through ONE branch with no union, no nc-IS-NULL scan, and no
+      // legacy dfs leg: the straddle machinery must not tax every
+      // post-upgrade ingest batch forever.
+      val fsPath = new org.apache.hadoop.fs.Path(paths(1))
+      val fs = fsPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val batchDirs = fs.listStatus(fsPath).toSeq
+        .filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith("ingest_batch="))
+        .filterNot(_.getName == s"ingest_batch=$batchId")
+        .filter(d => hasParquetData(spark, d.toString))
+      if (batchDirs.isEmpty) None
+      else {
+        val (modernDirs, legacyDirs) = batchDirs.partition(d =>
+          spark.read.parquet(d.toString).columns.contains("nc"))
+        // legacy rows (the pre-r7 vintage) restore nc with a per-doc
+        // window over ONLY themselves — a doc's rows all land in one
+        // batch, so the legacy subset contains every row of its docs;
+        // post-r7 rows never pay the shuffle (lazy; runs only if a
+        // near-dup leg consumes it)
+        val legacy =
+          if (legacyDirs.isEmpty) None
+          else Some(spark.read.parquet(legacyDirs.map(_.toString): _*))
+        val legacyFilled = legacy.map(_.withColumn("nc",
+          cnt(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("c_id"))))
+        val modern =
+          if (modernDirs.isEmpty) None
+          else Some(spark.read.parquet(modernDirs.map(_.toString): _*))
+        val shingles = (modern, legacyFilled) match {
+          case (Some(m), Some(l)) => m.unionByName(l)
+          case (Some(m), None) => m
+          case (None, Some(l)) => l
+          case (None, None) => throw new IllegalStateException("unreachable")
+        }
+        // corpus-wide df = sum of the per-batch partials PLUS the
+        // legacy dirs' own counts — partials exist only for post-r7
+        // batches, so summing them alone would undercount every
+        // shingle the legacy prefix contains; an index with no dfs
+        // table at all derives df wholly from the shingle rows (lazy,
+        // capped path only, same as before). With no legacy dirs the
+        // partials pass through un-unioned.
+        val dfs =
+          if (hasParquetData(spark, paths(3))) {
+            val partials = tbl(paths(3)).select(col("shingle"), col("df"))
+            legacy match {
+              case None => partials.groupBy("shingle").agg(fsum("df").as("df"))
+              case Some(l) => partials
+                .unionByName(l.groupBy("shingle").agg(cnt(lit(1)).as("df")))
+                .groupBy("shingle").agg(fsum("df").as("df"))
+            }
+          } else shingles.groupBy("shingle").agg(cnt(lit(1)).as("df"))
+        if (hashes.isEmpty) None
+        else Some(Dedup.DedupIndex(hashes, shingles, tbl(paths(2)), dfs))
+      }
     }
   }
 

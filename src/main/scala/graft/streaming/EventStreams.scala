@@ -397,9 +397,11 @@ object EventStreams {
             Iterator.single(FunnelRow(userId, s.stage.toLong))
           } else {
             val wm = state.getCurrentWatermarkMs()
-            // release rule: ts <= watermark — no event at or before
-            // the watermark can still arrive, so this slice is final
-            val (ripe, young) = all.partition(_.ts.getTime <= wm)
+            // release STRICTLY below the watermark: Spark only drops
+            // arrivals with ts < wm, so an on-time event with ts ==
+            // wm can still arrive — folding a tied event now could
+            // chain a stage whose tied predecessor lands next batch
+            val (ripe, young) = all.partition(_.ts.getTime < wm)
             val s = foldFunnel(prev.funnel, ripe, stages)
             state.update(FunnelBufState(s, young))
             if (young.nonEmpty)
@@ -423,7 +425,12 @@ object EventStreams {
     * seen so far ('direct' before any touch) — exactly the batch
     * q113 window's `last(non-purchase) over rows preceding` with the
     * same (ts, event_id) tie order: an equal-timestamp touch with a
-    * smaller event_id precedes the purchase and wins the credit. */
+    * smaller event_id precedes the purchase and wins the credit.
+    * The stored touch's (time, event_id) is a MONOTONICITY guard
+    * across slices: a touch can only advance the state, never regress
+    * it — within the in-order/buffered contracts this never fires
+    * (slices release in event-time order), but on a contract-violating
+    * feed a stale touch arriving late cannot overwrite a newer one. */
   private def foldTouches(init: TouchState, events: Seq[Event])
       : (TouchState, Seq[CreditedPurchase]) = {
     val evs = events.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
@@ -432,7 +439,14 @@ object EventStreams {
     evs.foreach { e =>
       if (e.event_type == "purchase")
         out += CreditedPurchase(e.user_id, e.event_id, t.channel, e.value)
-      else t = TouchState(e.event_type, e.ts.getTime, e.ts.getNanos, e.event_id)
+      else {
+        val after = e.ts.getTime > t.sinceMs ||
+          (e.ts.getTime == t.sinceMs &&
+            (e.ts.getNanos > t.sinceNanos ||
+              (e.ts.getNanos == t.sinceNanos && e.event_id > t.eventId)))
+        if (after)
+          t = TouchState(e.event_type, e.ts.getTime, e.ts.getNanos, e.event_id)
+      }
     }
     (t, out.result())
   }
@@ -498,7 +512,12 @@ object EventStreams {
             credits.iterator
           } else {
             val wm = state.getCurrentWatermarkMs()
-            val (ripe, young) = all.partition(_.ts.getTime <= wm)
+            // release STRICTLY below the watermark: Spark only
+            // guarantees that later arrivals have ts >= wm, so an
+            // on-time event with ts == wm can still arrive — a tied
+            // purchase released now would miss a tied touch that
+            // arrives next batch and be mis-credited 'direct'
+            val (ripe, young) = all.partition(_.ts.getTime < wm)
             val (t, credits) = foldTouches(prev.touch, ripe)
             state.update(TouchBufState(t, young))
             if (young.nonEmpty)

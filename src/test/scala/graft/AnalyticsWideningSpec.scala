@@ -34,6 +34,22 @@ class AnalyticsWideningSpec extends AnyFunSuite {
     assert(sky.nonEmpty)
   }
 
+  test("skyline dominance is full-timestamp, not calendar-day") {
+    // two same-day orders at different hours: the NOT-EXISTS
+    // definition keeps BOTH (the 10:00/1000 row does not dominate the
+    // 05:00/900 row — it is later), and a day-binned plan would
+    // wrongly drop the 05:00 row as "not its day's max"
+    val synth = Seq(
+      (1L, java.sql.Timestamp.valueOf("1992-03-04 05:00:00"), 900.0),
+      (2L, java.sql.Timestamp.valueOf("1992-03-04 10:00:00"), 1000.0),
+      (3L, java.sql.Timestamp.valueOf("1992-03-05 00:00:00"), 500.0)
+    ).toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val keys = Relational.skylineFrontier(synth)
+      .select($"o_orderkey").as[Long].collect().toSet
+    assert(keys == Set(1L, 2L),
+      s"full-precision dominance must keep the earlier cheaper row: $keys")
+  }
+
   test("two-stage skyline equals the single-pass global frontier at synthetic volume") {
     // the decomposition claim (local frontier per month, then global
     // over survivors) at a volume where the quadratic brute force
@@ -191,13 +207,15 @@ class AnalyticsWideningSpec extends AnyFunSuite {
       assert(rows.length == 8, s"$flag must fill all 8 tiles")
       val ns = rows.map(_._3)
       assert(ns.max - ns.min <= 1, s"$flag tile sizes must differ by <= 1: ${ns.toSeq}")
-      // tiles partition the sorted order: lo/hi ranges are monotone
+      // tiles partition the SORTED ORDER: bin k's max value can never
+      // exceed bin k+1's min (ties may make them equal — rows with
+      // the same price can straddle a tile boundary, split by the
+      // unique tie-break keys)
       val byBin = rows.sortBy(_._2)
       byBin.sliding(2).foreach { case Array(a, b) =>
-        assert(a._5 <= b._4 || a._5 == b._4 || a._5 <= b._5,
-          s"$flag bins must be value-ordered")
+        assert(a._5 <= b._4,
+          s"$flag: bin ${a._2} hi=${a._5} must be <= bin ${b._2} lo=${b._4}")
       }
-      assert(byBin.sliding(2).forall { case Array(a, b) => a._4 <= b._4 })
     }
     val total = bins.map(_._3).sum
     val nRows = Tables.lineitem(spark, dir).count()
