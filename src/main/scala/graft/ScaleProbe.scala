@@ -141,6 +141,29 @@ object ScaleProbe {
               pmod(hash($"id"), lit(2557)).cast("int"))).as("o_orderdate"),
             pmod(hash($"id" * 7), lit(1000000)).cast("double").as("o_totalprice"))
           ops.Relational.skylineFrontier(synth).count()
+        }),
+        // r7 widening: triangle census over the capped co-occurrence
+        // graph — content-unique copies keep vocabularies disjoint, so
+        // the graph is s disjoint copies and triangle work scales with
+        // components; degree orientation keeps wedge volume O(m^1.5)
+        // even on the hub-heavy shared-vocabulary shape
+        "q118_triangles" -> (() =>
+          ops.TextQueries.triangleCensus(
+            ops.TextQueries.coOccurrenceEdges(docs,
+              ops.TextQueries.PageRankMaxTermsPerDoc))
+            .select($"n_triangles").as[Long].collect()(0)),
+        // r7 widening: skew audit — the rank window sorts |keys| rows
+        // (synthetic zipf-ish keys, 100k·s events over ~√ that many
+        // keys), never the event rows themselves
+        "q121_key_skew" -> (() => {
+          val synth = spark.range(100000L * s).select(
+            (pmod(hash($"id"), lit(1000)) *
+              pmod(hash($"id" * 13), lit(320))).as("k"))
+          val counts = synth.groupBy($"k").agg(count(lit(1)).as("x"))
+          val w = org.apache.spark.sql.expressions.Window.orderBy($"x", $"k")
+          counts.withColumn("i", row_number().over(w).cast("long"))
+            .agg(count(lit(1)).as("n_keys"), sum($"i" * $"x").as("wsum"))
+            .select($"n_keys").as[Long].collect()(0)
         }))
 
       val rows = probes.map { case (name, f) =>

@@ -530,9 +530,55 @@ object EventQueries {
         col("dev"), col("var_n2"), col("is_anomaly"))
   }
 
+  /** Dyadic-weight EWMA smoothing per user — the "recent-history
+    * smoothed value" a metrics pipeline attaches to every live event
+    * (alerting thresholds, display smoothing, drift baselines).
+    *
+    * A true EWMA is an infinite recurrence (y += α·(x − y)) — float
+    * state folded in arrival order, doubly hash-gate-fatal (ulp drift
+    * AND order sensitivity). This is the FINITE dyadic form: an
+    * 8-event window with weights 128,64,…,1 (newest first), i.e.
+    * α = 1/2 truncated after 8 taps, all in exact BIGINT cents
+    * arithmetic. num = Σ cᵢ·2^(7−i) over lag i = 0..7, den = 255
+    * constant; rows without 8 full events are OMITTED (the q116
+    * stance — absent means not-assessed). Emitting num plus the
+    * floored quotient keeps everything the hash sees integral.
+    *
+    * Scale: one partitioned window with a constant 8-tap frame of
+    * lag()s — the q99/q116 shape, co-partitioned with every other
+    * per-user window in the suite, nothing global, no join. */
+  def q120Ewma(spark: SparkSession, dir: String): DataFrame =
+    ewmaSmoothed(Tables.events(spark, dir))
+
+  /** The operator core over any (event_id, ts, user_id, value) frame. */
+  def ewmaSmoothed(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val taps = 8
+    val withCents =
+      events.withColumn("c", floor(col("value") * lit(100.0)).cast("long"))
+    val lagged = (0 until taps).foldLeft(withCents) { (df, i) =>
+      df.withColumn(s"_l$i", lag(col("c"), i).over(w))
+    }
+    val num = (0 until taps)
+      .map(i => col(s"_l$i") * lit(1L << (taps - 1 - i)))
+      .reduceLeft(_ + _)
+    lagged
+      .filter(col(s"_l${taps - 1}").isNotNull)
+      .withColumn("ewma_num", num)
+      .select(col("event_id"), col("user_id"), col("c").as("cents"),
+        col("ewma_num"),
+        // FLOOR quotient, not truncation: Spark's `div` truncates
+        // toward zero where DuckDB's `//` floors — they differ on
+        // negative cents. Subtracting the (always non-negative) pmod
+        // first makes the division exact, so both semantics agree.
+        expr("(ewma_num - pmod(ewma_num, 255)) div 255").as("ewma_cents"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_attribution"    -> (q113Attribution _),
     "q116_rolling_anomaly" -> (q116RollingAnomaly _),
+    "q120_ewma"           -> (q120Ewma _),
     "q104_funnel_stages"  -> (q104FunnelStages _),
     "q94_rolling_active"  -> (q94RollingActive _),
     "q95_latest_per_key"  -> (q95LatestPerKey _),
@@ -578,6 +624,32 @@ object EventQueries {
         |  CAST(CASE WHEN (bn * c - s) * (bn * c - s) > 9 * (bn * q - s * s)
         |            THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
         |FROM f WHERE bn = 5""".stripMargin,
+
+    // the same 8-tap lag chain with dyadic weights; the pmod-subtract
+    // makes the /255 quotient exact so `//` (floor) and Spark's `div`
+    // (truncate) agree on any sign
+    "q120_ewma" ->
+      """WITH c AS (
+        |  SELECT event_id, ts, user_id,
+        |    CAST(floor(value * 100.0) AS BIGINT) AS c
+        |  FROM events),
+        |l AS (
+        |  SELECT event_id, user_id, c,
+        |    lag(c, 0) OVER w AS l0, lag(c, 1) OVER w AS l1,
+        |    lag(c, 2) OVER w AS l2, lag(c, 3) OVER w AS l3,
+        |    lag(c, 4) OVER w AS l4, lag(c, 5) OVER w AS l5,
+        |    lag(c, 6) OVER w AS l6, lag(c, 7) OVER w AS l7
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |x AS (
+        |  SELECT event_id, user_id, c,
+        |    l0*128 + l1*64 + l2*32 + l3*16 + l4*8 + l5*4 + l6*2 + l7
+        |      AS ewma_num
+        |  FROM l WHERE l7 IS NOT NULL)
+        |SELECT event_id, user_id, c AS cents, ewma_num,
+        |  CAST((ewma_num - (ewma_num % 255 + 255) % 255) // 255 AS BIGINT)
+        |    AS ewma_cents
+        |FROM x""".stripMargin,
 
     // the same preceding-rows IGNORE NULLS window; decimal-exact
     // revenue, the q50 stance

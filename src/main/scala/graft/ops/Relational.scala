@@ -887,8 +887,94 @@ object Relational {
         max($"l_extendedprice").as("hi"))
   }
 
+  /** Winsorized robust statistics per group — outlier-clipped sums,
+    * the standard robust-mean prep before a heavy tail poisons a
+    * model feature or a dashboard aggregate. Prices are clipped to
+    * the group's [p05, p95] DISCRETE quantiles (the value at rank
+    * ⌈q·n⌉ of the sorted column — deterministic whatever order ties
+    * shuffle in, because the value at a rank position is a pure
+    * function of the multiset), then summed exactly.
+    *
+    * Everything the hash sees is integral: prices become cents via
+    * floor(x·100) (the q116 idiom), quantile bounds are cents, and
+    * the winsorized sum is a BIGINT — a float trimmed-mean would
+    * re-introduce partition-order drift. An INTERPOLATED quantile
+    * (percentile_cont) is deliberately avoided: it divides between
+    * two ranks and the q09 decimal machinery would be needed again
+    * for no statistical gain at this n.
+    *
+    * Scale: one window (rank within group) + one groupBy on the SAME
+    * key — co-partitioned, a single shuffle; the clip is a per-row
+    * map. The q115 caveat applies: the per-group sort is the honest
+    * cost of exact quantiles; swap in approx_percentile cutpoints
+    * when a group no longer fits a partition's sort budget. */
+  def q119Winsorize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"l_returnflag").orderBy($"c")
+    val g = Window.partitionBy($"l_returnflag")
+    // quantile ranks via integer ceil-division — ⌈q·n⌉ through a
+    // double multiply would ride on 0.05's inexact binary expansion
+    // (both engines would agree, but the rank could sit one off the
+    // intended quantile); (5n+99) div 100 is ⌈5n/100⌉ exactly
+    Tables.lineitem(spark, dir)
+      .select($"l_returnflag",
+        floor($"l_extendedprice" * lit(100.0)).cast("long").as("c"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(g))
+      .withColumn("lo_rk", expr("(n * 5 + 99) div 100"))
+      .withColumn("hi_rk", expr("(n * 95 + 99) div 100"))
+      .withColumn("lo", max(when($"rn" === $"lo_rk", $"c")).over(g))
+      .withColumn("hi", max(when($"rn" === $"hi_rk", $"c")).over(g))
+      .groupBy($"l_returnflag")
+      .agg(
+        max($"n").as("n"),
+        max($"lo").as("lo_cents"),
+        max($"hi").as("hi_cents"),
+        sum(greatest($"lo", least($"hi", $"c"))).as("wsum_cents"))
+  }
+
+  /** Key-distribution skew audit — the pre-join diagnostic a 100 TB
+    * pipeline runs BEFORE shuffling on a key: per-key counts reduced
+    * to (cardinality, total, max, p99, Gini) so a planner (or a
+    * human) can decide between a plain shuffle, salting, or an AQE
+    * skew hint. Emitted for l_partkey and l_suppkey in one frame.
+    *
+    * The Gini coefficient is exact and integral: over counts sorted
+    * ascending with rank i, G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) —
+    * numerator and denominator are emitted as BIGINTs (ties permute
+    * equal values among adjacent ranks, leaving Σi·xᵢ unchanged, so
+    * the pair is deterministic without a tie-break). p99 is the
+    * discrete rank-⌈0.99n⌉ count, same stance as q119.
+    *
+    * Scale: the groupBy count is map-side combinable and its output
+    * is |keys| rows, not |rows|; the rank window sorts THAT — for a
+    * key space too large to sort, sample keys first (the audit is a
+    * diagnostic; its own cost must stay sub-linear in the input). */
+  def q121KeySkew(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    def audit(keyCol: String): DataFrame = {
+      val counts = li.groupBy(col(keyCol).as("k"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.orderBy($"x", $"k")
+      counts
+        .withColumn("i", row_number().over(w).cast("long"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum($"x").as("total"),
+          max($"x").as("max_cnt"),
+          sum($"i" * $"x").as("wsum"))
+        .select(lit(keyCol).as("key"), $"n_keys", $"total", $"max_cnt",
+          (lit(2L) * $"wsum" - ($"n_keys" + lit(1L)) * $"total")
+            .as("gini_num"),
+          ($"n_keys" * $"total").as("gini_den"))
+    }
+    audit("l_partkey").unionByName(audit("l_suppkey"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q110_skyline"        -> (q110Skyline _),
+    "q119_winsorize"      -> (q119Winsorize _),
+    "q121_key_skew"       -> (q121KeySkew _),
     "q114_group_regression" -> (q114GroupRegression _),
     "q115_quantile_bins"  -> (q115QuantileBins _),
     "q98_lateral"         -> (q98Lateral _),
@@ -1025,6 +1111,54 @@ object Relational {
         |  CAST(count(*) AS BIGINT) AS n,
         |  min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
         |FROM b GROUP BY 1, 2""".stripMargin,
+
+    // the same rank window and integer ceil-division quantile ranks;
+    // the clip and the sum never leave BIGINT cents
+    "q119_winsorize" ->
+      """WITH r AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS c,
+        |    CAST(row_number() OVER (PARTITION BY l_returnflag ORDER BY
+        |      CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |  FROM lineitem),
+        |k AS (
+        |  SELECT *, (n * 5 + 99) // 100 AS lo_rk, (n * 95 + 99) // 100 AS hi_rk
+        |  FROM r),
+        |b AS (
+        |  SELECT *,
+        |    max(CASE WHEN rn = lo_rk THEN c END)
+        |      OVER (PARTITION BY l_returnflag) AS lo,
+        |    max(CASE WHEN rn = hi_rk THEN c END)
+        |      OVER (PARTITION BY l_returnflag) AS hi
+        |  FROM k)
+        |SELECT l_returnflag, max(n) AS n,
+        |  max(lo) AS lo_cents, max(hi) AS hi_cents,
+        |  CAST(sum(greatest(lo, least(hi, c))) AS BIGINT) AS wsum_cents
+        |FROM b GROUP BY l_returnflag""".stripMargin,
+
+    // per-key counts, ascending rank, exact integer Gini fraction —
+    // same construction both sides; the two audited keys union
+    "q121_key_skew" ->
+      """WITH a AS (
+        |  SELECT 'l_partkey' AS key, l_partkey AS k FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_suppkey' AS key, l_suppkey AS k FROM lineitem),
+        |c AS (SELECT key, k, CAST(count(*) AS BIGINT) AS x
+        |      FROM a GROUP BY key, k),
+        |r AS (SELECT key, x,
+        |        CAST(row_number() OVER (PARTITION BY key ORDER BY x, k)
+        |          AS BIGINT) AS i
+        |      FROM c),
+        |s AS (SELECT key, CAST(count(*) AS BIGINT) AS n_keys,
+        |        CAST(sum(x) AS BIGINT) AS total,
+        |        max(x) AS max_cnt,
+        |        CAST(sum(i * x) AS BIGINT) AS wsum
+        |      FROM r GROUP BY key)
+        |SELECT key, n_keys, total, max_cnt,
+        |  2 * wsum - (n_keys + 1) * total AS gini_num,
+        |  n_keys * total AS gini_den
+        |FROM s""".stripMargin,
 
     // the textbook quadratic NOT-EXISTS skyline — the semantic
     // definition the two-stage windowed plan must reproduce exactly

@@ -129,6 +129,46 @@ object SimilarityQueries {
       .select("doc_id", "rank")
   }
 
+  /** Reciprocal-rank fusion of the keyword and vector retrieval legs —
+    * the OTHER standard hybrid-search combiner (q65 is filter-then-
+    * rerank; RRF fuses two INDEPENDENT rankings, the shape used when
+    * the legs come from separate index services and only ranks, not
+    * scores, are comparable). score(d) = Σ_legs ⌊10⁶/(60+rank_d)⌋ —
+    * the classic k=60 constant, with the reciprocal pre-scaled to an
+    * integer so the fused score (and therefore the hash) never sees a
+    * float; a doc missing from a leg contributes 0 and its rank
+    * reports 0 (absent-means-unranked, documented in the oracle
+    * identically).
+    *
+    * Scale: each leg is its own top-k (TakeOrderedAndProject —
+    * per-partition heaps); the fusion joins two ≤k-row frames — cost
+    * is the legs, the fusion is free. Ranks are integers, so the
+    * float cosine/BM25 scores stay OUT of the output (the q65
+    * stance). */
+  def q122Rrf(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSim.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val kw = graft.operators.TextAnalysis.bm25TopK(
+        Tables.documents(spark, dir), graft.ops.TextQueries.bm25Terms, k = 20)
+      .select(col("doc_id"), col("rank").as("k_rank"))
+    val emb = Tables.embeddings(spark, dir)
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val vec = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .withColumn("cos", expr("cosine_sim(embedding, qv)"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(20)
+      .withColumn("v_rank", row_number()
+        .over(Window.orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("v_rank"))
+    kw.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("k_rank"), lit(0L)).as("k_rank"),
+        coalesce(col("v_rank"), lit(0L)).as("v_rank"),
+        (coalesce(expr("1000000 div (60 + k_rank)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + v_rank)"), lit(0L))).as("rrf"))
+  }
+
   /** `FixtureId.contentHash` of /root/testdata/sf0.01 at pin time —
     * the fixture the q57–q61 (and TextQueries q60/q61) expected rows
     * were measured on. Printed by `graft.RecallProbe`; asserted by
@@ -192,6 +232,7 @@ object SimilarityQueries {
     "q58_ivf_recall"  -> (q58IvfRecall _),
     "q59_neardup_recall" -> (q59NeardupRecall _),
     "q65_hybrid_search" -> (q65HybridSearch _),
+    "q122_rrf"        -> (q122Rrf _),
     "q74_quantize"    -> (q74Quantize _)
   )
 
@@ -356,6 +397,51 @@ object SimilarityQueries {
         |  JOIN embeddings e ON d.doc_id = e.vec_id
         |  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |  WHERE d.text LIKE '%spark%' AND d.doc_id != 0) t
-        |WHERE rank <= 10""".stripMargin
+        |WHERE rank <= 10""".stripMargin,
+
+    // the q72 BM25 leg at k=20 + the q65 cosine leg without the
+    // keyword filter, fused by integer reciprocal ranks (⌊10⁶/(60+r)⌋,
+    // absent leg → rank 0, contribution 0)
+    "q122_rrf" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM d),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |t AS (SELECT doc_id, unnest(w) AS term FROM d),
+        |qt AS (SELECT doc_id, term FROM t
+        |       WHERE term IN ('spark', 'join', 'window')),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM qt GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM qt GROUP BY 1),
+        |s AS (SELECT tf.doc_id, tf.term,
+        |        ((n_docs - df + 0.5) / (df + 0.5)) *
+        |        ((tf * 1.2 + tf) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS sc
+        |      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+        |agg AS (SELECT doc_id,
+        |          coalesce(sum(sc) FILTER (WHERE term = 'spark'), 0.0)
+        |          + coalesce(sum(sc) FILTER (WHERE term = 'join'), 0.0)
+        |          + coalesce(sum(sc) FILTER (WHERE term = 'window'), 0.0) AS score
+        |        FROM s GROUP BY doc_id),
+        |kw AS (SELECT doc_id, CAST(rank AS BIGINT) AS k_rank FROM (
+        |         SELECT doc_id,
+        |           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+        |         FROM agg) x
+        |       WHERE rank <= 20),
+        |vec AS (SELECT doc_id, CAST(rank AS BIGINT) AS v_rank FROM (
+        |          SELECT e.vec_id AS doc_id,
+        |            row_number() OVER (
+        |              ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+        |                       e.vec_id ASC) AS rank
+        |          FROM embeddings e
+        |          CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |          WHERE e.vec_id != 0) t
+        |        WHERE rank <= 20)
+        |SELECT coalesce(kw.doc_id, vec.doc_id) AS doc_id,
+        |  coalesce(k_rank, 0) AS k_rank,
+        |  coalesce(v_rank, 0) AS v_rank,
+        |  CAST(coalesce(1000000 // (60 + k_rank), 0)
+        |       + coalesce(1000000 // (60 + v_rank), 0) AS BIGINT) AS rrf
+        |FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id""".stripMargin
   )
 }

@@ -394,6 +394,78 @@ object TextQueries {
       .distinct()
   }
 
+  /** Triangle census of the term co-occurrence graph — the standard
+    * graph-cohesion statistic (clustering coefficient's numerator;
+    * community density): one row of (n_nodes, n_edges, n_triangles)
+    * BIGINTs over the same capped edge frame q101 ranks.
+    *
+    * The plan is DEGREE ORIENTATION, the classic distributed
+    * triangle-count move: orient every undirected edge from its
+    * (degree, name)-smaller endpoint to its larger one — a total
+    * order, so each triangle {a,b,c} has EXACTLY one source node a
+    * with both out-edges a→b, a→c, and closes through the single
+    * oriented edge b→c. Counting is then wedges-from-a semi-joined
+    * against the oriented edge set: no double counting, no /6
+    * correction, and — the scale property — each node generates
+    * C(outdeg, 2) wedges where orientation bounds out-degree by
+    * O(√m) on ANY graph (a hub of degree 10⁶ has out-degree only
+    * toward HIGHER-degree nodes, of which there are few) — total
+    * wedge work O(m^1.5) instead of the Σdeg² blowup a naive
+    * wedge-on-any-node join pays on a skewed graph. All joins are
+    * equi-joins on term strings; nothing global but the final count.
+    *
+    * Per-round memo note: the oriented edge frame has three consumers
+    * (two wedge legs + the closing semi-join); built once via the
+    * shared q101 edge memo plus one derived persist-free aggregation
+    * chain — the wedge join itself consumes the SAME frame twice, so
+    * it rides the q101 edge memo's materialization. */
+  def q118Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val e = Memo.of(spark, s"pr_edges:$dir:cap=$PageRankMaxTermsPerDoc") {
+      coOccurrenceEdges(Tables.documents(spark, dir), PageRankMaxTermsPerDoc)
+    }
+    triangleCensus(e)
+  }
+
+  /** The operator core over any directed-symmetric (src, dst) edge
+    * frame (both directions present, no self-loops) — q118 binds it
+    * to the q101 co-occurrence graph; the spec drives crafted graphs
+    * through it. */
+  def triangleCensus(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    // undirected edge list: one row per unordered pair
+    val und = edges.filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+    val deg = edges.groupBy(col("src").as("v"))
+      .agg(count(lit(1)).as("deg"))
+    // orient by the (deg, name) total order; carry the order key of
+    // both endpoints so the wedge join can compare b <ord c locally
+    val oriented = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("lo"),
+        when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("hi"),
+        least(col("da"), col("db")).as("dlo"),
+        greatest(col("da"), col("db")).as("dhi"))
+    val o = Memo.of(spark,
+      "triangle_oriented:" + Memo.frameKey(edges))(oriented)
+    o.count() // populate before the 3-consumer plan (the q105 lesson)
+    val wedges = o.as("x").join(o.as("y"), col("x.lo") === col("y.lo"))
+      .filter(col("x.dhi") < col("y.dhi") ||
+        (col("x.dhi") === col("y.dhi") && col("x.hi") < col("y.hi")))
+      .select(col("x.hi").as("b"), col("y.hi").as("c"))
+    val tri = wedges.join(o.select(col("lo").as("b"), col("hi").as("c")),
+      Seq("b", "c"), "left_semi")
+    und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+      .crossJoin(broadcast(tri.agg(count(lit(1)).as("n_triangles"))))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+
   def q101PageRank(spark: SparkSession, dir: String): DataFrame = {
     val SCALE = 1000000000000L
     // the edge build (per-doc term self-join + distinct) is the
@@ -579,6 +651,7 @@ object TextQueries {
     "q82_passage_prune" -> (q82PassagePrune _),
     "q84_temperature_mix" -> (q84TemperatureMix _),
     "q101_pagerank"     -> (q101PageRank _),
+    "q118_triangles"    -> (q118Triangles _),
     "q30_text_tokens"   -> (q30TextTokens _),
     "q31_text_quality"  -> (q31TextQuality _),
     "q32_lang_id"       -> (q32LangId _),
@@ -707,6 +780,41 @@ object TextQueries {
          |${prIterSql("r1", "r2")},
          |${prIterSql("r2", "r3")}
          |SELECT term, deg, rank FROM r3""".stripMargin,
+
+    // the same capped edge build as q101, then degree orientation by
+    // the (deg, term) total order and wedge ⋈ closing-edge counting —
+    // the NOT-EXISTS-free formulation both engines replay exactly
+    "q118_triangles" ->
+      s"""WITH tf AS (SELECT doc_id, term, count(*) AS tf
+         |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |                  FROM documents)
+         |            GROUP BY doc_id, term),
+         |t AS (SELECT doc_id, term FROM (
+         |        SELECT doc_id, term,
+         |               row_number() OVER (PARTITION BY doc_id
+         |                                  ORDER BY tf DESC, term) AS rk
+         |        FROM tf) WHERE rk <= ${TextQueries.PageRankMaxTermsPerDoc}),
+         |e AS (SELECT DISTINCT a.term AS src, b.term AS dst
+         |      FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.term != b.term),
+         |und AS (SELECT src AS a, dst AS b FROM e WHERE src < dst),
+         |d AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS deg
+         |      FROM e GROUP BY src),
+         |o AS (SELECT
+         |        CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS lo,
+         |        CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS hi,
+         |        greatest(da, db) AS dhi
+         |      FROM (SELECT a, b, x.deg AS da, y.deg AS db
+         |            FROM und JOIN d x ON x.v = a JOIN d y ON y.v = b)),
+         |w AS (SELECT x.hi AS b, y.hi AS c
+         |      FROM o x JOIN o y ON x.lo = y.lo
+         |      WHERE x.dhi < y.dhi OR (x.dhi = y.dhi AND x.hi < y.hi)),
+         |tr AS (SELECT count(*) AS n_triangles
+         |       FROM w WHERE EXISTS (SELECT 1 FROM o
+         |                            WHERE o.lo = w.b AND o.hi = w.c))
+         |SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_nodes,
+         |  CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
+         |  CAST(n_triangles AS BIGINT) AS n_triangles
+         |FROM tr""".stripMargin,
 
     // 32-token chunks (overlap 0), first occurrence by (doc_id,
     // chunk_id), reassembly ordered by chunk_id — all string/integer

@@ -286,4 +286,131 @@ class AnalyticsWideningSpec extends AnyFunSuite {
       assert(math.abs(r - r2) <= 1e-9, s"r2 $k")
     }
   }
+
+  test("triangle census counts crafted graphs exactly") {
+    def sym(pairs: (String, String)*) = {
+      val und = pairs.toSeq
+      (und ++ und.map(_.swap)).toDF("src", "dst")
+    }
+    // triangle abc plus pendant edge c-d: one triangle
+    val g1 = TextQueries.triangleCensus(
+      sym(("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"))).collect()(0)
+    assert((g1.getLong(0), g1.getLong(1), g1.getLong(2)) == ((4L, 4L, 1L)))
+    // K4: C(4,3) = 4 triangles
+    val k4 = TextQueries.triangleCensus(
+      sym(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("c", "d"))).collect()(0)
+    assert((k4.getLong(0), k4.getLong(1), k4.getLong(2)) == ((4L, 6L, 4L)))
+    // star K1,5: many wedges at the hub in the UNORIENTED view, zero
+    // triangles — and orientation kills even the wedges (the hub is
+    // the highest-degree node, so every edge points AT it and no node
+    // has out-degree 2)
+    val star = TextQueries.triangleCensus(
+      sym(("h", "a"), ("h", "b"), ("h", "c"), ("h", "d"), ("h", "e")))
+      .collect()(0)
+    assert((star.getLong(0), star.getLong(1), star.getLong(2)) == ((6L, 5L, 0L)))
+  }
+
+  test("ewma smoothing: dyadic weights, 8-event warmup, floor parity") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
+    // user 1: nine constant-value events — EWMA of a constant is the
+    // constant (num = 255·c); first emission at the 8th event.
+    // user 2: seven events, never emitted.
+    val evs = ((1 to 9).map(i => (i.toLong, t(i), 1L, 2.00)) ++
+      (11 to 17).map(i => (i.toLong, t(i), 2L, 5.00)))
+      .toDF("event_id", "ts", "user_id", "value")
+    val out = EventQueries.ewmaSmoothed(evs)
+      .select($"event_id", $"user_id", $"ewma_num", $"ewma_cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.forall(_._2 == 1L), "7-event user must be omitted")
+    assert(out.map(_._1).sorted.toSeq == Seq(8L, 9L), "emits from the 8th event")
+    assert(out.forall(r => r._3 == 255L * 200L && r._4 == 200L))
+    // ramp 1.00,2.00,…,8.00: num at event 8 = Σ (900-100k)·2^(7-k)...
+    // computed by hand: cents 100..800, weights newest-first
+    val ramp = (1 to 8).map(i => (i.toLong, t(i), 3L, i * 1.00))
+      .toDF("event_id", "ts", "user_id", "value")
+    val r8 = EventQueries.ewmaSmoothed(ramp).select($"ewma_num")
+      .as[Long].collect()(0)
+    val expected = (0 until 8).map(k => (800L - 100L * k) << (7 - k)).sum
+    assert(r8 == expected)
+    // negative values: floor(-0.015·100) = -2 (floor, not truncate),
+    // and ewma_cents floors the quotient the same way DuckDB's //
+    // does — pin the Spark side's value here
+    val neg = (1 to 8).map(i => (i.toLong, t(i), 4L, -0.015))
+      .toDF("event_id", "ts", "user_id", "value")
+    val nr = EventQueries.ewmaSmoothed(neg)
+      .select($"cents", $"ewma_num", $"ewma_cents").collect()(0)
+    assert(nr.getLong(0) == -2L)
+    assert(nr.getLong(1) == -2L * 255L)
+    assert(nr.getLong(2) == -2L)
+  }
+
+  test("winsorized stats clip exactly at the discrete quantile bounds") {
+    val out = Relational.q119Winsorize(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.nonEmpty)
+    // brute-force replay per group: sort cents, index the ⌈qn⌉-th
+    // value (1-based), clip, sum
+    val cents = Tables.lineitem(spark, dir)
+      .select($"l_returnflag",
+        floor($"l_extendedprice" * lit(100.0)).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    for ((flag, sortedC) <- cents) {
+      val n = sortedC.length.toLong
+      val lo = sortedC(((n * 5 + 99) / 100).toInt - 1)
+      val hi = sortedC(((n * 95 + 99) / 100).toInt - 1)
+      val wsum = sortedC.map(c => math.max(lo, math.min(hi, c))).sum
+      assert(out(flag) == ((n, lo, hi, wsum)), s"group $flag")
+    }
+  }
+
+  test("key-skew audit: exact Gini on crafted and fixture keys") {
+    // fixture invariants: 0 <= gini_num <= gini_den, max >= total/n
+    val rows = Relational.q121KeySkew(spark, dir).collect()
+    assert(rows.length == 2)
+    for (r <- rows) {
+      val (n, tot, mx, num, den) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(num >= 0L && num <= den, s"${r.getString(0)}: $num/$den")
+      assert(mx * n >= tot)
+    }
+    // closed forms: uniform counts -> Gini 0; one key owns all but
+    // n-1 singletons -> Gini -> (near) upper bound
+    def gini(counts: Seq[Long]): (Long, Long) = {
+      val xs = counts.sorted
+      val n = xs.length.toLong
+      val tot = xs.sum
+      val w = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      (2 * w - (n + 1) * tot, n * tot)
+    }
+    val (eqNum, _) = gini(Seq(5L, 5L, 5L, 5L))
+    assert(eqNum == 0L)
+    val (skNum, skDen) = gini(Seq(1L, 1L, 1L, 97L))
+    assert(skNum * 10 > skDen * 7, "one dominant key must push Gini over 0.7")
+  }
+
+  test("rrf fusion: integer reciprocal-rank scores, absent leg is 0") {
+    // sf0.01, not the suite's sf0.001: the larger fixture is the one
+    // whose keyword and vector top-20s overlap, so the both-legs
+    // fusion path actually executes (cheap — 5k docs, 500 vectors)
+    val rows = graft.ops.SimilarityQueries.q122Rrf(spark, "/root/testdata/sf0.01")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.length <= 40)
+    for ((id, kr, vr, rrf) <- rows) {
+      assert(kr >= 0L && kr <= 20L && vr >= 0L && vr <= 20L, s"doc $id")
+      val expect = (if (kr > 0) 1000000L / (60L + kr) else 0L) +
+        (if (vr > 0) 1000000L / (60L + vr) else 0L)
+      assert(rrf == expect, s"doc $id: $rrf != $expect")
+      assert(kr > 0L || vr > 0L, s"doc $id in neither leg")
+    }
+    // both-leg docs outrank single-leg docs of equal rank sum; at
+    // minimum SOME doc must appear in both legs on this fixture for
+    // the fusion to be exercised
+    assert(rows.exists(r => r._2 > 0L && r._3 > 0L),
+      "fixture must exercise the both-legs fusion path")
+  }
 }
