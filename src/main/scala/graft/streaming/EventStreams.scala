@@ -528,6 +528,61 @@ object EventStreams {
       }
   }
 
+  case class EwmaRow(event_id: Long, user_id: Long, cents: Long,
+                     ewma_num: Long, ewma_cents: Long)
+  case class EwmaState(taps: Seq[Long])
+
+  /** Fold an in-event-time-order slice of one user's events into the
+    * EWMA tap buffer, emitting the batch q120 row for every event
+    * whose 8-tap history is complete. `taps` is newest-first and
+    * capped at 7 between events (the current event is tap 0). */
+  private def foldEwma(init: Seq[Long], events: Seq[Event])
+      : (Seq[Long], Seq[EwmaRow]) = {
+    val evs = events.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    var taps = init
+    val out = Seq.newBuilder[EwmaRow]
+    evs.foreach { e =>
+      val c = math.floor(e.value * 100.0).toLong
+      val window = c +: taps
+      if (window.length == 8) {
+        val num = window.zipWithIndex
+          .map { case (x, k) => x << (7 - k) }.sum
+        out += EwmaRow(e.event_id, e.user_id, c, num,
+          Math.floorDiv(num, 255L))
+      }
+      taps = window.take(7)
+    }
+    (taps, out.result())
+  }
+
+  /** Continuous dyadic EWMA — the streaming twin of the batch q120
+    * window ([[graft.ops.EventQueries.ewmaSmoothed]]): every event
+    * with a complete 8-tap history emits its smoothed value exactly
+    * once, in exact BIGINT cents arithmetic (weights 128…1 newest
+    * first, floor quotient /255 — Math.floorDiv ≡ the batch side's
+    * pmod-subtract ≡ DuckDB's //). State is O(1) per user forever:
+    * the last 7 cents, nothing else — the latestPerKey stance, no
+    * watermark eviction needed.
+    *
+    * Per-user in-order arrival across micro-batches is the contract
+    * (the [[attributionState]] stance): a straggler folding late
+    * would smooth with the wrong history. Within a batch, slices are
+    * sorted in full event-time order before folding. The
+    * stream≡batch spec pins the equivalence on the fixture. */
+  def ewmaState(events: Dataset[Event]): Dataset[EwmaRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[Event], state: GroupState[EwmaState]) =>
+          val (taps, rows) = foldEwma(
+            state.getOption.map(_.taps).getOrElse(Nil), it.toSeq)
+          state.update(EwmaState(taps))
+          rows.iterator
+      }
+  }
+
   /** Arbitrary-stateful sessionization with `flatMapGroupsWithState`:
     * the KeyValueGroupedDataset custom-state path for semantics the
     * built-in session_window can't express (e.g. emitting per-session

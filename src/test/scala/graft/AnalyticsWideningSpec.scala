@@ -200,6 +200,48 @@ class AnalyticsWideningSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ewmaState in batch mode reproduces the batch q120 rows exactly") {
+    import graft.streaming.EventStreams
+    val evs = Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStreams.Event]
+    val streamed = EventStreams.ewmaState(evs)
+      .collect().map(r => (r.event_id, r.user_id, r.cents, r.ewma_num,
+        r.ewma_cents)).toSet
+    val batch = EventQueries.q120Ewma(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("ewmaState across micro-batches: taps persist, each row emits once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.EventStreams
+    def ev(id: Long, sec: Long, v: Double) =
+      EventStreams.Event(id, new java.sql.Timestamp(sec * 1000), 1L, "view", v)
+    val ms = MemoryStream[EventStreams.Event]
+    val q = EventStreams.ewmaState(ms.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ewma_state").start()
+    try {
+      // batch 1: 7 events — nothing can emit yet
+      ms.addData((1 to 7).map(i => ev(i, i * 10, 2.00)): _*)
+      q.processAllAvailable()
+      assert(spark.table("ewma_state").count() == 0L)
+      // batch 2: two more — events 8 and 9 complete their 8-tap
+      // histories using state carried across the batch boundary
+      ms.addData(ev(8, 80, 2.00), ev(9, 90, 2.00))
+      q.processAllAvailable()
+      val rows = spark.table("ewma_state")
+        .select($"event_id", $"ewma_num", $"ewma_cents")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      assert(rows.map(_._1).toSeq == Seq(8L, 9L))
+      assert(rows.forall(r => r._2 == 255L * 200L && r._3 == 200L))
+    } finally q.stop()
+  }
+
   test("quantile bins: per-flag counts balance to within one row and bins order by value") {
     val bins = Relational.q115QuantileBins(spark, dir).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
