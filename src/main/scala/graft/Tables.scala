@@ -17,24 +17,40 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as nanos-since-epoch (legacy long mode) and
-    * rebuild a microsecond timestamp with exact integer arithmetic.
-    *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` on the
-    * session ([[GraftSession.create]] sets it). A reader must not
-    * mutate session conf — that's a global side effect that races
-    * with concurrent queries — so an unconfigured session fails fast
-    * here instead.
+  /** `events.ts` has shipped in two physical shapes across fixture
+    * generations: parquet TIMESTAMP(NANOS) — which Spark's vectorized
+    * reader only admits as nanos-since-epoch LongType under
+    * `spark.sql.legacy.parquet.nanosAsLong=true` ([[GraftSession.create]]
+    * sets it) — and plain TIMESTAMP(MICROS), which loads directly as
+    * TimestampType. Branch on the type the scan actually reports so
+    * either generation yields the same microsecond-timestamp column;
+    * anything else fails loudly rather than silently misinterpreting
+    * epoch units.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    require(
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "Tables.events needs spark.sql.legacy.parquet.nanosAsLong=true " +
-        "(set at session build time, e.g. via GraftSession.create)")
-    val raw = load(spark, dir, "events")
-    raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-      org.apache.spark.sql.functions.expr("ts div 1000")))
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventTs(load(spark, dir, "events"))
+
+  /** Rebuild `ts` as a microsecond timestamp whatever physical shape it
+    * arrived in (shared with the streaming reader, which must pass an
+    * explicit schema and so meets the same two shapes). */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType => // nanos-as-long: exact integer nanos → micros
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case TimestampNTZType =>
+        // parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) infers as NTZ
+        // (spark.sql.parquet.inferTimestampNTZ.enabled defaults true);
+        // the engine standardizes on TimestampType under a UTC session
+        // zone, so this cast is wall-clock-exact and keeps watermarks,
+        // interval arithmetic, and the DuckDB oracle identical across
+        // fixture generations
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts: expected LongType (nanos-as-long), TimestampType, or TimestampNTZType, got $other")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

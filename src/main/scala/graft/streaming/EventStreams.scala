@@ -22,15 +22,15 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events schema for the file-streaming source (ts arrives as
-    * TIMESTAMP(NANOS) parquet → read as LongType nanos, converted). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos-as-long (see graft.Tables.events)
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** events schema for the file-streaming source. The stream source
+    * needs an explicit schema, and the fixture's `ts` has shipped as
+    * both TIMESTAMP(NANOS) (→ LongType nanos under nanosAsLong) and
+    * TIMESTAMP(MICROS) (→ TimestampType) across generations — so sniff
+    * the type from one batch footer read of the actual file rather
+    * than hardcoding either shape (see [[graft.Tables.normalizeEventTs]]).
+    * One driver-side footer read at stream build time, not per batch. */
+  def rawSchema(spark: SparkSession, eventsPath: String): StructType =
+    spark.read.parquet(eventsPath).schema
 
   // ----------------------------------------------------------- batch/stream shared
 
@@ -155,21 +155,18 @@ object EventStreams {
 
   // ----------------------------------------------------------- streaming
 
-  /** File-source streaming read of the events fixture. Requires
-    * `spark.sql.legacy.parquet.nanosAsLong=true` at session build time
-    * (see [[graft.Tables.events]] — readers must not mutate conf). */
+  /** File-source streaming read of the events fixture. Schema-adaptive
+    * across the fixture's two `ts` generations (nanos-as-long needs
+    * `spark.sql.legacy.parquet.nanosAsLong=true` at session build time —
+    * [[graft.GraftSession.create]] sets it; micros needs nothing). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    require(
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "readEventStream needs spark.sql.legacy.parquet.nanosAsLong=true " +
-        "(set at session build time, e.g. via GraftSession.create)")
     // the file source wants a directory: stream the fixture dir with a
     // glob that admits only the events table
-    spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(rawSchema(spark, s"$dir/events.parquet"))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Watermarked streaming tumbling aggregation: append-mode safe,

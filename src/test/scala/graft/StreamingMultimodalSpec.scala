@@ -189,7 +189,7 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     val outDir = java.nio.file.Files.createTempDirectory("graft_incr_out").toString
     val src = java.nio.file.Paths.get(s"$sf/events.parquet")
     def runOnce(): Unit = {
-      val q = spark.readStream.schema(EventStreams.rawSchema).parquet(dir)
+      val q = spark.readStream.schema(EventStreams.rawSchema(spark, s"$sf/events.parquet")).parquet(dir)
         .select("event_id", "event_type")
         .writeStream.format("parquet")
         .option("path", outDir).option("checkpointLocation", ckpt)
@@ -348,8 +348,8 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     java.nio.file.Files.copy(src, java.nio.file.Paths.get(s"$dir/events2.parquet"))
     // glob filter matches both copies
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream.schema(EventStreams.rawSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = graft.Tables.normalizeEventTs(
+      spark.readStream.schema(EventStreams.rawSchema(spark, s"$dir/events.parquet")).parquet(dir))
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
     val q = stream.writeStream.outputMode("append")
