@@ -133,6 +133,49 @@ object Dedup {
       .select("d1", "d2", "common", "n1", "n2", "jaccard")
   }
 
+  /** Asymmetric shingle-containment pairs: every ORDERED (contained,
+    * container) doc pair where at least `minPermille`/1000 of the
+    * contained doc's distinct k-shingles also occur in the container.
+    *
+    * Containment |A∩B|/|A| is the dedup signal Jaccard structurally
+    * cannot see: a paragraph quoted verbatim inside a much longer
+    * document has near-1 containment but near-0 Jaccard (the union is
+    * dominated by the container), so a Jaccard-thresholded pass keeps
+    * both copies. Real pretraining pipelines run both gates.
+    *
+    * Plan shape is [[ngramJaccardPairs]]' inverted-index self-join
+    * (hashes ride the shuffle, ns projected alongside the explode, one
+    * undirected group per pair) — the direction split happens AFTER
+    * aggregation on the tiny pair frame, via a two-way unpivot, so the
+    * expensive leg is computed once, not per direction. The
+    * `minShingles` floor keeps trivially-short docs (whose handful of
+    * shingles are contained everywhere) out of the result, and the
+    * permille gate is integer arithmetic — `common * 1000 div n` —
+    * exact on any engine. */
+  def containmentPairs(docs: DataFrame, k: Int = 3,
+                       minPermille: Long = 800L,
+                       minShingles: Long = 10L): DataFrame = {
+    graft.functions.ShingleHashes.register(docs.sparkSession)
+    val sh = docs
+      .withColumn("fh", expr(s"shingle_hashes(text, $k)"))
+      .filter(size(col("fh")) > 0)
+      .select(col("doc_id"), size(col("fh")).cast("long").as("ns"),
+        explode(col("fh")).as("shingle"))
+    val und = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"),
+        max(col("a.ns")).as("n1"), max(col("b.ns")).as("n2"))
+    und.select(col("d1").as("contained"), col("d2").as("container"),
+        col("common"), col("n1").as("n_contained"))
+      .unionAll(und.select(col("d2").as("contained"), col("d1").as("container"),
+        col("common"), col("n2").as("n_contained")))
+      .withColumn("cont_permille",
+        expr("common * 1000 div n_contained"))
+      .filter(col("n_contained") >= minShingles &&
+        col("cont_permille") >= minPermille)
+  }
+
   /** MinHash signatures, fully native: `shingle_hashes` (one pass over
     * the text bytes, no word/shingle string materialization) feeding
     * `minhash_sigs` (one JIT'd pass over the feature hashes). Docs with

@@ -128,6 +128,28 @@ object Sharding {
         lit(math.round(fraction * 1000000.0)))
   }
 
+  /** Deterministic train/val/test split assignment: each row maps to
+    * exactly one split as a pure function of (id, seed) — the
+    * content-hash stance of [[hashSample]], extended from keep/drop to
+    * a partition of the corpus. A 100 TB recipe must be able to
+    * regenerate the exact same holdout after any repartition, engine
+    * upgrade, or backfill; anything derived from row position or
+    * `rand()` cannot.
+    *
+    * The bucket is the FIRST HEX CHARACTER of the seed-keyed md5 (the
+    * [[orderKey]] portability stance): hex digits are single-byte
+    * ASCII, so the `< 'c'` / `< 'e'` comparisons replay identically on
+    * any engine or collation that orders ASCII — no engine-specific
+    * hex-to-int parsing in the contract. 16 buckets → 12/2/2 =
+    * 75% / 12.5% / 12.5%. Per-row projection, zero shuffle. */
+  def assignSplits(docs: DataFrame, idCol: String = "doc_id",
+                   seed: Long = 42L): DataFrame = {
+    val h = substring(md5(concat_ws(":", col(idCol).cast("string"),
+      lit(seed.toString))), 1, 1)
+    docs.withColumn("split",
+      when(h < "c", "train").when(h < "e", "val").otherwise("test"))
+  }
+
   /** The seed-keyed md5 order key both [[trainOrder]] and
     * [[temperatureMix]] sort by — ONE definition so the documented
     * "same order" contract between them is compile-time coupling, not

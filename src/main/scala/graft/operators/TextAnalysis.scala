@@ -313,6 +313,31 @@ object TextAnalysis {
     docs.select(explode(array_distinct(words(col(text)))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("df"))
 
+  /** Inverted index: term → (df, sorted posting list) for terms whose
+    * document frequency falls in [minDf, maxDf] — the retrieval-side
+    * complement of [[termDocFreq]] and the data structure behind the
+    * keyword leg of hybrid search.
+    *
+    * The df band is the scale contract, not a convenience: an UNCAPPED
+    * posting list for a stopword is a single row holding a meaningful
+    * fraction of all doc ids (the same hot-key pathology
+    * `maxShingleDocFreq` caps on the shingle paths), and a df-1 term
+    * is pure index bloat. Under the band each output row is ≤ maxDf
+    * ids. Postings are sorted before serialization so the row is a
+    * pure function of the corpus multiset — deterministic on any
+    * partitioning; at real scale the list would stay an array bucketed
+    * by term, the string form here is the exchange/oracle format. */
+  def invertedIndex(docs: DataFrame, minDf: Long, maxDf: Long,
+                    text: String = "text"): DataFrame = {
+    require(0 < minDf && minDf <= maxDf, s"need 0 < minDf <= maxDf: $minDf, $maxDf")
+    docs.select(col("doc_id"), explode(array_distinct(words(col(text)))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        expr("array_join(transform(array_sort(collect_list(doc_id)), " +
+          "x -> cast(x as string)), ',')").as("postings"))
+      .filter(col("df").between(minDf, maxDf))
+  }
+
   /** TF-IDF per (doc, term): tf = in-doc count, idf = ln(N/df) with
     * the corpus size N joined in as a 1-row broadcast (no driver
     * round-trip). The df side is a broadcast-able dimension for real

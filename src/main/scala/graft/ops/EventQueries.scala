@@ -575,7 +575,40 @@ object EventQueries {
         expr("(ewma_num - pmod(ewma_num, 255)) div 255").as("ewma_cents"))
   }
 
+  /** Gap-based sessionization with STABLE session ids: per user,
+    * a new session starts when the gap to the previous event exceeds
+    * 30 min; sessions are numbered 1..k in time order and reported
+    * with start/end/duration/size. Complements q52's
+    * `session_window` aggregation: that one merges windows inside a
+    * black-box operator (streaming-capable, ids implicit); this one
+    * derives an EXPLICIT session_id any engine can replay — the id
+    * events get tagged with for downstream joins (funnels, attribution,
+    * per-session features).
+    *
+    * Plan: everything is one shuffle on user_id — the lag, the
+    * running sum, and the final group-by all share the same
+    * partitioning, so Catalyst plans a single exchange. Timestamps
+    * ride as epoch-micros BIGINTs (integer min/max/diff; no
+    * timestamp-annotation drift in the hash). */
+  def q125Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("new_sess",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(cum))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_sessionize"     -> (q125Sessionize _),
     "q113_attribution"    -> (q113Attribution _),
     "q116_rolling_anomaly" -> (q116RollingAnomaly _),
     "q120_ewma"           -> (q120Ewma _),
@@ -774,6 +807,20 @@ object EventQueries {
 
     // unique (ts, event_id) ordering makes lead deterministic; the
     // share is one int/int division both engines perform identically
+    "q125_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |s AS (SELECT user_id, us, event_id,
+        |        CASE WHEN lag(us) OVER w IS NULL
+        |               OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |x AS (SELECT user_id, us,
+        |        CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |      FROM s)
+        |SELECT user_id, session_id, min(us) AS start_us, max(us) AS end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events, max(us) - min(us) AS duration_us
+        |FROM x GROUP BY user_id, session_id""".stripMargin,
+
     "q92_transitions" ->
       """WITH s AS (
         |  SELECT event_type,

@@ -466,6 +466,75 @@ object TextQueries {
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
 
+  /** Inverted index over the mid-df vocabulary band (df ∈ [3, 40]):
+    * term → (df, comma-joined sorted doc_id postings). The df band is
+    * the hot-key cap — see [[TextAnalysis.invertedIndex]]. */
+  def q123InvertedIndex(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.invertedIndex(Tables.documents(spark, dir), minDf = 3, maxDf = 40)
+
+  /** The capped per-doc term frame q101/q118's edge build starts from
+    * (top-[[PageRankMaxTermsPerDoc]] terms by tf, ties on term) —
+    * memoized separately from the edge memo because q124 consumes the
+    * TERMS (it needs per-term doc counts), not the pair graph. */
+  private def cappedTerms(spark: SparkSession, dir: String): DataFrame =
+    Memo.of(spark, s"pr_terms:$dir:cap=$PageRankMaxTermsPerDoc") {
+      val tf = Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      tf.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+            .orderBy(col("tf").desc, col("term"))))
+        .filter(col("rk") <= PageRankMaxTermsPerDoc)
+        .select("doc_id", "term")
+    }
+
+  /** PMI collocations over the capped co-occurrence universe: for
+    * term pairs co-occurring in ≥ 3 docs, the pointwise mutual
+    * information lift n12·N / (n1·n2), emitted as the exact integer
+    * `(n12 * N * 1000000) div (n1 * n2)` (> 10⁶ ⇔ positive PMI, the
+    * kept set). Integer, not ln(): the log is monotone, so ranking
+    * and thresholding are unchanged, and a transcendental's last ulp
+    * is libm-specific while the scaled ratio replays exactly on any
+    * engine (the [[TextAnalysis.topTermsPerDoc]] rationale).
+    *
+    * Scale: the per-doc universe is the same top-16-terms cap as
+    * q101 — pair fan-out is C(16,2) per doc, never O(len²) — and the
+    * n1/n2 lookup joins key on single terms (AQE broadcasts the df
+    * side at fixture scale; at web scale it hash-joins co-partitioned
+    * on term). The BIGINT product n12·N·10⁶ is exact to N ≈ 3·10⁶
+    * docs per analyzed slice; beyond that drop the scale constant a
+    * digit per 10× (PMI slices are per-domain/per-language in
+    * practice, not whole-corpus). */
+  def q124PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val t = cappedTerms(spark, dir)
+    val dfreq = t.groupBy("term").agg(count(lit(1)).as("n"))
+    val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("nd"))
+    t.as("a").join(t.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("t1"), col("b.term").as("t2"))
+      .agg(count(lit(1)).as("n12"))
+      .filter(col("n12") >= 3)
+      .join(dfreq.select(col("term").as("t1"), col("n").as("n1")), "t1")
+      .join(dfreq.select(col("term").as("t2"), col("n").as("n2")), "t2")
+      .crossJoin(broadcast(nd))
+      .withColumn("pmi_scaled", expr("n12 * nd * 1000000 div (n1 * n2)"))
+      .filter(col("pmi_scaled") > 1000000L)
+      .select("t1", "t2", "n12", "n1", "n2", "pmi_scaled")
+  }
+
+  /** Deterministic stratum-preserving train/val/test assignment
+    * ([[Sharding.assignSplits]]): pure function of (doc_id, seed). */
+  def q126SplitAssign(spark: SparkSession, dir: String): DataFrame =
+    Sharding.assignSplits(Tables.documents(spark, dir))
+      .select("doc_id", "source", "split")
+
+  /** Asymmetric containment dedup ([[Dedup.containmentPairs]]): docs
+    * ≥ 80% of whose shingles appear in another doc — the
+    * quoted-inside-a-longer-doc signal Jaccard can't see. */
+  def q127Containment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(docsRebalanced(spark, dir),
+      k = 3, minPermille = 800L, minShingles = 10L)
+
   def q101PageRank(spark: SparkSession, dir: String): DataFrame = {
     val SCALE = 1000000000000L
     // the edge build (per-doc term self-join + distinct) is the
@@ -652,6 +721,10 @@ object TextQueries {
     "q84_temperature_mix" -> (q84TemperatureMix _),
     "q101_pagerank"     -> (q101PageRank _),
     "q118_triangles"    -> (q118Triangles _),
+    "q123_inverted_index" -> (q123InvertedIndex _),
+    "q124_pmi_collocations" -> (q124PmiCollocations _),
+    "q126_split_assign" -> (q126SplitAssign _),
+    "q127_containment"  -> (q127Containment _),
     "q30_text_tokens"   -> (q30TextTokens _),
     "q31_text_quality"  -> (q31TextQuality _),
     "q32_lang_id"       -> (q32LangId _),
@@ -759,6 +832,70 @@ object TextQueries {
     // division floors identically in both engines; the per-doc top-16
     // term cap (tf desc, term asc — the Spark side's exact window)
     // bounds the co-occurrence self-join identically in both
+    "q123_inverted_index" ->
+      """SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+        |      FROM documents) t
+        |GROUP BY term
+        |HAVING count(*) BETWEEN 3 AND 40""".stripMargin,
+
+    // same capped per-doc term CTE as q101/q118; integer-scaled lift,
+    // floor division mirrored // vs div (both operands positive)
+    "q124_pmi_collocations" ->
+      s"""WITH tf AS (SELECT doc_id, term, count(*) AS tf
+         |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |                  FROM documents)
+         |            GROUP BY doc_id, term),
+         |t AS (SELECT doc_id, term FROM (
+         |        SELECT doc_id, term,
+         |               row_number() OVER (PARTITION BY doc_id
+         |                                  ORDER BY tf DESC, term) AS rk
+         |        FROM tf) WHERE rk <= ${TextQueries.PageRankMaxTermsPerDoc}),
+         |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY term),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+         |p AS (SELECT a.term AS t1, b.term AS t2, CAST(count(*) AS BIGINT) AS n12
+         |      FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.term < b.term
+         |      GROUP BY 1, 2 HAVING count(*) >= 3)
+         |SELECT t1, t2, n12, x.n AS n1, y.n AS n2,
+         |  CAST(n12 * nd.nd * 1000000 // (x.n * y.n) AS BIGINT) AS pmi_scaled
+         |FROM p JOIN dfreq x ON p.t1 = x.term
+         |       JOIN dfreq y ON p.t2 = y.term CROSS JOIN nd
+         |WHERE n12 * nd.nd * 1000000 // (x.n * y.n) > 1000000""".stripMargin,
+
+    // seed-keyed md5 first hex char, ASCII-compared — replays on any
+    // engine without hex-to-int parsing (Sharding.assignSplits)
+    "q126_split_assign" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':' || '42'), 1, 1) < 'c'
+        |         THEN 'train'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':' || '42'), 1, 1) < 'e'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+
+    // q34's shingle CTE, then both directions of each undirected pair
+    // with the CONTAINED side's shingle count as the denominator
+    "q127_containment" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |        unnest(list_distinct(list_transform(range(len(w) - 2),
+        |          i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS shingle
+        |      FROM d WHERE len(w) >= 3),
+        |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ns FROM s GROUP BY doc_id),
+        |c AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS common
+        |      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |u AS (SELECT d1 AS contained, d2 AS container, common, n1.ns AS n_contained
+        |      FROM c JOIN n n1 ON c.d1 = n1.doc_id
+        |      UNION ALL
+        |      SELECT d2 AS contained, d1 AS container, common, n2.ns AS n_contained
+        |      FROM c JOIN n n2 ON c.d2 = n2.doc_id)
+        |SELECT contained, container, common, n_contained,
+        |  CAST(common * 1000 // n_contained AS BIGINT) AS cont_permille
+        |FROM u
+        |WHERE n_contained >= 10 AND common * 1000 // n_contained >= 800""".stripMargin,
+
     "q101_pagerank" ->
       s"""WITH tf AS (SELECT doc_id, term, count(*) AS tf
          |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term

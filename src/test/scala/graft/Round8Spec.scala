@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Sharding, TextAnalysis}
+
+/** Round-8 contracts for the widening pack: inverted-index df band and
+  * posting determinism, containment's asymmetric-dedup semantics (the
+  * case Jaccard structurally misses), split assignment as a stable
+  * partition of the corpus, and sessionization boundary arithmetic. */
+class Round8Spec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  test("invertedIndex: df band filters, postings arrive sorted whatever the partitioning") {
+    // 'common' in 5 docs, 'rare' in 1, 'mid' in 3 — band [2,4] keeps only mid
+    val docs = Seq(
+      (30L, "common mid x1"), (10L, "common mid x2"), (20L, "common mid x3"),
+      (40L, "common rare"), (50L, "common x4"))
+      .toDF("doc_id", "text")
+      .repartition(7) // adversarial layout: postings order must not move
+    val idx = TextAnalysis.invertedIndex(docs, minDf = 2, maxDf = 4)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(!idx.contains("common"), "df=5 exceeds the band cap")
+    assert(!idx.contains("rare"), "df=1 is under the band floor")
+    assert(idx("mid") == (3L, "10,20,30"), s"sorted postings expected, got ${idx.get("mid")}")
+  }
+
+  test("containmentPairs flags a verbatim quote inside a long doc that Jaccard misses") {
+    // doc 2 = doc 1's text embedded in a much longer document: the
+    // contained side's shingles are all present (containment = 1000)
+    // while the union is dominated by the container (low Jaccard)
+    val quote = (1 to 14).map(i => s"q$i").mkString(" ") // 12 3-shingles
+    val filler = (1 to 200).map(i => s"f$i").mkString(" ")
+    val docs = Seq((1L, quote), (2L, s"$filler $quote")).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, k = 3, minPermille = 800L, minShingles = 10L)
+      .collect()
+    assert(cont.length == 1, s"exactly the (quote ⊂ long) direction: ${cont.mkString(";")}")
+    val r = cont.head
+    assert(r.getAs[Long]("contained") == 1L && r.getAs[Long]("container") == 2L)
+    assert(r.getAs[Long]("cont_permille") == 1000L)
+    // the symmetric gate at its production threshold does not see this pair
+    val jac = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.6).collect()
+    assert(jac.isEmpty, s"Jaccard@0.6 should miss the quote: ${jac.mkString(";")}")
+  }
+
+  test("assignSplits: a stable exhaustive partition, invariant under repartitioning") {
+    val docs = (1L to 2000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val a = Sharding.assignSplits(docs).select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sharding.assignSplits(docs.repartition(13)).select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b, "assignment must be a pure function of (id, seed), not layout")
+    assert(a.size == 2000 && a.values.forall(Set("train", "val", "test")))
+    val n = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    // 12/16-2/16-2/16 of 2000 = 1500/250/250 expected; md5 is uniform
+    // enough that ±40% bands can't flake
+    assert(n("train") > 1200 && n("train") < 1750, s"train share off: $n")
+    assert(n("val") > 150 && n("val") < 400, s"val share off: $n")
+    assert(n("test") > 150 && n("test") < 400, s"test share off: $n")
+    // seed participates: a different seed must move some docs
+    val c = Sharding.assignSplits(docs, seed = 7L).select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a != c, "seed must be part of the hash key")
+  }
+
+  test("sessionize arithmetic: a 30-min gap splits, boundary gap does not, ids are time-ordered") {
+    import org.apache.spark.sql.expressions.Window
+    // user 1: events at t0, +1799s, +3600s → sessions {e1,e2}, {e3}
+    // (the 1799s gap holds one session: 1799s < 1800s; the next gap is
+    // 1801s > the threshold)
+    val base = 1700000000000000L // epoch micros
+    val ev = Seq(
+      (1L, 1L, base), (2L, 1L, base + 1799L * 1000000L),
+      (3L, 1L, base + 3600L * 1000000L),
+      (4L, 2L, base)) // user 2: single event → one 0-length session
+      .toDF("event_id", "user_id", "us")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("us")).as("ts"))
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val out = ev
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("new_sess",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("duration_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out((1L, 1L)) == (2L, 1799L * 1000000L), s"first session holds the 1799s gap: $out")
+    assert(out((1L, 2L)) == (1L, 0L), s"second session is the isolated event: $out")
+    assert(out((2L, 1L)) == (1L, 0L), s"single-event user gets session 1: $out")
+  }
+
+  test("PMI scaled lift is exact integer arithmetic with a known closed form") {
+    // 4 docs; terms a,b together in 2 docs, a alone in 1, b alone in 1:
+    // n12=2, n1=3, n2=3, N=4 → lift = 2*4*1e6 div 9 = 888888 (≤ 1e6 ⇒
+    // negatively associated, dropped); c,d always together in 3 docs:
+    // n12=3, n1=3, n2=3, N=4 → 3*4*1e6 div 9 = 1333333 (kept)
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), (3L, "a c d"), (4L, "b e"))
+      .toDF("doc_id", "text")
+    val t = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+    val nd = docs.count()
+    val pairs = t.as("x").join(t.as("y"),
+        col("x.doc_id") === col("y.doc_id") && col("x.term") < col("y.term"))
+      .groupBy(col("x.term").as("t1"), col("y.term").as("t2"))
+      .agg(count(lit(1)).as("n12"))
+    val dfreq = t.groupBy("term").agg(count(lit(1)).as("n"))
+    val out = pairs
+      .join(dfreq.select(col("term").as("t1"), col("n").as("n1")), "t1")
+      .join(dfreq.select(col("term").as("t2"), col("n").as("n2")), "t2")
+      .withColumn("pmi_scaled", expr(s"n12 * $nd * 1000000 div (n1 * n2)"))
+      .collect()
+      .map(r => (r.getAs[String]("t1"), r.getAs[String]("t2")) -> r.getAs[Long]("pmi_scaled"))
+      .toMap
+    assert(out(("a", "b")) == 888888L, s"got $out")
+    assert(out(("c", "d")) == 1333333L, s"got $out")
+  }
+}
