@@ -607,7 +607,50 @@ object EventQueries {
       .withColumn("duration_us", col("end_us") - col("start_us"))
   }
 
+  /** Histogram-sketch median: per event type, the approximate p50
+    * from a 128-bin equal-width integer histogram — the MERGEABLE,
+    * bounded-state quantile estimator. Exact per-group quantiles
+    * (q96/q115) need a total sort of the group; at 100 TB the sketch
+    * path aggregates each partition to ≤ 128 counters, merges
+    * counters associatively (map-side combine does it for free), and
+    * reads the quantile off the cumulative histogram — one tiny
+    * shuffle, state independent of row count, and streaming-friendly
+    * (counter merge is the textbook mergeable-summary property).
+    *
+    * Error is bounded by construction: the true median lies in
+    * `p50_bin`, so |p50_lo_cents − exact| < one bin width = range/128
+    * (spec-asserted against the exact median). All arithmetic is the
+    * q117 integer-binning shape — `((c − mn) · 128) div (mx − mn + 1)`
+    * on floor-cents — plus an integer lower-edge reconstruction; no
+    * float ever enters, so the sketch itself sits under the
+    * cross-engine hash gate (approx_percentile, by contrast, is
+    * engine-internal and can never face one). */
+  def q129HistQuantile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") * lit(100.0)).cast("long").as("c"))
+    val rng = c.groupBy("event_type").agg(
+      min(col("c")).as("mn"), max(col("c")).as("mx"),
+      count(lit(1)).as("n"))
+    val binned = c.join(broadcast(rng), "event_type")
+      .withColumn("bin", expr("((c - mn) * 128) div (mx - mn + 1)"))
+      .groupBy(col("event_type"), col("bin")).agg(count(lit(1)).as("bc"))
+    val w = Window.partitionBy("event_type").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned
+      .withColumn("cum", sum(col("bc")).over(w))
+      .join(broadcast(rng), "event_type")
+      .filter(col("cum") * 2 >= col("n"))
+      .groupBy(col("event_type"), col("n"), col("mn"), col("mx"))
+      .agg(min(col("bin")).as("p50_bin"))
+      .withColumn("p50_lo_cents",
+        expr("mn + (p50_bin * (mx - mn + 1)) div 128"))
+      .select("event_type", "n", "mn", "mx", "p50_bin", "p50_lo_cents")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_hist_quantile"  -> (q129HistQuantile _),
     "q125_sessionize"     -> (q125Sessionize _),
     "q113_attribution"    -> (q113Attribution _),
     "q116_rolling_anomaly" -> (q116RollingAnomaly _),
@@ -807,6 +850,26 @@ object EventQueries {
 
     // unique (ts, event_id) ordering makes lead deterministic; the
     // share is one int/int division both engines perform identically
+    // q117's integer binning shape on floor-cents; both div legs are
+    // non-negative so // (floor) and div (trunc) agree
+    "q129_hist_quantile" ->
+      """WITH c AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c
+        |           FROM events),
+        |r AS (SELECT event_type, min(c) AS mn, max(c) AS mx,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM c GROUP BY 1),
+        |b AS (SELECT c.event_type, ((c.c - r.mn) * 128) // (r.mx - r.mn + 1) AS bin,
+        |        CAST(count(*) AS BIGINT) AS bc
+        |      FROM c JOIN r USING (event_type) GROUP BY 1, 2),
+        |x AS (SELECT b.event_type, bin, r.n, r.mn, r.mx,
+        |        CAST(sum(bc) OVER (PARTITION BY b.event_type ORDER BY bin
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM b JOIN r USING (event_type))
+        |SELECT event_type, n, mn, mx, CAST(min(bin) AS BIGINT) AS p50_bin,
+        |  CAST(mn + (min(bin) * (mx - mn + 1)) // 128 AS BIGINT) AS p50_lo_cents
+        |FROM x WHERE cum * 2 >= n
+        |GROUP BY event_type, n, mn, mx""".stripMargin,
+
     "q125_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
         |s AS (SELECT user_id, us, event_id,

