@@ -57,5 +57,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "cosine_sim(a array<float|double>, b array<float|double>)")
       CosineSim(exprs.head, exprs(1))
     }
+    inject("bounded_min_k", "bounded_min_k(col BIGINT, k INT) -> array<bigint>") { exprs =>
+      FunctionArgs.requireArity("bounded_min_k", exprs, 2,
+        "bounded_min_k(col BIGINT, k INT literal)")
+      BoundedMinK(exprs.head,
+        FunctionArgs.foldableInt("bounded_min_k", exprs(1), "k"))
+        .toAggregateExpression()
+    }
   }
 }

@@ -43,5 +43,6 @@ object GraftSession {
     functions.ShingleHashes.register(spark)
     functions.SrpBuckets.register(spark)
     functions.CosineSim.register(spark)
+    functions.BoundedMinK.register(spark)
   }
 }

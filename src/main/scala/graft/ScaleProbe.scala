@@ -152,7 +152,61 @@ object ScaleProbe {
             ops.TextQueries.coOccurrenceEdges(docs,
               ops.TextQueries.PageRankMaxTermsPerDoc))
             .select($"n_triangles").as[Long].collect()(0)),
-        // r7 widening: skew audit — the rank window sorts |keys| rows
+        // r8 widening: inverted index — explode + combinable count +
+        // k-capped native head aggregate: every buffer ≤ 40 ids at
+        // every stage whatever a term's df, so time ∝ tokens and no
+        // hot-term task exists
+        "q123_inverted_index" -> (() =>
+          operators.TextAnalysis.invertedIndex(docs, minDf = 3, postingCap = 40).count()),
+        // r8 widening: PMI — the same top-16 cap as q101 bounds pair
+        // fan-out at C(16,2) per doc, so candidate volume ∝ docs;
+        // disjoint copy vocabularies keep the pair space from fusing
+        "q124_pmi_pairs" -> (() => {
+          val tf = docs.select($"doc_id", explode(split($"text", " ")).as("term"))
+            .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          val t = tf.withColumn("rk", row_number().over(
+              org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+                .orderBy($"tf".desc, $"term")))
+            .filter($"rk" <= ops.TextQueries.PageRankMaxTermsPerDoc)
+            .select("doc_id", "term")
+          t.as("a").join(t.as("b"),
+              col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
+            .groupBy(col("a.term"), col("b.term")).agg(count(lit(1)).as("n12"))
+            .filter($"n12" >= 3).count()
+        }),
+        // r8 widening: containment rides the identical inverted-index
+        // self-join as ngramJaccardPairs (one undirected aggregate,
+        // direction split on the pair frame) — content-unique copies
+        // add zero cross-copy candidates, so time ∝ docs
+        "q127_containment" -> (() =>
+          operators.Dedup.containmentPairs(docs, k = 3).count()),
+        // r8 widening: bigram LM — one per-row list transform + two
+        // combinable counts; no positional self-join anywhere
+        "q128_bigram_lm" -> (() => {
+          val bi = docs.select(split($"text", " ").as("w"))
+            .filter(size($"w") >= 2)
+            .select(explode(expr(
+              "transform(sequence(0, size(w) - 2), i -> " +
+                "named_struct('w1', element_at(w, i + 1), 'w2', element_at(w, i + 2)))"))
+              .as("b"))
+          bi.groupBy(col("b.w1"), col("b.w2")).agg(count(lit(1)).as("c12"))
+            .filter($"c12" >= 3).count()
+        }),
+        // r8 widening: histogram sketch — each partition reduces to
+        // ≤ 128 counters per group before the (tiny) shuffle; synth
+        // events because the fixture's events don't scale with copies
+        "q129_hist_sketch" -> (() => {
+          val synth = spark.range(100000L * s).select(
+            concat(lit("t"), pmod(hash($"id"), lit(8))).as("event_type"),
+            pmod(hash($"id" * 17), lit(1000000)).cast("long").as("c"))
+          val rng = synth.groupBy("event_type").agg(
+            min($"c").as("mn"), max($"c").as("mx"), count(lit(1)).as("n"))
+          synth.join(broadcast(rng), "event_type")
+            .withColumn("bin", expr("((c - mn) * 128) div (mx - mn + 1)"))
+            .groupBy($"event_type", $"bin").agg(count(lit(1)).as("bc"))
+            .count()
+        }),
+        // r8 widening: skew audit — the rank window sorts |keys| rows
         // (synthetic zipf-ish keys, 100k·s events over ~√ that many
         // keys), never the event rows themselves
         "q121_key_skew" -> (() => {

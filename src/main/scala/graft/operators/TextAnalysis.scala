@@ -313,29 +313,34 @@ object TextAnalysis {
     docs.select(explode(array_distinct(words(col(text)))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("df"))
 
-  /** Inverted index: term → (df, sorted posting list) for terms whose
-    * document frequency falls in [minDf, maxDf] — the retrieval-side
-    * complement of [[termDocFreq]] and the data structure behind the
-    * keyword leg of hybrid search.
+  /** Inverted index: term → (df, bounded posting HEAD — the first
+    * `postingCap` doc ids ascending) for terms with df ≥ minDf — the
+    * retrieval-side complement of [[termDocFreq]] and the structure
+    * behind the keyword leg of hybrid search.
     *
-    * The df band is the scale contract, not a convenience: an UNCAPPED
-    * posting list for a stopword is a single row holding a meaningful
-    * fraction of all doc ids (the same hot-key pathology
-    * `maxShingleDocFreq` caps on the shingle paths), and a df-1 term
-    * is pure index bloat. Under the band each output row is ≤ maxDf
-    * ids. Postings are sorted before serialization so the row is a
-    * pure function of the corpus multiset — deterministic on any
-    * partitioning; at real scale the list would stay an array bucketed
-    * by term, the string form here is the exchange/oracle format. */
-  def invertedIndex(docs: DataFrame, minDf: Long, maxDf: Long,
+    * The cap is on POSTING LENGTH, not document frequency: a df band
+    * assumes a Zipfian vocabulary (and goes vacuous on corpora without
+    * one), whereas bounding the emitted head caps every output row at
+    * `postingCap` ids for ANY df. The head is extracted by
+    * `bounded_min_k` ([[graft.functions.BoundedMinK]]), whose agg
+    * state is k-capped at every plan stage — map-side partials already
+    * discard past the local top-k, so a stopword's posting never
+    * concentrates on one task (the window/row_number formulation
+    * would) and never materializes an unbounded collect_list buffer.
+    * Full df still rides alongside as a plain count. Heads are sorted,
+    * so each row is a pure function of the corpus multiset —
+    * deterministic on any partitioning; at real scale the tail lives
+    * in further `postings_part_N` segments, the head is the hot tier. */
+  def invertedIndex(docs: DataFrame, minDf: Long, postingCap: Int,
                     text: String = "text"): DataFrame = {
-    require(0 < minDf && minDf <= maxDf, s"need 0 < minDf <= maxDf: $minDf, $maxDf")
+    require(minDf > 0 && postingCap > 0, s"need positive dials: $minDf, $postingCap")
+    graft.functions.BoundedMinK.register(docs.sparkSession)
     docs.select(col("doc_id"), explode(array_distinct(words(col(text)))).as("term"))
       .groupBy("term")
       .agg(count(lit(1)).as("df"),
-        expr("array_join(transform(array_sort(collect_list(doc_id)), " +
-          "x -> cast(x as string)), ',')").as("postings"))
-      .filter(col("df").between(minDf, maxDf))
+        expr(s"array_join(transform(bounded_min_k(doc_id, $postingCap), " +
+          "x -> cast(x as string)), ',')").as("postings_head"))
+      .filter(col("df") >= minDf)
   }
 
   /** TF-IDF per (doc, term): tf = in-doc count, idf = ln(N/df) with

@@ -466,11 +466,12 @@ object TextQueries {
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
 
-  /** Inverted index over the mid-df vocabulary band (df ∈ [3, 40]):
-    * term → (df, comma-joined sorted doc_id postings). The df band is
-    * the hot-key cap — see [[TextAnalysis.invertedIndex]]. */
+  /** Inverted index with bounded posting heads: term → (df, first 40
+    * doc ids) for df ≥ 3 — the hot-key cap lives on posting LENGTH via
+    * the k-capped native aggregate (see [[TextAnalysis.invertedIndex]]
+    * and [[graft.functions.BoundedMinK]]). */
   def q123InvertedIndex(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.invertedIndex(Tables.documents(spark, dir), minDf = 3, maxDf = 40)
+    TextAnalysis.invertedIndex(Tables.documents(spark, dir), minDf = 3, postingCap = 40)
 
   /** The capped per-doc term frame q101/q118's edge build starts from
     * (top-[[PageRankMaxTermsPerDoc]] terms by tf, ties on term) —
@@ -865,13 +866,21 @@ object TextQueries {
     // division floors identically in both engines; the per-doc top-16
     // term cap (tf desc, term asc — the Spark side's exact window)
     // bounds the co-occurrence self-join identically in both
+    // the bounded head replays as a row_number top-40 per term; df
+    // counts the FULL posting set
     "q123_inverted_index" ->
-      """SELECT term, CAST(count(*) AS BIGINT) AS df,
-        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
-        |FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
-        |      FROM documents) t
-        |GROUP BY term
-        |HAVING count(*) BETWEEN 3 AND 40""".stripMargin,
+      """WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+        |           FROM documents),
+        |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY term
+        |      HAVING count(*) >= 3),
+        |rk AS (SELECT t.term, t.doc_id,
+        |         row_number() OVER (PARTITION BY t.term ORDER BY t.doc_id) AS rn
+        |       FROM t JOIN d USING (term))
+        |SELECT rk.term, d.df,
+        |  string_agg(CAST(rk.doc_id AS VARCHAR), ',' ORDER BY rk.doc_id) AS postings_head
+        |FROM rk JOIN d USING (term)
+        |WHERE rn <= 40
+        |GROUP BY rk.term, d.df""".stripMargin,
 
     // same capped per-doc term CTE as q101/q118; integer-scaled lift,
     // floor division mirrored // vs div (both operands positive)

@@ -15,7 +15,7 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(r.getSeq[Long](1).length == 4)
   }
 
-  test("GraftExtensions injects all five functions through the extensions hook") {
+  test("GraftExtensions injects all six functions through the extensions hook") {
     // drive the same path BaseSessionStateBuilder runs at session
     // construction (spark.sql.extensions=graft.GraftExtensions):
     // apply the extension, materialize its injections into the live
@@ -38,6 +38,11 @@ class GraftSessionSpec extends AnyFunSuite {
         |""".stripMargin).collect()(0)
     assert(r.getLong(0) != 0L && r.getInt(1) == 8 && r.getInt(2) == 4)
     assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
+    // the aggregate injects too (builder wraps it in AggregateExpression)
+    val agg = spark.sql(
+      "SELECT bounded_min_k(v, 2) FROM VALUES (5L), (1L), (3L) AS t(v)")
+      .collect()(0).getSeq[Long](0)
+    assert(agg == Seq(1L, 3L), s"got $agg")
     // validated builders surface real errors, not IndexOutOfBounds
     val e = intercept[Exception](spark.sql("SELECT shingle_hashes('x')").collect())
     assert(e.getMessage.contains("shingle_hashes"), s"got: ${e.getMessage}")

@@ -13,18 +13,39 @@ class Round8Spec extends AnyFunSuite {
   import SparkTestSession.spark
   import spark.implicits._
 
-  test("invertedIndex: df band filters, postings arrive sorted whatever the partitioning") {
-    // 'common' in 5 docs, 'rare' in 1, 'mid' in 3 — band [2,4] keeps only mid
+  test("invertedIndex: bounded heads hold the k SMALLEST ids sorted, df counts the full set") {
+    // 'common' in 5 docs, 'rare' in 1, 'mid' in 3; cap=2 truncates
+    // common/mid to their two smallest ids while df stays full
     val docs = Seq(
       (30L, "common mid x1"), (10L, "common mid x2"), (20L, "common mid x3"),
       (40L, "common rare"), (50L, "common x4"))
       .toDF("doc_id", "text")
-      .repartition(7) // adversarial layout: postings order must not move
-    val idx = TextAnalysis.invertedIndex(docs, minDf = 2, maxDf = 4)
+      .repartition(7) // adversarial layout: head content/order must not move
+    val idx = TextAnalysis.invertedIndex(docs, minDf = 2, postingCap = 2)
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
-    assert(!idx.contains("common"), "df=5 exceeds the band cap")
-    assert(!idx.contains("rare"), "df=1 is under the band floor")
-    assert(idx("mid") == (3L, "10,20,30"), s"sorted postings expected, got ${idx.get("mid")}")
+    assert(!idx.contains("rare"), "df=1 is under the floor")
+    assert(idx("common") == (5L, "10,20"), s"full df + 2-id head, got ${idx.get("common")}")
+    assert(idx("mid") == (3L, "10,20"), s"got ${idx.get("mid")}")
+  }
+
+  test("bounded_min_k: state stays k-capped and the result equals sort-take-k") {
+    graft.functions.BoundedMinK.register(spark)
+    // 10k values per key across many partitions; heavy key collisions
+    val df = spark.range(10000).select(
+      pmod(col("id"), lit(3)).as("g"),
+      // a permutation of 0..9999, so min-k is a known closed form
+      pmod(col("id") * 7919, lit(10000)).as("v"))
+      .repartition(16)
+    val got = df.groupBy("g").agg(expr("bounded_min_k(v, 5)").as("mk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val want = df.collect().groupBy(_.getLong(0))
+      .map { case (g, rs) => g -> rs.map(_.getLong(1)).sorted.take(5).toSeq }
+    assert(got == want, s"got $got want $want")
+    // k larger than the group: whole group, sorted
+    val small = Seq((1L, 5L), (1L, 2L)).toDF("g", "v")
+      .groupBy("g").agg(expr("bounded_min_k(v, 100)").as("mk"))
+      .collect().map(r => r.getSeq[Long](1)).head
+    assert(small == Seq(2L, 5L))
   }
 
   test("containmentPairs flags a verbatim quote inside a long doc that Jaccard misses") {
