@@ -590,21 +590,87 @@ object EventQueries {
     * partitioning, so Catalyst plans a single exchange. Timestamps
     * ride as epoch-micros BIGINTs (integer min/max/diff; no
     * timestamp-annotation drift in the hash). */
-  def q125Sessionize(spark: SparkSession, dir: String): DataFrame = {
+  def q125Sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionTaggedEvents(spark, dir)
+      .groupBy("user_id", "session_id")
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+
+  /** q125's derivation up to (but not including) the per-session
+    * roll-up: every event tagged with its user's stable session_id.
+    * Shared by q125 and q131 — both windows and the downstream
+    * group-bys key on user_id, so the whole chain is one exchange. */
+  private def sessionTaggedEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
       .withColumn("new_sess",
         when(lag(col("us"), 1).over(w).isNull ||
           col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1L)
           .otherwise(0L))
       .withColumn("session_id", sum(col("new_sess")).over(cum))
+  }
+
+  /** Session-scoped conversion: fold each session to (length,
+    * converted?) and roll up conversion volume by session-length
+    * bucket (lengths ≥ 10 pool into one tail bucket — an unbounded
+    * bucket key would make the output cardinality data-dependent).
+    * The product question behind it: do longer sessions convert more?
+    * Everything after [[sessionTaggedEvents]] is two combinable
+    * aggregations co-partitioned on user_id then on a ≤ 10-row key —
+    * no new exchange of raw events. */
+  def q131SessionConversion(spark: SparkSession, dir: String): DataFrame =
+    sessionTaggedEvents(spark, dir)
       .groupBy("user_id", "session_id")
-      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
-        count(lit(1)).as("n_events"))
-      .withColumn("duration_us", col("end_us") - col("start_us"))
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+      .groupBy(expr("least(n_events, 10)").as("len_bucket"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("converted")).as("n_converted"))
+
+  /** Conversion latency: per user, the time from first 'view' to the
+    * first 'purchase' AT OR AFTER it; one summary row with the exact
+    * discrete median and ceil-rank p90 over converted users (q108's
+    * rank-pick arithmetic — `(n+1) div 2` / `(9n+9) div 10` on BIGINT
+    * micros, no interpolation, no float).
+    *
+    * Scale: the conditional mins fold raw events to ONE row per user
+    * (combinable, co-partitioned); the rank windows then order only
+    * the converted-users frame — a user-cardinality aggregate, never
+    * raw event volume (the q86/q100 windows-over-aggregates stance).
+    * The final global pick is a 2-row filter on that frame. */
+  def q132ConversionLatency(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstViews = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("us"))).as("first_view"))
+      .filter(col("first_view").isNotNull)
+    val lat = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .filter(col("event_type") === "purchase")
+      .join(firstViews, "user_id")
+      .filter(col("us") >= col("first_view"))
+      .groupBy("user_id")
+      .agg(min(col("us") - col("first_view")).as("latency_us"))
+    val w = Window.orderBy(col("latency_us"), col("user_id"))
+    val ranked = lat
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    ranked
+      .filter(col("rk") === expr("(n + 1) div 2") ||
+        col("rk") === expr("(9 * n + 9) div 10"))
+      .groupBy(col("n").as("n_converted"))
+      .agg(min(when(col("rk") === expr("(n + 1) div 2"), col("latency_us")))
+          .as("median_latency_us"),
+        min(when(col("rk") === expr("(9 * n + 9) div 10"), col("latency_us")))
+          .as("p90_latency_us"))
   }
 
   /** Histogram-sketch median: per event type, the approximate p50
@@ -652,6 +718,8 @@ object EventQueries {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_hist_quantile"  -> (q129HistQuantile _),
     "q125_sessionize"     -> (q125Sessionize _),
+    "q131_session_conversion" -> (q131SessionConversion _),
+    "q132_conversion_latency" -> (q132ConversionLatency _),
     "q113_attribution"    -> (q113Attribution _),
     "q116_rolling_anomaly" -> (q116RollingAnomaly _),
     "q120_ewma"           -> (q120Ewma _),
@@ -869,6 +937,49 @@ object EventQueries {
         |  CAST(mn + (min(bin) * (mx - mn + 1)) // 128 AS BIGINT) AS p50_lo_cents
         |FROM x WHERE cum * 2 >= n
         |GROUP BY event_type, n, mn, mx""".stripMargin,
+
+    // q125's session CTE + per-session conversion fold; the ≥10 tail
+    // pools via least() in both engines
+    "q131_session_conversion" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |s AS (SELECT user_id, event_type, us, event_id,
+        |        CASE WHEN lag(us) OVER w IS NULL
+        |               OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |x AS (SELECT user_id, event_type,
+        |        CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |      FROM s),
+        |p AS (SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+        |        CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS converted
+        |      FROM x GROUP BY user_id, session_id)
+        |SELECT least(n_events, 10) AS len_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(converted) AS BIGINT) AS n_converted
+        |FROM p GROUP BY least(n_events, 10)""".stripMargin,
+
+    // conditional mins fold events to one row per user; the rank pick
+    // is q108's discrete arithmetic — both div legs non-negative
+    "q132_conversion_latency" ->
+      """WITH fv AS (SELECT user_id,
+        |        min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view
+        |      FROM events GROUP BY user_id),
+        |lat AS (SELECT e.user_id,
+        |          min(epoch_us(e.ts) - fv.first_view) AS latency_us
+        |        FROM events e JOIN fv ON e.user_id = fv.user_id
+        |        WHERE e.event_type = 'purchase' AND fv.first_view IS NOT NULL
+        |          AND epoch_us(e.ts) >= fv.first_view
+        |        GROUP BY e.user_id),
+        |r AS (SELECT user_id, latency_us,
+        |        CAST(row_number() OVER (ORDER BY latency_us, user_id) AS BIGINT) AS rk,
+        |        CAST(count(*) OVER () AS BIGINT) AS n
+        |      FROM lat)
+        |SELECT n AS n_converted,
+        |  min(CASE WHEN rk = (n + 1) // 2 THEN latency_us END) AS median_latency_us,
+        |  min(CASE WHEN rk = (9 * n + 9) // 10 THEN latency_us END) AS p90_latency_us
+        |FROM r WHERE rk = (n + 1) // 2 OR rk = (9 * n + 9) // 10
+        |GROUP BY n""".stripMargin,
 
     "q125_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

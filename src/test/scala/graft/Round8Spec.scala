@@ -173,6 +173,46 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("session conversion and latency queries reconcile on the fixture") {
+    val sf = SparkTestSession.sf
+    val conv = graft.ops.EventQueries.q131SessionConversion(spark, sf).collect()
+    val sessions = graft.ops.EventQueries.q125Sessionize(spark, sf)
+    // bucket roll-up partitions the session set exactly
+    assert(conv.map(_.getLong(1)).sum == sessions.count(),
+      "bucket n_sessions must sum to the session count")
+    conv.foreach { r =>
+      val (b, n, c) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(b >= 1 && b <= 10 && c >= 0 && c <= n, s"bucket row out of bounds: $r")
+    }
+    val lat = graft.ops.EventQueries.q132ConversionLatency(spark, sf).collect()
+    assert(lat.length == 1)
+    val (n, med, p90) = (lat(0).getLong(0), lat(0).getLong(1), lat(0).getLong(2))
+    assert(n > 0 && med >= 0 && p90 >= med,
+      s"p90 must dominate the median: n=$n med=$med p90=$p90")
+  }
+
+  test("conversion latency rank picks match a literal sort on crafted users") {
+    // 5 converted users with latencies 10,20,30,40,50s → median rank
+    // (5+1) div 2 = 3 → 30s; p90 rank (45+9) div 10 = 5 → 50s; user 9
+    // purchases BEFORE any view and must not count
+    val base = 1700000000000000L
+    val rows = (1 to 5).flatMap { u =>
+      Seq((u * 10L + 1L, u.toLong, "view", base),
+        (u * 10L + 2L, u.toLong, "purchase", base + u * 10000000L))
+    } ++ Seq((91L, 9L, "purchase", base), (92L, 9L, "view", base + 1L))
+    val ev = rows.toDF("event_id", "user_id", "event_type", "us")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"), lit(0.0).as("value"),
+        lit("{}").as("props"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_lat").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.ops.EventQueries.q132ConversionLatency(spark, dir).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 5L, s"only view-then-purchase users count: ${out(0)}")
+    assert(out(0).getLong(1) == 30000000L, s"median latency: ${out(0)}")
+    assert(out(0).getLong(2) == 50000000L, s"p90 latency: ${out(0)}")
+  }
+
   test("PMI scaled lift is exact integer arithmetic with a known closed form") {
     // 4 docs; terms a,b together in 2 docs, a alone in 1, b alone in 1:
     // n12=2, n1=3, n2=3, N=4 → lift = 2*4*1e6 div 9 = 888888 (≤ 1e6 ⇒
