@@ -555,6 +555,26 @@ object TextQueries {
       .select("w1", "w2", "c12", "c1", "p_scaled")
   }
 
+  /** Per-source document cap — the mixing-recipe primitive "at most K
+    * docs from any one domain/source", here as the first 100 doc ids
+    * per source plus the source's full volume. Second oracle-gated
+    * consumer of the k-capped native aggregate
+    * ([[graft.functions.BoundedMinK]]): the cap holds in every agg
+    * buffer at every stage, so one pathological source (the crawl
+    * dump with 10⁹ pages) cannot concentrate work or memory anywhere
+    * in the plan — the same property q123's posting heads rely on.
+    * Id-ordered "first K" rather than a seeded sample keeps the kept
+    * set a pure function of the corpus ([[Sharding.hashSample]] is
+    * the randomized alternative when bias against low ids matters). */
+  def q133SourceCap(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.BoundedMinK.register(spark)
+    Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("array_join(transform(bounded_min_k(doc_id, 100), " +
+          "x -> cast(x as string)), ',')").as("kept_ids"))
+  }
+
   /** Deterministic stratum-preserving train/val/test assignment
     * ([[Sharding.assignSplits]]): pure function of (doc_id, seed). */
   def q126SplitAssign(spark: SparkSession, dir: String): DataFrame =
@@ -757,6 +777,7 @@ object TextQueries {
     "q123_inverted_index" -> (q123InvertedIndex _),
     "q124_pmi_collocations" -> (q124PmiCollocations _),
     "q128_bigram_lm"    -> (q128BigramLm _),
+    "q133_source_cap"   -> (q133SourceCap _),
     "q126_split_assign" -> (q126SplitAssign _),
     "q127_containment"  -> (q127Containment _),
     "q30_text_tokens"   -> (q30TextTokens _),
@@ -922,6 +943,19 @@ object TextQueries {
         |  CAST((c12.c12 * 1000000) // c1.c1 AS BIGINT) AS p_scaled
         |FROM c12 JOIN c1 USING (w1)
         |WHERE c12.c12 >= 3""".stripMargin,
+
+    // bounded_min_k replays as a row_number top-100 per source
+    "q133_source_cap" ->
+      """WITH d AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY source),
+        |rk AS (SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |       FROM documents)
+        |SELECT rk.source, d.n_docs,
+        |  string_agg(CAST(rk.doc_id AS VARCHAR), ',' ORDER BY rk.doc_id) AS kept_ids
+        |FROM rk JOIN d USING (source)
+        |WHERE rn <= 100
+        |GROUP BY rk.source, d.n_docs""".stripMargin,
 
     // seed-keyed md5 first hex char, ASCII-compared — replays on any
     // engine without hex-to-int parsing (Sharding.assignSplits)

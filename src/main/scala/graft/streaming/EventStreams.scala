@@ -20,7 +20,10 @@ import org.apache.spark.sql.types._
   * Scale: every aggregation keys on (window × type) or user_id — state
   * is bounded by the watermark; no global ordering is ever required.
   */
-object EventStreams {
+// Serializable because the stateful operators' closures reference the
+// object's private helpers (tsMicros/insertEvent/...) — the lambda then
+// captures the module instance, which executors must deserialize.
+object EventStreams extends Serializable {
 
   /** events schema for the file-streaming source. The stream source
     * needs an explicit schema, and the fixture's `ts` has shipped as
@@ -605,11 +608,11 @@ object EventStreams {
   def userSessions(events: Dataset[Event], gapMillis: Long): Dataset[UserSession] = {
     import events.sparkSession.implicits._
     val streaming = events.isStreaming
+    val gapUs = gapMillis * 1000L
     val timeoutConf =
       if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
     def emit(userId: Long, s: SessionState): UserSession =
-      UserSession(userId, new java.sql.Timestamp(s.start),
-        new java.sql.Timestamp(s.end), s.n, s.total)
+      UserSession(userId, microsTs(s.start), microsTs(s.end), s.n, s.total)
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionsState, UserSession](
@@ -618,28 +621,48 @@ object EventStreams {
           // one code path for new-data and timeout invocations: fold
           // any events into the disjoint session set, then emit every
           // session the watermark has closed (on timeout the iterator
-          // is empty and this reduces to close-and-emit)
+          // is empty and this reduces to close-and-emit).
+          // Session arithmetic runs in MICROS (tsMicros carries the
+          // Timestamp nanos field) — a millis fold would truncate
+          // sub-ms gaps and silently diverge from the batch q125
+          // derivation, which is exact in epoch-micros; the
+          // equivalence is spec-pinned on the fixture.
           var sessions: Vector[SessionState] =
             state.getOption.map(_.sessions.toVector).getOrElse(Vector.empty)
-          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            sessions = insertEvent(sessions, e.ts.getTime, e.value, gapMillis)
+          it.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
+            sessions = insertEvent(sessions, tsMicros(e.ts), e.value, gapUs)
           }
           if (!streaming) {
             // end of data closes every session
             sessions.sortBy(_.start).iterator.map(emit(userId, _))
           } else {
             val wm = state.getCurrentWatermarkMs()
-            val (closed, open) = sessions.partition(_.end + gapMillis < wm)
+            val (closed, open) = sessions.partition(_.end + gapUs < wm * 1000L)
             if (open.nonEmpty) {
               state.update(SessionsState(open))
-              // wake when the earliest open session's horizon passes
-              // (never set a timeout at/below the current watermark —
-              // Spark rejects it)
-              state.setTimeoutTimestamp(
-                math.max(open.map(_.end + gapMillis).min, wm + 1))
+              // wake when the earliest open session's horizon passes:
+              // ceil the micros horizon to millis so the wakeup never
+              // fires BEFORE the close condition holds, and never set
+              // a timeout at/below the current watermark — Spark
+              // rejects it
+              val horizonMs = Math.floorDiv(
+                open.map(_.end + gapUs).min + 999L, 1000L)
+              state.setTimeoutTimestamp(math.max(horizonMs + 1L, wm + 1L))
             } else if (state.exists) state.remove()
             closed.sortBy(_.start).iterator.map(emit(userId, _))
           }
       }
+  }
+
+  /** Timestamp → epoch micros, nanos field included (the sub-ms
+    * precision `Timestamp.getTime` alone would truncate). */
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** Exact inverse of [[tsMicros]]. */
+  private def microsTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
   }
 }

@@ -213,6 +213,29 @@ class Round8Spec extends AnyFunSuite {
     assert(out(0).getLong(2) == 50000000L, s"p90 latency: ${out(0)}")
   }
 
+  test("streaming userSessions equals the oracle-gated q125 sessions exactly") {
+    // the cross-validation that puts the STATEFUL operator under the
+    // DuckDB hash gate by transitivity: userSessions (micros fold) and
+    // q125 (lag/running-sum SQL) must produce the identical session
+    // multiset on the fixture — sub-ms timestamps included, which is
+    // exactly what the former millis fold would have broken
+    val sf = SparkTestSession.sf
+    val typed = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[graft.streaming.EventStreams.Event]
+    val stateful = graft.streaming.EventStreams
+      .userSessions(typed, gapMillis = 30 * 60 * 1000)
+      .select(col("user_id"), unix_micros(col("session_start")).as("start_us"),
+        unix_micros(col("session_end")).as("end_us"), col("n_events"))
+      .collect().map(_.toSeq).toSet
+    val sql = graft.ops.EventQueries.q125Sessionize(spark, sf)
+      .select("user_id", "start_us", "end_us", "n_events")
+      .collect().map(_.toSeq).toSet
+    assert(stateful == sql,
+      s"missing=${(sql -- stateful).take(3)} extra=${(stateful -- sql).take(3)}")
+  }
+
   test("PMI scaled lift is exact integer arithmetic with a known closed form") {
     // 4 docs; terms a,b together in 2 docs, a alone in 1, b alone in 1:
     // n12=2, n1=3, n2=3, N=4 → lift = 2*4*1e6 div 9 = 888888 (≤ 1e6 ⇒
