@@ -151,16 +151,39 @@ object Dedup {
     * `minShingles` floor keeps trivially-short docs (whose handful of
     * shingles are contained everywhere) out of the result, and the
     * permille gate is integer arithmetic — `common * 1000 div n` —
-    * exact on any engine. */
+    * exact on any engine.
+    *
+    * `maxShingleDocFreq` is the same hot-shingle guard as
+    * [[ngramJaccardPairs]]': a shingle in f docs contributes
+    * f·(f−1)/2 self-join rows, so one boilerplate phrase shared by 1M
+    * docs is 5·10¹¹ rows — quadratic in exactly the skew a crawl
+    * corpus has. Under the cap, hot shingles drop from BOTH the index
+    * and the per-doc sizes ([[capAdjust]]'s dropped-row subtract), so
+    * containment is exact over the capped shingle universe — and the
+    * capped `ns` is precisely the containment denominator, since
+    * |A∩B|/|A| must count A over the same universe the intersection
+    * is measured in. The `minShingles` floor also reads the capped
+    * count: a doc whose surviving shingles are too few to carry
+    * signal is excluded on the universe the signal is computed over.
+    * A cap at or above the corpus max df is a no-op (property-spec
+    * pinned); None preserves exact semantics. */
   def containmentPairs(docs: DataFrame, k: Int = 3,
                        minPermille: Long = 800L,
-                       minShingles: Long = 10L): DataFrame = {
+                       minShingles: Long = 10L,
+                       maxShingleDocFreq: Option[Int] = None): DataFrame = {
     graft.functions.ShingleHashes.register(docs.sparkSession)
-    val sh = docs
+    val shAll = docs
       .withColumn("fh", expr(s"shingle_hashes(text, $k)"))
       .filter(size(col("fh")) > 0)
       .select(col("doc_id"), size(col("fh")).cast("long").as("ns"),
         explode(col("fh")).as("shingle"))
+    val sh = maxShingleDocFreq match {
+      case None => shAll
+      case Some(cap) =>
+        val hot = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("shingle")
+        capAdjust(shAll, hot, "doc_id", "ns")
+    }
     val und = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))

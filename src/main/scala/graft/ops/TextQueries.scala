@@ -583,10 +583,17 @@ object TextQueries {
 
   /** Asymmetric containment dedup ([[Dedup.containmentPairs]]): docs
     * ≥ 80% of whose shingles appear in another doc — the
-    * quoted-inside-a-longer-doc signal Jaccard can't see. */
+    * quoted-inside-a-longer-doc signal Jaccard can't see. Runs with
+    * the hot-shingle cap ON (the 100 TB posture: without it one
+    * boilerplate shingle in f docs is f·(f−1)/2 self-join rows).
+    * Cap=3 is measured to BITE at sf0.01 (DuckDB sweep of caps 2–32
+    * against max df 7: cap≤3 changes the pair set — 49→48 rows at 3,
+    * 49→39 at 2 — cap≥4 is a no-op), so the oracle certifies the
+    * capped universe semantics, not just the uncapped overlap. */
   def q127Containment(spark: SparkSession, dir: String): DataFrame =
     Dedup.containmentPairs(docsRebalanced(spark, dir),
-      k = 3, minPermille = 800L, minShingles = 10L)
+      k = 3, minPermille = 800L, minShingles = 10L,
+      maxShingleDocFreq = Some(3))
 
   def q101PageRank(spark: SparkSession, dir: String): DataFrame = {
     val SCALE = 1000000000000L
@@ -968,14 +975,25 @@ object TextQueries {
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
 
-    // q34's shingle CTE, then both directions of each undirected pair
-    // with the CONTAINED side's shingle count as the denominator
+    // q34's shingle CTE under the df>3 hot-shingle exclusion (the
+    // operator's capped universe: ns and common both count surviving
+    // shingles only), then both directions of each undirected pair
+    // with the CONTAINED side's shingle count as the denominator.
+    // Collision caveat: Spark counts over 64-bit shingle HASHES where
+    // this CTE counts real string shingles — a hash collision (within-
+    // or cross-doc) would diverge common/ns/df under the gate. Same
+    // approximation q34/q105 already accept (~1e-10 at fixture scale);
+    // it hash-matches on the fixture.
     "q127_containment" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |s AS (SELECT doc_id,
+        |s0 AS (SELECT doc_id,
         |        unnest(list_distinct(list_transform(range(len(w) - 2),
         |          i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS shingle
         |      FROM d WHERE len(w) >= 3),
+        |hot AS (SELECT shingle FROM (
+        |          SELECT shingle, count(*) AS df FROM s0 GROUP BY shingle) f
+        |        WHERE df > 3),
+        |s AS (SELECT * FROM s0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
         |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ns FROM s GROUP BY doc_id),
         |c AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS common
         |      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
