@@ -7,20 +7,95 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus decode / feature-extract /
   * resize / frame-sample stages.
   *
-  * The Spark-side plumbing here is REAL and tested — schema, byte
-  * budgeting/partitioning, batch shapes, deterministic outputs. The
-  * actual codec work is STUBBED (this container has no image/audio
-  * libraries): every `*Stub` function derives a deterministic fake
-  * from the bytes (documented per function) so pipelines exercise the
-  * full dataflow. Swapping a stub for a real decoder is a drop-in
-  * replacement of one column expression / mapPartitions body.
+  * IMAGE codecs are REAL: `javax.imageio` ships PNG/BMP/JPEG/GIF
+  * readers in every JRE, so [[decodeImage]] / [[imageHashes]] /
+  * [[imageNearDupPairs]] decode actual payload bytes via native
+  * Catalyst expressions ([[graft.functions.ImageCore]]) — no external
+  * libraries, no UDF closures. AUDIO/VIDEO codec work stays STUBBED
+  * (the JDK has no such codecs and this container adds none): each
+  * `*Stub` derives a deterministic fake from the bytes (documented
+  * per function) so pipelines exercise the full dataflow; swapping a
+  * stub for a real decoder is a drop-in replacement of one column
+  * expression. [[decodeImageStub]] remains for fixtures whose
+  * payloads are NOT image bytes (the parquet fixtures are text-
+  * derived) — the real path returns null metadata for those by
+  * design.
   *
   * Scale: assets are heavy rows. The two rules this module encodes:
   * (1) never shuffle payload bytes unless the operator needs them
-  * (metadata-only projections prune the binary column at the scan);
+  * (metadata-only projections prune the binary column at the scan;
+  * near-dup candidates ride ids+hashes only);
   * (2) size partitions by BYTES not row count — [[repartitionByBytes]].
   */
 object Multimodal {
+
+  /** REAL image decode: (width, height, channels) parsed from the
+    * payload bytes by the JDK's codecs. Undecodable payloads yield
+    * null metadata — corrupt rows are data to quarantine
+    * (`width IS NULL`), never a failed 100 TB stage. */
+  def decodeImage(assets: DataFrame): DataFrame = {
+    graft.functions.ImageMeta.register(assets.sparkSession)
+    assets
+      .withColumn("_m", expr("image_meta(payload)"))
+      .withColumn("width", col("_m.width"))
+      .withColumn("height", col("_m.height"))
+      .withColumn("channels", col("_m.channels"))
+      .drop("_m")
+  }
+
+  /** Perceptual hashes per asset: 64-bit aHash (8×8 block-mean
+    * threshold) and dHash (9×8 horizontal gradient signs) — the image
+    * analogue of the text SimHash: near-identical images (recompress,
+    * slight crop/brightness) land within a few bits. Null for
+    * undecodable payloads. */
+  def imageHashes(assets: DataFrame): DataFrame = {
+    graft.functions.AHash64.register(assets.sparkSession)
+    graft.functions.DHash64.register(assets.sparkSession)
+    assets
+      .withColumn("ahash", expr("ahash64(payload)"))
+      .withColumn("dhash", expr("dhash64(payload)"))
+  }
+
+  /** Image near-dup pairs: aHash hamming distance ≤ `maxHamming`,
+    * found via the SimHash sign-band machinery — the 64-bit hash
+    * splits into `bands` equal bit-slices and two images meet ONLY
+    * inside an equal (band, slice) bucket. Pigeonhole makes the
+    * recall exact, not approximate: with `bands` > `maxHamming`, any
+    * pair within the hamming budget agrees on at least one full band
+    * (≤ maxHamming flipped bits cannot touch all bands), so every
+    * qualifying pair is generated — never an O(n²) comparison, and
+    * payload bytes never ride the candidate shuffle (ids + hashes
+    * only; decode happens once in [[imageHashes]]).
+    *
+    * bands=4 (16-bit slices) covers maxHamming ≤ 3 with a 2⁻¹⁶
+    * random-collision rate per band; raise bands for a looser budget
+    * (the require guards the recall proof). */
+  def imageNearDupPairs(assets: DataFrame, maxHamming: Int = 3,
+                        bands: Int = 4): DataFrame = {
+    require(bands > maxHamming && 64 % bands == 0,
+      s"need 64 % bands == 0 and bands > maxHamming for exact recall; " +
+        s"got bands=$bands maxHamming=$maxHamming")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val hashed = imageHashes(assets)
+      .filter(col("ahash").isNotNull)
+      .select(col("asset_id"), col("ahash"))
+    val banded = hashed
+      .select(col("asset_id"), col("ahash"),
+        posexplode(array((0 until bands).map { b =>
+          shiftrightunsigned(col("ahash"), b * width).bitwiseAND(lit(mask))
+        }: _*)).as(Seq("band_id", "band_val")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("id1"), col("b.asset_id").as("id2"),
+        col("a.ahash").as("h1"), col("b.ahash").as("h2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
 
   /** Canonical asset schema: (asset_id, modality, payload, meta…). */
   def assetsFromText(docs: DataFrame): DataFrame =

@@ -38,6 +38,29 @@ object EventQueries {
         col("meta.n_bytes").cast("long").as("meta_bytes"),
         col("meta.origin").as("origin"))
 
+  /** Perceptual image-hash arithmetic under the oracle gate: aHash
+    * (8×8 block-mean threshold) and dHash (9×8 gradient signs) over
+    * DETERMINISTIC doc_id-derived luminance grids, via the same
+    * [[graft.functions.ImageCore]] bit-assembly the real
+    * `javax.imageio` decode path uses ([[Multimodal.imageHashes]]).
+    * The parquet fixtures carry no image bytes, so the oracle
+    * certifies the hash ARITHMETIC (integer-exact in both engines —
+    * bit i iff vᵢ·64 ≥ Σv; gradient sign per 9-wide row) while real
+    * decode is spec-verified against synthesized PNG/BMP/JPEG
+    * payloads (Round9Spec). Grid values are pure integer arithmetic
+    * on doc_id — engine-portable, no float, no hash functions. */
+  def q134ImageHash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.AHash64Gray.register(spark)
+    graft.functions.DHash64Gray.register(spark)
+    def grid(n: Int) =
+      s"transform(sequence(0, ${n - 1}), " +
+        "i -> pmod(doc_id * 2654435761L + cast(i as bigint) * 40503L, 256L))"
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      expr(s"ahash64_gray(${grid(64)})").as("ahash"),
+      expr(s"dhash64_gray(${grid(72)})").as("dhash"))
+  }
+
   /** As-of join: every event enriched with the user's most recent
     * signup value at event time (union+window composition — one
     * shuffle, no range-join explosion). */
@@ -745,10 +768,40 @@ object EventQueries {
     "q55_interval_join"   -> (q55IntervalJoin _),
     "q64_interval_join_outer" -> (q64IntervalJoinOuter _),
     "q53_multimodal_meta" -> (q53MultimodalMeta _),
+    "q134_image_hash"     -> (q134ImageHash _),
     "q54_asof_join"       -> (q54AsofJoin _)
   )
 
   val oracles: Map[String, String] = Map(
+    // the same doc_id-derived grids and integer bit assembly as the
+    // ImageCore expressions: bit i iff v_i*64 >= sum(v) (aHash), and
+    // gradient sign over the 9-wide rows (dHash). Bit 63 is the sign
+    // bit, added as long-min so the HUGEINT sum casts back exactly.
+    "q134_image_hash" ->
+      """WITH pa AS (SELECT d.doc_id, t.i,
+        |              (d.doc_id * 2654435761 + t.i * 40503) % 256 AS v
+        |            FROM documents d, range(64) t(i)),
+        |tot AS (SELECT doc_id, sum(v) AS total FROM pa GROUP BY doc_id),
+        |ah AS (SELECT pa.doc_id,
+        |         CAST(sum(CASE WHEN v * 64 >= total THEN
+        |           CASE WHEN i = 63 THEN -9223372036854775807 - 1
+        |                ELSE (1::BIGINT << CAST(i AS INT)) END
+        |           ELSE 0 END) AS BIGINT) AS ahash
+        |       FROM pa JOIN tot USING (doc_id) GROUP BY pa.doc_id),
+        |pd AS (SELECT d.doc_id, t.i,
+        |         (d.doc_id * 2654435761 + t.i * 40503) % 256 AS v
+        |       FROM documents d, range(72) t(i)),
+        |bits AS (SELECT t.j, (t.j // 8) * 9 + (t.j % 8) AS li FROM range(64) t(j)),
+        |dh AS (SELECT pl.doc_id,
+        |         CAST(sum(CASE WHEN pr.v > pl.v THEN
+        |           CASE WHEN b.j = 63 THEN -9223372036854775807 - 1
+        |                ELSE (1::BIGINT << CAST(b.j AS INT)) END
+        |           ELSE 0 END) AS BIGINT) AS dhash
+        |       FROM bits b
+        |       JOIN pd pl ON pl.i = b.li
+        |       JOIN pd pr ON pr.i = b.li + 1 AND pr.doc_id = pl.doc_id
+        |       GROUP BY pl.doc_id)
+        |SELECT ah.doc_id, ah.ahash, dh.dhash FROM ah JOIN dh USING (doc_id)""".stripMargin,
     // same integer cents, same frame, same squared compare — the
     // whole z-test is BIGINT arithmetic in both engines
     "q116_rolling_anomaly" ->

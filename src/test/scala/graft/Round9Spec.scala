@@ -1,9 +1,13 @@
 package graft
 
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Dedup
+import graft.functions.ImageCore
+import graft.operators.{Dedup, Multimodal}
 
 /** Round-9 contracts for [[Dedup.containmentPairs]]' hot-shingle cap:
   * the no-op property (cap at/above the corpus max df changes
@@ -86,5 +90,122 @@ class Round9Spec extends AnyFunSuite {
     assert(r.getAs[Long]("n_contained") == 14L)
     assert(r.getAs[Long]("common") == 12L)
     assert(r.getAs[Long]("cont_permille") == 857L)
+  }
+
+  // ---- real image codecs (javax.imageio) ----
+
+  /** Encode a pixel function as real codec bytes. Gray pixels set
+    * R=G=B=g so Rec.601 luminance is exactly g (weights sum to 1000). */
+  private def imageBytes(w: Int, h: Int, fmt: String)(px: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = px(x, y) & 0xff
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  private def assetsOf(rows: Seq[(Long, Array[Byte])]) =
+    rows.toDF("asset_id", "payload")
+
+  test("decodeImage: real PNG/BMP/JPEG dims + channels; corrupt bytes quarantine as null") {
+    val rows = Seq(
+      1L -> imageBytes(64, 48, "png")((x, y) => (x * 7 + y * 5) % 256),
+      2L -> imageBytes(32, 32, "bmp")((x, y) => (x + y) % 256),
+      3L -> imageBytes(17, 9, "jpg")((x, y) => (x * 13) % 256),
+      4L -> "not an image at all".getBytes("UTF-8"))
+    val out = Multimodal.decodeImage(assetsOf(rows))
+      .select("asset_id", "width", "height", "channels")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out(1L) == ((Some(64), Some(48), Some(3))))
+    assert(out(2L) == ((Some(32), Some(32), Some(3))))
+    assert(out(3L) == ((Some(17), Some(9), Some(3))))
+    assert(out(4L) == ((None, None, None)), "corrupt payload must yield null, not fail")
+  }
+
+  test("ahash64 on a real PNG matches the hand-computed block threshold") {
+    // 8x8 image = one pixel per hash cell; left half gray 0, right
+    // half gray 200 → total 6400, threshold v*64 >= total → exactly
+    // the right-half bits (cols 4..7 of every row)
+    val bytes = imageBytes(8, 8, "png")((x, _) => if (x < 4) 0 else 200)
+    var want = 0L
+    for (r <- 0 until 8; c <- 4 until 8) want |= 1L << (r * 8 + c)
+    // repartition keeps ConvertToLocalRelation from folding the whole
+    // projection at optimize time (which would bypass codegen — and,
+    // incidentally, prove interpreted eval): the hash must run in a
+    // generated stage here
+    val hashed = Multimodal.imageHashes(assetsOf(Seq(1L -> bytes)).repartition(1))
+    val got = hashed.collect().head.getAs[Long]("ahash")
+    assert(got == want, f"ahash got $got%016x want $want%016x")
+    // the binary-hash expressions implement doGenCode, so the hash
+    // projection stays inside whole-stage codegen — read the FINAL
+    // AQE plan (post-collect), where the `*(n)` codegen markers are
+    // materialized. (The q134 grid variant sits under a HOF
+    // `transform`, which Spark itself keeps out of codegen — the
+    // decode path here is the hot one.)
+    assert(hashed.queryExecution.executedPlan.toString.contains("*("),
+      s"image-hash projection fell out of whole-stage codegen:\n" +
+        hashed.queryExecution.executedPlan.toString)
+  }
+
+  test("dhash64: monotone columns set all 64 gradient bits; PNG and BMP encodings agree") {
+    // 9x8 image, one pixel per dHash cell, strictly increasing by
+    // column → every right-neighbor comparison true → all bits set
+    val png = imageBytes(9, 8, "png")((x, _) => x * 10)
+    val bmp = imageBytes(9, 8, "bmp")((x, _) => x * 10)
+    val got = Multimodal.imageHashes(assetsOf(Seq(1L -> png, 2L -> bmp)))
+      .select("asset_id", "dhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == -1L, f"all-ones dhash expected, got ${got(1L)}%016x")
+    assert(got(1L) == got(2L), "lossless codecs must hash identically")
+  }
+
+  test("imageNearDupPairs finds the planted 1-bit pair and rejects the far image") {
+    // 64x64 images over an 8x8 block grid: A = checkerboard of 0/200
+    // blocks, B = A with ONE block flipped 0→200 (hamming 1), C = the
+    // inverted checkerboard (hamming ~62). Block value = pixel value
+    // across the whole 8x8 block, so block means are exact.
+    def checker(flip: Boolean, invert: Boolean) =
+      imageBytes(64, 64, "png") { (x, y) =>
+        val (bc, br) = (x / 8, y / 8)
+        val on = ((bc + br) % 2 == 0) ^ invert
+        if (flip && bc == 1 && br == 0) 200 // an OFF block in A
+        else if (on) 200 else 0
+      }
+    val assets = assetsOf(Seq(
+      1L -> checker(flip = false, invert = false),
+      2L -> checker(flip = true, invert = false),
+      3L -> checker(flip = false, invert = true)))
+    val pairs = Multimodal.imageNearDupPairs(assets, maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1)),
+      s"exactly the planted pair at hamming 1: ${pairs.mkString(";")}")
+    // the recall-proof guard: bands must exceed the hamming budget
+    intercept[IllegalArgumentException] {
+      Multimodal.imageNearDupPairs(assets, maxHamming = 4, bands = 4)
+    }
+  }
+
+  test("grayGrid handles images smaller than the hash grid") {
+    // 3x2 image: blocks repeat edge pixels; decode + hash must not
+    // crash and must be deterministic
+    val tiny = imageBytes(3, 2, "png")((x, y) => x * 50 + y * 20)
+    val out = Multimodal.imageHashes(assetsOf(Seq(1L -> tiny)))
+      .select("ahash", "dhash").collect().head
+    val again = Multimodal.imageHashes(assetsOf(Seq(1L -> tiny)))
+      .select("ahash", "dhash").collect().head
+    assert(out == again)
+  }
+
+  test("q134 gray-hash arithmetic matches ImageCore on the fixture formula") {
+    val df = graft.ops.EventQueries.q134ImageHash(spark, SparkTestSession.sf)
+    val row = df.filter(col("doc_id") === 1L).collect().head
+    def cells(n: Int) = Array.tabulate(n)(i =>
+      java.lang.Math.floorMod(1L * 2654435761L + i.toLong * 40503L, 256L))
+    assert(row.getAs[Long]("ahash") == ImageCore.aHashFromCells(cells(64)))
+    assert(row.getAs[Long]("dhash") == ImageCore.dHashFromCells(cells(72)))
   }
 }
