@@ -1,5 +1,7 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
 
 /** Dev tool: one-line physical-plan audit per registered query —
   * scan count, widest ReadSchema, pushed filters, join strategies,
@@ -8,6 +10,63 @@ import org.apache.spark.sql.SparkSession
   * cartesian, broadcast that stopped broadcasting) show up here
   * before they show up in the bench. */
 object PlanAudit {
+
+  /** The registry's windows-over-aggregates discipline as a CHECKABLE
+    * rule, not a convention: an UNPARTITIONED Window is a single-task
+    * sort of its entire input, so it is only acceptable over a frame
+    * some upstream operator has already collapsed below raw table
+    * volume — an Aggregate (group-by / global agg), an explicit
+    * Limit, or a literal relation. A global Window directly over
+    * scan-cardinality rows is the plan shape that silently stops
+    * scaling at 100×, which is exactly when it's hardest to notice.
+    *
+    * Boundedness walks the optimized logical plan: Aggregate / Limit /
+    * literal leaves bound a subtree; semi/anti joins bound iff their
+    * LEFT side is bounded (the right side only filters); a Filter
+    * keyed on a PARTITIONED window statistic of its own frame bounds
+    * it too — that is the two-stage frontier / per-group-selection
+    * shape (q110: keep rows matching their partition's max), which
+    * collapses cardinality to ~partition count; the partition key's
+    * cardinality is then the query docstring's burden, exactly as
+    * q110's states (months × frontier width). Any other node is
+    * bounded iff every child is (a join or union of bounded frames
+    * stays aggregate-sized; joining raw rows back in revokes
+    * boundedness, which is the point). Returns one violation string
+    * per offending Window node; empty = the plan honors the stance. */
+  def globalWindowViolations(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeSet
+    // attributes produced by partitioned Windows directly below `p`
+    // (looking through adjacent Window/Project stacking only — a
+    // selection must sit right on the windows it selects by)
+    def partWinAttrs(p: LogicalPlan): AttributeSet = p match {
+      case w: Window =>
+        (if (w.partitionSpec.nonEmpty)
+          AttributeSet(w.windowExpressions.map(_.toAttribute))
+        else AttributeSet.empty) ++ partWinAttrs(w.child)
+      case pr: Project => partWinAttrs(pr.child)
+      case _ => AttributeSet.empty
+    }
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case _: GlobalLimit => true
+      case _: LocalRelation => true
+      case _: OneRowRelation => true
+      case j: Join if j.joinType == LeftSemi || j.joinType == LeftAnti =>
+        bounded(j.left)
+      case f: Filter
+        if f.condition.references.intersect(partWinAttrs(f.child)).nonEmpty =>
+        true
+      case _: LeafNode => false
+      case other => other.children.forall(bounded)
+    }
+    df.queryExecution.optimizedPlan.collect {
+      case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) =>
+        s"global Window [${w.windowExpressions.map(_.name).mkString(", ")}] " +
+          "over a non-aggregate-bounded frame - a single-task sort of raw " +
+          "table volume; partition it or fold the frame first"
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create(appName = "graft-plan-audit",
       master = "local[4]", shufflePartitions = Some(4))

@@ -46,7 +46,20 @@ object Tables {
         // the engine standardizes on TimestampType under a UTC session
         // zone, so this cast is wall-clock-exact and keeps watermarks,
         // interval arithmetic, and the DuckDB oracle identical across
-        // fixture generations
+        // fixture generations. The NTZ→TIMESTAMP cast reinterprets
+        // wall-clock in the SESSION zone, so on an externally built
+        // session (registerFunctions supports those) a non-UTC zone
+        // would silently shift every timestamp — fail fast instead,
+        // mirroring the nanos-generation guard this branch replaced.
+        val tz = raw.sparkSession.conf.get("spark.sql.session.timeZone")
+        val utc = try {
+          java.time.ZoneId.of(tz, java.time.ZoneId.SHORT_IDS).getRules
+            .getOffset(java.time.Instant.EPOCH) == java.time.ZoneOffset.UTC &&
+            java.time.ZoneId.of(tz, java.time.ZoneId.SHORT_IDS).getRules.isFixedOffset
+        } catch { case _: java.time.DateTimeException => false }
+        require(utc, s"events.ts is TIMESTAMP_NTZ: the NTZ->TIMESTAMP cast is " +
+          s"wall-clock-exact only under a UTC session zone; " +
+          s"spark.sql.session.timeZone is '$tz'. Set it to UTC (GraftSession does).")
         raw.withColumn("ts", col("ts").cast(TimestampType))
       case other => throw new IllegalStateException(
         s"events.ts: expected LongType (nanos-as-long), TimestampType, or TimestampNTZType, got $other")

@@ -398,6 +398,20 @@ object Dedup {
     * Novelty WITHIN the delta is deliberately out of scope — compose
     * with [[dedupCorpus]] on the delta first.
     *
+    * `containmentPermille` turns on the SECOND dedup gate real
+    * pretraining pipelines run alongside Jaccard (the
+    * [[containmentPairs]] signal): a delta doc at least p/1000 of
+    * whose shingles appear in one corpus doc is a quote-inside-a-
+    * longer-document — near-0 Jaccard (the union is dominated by the
+    * container) yet clearly non-novel. The gate is
+    * `common * 1000 div nd >= p`, integer-exact, measured over the
+    * same (possibly capped) shingle universe as the Jaccard leg, and
+    * costs NOTHING new at scale: common/nd already sit in the
+    * cross-side aggregate, so it is one more predicate on the pair
+    * frame, no extra join or shuffle. Only the delta-contained-in-
+    * corpus direction gates novelty — a delta doc merely CONTAINING
+    * an old corpus doc still carries novel text and is kept.
+    *
     * `releaseEagerly` picks the cache lifecycle (see [[novelOnly]]):
     * `true` — the continuous-ingest default — pays one eager ids-only
     * checkpoint job + a restoring semi-join so the internal full-text
@@ -407,7 +421,8 @@ object Dedup {
   def deltaDedup(corpus: DataFrame, delta: DataFrame, k: Int = 3,
                  threshold: Double = 0.6,
                  maxShingleDocFreq: Option[Int] = None,
-                 releaseEagerly: Boolean = true): DataFrame = {
+                 releaseEagerly: Boolean = true,
+                 containmentPermille: Option[Long] = None): DataFrame = {
     graft.functions.ShingleHashes.register(corpus.sparkSession)
     val corpusHashes = corpus.select(md5(col("text")).as("content_md5")).distinct()
     val exactNovel = delta
@@ -449,14 +464,31 @@ object Dedup {
         (capAdjust(shingled(corpus, "c_id", "nc"), hot, "c_id", "nc"),
           capAdjust(shingled(exactNovel, "d_id", "nd"), hot, "d_id", "nd"))
     }
-    val dupDelta = cSh.join(dSh, "shingle")
+    novelOnly(delta, exactNovel,
+      dupDeltaIds(cSh, dSh, threshold, containmentPermille), releaseEagerly)
+  }
+
+  /** The shared near-dup pair gate of both delta paths: cross-side
+    * shingle join → per-(corpus, delta) pair counts → Jaccard
+    * threshold, OR'd with the optional containment gate. All inputs
+    * the containment predicate needs (common, nd) are already in the
+    * aggregate, so the second gate adds zero plan nodes beyond the
+    * filter itself. */
+  private def dupDeltaIds(cSh: DataFrame, dSh: DataFrame,
+                          threshold: Double,
+                          containmentPermille: Option[Long]): DataFrame = {
+    val jaccard = col("common").cast("double") /
+      (col("nc") + col("nd") - col("common")) >= threshold
+    val gate = containmentPermille match {
+      case None => jaccard
+      case Some(p) => jaccard || expr(s"common * 1000 div nd >= $p")
+    }
+    cSh.join(dSh, "shingle")
       .groupBy("c_id", "d_id")
       .agg(count(lit(1)).as("common"),
         max(col("nc")).as("nc"), max(col("nd")).as("nd"))
-      .filter(col("common").cast("double") /
-        (col("nc") + col("nd") - col("common")) >= threshold)
+      .filter(gate)
       .select(col("d_id").as("doc_id")).distinct()
-    novelOnly(delta, exactNovel, dupDelta, releaseEagerly)
   }
 
   /** Close out a delta-dedup call. Two lifecycles, caller's choice:
@@ -565,11 +597,18 @@ object Dedup {
     * dropped-row tally (capped path only) — only the rows the cap
     * drops are aggregated, never a corpus-wide per-doc shuffle; the
     * uncapped path reads the carried `nc` as-is — no counts join
-    * either way. */
+    * either way.
+    *
+    * `containmentPermille` is [[deltaDedup]]'s second gate, available
+    * on the indexed path because the materialized index already holds
+    * everything containment needs — postings and per-doc counts; the
+    * predicate reads the same pair aggregate as Jaccard, so the
+    * per-batch cost is unchanged. */
   def deltaDedupIndexed(index: DedupIndex, delta: DataFrame, k: Int = 3,
                         threshold: Double = 0.6,
                         maxShingleDocFreq: Option[Int] = None,
-                        releaseEagerly: Boolean = true): DataFrame = {
+                        releaseEagerly: Boolean = true,
+                        containmentPermille: Option[Long] = None): DataFrame = {
     graft.functions.ShingleHashes.register(delta.sparkSession)
     val exactNovel = delta
       .withColumn("content_md5", md5(col("text")))
@@ -603,14 +642,8 @@ object Dedup {
         (capAdjust(index.shingles, hot, "c_id", "nc"),
           capAdjust(dShAll, hot, "d_id", "nd"))
     }
-    val dupDelta = cSh.join(dSh, "shingle")
-      .groupBy("c_id", "d_id")
-      .agg(count(lit(1)).as("common"),
-        max(col("nc")).as("nc"), max(col("nd")).as("nd"))
-      .filter(col("common").cast("double") /
-        (col("nc") + col("nd") - col("common")) >= threshold)
-      .select(col("d_id").as("doc_id")).distinct()
-    novelOnly(delta, exactNovel, dupDelta, releaseEagerly)
+    novelOnly(delta, exactNovel,
+      dupDeltaIds(cSh, dSh, threshold, containmentPermille), releaseEagerly)
   }
 
   /** Streaming exact leg of [[deltaDedup]]: docs arriving on a stream

@@ -666,7 +666,14 @@ object EventQueries {
     * (combinable, co-partitioned); the rank windows then order only
     * the converted-users frame — a user-cardinality aggregate, never
     * raw event volume (the q86/q100 windows-over-aggregates stance).
-    * The final global pick is a 2-row filter on that frame. */
+    * The final global pick is a 2-row filter on that frame. Unlike
+    * the day-bounded window cases, converted-user cardinality is
+    * UNBOUNDED — at 10⁸–10⁹ users the exact rank is a single-task
+    * sort, which is the price of exactness; at that scale swap in
+    * [[q129HistQuantile]]'s bounded mergeable histogram sketch over
+    * `latency_us` (≤ 128 counters, no global sort, quantile read off
+    * the cumulative histogram) and keep this exact form for the
+    * per-slice frames that fit one task. */
   def q132ConversionLatency(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val firstViews = Tables.events(spark, dir)

@@ -286,6 +286,33 @@ object TextQueries {
       .select(col("doc_id"), col("source"))
   }
 
+  /** q62's incremental dedup with BOTH gates real pretraining
+    * pipelines run: Jaccard ≥ 0.6 OR shingle containment ≥ 250‰ —
+    * the [[Dedup.containmentPairs]] signal applied at ingest time (a
+    * delta doc mostly quoted inside one corpus doc is non-novel even
+    * when the container's length crushes its Jaccard). The gate reads
+    * the same cross-side pair aggregate as Jaccard (one extra
+    * predicate, zero extra joins), and the indexed path carries the
+    * identical dial ([[Dedup.deltaDedupIndexed]], indexed ≡ direct
+    * spec-pinned).
+    *
+    * 250‰ is measured to BITE at sf0.01 (DuckDB sweep: the max
+    * containment among cross-split pairs below the Jaccard threshold
+    * is exactly 250‰ — one delta doc, invisible to q62 — so 250 is
+    * the largest permille that changes the novel set, 87 → 86 rows).
+    * A production dial sits near 800; the oracle certifies the gate's
+    * arithmetic at the fixture's own overlap level, the q105-cap=2 /
+    * q127-cap=3 convention. */
+  def q135DeltaContainment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsRebalanced(spark, dir)
+    Dedup.deltaDedup(
+      corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      delta = docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+      k = 3, threshold = 0.6, releaseEagerly = false,
+      containmentPermille = Some(250L))
+      .select(col("doc_id"), col("source"))
+  }
+
   /** The composed cleaning recipe over the fixture: token bounds
     * [20, 95], quality >= 0.55, English only, top-bigram ratio <=
     * 0.12 — each dimension filters a real share of the corpus. */
@@ -502,14 +529,22 @@ object TextQueries {
     * q101 — pair fan-out is C(16,2) per doc, never O(len²) — and the
     * n1/n2 lookup joins key on single terms (AQE broadcasts the df
     * side at fixture scale; at web scale it hash-joins co-partitioned
-    * on term). The BIGINT product n12·N·10⁶ is exact to N ≈ 3·10⁶
-    * docs per analyzed slice; beyond that drop the scale constant a
-    * digit per 10× (PMI slices are per-domain/per-language in
-    * practice, not whole-corpus). */
+    * on term). The products are staged through DECIMAL(38,0) — never
+    * raw BIGINT, whose n12·N·10⁶ would silently WRAP past N ≈ 3·10⁶
+    * docs under non-ANSI arithmetic — so the ratio is exact to
+    * N ≈ 9·10¹² docs per analyzed slice (the point where the final
+    * quotient itself outgrows BIGINT); the 1-row N frame fails fast
+    * past that bound rather than dropping pairs to a decimal-overflow
+    * null. */
   def q124PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
     val t = cappedTerms(spark, dir)
     val dfreq = t.groupBy("term").agg(count(lit(1)).as("n"))
     val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("nd"))
+      .select(expr(
+        "case when nd <= 9000000000000 then nd else cast(raise_error(concat(" +
+          "'q124: ', nd, ' docs exceeds the exact integer-PMI range (9e12 per " +
+          "slice); analyze per-domain/per-language slices')) as bigint) end")
+        .as("nd"))
     t.as("a").join(t.as("b"),
         col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
       .groupBy(col("a.term").as("t1"), col("b.term").as("t2"))
@@ -518,7 +553,12 @@ object TextQueries {
       .join(dfreq.select(col("term").as("t1"), col("n").as("n1")), "t1")
       .join(dfreq.select(col("term").as("t2"), col("n").as("n2")), "t2")
       .crossJoin(broadcast(nd))
-      .withColumn("pmi_scaled", expr("n12 * nd * 1000000 div (n1 * n2)"))
+      .withColumn("pmi_scaled", expr(
+        // DECIMAL(38,0) staging: exact to ~1e38 intermediates (`div`
+        // accepts decimal operands and still returns BIGINT), where
+        // the all-BIGINT form wraps at n12*nd > 9.2e12
+        "cast(n12 as decimal(19,0)) * nd * 1000000 div " +
+          "(cast(n1 as decimal(19,0)) * n2)"))
       .filter(col("pmi_scaled") > 1000000L)
       .select("t1", "t2", "n12", "n1", "n2", "pmi_scaled")
   }
@@ -808,6 +848,7 @@ object TextQueries {
     "q61_simhash_agreement" -> (q61SimhashAgreement _),
     "q62_delta_dedup"   -> (q62DeltaDedup _),
     "q105_delta_dedup_capped" -> (q105DeltaDedupIndexedCapped _),
+    "q135_delta_containment" -> (q135DeltaContainment _),
     "q63_clean_corpus"  -> (q63CleanCorpus _),
     "q66_top_terms"     -> (q66TopTerms _),
     "q67_dup_chunks"    -> (q67DupChunks _),
@@ -1469,6 +1510,35 @@ object TextQueries {
         |        JOIN nc ON common.c_id = nc.doc_id
         |        JOIN nd ON common.d_id = nd.doc_id
         |        WHERE CAST(cm AS DOUBLE) / (nc.ns + nd.ns - cm) >= 0.6)
+        |SELECT doc_id, source FROM en
+        |WHERE doc_id NOT IN (SELECT d_id FROM dup)""".stripMargin,
+    // q62's replay with the second (containment) gate OR'd into the
+    // dup predicate: cm*1000//nd >= 250 over the same string-shingle
+    // universe. Same 64-bit-hash-vs-string collision caveat as
+    // q34/q105/q127 (~1e-10 at fixture scale); hash-matches on the
+    // fixture.
+    "q135_delta_containment" ->
+      """WITH d AS (SELECT doc_id, source, text, string_split(text, ' ') AS w
+        |           FROM documents),
+        |delta AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+        |corpus AS (SELECT * FROM d WHERE doc_id % 5 != 0),
+        |en AS (SELECT * FROM delta
+        |       WHERE md5(text) NOT IN (SELECT md5(text) FROM corpus)),
+        |sc AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 2),
+        |         i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS shingle
+        |       FROM corpus WHERE len(w) >= 3),
+        |sd AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 2),
+        |         i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS shingle
+        |       FROM en WHERE len(w) >= 3),
+        |nc AS (SELECT doc_id, count(*) AS ns FROM sc GROUP BY doc_id),
+        |nd AS (SELECT doc_id, count(*) AS ns FROM sd GROUP BY doc_id),
+        |common AS (SELECT sc.doc_id AS c_id, sd.doc_id AS d_id, count(*) AS cm
+        |           FROM sc JOIN sd ON sc.shingle = sd.shingle GROUP BY 1, 2),
+        |dup AS (SELECT DISTINCT d_id FROM common
+        |        JOIN nc ON common.c_id = nc.doc_id
+        |        JOIN nd ON common.d_id = nd.doc_id
+        |        WHERE CAST(cm AS DOUBLE) / (nc.ns + nd.ns - cm) >= 0.6
+        |           OR cm * 1000 // nd.ns >= 250)
         |SELECT doc_id, source FROM en
         |WHERE doc_id NOT IN (SELECT d_id FROM dup)""".stripMargin,
 

@@ -31,9 +31,28 @@ object EventStreams extends Serializable {
     * TIMESTAMP(MICROS) (→ TimestampType) across generations — so sniff
     * the type from one batch footer read of the actual file rather
     * than hardcoding either shape (see [[graft.Tables.normalizeEventTs]]).
-    * One driver-side footer read at stream build time, not per batch. */
+    * One driver-side footer read at stream build time, not per batch.
+    * If the path doesn't exist YET (streams are routinely declared
+    * before the first file lands), fall back to the current
+    * micros-generation shape instead of throwing at declaration time —
+    * the normalize step accepts either shape, so a sniffed schema is
+    * only an optimization over the fallback; under the fallback the
+    * first batch simply assumes the micros generation. */
   def rawSchema(spark: SparkSession, eventsPath: String): StructType =
-    spark.read.parquet(eventsPath).schema
+    try spark.read.parquet(eventsPath).schema
+    catch {
+      case _: org.apache.spark.sql.AnalysisException => microsEventSchema
+    }
+
+  /** The TIMESTAMP(MICROS, isAdjustedToUTC=false) fixture generation's
+    * shape — what a footer sniff of the current fixtures returns. */
+  val microsEventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
 
   // ----------------------------------------------------------- batch/stream shared
 

@@ -49,6 +49,33 @@ class PlanSpec extends AnyFunSuite {
       }
   }
 
+  test("no registered query runs a global Window over a non-aggregate frame") {
+    // The windows-over-aggregates stance (q86/q100/q110/q132) as an
+    // enforced audit: an unpartitioned Window must sit over a frame an
+    // Aggregate/Limit already collapsed, never over raw scan volume.
+    val bad = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      PlanAudit.globalWindowViolations(fn(spark, sf)).map(v => s"$name: $v")
+    }
+    assert(bad.isEmpty, s"single-task global sorts in:\n${bad.mkString("\n")}")
+  }
+
+  test("the global-Window audit catches a deliberately unscalable plan") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // row_number over ALL events with no partition: the canonical
+    // stops-scaling-at-100x shape the audit exists to flag
+    val bad = Tables.events(spark, sf)
+      .withColumn("rk", row_number().over(Window.orderBy(col("ts"))))
+    assert(PlanAudit.globalWindowViolations(bad).nonEmpty,
+      "audit failed to flag a global window over raw events")
+    // and the same window becomes acceptable once the frame is folded
+    val folded = Tables.events(spark, sf)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(Window.orderBy(col("n"), col("event_type"))))
+    assert(PlanAudit.globalWindowViolations(folded).isEmpty,
+      "audit wrongly flagged a window over an aggregate-bounded frame")
+  }
+
   test("whole-stage codegen spans exist in aggregation plans") {
     // AQE hides codegen markers until stages materialize: execute first,
     // then the final plan carries the *(n) codegen prefixes

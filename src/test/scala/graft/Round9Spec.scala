@@ -92,6 +92,73 @@ class Round9Spec extends AnyFunSuite {
     assert(r.getAs[Long]("cont_permille") == 857L)
   }
 
+  // ---- containment gate on the delta-dedup paths ----
+
+  test("deltaDedup containment gate: a quote inside a longer corpus doc is non-novel only under the gate") {
+    // corpus doc = 100 unique filler words + a 14-word quote; delta
+    // doc = the quote + a 3-word unique tail. Not an exact dup, and
+    // Jaccard ~15/114 is far below any sane threshold (the container
+    // dominates the union) — yet ~15/17 of the delta doc's shingles
+    // live in the corpus doc: exactly the signal the second gate adds.
+    val filler = (1 to 100).map(i => s"f$i").mkString(" ")
+    val quote = (1 to 14).map(i => s"q$i").mkString(" ")
+    val corpus = Seq((1L, s"$filler $quote")).toDF("doc_id", "text")
+    val delta = Seq((2L, s"$quote t1 t2 t3")).toDF("doc_id", "text")
+    val jaccardOnly = Dedup.deltaDedup(corpus, delta, releaseEagerly = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(jaccardOnly == Set(2L), "Jaccard alone must NOT see the quote")
+    val gated = Dedup.deltaDedup(corpus, delta, releaseEagerly = false,
+        containmentPermille = Some(800L))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gated.isEmpty, "containment >= 800 permille must drop the quoted delta doc")
+    // a genuinely novel doc passes BOTH gates
+    val novel = Seq((3L, (1 to 30).map(i => s"n$i").mkString(" "))).toDF("doc_id", "text")
+    val kept = Dedup.deltaDedup(corpus, novel, releaseEagerly = false,
+        containmentPermille = Some(800L))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L))
+  }
+
+  test("deltaDedupIndexed equals deltaDedup with the containment gate on (fixture split, biting dial)") {
+    val docs = Tables.documents(spark, SparkTestSession.sf)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    // the q135 dial: measured (DuckDB sweep) as the largest permille
+    // that changes the novel set at fixture scale
+    val direct = Dedup.deltaDedup(corpus, delta,
+        containmentPermille = Some(250L))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val indexed = Dedup.deltaDedupIndexed(
+        Dedup.buildDedupIndex(corpus), delta,
+        containmentPermille = Some(250L))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(indexed == direct,
+      s"missing=${(direct -- indexed).take(5)} extra=${(indexed -- direct).take(5)}")
+  }
+
+  test("containment gate composes with the hot-shingle cap: denominator reads the capped universe") {
+    // boiler corpus, delta = C (quote+boilerplate), corpus = D
+    // (filler+quote) + the 50 boilerplate noise docs. Uncapped, C's
+    // containment in D is 12/22 = 545 permille (< 800: the hot
+    // boilerplate dilutes C's denominator) and C-vs-noise is the
+    // boilerplate shingles only (~9/22 = 409 permille) — C wrongly
+    // survives. Under cap=10 the df=51 boilerplate shingles leave
+    // BOTH the index and C's denominator (quote shingles at df=2
+    // stay): 12/14 = 857 permille >= 800 — the quote is caught. Same
+    // arithmetic Round9's containmentPairs case pins, now on the
+    // delta path through the shared dupDeltaIds gate.
+    val corpus = boilerCorpus.filter(col("doc_id") =!= 1L)
+    val delta = boilerCorpus.filter(col("doc_id") === 1L)
+    val uncapped = Dedup.deltaDedup(corpus, delta, releaseEagerly = false,
+        containmentPermille = Some(800L))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(uncapped == Set(1L), "boiler-diluted quote invisible uncapped")
+    val capped = Dedup.deltaDedup(corpus, delta, releaseEagerly = false,
+        maxShingleDocFreq = Some(10), containmentPermille = Some(800L))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(capped.isEmpty, "capped-universe denominator must surface the quote")
+  }
+
   // ---- real image codecs (javax.imageio) ----
 
   /** Encode a pixel function as real codec bytes. Gray pixels set
