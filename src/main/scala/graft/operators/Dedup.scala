@@ -423,12 +423,7 @@ object Dedup {
                  maxShingleDocFreq: Option[Int] = None,
                  releaseEagerly: Boolean = true,
                  containmentPermille: Option[Long] = None): DataFrame = {
-    graft.functions.ShingleHashes.register(corpus.sparkSession)
-    val corpusHashes = corpus.select(md5(col("text")).as("content_md5")).distinct()
-    val exactNovel = delta
-      .withColumn("content_md5", md5(col("text")))
-      .join(corpusHashes, Seq("content_md5"), "left_anti")
-      .drop("content_md5")
+    val exactNovel = exactNovelDocs(corpus, delta)
       // Feeds both the shingle leg and the final anti-join — persist so
       // the anti-join runs once, not a localCheckpoint: this frame
       // carries the batch's full TEXT, and a checkpoint would pin it in
@@ -439,10 +434,40 @@ object Dedup {
       // only, where the recompute-vs-pin tradeoff goes the other way.)
       // Released by novelOnly before this call returns.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // per-doc shingle counts are projected alongside the explode and
-    // carried through the cross-side join (constant per (c_id, d_id)
-    // group) — same plan surgery as [[ngramJaccardPairs]]: no separate
-    // count aggregations, no restoring joins
+    novelOnly(delta, exactNovel,
+      dupIdsFromStats(
+        deltaPairStats(corpus, exactNovel, k, maxShingleDocFreq),
+        threshold, containmentPermille),
+      releaseEagerly)
+  }
+
+  /** The exact (content-hash) leg of delta dedup: the delta docs whose
+    * md5 is absent from the corpus's distinct hash set, all columns
+    * intact. No caching policy of its own — [[deltaDedup]] persists it
+    * for its two-consumer plan; query-registry callers memoize it
+    * instead (the shared-leg convention). */
+  def exactNovelDocs(corpus: DataFrame, delta: DataFrame): DataFrame = {
+    val corpusHashes = corpus.select(md5(col("text")).as("content_md5")).distinct()
+    delta
+      .withColumn("content_md5", md5(col("text")))
+      .join(corpusHashes, Seq("content_md5"), "left_anti")
+      .drop("content_md5")
+  }
+
+  /** Cross-side pair statistics — the shared core of [[deltaDedup]]'s
+    * near gate, exposed so registered queries differing only in the
+    * dup PREDICATE (Jaccard-only vs Jaccard+containment) can memoize
+    * this one expensive leg and filter it twice: one (c_id, d_id,
+    * common, nc, nd) row per cross-side doc pair sharing at least one
+    * surviving shingle.
+    *
+    * Per-doc shingle counts are projected alongside the explode and
+    * carried through the cross-side join (constant per (c_id, d_id)
+    * group) — same plan surgery as [[ngramJaccardPairs]]: no separate
+    * count aggregations, no restoring joins. */
+  def deltaPairStats(corpus: DataFrame, exactNovel: DataFrame, k: Int = 3,
+                     maxShingleDocFreq: Option[Int] = None): DataFrame = {
+    graft.functions.ShingleHashes.register(corpus.sparkSession)
     def shingled(df: DataFrame, idName: String, nsName: String): DataFrame = df
       .withColumn("fh", expr(s"shingle_hashes(text, $k)"))
       .filter(size(col("fh")) > 0)
@@ -464,30 +489,27 @@ object Dedup {
         (capAdjust(shingled(corpus, "c_id", "nc"), hot, "c_id", "nc"),
           capAdjust(shingled(exactNovel, "d_id", "nd"), hot, "d_id", "nd"))
     }
-    novelOnly(delta, exactNovel,
-      dupDeltaIds(cSh, dSh, threshold, containmentPermille), releaseEagerly)
+    cSh.join(dSh, "shingle")
+      .groupBy("c_id", "d_id")
+      .agg(count(lit(1)).as("common"),
+        max(col("nc")).as("nc"), max(col("nd")).as("nd"))
   }
 
-  /** The shared near-dup pair gate of both delta paths: cross-side
-    * shingle join → per-(corpus, delta) pair counts → Jaccard
-    * threshold, OR'd with the optional containment gate. All inputs
-    * the containment predicate needs (common, nd) are already in the
-    * aggregate, so the second gate adds zero plan nodes beyond the
-    * filter itself. */
-  private def dupDeltaIds(cSh: DataFrame, dSh: DataFrame,
-                          threshold: Double,
-                          containmentPermille: Option[Long]): DataFrame = {
+  /** The dup gate of both delta paths over a [[deltaPairStats]]-shaped
+    * frame: Jaccard threshold, OR'd with the optional containment
+    * gate. All inputs the containment predicate needs (common, nd) are
+    * already in the pair aggregate, so the second gate adds zero plan
+    * nodes beyond the filter itself. Returns the distinct non-novel
+    * delta doc_ids. */
+  def dupIdsFromStats(stats: DataFrame, threshold: Double,
+                      containmentPermille: Option[Long]): DataFrame = {
     val jaccard = col("common").cast("double") /
       (col("nc") + col("nd") - col("common")) >= threshold
     val gate = containmentPermille match {
       case None => jaccard
       case Some(p) => jaccard || expr(s"common * 1000 div nd >= $p")
     }
-    cSh.join(dSh, "shingle")
-      .groupBy("c_id", "d_id")
-      .agg(count(lit(1)).as("common"),
-        max(col("nc")).as("nc"), max(col("nd")).as("nd"))
-      .filter(gate)
+    stats.filter(gate)
       .select(col("d_id").as("doc_id")).distinct()
   }
 
@@ -642,8 +664,12 @@ object Dedup {
         (capAdjust(index.shingles, hot, "c_id", "nc"),
           capAdjust(dShAll, hot, "d_id", "nd"))
     }
+    val stats = cSh.join(dSh, "shingle")
+      .groupBy("c_id", "d_id")
+      .agg(count(lit(1)).as("common"),
+        max(col("nc")).as("nc"), max(col("nd")).as("nd"))
     novelOnly(delta, exactNovel,
-      dupDeltaIds(cSh, dSh, threshold, containmentPermille), releaseEagerly)
+      dupIdsFromStats(stats, threshold, containmentPermille), releaseEagerly)
   }
 
   /** Streaming exact leg of [[deltaDedup]]: docs arriving on a stream

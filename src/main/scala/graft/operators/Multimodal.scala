@@ -71,15 +71,25 @@ object Multimodal {
     * random-collision rate per band; raise bands for a looser budget
     * (the require guards the recall proof). */
   def imageNearDupPairs(assets: DataFrame, maxHamming: Int = 3,
-                        bands: Int = 4): DataFrame = {
+                        bands: Int = 4): DataFrame =
+    hashNearDupPairs(
+      imageHashes(assets).filter(col("ahash").isNotNull)
+        .select(col("asset_id"), col("ahash")),
+      maxHamming, bands)
+
+  /** The hash-level core of [[imageNearDupPairs]], usable on ANY
+    * (asset_id, ahash) frame however the 64-bit hashes were produced
+    * (decoded payloads, precomputed pixel grids, an external feature
+    * store): sign-band bucketing, candidate pairs only inside equal
+    * (band, slice) buckets, exact-recall pigeonhole per the caller's
+    * `bands` > `maxHamming` guarantee. */
+  def hashNearDupPairs(hashed: DataFrame, maxHamming: Int = 3,
+                       bands: Int = 4): DataFrame = {
     require(bands > maxHamming && 64 % bands == 0,
       s"need 64 % bands == 0 and bands > maxHamming for exact recall; " +
         s"got bands=$bands maxHamming=$maxHamming")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1L
-    val hashed = imageHashes(assets)
-      .filter(col("ahash").isNotNull)
-      .select(col("asset_id"), col("ahash"))
     val banded = hashed
       .select(col("asset_id"), col("ahash"),
         posexplode(array((0 until bands).map { b =>

@@ -61,6 +61,31 @@ object EventQueries {
       expr(s"dhash64_gray(${grid(72)})").as("dhash"))
   }
 
+  /** Image near-dup pairs under the oracle gate: q134's deterministic
+    * grid family restructured to PLANT near-duplicates — every doc in
+    * cluster `doc_id % 32` shares one base 8×8 luminance pattern,
+    * perturbed in a single doc-specific cell (+128 mod 256), so
+    * intra-cluster pairs sit at hamming ≈ 2–4 on their aHashes while
+    * cross-cluster pairs sit near 32. The Spark side runs the REAL
+    * scale path ([[Multimodal.hashNearDupPairs]]: sign-band buckets,
+    * candidates only inside equal 8-bit slices, pigeonhole-exact
+    * recall at bands=8 > maxHamming=4, never O(n²)); the DuckDB
+    * oracle brute-forces every pair with xor + bit_count over the
+    * same integer hash assembly — certifying the banded join finds
+    * EXACTLY the brute-force pair set, the recall claim itself. */
+  def q136ImageNearDup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.AHash64Gray.register(spark)
+    val grid =
+      "transform(sequence(0, 63), i -> pmod(pmod(doc_id, 32) * 2654435761L" +
+        " + cast(i as bigint) * 40503L" +
+        " + if(i = pmod(doc_id div 32, 64), 128L, 0L), 256L))"
+    val hashed = Tables.documents(spark, dir).select(
+      col("doc_id").as("asset_id"),
+      expr(s"ahash64_gray($grid)").as("ahash"))
+    Multimodal.hashNearDupPairs(hashed, maxHamming = 4, bands = 8)
+      .select(col("id1").as("d1"), col("id2").as("d2"), col("hamming"))
+  }
+
   /** As-of join: every event enriched with the user's most recent
     * signup value at event time (union+window composition — one
     * shuffle, no range-join explosion). */
@@ -776,6 +801,7 @@ object EventQueries {
     "q64_interval_join_outer" -> (q64IntervalJoinOuter _),
     "q53_multimodal_meta" -> (q53MultimodalMeta _),
     "q134_image_hash"     -> (q134ImageHash _),
+    "q136_image_near_dup" -> (q136ImageNearDup _),
     "q54_asof_join"       -> (q54AsofJoin _)
   )
 
@@ -809,6 +835,28 @@ object EventQueries {
         |       JOIN pd pr ON pr.i = b.li + 1 AND pr.doc_id = pl.doc_id
         |       GROUP BY pl.doc_id)
         |SELECT ah.doc_id, ah.ahash, dh.dhash FROM ah JOIN dh USING (doc_id)""".stripMargin,
+
+    // brute-force replay of the banded near-dup join: same perturbed
+    // cluster grids, same bit assembly, every pair xor'd — if the
+    // sign-band pigeonhole missed or invented a pair, the multiset
+    // comparison fails
+    "q136_image_near_dup" ->
+      """WITH pa AS (SELECT d.doc_id, t.i,
+        |              ((d.doc_id % 32) * 2654435761 + t.i * 40503
+        |               + CASE WHEN t.i = (d.doc_id // 32) % 64
+        |                      THEN 128 ELSE 0 END) % 256 AS v
+        |            FROM documents d, range(64) t(i)),
+        |tot AS (SELECT doc_id, sum(v) AS total FROM pa GROUP BY doc_id),
+        |ah AS (SELECT pa.doc_id,
+        |         CAST(sum(CASE WHEN v * 64 >= total THEN
+        |           CASE WHEN i = 63 THEN -9223372036854775807 - 1
+        |                ELSE (1::BIGINT << CAST(i AS INT)) END
+        |           ELSE 0 END) AS BIGINT) AS ahash
+        |       FROM pa JOIN tot USING (doc_id) GROUP BY pa.doc_id)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |       CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+        |FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 4""".stripMargin,
     // same integer cents, same frame, same squared compare — the
     // whole z-test is BIGINT arithmetic in both engines
     "q116_rolling_anomaly" ->

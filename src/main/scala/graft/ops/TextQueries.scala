@@ -215,18 +215,40 @@ object TextQueries {
       exactJaccardPairs(spark, dir, threshold = 0.2).select(col("d1"), col("d2")),
       Seq("d1", "d2"))
 
+  /** The q62/q135 delta family's shared legs, memoized (the
+    * exactJaccardPairs convention): the exact-novel delta frame and
+    * [[Dedup.deltaPairStats]]' cross-side pair aggregate over the
+    * %5 corpus/delta split. The two registered queries differ ONLY in
+    * the dup predicate ([[Dedup.dupIdsFromStats]] — Jaccard-only vs
+    * Jaccard+containment), so a Verify/Bench run pays the shingle
+    * self-join once, not per gate. The eager count() populates the
+    * lazily-persisted `en` before the consuming plan reads it from
+    * two branches (the q105 lesson). */
+  private def deltaLegs(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = docsRebalanced(spark, dir)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val en = Memo.of(spark, s"delta_en:$dir:corpus=mod5ne0") {
+      Dedup.exactNovelDocs(corpus, delta)
+    }
+    en.count()
+    val stats = Memo.of(spark, s"delta_stats:$dir:k=3:corpus=mod5ne0") {
+      Dedup.deltaPairStats(corpus, en, k = 3)
+    }
+    (en, stats)
+  }
+
   /** Incremental dedup: the docs with doc_id % 5 == 0 arrive as a new
     * ingest batch and are tested for novelty against the rest of the
     * corpus — exact hash first, then cross-side shingle Jaccard.
-    * One-shot batch caller, so `releaseEagerly = false`: skip the
-    * continuous-ingest eager-checkpoint lifecycle (the cache releases
-    * on this query's own action instead — ~1 s at sf0.1). */
+    * Composed from the memoized [[deltaLegs]]; the one-shot operator
+    * form is [[Dedup.deltaDedup]]`(releaseEagerly = false)`, which
+    * builds the identical plan from the same shared cores
+    * (equivalence spec-pinned in CorpusIngestSpec). */
   def q62DeltaDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = docsRebalanced(spark, dir)
-    Dedup.deltaDedup(
-      corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
-      delta = docs.filter(pmod(col("doc_id"), lit(5)) === 0),
-      k = 3, threshold = 0.6, releaseEagerly = false)
+    val (en, stats) = deltaLegs(spark, dir)
+    en.join(Dedup.dupIdsFromStats(stats, threshold = 0.6,
+        containmentPermille = None), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"))
   }
 
@@ -302,14 +324,12 @@ object TextQueries {
     * the largest permille that changes the novel set, 87 → 86 rows).
     * A production dial sits near 800; the oracle certifies the gate's
     * arithmetic at the fixture's own overlap level, the q105-cap=2 /
-    * q127-cap=3 convention. */
+    * q127-cap=3 convention. Composed from the memoized [[deltaLegs]]
+    * like q62 — one pair-stats build serves both gates. */
   def q135DeltaContainment(spark: SparkSession, dir: String): DataFrame = {
-    val docs = docsRebalanced(spark, dir)
-    Dedup.deltaDedup(
-      corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
-      delta = docs.filter(pmod(col("doc_id"), lit(5)) === 0),
-      k = 3, threshold = 0.6, releaseEagerly = false,
-      containmentPermille = Some(250L))
+    val (en, stats) = deltaLegs(spark, dir)
+    en.join(Dedup.dupIdsFromStats(stats, threshold = 0.6,
+        containmentPermille = Some(250L)), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"))
   }
 
@@ -526,7 +546,11 @@ object TextQueries {
     * engine (the [[TextAnalysis.topTermsPerDoc]] rationale).
     *
     * Scale: the per-doc universe is the same top-16-terms cap as
-    * q101 — pair fan-out is C(16,2) per doc, never O(len²) — and the
+    * q101 — pair fan-out is C(16,2) per doc, never O(len²), emitted
+    * by an in-row sorted-array expansion over the per-doc term list
+    * (one bounded collect + one nested list-transform, the q128
+    * stance; the earlier positional self-join paid a join for pairs
+    * the row already holds) — and the
     * n1/n2 lookup joins key on single terms (AQE broadcasts the df
     * side at fixture scale; at web scale it hash-joins co-partitioned
     * on term). The products are staged through DECIMAL(38,0) — never
@@ -545,9 +569,15 @@ object TextQueries {
           "'q124: ', nd, ' docs exceeds the exact integer-PMI range (9e12 per " +
           "slice); analyze per-domain/per-language slices')) as bigint) end")
         .as("nd"))
-    t.as("a").join(t.as("b"),
-        col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
-      .groupBy(col("a.term").as("t1"), col("b.term").as("t2"))
+    t.groupBy("doc_id")
+      // bounded at the 16-term cap, so the collected list is ≤ 16
+      // elements — never a skew or memory concern; sorting it makes
+      // the expansion emit each unordered pair once with t1 < t2
+      .agg(sort_array(collect_list(col("term"))).as("ts"))
+      .select(explode(expr(
+        "flatten(transform(ts, (x, i) -> " +
+          "transform(slice(ts, i + 2, size(ts)), y -> struct(x, y))))")).as("p"))
+      .groupBy(col("p.x").as("t1"), col("p.y").as("t2"))
       .agg(count(lit(1)).as("n12"))
       .filter(col("n12") >= 3)
       .join(dfreq.select(col("term").as("t1"), col("n").as("n1")), "t1")

@@ -92,6 +92,39 @@ class Round9Spec extends AnyFunSuite {
     assert(r.getAs[Long]("cont_permille") == 857L)
   }
 
+  // ---- ingestion guard rails ----
+
+  test("normalizeEventTs fails fast on a non-UTC session zone for NTZ fixtures") {
+    // the NTZ->TIMESTAMP cast reinterprets wall-clock in the session
+    // zone; silently shifting every event under a misconfigured
+    // externally built session is the failure the guard exists for
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/New_York")
+      val raw = spark.read.parquet(s"${SparkTestSession.sf}/events.parquet")
+      if (raw.schema("ts").dataType ==
+          org.apache.spark.sql.types.TimestampNTZType) {
+        val e = intercept[IllegalArgumentException] { Tables.normalizeEventTs(raw) }
+        assert(e.getMessage.contains("UTC"))
+      }
+    } finally spark.conf.set(tzKey, saved)
+    // and under the restored UTC zone the same frame normalizes fine
+    assert(Tables.events(spark, SparkTestSession.sf).schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
+  test("rawSchema falls back to the micros shape when the stream path doesn't exist yet") {
+    val got = graft.streaming.EventStreams.rawSchema(spark,
+      "/tmp/graft_no_such_dir_round9/events.parquet")
+    assert(got == graft.streaming.EventStreams.microsEventSchema)
+    // and the fallback shape is one normalizeEventTs accepts
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), got)
+    assert(Tables.normalizeEventTs(empty).schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   // ---- containment gate on the delta-dedup paths ----
 
   test("deltaDedup containment gate: a quote inside a longer corpus doc is non-novel only under the gate") {
