@@ -158,9 +158,11 @@ object ScaleProbe {
         // hot-term task exists
         "q123_inverted_index" -> (() =>
           operators.TextAnalysis.invertedIndex(docs, minDf = 3, postingCap = 40).count()),
-        // r8 widening: PMI — the same top-16 cap as q101 bounds pair
-        // fan-out at C(16,2) per doc, so candidate volume ∝ docs;
-        // disjoint copy vocabularies keep the pair space from fusing
+        // r8 widening (r9 shape): PMI — the same top-16 cap as q101
+        // bounds pair fan-out at C(16,2) per doc, emitted by the
+        // in-row sorted-array expansion (no positional self-join), so
+        // candidate volume ∝ docs; disjoint copy vocabularies keep
+        // the pair space from fusing
         "q124_pmi_pairs" -> (() => {
           val tf = docs.select($"doc_id", explode(split($"text", " ")).as("term"))
             .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -169,10 +171,39 @@ object ScaleProbe {
                 .orderBy($"tf".desc, $"term")))
             .filter($"rk" <= ops.TextQueries.PageRankMaxTermsPerDoc)
             .select("doc_id", "term")
-          t.as("a").join(t.as("b"),
-              col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
-            .groupBy(col("a.term"), col("b.term")).agg(count(lit(1)).as("n12"))
+          t.groupBy("doc_id")
+            .agg(sort_array(collect_list($"term")).as("ts"))
+            .select(explode(expr(
+              "flatten(transform(ts, (x, i) -> " +
+                "transform(slice(ts, i + 2, size(ts)), y -> struct(x, y))))")).as("p"))
+            .groupBy(col("p.x"), col("p.y")).agg(count(lit(1)).as("n12"))
             .filter($"n12" >= 3).count()
+        }),
+        // r9: incremental dedup over the %5 split of the scaled corpus
+        // — the cross-side join's volume rides the DELTA (1/5 of
+        // docs), and content-unique copies add no cross-copy pairs,
+        // so time ∝ docs
+        "q62_delta_dedup" -> (() =>
+          operators.Dedup.deltaDedup(
+            docs.filter(pmod($"doc_id", lit(5)) =!= 0),
+            docs.filter(pmod($"doc_id", lit(5)) === 0),
+            k = 3, threshold = 0.6, releaseEagerly = false).count()),
+        // r9: banded hash near-dup — cluster width pinned at ~16 docs
+        // whatever the scale (cluster id = doc_id div 16 within each
+        // copy's id range), so the planted pair OUTPUT grows linearly
+        // with docs and the probe measures band-join overhead, not
+        // clique growth; bands=8 > maxHamming=4 keeps recall exact.
+        // The splitmix-style grid ([[ops.EventQueries.clusterGridSql]])
+        // is load-bearing: an affine grid collapsed 50k docs onto
+        // 2.5k hashes and 68M pairs — output growth, not engine time
+        "q136_hash_near_dup" -> (() => {
+          graft.functions.AHash64Gray.register(spark)
+          val grid = ops.EventQueries.clusterGridSql(
+            "doc_id div 16", "pmod(doc_id, 64)")
+          val hashed = docs.select($"doc_id".as("asset_id"),
+            expr(s"ahash64_gray($grid)").as("ahash"))
+          operators.Multimodal.hashNearDupPairs(hashed,
+            maxHamming = 4, bands = 8).count()
         }),
         // r8 widening: containment rides the identical inverted-index
         // self-join as ngramJaccardPairs (one undirected aggregate,

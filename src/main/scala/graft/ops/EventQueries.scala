@@ -75,15 +75,34 @@ object EventQueries {
     * EXACTLY the brute-force pair set, the recall claim itself. */
   def q136ImageNearDup(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.AHash64Gray.register(spark)
-    val grid =
-      "transform(sequence(0, 63), i -> pmod(pmod(doc_id, 32) * 2654435761L" +
-        " + cast(i as bigint) * 40503L" +
-        " + if(i = pmod(doc_id div 32, 64), 128L, 0L), 256L))"
+    val grid = clusterGridSql("pmod(doc_id, 32)", "pmod(doc_id div 32, 64)")
     val hashed = Tables.documents(spark, dir).select(
       col("doc_id").as("asset_id"),
       expr(s"ahash64_gray($grid)").as("ahash"))
     Multimodal.hashNearDupPairs(hashed, maxHamming = 4, bands = 8)
       .select(col("id1").as("d1"), col("id2").as("d2"), col("hamming"))
+  }
+
+  /** Synthetic 64-cell luminance grid for a cluster key, perturbed in
+    * one doc-specific cell: the base pattern is a splitmix-style
+    * integer mix (multiply → xor-shift → multiply → xor-shift, all
+    * exact BIGINT ops both engines replay) of (cluster·64 + cell) —
+    * an AFFINE generator is provably wrong here: its cell values form
+    * arithmetic progressions mod 256, so distinct clusters land on
+    * near-identical aHashes and "near-dup" stops meaning anything
+    * (measured: 50k docs collapsed onto 2.5k hashes, 68M
+    * hamming-≤-4 pairs; the mixed grid gives 49k distinct hashes and
+    * only the planted intra-cluster pairs). Shared by q136 and
+    * ScaleProbe's banded near-dup probe. */
+  def clusterGridSql(clusterSql: String, perturbSql: String): String = {
+    val seqN = s"transform(sequence(0, 63), i -> " +
+      s"($clusterSql) * 64 + cast(i as bigint) + 1)"
+    val m1 = s"transform($seqN, n -> pmod(n * 2654435761L, 4294967296L))"
+    val m2 = s"transform($m1, a -> a ^ (a div 65536))"
+    val m3 = s"transform($m2, b -> pmod(b * 40503L, 4294967296L))"
+    val m4 = s"transform($m3, c -> c ^ (c div 65536))"
+    s"transform($m4, (d, i) -> " +
+      s"pmod(d + if(i = ($perturbSql), 128L, 0L), 256L))"
   }
 
   /** As-of join: every event enriched with the user's most recent
@@ -841,11 +860,17 @@ object EventQueries {
     // sign-band pigeonhole missed or invented a pair, the multiset
     // comparison fails
     "q136_image_near_dup" ->
-      """WITH pa AS (SELECT d.doc_id, t.i,
-        |              ((d.doc_id % 32) * 2654435761 + t.i * 40503
-        |               + CASE WHEN t.i = (d.doc_id // 32) % 64
-        |                      THEN 128 ELSE 0 END) % 256 AS v
+      """WITH p0 AS (SELECT d.doc_id, t.i,
+        |              (((d.doc_id % 32) * 64 + t.i + 1) * 2654435761)
+        |                % 4294967296 AS a
         |            FROM documents d, range(64) t(i)),
+        |p1 AS (SELECT doc_id, i, xor(a, a // 65536) AS b FROM p0),
+        |p2 AS (SELECT doc_id, i, (b * 40503) % 4294967296 AS c FROM p1),
+        |p3 AS (SELECT doc_id, i, xor(c, c // 65536) AS m FROM p2),
+        |pa AS (SELECT doc_id, i,
+        |         (m + CASE WHEN i = (doc_id // 32) % 64
+        |                   THEN 128 ELSE 0 END) % 256 AS v
+        |       FROM p3),
         |tot AS (SELECT doc_id, sum(v) AS total FROM pa GROUP BY doc_id),
         |ah AS (SELECT pa.doc_id,
         |         CAST(sum(CASE WHEN v * 64 >= total THEN

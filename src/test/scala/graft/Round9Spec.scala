@@ -300,6 +300,18 @@ class Round9Spec extends AnyFunSuite {
     assert(out == again)
   }
 
+  test("q136's mixed cluster grids separate: every near-dup pair is intra-cluster") {
+    // the affine-grid failure mode this pins: base patterns that are
+    // arithmetic progressions mod 256 collapse distinct clusters onto
+    // near-identical hashes, flooding the pair set with cross-cluster
+    // "near-dups" that aren't planted structure
+    val pairs = graft.ops.EventQueries.q136ImageNearDup(spark, SparkTestSession.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "the planted intra-cluster pairs must be found")
+    val cross = pairs.filter { case (a, b) => a % 32 != b % 32 }
+    assert(cross.isEmpty, s"cross-cluster collisions: ${cross.take(5).mkString(";")}")
+  }
+
   test("q134 gray-hash arithmetic matches ImageCore on the fixture formula") {
     val df = graft.ops.EventQueries.q134ImageHash(spark, SparkTestSession.sf)
     val row = df.filter(col("doc_id") === 1L).collect().head
