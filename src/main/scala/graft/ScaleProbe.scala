@@ -203,7 +203,7 @@ object ScaleProbe {
           val hashed = docs.select($"doc_id".as("asset_id"),
             expr(s"ahash64_gray($grid)").as("ahash"))
           operators.Multimodal.hashNearDupPairs(hashed,
-            maxHamming = 4, bands = 8).count()
+            maxHamming = 4, bands = 8, keyBands = 2).count()
         }),
         // r8 widening: containment rides the identical inverted-index
         // self-join as ngramJaccardPairs (one undirected aggregate,

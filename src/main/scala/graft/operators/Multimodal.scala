@@ -81,23 +81,40 @@ object Multimodal {
     * (asset_id, ahash) frame however the 64-bit hashes were produced
     * (decoded payloads, precomputed pixel grids, an external feature
     * store): sign-band bucketing, candidate pairs only inside equal
-    * (band, slice) buckets, exact-recall pigeonhole per the caller's
-    * `bands` > `maxHamming` guarantee. */
+    * bucket keys, exact-recall pigeonhole per the caller's
+    * `bands - maxHamming >= keyBands` guarantee.
+    *
+    * `keyBands` is the corpus-size dial (the SRP-bits stance applied
+    * to hamming buckets): a bucket key concatenates `keyBands` of the
+    * `bands` slices. With single-slice keys the key space is only
+    * 2^(64/bands) per band — at 8-bit slices, random collisions put
+    * ~n/256 docs in every bucket, and candidate volume goes QUADRATIC
+    * once n >> 2⁸ (measured: 10× docs → 21× time at 50k docs).
+    * keyBands=2 keys on slice PAIRS — C(bands,2) keys/doc, 2× the
+    * slice width per key — dropping occupancy to ~n/2^(2·width).
+    * Recall stays exact by pigeonhole: ≤ maxHamming flipped bits
+    * leave ≥ bands − maxHamming ≥ keyBands slices intact, and every
+    * keyBands-subset of slices is a key, so an intact key exists for
+    * every qualifying pair. */
   def hashNearDupPairs(hashed: DataFrame, maxHamming: Int = 3,
-                       bands: Int = 4): DataFrame = {
-    require(bands > maxHamming && 64 % bands == 0,
-      s"need 64 % bands == 0 and bands > maxHamming for exact recall; " +
-        s"got bands=$bands maxHamming=$maxHamming")
+                       bands: Int = 4, keyBands: Int = 1): DataFrame = {
+    require(64 % bands == 0 && keyBands >= 1 &&
+      bands - maxHamming >= keyBands,
+      s"need 64 % bands == 0 and bands - maxHamming >= keyBands >= 1 for " +
+        s"exact recall; got bands=$bands maxHamming=$maxHamming keyBands=$keyBands")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1L
+    def slice(b: Int) =
+      shiftrightunsigned(col("ahash"), b * width).bitwiseAND(lit(mask))
+    val combos = (0 until bands).combinations(keyBands).toSeq
     val banded = hashed
       .select(col("asset_id"), col("ahash"),
-        posexplode(array((0 until bands).map { b =>
-          shiftrightunsigned(col("ahash"), b * width).bitwiseAND(lit(mask))
-        }: _*)).as(Seq("band_id", "band_val")))
+        posexplode(array(combos.map { c =>
+          array(c.map(slice): _*)
+        }: _*)).as(Seq("key_id", "key_val")))
     banded.as("a").join(banded.as("b"),
-        col("a.band_id") === col("b.band_id") &&
-        col("a.band_val") === col("b.band_val") &&
+        col("a.key_id") === col("b.key_id") &&
+        col("a.key_val") === col("b.key_val") &&
         col("a.asset_id") < col("b.asset_id"))
       .select(col("a.asset_id").as("id1"), col("b.asset_id").as("id2"),
         col("a.ahash").as("h1"), col("b.ahash").as("h2"))

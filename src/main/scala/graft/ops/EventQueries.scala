@@ -79,7 +79,12 @@ object EventQueries {
     val hashed = Tables.documents(spark, dir).select(
       col("doc_id").as("asset_id"),
       expr(s"ahash64_gray($grid)").as("ahash"))
-    Multimodal.hashNearDupPairs(hashed, maxHamming = 4, bands = 8)
+    // keyBands=2: slice-pair bucket keys (16 effective bits) — the
+    // corpus-size dial that keeps candidate volume linear once n
+    // outgrows the 2^8 single-slice key space; recall stays
+    // pigeonhole-exact since 8 − 4 ≥ 2
+    Multimodal.hashNearDupPairs(hashed, maxHamming = 4, bands = 8,
+        keyBands = 2)
       .select(col("id1").as("d1"), col("id2").as("d2"), col("hamming"))
   }
 

@@ -32,7 +32,8 @@ object CorpusIngest {
                    langs: Seq[String] = Seq("en"),
                    k: Int = 3, numHashes: Int = 16, bands: Int = 4,
                    threshold: Double = 0.6,
-                   maxShingleDocFreq: Option[Int] = None): Unit = {
+                   maxShingleDocFreq: Option[Int] = None,
+                   containmentPermille: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     // Several consumers (clean recipe, dedup legs, report counts) each
     // trigger actions over this micro-batch; unpersisted, every action
@@ -63,7 +64,8 @@ object CorpusIngest {
     val novel = existing match {
       case Some(index) =>
         Dedup.deltaDedupIndexed(index, batchNovel, k, threshold,
-          maxShingleDocFreq = maxShingleDocFreq)
+          maxShingleDocFreq = maxShingleDocFreq,
+          containmentPermille = containmentPermille)
       case None => batchNovel
     }
     novel.write.mode("overwrite")
@@ -255,7 +257,8 @@ object CorpusIngest {
             langs: Seq[String] = Seq("en"),
             k: Int = 3, numHashes: Int = 16, bands: Int = 4,
             threshold: Double = 0.6,
-            maxShingleDocFreq: Option[Int] = None): StreamingQuery =
+            maxShingleDocFreq: Option[Int] = None,
+            containmentPermille: Option[Long] = None): StreamingQuery =
     spark.readStream
       .schema(schema)
       .parquet(inDir)
@@ -263,7 +266,7 @@ object CorpusIngest {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         processBatch(batch, outDir, id, minTokens, maxTokens,
           minQuality, maxTopBigramRatio, langs, k, numHashes, bands,
-          threshold, maxShingleDocFreq)
+          threshold, maxShingleDocFreq, containmentPermille)
       }
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .trigger(trigger)

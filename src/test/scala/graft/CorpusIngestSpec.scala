@@ -127,6 +127,41 @@ class CorpusIngestSpec extends AnyFunSuite {
         "shingle overlap or lower the cap")
   }
 
+  test("ingest containment gate: a quoted delta doc is rejected at ingest time only under the dial") {
+    // batch 0 lands a long doc ending in a 14-word quote; batch 1
+    // brings the quote back as its own doc (plus one genuinely novel
+    // doc). Jaccard alone keeps the quote (the container dominates
+    // the union); the containment dial drops it — the q135 semantics
+    // running through the production foreachBatch path against the
+    // materialized index.
+    val filler = (1 to 100).map(i => s"f$i").mkString(" ")
+    val quote = (1 to 14).map(i => s"q$i").mkString(" ")
+    val b1 = Seq((1L, s"$filler $quote", "s1")).toDF("doc_id", "text", "source")
+    val b2 = Seq(
+      (2L, s"$quote t1 t2 t3", "s1"),
+      (3L, (1 to 30).map(i => s"n$i").mkString(" "), "s1"))
+      .toDF("doc_id", "text", "source")
+    // synthetic tokens land on the heuristic's "unknown" bucket; the
+    // clean dials are opened so only the dedup gates decide
+    val langs = TextAnalysis.withLanguageId(b1.unionByName(b2))
+      .select("lang_pred").distinct().as[String].collect().toSeq
+    def ingest(perm: Option[Long]): Set[Long] = {
+      val outDir = java.nio.file.Files.createTempDirectory("graft_ingest_cont").toString
+      CorpusIngest.processBatch(b1, outDir, 0L, minTokens = 1,
+        minQuality = 0.0, maxTopBigramRatio = 1.0, langs = langs,
+        containmentPermille = perm)
+      CorpusIngest.processBatch(b2, outDir, 1L, minTokens = 1,
+        minQuality = 0.0, maxTopBigramRatio = 1.0, langs = langs,
+        containmentPermille = perm)
+      CorpusIngest.readCorpus(spark, s"$outDir/corpus").get
+        .select("doc_id").as[Long].collect().toSet
+    }
+    assert(ingest(None) == Set(1L, 2L, 3L),
+      "without the dial the quoted doc slips through the Jaccard gate")
+    assert(ingest(Some(800L)) == Set(1L, 3L),
+      "with the dial the quoted doc is non-novel; the novel doc still lands")
+  }
+
   test("the materialized index mirrors the written corpus after every batch") {
     val outDir = java.nio.file.Files.createTempDirectory("graft_ingest_idx").toString
     CorpusIngest.processBatch(fixtureDocs.filter($"doc_id" < 200), outDir, 0L)

@@ -312,6 +312,22 @@ class Round9Spec extends AnyFunSuite {
     assert(cross.isEmpty, s"cross-cluster collisions: ${cross.take(5).mkString(";")}")
   }
 
+  test("hashNearDupPairs: slice-pair keys (keyBands=2) return exactly the single-slice pair set") {
+    // the corpus-size dial must change candidate volume only, never
+    // the answer — pigeonhole holds at bands − maxHamming ≥ 2
+    graft.functions.AHash64Gray.register(spark)
+    val grid = graft.ops.EventQueries.clusterGridSql(
+      "pmod(doc_id, 32)", "pmod(doc_id div 32, 64)")
+    val hashed = Tables.documents(spark, SparkTestSession.sf).select(
+      col("doc_id").as("asset_id"), expr(s"ahash64_gray($grid)").as("ahash"))
+    def pairs(kb: Int) = Multimodal.hashNearDupPairs(hashed,
+        maxHamming = 4, bands = 8, keyBands = kb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val single = pairs(1)
+    assert(single.nonEmpty)
+    assert(pairs(2) == single)
+  }
+
   test("q134 gray-hash arithmetic matches ImageCore on the fixture formula") {
     val df = graft.ops.EventQueries.q134ImageHash(spark, SparkTestSession.sf)
     val row = df.filter(col("doc_id") === 1L).collect().head
