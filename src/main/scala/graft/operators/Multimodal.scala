@@ -7,18 +7,21 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus decode / feature-extract /
   * resize / frame-sample stages.
   *
-  * IMAGE codecs are REAL: `javax.imageio` ships PNG/BMP/JPEG/GIF
-  * readers in every JRE, so [[decodeImage]] / [[imageHashes]] /
-  * [[imageNearDupPairs]] decode actual payload bytes via native
-  * Catalyst expressions ([[graft.functions.ImageCore]]) — no external
-  * libraries, no UDF closures. AUDIO/VIDEO codec work stays STUBBED
-  * (the JDK has no such codecs and this container adds none): each
+  * IMAGE and AUDIO codecs are REAL: `javax.imageio` ships
+  * PNG/BMP/JPEG/GIF readers and `javax.sound.sampled` ships
+  * WAV/AIFF/AU PCM parsing in every JRE, so [[decodeImage]] /
+  * [[imageHashes]] / [[imageNearDupPairs]] and [[decodeAudio]] /
+  * [[audioHashes]] / [[audioNearDupPairs]] decode actual payload
+  * bytes via native Catalyst expressions ([[graft.functions.ImageCore]]
+  * / [[graft.functions.AudioCore]]) — no external libraries, no UDF
+  * closures. VIDEO (and compressed audio like MP3/AAC) stays STUBBED:
+  * the JDK has no such codecs and this container adds none; each
   * `*Stub` derives a deterministic fake from the bytes (documented
   * per function) so pipelines exercise the full dataflow; swapping a
   * stub for a real decoder is a drop-in replacement of one column
   * expression. [[decodeImageStub]] remains for fixtures whose
   * payloads are NOT image bytes (the parquet fixtures are text-
-  * derived) — the real path returns null metadata for those by
+  * derived) — the real paths return null metadata for those by
   * design.
   *
   * Scale: assets are heavy rows. The two rules this module encodes:
@@ -42,6 +45,44 @@ object Multimodal {
       .withColumn("channels", col("_m.channels"))
       .drop("_m")
   }
+
+  /** REAL audio decode: (sample_rate, channels, frames, bits) parsed
+    * from WAV/AIFF/AU payload bytes by the JDK's PCM codecs. Same
+    * quarantine contract as [[decodeImage]]: undecodable (or
+    * compressed-format) payloads yield null metadata, never a failed
+    * stage. */
+  def decodeAudio(assets: DataFrame): DataFrame = {
+    graft.functions.AudioMeta.register(assets.sparkSession)
+    assets
+      .withColumn("_a", expr("audio_meta(payload)"))
+      .withColumn("sample_rate", col("_a.sample_rate"))
+      .withColumn("channels", col("_a.channels"))
+      .withColumn("frames", col("_a.frames"))
+      .withColumn("bits", col("_a.bits"))
+      .drop("_a")
+  }
+
+  /** Acoustic fingerprint per asset: the 64-bit energy-gradient hash
+    * (sign of the delta between consecutive of 65 window energies
+    * over the mono mixdown) — volume-scaling-invariant by
+    * construction, the audio analogue of [[imageHashes]]' dHash.
+    * Null for undecodable payloads. */
+  def audioHashes(assets: DataFrame): DataFrame = {
+    graft.functions.EHash64.register(assets.sparkSession)
+    assets.withColumn("ehash", expr("ehash64(payload)"))
+  }
+
+  /** Audio near-dup pairs: hamming over the energy-gradient hashes,
+    * found by the same slice-key machinery as the image path —
+    * [[hashNearDupPairs]] is hash-agnostic, so the banding, the
+    * keyBands corpus-size dial, and the pigeonhole recall proof carry
+    * over verbatim. */
+  def audioNearDupPairs(assets: DataFrame, maxHamming: Int = 3,
+                        bands: Int = 4, keyBands: Int = 1): DataFrame =
+    hashNearDupPairs(
+      audioHashes(assets).filter(col("ehash").isNotNull)
+        .select(col("asset_id"), col("ehash").as("ahash")),
+      maxHamming, bands, keyBands)
 
   /** Perceptual hashes per asset: 64-bit aHash (8×8 block-mean
     * threshold) and dHash (9×8 horizontal gradient signs) — the image

@@ -102,12 +102,40 @@ object EventQueries {
   def clusterGridSql(clusterSql: String, perturbSql: String): String = {
     val seqN = s"transform(sequence(0, 63), i -> " +
       s"($clusterSql) * 64 + cast(i as bigint) + 1)"
-    val m1 = s"transform($seqN, n -> pmod(n * 2654435761L, 4294967296L))"
+    s"transform(${splitmixChainSql(seqN)}, (d, i) -> " +
+      s"pmod(d + if(i = ($perturbSql), 128L, 0L), 256L))"
+  }
+
+  /** The splitmix-style mix of an array of positive BIGINT seeds:
+    * multiply → xor-shift(16) → multiply → xor-shift(16), all inside
+    * 2³² — four chained list transforms, every op exact in both
+    * engines (`^`/`div` in Spark, `xor`/`//` in DuckDB). */
+  private def splitmixChainSql(seqSql: String): String = {
+    val m1 = s"transform($seqSql, n -> pmod(n * 2654435761L, 4294967296L))"
     val m2 = s"transform($m1, a -> a ^ (a div 65536))"
     val m3 = s"transform($m2, b -> pmod(b * 40503L, 4294967296L))"
-    val m4 = s"transform($m3, c -> c ^ (c div 65536))"
-    s"transform($m4, (d, i) -> " +
-      s"pmod(d + if(i = ($perturbSql), 128L, 0L), 256L))"
+    s"transform($m3, c -> c ^ (c div 65536))"
+  }
+
+  /** Acoustic-fingerprint arithmetic under the oracle gate (the q134
+    * convention carried to AUDIO): the 64-bit energy-gradient hash —
+    * bit i iff energy(i+1) > energy(i) over a 65-window envelope —
+    * computed by the same [[graft.functions.AudioCore]] bit assembly
+    * the real `javax.sound.sampled` WAV decode path uses
+    * ([[Multimodal.audioHashes]]), here over DETERMINISTIC
+    * doc_id-derived envelopes (splitmix-mixed, mod 2¹⁶ — energy-like
+    * magnitudes). The parquet fixtures carry no audio bytes, so the
+    * oracle certifies the hash ARITHMETIC while real decode
+    * (PCM 8/16-bit, mono mixdown, endianness) is spec-verified
+    * against synthesized WAV payloads (AudioCodecSpec). */
+  def q137AudioHash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.EHash64Energy.register(spark)
+    val seqN = "transform(sequence(0, 64), i -> " +
+      "doc_id * 65 + cast(i as bigint) + 1)"
+    val env = s"transform(${splitmixChainSql(seqN)}, d -> pmod(d, 65536L))"
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      expr(s"ehash64_energy($env)").as("ehash"))
   }
 
   /** As-of join: every event enriched with the user's most recent
@@ -826,6 +854,7 @@ object EventQueries {
     "q53_multimodal_meta" -> (q53MultimodalMeta _),
     "q134_image_hash"     -> (q134ImageHash _),
     "q136_image_near_dup" -> (q136ImageNearDup _),
+    "q137_audio_hash"     -> (q137AudioHash _),
     "q54_asof_join"       -> (q54AsofJoin _)
   )
 
@@ -887,6 +916,25 @@ object EventQueries {
         |       CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
         |FROM ah a JOIN ah b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 4""".stripMargin,
+
+    // the audio energy-gradient hash replayed over the same splitmix
+    // envelopes: bit i iff v(i+1) > v(i) across the 65 windows
+    "q137_audio_hash" ->
+      """WITH p0 AS (SELECT d.doc_id, t.i,
+        |              ((d.doc_id * 65 + t.i + 1) * 2654435761)
+        |                % 4294967296 AS a
+        |            FROM documents d, range(65) t(i)),
+        |p1 AS (SELECT doc_id, i, xor(a, a // 65536) AS b FROM p0),
+        |p2 AS (SELECT doc_id, i, (b * 40503) % 4294967296 AS c FROM p1),
+        |p3 AS (SELECT doc_id, i, xor(c, c // 65536) AS m FROM p2),
+        |pa AS (SELECT doc_id, i, m % 65536 AS v FROM p3)
+        |SELECT l.doc_id,
+        |  CAST(sum(CASE WHEN r.v > l.v THEN
+        |    CASE WHEN l.i = 63 THEN -9223372036854775807 - 1
+        |         ELSE (1::BIGINT << CAST(l.i AS INT)) END
+        |    ELSE 0 END) AS BIGINT) AS ehash
+        |FROM pa l JOIN pa r ON r.doc_id = l.doc_id AND r.i = l.i + 1
+        |GROUP BY l.doc_id""".stripMargin,
     // same integer cents, same frame, same squared compare — the
     // whole z-test is BIGINT arithmetic in both engines
     "q116_rolling_anomaly" ->
