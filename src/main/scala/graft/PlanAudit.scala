@@ -56,6 +56,26 @@ object PlanAudit {
       case f: Filter
         if f.condition.references.intersect(partWinAttrs(f.child)).nonEmpty =>
         true
+      // row-MULTIPLYING nodes revoke boundedness even over a bounded
+      // child: explode of a collect_list over a GROUPED aggregate
+      // re-creates raw granularity (one element per original row), so
+      // a global Window above it is again a raw-volume sort. The one
+      // admitted Generate shape is the explode of a SINGLE-ROW frame
+      // (global aggregate / literal) — the dense-calendar generator
+      // (q100): its cardinality is generator-sized, disclosed in the
+      // query docstring, never proportional to input rows. Expand
+      // multiplies by its projection count — revoked outright.
+      case g: Generate =>
+        def oneRow(p: LogicalPlan): Boolean = p match {
+          case a: Aggregate => a.groupingExpressions.isEmpty
+          case pr: Project => oneRow(pr.child)
+          case f: Filter => oneRow(f.child)
+          case _: OneRowRelation => true
+          case _: LocalRelation => true
+          case _ => false
+        }
+        oneRow(g.child)
+      case _: Expand => false
       case _: LeafNode => false
       case other => other.children.forall(bounded)
     }

@@ -79,7 +79,12 @@ object AudioCore {
                 if (bits == 16) {
                   val (hi, lo) = if (big) (data(off), data(off + 1))
                                  else (data(off + 1), data(off))
-                  ((hi << 8) | (lo & 0xff)).toShort.toLong
+                  val raw = (hi << 8) | (lo & 0xff)
+                  // unsigned 16-bit centers at 0x8000 — recenter, don't
+                  // reinterpret as two's complement (that would decode
+                  // silence as max amplitude)
+                  if (signed) raw.toShort.toLong
+                  else (raw & 0xffff).toLong - 32768L
                 } else if (signed) data(off).toLong
                 else (data(off) & 0xff).toLong - 128L
               sum += s

@@ -112,11 +112,11 @@ object Multimodal {
     * random-collision rate per band; raise bands for a looser budget
     * (the require guards the recall proof). */
   def imageNearDupPairs(assets: DataFrame, maxHamming: Int = 3,
-                        bands: Int = 4): DataFrame =
+                        bands: Int = 4, keyBands: Int = 1): DataFrame =
     hashNearDupPairs(
       imageHashes(assets).filter(col("ahash").isNotNull)
         .select(col("asset_id"), col("ahash")),
-      maxHamming, bands)
+      maxHamming, bands, keyBands)
 
   /** The hash-level core of [[imageNearDupPairs]], usable on ANY
     * (asset_id, ahash) frame however the 64-bit hashes were produced

@@ -37,12 +37,16 @@ object EventStreams extends Serializable {
     * micros-generation shape instead of throwing at declaration time —
     * the normalize step accepts either shape, so a sniffed schema is
     * only an optimization over the fallback; under the fallback the
-    * first batch simply assumes the micros generation. */
-  def rawSchema(spark: SparkSession, eventsPath: String): StructType =
-    try spark.read.parquet(eventsPath).schema
-    catch {
-      case _: org.apache.spark.sql.AnalysisException => microsEventSchema
-    }
+    * first batch simply assumes the micros generation. The fallback
+    * triggers ONLY on a genuinely absent path (filesystem-checked) —
+    * an existing-but-unreadable path is a configuration error and
+    * still fails fast at declaration time. */
+  def rawSchema(spark: SparkSession, eventsPath: String): StructType = {
+    val p = new org.apache.hadoop.fs.Path(eventsPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) microsEventSchema
+    else spark.read.parquet(eventsPath).schema
+  }
 
   /** The TIMESTAMP(MICROS, isAdjustedToUTC=false) fixture generation's
     * shape — what a footer sniff of the current fixtures returns. */

@@ -74,6 +74,14 @@ class PlanSpec extends AnyFunSuite {
       .withColumn("rk", row_number().over(Window.orderBy(col("n"), col("event_type"))))
     assert(PlanAudit.globalWindowViolations(folded).isEmpty,
       "audit wrongly flagged a window over an aggregate-bounded frame")
+    // an aggregate whose collect_list is exploded BACK to raw
+    // granularity is raw volume again — Generate revokes boundedness
+    val reExploded = Tables.events(spark, sf)
+      .groupBy("user_id").agg(collect_list(col("event_id")).as("ids"))
+      .select(explode(col("ids")).as("event_id"))
+      .withColumn("rk", row_number().over(Window.orderBy(col("event_id"))))
+    assert(PlanAudit.globalWindowViolations(reExploded).nonEmpty,
+      "audit failed to flag a global window over an explode-reinflated frame")
   }
 
   test("whole-stage codegen spans exist in aggregation plans") {
