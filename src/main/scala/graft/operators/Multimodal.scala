@@ -165,6 +165,37 @@ object Multimodal {
       .select("id1", "id2", "hamming")
   }
 
+  /** Streaming perceptual image dedup — the continuous-ingest leg of
+    * the asset pipeline ([[graft.operators.Dedup.streamingDeltaDedup]]'s
+    * stance with the content hash swapped for the PERCEPTUAL hash):
+    * assets arriving on a stream are kept only if their aHash is
+    * absent from the static corpus index AND unseen within the
+    * watermark horizon. Hash equality (hamming 0) catches exactly
+    * what exact byte/md5 dedup structurally cannot — the same pixels
+    * re-encoded through a different container (PNG↔BMP) or
+    * re-compressed bytes — while banded NEAR-dup (hamming > 0) stays
+    * a batch concern, like near-dup text in the delta path.
+    *
+    * State is bounded by the watermark (`dropDuplicatesWithinWatermark`
+    * keys on the 8-byte hash, never payload bytes); the corpus side
+    * is an ids-free distinct hash frame, re-read per micro-batch as a
+    * stream-static anti-join. Undecodable payloads pass through the
+    * quarantine contract upstream (`ahash IS NULL` rows are dropped
+    * here — route them to a dead-letter sink before this operator if
+    * they must be kept). */
+  def streamingImageDedup(stream: DataFrame, corpus: DataFrame,
+                          tsCol: String = "ts",
+                          watermark: String = "1 hour"): DataFrame = {
+    val corpusHashes = imageHashes(corpus)
+      .filter(col("ahash").isNotNull).select("ahash").distinct()
+    imageHashes(stream)
+      .filter(col("ahash").isNotNull)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("ahash")
+      .join(corpusHashes, Seq("ahash"), "left_anti")
+      .drop("ahash", "dhash")
+  }
+
   /** Canonical asset schema: (asset_id, modality, payload, meta…). */
   def assetsFromText(docs: DataFrame): DataFrame =
     docs.select(

@@ -340,6 +340,45 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(kept == Set(11L, 13L), s"got $kept")
   }
 
+  test("streaming image dedup: a cross-container re-encode drops where md5 dedup could not") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def img(seed: Int, fmt: String): Array[Byte] = {
+      val bi = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val g = (seed * 37 + x * 11 + y * 5) % 256
+        bi.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, fmt, bos)
+      bos.toByteArray
+    }
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // corpus holds image 1 as PNG; the stream re-encodes the SAME
+    // pixels as BMP — different bytes (md5 differs), identical aHash
+    val corpus = Seq((1L, img(1, "png"))).toDF("asset_id", "payload")
+    val ms = MemoryStream[(Long, Array[Byte], java.sql.Timestamp)]
+    val out = operators.Multimodal.streamingImageDedup(
+      ms.toDF().toDF("asset_id", "payload", "ts"), corpus)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("stream_img_dedup").start()
+    try {
+      ms.addData(
+        (10L, img(1, "bmp"), t(100)),  // re-encoded corpus dup → drop
+        (11L, img(2, "png"), t(101)),  // novel → keep
+        (12L, img(2, "bmp"), t(102)),  // in-stream perceptual repeat → drop
+        (13L, "corrupt".getBytes("UTF-8"), t(103))) // undecodable → drop
+      q.processAllAvailable()
+      ms.addData((14L, img(3, "png"), t(200)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("stream_img_dedup").select("asset_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 14L), s"got $kept")
+  }
+
   test("streaming dedup collapses duplicated files to distinct event_ids") {
     // duplicate the fixture into a temp stream dir: every event twice
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
