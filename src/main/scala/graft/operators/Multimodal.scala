@@ -196,6 +196,30 @@ object Multimodal {
       .drop("ahash", "dhash")
   }
 
+  /** Magic-byte media-type sniffing + routing: every asset labeled by
+    * its container signature ([[graft.functions.MediaTypeCore]] — a
+    * ≤ 12-byte prefix inspection, constant-time whatever the payload
+    * size) and bucketed into the decoder route a multimodal ingest
+    * fans out on: `image` (JDK-decodable), `audio` (JDK-decodable
+    * PCM), `undecodable` (real media the JDK has no codec for —
+    * video, compressed audio — quarantined as assets, not errors),
+    * `archive`, or `unknown`. Runs BEFORE any decode, so payloads
+    * never reach a decoder that would null them out; at 100 TB the
+    * difference between this and decode-and-see is one cheap scan vs
+    * a full decode attempt per wrong-type row. */
+  def routeByType(assets: DataFrame): DataFrame = {
+    graft.functions.MediaType.register(assets.sparkSession)
+    assets
+      .withColumn("media_type", expr("media_type(payload)"))
+      .withColumn("route",
+        when(col("media_type").isin("png", "jpeg", "gif", "bmp"), "image")
+          .when(col("media_type").isin("wav", "aiff", "au"), "audio")
+          .when(col("media_type").isin(
+            "webp", "mp3", "ogg", "flac", "mp4", "mkv", "avi"), "undecodable")
+          .when(col("media_type").isin("gzip", "zip"), "archive")
+          .otherwise("unknown"))
+  }
+
   /** Canonical asset schema: (asset_id, modality, payload, meta…). */
   def assetsFromText(docs: DataFrame): DataFrame =
     docs.select(

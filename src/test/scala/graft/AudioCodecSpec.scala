@@ -124,6 +124,40 @@ class AudioCodecSpec extends AnyFunSuite {
       s"exactly the planted pair: ${pairs.mkString(";")}")
   }
 
+  test("media_type sniffs real codec bytes and spec'd container signatures; routeByType buckets them") {
+    // real encoder output for the JDK-decodable formats…
+    val bi = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    def imgBytes(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, fmt, bos); bos.toByteArray
+    }
+    val wav = audioBytes(Array.tabulate[Short](16)(_.toShort))
+    val aiff = audioBytes(Array.tabulate[Short](16)(_.toShort),
+      fileType = AudioFileFormat.Type.AIFF, bigEndian = true)
+    // …and hand-built spec'd signatures for the no-JDK-codec ones
+    def sig(bytes: Int*): Array[Byte] = bytes.map(_.toByte).toArray
+    val mp4 = sig(0, 0, 0, 24) ++ "ftypisom".getBytes("ASCII")
+    val mkv = sig(0x1a, 0x45, 0xdf, 0xa3) ++ sig(0, 0, 0, 0)
+    val avi = "RIFF".getBytes("ASCII") ++ sig(8, 0, 0, 0) ++ "AVI LIST".getBytes("ASCII")
+    val mp3 = "ID3".getBytes("ASCII") ++ sig(4, 0, 0)
+    val rows = Seq(
+      1L -> imgBytes("png"), 2L -> imgBytes("jpg"), 3L -> imgBytes("bmp"),
+      4L -> wav, 5L -> aiff, 6L -> mp4, 7L -> mkv, 8L -> avi, 9L -> mp3,
+      10L -> "just some text".getBytes("UTF-8"))
+    val out = Multimodal.routeByType(assetsOf(rows))
+      .select("asset_id", "media_type", "route").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out(1L) == (("png", "image")) && out(2L) == (("jpeg", "image")) &&
+      out(3L) == (("bmp", "image")))
+    assert(out(4L) == (("wav", "audio")) && out(5L) == (("aiff", "audio")))
+    assert(out(6L) == (("mp4", "undecodable")) &&
+      out(7L) == (("mkv", "undecodable")) &&
+      out(8L) == (("avi", "undecodable")) &&
+      out(9L) == (("mp3", "undecodable")))
+    assert(out(10L) == (("unknown", "unknown")))
+  }
+
   test("q137 energy-hash arithmetic matches AudioCore on the fixture formula") {
     def mix(n: Long): Long = {
       val a = (n * 2654435761L) % 4294967296L
