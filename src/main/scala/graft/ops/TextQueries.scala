@@ -333,6 +333,57 @@ object TextQueries {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Train/test leakage audit: every near-duplicate pair (exact
+    * 3-gram Jaccard ≥ 0.6, the q34 gate) whose two docs landed in
+    * DIFFERENT splits of the deterministic q126 partition — the check
+    * a training pipeline runs after splitting, because a test doc
+    * near-duplicated in train silently inflates eval scores. Emits
+    * the offending pairs with both split labels; an empty result is
+    * the certification a release wants.
+    *
+    * Plan: two memoized legs joined — the exact-Jaccard pair set
+    * (shared with q34/q39/q60/q61) and the pure-function split
+    * assignment (q126's md5 arithmetic) — so the audit costs two
+    * id-keyed joins on the (small) pair frame, nothing else; at 100
+    * TB the pair set comes from the LSH candidate path instead
+    * ([[Dedup.minHashPairs]], same output contract), and the split
+    * frame derives per-row from doc_id with no shuffle at all. */
+  def q138SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val splits = Sharding.assignSplits(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("split"))
+    exactJaccardPairs(spark, dir, threshold = 0.6)
+      .select("d1", "d2", "common", "n1", "n2")
+      .join(splits.select(col("doc_id").as("d1"), col("split").as("split1")), "d1")
+      .join(splits.select(col("doc_id").as("d2"), col("split").as("split2")), "d2")
+      .filter(col("split1") =!= col("split2"))
+      .select("d1", "d2", "split1", "split2", "common", "n1", "n2")
+  }
+
+  /** Within-document repetition rate: the share of POSITIONAL word
+    * 3-grams that are repeats of an earlier 3-gram in the same doc,
+    * as the exact integer `(n - n_distinct) * 1000 div n` — the
+    * Gopher-style duplicate-ngram quality signal, orthogonal to q63's
+    * top-bigram concentration (one loops a single phrase, this counts
+    * ALL internal duplication). Pure per-row array arithmetic: no
+    * shuffle, no join, embarrassingly parallel — the plan is a scan
+    * with a projection, which is exactly what a per-doc quality
+    * signal must compile to at 100 TB. */
+  def q139IntraRepetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        // let-bind the split (the shingleExpr trick) so the token
+        // array isn't re-split per element access
+        expr("transform(array(split(text, ' ')), w -> " +
+          "case when size(w) >= 3 then transform(sequence(0, size(w) - 3), " +
+          "i -> concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2), " +
+          "element_at(w, i + 3))) else array() end)[0]").as("g"))
+      .filter(size(col("g")) > 0)
+      .select(col("doc_id"),
+        size(col("g")).cast("long").as("n_ngrams"),
+        size(array_distinct(col("g"))).cast("long").as("n_distinct"))
+      .withColumn("rep_permille",
+        expr("(n_ngrams - n_distinct) * 1000 div n_ngrams"))
+
   /** The composed cleaning recipe over the fixture: token bounds
     * [20, 95], quality >= 0.55, English only, top-bigram ratio <=
     * 0.12 — each dimension filters a real share of the corpus. */
@@ -879,6 +930,8 @@ object TextQueries {
     "q62_delta_dedup"   -> (q62DeltaDedup _),
     "q105_delta_dedup_capped" -> (q105DeltaDedupIndexedCapped _),
     "q135_delta_containment" -> (q135DeltaContainment _),
+    "q138_split_leakage" -> (q138SplitLeakage _),
+    "q139_intra_repetition" -> (q139IntraRepetition _),
     "q63_clean_corpus"  -> (q63CleanCorpus _),
     "q66_top_terms"     -> (q66TopTerms _),
     "q67_dup_chunks"    -> (q67DupChunks _),
@@ -1045,6 +1098,47 @@ object TextQueries {
         |         THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+
+    // q34's pair CTE at the 0.6 gate joined to q126's split CASE,
+    // kept only where the splits differ — the leakage audit replay
+    "q138_split_leakage" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |        unnest(list_distinct(list_transform(range(len(w) - 2),
+        |          i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS shingle
+        |      FROM d WHERE len(w) >= 3),
+        |n AS (SELECT doc_id, count(*) AS ns FROM s GROUP BY doc_id),
+        |c AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |p AS (SELECT d1, d2, common, n1.ns AS n1, n2.ns AS n2
+        |      FROM c JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+        |      WHERE CAST(common AS DOUBLE) / (n1.ns + n2.ns - common) >= 0.6),
+        |sp AS (SELECT doc_id,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':' || '42'), 1, 1) < 'c'
+        |         THEN 'train'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':' || '42'), 1, 1) < 'e'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT d1, d2, s1.split AS split1, s2.split AS split2, common, n1, n2
+        |FROM p JOIN sp s1 ON p.d1 = s1.doc_id JOIN sp s2 ON p.d2 = s2.doc_id
+        |WHERE s1.split != s2.split""".stripMargin,
+
+    // positional (non-distinct) 3-grams per doc: total vs distinct
+    // counts and the integer repeat share
+    "q139_intra_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |        list_transform(range(len(w) - 2),
+        |          i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS gs
+        |      FROM d WHERE len(w) >= 3)
+        |SELECT doc_id,
+        |  CAST(len(gs) AS BIGINT) AS n_ngrams,
+        |  CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct,
+        |  (CAST(len(gs) AS BIGINT) - CAST(len(list_distinct(gs)) AS BIGINT))
+        |    * 1000 // CAST(len(gs) AS BIGINT) AS rep_permille
+        |FROM g""".stripMargin,
 
     // q34's shingle CTE under the df>3 hot-shingle exclusion (the
     // operator's capped universe: ns and common both count surviving

@@ -37,11 +37,12 @@ class BenchContractSpec extends AnyFunSuite {
     // the r6 regression this pins: 86 full-name keys forced the
     // precision clamp to whole seconds. With qNN ids, three decimals
     // must survive at REALISTIC per-query timings (sub-10 s — every
-    // recorded round's per-query minima are far below that); at 132
-    // queries an all-slow worst case (every query > 100 s, +3 chars
-    // per value) legitimately self-clamps one step, and 10 ms
-    // resolution on a >100 s timing is still noise-floor-irrelevant —
-    // so that case pins ≥ 2 decimals, not 3.
+    // recorded round's per-query minima are far below that); an
+    // all-slow worst case (every query > 100 s, +3 chars per value)
+    // legitimately self-clamps — one step at 132 queries, two at 139
+    // — and 0.1 s resolution on a >100 s timing is still noise-floor-
+    // irrelevant — so that case pins ≥ 1 decimal, never whole
+    // seconds.
     val real = names.map(_ -> 9.123456).toMap
     val realLine = Bench.summaryJson(names, real,
       names.map(_ -> true).toMap, Map.empty, passes = 2,
@@ -55,8 +56,8 @@ class BenchContractSpec extends AnyFunSuite {
       sfDir = "/root/testdata/sf0.1")
     val sv = mapper.readTree(slowLine).get("queries")
       .get(names.head.takeWhile(_ != '_')).asDouble()
-    assert(math.abs(sv - 123.456789) < 0.005 + 1e-9,
-      s"worst-case must keep at least 2 decimals, got $sv")
+    assert(math.abs(sv - 123.456789) < 0.05 + 1e-9,
+      s"worst-case must keep at least 1 decimal, got $sv")
   }
 
   test("failures and flaky passes appear in their own fields (full names when ids collide)") {
