@@ -190,12 +190,47 @@ object TextQueries {
   def q47Repetition(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.bigramRepetition(Tables.documents(spark, dir))
 
+  /** The near-dup component frame (doc_id, component_id) shared by
+    * q39 and q140 — memoized because connectedComponents is an
+    * iterative join chain worth paying once per session. */
+  private def dedupComponents(spark: SparkSession, dir: String): DataFrame =
+    Memo.of(spark, s"dedup_components:$dir:k=3:t=0.6") {
+      Dedup.connectedComponents(
+        exactJaccardPairs(spark, dir, threshold = 0.6).select(col("d1"), col("d2")))
+    }
+
   /** Near-dup clusters: exact-Jaccard pairs → connected components →
     * (doc_id, component_id=min reachable id). The full dedup story:
     * group near-dups, keep the representative per component. */
   def q39DedupClusters(spark: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponents(
-      exactJaccardPairs(spark, dir, threshold = 0.6).select(col("d1"), col("d2")))
+    dedupComponents(spark, dir)
+
+  /** Survivor selection policy over the q39 components: per near-dup
+    * cluster keep the LONGEST copy (token count, doc_id tiebreak) —
+    * the policy real pretraining pipelines run, because the min-id
+    * representative the CC labeling hands back is arbitrary while the
+    * longest copy preserves the most content (truncated mirrors and
+    * quoted excerpts lose). Emits (component_id, survivor_id,
+    * n_tokens), one row per cluster.
+    *
+    * Scale: the rank window partitions by component_id, so its sort
+    * frames are clique-sized — and cliques are bounded because the
+    * mandatory exact-dedup pre-pass removes identical-copy blowups
+    * before LSH clustering (the [[Dedup.exactDedup]] scaladoc
+    * contract); the components leg is memoized and shared with q39. */
+  def q140SurvivorPick(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("component_id")
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    dedupComponents(spark, dir).join(toks, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("component_id"), col("doc_id").as("survivor_id"),
+        col("n_tokens"))
+  }
 
   /** MinHash-LSH recall vs the exact-Jaccard pair set at the same
     * threshold — the numeric signal for q35's rows-only output
@@ -932,6 +967,7 @@ object TextQueries {
     "q135_delta_containment" -> (q135DeltaContainment _),
     "q138_split_leakage" -> (q138SplitLeakage _),
     "q139_intra_repetition" -> (q139IntraRepetition _),
+    "q140_survivor_pick" -> (q140SurvivorPick _),
     "q63_clean_corpus"  -> (q63CleanCorpus _),
     "q66_top_terms"     -> (q66TopTerms _),
     "q67_dup_chunks"    -> (q67DupChunks _),
@@ -1526,6 +1562,34 @@ object TextQueries {
         |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
         |SELECT a AS doc_id, least(a, min(b)) AS component_id
         |FROM reach GROUP BY a""".stripMargin,
+
+    // q39's closure + per-component argmax by (n_tokens, doc_id
+    // tiebreak) — the longest-copy survivor policy
+    "q140_survivor_pick" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 2),
+        |        i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS shingle
+        |      FROM d WHERE len(w) >= 3),
+        |n AS (SELECT doc_id, count(*) AS ns FROM s GROUP BY doc_id),
+        |c AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |p AS (SELECT d1, d2 FROM c JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+        |      WHERE CAST(common AS DOUBLE) / (n1.ns + n2.ns - common) >= 0.6),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+        |reach(a, b) AS (SELECT a, b FROM edges
+        |                UNION
+        |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component_id
+        |         FROM reach GROUP BY a),
+        |t AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM d)
+        |SELECT component_id, doc_id AS survivor_id, n_tokens
+        |FROM (SELECT comp.component_id, comp.doc_id, t.n_tokens,
+        |        row_number() OVER (PARTITION BY comp.component_id
+        |          ORDER BY t.n_tokens DESC, comp.doc_id) AS rk
+        |      FROM comp JOIN t USING (doc_id))
+        |WHERE rk = 1""".stripMargin,
 
     // PINNED expected values for the sf0.01 fixture + fixed seeds
     // (the LSH side uses Spark's xxhash64, which DuckDB cannot
