@@ -44,5 +44,6 @@ object GraftSession {
     functions.SrpBuckets.register(spark)
     functions.CosineSim.register(spark)
     functions.BoundedMinK.register(spark)
+    functions.BoundedMinKDistinct.register(spark)
   }
 }

@@ -822,7 +822,57 @@ object EventQueries {
       .select("event_type", "n", "mn", "mx", "p50_bin", "p50_lo_cents")
   }
 
+  /** KMV (k-minimum-values) distinct-cardinality sketch: estimated
+    * distinct users per event type from ONLY the k = 64 smallest
+    * distinct md5-derived hashes — the bounded-state, mergeable swap
+    * for exact `count(DISTINCT)` at extreme scale, where the exact
+    * answer's per-key state is proportional to the key's cardinality
+    * ([[graft.operators.Skew.saltedDistinctCount]] spreads that state;
+    * this query replaces it with O(k) per group, full stop).
+    *
+    * The sketch state is [[graft.functions.BoundedMinKDistinct]]'s
+    * buffer verbatim: ≤ k distinct hashes in every agg-buffer row at
+    * every plan stage, map-side partials already capped, merge =
+    * set-union-then-recap (associative, commutative — Mergeable
+    * Summaries, PODS 2012). Estimator: exact count when the group's
+    * cardinality is below k (the sketch then holds ALL distinct
+    * hashes); else `(k−1)·M div h_k` with M = 2^60 the hash space and
+    * h_k the k-th smallest distinct hash — Beyer et al., SIGMOD 2007.
+    * Relative error ~1/√(k−2) ≈ 13% at k = 64; dial k for precision.
+    *
+    * Cross-engine determinism is the whole design: the hash is the
+    * first 15 hex chars of md5 turned into a BIGINT by the SHARED
+    * [[Md5Key.hex15ToLong]] polynomial (same SQL text both engines),
+    * the k minima are a pure function of the value set, and the
+    * estimator is one integer division — so the SKETCH ITSELF sits
+    * under the DuckDB hash gate, unlike engine-internal HLL
+    * (`approx_count_distinct`) which no oracle can replay. The
+    * `greatest(h_k, 1)` guard keeps the division total (md5 = 0^15 has
+    * probability 2^-60 per value but would divide by zero under ANSI).
+    * Numerator (k−1)·2^60 ≈ 7.3e19 overflows int64, so it stages
+    * through DECIMAL here / HUGEINT in DuckDB — the q124 convention. */
+  def q141KmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.BoundedMinKDistinct.register(spark)
+    val k = 64
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("substr(md5(cast(user_id as string)), 1, 15)").as("hx"))
+      .withColumn("hv", expr(Md5Key.hex15ToLong("hx")))
+      .groupBy("event_type")
+      .agg(expr(s"bounded_min_k_distinct(hv, $k)").as("hs"))
+      .select(col("event_type"),
+        size(col("hs")).cast("long").as("n_heads"),
+        expr(s"CASE WHEN size(hs) = $k THEN element_at(hs, $k) END")
+          .as("kth_hash"),
+        expr(s"CASE WHEN size(hs) < $k THEN cast(size(hs) as bigint) " +
+          s"ELSE cast(cast(${k - 1} as decimal(19,0)) * ${Md5Key.Space} " +
+          s"div greatest(element_at(hs, $k), 1) as bigint) END")
+          .as("est_distinct"))
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_kmv_distinct"   -> (q141KmvDistinct _),
     "q129_hist_quantile"  -> (q129HistQuantile _),
     "q125_sessionize"     -> (q125Sessionize _),
     "q131_session_conversion" -> (q131SessionConversion _),
@@ -859,6 +909,31 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the KMV sketch replayed exactly: same md5-prefix hash (the
+    // shared instr-polynomial — identical SQL text both engines, so
+    // even a 60-bit prefix collision collapses identically), distinct
+    // hv per group, k-th smallest via row_number, same HUGEINT-staged
+    // (k−1)·2^60 // h_k estimator Spark stages through DECIMAL
+    "q141_kmv_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |             substr(md5(cast(user_id as string)), 1, 15) AS hx
+         |           FROM events),
+         |v AS (SELECT DISTINCT event_type,
+         |        ${Md5Key.hex15ToLong("hx")} AS hv
+         |      FROM h),
+         |r AS (SELECT event_type, hv,
+         |        CAST(row_number() OVER (PARTITION BY event_type ORDER BY hv) AS BIGINT) AS rn,
+         |        CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nd
+         |      FROM v)
+         |SELECT event_type, least(nd, 64) AS n_heads,
+         |  min(CASE WHEN rn = 64 THEN hv END) AS kth_hash,
+         |  CASE WHEN nd < 64 THEN nd
+         |       ELSE CAST(CAST(63 AS HUGEINT) * ${Md5Key.Space}
+         |              // greatest(min(CASE WHEN rn = 64 THEN hv END), 1) AS BIGINT)
+         |  END AS est_distinct
+         |FROM r GROUP BY event_type, nd
+         |ORDER BY event_type""".stripMargin,
+
     // the same doc_id-derived grids and integer bit assembly as the
     // ImageCore expressions: bit i iff v_i*64 >= sum(v) (aHash), and
     // gradient sign over the 9-wide rows (dHash). Bit 63 is the sign

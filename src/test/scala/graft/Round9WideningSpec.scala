@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{EventQueries, Md5Key}
+
+/** Round-9 widening: the KMV distinct-cardinality sketch
+  * ([[graft.functions.BoundedMinKDistinct]] + q141) — set semantics
+  * under duplication, layout invariance (the sketch is a pure function
+  * of the value SET), the exact below-k path, and estimator accuracy
+  * on a known cardinality. */
+class Round9WideningSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  test("bounded_min_k_distinct: duplicates occupy one slot") {
+    graft.functions.BoundedMinKDistinct.register(spark)
+    // multiset min-k (bounded_min_k) would return [1,1,1,...]; the
+    // distinct variant must surface the singletons past the hot values
+    val rows = (Seq.fill(1000)(1L) ++ Seq.fill(1000)(2L) ++ (10L to 20L))
+      .toDF("v")
+    val got = rows.agg(expr("bounded_min_k_distinct(v, 8)").as("m"))
+      .select("m").as[Seq[Long]].head()
+    assert(got == Seq(1L, 2L, 10L, 11L, 12L, 13L, 14L, 15L))
+  }
+
+  test("bounded_min_k_distinct ≡ distinct-sort-take-k, layout-invariant") {
+    graft.functions.BoundedMinKDistinct.register(spark)
+    // multiplicative-hash values with collisions (mod a prime), keyed
+    // into 3 groups; expected = per-group distinct, sorted, first 16
+    val vs = (1 to 5000)
+      .map(i => (i % 3, (i.toLong * 2654435761L) % 10007L))
+      .toDF("g", "v")
+    val expected = vs.distinct()
+      .withColumn("rn", expr(
+        "row_number() over (partition by g order by v)"))
+      .filter($"rn" <= 16)
+      .groupBy("g").agg(sort_array(collect_list($"v")).as("m"))
+    def runOn(parts: Int) = vs.repartition(parts)
+      .groupBy("g").agg(expr("bounded_min_k_distinct(v, 16)").as("m"))
+    val one = runOn(1).collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val many = runOn(13).collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val exp = expected.collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(one == exp)
+    assert(many == exp)
+  }
+
+  test("q141 exact path: below-k groups report their true cardinality") {
+    // sf0.001 has 15 distinct users per event type — every group is
+    // below k=64, so the sketch holds ALL hashes: n_heads = exact
+    // distinct count, kth_hash is NULL, est_distinct is exact
+    val rows = EventQueries.q141KmvDistinct(spark, SparkTestSession.sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nHeads = r.getLong(r.fieldIndex("n_heads"))
+      assert(r.isNullAt(r.fieldIndex("kth_hash")))
+      assert(r.getLong(r.fieldIndex("est_distinct")) == nHeads)
+      assert(nHeads == 15L)
+    }
+  }
+
+  test("q141 estimator: within 25% of a known cardinality at k=64") {
+    graft.functions.BoundedMinKDistinct.register(spark)
+    // 20_000 distinct ids, each duplicated 3× — duplication must not
+    // bias the estimate (the distinct buffer is the point). md5 makes
+    // the run deterministic: this is a pinned measurement, not a flaky
+    // statistical assertion.
+    val n = 20000L
+    val ids = spark.range(n * 3).select((col("id") % n).as("user_id"))
+    val est = ids
+      .select(expr("substr(md5(cast(user_id as string)), 1, 15)").as("hx"))
+      .withColumn("hv", expr(Md5Key.hex15ToLong("hx")))
+      .agg(expr("bounded_min_k_distinct(hv, 64)").as("hs"))
+      .select(expr(
+        s"cast(cast(63 as decimal(19,0)) * ${Md5Key.Space} " +
+          "div element_at(hs, 64) as bigint)").as("est"))
+      .as[Long].head()
+    assert(math.abs(est - n) <= n / 4, s"est=$est exact=$n")
+  }
+}
