@@ -17,17 +17,22 @@ object Md5Key {
   /** Hash space of [[hex15ToLong]]: 16^15 = 2^60. */
   val Space: Long = 1L << 60
 
-  /** SQL turning a column holding 15 lowercase hex chars into its
-    * BIGINT value in [0, 2^60) — horner-free unrolled polynomial, 15
-    * exact integer multiply-adds, max value 2^60−1 so every
-    * intermediate fits int64 with 3 bits to spare. Each power is
-    * CAST to BIGINT: the small ones parse as INT literals and
-    * digit·16^7 already overflows int32 (ANSI Spark throws); an `L`
-    * suffix would fix Spark but DuckDB doesn't parse it. */
-  def hex15ToLong(c: String): String =
-    (0 until 15).map { i =>
-      val pow = BigInt(16).pow(14 - i)
+  /** SQL turning a column holding `width` lowercase hex chars into its
+    * BIGINT value in [0, 16^width) — horner-free unrolled polynomial
+    * of exact integer multiply-adds. Each power is CAST to BIGINT: the
+    * small ones parse as INT literals and digit·16^7 already overflows
+    * int32 (ANSI Spark throws); an `L` suffix would fix Spark but
+    * DuckDB doesn't parse it. width ≤ 15 keeps the maximum value at
+    * 2^60−1, 3 bits inside int64. */
+  def hexToLong(c: String, width: Int): String = {
+    require(width >= 1 && width <= 15, s"width must be in [1,15], got $width")
+    (0 until width).map { i =>
+      val pow = BigInt(16).pow(width - 1 - i)
       s"(instr('0123456789abcdef', substr($c, ${i + 1}, 1)) - 1) " +
         s"* CAST($pow AS BIGINT)"
     }.mkString("(", "\n + ", ")")
+  }
+
+  /** The full-width key: 15 hex chars → [0, 2^60). */
+  def hex15ToLong(c: String): String = hexToLong(c, 15)
 }

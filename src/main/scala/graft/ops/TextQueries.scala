@@ -929,7 +929,47 @@ object TextQueries {
         count(lit(1)).as("n_bins"))
   }
 
+  /** Deterministic stratified (language-balancing) sample: downsample
+    * every language stratum toward the minority stratum's size with a
+    * per-stratum Bernoulli rate — the mixing-recipe primitive between
+    * q84's temperature flattening (soft reweight) and q133's hard
+    * per-source cap. A balanced eval/calibration set wants strata of
+    * comparable size; rate_s = min_n·4096 div n_s (in 1/4096ths)
+    * brings every stratum's EXPECTED kept count to the minority
+    * count, and the minority stratum itself rides rate = 4096 ≡ keep
+    * all.
+    *
+    * The coin is `hv < rate_s` with hv = the first 3 hex chars of a
+    * seed-keyed md5 over doc_id ([[Md5Key.hexToLong]], [0, 4096)) — a
+    * pure function of (doc_id, seed) like q126's split labels, so the
+    * sample survives repartition, engine swap, and incremental
+    * backfill, where `rand()` or row-position sampling silently
+    * reshuffles the kept set. Seed string ':s42' is deliberately
+    * distinct from q126's ':42': the same doc must not be correlated
+    * between its split assignment and its sample coin.
+    *
+    * Scale shape: the stratum-counts frame is a map-side-combinable
+    * aggregate of |strata| rows, the rate frame joins back BROADCAST,
+    * and the filter is per-row arithmetic in the scan projection — no
+    * shuffle of data rows anywhere in the plan. */
+  def q142StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_s"))
+    val minN = counts.agg(min(col("n_s")).as("min_n"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .withColumn("rate", expr("least(4096, (min_n * 4096) div n_s)"))
+      .select("lang", "rate")
+    docs.select(col("doc_id"), col("lang"))
+      .withColumn("hx",
+        expr("substr(md5(cast(doc_id as string) || ':s42'), 1, 3)"))
+      .withColumn("hv", expr(Md5Key.hexToLong("hx", 3)))
+      .join(broadcast(rates), "lang")
+      .filter(col("hv") < col("rate"))
+      .select("doc_id", "lang")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_stratified_sample" -> (q142StratifiedSample _),
     "q111_edit_distance" -> (q111EditDistancePairs _),
     "q112_token_diversity" -> (q112TokenDiversity _),
     "q117_source_drift" -> (q117SourceDrift _),
@@ -994,6 +1034,21 @@ object TextQueries {
        |           GROUP BY e.dst) c ON r.term = c.dst)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the sample replayed exactly: same stratum counts, same integer
+    // rate, same seed-keyed md5 3-hex coin via the shared polynomial
+    "q142_stratified_sample" ->
+      s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_s
+         |           FROM documents GROUP BY lang),
+         |m AS (SELECT min(n_s) AS min_n FROM c),
+         |r AS (SELECT lang, least(4096, (min_n * 4096) // n_s) AS rate
+         |      FROM c CROSS JOIN m),
+         |h AS (SELECT doc_id, lang,
+         |        substr(md5(cast(doc_id as string) || ':s42'), 1, 3) AS hx
+         |      FROM documents)
+         |SELECT doc_id, lang
+         |FROM h JOIN r USING (lang)
+         |WHERE ${Md5Key.hexToLong("hx", 3)} < rate""".stripMargin,
+
     // same blocking dials as the Spark side; the ASCII guard pins
     // DuckDB's byte-counting levenshtein to inputs where bytes=chars
     "q111_edit_distance" ->

@@ -61,6 +61,30 @@ class Round9WideningSpec extends AnyFunSuite {
     }
   }
 
+  test("q142 stratified sample: balances strata, keeps the minority whole") {
+    import graft.ops.TextQueries
+    // synthesized skew: 400 'en' docs vs 50 'fr' docs. The rate brings
+    // en's EXPECTED kept count to 50; md5 makes the draw deterministic,
+    // so the band below is a pinned measurement, not a flaky tolerance.
+    val docs = ((1 to 400).map(i => (i.toLong, s"t$i", "en", "s", 10L)) ++
+      (1 to 50).map(i => (1000L + i, s"u$i", "fr", "s", 10L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("q142").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = TextQueries.q142StratifiedSample(spark, dir)
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // minority stratum: rate = 4096 ≡ keep all 50
+    assert(byLang("fr") == 50L)
+    // majority stratum: expected 50 of 400; the fixed md5 draw lands
+    // inside [30, 70] (±3σ of Binomial(400, 1/8))
+    assert(byLang("en") >= 30L && byLang("en") <= 70L, s"en=${byLang("en")}")
+    // pure function of (doc_id, seed): identical under any layout
+    val again = TextQueries.q142StratifiedSample(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(again == kept.collect().map(_.toSeq).toSet)
+  }
+
   test("q141 estimator: within 25% of a known cardinality at k=64") {
     graft.functions.BoundedMinKDistinct.register(spark)
     // 20_000 distinct ids, each duplicated 3× — duplication must not
