@@ -871,7 +871,53 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** Count-min sketch with the overestimate guarantee ITSELF under
+    * the oracle gate. d = 3 hash rows × w = 64 buckets of exact
+    * BIGINT counters estimate any user's event count as
+    * `min_r counter(r, h_r(user))` — never below the true count
+    * (every occurrence increments all 3 of its buckets; collisions
+    * only add). The sketch is 192 counters per... everything: counter
+    * rows are a map-side-combinable `groupBy(r, bucket)` count, so at
+    * 100 TB the full corpus reduces to 192 BIGINTs per partition
+    * before any shuffle, and sketches of two corpora merge by adding
+    * counters — the frequency-estimation complement of q141's KMV
+    * (distinct counts) and q129's histogram (quantiles), and the
+    * deterministic, ORACLE-REPLAYABLE alternative to q75's
+    * engine-internal `stat.freqItems`.
+    *
+    * Hashes are seed-keyed md5 prefixes through the shared
+    * [[Md5Key.hexToLong]] polynomial mod w, so DuckDB rebuilds the
+    * identical 192 counters. The query emits, per user: exact count
+    * (fixture-affordable — the oracle needs it to certify the bound),
+    * the sketch estimate via a BROADCAST join of the 192-row sketch,
+    * and `over_by = est − exact ≥ 0` — the guarantee as data. The
+    * d=3 row expansion is an in-row `posexplode` of a 3-element
+    * array: 3× row volume into a 192-group aggregate, no per-row
+    * state anywhere. */
+  def q143CountMin(spark: SparkSession, dir: String): DataFrame = {
+    val w = 64
+    val ev = Tables.events(spark, dir).select(col("user_id"))
+    val hashed = ev.select(col("user_id"),
+      posexplode(array((0 until 3).map { r =>
+        expr(Md5Key.hexToLong(
+          s"substr(md5(cast(user_id as string) || ':cm$r'), 1, 4)", 4)) % w
+      }: _*)).as(Seq("r", "b")))
+    val sketch = hashed.groupBy(col("r"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+    val probes = exact.select(col("user_id"), col("n_exact"),
+      posexplode(array((0 until 3).map { r =>
+        expr(Md5Key.hexToLong(
+          s"substr(md5(cast(user_id as string) || ':cm$r'), 1, 4)", 4)) % w
+      }: _*)).as(Seq("r", "b")))
+    probes.join(broadcast(sketch), Seq("r", "b"))
+      .groupBy(col("user_id"), col("n_exact"))
+      .agg(min(col("cnt")).as("n_est"))
+      .withColumn("over_by", col("n_est") - col("n_exact"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_count_min"      -> (q143CountMin _),
     "q141_kmv_distinct"   -> (q141KmvDistinct _),
     "q129_hist_quantile"  -> (q129HistQuantile _),
     "q125_sessionize"     -> (q125Sessionize _),
@@ -909,6 +955,30 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the count-min sketch rebuilt counter-for-counter: same seed-keyed
+    // md5 bucket hashes, same 192 exact BIGINT counters, same min-over-
+    // rows estimate — the over_by ≥ 0 guarantee is certified by hash
+    // equality, not trusted
+    "q143_count_min" -> {
+      val poly = (src: String) => Md5Key.hexToLong(
+        s"substr(md5(cast($src as string) || ':cm' || cast(rs.r as string)), 1, 4)", 4)
+      s"""WITH rs AS (SELECT unnest([0, 1, 2]) AS r),
+         |h AS (SELECT e.user_id, rs.r,
+         |        (${poly("e.user_id")}) % 64 AS b
+         |      FROM events e CROSS JOIN rs),
+         |sk AS (SELECT r, b, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM h GROUP BY r, b),
+         |ex AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
+         |       FROM events GROUP BY user_id),
+         |pr AS (SELECT ex.user_id, ex.n_exact, rs.r,
+         |        (${poly("ex.user_id")}) % 64 AS b
+         |       FROM ex CROSS JOIN rs)
+         |SELECT pr.user_id, pr.n_exact, min(sk.cnt) AS n_est,
+         |  min(sk.cnt) - pr.n_exact AS over_by
+         |FROM pr JOIN sk USING (r, b)
+         |GROUP BY pr.user_id, pr.n_exact""".stripMargin
+    },
+
     // the KMV sketch replayed exactly: same md5-prefix hash (the
     // shared instr-polynomial — identical SQL text both engines, so
     // even a 60-bit prefix collision collapses identically), distinct

@@ -971,7 +971,66 @@ object Relational {
     audit("l_partkey").unionByName(audit("l_suppkey"))
   }
 
+  /** Bloom-filter join pruning — the explicit form of the runtime
+    * filter that makes selective fact⋈dim joins survive 100 TB: build
+    * a 3840-bit Bloom filter over the selective dim side's join keys
+    * (orders above a price cut), broadcast it as a 512-row word table,
+    * and drop fact rows (lineitem) BEFORE the join shuffle with
+    * per-row bit tests — two broadcast word lookups and a mask, no
+    * exchange of fact rows that can't join. Spark's own
+    * `spark.sql.optimizer.runtimeFilter.bloomFilter` does this
+    * engine-internally; the explicit build is portable state (ships
+    * to other engines/streams) and, unlike the engine's, sits under
+    * the oracle gate.
+    *
+    * Layout: 512 words × 60 usable bits (bit 63 is unreachable —
+    * `1 << 63` overflows both engines' signed shifts, so the word
+    * space stops at 60 and stays exact everywhere); k = 2 seed-keyed
+    * md5 hashes through the shared [[Md5Key.hexToLong]] polynomial.
+    *
+    * The output row certifies the structure end-to-end: n_candidates
+    * needs the identical 512-word filter; n_true is computed on the
+    * PRUNED side here but on the FULL fact side in the oracle — if
+    * the filter ever dropped a true join row (a false negative, which
+    * a Bloom filter must never produce), the two counts diverge and
+    * the hash gate fails. False positives are the measured, expected
+    * cost (`n_false_pos`), re-screened by the exact join they
+    * survived into. */
+  def q144BloomPrune(spark: SparkSession, dir: String): DataFrame = {
+    val m = 30720 // 512 words x 60 bits
+    def idx(r: Int, c: String): String =
+      s"(${Md5Key.hexToLong(s"substr(md5(cast($c as string) || ':bf$r'), 1, 4)", 4)}) % $m"
+    val sel = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 490000).select(col("o_orderkey").as("k"))
+    val words = sel
+      .select(explode(array(expr(idx(0, "k")), expr(idx(1, "k")))).as("idx"))
+      .select(expr("idx div 60").as("word"),
+        expr("CAST(1 AS BIGINT) << (idx % 60)").as("bit"))
+      .groupBy("word").agg(expr("bit_or(bit)").as("bits"))
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"))
+      .withColumn("i0", expr(idx(0, "l_orderkey")))
+      .withColumn("i1", expr(idx(1, "l_orderkey")))
+    val cand = li
+      .join(broadcast(words.select(col("word").as("w0"), col("bits").as("b0"))),
+        expr("i0 div 60") === col("w0"), "left")
+      .join(broadcast(words.select(col("word").as("w1"), col("bits").as("b1"))),
+        expr("i1 div 60") === col("w1"), "left")
+      .filter(
+        expr("((coalesce(b0, CAST(0 AS BIGINT)) >> (i0 % 60)) & 1) = 1") &&
+        expr("((coalesce(b1, CAST(0 AS BIGINT)) >> (i1 % 60)) & 1) = 1"))
+      .select("l_orderkey")
+    val nFact = Tables.lineitem(spark, dir)
+      .agg(count(lit(1)).as("n_fact"))
+    val nBuild = sel.agg(countDistinct(col("k")).as("n_build_keys"))
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    val nTrue = cand.join(sel, cand("l_orderkey") === sel("k"), "left_semi")
+      .agg(count(lit(1)).as("n_true"))
+    nFact.crossJoin(nBuild).crossJoin(nCand).crossJoin(nTrue)
+      .withColumn("n_false_pos", col("n_candidates") - col("n_true"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_bloom_prune"    -> (q144BloomPrune _),
     "q110_skyline"        -> (q110Skyline _),
     "q119_winsorize"      -> (q119Winsorize _),
     "q121_key_skew"       -> (q121KeySkew _),
@@ -1051,6 +1110,42 @@ object Relational {
   }
 
   val oracles: Map[String, String] = Map(
+    // the Bloom filter rebuilt word-for-word (same md5 bucket hashes,
+    // same 64×60-bit layout); n_true is deliberately computed on the
+    // FULL fact side here vs the PRUNED side in Spark — equality under
+    // the hash gate IS the zero-false-negative certificate
+    "q144_bloom_prune" -> {
+      val poly = (src: String, seed: String) => Md5Key.hexToLong(
+        s"substr(md5(cast($src as string) || '$seed'), 1, 4)", 4)
+      s"""WITH sel AS (SELECT o_orderkey AS k FROM orders
+         |             WHERE o_totalprice > 490000),
+         |bidx AS (SELECT ((${poly("sel.k", ":bf0")}) % 30720) AS idx FROM sel
+         |         UNION ALL
+         |         SELECT ((${poly("sel.k", ":bf1")}) % 30720) AS idx FROM sel),
+         |w AS (SELECT idx // 60 AS word,
+         |        bit_or(CAST(1 AS BIGINT) << (idx % 60)) AS bits
+         |      FROM bidx GROUP BY idx // 60),
+         |pi AS (SELECT l.l_orderkey,
+         |         ((${poly("l.l_orderkey", ":bf0")}) % 30720) AS i0,
+         |         ((${poly("l.l_orderkey", ":bf1")}) % 30720) AS i1
+         |       FROM lineitem l),
+         |cand AS (SELECT p.l_orderkey FROM pi p
+         |         LEFT JOIN w w0 ON p.i0 // 60 = w0.word
+         |         LEFT JOIN w w1 ON p.i1 // 60 = w1.word
+         |         WHERE ((coalesce(w0.bits, CAST(0 AS BIGINT)) >> (p.i0 % 60)) & 1) = 1
+         |           AND ((coalesce(w1.bits, CAST(0 AS BIGINT)) >> (p.i1 % 60)) & 1) = 1),
+         |tr AS (SELECT CAST(count(*) AS BIGINT) AS n_true
+         |       FROM lineitem l
+         |       WHERE EXISTS (SELECT 1 FROM sel WHERE sel.k = l.l_orderkey))
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_fact,
+         |  (SELECT CAST(count(DISTINCT k) AS BIGINT) FROM sel) AS n_build_keys,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+         |  (SELECT n_true FROM tr) AS n_true,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM cand) - (SELECT n_true FROM tr)
+         |    AS n_false_pos""".stripMargin
+    },
+
     "q83_profile" ->
       (Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_quantity", "l_extendedprice", "l_discount", "l_tax")

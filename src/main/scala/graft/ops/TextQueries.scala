@@ -968,7 +968,36 @@ object TextQueries {
       .select("doc_id", "lang")
   }
 
+  /** BPE merge-candidate counts — the inner statistic of byte-pair-
+    * encoding tokenizer training: corpus-wide counts of ADJACENT
+    * character pairs inside whitespace tokens, ranked; the argmax is
+    * the pair BPE would merge first, and re-running after each merge
+    * is the whole training loop. Tokenizer fit is a training-data
+    * job (the tokenizer must be trained on the corpus mix it will
+    * tokenize), so the counting step belongs in the engine.
+    *
+    * Shape at 100 TB: pairs come from ONE in-row `transform` over the
+    * token (q128's list-transform stance — no positional self-join,
+    * no per-character explode), the aggregate's key space is bounded
+    * by alphabet² (map-side combine collapses each partition to that
+    * bound), and the final ranking is a TakeOrderedAndProject of 20
+    * rows with a total order (count desc, pair asc — the q08 top-k
+    * discipline). `substr` is character-based in both engines, so
+    * multi-byte text counts pairs of CHARACTERS, not split bytes;
+    * true byte-level BPE would cast to binary first. */
+  def q145BpePairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substr(tok, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(20)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_bpe_pairs"     -> (q145BpePairs _),
     "q142_stratified_sample" -> (q142StratifiedSample _),
     "q111_edit_distance" -> (q111EditDistancePairs _),
     "q112_token_diversity" -> (q112TokenDiversity _),
@@ -1034,6 +1063,19 @@ object TextQueries {
        |           GROUP BY e.dst) c ON r.term = c.dst)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // adjacent-char pairs via the same one-list-transform shape as
+    // q128 (range is 0-based in DuckDB, hence the i+1); total order
+    // on (cnt desc, pair) makes the LIMIT deterministic
+    "q145_bpe_pairs" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |p AS (SELECT unnest(list_transform(range(length(tok) - 1),
+        |        i -> substr(tok, i + 1, 2))) AS pair
+        |      FROM t WHERE length(tok) >= 2),
+        |c AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM p GROUP BY pair)
+        |SELECT pair, cnt FROM c ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+
     // the sample replayed exactly: same stratum counts, same integer
     // rate, same seed-keyed md5 3-hex coin via the shared polynomial
     "q142_stratified_sample" ->

@@ -85,6 +85,72 @@ class Round9WideningSpec extends AnyFunSuite {
     assert(again == kept.collect().map(_.toSeq).toSet)
   }
 
+  test("q143 count-min: never underestimates, exact leg correct") {
+    import graft.ops.EventQueries
+    // planted counts: user 1 -> 300 events, user 2 -> 100, users
+    // 10..209 -> 1 each; 64 buckets guarantee collisions in the tail
+    val rows = (Seq.fill(300)(1L) ++ Seq.fill(100)(2L) ++ (10L to 209L))
+      .zipWithIndex.map { case (u, i) =>
+        (i.toLong, java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(i)),
+          u, "view", 1.0, "{}")
+      }
+    val dir = java.nio.file.Files.createTempDirectory("q143").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventQueries.q143CountMin(spark, dir).collect()
+    assert(out.length == 202)
+    out.foreach { r =>
+      assert(r.getLong(r.fieldIndex("over_by")) >= 0L,
+        s"underestimate for user ${r.getLong(0)}")
+    }
+    val byUser = out.map(r =>
+      r.getLong(r.fieldIndex("user_id")) ->
+        r.getLong(r.fieldIndex("n_exact"))).toMap
+    assert(byUser(1L) == 300L && byUser(2L) == 100L && byUser(42L) == 1L)
+  }
+
+  test("q144 bloom: all-member and no-member builds behave exactly") {
+    import graft.ops.Relational
+    val dir = java.nio.file.Files.createTempDirectory("q144").toString
+    def write(buildPrice: Double): Unit = {
+      (1L to 40L).map(k => (k, buildPrice))
+        .toDF("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      (1L to 40L).flatMap(k => Seq((k, 1L), (k, 2L)))
+        .toDF("l_orderkey", "l_linenumber")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    }
+    // every order qualifies -> every fact row is a true member: the
+    // filter must pass ALL of them (zero false negatives) and false
+    // positives have no room to exist
+    write(buildPrice = 500000.0)
+    val all = Relational.q144BloomPrune(spark, dir).collect().head
+    assert(all.getLong(all.fieldIndex("n_candidates")) == 80L)
+    assert(all.getLong(all.fieldIndex("n_true")) == 80L)
+    assert(all.getLong(all.fieldIndex("n_false_pos")) == 0L)
+    // no order qualifies -> the filter is all-zero words: nothing
+    // may pass (the absent-word coalesce(0) path)
+    write(buildPrice = 1.0)
+    val none = Relational.q144BloomPrune(spark, dir).collect().head
+    assert(none.getLong(none.fieldIndex("n_build_keys")) == 0L)
+    assert(none.getLong(none.fieldIndex("n_candidates")) == 0L)
+    assert(none.getLong(none.fieldIndex("n_true")) == 0L)
+  }
+
+  test("q145 BPE pairs: closed-form adjacent-pair counts") {
+    import graft.ops.TextQueries
+    // "abab abc x" per doc: 'ab' appears 2(in abab)+1(in abc)=3 per
+    // doc, 'ba' 1, 'bc' 1; 'x' is length-1 and contributes nothing
+    val dir = java.nio.file.Files.createTempDirectory("q145").toString
+    (1 to 4).map(i => (i.toLong, "abab abc x", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextQueries.q145BpePairs(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("ab" -> 12L, "ba" -> 4L, "bc" -> 4L))
+  }
+
   test("q141 estimator: within 25% of a known cardinality at k=64") {
     graft.functions.BoundedMinKDistinct.register(spark)
     // 20_000 distinct ids, each duplicated 3× — duplication must not
