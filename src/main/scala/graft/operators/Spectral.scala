@@ -105,9 +105,11 @@ object Spectral {
       .as("arr"))
 
   /** Corpus-global codes, floor-mean centered, pinned for the
-    * iteration loop (single-plan-pin lifecycle). */
-  private def centeredCodes(df: DataFrame, idCol: String,
-                            vecCol: String): DataFrame = {
+    * iteration loop (single-plan-pin lifecycle). `private[graft]`:
+    * q146's hard-negative mining reuses the identical coding so its
+    * integer dot products share the q107/q109 oracle arithmetic. */
+  private[graft] def centeredCodes(df: DataFrame, idCol: String,
+                                   vecCol: String): DataFrame = {
     val range = df.agg(
       min(array_min(col(vecCol))).cast("double").as("gmin"),
       max(array_max(col(vecCol))).cast("double").as("gmax"))

@@ -1029,7 +1029,52 @@ object Relational {
       .withColumn("n_false_pos", col("n_candidates") - col("n_true"))
   }
 
+  /** Join-size estimation from two count-min sketches — the AMS/CM
+    * inner-product estimator a cost-based optimizer consults BEFORE
+    * committing to a join strategy: |A ⋈_k B| ≤ min_r Σ_b
+    * cmA[r,b]·cmB[r,b], with equality when no two keys collide in a
+    * bucket row. Each side reduces to d=3 × w=16384 exact BIGINT
+    * counters (the q143 map-side-combinable shape) sharing the SAME
+    * seed-keyed hash family — the sketches must be co-hashed for the
+    * inner product to mean anything — and the estimate is a join of
+    * two sketch frames. The additive noise is ≈ |A|·|B|/w per row
+    * (every non-matching key pair collides with probability 1/w), so
+    * w is the accuracy dial and must grow with the PRODUCT of the
+    * side cardinalities — the q41-bits stance: a sketch sized for
+    * sf0.01 underestimates nothing but overestimates more at sf0.1. At 100 TB this is the difference between
+    * knowing a join explodes before running it and discovering it in
+    * a 10-hour stage: sketch both sides in one scan each, estimate in
+    * milliseconds, THEN pick broadcast/shuffle/skew handling.
+    *
+    * Every colliding key pair adds a non-negative cross term, so the
+    * estimate never undershoots — `over_by = est − exact ≥ 0` is
+    * emitted as data and certified by the oracle's counter-for-counter
+    * rebuild (the exact join count is fixture-affordable; at scale it
+    * is precisely what you compute the sketch to avoid). */
+  def q147JoinSizeEst(spark: SparkSession, dir: String): DataFrame = {
+    val w = 16384
+    def buckets(c: String): Column =
+      posexplode(array((0 until 3).map { r =>
+        expr(s"(${Md5Key.hexToLong(
+          s"substr(md5(cast($c as string) || ':js$r'), 1, 4)", 4)}) % $w")
+      }: _*)).as(Seq("r", "b"))
+    def sketch(df: DataFrame, c: String, cnt: String): DataFrame =
+      df.select(buckets(c)).groupBy("r", "b").agg(count(lit(1)).as(cnt))
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"))
+    val sel = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 490000).select(col("o_orderkey").as("k"))
+    val inner = sketch(li, "l_orderkey", "cf")
+      .join(sketch(sel, "k", "cd"), Seq("r", "b"))
+      .groupBy("r").agg(sum(col("cf") * col("cd")).as("ip"))
+    val est = inner.agg(min(col("ip")).as("est_join"))
+    val exact = li.join(sel, col("l_orderkey") === col("k"), "inner")
+      .agg(count(lit(1)).as("n_exact"))
+    est.crossJoin(exact)
+      .withColumn("over_by", col("est_join") - col("n_exact"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_join_size_est"  -> (q147JoinSizeEst _),
     "q144_bloom_prune"    -> (q144BloomPrune _),
     "q110_skyline"        -> (q110Skyline _),
     "q119_winsorize"      -> (q119Winsorize _),
@@ -1114,6 +1159,31 @@ object Relational {
     // same 64×60-bit layout); n_true is deliberately computed on the
     // FULL fact side here vs the PRUNED side in Spark — equality under
     // the hash gate IS the zero-false-negative certificate
+    // both count-min sketches rebuilt with the shared co-hashed md5
+    // family, same per-row inner products, same min — over_by ≥ 0 is
+    // certified by hash equality against the exact join count
+    "q147_join_size_est" -> {
+      val poly = (src: String, seed: String) => Md5Key.hexToLong(
+        s"substr(md5(cast($src as string) || '$seed'), 1, 4)", 4)
+      def side(tbl: String, key: String, cnt: String): String =
+        (0 until 3).map { r =>
+          s"SELECT $r AS r, ((${poly(key, s":js$r")}) % 16384) AS b FROM $tbl"
+        }.mkString("SELECT r, b, CAST(count(*) AS BIGINT) AS " + cnt +
+          " FROM (", " UNION ALL ", ") GROUP BY r, b")
+      s"""WITH sel AS (SELECT o_orderkey AS k FROM orders
+         |             WHERE o_totalprice > 490000),
+         |sf AS (${side("lineitem", "l_orderkey", "cf")}),
+         |sd AS (${side("sel", "k", "cd")}),
+         |ip AS (SELECT sf.r, CAST(sum(cf * cd) AS BIGINT) AS ip
+         |       FROM sf JOIN sd ON sf.r = sd.r AND sf.b = sd.b
+         |       GROUP BY sf.r),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact
+         |       FROM lineitem l JOIN sel ON l.l_orderkey = sel.k)
+         |SELECT (SELECT min(ip) FROM ip) AS est_join,
+         |  (SELECT n_exact FROM ex) AS n_exact,
+         |  (SELECT min(ip) FROM ip) - (SELECT n_exact FROM ex) AS over_by""".stripMargin
+    },
+
     "q144_bloom_prune" -> {
       val poly = (src: String, seed: String) => Md5Key.hexToLong(
         s"substr(md5(cast($src as string) || '$seed'), 1, 4)", 4)

@@ -264,7 +264,52 @@ object SimilarityQueries {
       .select("l1", "l2", "dot", "d1", "d2", "cos_sim")
   }
 
+  /** Hard-negative mining — the contrastive-training data primitive:
+    * for each of 100 anchor vectors, the single most-similar vector
+    * carrying a DIFFERENT label (the "hard" negative a triplet/InfoNCE
+    * loss wants, vs the uninformative random negative). Similarity is
+    * the exact integer dot product over [[graft.operators.Spectral]]'s
+    * corpus-global centered affine codes — the q107/q109 coding, so
+    * ranking never touches a float and the full (anchor, negative,
+    * dot) row replays under the hash gate.
+    *
+    * Shape: anchors are the 100 lowest vec_ids (TakeOrdered, total
+    * order), broadcast at 100×d longs; each candidate row computes
+    * its 100 dots IN-ROW via `aggregate(zip_with(...))` — no per-dim
+    * explode, no dimension join, no shuffle of candidate vectors —
+    * and the per-anchor argmax is a `max(struct(dot, −c_id, ...))`
+    * aggregate (map-side-combining, deterministic tiebreak), not a
+    * window over the pair frame. At 100 TB the anchor side stays a
+    * broadcast batch and the exact candidate scan swaps for the ANN
+    * candidate generation (q41 SRP / q43 IVF) with this same exact
+    * dot as the re-rank — the established recall-oracle pattern. */
+  def q146HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Spectral
+    val emb = Tables.embeddings(spark, dir)
+    val y = Spectral.centeredCodes(emb, "vec_id", "embedding")
+      .join(emb.select(col("vec_id"),
+        col("label").cast("long").as("label")), "vec_id")
+    val anchors = y.orderBy("vec_id").limit(100)
+      .select(col("vec_id").as("a_id"), col("y").as("ya"),
+        col("label").as("a_label"))
+    y.select(col("vec_id").as("c_id"), col("y").as("yc"),
+        col("label").as("c_label"))
+      .crossJoin(broadcast(anchors))
+      .filter(col("c_label") =!= col("a_label"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(ya, yc, (a, b) -> a * b), " +
+          "cast(0 as bigint), (acc, x) -> acc + x)"))
+      .groupBy(col("a_id"), col("a_label"))
+      .agg(max(struct(col("dot"), (-col("c_id")).as("nc"),
+        col("c_label"))).as("best"))
+      .select(col("a_id"), col("a_label"),
+        (-col("best.nc")).as("neg_id"),
+        col("best.c_label").as("neg_label"),
+        col("best.dot").as("dot"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_hard_negatives" -> (q146HardNegatives _),
     "q130_label_centroid_sim" -> (q130LabelCentroidSim _),
     "q81_semantic_dedup" -> (q81SemanticDedup _),
     "q107_power_iteration" -> (q107PowerIteration _),
@@ -348,6 +393,46 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "q81_semantic_dedup" -> q81OracleSql(bands = 8, bits = 6, numSqE4 = 2025L),
+
+    // the q107 coding chain up to centered rows y(vec_id, d, y), then
+    // the per-dim dot replay (DuckDB's set form of the in-row
+    // zip_with), different-label filter, and the same
+    // (dot desc, c_id) argmax Spark takes via max(struct(...))
+    "q146_hard_negatives" ->
+      """WITH rng AS (
+        |  SELECT CAST(min(list_min(embedding)) AS DOUBLE) AS gmin,
+        |    greatest((CAST(max(list_max(embedding)) AS DOUBLE)
+        |      - CAST(min(list_min(embedding)) AS DOUBLE)) / 255.0, 1e-30) AS gscale
+        |  FROM embeddings),
+        |codes AS MATERIALIZED (
+        |  SELECT vec_id, i AS d,
+        |    CAST(round((CAST(embedding[i+1] AS DOUBLE) - gmin) / gscale) AS BIGINT) AS c
+        |  FROM embeddings, rng, UNNEST(range(len(embedding))) t(i)),
+        |mu AS (SELECT d, sum(c) // count(*) AS m FROM codes GROUP BY d),
+        |y AS MATERIALIZED (
+        |  SELECT vec_id, codes.d AS d, c - m AS y
+        |  FROM codes JOIN mu USING (d)),
+        |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+        |anch AS (SELECT vec_id AS a_id FROM embeddings ORDER BY vec_id LIMIT 100),
+        |dots AS (
+        |  SELECT ya.vec_id AS a_id, yc.vec_id AS c_id,
+        |    CAST(sum(ya.y * yc.y) AS BIGINT) AS dot
+        |  FROM y ya JOIN y yc USING (d)
+        |  WHERE ya.vec_id IN (SELECT a_id FROM anch)
+        |  GROUP BY ya.vec_id, yc.vec_id),
+        |f AS (
+        |  SELECT d.a_id, la.label AS a_label, d.c_id,
+        |    lc.label AS c_label, d.dot
+        |  FROM dots d
+        |  JOIN lab la ON la.vec_id = d.a_id
+        |  JOIN lab lc ON lc.vec_id = d.c_id
+        |  WHERE la.label <> lc.label),
+        |r AS (SELECT a_id, a_label, c_id, c_label, dot,
+        |        row_number() OVER (PARTITION BY a_id
+        |                           ORDER BY dot DESC, c_id) AS rn
+        |      FROM f)
+        |SELECT a_id, a_label, c_id AS neg_id, c_label AS neg_label, dot
+        |FROM r WHERE rn = 1""".stripMargin,
 
     // q107's global-affine coding CTE, floor-mean centroids per
     // (label, dim), exact integer dots; the cosine is the fixed

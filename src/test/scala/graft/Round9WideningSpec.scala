@@ -151,6 +151,52 @@ class Round9WideningSpec extends AnyFunSuite {
     assert(got == Map("ab" -> 12L, "ba" -> 4L, "bc" -> 4L))
   }
 
+  test("q146 hard negatives: picks the planted closest other-label vector") {
+    import graft.ops.SimilarityQueries
+    val dir = java.nio.file.Files.createTempDirectory("q146").toString
+    // anchors (label 0) along +x; id 5 (label 1) is nearly identical
+    // to anchor 0, id 6 (label 1) is its opposite — the hard negative
+    // for every label-0 anchor must be 5, never 6
+    val rows = Seq(
+      (0L, Array(100f, 0f, 0f, 0f), 0),
+      (1L, Array(90f, 10f, 0f, 0f), 0),
+      (2L, Array(80f, 20f, 0f, 0f), 0),
+      (5L, Array(99f, 1f, 0f, 0f), 1),
+      (6L, Array(-100f, 0f, 0f, 0f), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SimilarityQueries.q146HardNegatives(spark, dir).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      assert(r.getLong(r.fieldIndex("a_label")) !=
+        r.getLong(r.fieldIndex("neg_label")))
+    }
+    val negOf = out.map(r => r.getLong(r.fieldIndex("a_id")) ->
+      r.getLong(r.fieldIndex("neg_id"))).toMap
+    assert(negOf(0L) == 5L)
+    assert(negOf(1L) == 5L)
+    assert(negOf(2L) == 5L)
+  }
+
+  test("q147 join-size estimate: exact when collision-free, never under") {
+    import graft.ops.Relational
+    val dir = java.nio.file.Files.createTempDirectory("q147").toString
+    // 10 order keys, 3 lineitem rows each; 5 keys pass the price cut
+    // -> true join size 15. 15 distinct keys in w=16384 buckets land
+    // collision-free (deterministic md5), so min over the 3 sketch
+    // rows recovers the exact count.
+    (1L to 10L).map(k => (k, if (k <= 5) 500000.0 else 1.0))
+      .toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    (1L to 10L).flatMap(k => (1L to 3L).map(l => (k, l)))
+      .toDF("l_orderkey", "l_linenumber")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = Relational.q147JoinSizeEst(spark, dir).collect().head
+    assert(r.getLong(r.fieldIndex("n_exact")) == 15L)
+    assert(r.getLong(r.fieldIndex("over_by")) >= 0L)
+    assert(r.getLong(r.fieldIndex("est_join")) == 15L)
+  }
+
   test("q141 estimator: within 25% of a known cardinality at k=64") {
     graft.functions.BoundedMinKDistinct.register(spark)
     // 20_000 distinct ids, each duplicated 3× — duplication must not
