@@ -850,26 +850,17 @@ object EventQueries {
     * `greatest(h_k, 1)` guard keeps the division total (md5 = 0^15 has
     * probability 2^-60 per value but would divide by zero under ANSI).
     * Numerator (k−1)·2^60 ≈ 7.3e19 overflows int64, so it stages
-    * through DECIMAL here / HUGEINT in DuckDB — the q124 convention. */
-  def q141KmvDistinct(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.BoundedMinKDistinct.register(spark)
-    val k = 64
-    Tables.events(spark, dir)
-      .select(col("event_type"),
-        expr("substr(md5(cast(user_id as string)), 1, 15)").as("hx"))
-      .withColumn("hv", expr(Md5Key.hex15ToLong("hx")))
-      .groupBy("event_type")
-      .agg(expr(s"bounded_min_k_distinct(hv, $k)").as("hs"))
-      .select(col("event_type"),
-        size(col("hs")).cast("long").as("n_heads"),
-        expr(s"CASE WHEN size(hs) = $k THEN element_at(hs, $k) END")
-          .as("kth_hash"),
-        expr(s"CASE WHEN size(hs) < $k THEN cast(size(hs) as bigint) " +
-          s"ELSE cast(cast(${k - 1} as decimal(19,0)) * ${Md5Key.Space} " +
-          s"div greatest(element_at(hs, $k), 1) as bigint) END")
-          .as("est_distinct"))
+    * through DECIMAL here / HUGEINT in DuckDB — the q124 convention.
+    *
+    * The arithmetic lives in
+    * [[graft.operators.Sketches.kmvDistinctEstimate]]: the IDENTICAL
+    * aggregate also runs as a continuously-maintained streaming view
+    * (Complete mode keeps the k-capped buffer per group in the state
+    * store), spec'd stream ≡ batch across micro-batches. */
+  def q141KmvDistinct(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.kmvDistinctEstimate(
+      Tables.events(spark, dir), "event_type", "user_id", k = 64)
       .orderBy("event_type")
-  }
 
   /** Count-min sketch with the overestimate guarantee ITSELF under
     * the oracle gate. d = 3 hash rows × w = 64 buckets of exact

@@ -197,6 +197,36 @@ class Round9WideningSpec extends AnyFunSuite {
     assert(r.getLong(r.fieldIndex("est_join")) == 15L)
   }
 
+  test("streaming KMV sketch: final state equals the batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Sketches
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // batch 2 re-sends ids from batch 1 (cross-micro-batch duplicates)
+    // and adds new ones — the k-capped SET buffer in the state store
+    // must dedup across batches, not just within one
+    val b1 = (1L to 30L).map(i => ("a", i)) ++ (1L to 5L).map(i => ("b", i))
+    val b2 = (20L to 50L).map(i => ("a", i)) ++ (1L to 5L).map(i => ("b", i))
+    val ms = MemoryStream[(String, Long)]
+    val q = Sketches.kmvDistinctEstimate(
+        ms.toDF().toDF("g", "id"), "g", "id", k = 16)
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("complete").start()
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("kmv_stream").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+      val batch = Sketches.kmvDistinctEstimate(
+          (b1 ++ b2).toDF("g", "id"), "g", "id", k = 16).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+      assert(streamed == batch)
+      // 'b' saw 5 distinct ids twice: below k -> exact 5, not 10
+      assert(streamed("b") == ((5L, 5L)))
+      // 'a' saw 50 distinct ids > k=16: the sketch is full
+      assert(streamed("a")._1 == 16L)
+    } finally q.stop()
+  }
+
   test("q141 estimator: within 25% of a known cardinality at k=64") {
     graft.functions.BoundedMinKDistinct.register(spark)
     // 20_000 distinct ids, each duplicated 3× — duplication must not
