@@ -45,5 +45,6 @@ object GraftSession {
     functions.CosineSim.register(spark)
     functions.BoundedMinK.register(spark)
     functions.BoundedMinKDistinct.register(spark)
+    functions.BoundedMinKPairs.register(spark)
   }
 }

@@ -996,7 +996,64 @@ object TextQueries {
       .orderBy(col("cnt").desc, col("pair").asc)
       .limit(20)
 
+  /** Weighted priority sampling with subset-sum estimation — the
+    * Duffield–Lund–Thorup scheme (Priority Sampling, JACM 2007): per
+    * source, sample 8 docs with probability increasing in weight
+    * (n_chars — stand-in for any quality/length weight), such that the
+    * weighted total of EVERY source reconstructs from its 8-doc
+    * sample. Priority p_i = hash_i div w_i (the integer form of
+    * u_i/w_i: the k smallest priorities are exactly the k largest
+    * w_i/u_i, DLT's selection); τ = the (k+1)-th smallest priority;
+    * each sampled doc's weight estimate is ŵ_i = max(w_i, 2⁶⁰ div τ).
+    * Groups at or below k keep everything exactly (τ absent, ŵ = w).
+    *
+    * This is what q84/q142's UNWEIGHTED coins can't do: downsample a
+    * corpus while preserving per-stratum weighted totals (token
+    * budgets, quality mass) with a per-group reservoir of k rows.
+    * The reservoir is [[graft.functions.BoundedMinKPairs]] — the
+    * (priority, doc_id) pair buffer holds ≤ k+1 pairs at every plan
+    * stage, so a 10⁹-doc source samples without ever concentrating
+    * its rows on one task (the row_number formulation would).
+    * The md5 coin makes the sample a pure function of (doc_id, seed),
+    * the q126/q142 reproducibility stance; `exact_total` (affordable
+    * at fixture scale) rides along so the oracle certifies estimator
+    * and sample from the same row. The estimator is unbiased but
+    * right-skewed at small k (1/u order statistics): typical
+    * realizations sit somewhat under the exact total and rare ones
+    * overshoot — k is the variance dial, and a heavyweight item is
+    * sampled almost surely (its priority ≈ hash/w is pushed toward
+    * 0), which is the property that makes the scheme safe for
+    * token-budget accounting. */
+  def q148PrioritySample(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.BoundedMinKPairs.register(spark)
+    val k = 8
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        greatest(col("n_chars"), lit(1L)).as("w"))
+      .withColumn("hx",
+        expr("substr(md5(cast(doc_id as string) || ':ps42'), 1, 15)"))
+      .withColumn("p", expr(s"(${Md5Key.hex15ToLong("hx")}) div w"))
+    val agg = docs.groupBy("source").agg(
+      expr(s"bounded_min_k_pairs(p, doc_id, ${k + 1})").as("ps"),
+      sum(col("w")).as("exact_total"))
+    val sampled = agg.select(col("source"), col("exact_total"),
+        expr(s"CASE WHEN size(ps) > $k THEN element_at(ps, ${k + 1}).ord END")
+          .as("tau"),
+        explode(expr(s"slice(ps, 1, $k)")).as("s"))
+      .select(col("source"), col("exact_total"), col("tau"),
+        col("s.tag").as("doc_id"))
+      .join(docs.select(col("doc_id"), col("w")), "doc_id")
+      .withColumn("w_hat", expr(
+        s"CASE WHEN tau IS NULL THEN w " +
+          s"ELSE greatest(w, ${Md5Key.Space} div greatest(tau, 1)) END"))
+    val est = sampled.groupBy("source")
+      .agg(sum(col("w_hat")).as("est_total"))
+    sampled.join(broadcast(est), "source")
+      .select("source", "doc_id", "w", "w_hat", "est_total", "exact_total")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_priority_sample" -> (q148PrioritySample _),
     "q145_bpe_pairs"     -> (q145BpePairs _),
     "q142_stratified_sample" -> (q142StratifiedSample _),
     "q111_edit_distance" -> (q111EditDistancePairs _),
@@ -1063,6 +1120,35 @@ object TextQueries {
        |           GROUP BY e.dst) c ON r.term = c.dst)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the DLT priority sample replayed: same md5 priorities, the
+    // (p, doc_id) rank mirror of the pair buffer's lexicographic
+    // order, same tau pick and max(w, 2^60 // tau) estimator
+    "q148_priority_sample" ->
+      s"""WITH d AS (SELECT source, doc_id, greatest(n_chars, 1) AS w,
+         |        substr(md5(cast(doc_id as string) || ':ps42'), 1, 15) AS hx
+         |      FROM documents),
+         |p AS (SELECT source, doc_id, w,
+         |        (${Md5Key.hex15ToLong("hx")}) // w AS p
+         |      FROM d),
+         |r AS (SELECT source, doc_id, w, p,
+         |        row_number() OVER (PARTITION BY source
+         |                           ORDER BY p, doc_id) AS rn
+         |      FROM p),
+         |tau AS (SELECT source, min(CASE WHEN rn = 9 THEN p END) AS tau
+         |        FROM r GROUP BY source),
+         |ex AS (SELECT source, CAST(sum(w) AS BIGINT) AS exact_total
+         |       FROM p GROUP BY source),
+         |smp AS (SELECT r.source, r.doc_id, r.w,
+         |          CASE WHEN t.tau IS NULL THEN r.w
+         |               ELSE greatest(r.w,
+         |                 ${Md5Key.Space} // greatest(t.tau, 1)) END AS w_hat
+         |        FROM r JOIN tau t USING (source) WHERE rn <= 8),
+         |est AS (SELECT source, CAST(sum(w_hat) AS BIGINT) AS est_total
+         |        FROM smp GROUP BY source)
+         |SELECT smp.source, smp.doc_id, smp.w, smp.w_hat,
+         |  est.est_total, ex.exact_total
+         |FROM smp JOIN est USING (source) JOIN ex USING (source)""".stripMargin,
+
     // adjacent-char pairs via the same one-list-transform shape as
     // q128 (range is 0-based in DuckDB, hence the i+1); total order
     // on (cnt desc, pair) makes the LIMIT deterministic

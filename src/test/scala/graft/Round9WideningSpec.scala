@@ -227,6 +227,58 @@ class Round9WideningSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bounded_min_k_pairs ≡ rank-take-k, layout-invariant") {
+    graft.functions.BoundedMinKPairs.register(spark)
+    val vs = (1 to 4000)
+      .map(i => (i % 3, (i.toLong * 48271L) % 997L, i.toLong))
+      .toDF("g", "ord", "tag")
+    val expected = vs
+      .withColumn("rn", expr(
+        "row_number() over (partition by g order by ord, tag)"))
+      .filter($"rn" <= 12)
+      .groupBy("g").agg(expr(
+        "sort_array(collect_list(struct(ord, tag)))").as("m"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Any](1)).toMap
+    for (parts <- Seq(1, 13)) {
+      val got = vs.repartition(parts)
+        .groupBy("g").agg(expr("bounded_min_k_pairs(ord, tag, 12)").as("m"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Any](1)).toMap
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("q148 priority sample: below-k exact, heavyweight always kept") {
+    import graft.ops.TextQueries
+    val dir = java.nio.file.Files.createTempDirectory("q148").toString
+    // source 'small' has 5 docs (≤ k=8): everything kept, ŵ = w, the
+    // estimate IS the exact total. source 'big' has 300 docs of
+    // weight 10 plus one doc of weight 10^9 (~99.99% of the mass):
+    // its priority ≈ hash/1e9 is pushed toward 0, so it MUST be
+    // sampled, and the estimate must carry most of the mass.
+    val rows =
+      (1 to 5).map(i => (i.toLong, "t", "en", "small", 40L)) ++
+      (100 to 399).map(i => (i.toLong, "t", "en", "big", 10L)) :+
+      ((999L, "t", "en", "big", 1000000000L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextQueries.q148PrioritySample(spark, dir).collect()
+    val small = out.filter(_.getString(0) == "small")
+    assert(small.length == 5)
+    small.foreach { r =>
+      assert(r.getLong(r.fieldIndex("w_hat")) == r.getLong(r.fieldIndex("w")))
+      assert(r.getLong(r.fieldIndex("est_total")) == 200L)
+      assert(r.getLong(r.fieldIndex("exact_total")) == 200L)
+    }
+    val big = out.filter(_.getString(0) == "big")
+    assert(big.length == 8)
+    assert(big.exists(_.getLong(big.head.fieldIndex("doc_id")) == 999L),
+      "the heavyweight doc must be in the sample")
+    val est = big.head.getLong(big.head.fieldIndex("est_total"))
+    val exact = big.head.getLong(big.head.fieldIndex("exact_total"))
+    assert(est >= exact * 99 / 100,
+      s"estimate $est lost the heavyweight mass (exact $exact)")
+  }
+
   test("q141 estimator: within 25% of a known cardinality at k=64") {
     graft.functions.BoundedMinKDistinct.register(spark)
     // 20_000 distinct ids, each duplicated 3× — duplication must not
