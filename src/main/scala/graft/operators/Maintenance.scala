@@ -112,6 +112,38 @@ object Maintenance {
     graft.ops.Memo.invalidatePath(outDir)
   }
 
+  /** Snapshot diff — dataset-release comparison by id + content
+    * fingerprint: one row per id whose membership or content changed
+    * between two snapshots (`added` / `removed` / `changed`;
+    * unchanged rows are filtered out, so the OUTPUT is proportional
+    * to the churn, not the corpus). The workhorse of corpus curation:
+    * "what did this crawl refresh actually change", audit trails
+    * between training-set releases, and incremental-pipeline inputs
+    * (feed the `added`+`changed` ids to the delta-dedup path).
+    *
+    * Shape at 100 TB: each side reduces to (id, md5 fingerprint) in
+    * its scan projection — content bytes never ride the shuffle —
+    * then ONE co-partitioned full-outer join on id. Bucketed/
+    * co-located layouts make that join exchange-free. Null content
+    * columns are sentinel-coalesced before `concat_ws` (which would
+    * otherwise SKIP nulls and collapse positionally-different rows
+    * onto one fingerprint). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                   contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "snapshotDiff needs content columns")
+    def fp(df: DataFrame, as: String) = df.select(col(idCol),
+      md5(concat_ws("\u0001", contentCols.map(c =>
+        coalesce(col(c).cast("string"), lit("\u0000"))): _*)).as(as))
+    fp(oldDf, "fp_old").join(fp(newDf, "fp_new"), Seq(idCol), "full_outer")
+      .withColumn("change", expr(
+        "CASE WHEN fp_old IS NULL THEN 'added' " +
+          "WHEN fp_new IS NULL THEN 'removed' " +
+          "WHEN fp_old <> fp_new THEN 'changed' " +
+          "ELSE 'unchanged' END"))
+      .filter(col("change") =!= "unchanged")
+      .select(col(idCol), col("change"))
+  }
+
   /** (parquet file count, total bytes) under a directory. */
   private[graft] def listParquet(spark: SparkSession, dir: String): (Long, Long) = {
     val path = new org.apache.hadoop.fs.Path(dir)

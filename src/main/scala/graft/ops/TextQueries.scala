@@ -1052,7 +1052,34 @@ object TextQueries {
       .select("source", "doc_id", "w", "w_hat", "est_total", "exact_total")
   }
 
+  /** Snapshot diff between two corpus releases
+    * ([[graft.operators.Maintenance.snapshotDiff]]): one row per doc
+    * whose membership or content changed — the audit between training-
+    * set releases, and the input feed for incremental paths (the
+    * `added`/`changed` ids are exactly what delta-dedup consumes).
+    * Output ∝ churn, never corpus.
+    *
+    * The fixture ships one snapshot, so v2 is derived by a
+    * DETERMINISTIC mutation both engines replay: drop `doc_id % 7 = 3`
+    * (removals), append " v2" to the text of `doc_id % 10 = 0`
+    * (changes), and insert copies of `doc_id % 25 = 0` under
+    * `doc_id + 1000000` (additions) — a stand-in for reading a second
+    * snapshot path, exercising every branch of the full-outer
+    * fingerprint compare. Plan: both sides reduce to (id, md5) at the
+    * scan, one co-partitioned full-outer join. */
+  def q149SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.documents(spark, dir)
+    val v2 = v1.filter(expr("doc_id % 7 != 3"))
+      .withColumn("text", expr(
+        "CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END"))
+      .unionByName(v1.filter(expr("doc_id % 25 = 0"))
+        .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+    graft.operators.Maintenance
+      .snapshotDiff(v1, v2, "doc_id", Seq("text", "lang", "source"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_snapshot_diff" -> (q149SnapshotDiff _),
     "q148_priority_sample" -> (q148PrioritySample _),
     "q145_bpe_pairs"     -> (q145BpePairs _),
     "q142_stratified_sample" -> (q142StratifiedSample _),
@@ -1120,6 +1147,31 @@ object TextQueries {
        |           GROUP BY e.dst) c ON r.term = c.dst)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same v2 mutation, same chr(1)-separated md5 fingerprints, same
+    // full-outer compare; 'unchanged' filtered both sides
+    "q149_snapshot_diff" ->
+      """WITH v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END AS text,
+        |    lang, source
+        |  FROM documents WHERE doc_id % 7 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang, source
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |o AS (SELECT doc_id,
+        |        md5(text || chr(1) || lang || chr(1) || source) AS fp
+        |      FROM documents),
+        |n AS (SELECT doc_id,
+        |        md5(text || chr(1) || lang || chr(1) || source) AS fp
+        |      FROM v2),
+        |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |        CASE WHEN o.fp IS NULL THEN 'added'
+        |             WHEN n.fp IS NULL THEN 'removed'
+        |             WHEN o.fp <> n.fp THEN 'changed'
+        |             ELSE 'unchanged' END AS change
+        |      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT doc_id, change FROM j WHERE change <> 'unchanged'""".stripMargin,
+
     // the DLT priority sample replayed: same md5 priorities, the
     // (p, doc_id) rank mirror of the pair buffer's lexicographic
     // order, same tau pick and max(w, 2^60 // tau) estimator

@@ -279,6 +279,28 @@ class Round9WideningSpec extends AnyFunSuite {
       s"estimate $est lost the heavyweight mass (exact $exact)")
   }
 
+  test("snapshotDiff: all branches, null-safe and position-safe prints") {
+    import graft.operators.Maintenance
+    val old = Seq(
+      (1L, Option("a"), "x"),   // unchanged -> must NOT appear
+      (2L, Option("b"), "y"),   // content changes
+      (3L, Option.empty[String], "z"), // null -> "" must read as CHANGED
+      (4L, Option("d"), "w"),   // removed
+      (6L, Option("ab"), "c")   // boundary shift: ("ab","c")->("a","bc")
+    ).toDF("id", "t", "u")
+    val nw = Seq(
+      (1L, Option("a"), "x"),
+      (2L, Option("B"), "y"),
+      (3L, Option(""), "z"),
+      (5L, Option("e"), "v"),   // added
+      (6L, Option("a"), "bc")
+    ).toDF("id", "t", "u")
+    val got = Maintenance.snapshotDiff(old, nw, "id", Seq("t", "u"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "changed", 3L -> "changed", 4L -> "removed",
+      5L -> "added", 6L -> "changed"))
+  }
+
   test("q141 estimator: within 25% of a known cardinality at k=64") {
     graft.functions.BoundedMinKDistinct.register(spark)
     // 20_000 distinct ids, each duplicated 3× — duplication must not
