@@ -125,7 +125,10 @@ object Bench {
     }
     // self-clamping precision: slow rounds / more queries widen the
     // line; degrade per-query precision before the tail budget breaks
-    // (10 ms resolution is still far above the bench's noise floor)
+    // (the driver's tail capture truncates near 2 KB, so the budget
+    // is a hard ceiling, not a style choice; 10 ms resolution — the
+    // step the 149-query registry landed on — is still far above the
+    // bench's noise floor)
     Iterator(3, 2, 1, 0).map(build).find(_.length < 1950).getOrElse(build(0))
   }
 }
