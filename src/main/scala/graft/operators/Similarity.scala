@@ -386,7 +386,8 @@ object Similarity {
     */
   def semanticDedup(corpus: DataFrame, bands: Int = 8, bandBits: Int = 6,
                     simNumSqE4: Long = 2025L,
-                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    pairsOnly: Boolean = false): DataFrame = {
     // dim bounds: vectors must have >= bands*bandBits dims (the sign
     // buckets read those positions; ANSI element_at throws past the
     // end — loud, not silent) and <= ~1800 dims (the BIGINT gate's
@@ -441,12 +442,42 @@ object Similarity {
       .withColumn("dot", expr("aggregate(zip_with(c1, c2, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
       .filter(col("dot") > 0 &&
         col("dot") * col("dot") * lit(10000L) >= lit(simNumSqE4) * col("ss1") * col("ss2"))
-      .groupBy(col("d2").as(idCol))
-      .agg(min(col("d1")).as("dup_of"))
+    if (pairsOnly)
+      pruned.select(col("d1"), col("d2"), col("dot"), col("ss1"), col("ss2"))
+    else {
+      val dupOf = pruned
+        .groupBy(col("d2").as(idCol))
+        .agg(min(col("d1")).as("dup_of"))
+      corpus.select(col(idCol))
+        .join(dupOf, Seq(idCol), "left")
+        .select(col(idCol),
+          col("dup_of").isNull.cast("long").as("kept"),
+          col("dup_of"))
+    }
+  }
+
+  /** [[semanticDedup]]'s keep-first rule over an externally-supplied
+    * gated pair frame (d1 < d2) — lets callers memoize the expensive
+    * pair leg once and fold it multiple ways. */
+  def keepFirstFromPairs(corpus: DataFrame, pairs: DataFrame,
+                         idCol: String = "vec_id"): DataFrame =
     corpus.select(col(idCol))
-      .join(pruned, Seq(idCol), "left")
+      .join(pairs.groupBy(col("d2").as(idCol))
+        .agg(min(col("d1")).as("dup_of")), Seq(idCol), "left")
       .select(col(idCol),
         col("dup_of").isNull.cast("long").as("kept"),
         col("dup_of"))
-  }
+
+  /** The gated near-dup PAIRS of [[semanticDedup]] — identical
+    * candidate generation and BIGINT cosine gate, emitted as
+    * (d1 < d2, dot, ss1, ss2) rows instead of being folded into the
+    * keep-first rule. The building block for pair-level consumers:
+    * cross-lingual near-dup detection (q150), cluster construction,
+    * audit joins. */
+  def semanticNearDupPairs(corpus: DataFrame, bands: Int = 8,
+                           bandBits: Int = 6, simNumSqE4: Long = 2025L,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame =
+    semanticDedup(corpus, bands, bandBits, simNumSqE4, idCol, vecCol,
+      pairsOnly = true)
 }

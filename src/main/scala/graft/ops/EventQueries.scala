@@ -887,20 +887,23 @@ object EventQueries {
     * state anywhere. */
   def q143CountMin(spark: SparkSession, dir: String): DataFrame = {
     val w = 64
+    // md5 once per (row, seed) via materialized hex columns, then the
+    // digit polynomial over the column (the q144/q147 lesson: an
+    // md5 call embedded in each polynomial term re-evaluates per digit)
+    def withBuckets(df: DataFrame, carry: Seq[String]): DataFrame =
+      (0 until 3).foldLeft(df) { (d, r) =>
+        d.withColumn(s"h$r",
+          expr(s"substr(md5(cast(user_id as string) || ':cm$r'), 1, 4)"))
+      }.select(carry.map(col) :+
+        posexplode(array((0 until 3).map { r =>
+          expr(s"(${Md5Key.hexToLong(s"h$r", 4)}) % $w")
+        }: _*)).as(Seq("r", "b")): _*)
     val ev = Tables.events(spark, dir).select(col("user_id"))
-    val hashed = ev.select(col("user_id"),
-      posexplode(array((0 until 3).map { r =>
-        expr(Md5Key.hexToLong(
-          s"substr(md5(cast(user_id as string) || ':cm$r'), 1, 4)", 4)) % w
-      }: _*)).as(Seq("r", "b")))
-    val sketch = hashed.groupBy(col("r"), col("b"))
+    val sketch = withBuckets(ev, Seq("user_id"))
+      .groupBy(col("r"), col("b"))
       .agg(count(lit(1)).as("cnt"))
     val exact = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
-    val probes = exact.select(col("user_id"), col("n_exact"),
-      posexplode(array((0 until 3).map { r =>
-        expr(Md5Key.hexToLong(
-          s"substr(md5(cast(user_id as string) || ':cm$r'), 1, 4)", 4)) % w
-      }: _*)).as(Seq("r", "b")))
+    val probes = withBuckets(exact, Seq("user_id", "n_exact"))
     probes.join(broadcast(sketch), Seq("r", "b"))
       .groupBy(col("user_id"), col("n_exact"))
       .agg(min(col("cnt")).as("n_est"))

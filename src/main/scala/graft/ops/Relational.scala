@@ -998,35 +998,55 @@ object Relational {
     * survived into. */
   def q144BloomPrune(spark: SparkSession, dir: String): DataFrame = {
     val m = 30720 // 512 words x 60 bits
-    def idx(r: Int, c: String): String =
-      s"(${Md5Key.hexToLong(s"substr(md5(cast($c as string) || ':bf$r'), 1, 4)", 4)}) % $m"
+    // materialize each seed's 4-hex md5 prefix ONCE per row, then run
+    // the digit polynomial over the materialized column — embedding
+    // the md5 call inside every polynomial term re-evaluates it per
+    // digit (measured 4× the md5 volume on the 600k-row sf0.1 scan)
+    def hx(r: Int, c: String): Column =
+      expr(s"substr(md5(cast($c as string) || ':bf$r'), 1, 4)")
+    def idx(hxCol: String): String =
+      s"(${Md5Key.hexToLong(hxCol, 4)}) % $m"
     val sel = Tables.orders(spark, dir)
       .filter(col("o_totalprice") > 490000).select(col("o_orderkey").as("k"))
     val words = sel
-      .select(explode(array(expr(idx(0, "k")), expr(idx(1, "k")))).as("idx"))
+      .withColumn("h0", hx(0, "k")).withColumn("h1", hx(1, "k"))
+      .select(explode(array(expr(idx("h0")), expr(idx("h1")))).as("idx"))
       .select(expr("idx div 60").as("word"),
         expr("CAST(1 AS BIGINT) << (idx % 60)").as("bit"))
       .groupBy("word").agg(expr("bit_or(bit)").as("bits"))
     val li = Tables.lineitem(spark, dir).select(col("l_orderkey"))
-      .withColumn("i0", expr(idx(0, "l_orderkey")))
-      .withColumn("i1", expr(idx(1, "l_orderkey")))
-    val cand = li
+      .withColumn("h0", hx(0, "l_orderkey"))
+      .withColumn("h1", hx(1, "l_orderkey"))
+      .withColumn("i0", expr(idx("h0")))
+      .withColumn("i1", expr(idx("h1")))
+    // ONE pass over the fact side: bloom hit and true membership as
+    // flag columns folded by a single aggregate (the 4-separate-legs
+    // formulation re-scanned lineitem three times — measured as the
+    // bench's most expensive query before this shape). n_true counts
+    // `is_cand AND is_true`: since a correct Bloom filter admits every
+    // true row, that equals the oracle's full-fact true count — a
+    // false negative would make Spark's count fall short and fail the
+    // hash gate, same certificate as before.
+    val flagged = li
       .join(broadcast(words.select(col("word").as("w0"), col("bits").as("b0"))),
         expr("i0 div 60") === col("w0"), "left")
       .join(broadcast(words.select(col("word").as("w1"), col("bits").as("b1"))),
         expr("i1 div 60") === col("w1"), "left")
-      .filter(
+      .withColumn("is_cand", (
         expr("((coalesce(b0, CAST(0 AS BIGINT)) >> (i0 % 60)) & 1) = 1") &&
         expr("((coalesce(b1, CAST(0 AS BIGINT)) >> (i1 % 60)) & 1) = 1"))
-      .select("l_orderkey")
-    val nFact = Tables.lineitem(spark, dir)
-      .agg(count(lit(1)).as("n_fact"))
+        .cast("long"))
+      .join(broadcast(sel.withColumn("is_true", lit(1L))),
+        col("l_orderkey") === col("k"), "left")
+      .withColumn("is_true", coalesce(col("is_true"), lit(0L)))
+    val counts = flagged.agg(
+      count(lit(1)).as("n_fact"),
+      sum(col("is_cand")).as("n_candidates"),
+      sum(col("is_cand") * col("is_true")).as("n_true"))
     val nBuild = sel.agg(countDistinct(col("k")).as("n_build_keys"))
-    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
-    val nTrue = cand.join(sel, cand("l_orderkey") === sel("k"), "left_semi")
-      .agg(count(lit(1)).as("n_true"))
-    nFact.crossJoin(nBuild).crossJoin(nCand).crossJoin(nTrue)
+    counts.crossJoin(nBuild)
       .withColumn("n_false_pos", col("n_candidates") - col("n_true"))
+      .select("n_fact", "n_build_keys", "n_candidates", "n_true", "n_false_pos")
   }
 
   /** Join-size estimation from two count-min sketches — the AMS/CM
@@ -1053,13 +1073,18 @@ object Relational {
     * is precisely what you compute the sketch to avoid). */
   def q147JoinSizeEst(spark: SparkSession, dir: String): DataFrame = {
     val w = 16384
-    def buckets(c: String): Column =
-      posexplode(array((0 until 3).map { r =>
-        expr(s"(${Md5Key.hexToLong(
-          s"substr(md5(cast($c as string) || ':js$r'), 1, 4)", 4)}) % $w")
-      }: _*)).as(Seq("r", "b"))
+    // md5 once per (row, seed) via materialized hex columns — the
+    // q144 lesson: the polynomial must read a column, not re-evaluate
+    // the md5 call in every digit term
     def sketch(df: DataFrame, c: String, cnt: String): DataFrame =
-      df.select(buckets(c)).groupBy("r", "b").agg(count(lit(1)).as(cnt))
+      (0 until 3).foldLeft(df) { (d, r) =>
+        d.withColumn(s"h$r",
+          expr(s"substr(md5(cast($c as string) || ':js$r'), 1, 4)"))
+      }
+        .select(posexplode(array((0 until 3).map { r =>
+          expr(s"(${Md5Key.hexToLong(s"h$r", 4)}) % $w")
+        }: _*)).as(Seq("r", "b")))
+        .groupBy("r", "b").agg(count(lit(1)).as(cnt))
     val li = Tables.lineitem(spark, dir).select(col("l_orderkey"))
     val sel = Tables.orders(spark, dir)
       .filter(col("o_totalprice") > 490000).select(col("o_orderkey").as("k"))
@@ -1067,7 +1092,7 @@ object Relational {
       .join(sketch(sel, "k", "cd"), Seq("r", "b"))
       .groupBy("r").agg(sum(col("cf") * col("cd")).as("ip"))
     val est = inner.agg(min(col("ip")).as("est_join"))
-    val exact = li.join(sel, col("l_orderkey") === col("k"), "inner")
+    val exact = li.join(broadcast(sel), col("l_orderkey") === col("k"), "inner")
       .agg(count(lit(1)).as("n_exact"))
     est.crossJoin(exact)
       .withColumn("over_by", col("est_join") - col("n_exact"))

@@ -194,9 +194,19 @@ object SimilarityQueries {
     * + agreement rows), every decision here is integer arithmetic, so
     * the FULL kept/pruned output hash-matches a DuckDB replay — no
     * pinned constants, no fixture coupling. */
+  /** The gated semantic near-dup pair frame at the q81 dials —
+    * memoized per (session, dir): q81 folds it into the keep-first
+    * rule, q150 joins it to languages; without the memo each would
+    * re-pay the sign-band self-join + gate (the q40/q57 pattern). */
+  private def semanticPairs(spark: SparkSession, dir: String): DataFrame =
+    Memo.of(spark, s"semantic_pairs:$dir:b8x6:2025") {
+      Similarity.semanticNearDupPairs(corpus(spark, dir),
+        bands = 8, bandBits = 6, simNumSqE4 = 2025L)
+    }
+
   def q81SemanticDedup(spark: SparkSession, dir: String): DataFrame =
-    Similarity.semanticDedup(corpus(spark, dir),
-      bands = 8, bandBits = 6, simNumSqE4 = 2025L)
+    Similarity.keepFirstFromPairs(
+      corpus(spark, dir), semanticPairs(spark, dir))
 
   /** Dominant principal direction by EXACT-INTEGER power iteration
     * ([[graft.operators.Spectral.dominantProjection]]): corpus-global
@@ -308,7 +318,35 @@ object SimilarityQueries {
         col("best.dot").as("dot"))
   }
 
+  /** Cross-lingual near-duplicate detection — translated-contamination
+    * hunting: pairs of documents in DIFFERENT languages whose
+    * embeddings clear the q81 semantic-similarity gate. Byte-level
+    * dedup (shingles, MinHash, edit distance) is structurally blind to
+    * translations — the texts share no n-grams — while a multilingual
+    * embedding puts a document and its translation close together;
+    * this is the standard "same content, different language" leak
+    * check between pretraining shards and across eval sets.
+    *
+    * Machinery is [[graft.operators.Similarity.semanticNearDupPairs]]
+    * — q81's candidate generation (sign-band LSH over int8 codes) and
+    * BIGINT cosine gate verbatim, emitted as pairs — composed with one
+    * id-keyed join per side to the documents' lang column and a
+    * lang≠lang filter. The lang join runs AFTER the gate, on the
+    * gated-pair frame (tiny), never on the candidate volume. Same
+    * scale posture as q81: ids-only through the LSH self-join,
+    * bandBits grows with corpus size. */
+  def q150CrossLingualPairs(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = semanticPairs(spark, dir)
+    val lang = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    pairs
+      .join(lang.select(col("doc_id").as("d1"), col("lang").as("lang1")), "d1")
+      .join(lang.select(col("doc_id").as("d2"), col("lang").as("lang2")), "d2")
+      .filter(col("lang1") =!= col("lang2"))
+      .select("d1", "d2", "lang1", "lang2", "dot")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_crosslingual_pairs" -> (q150CrossLingualPairs _),
     "q146_hard_negatives" -> (q146HardNegatives _),
     "q130_label_centroid_sim" -> (q130LabelCentroidSim _),
     "q81_semantic_dedup" -> (q81SemanticDedup _),
@@ -359,11 +397,12 @@ object SimilarityQueries {
       s"(CASE WHEN embedding[${b * bits + i + 1}] >= 0 THEN ${1L << (bits - 1 - i)} ELSE 0 END)")
       .mkString("CAST(", " + ", " AS BIGINT)")
 
-  /** q81 oracle: the full integer replay — quantize (q74's proven
-    * formula), sign-band candidates, BIGINT cosine gate, keep-first.
-    * HUGEINT on the DuckDB side where Spark uses LONG; identical
-    * values (everything fits in 63 bits at 64 dims). */
-  private def q81OracleSql(bands: Int, bits: Int, numSqE4: Long): String = {
+  /** Shared CTE prefix of the q81/q150 oracles — quantize (q74's
+    * proven formula), sign-band candidates, and the per-pair BIGINT
+    * dot/self-products frame `p(d1, d2, dot, ss1, ss2)`. HUGEINT on
+    * the DuckDB side where Spark uses LONG; identical values
+    * (everything fits in 63 bits at 64 dims). */
+  private def semanticPairsCte(bands: Int, bits: Int): String = {
     val bandCols = (0 until bands).map(b => s"${signBandSql(b, bits)} AS b$b").mkString(",\n  ")
     val bandUnion = (0 until bands)
       .map(b => s"SELECT vec_id, $b AS band, b$b AS bkt FROM u").mkString("\n       UNION ALL ")
@@ -381,7 +420,13 @@ object SimilarityQueries {
        |s AS (SELECT vec_id, c, CAST(list_sum(list_transform(c, x -> x * x)) AS HUGEINT) AS ss FROM u),
        |p AS (SELECT d1, d2, CAST(list_dot_product(s1.c, s2.c) AS HUGEINT) AS dot,
        |        s1.ss AS ss1, s2.ss AS ss2
-       |      FROM cand JOIN s s1 ON d1 = s1.vec_id JOIN s s2 ON d2 = s2.vec_id),
+       |      FROM cand JOIN s s1 ON d1 = s1.vec_id JOIN s s2 ON d2 = s2.vec_id)""".stripMargin
+  }
+
+  /** q81 oracle: the full integer replay — the shared pairs prefix,
+    * then the gate + keep-first rule. */
+  private def q81OracleSql(bands: Int, bits: Int, numSqE4: Long): String =
+    s"""${semanticPairsCte(bands, bits)},
        |pr AS (SELECT d2, min(d1) AS dup_of FROM p
        |       WHERE dot > 0 AND dot * dot * 10000 >= $numSqE4 * ss1 * ss2
        |       GROUP BY d2)
@@ -389,10 +434,24 @@ object SimilarityQueries {
        |  CAST(CASE WHEN pr.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
        |  pr.dup_of
        |FROM embeddings e LEFT JOIN pr ON e.vec_id = pr.d2""".stripMargin
-  }
+
+  /** q150 oracle: the same pairs prefix, gated, joined to both docs'
+    * languages, cross-language rows only; dot re-cast BIGINT so the
+    * typed compare sees the same int64 Spark emits. */
+  private def q150OracleSql(bands: Int, bits: Int, numSqE4: Long): String =
+    s"""${semanticPairsCte(bands, bits)},
+       |g AS (SELECT d1, d2, CAST(dot AS BIGINT) AS dot FROM p
+       |      WHERE dot > 0 AND dot * dot * 10000 >= $numSqE4 * ss1 * ss2)
+       |SELECT g.d1, g.d2, x.lang AS lang1, y.lang AS lang2, g.dot
+       |FROM g
+       |JOIN documents x ON g.d1 = x.doc_id
+       |JOIN documents y ON g.d2 = y.doc_id
+       |WHERE x.lang <> y.lang""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q81_semantic_dedup" -> q81OracleSql(bands = 8, bits = 6, numSqE4 = 2025L),
+    "q150_crosslingual_pairs" ->
+      q150OracleSql(bands = 8, bits = 6, numSqE4 = 2025L),
 
     // the q107 coding chain up to centered rows y(vec_id, d, y), then
     // the per-dim dot replay (DuckDB's set form of the in-row

@@ -301,6 +301,32 @@ class Round9WideningSpec extends AnyFunSuite {
       5L -> "added", 6L -> "changed"))
   }
 
+  test("q150 cross-lingual pairs: translated near-dups cross the lang gate") {
+    import graft.ops.SimilarityQueries
+    val dir = java.nio.file.Files.createTempDirectory("q150").toString
+    // 64-dim corpus: doc 0 (en) and doc 1 (fr) share a near-identical
+    // embedding (a "translation"); docs 2/3 are orthogonal noise; docs
+    // 4/5 are near-identical but BOTH en — the lang gate must drop them
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => (((seed * 31 + i * 7) % 13) - 6).toFloat)
+    val base = vec(1)
+    val rows = Seq(
+      (0L, base, 0), (1L, base.map(_ + 0.01f), 1),
+      (2L, vec(5), 0), (3L, vec(9), 1),
+      (4L, vec(3), 0), (5L, vec(3).map(_ + 0.01f), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Seq((0L, "t", "en", "s", 1L), (1L, "t", "fr", "s", 1L),
+      (2L, "t", "en", "s", 1L), (3L, "t", "fr", "s", 1L),
+      (4L, "t", "en", "s", 1L), (5L, "t", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SimilarityQueries.q150CrossLingualPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 1L)), "the translated pair must be found")
+    assert(!got.contains((4L, 5L)), "same-language near-dups must be gated out")
+  }
+
   test("q141 estimator: within 25% of a known cardinality at k=64") {
     graft.functions.BoundedMinKDistinct.register(spark)
     // 20_000 distinct ids, each duplicated 3× — duplication must not
