@@ -54,4 +54,39 @@ object Sketches {
           s"div greatest(element_at(hs, $k), 1) as bigint) END")
           .as("est_distinct"))
   }
+
+  /** Each input row fanned out to its `d` count-min (row, bucket)
+    * coordinates, with `carry` columns riding along. The md5 hex is
+    * materialized ONCE per (row, seed) before the digit polynomial —
+    * embedding the md5 call in each polynomial term re-evaluates it
+    * per digit (the q143/q144/q147 lesson). Seed-keyed md5 keeps the
+    * bucketing a pure function of the key, so an oracle (or another
+    * engine's sketch) rebuilds the identical counters. */
+  def withCmBuckets(df: DataFrame, keyCol: String, tag: String,
+                    d: Int, w: Int, carry: Seq[String]): DataFrame =
+    (0 until d).foldLeft(df) { (acc, r) =>
+      acc.withColumn(s"_h$r",
+        expr(s"substr(md5(cast($keyCol as string) || ':$tag$r'), 1, 4)"))
+    }.select(carry.map(col) :+
+      posexplode(array((0 until d).map { r =>
+        expr(s"(${Md5Key.hexToLong(s"_h$r", 4)}) % $w")
+      }: _*)).as(Seq("r", "b")): _*)
+
+  /** The count-min sketch itself: `d × w` exact BIGINT counters over
+    * `keyCol` — q143's build as a reusable operator, shared verbatim
+    * by batch and streaming for the same reason as
+    * [[kmvDistinctEstimate]]: the sketch state IS a bounded group-by
+    * (≤ d·w counter rows, each a combinable count), so in
+    * Complete/Update mode Structured Streaming keeps exactly those
+    * counters in the state store and a continuously-maintained
+    * frequency sketch costs O(d·w) state FOREVER — while two corpora's
+    * sketches (or two micro-batches' partials) merge by plain counter
+    * addition, the property that makes count-min the standard
+    * distributed heavy-hitter primitive. Point estimates probe
+    * `min` over the d counters ([[graft.ops.EventQueries.q143CountMin]]
+    * wires the probe side and the never-underestimate certificate). */
+  def countMinCounters(df: DataFrame, keyCol: String, tag: String = "cm",
+                       d: Int = 3, w: Int = 64): DataFrame =
+    withCmBuckets(df, keyCol, tag, d, w, Seq.empty)
+      .groupBy("r", "b").agg(count(lit(1)).as("cnt"))
 }

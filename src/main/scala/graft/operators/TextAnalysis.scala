@@ -304,6 +304,103 @@ object TextAnalysis {
         col("top_bigram_n").cast("double") / col("n_bigrams").cast("double"))
   }
 
+  /** Corpus bigram language model: (w1, w2) → c12 (pair count), c1
+    * (context count = Σ_w2 c12), and the scaled conditional
+    * probability p_scaled = ⌊c12·10⁶ / c1⌋ — exact integers end to
+    * end, so the model replays bit-identically on any engine (ln- or
+    * float-probability LMs cannot face a cross-engine hash gate).
+    * Pairs below `minCount` are floored out — the long tail carries
+    * no estimation signal and dominates the model's cardinality.
+    *
+    * Scale: bigram extraction is ONE in-row list transform per doc (no
+    * positional self-join — the q128 stance), both counts are
+    * map-side-combinable aggregations, and the model's size is bounded
+    * by the corpus's distinct floored-pair vocabulary, orders of
+    * magnitude below token volume. */
+  def bigramModel(docs: DataFrame, minCount: Long = 3L,
+                  text: String = "text"): DataFrame = {
+    val bi = docs
+      .select(words(col(text)).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> " +
+          "named_struct('w1', element_at(w, i + 1), 'w2', element_at(w, i + 2)))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    c12.filter(col("c12") >= minCount)
+      .join(c1, "w1")
+      .withColumn("p_scaled", expr("c12 * 1000000 div c1"))
+      .select("w1", "w2", "c12", "c1", "p_scaled")
+  }
+
+  /** LM-based document quality scoring (the CCNet/KenLM perplexity
+    * filter re-expressed hash-safely): each doc's mean scaled bigram
+    * probability under a corpus [[bigramModel]] — low scores mark
+    * gibberish, boilerplate-free noise, and out-of-domain text whose
+    * word transitions the corpus model never sees. True perplexity
+    * exponentiates a float log-likelihood sum (order-dependent AND
+    * transcendental — two hash-gate killers); the mean of exact
+    * integer p_scaled values is monotone-equivalent for thresholding
+    * at a fixed length and replays bit-identically. Bigrams absent
+    * from the floored model contribute 0 — unseen transitions ARE the
+    * low-quality signal.
+    *
+    * Plan: per-doc bigrams are the same one in-row transform, the
+    * model join keys on (w1, w2) — both sides shuffle once on the pair
+    * key (the model side is model-cardinality-sized, never token
+    * volume) — and the score fold is a combinable per-doc aggregate.
+    * p_sum ≤ 10⁶ · doc bigram count, so int64 holds to ~9·10¹²-bigram
+    * documents. */
+  def lmMeanScore(docs: DataFrame, model: DataFrame,
+                  text: String = "text"): DataFrame = {
+    val db = docs
+      .select(col("doc_id"), words(col(text)).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> " +
+          "named_struct('w1', element_at(w, i + 1), 'w2', element_at(w, i + 2)))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    db.join(model.select("w1", "w2", "p_scaled"), Seq("w1", "w2"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("p_scaled"), lit(0L))).as("p_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("p_sum div n_bigrams").as("lm_score"))
+  }
+
+  /** Tokenizer-vocabulary coverage audit: per (lang, source) stratum,
+    * the exact permille of whitespace tokens falling OUTSIDE the
+    * corpus's top-`vocabSize` terms by total count — the
+    * out-of-vocabulary rate that decides whether a fixed vocabulary
+    * (or BPE merge table) covers a candidate source before it is
+    * mixed in. High-OOV strata fragment into long byte-level token
+    * sequences and waste sequence budget.
+    *
+    * The vocabulary is a TOTAL order pick — (count desc, term) — so
+    * the rank-`vocabSize` boundary tie is engine-reproducible. Plan:
+    * one token explode feeding a combinable term count, the top-k via
+    * TakeOrderedAndProject on the aggregated (distinct-term-sized)
+    * frame, then the membership join BROADCASTS the k-row vocab
+    * against the token stream at scan parallelism — no token-volume
+    * shuffle anywhere; the stratum roll-up is a ≤ langs×sources
+    * combinable aggregate. */
+  def oovRate(docs: DataFrame, vocabSize: Int = 1000,
+              text: String = "text"): DataFrame = {
+    val toks = docs.select(col("lang"), col("source"),
+      explode(words(col(text))).as("term"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(vocabSize)
+      .select(col("term"), lit(1).as("in_v"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_permille", expr("n_oov * 1000 div n_tokens"))
+  }
+
   /** Per-term document frequency over the corpus — the corpus-level
     * statistic behind IDF weighting, stopword induction, and hot-
     * shingle capping. One explode + one map-side-combinable count;

@@ -701,11 +701,17 @@ object EventQueries {
     * roll-up: every event tagged with its user's stable session_id.
     * Shared by q125 and q131 — both windows and the downstream
     * group-bys key on user_id, so the whole chain is one exchange. */
-  private def sessionTaggedEvents(spark: SparkSession, dir: String): DataFrame = {
+  private def sessionTaggedEvents(spark: SparkSession, dir: String): DataFrame =
+    sessionTag(Tables.events(spark, dir))
+
+  /** The tagging core over any (event_id, ts, user_id, event_type)
+    * frame — public so the operator composes over crafted frames and
+    * streams' batch legs, not just the fixture read. */
+  def sessionTag(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(spark, dir)
+    events
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))
       .withColumn("new_sess",
@@ -713,6 +719,166 @@ object EventQueries {
           col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1L)
           .otherwise(0L))
       .withColumn("session_id", sum(col("new_sess")).over(cum))
+  }
+
+  /** Path analysis: the corpus's top-20 within-session event-type
+    * TRIGRAMS — the "common user journeys" statistic product analytics
+    * runs on every funnel's raw material. Sequences are per
+    * [[sessionTag]] session (the q125 ids), ordered by the total
+    * (us, event_id) order, so every engine folds the same journey
+    * strings; trigram extraction is the q128/q145 one-in-row-transform
+    * stance — no positional self-join of the event stream.
+    *
+    * Scale: the collect_list per session is bounded by session length
+    * (the 30-minute gap bounds how much one key can accumulate — the
+    * same bound the streaming session state relies on), rides the ONE
+    * user_id exchange the tagging windows already made, and
+    * `array_sort` on a session-sized struct array is in-row work. The
+    * trigram roll-up keys on ≤ |event types|³ strings — bounded,
+    * map-side-combinable — and the final top-20 under a total order is
+    * TakeOrderedAndProject, never a global sort of the path space. */
+  def pathTrigrams(events: DataFrame, k: Int = 20): DataFrame =
+    sessionTag(events)
+      .groupBy("user_id", "session_id")
+      .agg(array_sort(collect_list(
+        struct(col("us"), col("event_id"), col("event_type")))).as("evs"))
+      .select(expr("transform(evs, e -> e.event_type)").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 3), i -> concat_ws('>', " +
+          "element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))"))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("path")).limit(k)
+
+  def q152PathTrigrams(spark: SparkSession, dir: String): DataFrame =
+    pathTrigrams(Tables.events(spark, dir))
+
+  /** Median-of-means robust mean: per event type, hash `value`'s rows
+    * into 16 fixed buckets (seed-keyed md5 of event_id — a pure
+    * function of the row, so the estimate survives repartition and
+    * engine swap where a partition-index bucketing would not), take
+    * each bucket's floor-mean in integer cents, and report the exact
+    * discrete median of the bucket means beside the plain mean. One
+    * adversarial heavy row corrupts ONE bucket; the median of 16
+    * bucket means ignores it — the estimator's whole point, and the
+    * robust-statistics primitive (sub-Gaussian mean estimation)
+    * behind outlier-proof metric pipelines.
+    *
+    * All arithmetic is the q120 floor-division idiom (pmod-subtract ≡
+    * DuckDB `//` on any sign), so the hash gate certifies the
+    * estimator, not an engine's rounding. Scale: the bucket fold is a
+    * combinable (type, bucket) count/sum — every partition reduces to
+    * ≤ 16 rows per type before the shuffle, the same bounded-counter
+    * stance as q129's histogram sketch — and the median window orders
+    * a ≤ 16-row aggregate per type, never raw volume. */
+  def medianOfMeans(events: DataFrame, buckets: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bm = events
+      .withColumn("hx",
+        expr("substr(md5(cast(event_id as string) || ':mom'), 1, 2)"))
+      .select(col("event_type"),
+        expr("cast(floor(value * 100) as bigint)").as("c"),
+        expr(s"(${Md5Key.hexToLong("hx", 2)}) % $buckets").as("bkt"))
+      .groupBy("event_type", "bkt")
+      .agg(sum(col("c")).as("s"), count(lit(1)).as("n"))
+      .withColumn("bmean", expr("(s - pmod(s, n)) div n"))
+    val w = Window.partitionBy("event_type")
+    bm
+      .withColumn("rk", row_number().over(w.orderBy(col("bmean"), col("bkt"))))
+      .withColumn("nb", count(lit(1)).over(w))
+      .withColumn("ts", sum(col("s")).over(w))
+      .withColumn("tn", sum(col("n")).over(w))
+      .filter(col("rk") === expr("(nb + 1) div 2"))
+      .select(col("event_type"), col("tn").as("n_events"),
+        expr("(ts - pmod(ts, tn)) div tn").as("mean_cents"),
+        col("bmean").as("mom_cents"))
+  }
+
+  def q153MedianOfMeans(spark: SparkSession, dir: String): DataFrame =
+    medianOfMeans(Tables.events(spark, dir))
+
+  /** Audience overlap matrix: for every unordered event-type pair, the
+    * distinct-user intersection and exact integer Jaccard permille —
+    * "how much do viewers and purchasers overlap", the cohort-overlap
+    * statistic behind funnel design and campaign targeting.
+    *
+    * Scale: the frame that self-joins is the DISTINCT (type, user)
+    * projection — ≤ |event types| rows per user, so a user contributes
+    * at most C(T, 2) pair rows where T is the (bounded, enum-like)
+    * event-type domain: the fan-out is capped BY THE SCHEMA, the safe
+    * variant of the shingle self-joins that need an explicit df cap.
+    * The distinct, the self-join, and the pair count all key on
+    * user_id — one exchange; the type-size lookups broadcast (T rows). */
+  def q155AudienceOverlap(spark: SparkSession, dir: String): DataFrame =
+    audienceOverlap(Tables.events(spark, dir))
+
+  def audienceOverlap(events: DataFrame): DataFrame = {
+    val tu = events
+      .select(col("event_type"), col("user_id")).distinct()
+    val sizes = tu.groupBy("event_type").agg(count(lit(1)).as("n"))
+    tu.as("a").join(tu.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("t1"), col("b.event_type").as("t2"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col("event_type").as("t1"),
+        col("n").as("n1"))), Seq("t1"))
+      .join(broadcast(sizes.select(col("event_type").as("t2"),
+        col("n").as("n2"))), Seq("t2"))
+      .withColumn("jaccard_permille",
+        expr("n_common * 1000 div (n1 + n2 - n_common)"))
+      .select("t1", "t2", "n_common", "n1", "n2", "jaccard_permille")
+  }
+
+  /** Lag-1 autocorrelation of daily event volume per type — "does
+    * today's volume predict tomorrow's", the seasonality/momentum
+    * screen run before fitting any forecast. Pairs are strictly
+    * consecutive calendar days (a gap day breaks the pair — lag over
+    * observed days would silently correlate across holes); Pearson r
+    * from DECIMAL-exact sufficient statistics with double only in the
+    * final formula — q88's stance, which the hash gate already
+    * certified cross-engine.
+    *
+    * Scale: raw events fold to the (type, day) count aggregate first
+    * — the lag window and everything after it order a calendar-sized
+    * frame, never event volume (the windows-over-aggregates rule);
+    * counts are staged DECIMAL(19,0) before multiplication so a
+    * 10¹⁰-event day cannot wrap the Σxy accumulator. */
+  def q156VolumeAutocorr(spark: SparkSession, dir: String): DataFrame =
+    volumeAutocorr(Tables.events(spark, dir))
+
+  def volumeAutocorr(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val pairs = daily
+      .withColumn("prev_day", lag(col("day"), 1).over(w))
+      .withColumn("px", lag(col("cnt"), 1).over(w))
+      .filter(col("prev_day") === col("day") - 1)
+      .select(col("event_type"),
+        col("px").cast("decimal(19,0)").as("x"),
+        col("cnt").cast("decimal(19,0)").as("y"))
+    pairs
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("dsx"), sum(col("y")).as("dsy"),
+        sum(col("x") * col("y")).as("dsxy"),
+        sum(col("x") * col("x")).as("dsxx"),
+        sum(col("y") * col("y")).as("dsyy"))
+      .select(col("event_type"), col("n_pairs"),
+        col("dsx").cast("double").as("sx"), col("dsy").cast("double").as("sy"),
+        col("dsxy").cast("double").as("sxy"),
+        col("dsxx").cast("double").as("sxx"),
+        col("dsyy").cast("double").as("syy"))
+      .withColumn("r",
+        (col("n_pairs") * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(col("n_pairs") * col("sxx") - col("sx") * col("sx")) *
+         sqrt(col("n_pairs") * col("syy") - col("sy") * col("sy"))))
   }
 
   /** Session-scoped conversion: fold each session to (length,
@@ -886,24 +1052,16 @@ object EventQueries {
     * array: 3× row volume into a 192-group aggregate, no per-row
     * state anywhere. */
   def q143CountMin(spark: SparkSession, dir: String): DataFrame = {
-    val w = 64
-    // md5 once per (row, seed) via materialized hex columns, then the
-    // digit polynomial over the column (the q144/q147 lesson: an
-    // md5 call embedded in each polynomial term re-evaluates per digit)
-    def withBuckets(df: DataFrame, carry: Seq[String]): DataFrame =
-      (0 until 3).foldLeft(df) { (d, r) =>
-        d.withColumn(s"h$r",
-          expr(s"substr(md5(cast(user_id as string) || ':cm$r'), 1, 4)"))
-      }.select(carry.map(col) :+
-        posexplode(array((0 until 3).map { r =>
-          expr(s"(${Md5Key.hexToLong(s"h$r", 4)}) % $w")
-        }: _*)).as(Seq("r", "b")): _*)
+    // sketch build extracted to [[graft.operators.Sketches]] (r9) so
+    // the streaming view shares the exact counter construction; this
+    // query wires the probe side and the over_by >= 0 certificate
+    import graft.operators.Sketches
     val ev = Tables.events(spark, dir).select(col("user_id"))
-    val sketch = withBuckets(ev, Seq("user_id"))
-      .groupBy(col("r"), col("b"))
-      .agg(count(lit(1)).as("cnt"))
+    val sketch = Sketches.countMinCounters(ev, "user_id", tag = "cm",
+      d = 3, w = 64)
     val exact = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
-    val probes = withBuckets(exact, Seq("user_id", "n_exact"))
+    val probes = Sketches.withCmBuckets(exact, "user_id", tag = "cm",
+      d = 3, w = 64, carry = Seq("user_id", "n_exact"))
     probes.join(broadcast(sketch), Seq("r", "b"))
       .groupBy(col("user_id"), col("n_exact"))
       .agg(min(col("cnt")).as("n_est"))
@@ -911,6 +1069,10 @@ object EventQueries {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_path_trigrams"  -> (q152PathTrigrams _),
+    "q153_median_of_means" -> (q153MedianOfMeans _),
+    "q155_audience_overlap" -> (q155AudienceOverlap _),
+    "q156_volume_autocorr" -> (q156VolumeAutocorr _),
     "q143_count_min"      -> (q143CountMin _),
     "q141_kmv_distinct"   -> (q141KmvDistinct _),
     "q129_hist_quantile"  -> (q129HistQuantile _),
@@ -949,6 +1111,98 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q125's session tagging verbatim (carrying event_type), each
+    // session's type sequence under the total (us, event_id) order,
+    // the same one-list-transform trigram build, and the same
+    // (cnt desc, path) total order on the LIMIT
+    "q152_path_trigrams" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |           FROM events),
+        |s AS (SELECT user_id, us, event_id, event_type,
+        |        CASE WHEN lag(us) OVER w IS NULL
+        |               OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END
+        |          AS new_sess
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |x AS (SELECT user_id, us, event_id, event_type,
+        |        CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          AS session_id
+        |      FROM s),
+        |q AS (SELECT list(event_type ORDER BY us, event_id) AS t
+        |      FROM x GROUP BY user_id, session_id),
+        |p AS (SELECT unnest(list_transform(range(len(t) - 2),
+        |        i -> t[i+1] || '>' || t[i+2] || '>' || t[i+3])) AS path
+        |      FROM q WHERE len(t) >= 3)
+        |SELECT path, CAST(count(*) AS BIGINT) AS cnt
+        |FROM p GROUP BY path ORDER BY cnt DESC, path LIMIT 20""".stripMargin,
+
+    // the distinct (type, user) projection self-joined on user_id,
+    // unordered pairs by type order, integer Jaccard permille
+    "q155_audience_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |       FROM tu GROUP BY 1),
+        |p AS (SELECT a.event_type AS t1, b.event_type AS t2,
+        |        CAST(count(*) AS BIGINT) AS n_common
+        |      FROM tu a JOIN tu b
+        |        ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT p.t1, p.t2, p.n_common, s1.n AS n1, s2.n AS n2,
+        |  (p.n_common * 1000) // (s1.n + s2.n - p.n_common)
+        |    AS jaccard_permille
+        |FROM p JOIN sz s1 ON p.t1 = s1.event_type
+        |JOIN sz s2 ON p.t2 = s2.event_type""".stripMargin,
+
+    // same epoch-day fold, strictly-consecutive-day pairs via lag +
+    // gap filter, q88's decimal-exact sums -> double final formula
+    "q156_volume_autocorr" ->
+      """WITH d AS (SELECT event_type,
+        |        date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |        CAST(count(*) AS BIGINT) AS cnt
+        |      FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type,
+        |        lag(day) OVER w AS prev_day, lag(cnt) OVER w AS x, day, cnt AS y
+        |      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |q AS (SELECT event_type, CAST(x AS DECIMAL(19,0)) AS x,
+        |        CAST(y AS DECIMAL(19,0)) AS y
+        |      FROM p WHERE prev_day = day - 1),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |        CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |        CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |        CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |        CAST(sum(y * y) AS DOUBLE) AS syy
+        |      FROM q GROUP BY event_type)
+        |SELECT event_type, n_pairs, sx, sy, sxy, sxx, syy,
+        |  (n_pairs * sxy - sx * sy) /
+        |  (sqrt(n_pairs * sxx - sx * sx) * sqrt(n_pairs * syy - sy * sy)) AS r
+        |FROM s""".stripMargin,
+
+    // same seed-keyed md5 bucket coin, floor cents, floor bucket means
+    // (// floors where Spark div truncates — the Spark side subtracts
+    // pmod first so both floor), lower-median pick at rank (nb+1)//2
+    "q153_median_of_means" ->
+      s"""WITH e AS (SELECT event_type,
+         |        CAST(floor(value * 100) AS BIGINT) AS c,
+         |        substr(md5(cast(event_id as string) || ':mom'), 1, 2) AS hx
+         |      FROM events),
+         |b AS (SELECT event_type, c,
+         |        (${Md5Key.hexToLong("hx", 2)}) % 16 AS bkt
+         |      FROM e),
+         |m AS (SELECT event_type, bkt, CAST(sum(c) AS BIGINT) AS s,
+         |        CAST(count(*) AS BIGINT) AS n
+         |      FROM b GROUP BY 1, 2),
+         |bm AS (SELECT event_type, bkt, s, n, s // n AS bmean FROM m),
+         |r AS (SELECT event_type, bkt, s, n, bmean,
+         |        row_number() OVER (PARTITION BY event_type
+         |                           ORDER BY bmean, bkt) AS rk,
+         |        count(*) OVER (PARTITION BY event_type) AS nb,
+         |        CAST(sum(s) OVER (PARTITION BY event_type) AS BIGINT) AS ts,
+         |        CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS tn
+         |      FROM bm)
+         |SELECT event_type, tn AS n_events, ts // tn AS mean_cents,
+         |  bmean AS mom_cents
+         |FROM r WHERE rk = (nb + 1) // 2""".stripMargin,
+
     // the count-min sketch rebuilt counter-for-counter: same seed-keyed
     // md5 bucket hashes, same 192 exact BIGINT counters, same min-over-
     // rows estimate — the over_by ≥ 0 guarantee is certified by hash

@@ -694,22 +694,39 @@ object TextQueries {
     * map-side-combinable counts keyed on (w1, w2) / w1. The c1 lookup
     * join keys on single terms — AQE broadcasts at fixture scale,
     * hash-joins co-partitioned at vocab scale. */
-  def q128BigramLm(spark: SparkSession, dir: String): DataFrame = {
-    val bi = Tables.documents(spark, dir)
-      .select(split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, size(w) - 2), i -> " +
-          "named_struct('w1', element_at(w, i + 1), 'w2', element_at(w, i + 2)))"))
-        .as("b"))
-      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
-    c12.filter(col("c12") >= 3)
-      .join(c1, "w1")
-      .withColumn("p_scaled", expr("c12 * 1000000 div c1"))
-      .select("w1", "w2", "c12", "c1", "p_scaled")
-  }
+  def q128BigramLm(spark: SparkSession, dir: String): DataFrame =
+    bigramModel(spark, dir)
+
+  /** The corpus [[TextAnalysis.bigramModel]], memoized: q128 emits it
+    * and q151 scores every document against it — without the memo a
+    * Verify/Bench run would pay the two count aggregations twice. */
+  private def bigramModel(spark: SparkSession, dir: String): DataFrame =
+    Memo.of(spark, s"bigramModel:$dir") {
+      TextAnalysis.bigramModel(Tables.documents(spark, dir), minCount = 3L)
+    }
+
+  /** LM-based quality scoring ([[TextAnalysis.lmMeanScore]]): each
+    * doc's mean scaled bigram probability under the memoized q128
+    * model — the hash-safe stand-in for the CCNet-style perplexity
+    * filter. Low scores mark transition patterns the corpus model has
+    * never seen (gibberish, out-of-domain text); unseen bigrams score
+    * 0 by design. Self-scoring against the corpus's own model is the
+    * standard bootstrap when no external LM exists; at production
+    * scale the model frame is simply built once from a reference
+    * corpus and reused across candidate sources. */
+  def q151LmScore(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lmMeanScore(
+      Tables.documents(spark, dir), bigramModel(spark, dir))
+
+  /** Tokenizer-vocabulary OOV audit ([[TextAnalysis.oovRate]]): per
+    * (lang, source) stratum, the exact permille of tokens outside the
+    * corpus top-1000 vocabulary — the coverage check run before
+    * committing a vocab/merge table to a data mix. On this fixture the
+    * non-English strata surface the highest OOV — exactly the signal
+    * the audit exists to catch before those sources fragment into
+    * byte-level tokens. */
+  def q154OovRate(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.oovRate(Tables.documents(spark, dir), vocabSize = 1000)
 
   /** Per-source document cap — the mixing-recipe primitive "at most K
     * docs from any one domain/source", here as the first 100 doc ids
@@ -1079,6 +1096,8 @@ object TextQueries {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_lm_score"      -> (q151LmScore _),
+    "q154_oov_rate"      -> (q154OovRate _),
     "q149_snapshot_diff" -> (q149SnapshotDiff _),
     "q148_priority_sample" -> (q148PrioritySample _),
     "q145_bpe_pairs"     -> (q145BpePairs _),
@@ -1147,6 +1166,47 @@ object TextQueries {
        |           GROUP BY e.dst) c ON r.term = c.dst)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the q128 model CTE verbatim (c1 = context count over ALL pairs,
+    // floor at c12 >= 3), then every doc's bigram stream left-joined
+    // against it — unseen pairs contribute 0 — and folded to the
+    // integer mean; docs with < 2 tokens have no bigrams and are absent
+    "q151_lm_score" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT doc_id, unnest(list_transform(range(len(w) - 1),
+        |        i -> w[i+1] || ' ' || w[i+2])) AS pair
+        |      FROM d WHERE len(w) >= 2),
+        |bb AS (SELECT doc_id, split_part(pair, ' ', 1) AS w1,
+        |         split_part(pair, ' ', 2) AS w2
+        |       FROM b),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |        FROM bb GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+        |m AS (SELECT c12.w1, c12.w2,
+        |        CAST((c12.c12 * 1000000) // c1.c1 AS BIGINT) AS p_scaled
+        |      FROM c12 JOIN c1 USING (w1) WHERE c12.c12 >= 3)
+        |SELECT bb.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(CAST(sum(coalesce(m.p_scaled, 0)) AS BIGINT) // count(*)
+        |    AS BIGINT) AS lm_score
+        |FROM bb LEFT JOIN m ON bb.w1 = m.w1 AND bb.w2 = m.w2
+        |GROUP BY bb.doc_id""".stripMargin,
+
+    // same total-order vocabulary pick ((count desc, term) — the
+    // rank-1000 boundary tie is engine-reproducible) and the same
+    // membership left join + integer permille roll-up
+    "q154_oov_rate" ->
+      """WITH t AS (SELECT lang, source, unnest(string_split(text, ' ')) AS term
+        |           FROM documents),
+        |v AS (SELECT term FROM (
+        |        SELECT term, count(*) AS cnt FROM t GROUP BY term
+        |        ORDER BY cnt DESC, term LIMIT 1000))
+        |SELECT t.lang, t.source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  CAST((CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000) // count(*) AS BIGINT) AS oov_permille
+        |FROM t LEFT JOIN v ON t.term = v.term
+        |GROUP BY t.lang, t.source""".stripMargin,
+
     // same v2 mutation, same chr(1)-separated md5 fingerprints, same
     // full-outer compare; 'unchanged' filtered both sides
     "q149_snapshot_diff" ->

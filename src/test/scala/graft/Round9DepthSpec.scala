@@ -1,0 +1,224 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Sketches, TextAnalysis}
+import graft.ops.EventQueries
+
+/** Round-9 depth additions: LM-based quality scoring (q151), session
+  * path trigrams (q152), median-of-means robust statistics (q153),
+  * vocabulary OOV audit (q154), and the shared count-min operator's
+  * streaming form. Closed-form fixtures throughout — every assertion
+  * is an exact integer the operator must reproduce. */
+class Round9DepthSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- q151: LM mean-probability scoring --------------------------------
+
+  test("lm score: closed form — seen bigrams score p_scaled, unseen score 0") {
+    // doc 1 "a b a b a b": bigrams (a,b)x3 (b,a)x2; model at minCount=3
+    // keeps only (a,b): c12=3, c1(context a)=3, p=10^6. doc 2's single
+    // bigram is floored out of the model entirely.
+    val docs = Seq((1L, "a b a b a b"), (2L, "z q")).toDF("doc_id", "text")
+    val model = TextAnalysis.bigramModel(docs, minCount = 3L)
+    assert(model.collect().map(r => (r.getString(0), r.getString(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))).toSeq ==
+      Seq(("a", "b", 3L, 3L, 1000000L)))
+    val scores = TextAnalysis.lmMeanScore(docs, model).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1: (3*10^6 + 2*0) div 5 = 600000 over 5 bigrams
+    assert(scores(1L) == (5L, 600000L))
+    // doc 2: its only bigram is unseen -> score 0
+    assert(scores(2L) == (1L, 0L))
+  }
+
+  test("lm score: sub-2-token docs are absent (no bigram support)") {
+    val docs = Seq((1L, "only"), (2L, "a b")).toDF("doc_id", "text")
+    val model = TextAnalysis.bigramModel(docs, minCount = 1L)
+    val ids = TextAnalysis.lmMeanScore(docs, model)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(2L))
+  }
+
+  // ---- q152: session path trigrams --------------------------------------
+
+  private def ev(id: Long, user: Long, sec: Long, tpe: String) =
+    (id, user, sec * 1000000L, tpe)
+
+  private def eventsDf(rows: Seq[(Long, Long, Long, String)]) =
+    rows.toDF("event_id", "user_id", "us", "event_type")
+      .select(col("event_id"), expr("timestamp_micros(us)").as("ts"),
+        col("user_id"), col("event_type"), lit(0.0).as("value"),
+        lit("").as("props"))
+
+  test("path trigrams: journeys fold per session under the total order") {
+    val rows = Seq(
+      // user 1, session 1: A B C D -> A>B>C, B>C>D
+      ev(1, 1, 0, "A"), ev(2, 1, 10, "B"), ev(3, 1, 20, "C"), ev(4, 1, 30, "D"),
+      // user 1, session 2 (2h later): A B C -> A>B>C again
+      ev(5, 1, 7200, "A"), ev(6, 1, 7210, "B"), ev(7, 1, 7220, "C"),
+      // user 2: only two events -> no trigram
+      ev(8, 2, 0, "A"), ev(9, 2, 10, "B"))
+    val got = EventQueries.pathTrigrams(eventsDf(rows))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("A>B>C" -> 2L, "B>C>D" -> 1L))
+  }
+
+  test("path trigrams: the 30-min gap splits a would-be trigram") {
+    // gap of exactly 1800s holds the session; 1801s splits it
+    val held = Seq(ev(1, 1, 0, "A"), ev(2, 1, 1800, "B"), ev(3, 1, 3600, "C"))
+    val split = Seq(ev(1, 1, 0, "A"), ev(2, 1, 1801, "B"), ev(3, 1, 3602, "C"))
+    assert(EventQueries.pathTrigrams(eventsDf(held)).count() == 1L)
+    assert(EventQueries.pathTrigrams(eventsDf(split)).count() == 0L)
+  }
+
+  test("path trigrams: equal timestamps order by event_id") {
+    val rows = Seq(ev(3, 1, 0, "C"), ev(1, 1, 0, "A"), ev(2, 1, 0, "B"))
+    val got = EventQueries.pathTrigrams(eventsDf(rows))
+      .collect().map(r => r.getString(0)).toSeq
+    assert(got == Seq("A>B>C"))
+  }
+
+  // ---- q153: median-of-means --------------------------------------------
+
+  private def valEv(id: Long, tpe: String, v: Double) =
+    (id, tpe, v)
+
+  private def valEventsDf(rows: Seq[(Long, String, Double)]) =
+    rows.toDF("event_id", "event_type", "value")
+      .select(col("event_id"), expr("timestamp_micros(event_id)").as("ts"),
+        lit(1L).as("user_id"), col("event_type"), col("value"),
+        lit("").as("props"))
+
+  test("median-of-means: one adversarial row cannot move the estimate") {
+    // 480 clean rows at 1.00 + one at 10^7: the outlier pollutes exactly
+    // one of 16 buckets, the median of bucket means ignores it, the
+    // plain mean does not — the estimator's defining property
+    val rows = (1L to 480L).map(valEv(_, "x", 1.0)) :+
+      valEv(481L, "x", 1.0e7)
+    val r = EventQueries.medianOfMeans(valEventsDf(rows)).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(row.fieldIndex("n_events")) == 481L)
+    assert(row.getLong(row.fieldIndex("mom_cents")) == 100L)
+    assert(row.getLong(row.fieldIndex("mean_cents")) > 100000L)
+  }
+
+  test("median-of-means: negative cents floor (not truncate) toward -inf") {
+    // floor(-0.015 * 100) = -2 cents; a single-value bucket's mean must
+    // floor the same way Spark div would NOT (truncation gives -1)
+    val rows = (1L to 3L).map(valEv(_, "n", -0.015))
+    val r = EventQueries.medianOfMeans(valEventsDf(rows)).collect().head
+    assert(r.getLong(r.fieldIndex("mom_cents")) == -2L)
+    assert(r.getLong(r.fieldIndex("mean_cents")) == -2L)
+  }
+
+  // ---- q154: OOV rate ----------------------------------------------------
+
+  test("oov rate: closed form under a 2-term vocabulary") {
+    // counts: x=3 y=2 z=1 w=1 -> vocab {x, y}; stratum (en,s1) has 0
+    // OOV of 4 tokens, (de,s2) has 2 of 3 -> 666 permille
+    val docs = Seq(
+      (1L, "x x x y", "en", "s1"),
+      (2L, "y z w", "de", "s2")).toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.oovRate(docs, vocabSize = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(
+      ("en", "s1") -> (4L, 0L, 0L),
+      ("de", "s2") -> (3L, 2L, 666L)))
+  }
+
+  test("oov rate: vocab boundary tie breaks on the term string") {
+    // a=2 b=2 c=2 with vocabSize=2 -> vocab {a, b} (count ties order by
+    // term), so every c token is OOV — the rank-k boundary is
+    // deterministic, not partition-dependent
+    val docs = Seq((1L, "a a b b c c", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = TextAnalysis.oovRate(docs, vocabSize = 2).collect().head
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == (6L, 2L, 333L))
+  }
+
+  // ---- q155: audience overlap --------------------------------------------
+
+  test("audience overlap: closed-form Jaccard, duplicates collapse") {
+    // type A users {1,2,3} (user 1 twice — distinct first), type B
+    // users {2,3,4}: common 2, union 4 -> 500 permille
+    val rows = Seq(
+      ev(1, 1, 0, "A"), ev(2, 1, 10, "A"), ev(3, 2, 0, "A"), ev(4, 3, 0, "A"),
+      ev(5, 2, 0, "B"), ev(6, 3, 0, "B"), ev(7, 4, 0, "B"))
+    val got = EventQueries.audienceOverlap(eventsDf(rows)).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getString(0), r.getString(1)) == ("A", "B"))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+      (2L, 3L, 3L, 500L))
+  }
+
+  test("audience overlap: disjoint audiences report 0 permille") {
+    val rows = Seq(ev(1, 1, 0, "A"), ev(2, 2, 0, "B"))
+    val got = EventQueries.audienceOverlap(eventsDf(rows)).collect()
+    assert(got.isEmpty) // no shared user -> no pair row at all
+  }
+
+  // ---- q156: daily-volume autocorrelation --------------------------------
+
+  private def dayEvents(tpe: String, dayCounts: Seq[(Long, Int)],
+                        idBase: Long = 0L): Seq[(Long, Long, Long, String)] = {
+    var id = idBase
+    dayCounts.flatMap { case (day, n) =>
+      (1 to n).map { i =>
+        id += 1
+        ev(id, id, day * 86400L + i, tpe)
+      }
+    }
+  }
+
+  test("volume autocorrelation: a perfect linear ramp scores r = 1") {
+    // daily counts 1,2,3,4,5 -> the 4 lag-1 pairs are collinear
+    val rows = dayEvents("x", Seq((0L, 1), (1L, 2), (2L, 3), (3L, 4), (4L, 5)))
+    val r = EventQueries.volumeAutocorr(eventsDf(rows)).collect().head
+    assert(r.getLong(r.fieldIndex("n_pairs")) == 4L)
+    assert(math.abs(r.getDouble(r.fieldIndex("r")) - 1.0) < 1e-9)
+  }
+
+  test("volume autocorrelation: a calendar gap breaks the pair chain") {
+    // days 0,1,3,4 observed: only (0,1) and (3,4) are consecutive
+    val rows = dayEvents("x", Seq((0L, 2), (1L, 3), (3L, 5), (4L, 2)))
+    val r = EventQueries.volumeAutocorr(eventsDf(rows)).collect().head
+    assert(r.getLong(r.fieldIndex("n_pairs")) == 2L)
+  }
+
+  // ---- count-min: shared operator, streaming form ------------------------
+
+  test("count-min counters: streaming Complete mode ≡ batch, across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Long]
+    val counters = Sketches.countMinCounters(
+      ms.toDF().withColumnRenamed("value", "user_id"), "user_id")
+    val q = counters.writeStream
+      .format("memory").queryName("cm_stream")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      // the same key re-arriving in a later micro-batch must ADD to its
+      // counters (frequency semantics), not re-insert (set semantics)
+      ms.addData(1L to 50L: _*)
+      q.processAllAvailable()
+      ms.addData((1L to 25L) ++ (100L to 120L): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cm_stream")
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = Sketches.countMinCounters(
+        ((1L to 50L) ++ (1L to 25L) ++ (100L to 120L)).toDF("user_id"),
+        "user_id")
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch)
+      assert(streamed.keys.map(_._1).toSet == Set(0, 1, 2))
+    } finally q.stop()
+  }
+}
