@@ -40,7 +40,13 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     try Tables.lineitem(spark, sfDir).limit(1000).count() catch { case _: Throwable => }
 
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // dev convenience mirroring Verify's: SPARK_GRAFT_ONLY=q136,...
+    // times a subset for targeted iteration; unset (the driver) runs all
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val names = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .sortBy(_._1)
     val best = scala.collection.mutable.Map.empty[String, Double]
     val everOk = scala.collection.mutable.Map.empty[String, Boolean]
     val nFail = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)

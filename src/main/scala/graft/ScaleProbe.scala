@@ -237,6 +237,46 @@ object ScaleProbe {
             .groupBy($"event_type", $"bin").agg(count(lit(1)).as("bc"))
             .count()
         }),
+        // r9 depth: LM scoring — model build is two combinable counts,
+        // the scoring join shuffles model cardinality + the per-doc
+        // bigram stream, both ∝ tokens; content-unique copies multiply
+        // the model's vocabulary linearly (each copy's model is
+        // disjoint), the worst case for the join's build side
+        "q151_lm_score" -> (() =>
+          operators.TextAnalysis.lmMeanScore(docs,
+            operators.TextAnalysis.bigramModel(docs)).count()),
+        // r9 depth: OOV audit — token explode + combinable count +
+        // top-1000 TakeOrdered + broadcast membership join at scan
+        // parallelism; time ∝ tokens, no token-volume shuffle
+        "q154_oov_rate" -> (() =>
+          operators.TextAnalysis.oovRate(
+            docs.withColumn("lang",
+              concat(lit("l"), pmod(hash($"doc_id"), lit(5)))),
+            vocabSize = 1000).count()),
+        // r9 depth: path trigrams over synth sessions (fixture events
+        // don't scale with copies) — ~100 events per user keeps the
+        // per-session collect bounded while user count scales; the
+        // whole chain is the one user_id exchange
+        "q152_path_trigrams" -> (() => {
+          // each user owns a contiguous 100-event block 1 s apart ->
+          // one ~100-event session per user: session size stays
+          // bounded while USER count scales with the data
+          val synth = spark.range(100000L * s).select(
+            $"id".as("event_id"),
+            expr("timestamp_micros(id * 1000000)").as("ts"),
+            expr("id div 100").as("user_id"),
+            concat(lit("t"), pmod(hash($"id" * 7), lit(8))).as("event_type"))
+          ops.EventQueries.pathTrigrams(synth).count()
+        }),
+        // r9 depth: audience overlap — the self-joined frame is the
+        // distinct (type, user) projection: ≤ 8 rows per user whatever
+        // the event volume, so pair fan-out ∝ users · C(8,2)
+        "q155_audience_overlap" -> (() => {
+          val synth = spark.range(100000L * s).select(
+            concat(lit("t"), pmod(hash($"id" * 7), lit(8))).as("event_type"),
+            pmod(hash($"id"), lit(1000L * s)).as("user_id"))
+          ops.EventQueries.audienceOverlap(synth).count()
+        }),
         // r8 widening: skew audit — the rank window sorts |keys| rows
         // (synthetic zipf-ish keys, 100k·s events over ~√ that many
         // keys), never the event rows themselves

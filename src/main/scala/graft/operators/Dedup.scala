@@ -199,6 +199,34 @@ object Dedup {
         col("cont_permille") >= minPermille)
   }
 
+  /** Dedup threshold yield curve: for each candidate threshold (in
+    * permille), how many pairs clear it and how many distinct docs
+    * would be flagged — the calibration sweep run before committing a
+    * Jaccard threshold to a production dedup pass (too low eats
+    * legitimate near-boilerplate, too high leaks duplicates; the curve
+    * shows where the knee is). `n_docs_flagged` counts distinct
+    * higher-id endpoints — the upper bound on docs a min-id survivor
+    * rule drops; connected-component clustering (q39) refines it.
+    *
+    * The gate is the INTEGER form `common·1000 ≥ th·(n1+n2−common)` —
+    * exact on any engine, immune to the double-rounding boundary a
+    * `jaccard ≥ t` float compare has at the knife's edge. Takes the
+    * already-computed pair-stats frame ([[ngramJaccardPairs]]' output,
+    * typically memoized), so the whole sweep is a broadcast of the
+    * |thresholds|-row grid against the (small) pair frame — zero new
+    * self-joins, every threshold a free scan. */
+  def yieldCurve(pairs: DataFrame, thresholdsPermille: Seq[Long]): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val grid = thresholdsPermille.toDF("th")
+    pairs.crossJoin(broadcast(grid))
+      .filter(col("common") * 1000 >=
+        col("th") * (col("n1") + col("n2") - col("common")))
+      .groupBy("th")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("d2")).as("n_docs_flagged"))
+  }
+
   /** MinHash signatures, fully native: `shingle_hashes` (one pass over
     * the text bytes, no word/shingle string materialization) feeding
     * `minhash_sigs` (one JIT'd pass over the feature hashes). Docs with

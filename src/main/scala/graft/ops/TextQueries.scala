@@ -77,6 +77,16 @@ object TextQueries {
   def q34NgramJaccard(spark: SparkSession, dir: String): DataFrame =
     exactJaccardPairs(spark, dir, threshold = 0.2)
 
+  /** Dedup threshold calibration ([[Dedup.yieldCurve]]): pair and
+    * flagged-doc volume at 600/700/800/900‰ Jaccard, all read off the
+    * ONE memoized base pair leg — the sweep a pipeline runs to pick
+    * its production threshold, at the cost of a 4-row broadcast grid
+    * against the already-computed pair stats. Integer gates only, so
+    * the curve is exact at every boundary. */
+  def q157DedupYield(spark: SparkSession, dir: String): DataFrame =
+    Dedup.yieldCurve(exactJaccardPairs(spark, dir, BaseJaccardThreshold),
+      thresholdsPermille = Seq(600L, 700L, 800L, 900L))
+
   /** MinHash+LSH near-dup pairs (scale path; rows-only check).
     * Memoized: q60 re-reads this output as its approx side. */
   def q35MinhashPairs(spark: SparkSession, dir: String): DataFrame =
@@ -1098,6 +1108,7 @@ object TextQueries {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q151_lm_score"      -> (q151LmScore _),
     "q154_oov_rate"      -> (q154OovRate _),
+    "q157_dedup_yield"   -> (q157DedupYield _),
     "q149_snapshot_diff" -> (q149SnapshotDiff _),
     "q148_priority_sample" -> (q148PrioritySample _),
     "q145_bpe_pairs"     -> (q145BpePairs _),
@@ -1189,6 +1200,30 @@ object TextQueries {
         |    AS BIGINT) AS lm_score
         |FROM bb LEFT JOIN m ON bb.w1 = m.w1 AND bb.w2 = m.w2
         |GROUP BY bb.doc_id""".stripMargin,
+
+    // q34's full pair-stats CTE (no threshold), a 4-row threshold grid,
+    // and the same INTEGER gate common*1000 >= th*(n1+n2-common) —
+    // exact at every boundary where a float jaccard compare is not;
+    // thresholds with zero surviving pairs are absent in both engines
+    "q157_dedup_yield" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |        unnest(list_distinct(list_transform(range(len(w) - 2),
+        |          i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS shingle
+        |      FROM d WHERE len(w) >= 3),
+        |n AS (SELECT doc_id, count(*) AS ns FROM s GROUP BY doc_id),
+        |c AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |p AS (SELECT d1, d2, common, n1.ns AS n1, n2.ns AS n2
+        |      FROM c JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id),
+        |g AS (SELECT CAST(unnest([600, 700, 800, 900]) AS BIGINT) AS th),
+        |f AS (SELECT g.th, p.d1, p.d2
+        |      FROM p CROSS JOIN g
+        |      WHERE p.common * 1000 >= g.th * (p.n1 + p.n2 - p.common))
+        |SELECT th, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(DISTINCT d2) AS BIGINT) AS n_docs_flagged
+        |FROM f GROUP BY th""".stripMargin,
 
     // same total-order vocabulary pick ((count desc, term) — the
     // rank-1000 boundary tie is engine-reproducible) and the same

@@ -191,6 +191,46 @@ class Round9DepthSpec extends AnyFunSuite {
     assert(r.getLong(r.fieldIndex("n_pairs")) == 2L)
   }
 
+  // ---- q157: dedup threshold yield curve ---------------------------------
+
+  test("yield curve: integer gates are exact at every boundary") {
+    // ratios: (1,2)=6/14≈0.43, (1,3)=9/11≈0.82, (2,3)=10/10=1.0
+    val pairs = Seq(
+      (1L, 2L, 6L, 10L, 10L),
+      (1L, 3L, 9L, 10L, 10L),
+      (2L, 3L, 10L, 10L, 10L)).toDF("d1", "d2", "common", "n1", "n2")
+    val got = graft.operators.Dedup
+      .yieldCurve(pairs, Seq(600L, 800L, 900L, 1000L))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      600L -> (2L, 1L),   // (1,3) and (2,3), both flag doc 3
+      800L -> (2L, 1L),   // 9*1000 >= 800*11 still holds
+      900L -> (1L, 1L),   // (1,3) drops: 9000 < 9900
+      1000L -> (1L, 1L))) // exact-equality boundary: 10000 >= 1000*10
+  }
+
+  // ---- degenerate inputs: every new operator returns empty, not throws ---
+
+  test("depth operators: empty and degenerate inputs yield empty frames") {
+    val noDocs = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    val noEvents = eventsDf(Seq.empty)
+    assert(TextAnalysis.lmMeanScore(noDocs,
+      TextAnalysis.bigramModel(noDocs)).count() == 0L)
+    assert(TextAnalysis.oovRate(noDocs).count() == 0L)
+    assert(EventQueries.pathTrigrams(noEvents).count() == 0L)
+    assert(EventQueries.medianOfMeans(noEvents).count() == 0L)
+    assert(EventQueries.audienceOverlap(noEvents).count() == 0L)
+    assert(EventQueries.volumeAutocorr(noEvents).count() == 0L)
+    // single-day volume: no lag-1 pair -> type absent, not a null row
+    val oneDay = dayEvents("x", Seq((0L, 3)))
+    assert(EventQueries.volumeAutocorr(eventsDf(oneDay)).count() == 0L)
+    // one-bucket median-of-means: the median of one mean is that mean
+    val one = Seq(valEv(1L, "solo", 2.0))
+    val r = EventQueries.medianOfMeans(valEventsDf(one)).collect().head
+    assert(r.getLong(r.fieldIndex("mom_cents")) == 200L)
+  }
+
   // ---- count-min: shared operator, streaming form ------------------------
 
   test("count-min counters: streaming Complete mode ≡ batch, across batches") {

@@ -308,7 +308,7 @@ class Round9Spec extends AnyFunSuite {
     val pairs = graft.ops.EventQueries.q136ImageNearDup(spark, SparkTestSession.sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.nonEmpty, "the planted intra-cluster pairs must be found")
-    val cross = pairs.filter { case (a, b) => a % 32 != b % 32 }
+    val cross = pairs.filter { case (a, b) => a / 16 != b / 16 }
     assert(cross.isEmpty, s"cross-cluster collisions: ${cross.take(5).mkString(";")}")
   }
 
