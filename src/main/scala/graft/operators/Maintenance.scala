@@ -144,6 +144,40 @@ object Maintenance {
       .select(col(idCol), col("change"))
   }
 
+  /** MERGE INTO / CDC-apply: build the next table version from a base
+    * snapshot plus a change feed of upserts and deletes — the write
+    * side of the CDC story whose read side is latest-per-key
+    * compaction (q95 / `streaming.EventStreams.latestPerKey`), and
+    * the operation `MERGE INTO base USING changes` performs in a
+    * lakehouse engine.
+    *
+    * `changes` carries (key, `seqCol`, `opCol` ∈ 'upsert'|'delete',
+    * base's payload columns). `seqCol` must TOTALLY order each key's
+    * changes (a CDC log's LSN/offset — ties are a contract violation,
+    * exactly as an unordered LISTAGG would be): the LAST change wins,
+    * an earlier upsert under a later delete stays deleted, and a
+    * later upsert resurrects the key.
+    *
+    * Plan: the per-key latest change is one `seqCol`-desc rank window
+    * partitioned on the key; untouched base rows arrive via a
+    * left_anti join on the SAME key, so both exchanges co-partition
+    * and output is base ∪ latest-upserts with no row ever widened.
+    * At 100 TB this is the standard merge shape: shuffle ∝ base +
+    * changes, and with both sides bucketed on the key the exchanges
+    * vanish entirely. */
+  def applyChanges(base: DataFrame, changes: DataFrame, key: String,
+                   seqCol: String, opCol: String = "op"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(key).orderBy(col(seqCol).desc)
+    val latest = changes
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+    val payload = base.columns.filterNot(_ == key)
+    base.join(changes.select(key).distinct(), Seq(key), "left_anti")
+      .unionByName(latest.filter(col(opCol) === "upsert")
+        .select(key, payload: _*))
+  }
+
   /** (parquet file count, total bytes) under a directory. */
   private[graft] def listParquet(spark: SparkSession, dir: String): (Long, Long) = {
     val path = new org.apache.hadoop.fs.Path(dir)

@@ -424,6 +424,30 @@ object EventQueries {
         date_format(lead(col("ts"), 1).over(w), "yyyy-MM-dd HH:mm:ss").as("eff_to_s"))
   }
 
+  /** Point-in-time snapshot (time-travel read): each user's signup
+    * `value` in effect AS OF 2024-01-15 00:00:00 — the "what did the
+    * dimension look like on date X" query every SCD2 table exists to
+    * answer. The efficient plan is NOT interval containment over the
+    * q93 table: filter events to `ts <= T` (the predicate reaches the
+    * scan; on a date-partitioned production table this is partition
+    * pruning, reading only the pre-T history) and take the latest
+    * per user by the unique (ts, event_id) order — one key-partitioned
+    * window over the pre-T slice. Equivalence with q93's interval
+    * form (`eff_from ≤ T < eff_to`) is spec-pinned, so the fast read
+    * provably answers the SCD2 question. */
+  def q159AsOfSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "signup" &&
+        col("ts") <= lit("2024-01-15 00:00:00").cast("timestamp"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("eff_from_s"))
+  }
+
   /** Rolling 7-day active users (DAU/WAU per day) — the sliding
     * DISTINCT shape. Unlike q86's trailing sums, distinct does NOT
     * decompose over window frames (a RANGE frame can't merge distinct
@@ -1091,6 +1115,7 @@ object EventQueries {
     "q153_median_of_means" -> (q153MedianOfMeans _),
     "q155_audience_overlap" -> (q155AudienceOverlap _),
     "q156_volume_autocorr" -> (q156VolumeAutocorr _),
+    "q159_asof_snapshot"  -> (q159AsOfSnapshot _),
     "q143_count_min"      -> (q143CountMin _),
     "q141_kmv_distinct"   -> (q141KmvDistinct _),
     "q129_hist_quantile"  -> (q129HistQuantile _),
@@ -1153,6 +1178,18 @@ object EventQueries {
         |      FROM q WHERE len(t) >= 3)
         |SELECT path, CAST(count(*) AS BIGINT) AS cnt
         |FROM p GROUP BY path ORDER BY cnt DESC, path LIMIT 20""".stripMargin,
+
+    // same pre-T filter + latest-per-user rank under the unique
+    // (ts desc, event_id desc) order
+    "q159_asof_snapshot" ->
+      """SELECT user_id, value, strftime(ts, '%Y-%m-%d %H:%M:%S') AS eff_from_s
+        |FROM (SELECT user_id, value, ts,
+        |        row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events
+        |      WHERE event_type = 'signup'
+        |        AND ts <= TIMESTAMP '2024-01-15 00:00:00')
+        |WHERE rn = 1""".stripMargin,
 
     // the distinct (type, user) projection self-joined on user_id,
     // unordered pairs by type order, integer Jaccard permille

@@ -1105,7 +1105,40 @@ object TextQueries {
       .snapshotDiff(v1, v2, "doc_id", Seq("text", "lang", "source"))
   }
 
+  /** MERGE INTO / CDC-apply under the oracle gate
+    * ([[graft.operators.Maintenance.applyChanges]]): the next corpus
+    * release built from the base snapshot plus a deterministic change
+    * feed — deletes (`doc_id % 7 = 3`), an upsert wave (`% 10 = 0` →
+    * " v2"), a LATER wave overriding part of it (`% 50 = 0` → " v3",
+    * seq 2 — last-wins is load-bearing), and inserts (`% 25 = 0`
+    * under `+ 10⁶`). The q149 mutation family: q149 AUDITS the diff
+    * between releases, this BUILDS the release, and the feed's delete
+    * precedence matches q149's v2 derivation. One key-partitioned
+    * rank window + one co-partitioned anti join — the standard merge
+    * shape. */
+  def q158MergeApply(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select("doc_id", "text", "lang", "source")
+    val nullS = lit(null).cast("string")
+    val deletes = base.filter(expr("doc_id % 7 = 3"))
+      .select(col("doc_id"), lit(1L).as("seq"), lit("delete").as("op"),
+        nullS.as("text"), nullS.as("lang"), nullS.as("source"))
+    val v2 = base.filter(expr("doc_id % 10 = 0 AND doc_id % 7 != 3"))
+      .select(col("doc_id"), lit(1L).as("seq"), lit("upsert").as("op"),
+        concat(col("text"), lit(" v2")).as("text"), col("lang"), col("source"))
+    val v3 = base.filter(expr("doc_id % 50 = 0 AND doc_id % 7 != 3"))
+      .select(col("doc_id"), lit(2L).as("seq"), lit("upsert").as("op"),
+        concat(col("text"), lit(" v3")).as("text"), col("lang"), col("source"))
+    val ins = base.filter(expr("doc_id % 25 = 0"))
+      .select((col("doc_id") + 1000000L).as("doc_id"), lit(1L).as("seq"),
+        lit("upsert").as("op"), col("text"), col("lang"), col("source"))
+    graft.operators.Maintenance.applyChanges(base,
+      deletes.unionByName(v2).unionByName(v3).unionByName(ins),
+      key = "doc_id", seqCol = "seq")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_merge_apply"   -> (q158MergeApply _),
     "q151_lm_score"      -> (q151LmScore _),
     "q154_oov_rate"      -> (q154OovRate _),
     "q157_dedup_yield"   -> (q157DedupYield _),
@@ -1200,6 +1233,34 @@ object TextQueries {
         |    AS BIGINT) AS lm_score
         |FROM bb LEFT JOIN m ON bb.w1 = m.w1 AND bb.w2 = m.w2
         |GROUP BY bb.doc_id""".stripMargin,
+
+    // the same change feed (delete precedence, two upsert waves with
+    // last-wins on seq, +1e6 inserts), latest-per-key via the same
+    // rank, untouched base via NOT EXISTS, upserts unioned back
+    "q158_merge_apply" ->
+      """WITH ch AS (
+        |  SELECT doc_id, 1 AS seq, 'delete' AS op,
+        |    CAST(NULL AS VARCHAR) AS text, CAST(NULL AS VARCHAR) AS lang,
+        |    CAST(NULL AS VARCHAR) AS source
+        |  FROM documents WHERE doc_id % 7 = 3
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'upsert', text || ' v2', lang, source
+        |  FROM documents WHERE doc_id % 10 = 0 AND doc_id % 7 <> 3
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'upsert', text || ' v3', lang, source
+        |  FROM documents WHERE doc_id % 50 = 0 AND doc_id % 7 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 1, 'upsert', text, lang, source
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |lt AS (SELECT * FROM (
+        |         SELECT ch.*, row_number() OVER (PARTITION BY doc_id
+        |                                         ORDER BY seq DESC) AS rn
+        |         FROM ch) WHERE rn = 1)
+        |SELECT d.doc_id, d.text, d.lang, d.source
+        |FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.doc_id = d.doc_id)
+        |UNION ALL
+        |SELECT doc_id, text, lang, source FROM lt WHERE op = 'upsert'""".stripMargin,
 
     // q34's full pair-stats CTE (no threshold), a 4-row threshold grid,
     // and the same INTEGER gate common*1000 >= th*(n1+n2-common) —

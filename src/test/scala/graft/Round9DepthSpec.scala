@@ -209,6 +209,49 @@ class Round9DepthSpec extends AnyFunSuite {
       1000L -> (1L, 1L))) // exact-equality boundary: 10000 >= 1000*10
   }
 
+  // ---- q158: MERGE INTO / CDC apply --------------------------------------
+
+  test("applyChanges: last-wins, delete-after-upsert deletes, later upsert resurrects") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val changes = Seq(
+      (2L, 1L, "upsert", "b2"), // then deleted at seq 2 -> gone
+      (2L, 2L, "delete", null),
+      (3L, 1L, "delete", null), // then re-upserted at seq 2 -> c2
+      (3L, 2L, "upsert", "c2"),
+      (4L, 1L, "upsert", "d")   // brand-new key
+    ).toDF("id", "seq", "op", "v")
+    val got = graft.operators.Maintenance
+      .applyChanges(base, changes, key = "id", seqCol = "seq")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 3L -> "c2", 4L -> "d"))
+  }
+
+  test("applyChanges: an all-delete feed empties the touched keys only") {
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val changes = Seq((1L, 1L, "delete", null)).toDF("id", "seq", "op", "v")
+    val got = graft.operators.Maintenance
+      .applyChanges(base, changes, key = "id", seqCol = "seq")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "b"))
+  }
+
+  // ---- q159: point-in-time snapshot --------------------------------------
+
+  test("as-of snapshot ≡ SCD2 interval containment at T") {
+    // the fast pre-T-filter + latest-per-key read must answer the same
+    // question as filtering q93's intervals by eff_from <= T < eff_to
+    // (string compare is safe on the fixed yyyy-MM-dd HH:mm:ss format)
+    val t = "2024-01-15 00:00:00"
+    val fast = EventQueries.q159AsOfSnapshot(spark, SparkTestSession.sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val intervals = EventQueries.q93Scd2(spark, SparkTestSession.sf)
+      .filter(col("eff_from_s") <= t &&
+        (col("eff_to_s").isNull || col("eff_to_s") > t))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(fast.nonEmpty)
+    assert(fast == intervals)
+  }
+
   // ---- degenerate inputs: every new operator returns empty, not throws ---
 
   test("depth operators: empty and degenerate inputs yield empty frames") {
