@@ -297,6 +297,41 @@ object EventStreams extends Serializable {
       }
   }
 
+  case class Change(id: Long, seq: Long, op: String, payload: String)
+  case class ViewRow(id: Long, alive: Boolean, payload: String, seq: Long)
+
+  /** Continuously-maintained MERGE view — the streaming form of
+    * [[graft.operators.Maintenance.applyChanges]]: a CDC change feed
+    * (id, seq, op ∈ 'upsert'|'delete', payload) folds into one
+    * highest-seq row per key, emitted on every change (Update mode).
+    * Deletes surface as TOMBSTONES (`alive = false`) rather than
+    * silent absence — a downstream sink needs the tombstone to delete
+    * its own copy, and state must keep the delete's seq so a
+    * STRAGGLER: an upsert with a lower seq arriving in a later
+    * micro-batch must not resurrect the key (the cross-batch
+    * out-of-order case the spec pins; batch applyChanges gets the
+    * same answer from its rank window because it sees all changes at
+    * once — here arrival order and seq order genuinely differ).
+    *
+    * State is O(1) per key forever (the one winning row), sharded by
+    * key in the state store exactly like the batch merge's shuffle —
+    * the [[latestPerKey]] stance with op-awareness added. */
+  def cdcView(changes: Dataset[Change]): Dataset[ViewRow] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.id)
+      .mapGroupsWithState[ViewRow, ViewRow](GroupStateTimeout.NoTimeout) {
+        (id: Long, it: Iterator[Change], state: GroupState[ViewRow]) =>
+          var best = state.getOption.orNull
+          it.foreach { c =>
+            if (best == null || c.seq > best.seq)
+              best = ViewRow(id, c.op == "upsert", c.payload, c.seq)
+          }
+          state.update(best)
+          best
+      }
+  }
+
   case class FunnelState(stage: Int, sinceMs: Long, sinceNanos: Int)
   case class FunnelRow(user_id: Long, stage: Long)
 

@@ -235,6 +235,55 @@ class Round9DepthSpec extends AnyFunSuite {
     assert(got == Map(2L -> "b"))
   }
 
+  test("streaming cdcView ≡ batch applyChanges; low-seq straggler can't resurrect") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.EventStreams
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[EventStreams.Change]
+    val q = EventStreams.cdcView(ms.toDS()).writeStream
+      .format("memory").queryName("cdc_view")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      // batch 1: upserts for 1..3; batch 2: delete 2 at seq 5, THEN a
+      // straggler upsert for 2 at seq 3 in batch 3 — must stay dead
+      ms.addData(
+        EventStreams.Change(1L, 1L, "upsert", "a"),
+        EventStreams.Change(2L, 1L, "upsert", "b"),
+        EventStreams.Change(3L, 1L, "upsert", "c"))
+      q.processAllAvailable()
+      ms.addData(EventStreams.Change(2L, 5L, "delete", null),
+        EventStreams.Change(3L, 2L, "upsert", "c2"))
+      q.processAllAvailable()
+      ms.addData(EventStreams.Change(2L, 3L, "upsert", "b-straggler"))
+      q.processAllAvailable()
+      // Update-mode memory sink appends each emitted revision; the
+      // view is the highest-seq row per key
+      val view = spark.table("cdc_view")
+        .groupBy("id").agg(max(struct(col("seq"), col("alive"),
+          col("payload"))).as("s"))
+        .select(col("id"), col("s.alive"), col("s.payload"))
+        .collect().map(r => r.getLong(0) -> (r.getBoolean(1),
+          Option(r.getString(2)))).toMap
+      assert(view(1L) == (true, Some("a")))
+      assert(view(2L) == (false, None))        // tombstone survives the straggler
+      assert(view(3L) == (true, Some("c2")))
+      // batch equivalence: alive rows == applyChanges on the full feed
+      val base = Seq.empty[(Long, String)].toDF("id", "v")
+      val allChanges = Seq(
+        (1L, 1L, "upsert", "a"), (2L, 1L, "upsert", "b"),
+        (3L, 1L, "upsert", "c"), (2L, 5L, "delete", null),
+        (3L, 2L, "upsert", "c2"), (2L, 3L, "upsert", "b-straggler")
+      ).toDF("id", "seq", "op", "v")
+      val batch = graft.operators.Maintenance
+        .applyChanges(base, allChanges, key = "id", seqCol = "seq")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val alive = view.collect { case (k, (true, Some(p))) => k -> p }
+      assert(alive == batch)
+    } finally q.stop()
+  }
+
   // ---- q159: point-in-time snapshot --------------------------------------
 
   test("as-of snapshot ≡ SCD2 interval containment at T") {
