@@ -113,7 +113,23 @@ object Bench {
       if (shortIds.values.toSeq.distinct.size == names.size) shortIds
       else names.map(n => n -> n).toMap
     def build(prec: Int): String = {
-      def f(d: Double) = s"%.${prec}f".formatLocal(java.util.Locale.ROOT, d)
+      // Two byte-savers, introduced when the registry crossed ~160
+      // queries and uniform 2-decimal lines stopped fitting:
+      // tiered precision — a value >= 1 s drops one decimal (100 ms
+      // is < 10% relative there, while the same byte on a 0.3 s query
+      // is the difference between 10 ms and 100 ms resolution) — and
+      // trailing-zero stripping ("0.40" → "0.4"), which carries no
+      // information at a fixed precision. Together they keep
+      // sub-second timings at 10 ms through roughly 180 queries; the
+      // uniform clamp ladder below still degrades everything evenly
+      // if a slow round blows past that.
+      def f(d: Double) = {
+        val p = math.max(0, if (d >= 10) prec - 2 else if (d >= 1) prec - 1 else prec)
+        val s = s"%.${p}f".formatLocal(java.util.Locale.ROOT, d)
+        if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse
+          .stripSuffix(".")
+        else s
+      }
       val qs = names.map(k => "\"" + id(k) + "\":" + f(best(k)))
         .mkString("{", ",", "}")
       val failed = names.filterNot(everOk.getOrElse(_, false))

@@ -46,5 +46,6 @@ object GraftSession {
     functions.BoundedMinK.register(spark)
     functions.BoundedMinKDistinct.register(spark)
     functions.BoundedMinKPairs.register(spark)
+    functions.MisraGries.register(spark)
   }
 }

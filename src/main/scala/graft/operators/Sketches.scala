@@ -24,20 +24,14 @@ import graft.ops.Md5Key
   */
 object Sketches {
 
-  /** Per-group KMV distinct-cardinality estimate over `idCol`
-    * (any SQL expression yielding a stable string/number per element).
-    *
-    * Batch: call on any DataFrame. Streaming: call on a streaming
-    * DataFrame and write with Complete (or Update) output mode — the
-    * result is the continuously-maintained estimate per group.
-    *
-    * Output: `n_heads` (≤ k), `kth_hash` (NULL below k),
-    * `est_distinct` — exact below k, else `(k−1)·2⁶⁰ div h_k`
-    * ([[Md5Key]] hash space; Beyer et al. SIGMOD'07). All integer
-    * arithmetic, so the batch form sits under the DuckDB hash gate
-    * (q141's oracle) and the streaming form equals it row-for-row. */
-  def kmvDistinctEstimate(df: DataFrame, groupCol: String, idCol: String,
-                          k: Int = 64): DataFrame = {
+  /** The raw per-group KMV sketch: `hs` = the k smallest distinct
+    * [[Md5Key]] hashes of `idCol`, ascending. This IS the sketch
+    * state — [[kmvDistinctEstimate]] reads a cardinality off it and
+    * [[kmvPairAlgebra]] runs set algebra over pairs of them, so a
+    * corpus-sized input is reduced ONCE and every downstream estimate
+    * works on ≤ k·|groups| rows. */
+  def kmvHeads(df: DataFrame, groupCol: String, idCol: String,
+               k: Int = 64): DataFrame = {
     graft.functions.BoundedMinKDistinct.register(df.sparkSession)
     df
       .select(col(groupCol),
@@ -45,14 +39,84 @@ object Sketches {
       .withColumn("hv", expr(Md5Key.hex15ToLong("hx")))
       .groupBy(groupCol)
       .agg(expr(s"bounded_min_k_distinct(hv, $k)").as("hs"))
-      .select(col(groupCol),
-        size(col("hs")).cast("long").as("n_heads"),
-        expr(s"CASE WHEN size(hs) = $k THEN element_at(hs, $k) END")
-          .as("kth_hash"),
-        expr(s"CASE WHEN size(hs) < $k THEN cast(size(hs) as bigint) " +
+  }
+
+  /** The estimator columns over a [[kmvHeads]] frame: `n_heads` (≤ k),
+    * `kth_hash` (NULL below k), `est_distinct` — exact below k, else
+    * `(k−1)·2⁶⁰ div h_k` (Beyer et al. SIGMOD'07). All integer
+    * arithmetic, so it sits under the DuckDB hash gate (q141). */
+  def kmvEstimateFromHeads(heads: DataFrame, groupCol: String,
+                           k: Int): DataFrame =
+    heads.select(col(groupCol),
+      size(col("hs")).cast("long").as("n_heads"),
+      expr(s"CASE WHEN size(hs) = $k THEN element_at(hs, $k) END")
+        .as("kth_hash"),
+      expr(s"CASE WHEN size(hs) < $k THEN cast(size(hs) as bigint) " +
+        s"ELSE cast(cast(${k - 1} as decimal(19,0)) * ${Md5Key.Space} " +
+        s"div greatest(element_at(hs, $k), 1) as bigint) END")
+        .as("est_distinct"))
+
+  /** Per-group KMV distinct-cardinality estimate over `idCol`
+    * (any SQL expression yielding a stable string/number per element).
+    *
+    * Batch: call on any DataFrame. Streaming: call on a streaming
+    * DataFrame and write with Complete (or Update) output mode — the
+    * result is the continuously-maintained estimate per group.
+    * The batch form sits under the DuckDB hash gate (q141's oracle)
+    * and the streaming form equals it row-for-row. */
+  def kmvDistinctEstimate(df: DataFrame, groupCol: String, idCol: String,
+                          k: Int = 64): DataFrame =
+    kmvEstimateFromHeads(kmvHeads(df, groupCol, idCol, k), groupCol, k)
+
+  /** KMV set algebra: for every unordered pair of groups, estimate the
+    * distinct-element UNION, INTERSECTION, and Jaccard of the two
+    * groups' id sets purely from their k-min sketches — the
+    * sketch-side swap for an exact pairwise-overlap self-join
+    * ([[graft.ops.EventQueries]] q155 vs q160).
+    *
+    * The algebra (Beyer et al., SIGMOD 2007 §4): the k smallest
+    * hashes of A ∪ B are computable from K(A) ∪ K(B) alone (any
+    * union hash below either sketch's k-th minimum is in one of the
+    * sketches), so `union_k = first k of sort(distinct(K(A)+K(B)))`
+    * is itself a valid KMV sketch of the union → `est_union` by the
+    * usual estimator. Within union_k, the fraction ρ of hashes
+    * present in BOTH sketches is an unbiased estimate of the Jaccard
+    * ratio → `est_inter = ρ · est_union`, `jaccard_est_permille =
+    * ρ · 1000`. Below k everything degenerates to EXACT set algebra
+    * (each sketch then holds the group's entire hash set).
+    *
+    * Scale: the input frame is touched once ([[kmvHeads]] — a bounded
+    * native aggregate, map-side capped at k); the pair algebra runs
+    * on the |groups|-row sketch frame, broadcast, each pair costing
+    * O(k log k) in-row array work. C(|groups|, 2) pairs of 100 TB id
+    * sets become C(|groups|, 2) pairs of 64-element arrays.
+    * Determinism: hashes are [[Md5Key]] integers and every estimator
+    * is integer division — a pure function of the id SETS, so the
+    * whole frame (estimates included) sits under the DuckDB hash
+    * gate, merge order and partitioning invisible. */
+  def kmvPairAlgebra(heads: DataFrame, groupCol: String, k: Int): DataFrame = {
+    val a = heads.select(col(groupCol).as("t1"), col("hs").as("hs1"))
+    val b = heads.select(col(groupCol).as("t2"), col("hs").as("hs2"))
+    a.join(broadcast(b), col("t1") < col("t2"))
+      .withColumn("u", slice(array_sort(array_distinct(
+        concat(col("hs1"), col("hs2")))), 1, k))
+      .withColumn("n_u", size(col("u")))
+      .withColumn("n_i",
+        size(array_intersect(col("u"), array_intersect(col("hs1"), col("hs2")))))
+      .select(col("t1"), col("t2"),
+        col("n_u").cast("long").as("n_union_heads"),
+        expr(s"CASE WHEN n_u < $k THEN cast(n_u as bigint) " +
           s"ELSE cast(cast(${k - 1} as decimal(19,0)) * ${Md5Key.Space} " +
-          s"div greatest(element_at(hs, $k), 1) as bigint) END")
-          .as("est_distinct"))
+          s"div greatest(element_at(u, $k), 1) as bigint) END")
+          .as("est_union"),
+        col("n_i").cast("long").as("n_inter_heads"),
+        expr(s"cast(cast(n_i as decimal(19,0)) * (CASE WHEN n_u < $k " +
+          s"THEN cast(n_u as bigint) " +
+          s"ELSE cast(cast(${k - 1} as decimal(19,0)) * ${Md5Key.Space} " +
+          s"div greatest(element_at(u, $k), 1) as bigint) END) " +
+          s"div greatest(n_u, 1) as bigint)").as("est_inter"),
+        expr("n_i * 1000 div greatest(n_u, 1)").cast("long")
+          .as("jaccard_est_permille"))
   }
 
   /** Each input row fanned out to its `d` count-min (row, bucket)

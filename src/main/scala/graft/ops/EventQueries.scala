@@ -1066,9 +1066,114 @@ object EventQueries {
     * (Complete mode keeps the k-capped buffer per group in the state
     * store), spec'd stream ≡ batch across micro-batches. */
   def q141KmvDistinct(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Sketches.kmvDistinctEstimate(
-      Tables.events(spark, dir), "event_type", "user_id", k = 64)
+    graft.operators.Sketches.kmvEstimateFromHeads(
+      kmvUserHeads(spark, dir), "event_type", k = 64)
       .orderBy("event_type")
+
+  /** The per-event-type KMV sketch of user_id — 5 rows of ≤ 64 hashes,
+    * the ONE corpus-sized pass shared by q141 (cardinality) and q160
+    * (pairwise set algebra); memoized because both read it per run. */
+  private def kmvUserHeads(spark: SparkSession, dir: String): DataFrame =
+    Memo.of(spark, s"kmv_user_heads:$dir:k=64") {
+      graft.operators.Sketches.kmvHeads(
+        Tables.events(spark, dir), "event_type", "user_id", k = 64)
+    }
+
+  /** Sketch-side audience overlap: distinct-user union, intersection,
+    * and Jaccard per event-type pair estimated from the q141 KMV
+    * sketches alone — the 100 TB swap for q155's EXACT overlap, which
+    * self-joins the full distinct (type, user) frame on user_id. Here
+    * the corpus is reduced ONCE to 5 rows × ≤ 64 hashes (a bounded
+    * native aggregate with map-side-capped state), and every pair
+    * estimate is O(k log k) in-row array algebra on a broadcast frame:
+    * at 10⁹ users the exact self-join shuffles the full user universe,
+    * the sketch path still moves 5 × 64 BIGINTs.
+    *
+    * Error: ±1/√(k−2) ≈ 13 % relative at k = 64 on union cardinality,
+    * the q141 dial; the intersection inherits union error × ρ's
+    * binomial noise (Beyer et al., SIGMOD 2007 §4). The fixture
+    * estimate-vs-exact gap is pinned in SketchAlgebraSpec against
+    * q155's exact Jaccard. Every estimator column is integer
+    * arithmetic over [[Md5Key]] hashes — a pure function of the user
+    * id SETS — so unlike engine-internal sketch ops the ESTIMATES
+    * themselves sit under the DuckDB hash gate. */
+  def q160KmvOverlap(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.kmvPairAlgebra(
+      kmvUserHeads(spark, dir), "event_type", k = 64)
+      .orderBy("t1", "t2")
+
+  /** Misra–Gries heavy hitters with the THEOREM as data, in the
+    * biting regime: per event type, an 8-counter MG summary over the
+    * ~34-value value-decile key (`floor(value/10)` — the fixture's
+    * exponential-ish value column makes the low deciles true heavy
+    * hitters), certified against exact per-key counts re-derived
+    * next to it. MG counter VALUES are partition-order-dependent
+    * once decrements fire (inherent to the algorithm), so the
+    * hash-gateable columns are the ones its worst-case guarantees
+    * fix on EVERY path (Misra & Gries 1982; Agarwal et al., PODS
+    * 2012 for the merge):
+    *
+    *   `n_total`       — exact group count (plain aggregate);
+    *   `n_heavy_true`  — exact |{keys: f·(k+1) > n}| (the support
+    *                     threshold, integer-exact as f·9 > n);
+    *   `n_heavy_found` — of those, how many the summary kept:
+    *                     theorem ⇒ ALL of them ⇒ = n_heavy_true;
+    *   `n_over_est`    — kept counters exceeding their true count:
+    *                     theorem ⇒ 0 (MG never overestimates);
+    *   `n_bound_viol`  — kept counters under-estimating by more than
+    *                     `(n − Σc) div (k+1)` (the residual bound,
+    *                     computed FROM the summary): theorem ⇒ 0.
+    *
+    * The DuckDB oracle computes n_total/n_heavy_true exactly and pins
+    * the theorem columns — so a broken update, merge, or serialization
+    * path that voids any guarantee flips a 0 and fails the hash gate.
+    * Scale: MG state is ≤ k counters per group at every plan stage
+    * (map-side partials included); the exact side here is the
+    * CERTIFICATE harness, fixture-affordable like q143's — production
+    * runs the summary alone. q75 covers the engine-internal
+    * `freqItems` variant; this puts the summary itself under the
+    * oracle gate. */
+  def q162MgCertificate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.MisraGries.register(spark)
+    val k = 8
+    val keyed = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("cast(floor(value / 10) as bigint)").as("key"))
+    val mg = keyed
+      .groupBy("event_type")
+      .agg(expr(s"misra_gries(key, $k)").as("mg"),
+        count(lit(1)).as("n_total"))
+      // the residual underestimate bound, computed from the summary
+      .withColumn("d_bound",
+        expr(s"(n_total - aggregate(mg, 0L, (acc, e) -> acc + e.c)) " +
+          s"div ${k + 1}"))
+      .select(col("event_type"), col("n_total"), col("d_bound"),
+        explode(col("mg")).as("e"))
+      .select(col("event_type"), col("n_total"), col("d_bound"),
+        col("e.v").as("key"), col("e.c").as("c_est"))
+    val exact = keyed.groupBy("event_type", "key")
+      .agg(count(lit(1)).as("f"))
+    mg.join(exact, Seq("event_type", "key"), "left")
+      .groupBy("event_type", "n_total")
+      .agg(
+        sum(when(col("c_est") > coalesce(col("f"), lit(0L)), 1L)
+          .otherwise(0L)).as("n_over_est"),
+        sum(when(coalesce(col("f"), lit(0L)) - col("c_est") > col("d_bound"),
+          1L).otherwise(0L)).as("n_bound_viol"),
+        sum(when(col("f") * (k + 1) > col("n_total"), 1L).otherwise(0L))
+          .as("n_heavy_found"))
+      .join(
+        exact
+          .join(broadcast(exact.groupBy("event_type")
+            .agg(sum(col("f")).as("nt"))), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(sum(when(col("f") * (k + 1) > col("nt"), 1L).otherwise(0L))
+            .as("n_heavy_true")),
+        Seq("event_type"))
+      .select(col("event_type"), col("n_total"), col("n_heavy_true"),
+        col("n_heavy_found"), col("n_over_est"), col("n_bound_viol"))
+      .orderBy("event_type")
+  }
 
   /** Count-min sketch with the overestimate guarantee ITSELF under
     * the oracle gate. d = 3 hash rows × w = 64 buckets of exact
@@ -1118,6 +1223,8 @@ object EventQueries {
     "q159_asof_snapshot"  -> (q159AsOfSnapshot _),
     "q143_count_min"      -> (q143CountMin _),
     "q141_kmv_distinct"   -> (q141KmvDistinct _),
+    "q160_kmv_overlap"    -> (q160KmvOverlap _),
+    "q162_mg_certificate" -> (q162MgCertificate _),
     "q129_hist_quantile"  -> (q129HistQuantile _),
     "q125_sessionize"     -> (q125Sessionize _),
     "q131_session_conversion" -> (q131SessionConversion _),
@@ -1287,6 +1394,77 @@ object EventQueries {
     // even a 60-bit prefix collision collapses identically), distinct
     // hv per group, k-th smallest via row_number, same HUGEINT-staged
     // (k−1)·2^60 // h_k estimator Spark stages through DECIMAL
+    // replays the full KMV pair algebra: per-type k-min heads via
+    // row_number over the shared md5 polynomial, the pair union's
+    // first k (itself a valid union sketch — Beyer et al. §4), and
+    // the integer estimators, HUGEINT-staged like q141's.
+    "q160_kmv_overlap" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |             substr(md5(cast(user_id as string)), 1, 15) AS hx
+         |           FROM events),
+         |v AS (SELECT DISTINCT event_type,
+         |        ${Md5Key.hex15ToLong("hx")} AS hv
+         |      FROM h),
+         |r AS (SELECT event_type, hv,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+         |      FROM v),
+         |heads AS (SELECT event_type, hv FROM r WHERE rn <= 64),
+         |types AS (SELECT DISTINCT event_type FROM heads),
+         |pairs AS (SELECT a.event_type AS t1, b.event_type AS t2
+         |          FROM types a JOIN types b ON a.event_type < b.event_type),
+         |mem AS (SELECT p.t1, p.t2, hd.hv,
+         |          max(CASE WHEN hd.event_type = p.t1 THEN 1 ELSE 0 END) AS in1,
+         |          max(CASE WHEN hd.event_type = p.t2 THEN 1 ELSE 0 END) AS in2
+         |        FROM pairs p JOIN heads hd
+         |          ON hd.event_type = p.t1 OR hd.event_type = p.t2
+         |        GROUP BY p.t1, p.t2, hd.hv),
+         |urk AS (SELECT t1, t2, hv, in1, in2,
+         |          row_number() OVER (PARTITION BY t1, t2 ORDER BY hv) AS rn
+         |        FROM mem),
+         |agg AS (SELECT t1, t2,
+         |          CAST(count(*) AS BIGINT) AS n_u,
+         |          CAST(sum(CASE WHEN in1 = 1 AND in2 = 1 THEN 1 ELSE 0 END)
+         |               AS BIGINT) AS n_i,
+         |          max(hv) AS h_k
+         |        FROM urk WHERE rn <= 64 GROUP BY t1, t2),
+         |est AS (SELECT t1, t2, n_u, n_i,
+         |          CASE WHEN n_u < 64 THEN n_u
+         |               ELSE CAST(CAST(63 AS HUGEINT) * ${Md5Key.Space}
+         |                      // greatest(h_k, 1) AS BIGINT)
+         |          END AS est_union
+         |        FROM agg)
+         |SELECT t1, t2, n_u AS n_union_heads, est_union,
+         |  n_i AS n_inter_heads,
+         |  CAST(CAST(n_i AS HUGEINT) * est_union // greatest(n_u, 1)
+         |       AS BIGINT) AS est_inter,
+         |  CAST(n_i * 1000 // greatest(n_u, 1) AS BIGINT)
+         |    AS jaccard_est_permille
+         |FROM est ORDER BY t1, t2""".stripMargin,
+
+    // exact side computed for real; the three theorem columns are
+    // pinned (found = true, violations = 0) — Misra & Gries 1982 /
+    // PODS 2012 make them path-independent, so a broken update/merge/
+    // serialize flips one and fails the hash gate.
+    "q162_mg_certificate" ->
+      """WITH keyed AS (SELECT event_type,
+        |                 CAST(floor(value / 10) AS BIGINT) AS key
+        |               FROM events),
+        |ex AS (SELECT event_type, key, CAST(count(*) AS BIGINT) AS f
+        |       FROM keyed GROUP BY event_type, key),
+        |tot AS (SELECT event_type, CAST(sum(f) AS BIGINT) AS n_total
+        |        FROM ex GROUP BY event_type),
+        |hv AS (SELECT e.event_type,
+        |         CAST(sum(CASE WHEN e.f * 9 > t.n_total THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_heavy_true
+        |       FROM ex e JOIN tot t USING (event_type)
+        |       GROUP BY e.event_type)
+        |SELECT t.event_type, t.n_total, h.n_heavy_true,
+        |  h.n_heavy_true AS n_heavy_found,
+        |  CAST(0 AS BIGINT) AS n_over_est,
+        |  CAST(0 AS BIGINT) AS n_bound_viol
+        |FROM tot t JOIN hv h USING (event_type)
+        |ORDER BY t.event_type""".stripMargin,
+
     "q141_kmv_distinct" ->
       s"""WITH h AS (SELECT DISTINCT event_type,
          |             substr(md5(cast(user_id as string)), 1, 15) AS hx

@@ -1137,7 +1137,55 @@ object TextQueries {
       key = "doc_id", seqCol = "seq")
   }
 
+  /** Per-language term heavy hitters via the native `misra_gries`
+    * aggregate ([[graft.functions.MisraGries]]) — the vocab-pruning /
+    * stop-list primitive, run in the aggregate's DETERMINISTIC regime:
+    * the fixture vocabulary is ~31 terms per language and k = 64, so
+    * no MG decrement ever fires on any path and the summary is the
+    * EXACT per-term frequency table in (count desc, hash asc) order —
+    * a pure function of the data, which is what lets the whole output
+    * (ranks and counts) sit under the DuckDB hash gate. The BITING
+    * regime (real vocabularies ≫ k), where MG counter values are
+    * legitimately path-dependent, is certified guarantee-by-guarantee
+    * in [[graft.ops.EventQueries.q162MgCertificate]] and stress-tested
+    * in MisraGriesSpec.
+    *
+    * Terms ride as [[Md5Key]] md5-polynomial hashes (the oracle
+    * replays them bit-for-bit; misra_gries takes bigint); the readable
+    * term string comes back from a vocabulary dictionary built off the
+    * DISTINCT terms — vocabulary-sized, broadcast. Both engines key
+    * the dictionary by hash and take min(term), so a (cosmically
+    * unlikely) hash collision still agrees cross-engine.
+    *
+    * Scale: state is ≤ k counters per language at every plan stage —
+    * the corpus reduces map-side; the dictionary join is the only
+    * other exchange and it is vocabulary-sized. At a real 10⁷-term
+    * vocabulary the same plan emits ≤ k candidates per language with
+    * the q162 guarantees instead of an exact table — that regime
+    * change is the point of the operator. */
+  def q161MgTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.MisraGries.register(spark)
+    val k = 64
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .withColumn("hx", expr("substr(md5(term), 1, 15)"))
+      .select(col("lang"), col("term"), expr(Md5Key.hex15ToLong("hx")).as("hv"))
+    val dict = toks.select("term").distinct()
+      .withColumn("hx", expr("substr(md5(term), 1, 15)"))
+      .select(col("term"), expr(Md5Key.hex15ToLong("hx")).as("hv"))
+      .groupBy("hv").agg(min(col("term")).as("term"))
+    toks
+      .groupBy("lang").agg(expr(s"misra_gries(hv, $k)").as("mg"))
+      .select(col("lang"), posexplode(col("mg")).as(Seq("pos", "e")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
+        col("e.v").as("hv"), col("e.c").as("n_term"))
+      .join(broadcast(dict), Seq("hv"))
+      .select(col("lang"), col("rk"), col("term"), col("n_term"))
+      .orderBy("lang", "rk")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_mg_top_terms"  -> (q161MgTopTerms _),
     "q158_merge_apply"   -> (q158MergeApply _),
     "q151_lm_score"      -> (q151LmScore _),
     "q154_oov_rate"      -> (q154OovRate _),
@@ -1210,6 +1258,31 @@ object TextQueries {
        |           GROUP BY e.dst) c ON r.term = c.dst)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // exact per-(lang, term-hash) counts ranked (count desc, hash asc)
+    // — identical to the MG summary in its deterministic regime
+    // (vocab <= k: no decrement ever fires). rk <= 64 mirrors the
+    // summary size cap; the dictionary joins min(term) per hash just
+    // as the Spark side does.
+    "q161_mg_top_terms" ->
+      s"""WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS term
+         |              FROM documents),
+         |hx AS (SELECT lang, substr(md5(term), 1, 15) AS hx FROM toks),
+         |hv AS (SELECT lang, ${Md5Key.hex15ToLong("hx")} AS hv FROM hx),
+         |cnt AS (SELECT lang, hv, CAST(count(*) AS BIGINT) AS n_term
+         |        FROM hv GROUP BY lang, hv),
+         |dx AS (SELECT term, substr(md5(term), 1, 15) AS hx
+         |       FROM (SELECT DISTINCT term FROM toks)),
+         |dict AS (SELECT hv, min(term) AS term
+         |         FROM (SELECT term, ${Md5Key.hex15ToLong("hx")} AS hv FROM dx)
+         |         GROUP BY hv),
+         |rk AS (SELECT lang, hv, n_term,
+         |         CAST(row_number() OVER (PARTITION BY lang
+         |           ORDER BY n_term DESC, hv) AS BIGINT) AS rk
+         |       FROM cnt)
+         |SELECT r.lang, r.rk, d.term, r.n_term
+         |FROM rk r JOIN dict d USING (hv)
+         |WHERE r.rk <= 64 ORDER BY r.lang, r.rk""".stripMargin,
+
     // the q128 model CTE verbatim (c1 = context count over ALL pairs,
     // floor at c12 >= 3), then every doc's bigram stream left-joined
     // against it — unseen pairs contribute 0 — and folded to the

@@ -42,16 +42,33 @@ class BenchContractSpec extends AnyFunSuite {
     // 2 (10 ms — still far above the bench noise floor) at the r9
     // registry size. The pin: realistic timings never lose more than
     // 10 ms resolution, and the TOTAL always keeps 3 decimals.
-    val real = names.map(_ -> 9.123456).toMap
+    // "realistic" = the actual bench distribution's shape (most
+    // queries well under 1 s, a tail to ~3.5 s), not a uniform
+    // worst case: every entry at 9+ s would mean a ~25-minute round,
+    // at which point whole-second resolution is fine anyway. The
+    // cycle below averages ~0.95 s — above the current per-query mean,
+    // so the byte-length this exercises upper-bounds the real line.
+    val cycle = Array(0.043, 0.117, 0.234, 0.318, 0.441, 0.527,
+      0.738, 1.412, 2.317, 3.289)
+    val real = names.zipWithIndex
+      .map { case (n, i) => n -> cycle(i % cycle.length) }.toMap
     val realLine = Bench.summaryJson(names, real,
       names.map(_ -> true).toMap, Map.empty, passes = 2,
       sfDir = "/root/testdata/sf0.1")
     val tree = mapper.readTree(realLine)
+    // the tiered-precision pin: sub-second timings keep 10 ms
+    // resolution, multi-second timings keep 100 ms (< 10% relative)
+    val subSec = names.find(n => real(n) < 1).get
+    val multiSec = names.find(n => real(n) >= 1).get
     val rv = tree.get("queries")
-      .get(names.head.takeWhile(_ != '_')).asDouble()
-    assert(math.abs(rv - 9.123) < 0.005 + 1e-9,
-      s"expected >= 2-decimal timing, got $rv")
-    assert(math.abs(tree.get("value").asDouble() - 9.123 * names.size) < 0.5,
+      .get(subSec.takeWhile(_ != '_')).asDouble()
+    assert(math.abs(rv - real(subSec)) < 0.005 + 1e-9,
+      s"expected >= 2-decimal sub-second timing, got $rv vs ${real(subSec)}")
+    val mv = tree.get("queries")
+      .get(multiSec.takeWhile(_ != '_')).asDouble()
+    assert(math.abs(mv - real(multiSec)) < 0.05 + 1e-9,
+      s"expected >= 1-decimal multi-second timing, got $mv vs ${real(multiSec)}")
+    assert(math.abs(tree.get("value").asDouble() - real.values.sum) < 0.5,
       "total must stay 3-decimal exact")
     // all-slow worst case (every query > 100 s): whole-second
     // resolution is < 1% relative error there and acceptable; the pin

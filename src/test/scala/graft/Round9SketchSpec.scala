@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.EventQueries
+
+/** Contracts for the Misra–Gries native aggregate and the KMV pair
+  * algebra (q160/q161/q162): MG's worst-case guarantees hold under
+  * adversarial skew on EVERY partitioning (the mergeable-summaries
+  * theorem exercised through Spark's real partial/merge tree), its
+  * deterministic regime is the exact frequency table, and the KMV
+  * set-algebra estimates degrade to exact set algebra below k and
+  * stay inside the Beyer-et-al error envelope against the exact
+  * overlap query above it.
+  */
+class Round9SketchSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // ---------------------------------------------------------- Misra–Gries
+
+  /** (value, count) rows → one MG summary, under a chosen partition
+    * count so the partial/merge tree actually varies between cases. */
+  private def mgSummary(values: Seq[Long], k: Int, parts: Int): Seq[(Long, Long)] = {
+    graft.functions.MisraGries.register(spark)
+    values.toDF("v").repartition(parts)
+      .agg(expr(s"misra_gries(v, $k)").as("mg"))
+      .select(explode($"mg").as("e"))
+      .select($"e.v", $"e.c").as[(Long, Long)].collect().toSeq
+  }
+
+  test("misra_gries deterministic regime: distinct <= k is the exact frequency table") {
+    // 5 distinct values, k = 8: no decrement can ever fire, on any
+    // partitioning — identical exact output across partition counts
+    val data = Seq.tabulate(1000)(i => (i % 5).toLong * 7) // values 0,7,14,21,28
+    val exact = data.groupBy(identity).map { case (v, vs) => (v, vs.size.toLong) }
+      .toSeq.sortBy { case (v, c) => (-c, v) }
+    for (parts <- Seq(1, 7, 32)) {
+      val got = mgSummary(data, k = 8, parts = parts)
+      assert(got == exact, s"parts=$parts")
+    }
+  }
+
+  test("misra_gries guarantees hold under adversarial skew on every partitioning") {
+    // two dominant values over a 200-value long tail: f(0) = 30000 and
+    // f(1) = 15000 both clear the n/(k+1) support line at k = 4
+    // (n = 63 000, threshold 12 600); the tail forces constant decrement
+    // pressure so the guarantees are exercised, not vacuous
+    val data: Seq[Long] = Seq.fill(30000)(0L) ++ Seq.fill(15000)(1L) ++
+      Seq.fill(8000)(2L) ++ (0 until 200).flatMap(v => Seq.fill(50)(v + 10L))
+    val n = data.size.toLong
+    val k = 4
+    val exact: Map[Long, Long] =
+      data.groupBy(identity).map { case (v, vs) => (v, vs.size.toLong) }
+    val heavy = exact.filter { case (_, f) => f * (k + 1) > n }.keySet
+    assert(heavy.nonEmpty, "fixture must have true heavy hitters")
+    for (parts <- Seq(1, 5, 32)) {
+      val got = mgSummary(data, k = k, parts = parts)
+      assert(got.size <= k, s"parts=$parts: summary exceeded k")
+      val sumC = got.map(_._2).sum
+      val bound = (n - sumC) / (k + 1)
+      got.foreach { case (v, c) =>
+        val f = exact.getOrElse(v, 0L)
+        assert(c <= f, s"parts=$parts: overestimate v=$v c=$c f=$f")
+        assert(f - c <= bound,
+          s"parts=$parts: underestimate beyond bound v=$v c=$c f=$f bound=$bound")
+      }
+      val kept = got.map(_._1).toSet
+      assert(heavy.subsetOf(kept),
+        s"parts=$parts: heavy hitter missing: ${heavy -- kept}")
+    }
+  }
+
+  test("misra_gries rejects bad k and non-bigint input at analysis time") {
+    graft.functions.MisraGries.register(spark)
+    val df = Seq(1L, 2L).toDF("v")
+    intercept[Exception] { df.selectExpr("misra_gries(v, 0)").collect() }
+    intercept[Exception] {
+      df.selectExpr(s"misra_gries(v, ${graft.functions.MisraGries.MaxK + 1})").collect()
+    }
+    intercept[Exception] {
+      Seq("a").toDF("s").selectExpr("misra_gries(s, 4)").collect()
+    }
+  }
+
+  // ------------------------------------------------------ KMV pair algebra
+
+  /** Two groups with a controlled id overlap. */
+  private def overlapDf(nA: Int, nB: Int, shared: Int) = {
+    val a = (0 until nA).map(i => ("a", i.toLong))
+    val b = (0 until nB).map(i => ("b", (nA - shared + i).toLong))
+    (a ++ b).toDF("g", "id")
+  }
+
+  test("kmv pair algebra is EXACT set algebra when the union fits below k") {
+    // |A| = 30, |B| = 25, overlap 10 -> union 45 < k = 64: the heads
+    // hold the full hash sets and every estimator degenerates to exact
+    val df = overlapDf(30, 25, 10)
+    val heads = graft.operators.Sketches.kmvHeads(df, "g", "id", k = 64)
+    val row = graft.operators.Sketches.kmvPairAlgebra(heads, "g", k = 64)
+      .collect().head
+    assert(row.getAs[Long]("n_union_heads") == 45L)
+    assert(row.getAs[Long]("est_union") == 45L)
+    assert(row.getAs[Long]("n_inter_heads") == 10L)
+    assert(row.getAs[Long]("est_inter") == 10L)
+    assert(row.getAs[Long]("jaccard_est_permille") == 10L * 1000 / 45)
+  }
+
+  test("kmv pair algebra estimates stay inside the error envelope above k") {
+    // |A| = |B| = 1000, overlap 500 -> union 1500, jaccard 1/3.
+    // k = 64: KMV relative error ~ 1/sqrt(k-2) ~ 13%; assert a loose
+    // 3-sigma envelope so the test pins correctness, not luck.
+    val df = overlapDf(1000, 1000, 500)
+    val heads = graft.operators.Sketches.kmvHeads(df, "g", "id", k = 64)
+    val row = graft.operators.Sketches.kmvPairAlgebra(heads, "g", k = 64)
+      .collect().head
+    val estU = row.getAs[Long]("est_union")
+    assert(math.abs(estU - 1500L) < 1500 * 0.4, s"est_union=$estU")
+    val estJ = row.getAs[Long]("jaccard_est_permille")
+    assert(math.abs(estJ - 333L) < 220, s"jaccard_est_permille=$estJ")
+    val estI = row.getAs[Long]("est_inter")
+    assert(estI > 150 && estI < 1000, s"est_inter=$estI")
+  }
+
+  test("q160 sketch overlap tracks q155 exact overlap on the fixture") {
+    val exact = EventQueries.q155AudienceOverlap(spark, dir)
+      .select($"t1", $"t2", $"jaccard_permille").as[(String, String, Long)]
+      .collect().map { case (a, b, j) => ((a, b), j) }.toMap
+    val est = EventQueries.q160KmvOverlap(spark, dir)
+      .select($"t1", $"t2", $"jaccard_est_permille").as[(String, String, Long)]
+      .collect().map { case (a, b, j) => ((a, b), j) }.toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (pair, j) =>
+      assert(math.abs(j - exact(pair)) <= 250,
+        s"$pair: est=$j exact=${exact(pair)}")
+    }
+  }
+
+  test("streaming misra_gries: continuously-maintained summary keeps the guarantees") {
+    // the MG buffer is mergeable state, so the same declarative
+    // aggregate runs as a Complete-mode streaming view (the KMV /
+    // count-min pattern): O(k) state per group FOREVER. Deterministic
+    // regime -> final state equals batch exactly; a value re-arriving
+    // in a later micro-batch must increment, not re-insert.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    graft.functions.MisraGries.register(spark)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val b1 = Seq.fill(40)(1L) ++ Seq.fill(25)(2L) ++ Seq.fill(5)(3L)
+    val b2 = Seq.fill(10)(1L) ++ Seq.fill(30)(4L) ++ Seq.fill(5)(3L)
+    val ms = MemoryStream[Long]
+    val q = ms.toDF().toDF("v")
+      .agg(expr("misra_gries(v, 8)").as("mg"))
+      .select(explode($"mg").as("e")).select($"e.v", $"e.c")
+      .writeStream.format("memory").queryName("mg_stream")
+      .outputMode("complete").start()
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("mg_stream").as[(Long, Long)].collect().toSeq
+      val batch = mgSummary(b1 ++ b2, k = 8, parts = 4)
+      assert(streamed.sortBy(_._1) == batch.sortBy(_._1))
+      assert(streamed.toMap == Map(1L -> 50L, 2L -> 25L, 3L -> 10L, 4L -> 30L))
+    } finally q.stop()
+  }
+
+  test("q162 certificate is all-clear on the fixture (theorem columns hold)") {
+    val rows = EventQueries.q162MgCertificate(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_over_est") == 0L)
+      assert(r.getAs[Long]("n_bound_viol") == 0L)
+      assert(r.getAs[Long]("n_heavy_found") == r.getAs[Long]("n_heavy_true"))
+    }
+  }
+}
