@@ -440,6 +440,47 @@ object TextAnalysis {
       .filter(col("df") >= minDf)
   }
 
+  /** Exact phrase search over positional postings — the positional
+    * generalization of [[invertedIndex]]: where that operator answers
+    * "which docs contain term t", this answers "which docs contain
+    * the CONSECUTIVE token sequence t₀ t₁ … tₗ₋₁", the classic
+    * positional-index query (Manning et al., IR ch. 2).
+    *
+    * `phrase` is a slot frame (slot, term) — slot i must match at
+    * token offset anchor+i. The match is pure position arithmetic:
+    * a token at position p matching slot i votes for anchor p − i,
+    * and an anchor with all L DISTINCT slots present is an exact
+    * occurrence (repeated phrase terms work: each slot needs its own
+    * position, and one token can satisfy two slots only at two
+    * different anchors). Emits (doc_id, n_occ, first_pos).
+    *
+    * Scale: the token stream is filtered to the phrase's terms by the
+    * broadcast slot join BEFORE anything shuffles — selectivity
+    * L/|vocab| — so the one exchange (doc_id, anchor) carries only
+    * candidate votes, each ≤ L rows per matching token, never the
+    * corpus token volume. No self-join, no array scan per doc pair;
+    * with postings persisted term-partitioned, the same plan reads
+    * only the L posting lists. */
+  def phraseOccurrences(docs: DataFrame, phrase: DataFrame, phraseLen: Int,
+                        text: String = "text"): DataFrame = {
+    // phraseLen is a caller-supplied constant (not phrase.count()) so
+    // a derived phrase frame — e.g. q163's top-trigram — is not
+    // executed twice just to learn its length
+    val len = phraseLen
+    require(len > 0, "phrase must have at least one slot")
+    docs
+      .select(col("doc_id"), posexplode(words(col(text))).as(Seq("pos", "term")))
+      .join(broadcast(phrase), Seq("term"))
+      .select(col("doc_id"), (col("pos") - col("slot")).as("anchor"),
+        col("slot"))
+      .groupBy("doc_id", "anchor")
+      .agg(countDistinct(col("slot")).as("nslots"))
+      .filter(col("nslots") === len && col("anchor") >= 0)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_occ"),
+        min(col("anchor")).cast("long").as("first_pos"))
+  }
+
   /** TF-IDF per (doc, term): tf = in-doc count, idf = ln(N/df) with
     * the corpus size N joined in as a 1-row broadcast (no driver
     * round-trip). The df side is a broadcast-able dimension for real

@@ -1215,7 +1215,57 @@ object EventQueries {
       .withColumn("over_by", col("n_est") - col("n_exact"))
   }
 
+  /** Seasonal-naive forecast backtest: score the two standard no-model
+    * baselines — "tomorrow = today" (lag-1) and "tomorrow = same day
+    * last week" (lag-7, the seasonal naive of the M-competitions) —
+    * against realized daily volume per event type, and report which
+    * baseline a real forecaster would have to beat. This is the
+    * capacity-planning sanity check run BEFORE fitting any model:
+    * if lag-7 wins, the series is weekly-seasonal; if lag-1 wins,
+    * it's momentum-driven (q156 measures the same structure as
+    * autocorrelation; this prices it in forecast-error units).
+    *
+    * Both baselines are CALENDAR arithmetic (day − 1 / day − 7 as
+    * epoch-day integers, the q156 convention), never row offsets —
+    * a gap day scores no forecast rather than silently borrowing the
+    * wrong origin; inner joins keep exactly the days where both
+    * baselines exist, so the comparison is apples-to-apples on one
+    * shared support. Errors are integer sums of absolute deviations
+    * (no float in the hash gate); `winner` is the three-way verdict.
+    *
+    * Scale: the corpus reduces ONCE to the (type, day) daily frame —
+    * map-side-combinable, calendar-sized output — and everything
+    * after (two self-joins, final agg) runs on |types|·|days| rows.
+    * No windows at all: the baselines are equi-joins on shifted keys,
+    * which co-partition on (event_type, day) in one exchange. */
+  def q164ForecastBacktest(spark: SparkSession, dir: String): DataFrame =
+    seasonalBacktest(Tables.events(spark, dir))
+
+  def seasonalBacktest(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val l1 = daily.select(col("event_type"), (col("day") + 1).as("day"),
+      col("cnt").as("fc1"))
+    val l7 = daily.select(col("event_type"), (col("day") + 7).as("day"),
+      col("cnt").as("fc7"))
+    daily.join(l1, Seq("event_type", "day"))
+      .join(l7, Seq("event_type", "day"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("cnt") - col("fc1"))).as("sae_lag1"),
+        sum(abs(col("cnt") - col("fc7"))).as("sae_lag7"))
+      .withColumn("winner",
+        when(col("sae_lag7") < col("sae_lag1"), "lag7")
+          .when(col("sae_lag1") < col("sae_lag7"), "lag1")
+          .otherwise("tie"))
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_forecast_backtest" -> (q164ForecastBacktest _),
     "q152_path_trigrams"  -> (q152PathTrigrams _),
     "q153_median_of_means" -> (q153MedianOfMeans _),
     "q155_audience_overlap" -> (q155AudienceOverlap _),
@@ -1394,6 +1444,26 @@ object EventQueries {
     // even a 60-bit prefix collision collapses identically), distinct
     // hv per group, k-th smallest via row_number, same HUGEINT-staged
     // (k−1)·2^60 // h_k estimator Spark stages through DECIMAL
+    // calendar-join backtest: both baselines are shifted-key equi-joins
+    // over the daily frame, errors integer-exact
+    "q164_forecast_backtest" ->
+      """WITH d AS (SELECT event_type,
+        |        date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |        CAST(count(*) AS BIGINT) AS cnt
+        |      FROM events GROUP BY 1, 2)
+        |SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(abs(a.cnt - l1.cnt)) AS BIGINT) AS sae_lag1,
+        |  CAST(sum(abs(a.cnt - l7.cnt)) AS BIGINT) AS sae_lag7,
+        |  CASE WHEN sum(abs(a.cnt - l7.cnt)) < sum(abs(a.cnt - l1.cnt))
+        |         THEN 'lag7'
+        |       WHEN sum(abs(a.cnt - l1.cnt)) < sum(abs(a.cnt - l7.cnt))
+        |         THEN 'lag1'
+        |       ELSE 'tie' END AS winner
+        |FROM d a
+        |JOIN d l1 ON a.event_type = l1.event_type AND l1.day = a.day - 1
+        |JOIN d l7 ON a.event_type = l7.event_type AND l7.day = a.day - 7
+        |GROUP BY a.event_type ORDER BY a.event_type""".stripMargin,
+
     // replays the full KMV pair algebra: per-type k-min heads via
     // row_number over the shared md5 polynomial, the pair union's
     // first k (itself a valid union sketch — Beyer et al. §4), and

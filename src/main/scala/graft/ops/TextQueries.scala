@@ -1184,7 +1184,45 @@ object TextQueries {
       .orderBy("lang", "rk")
   }
 
+  /** Positional phrase search: which documents contain the corpus's
+    * most frequent word TRIGRAM as a consecutive token sequence, and
+    * where. Two stages, both deterministic: (1) derive the phrase —
+    * trigram counts are one in-row list transform per doc (the q128
+    * convention: never a positional self-join), top-1 by
+    * (count desc, trigram asc) is a TakeOrdered, no full sort; (2)
+    * match it with [[graft.operators.TextAnalysis.phraseOccurrences]]
+    * — anchor arithmetic over positional postings, filtered to the 3
+    * phrase terms by a broadcast join BEFORE the one (doc_id, anchor)
+    * exchange. Deriving the phrase from the data (rather than
+    * hardcoding a literal) keeps the query meaningful across fixture
+    * regenerations; a production caller passes any phrase frame.
+    *
+    * Scale: stage 1 is a corpus-token-volume aggregate with map-side
+    * combine (trigram key space, not doc count, bounds the shuffle);
+    * stage 2 moves only candidate votes — L rows per occurrence of
+    * any phrase TERM, selectivity L/|vocab| — and the anchor groups
+    * are at most L rows each. The LIKE '%phrase%' scan this replaces
+    * reads every byte of every document with no pushdown story. */
+  def q163PhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val w = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val top = w.filter(size(col("w")) >= 3)
+      .select(explode(expr("transform(sequence(0, size(w) - 3), " +
+        "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("tri"))
+      .groupBy("tri").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tri").asc).limit(1)
+      .select(col("tri"))
+    val slots = top
+      .select(posexplode(split(col("tri"), " ")).as(Seq("slot", "term")))
+    TextAnalysis.phraseOccurrences(
+        Tables.documents(spark, dir), slots, phraseLen = 3)
+      .crossJoin(broadcast(top.select(col("tri").as("phrase"))))
+      .select(col("doc_id"), col("phrase"), col("n_occ"), col("first_pos"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_phrase_search" -> (q163PhraseSearch _),
     "q161_mg_top_terms"  -> (q161MgTopTerms _),
     "q158_merge_apply"   -> (q158MergeApply _),
     "q151_lm_score"      -> (q151LmScore _),
@@ -1258,6 +1296,34 @@ object TextQueries {
        |           GROUP BY e.dst) c ON r.term = c.dst)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // stage 1: trigram counts via 1-based list indexing over a 0-based
+    // range (the q67 shape), top-1 by (count desc, trigram asc);
+    // stage 2: the anchor-arithmetic phrase match — token at pos p
+    // matching slot i votes anchor p-i, an anchor with all 3 distinct
+    // slots is an exact occurrence
+    "q163_phrase_search" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tric AS (SELECT doc_id, unnest(range(len(w) - 2)) AS i, w
+        |         FROM w WHERE len(w) >= 3),
+        |tcnt AS (SELECT concat_ws(' ', w[i+1], w[i+2], w[i+3]) AS tri,
+        |           count(*) AS n
+        |         FROM tric GROUP BY tri),
+        |top AS (SELECT tri FROM tcnt ORDER BY n DESC, tri LIMIT 1),
+        |ph AS (SELECT unnest(range(3)) AS slot, string_split(tri, ' ') AS ts
+        |       FROM top),
+        |slots AS (SELECT slot, ts[slot+1] AS term FROM ph),
+        |tokx AS (SELECT doc_id, unnest(range(len(w))) AS pos, w FROM w),
+        |tok AS (SELECT doc_id, pos, w[pos+1] AS term FROM tokx),
+        |m AS (SELECT t.doc_id, t.pos - s.slot AS anchor, s.slot
+        |      FROM tok t JOIN slots s USING (term)),
+        |occ AS (SELECT doc_id, anchor FROM m
+        |        GROUP BY doc_id, anchor HAVING count(DISTINCT slot) = 3),
+        |res AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occ,
+        |          CAST(min(anchor) AS BIGINT) AS first_pos
+        |        FROM occ GROUP BY doc_id)
+        |SELECT r.doc_id, t.tri AS phrase, r.n_occ, r.first_pos
+        |FROM res r, top t ORDER BY r.doc_id""".stripMargin,
+
     // exact per-(lang, term-hash) counts ranked (count desc, hash asc)
     // — identical to the MG summary in its deterministic regime
     // (vocab <= k: no decrement ever fires). rk <= 64 mirrors the

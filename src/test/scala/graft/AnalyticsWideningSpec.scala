@@ -455,4 +455,38 @@ class AnalyticsWideningSpec extends AnyFunSuite {
     assert(rows.exists(r => r._2 > 0L && r._3 > 0L),
       "fixture must exercise the both-legs fusion path")
   }
+
+  test("seasonal backtest: lag-7 wins a planted weekly cycle; gap days score no forecast") {
+    import graft.ops.EventQueries
+    // 28 days of a strict weekly cycle (period-7 pattern, amplitude
+    // >> lag-1 step): seasonal naive is EXACT (sae_lag7 = 0), lag-1
+    // pays the daily step every scored day
+    val cycle = Array(100, 100, 100, 100, 100, 400, 400)
+    def tsOf(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-${day + 1}%02d 12:00:00")
+    val weekly = (0 until 28).flatMap(d =>
+      Seq.fill(cycle(d % 7))(("wk", tsOf(d), 1L)))
+    // a second series with day 9 MISSING entirely: days 10 and 16
+    // would need origin day 9 for lag-1/lag-7 and must not be scored
+    // against a row-offset neighbor
+    val gappy = (0 until 28).filter(_ != 9).flatMap(d =>
+      Seq.fill(10 + d)(("gap", tsOf(d), 1L)))
+    val events = (weekly ++ gappy).toDF("event_type", "ts", "user_id")
+    val got = EventQueries.seasonalBacktest(events).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toMap
+    val (nW, sae1W, sae7W, winW) = got("wk")
+    // scored days: 7..27 (need both day-1 and day-7) = 21 days
+    assert(nW == 21L, s"weekly scored $nW days")
+    assert(sae7W == 0L && winW == "lag7")
+    // cycle edges among scored days 7..27: d%7==0 at d=7,14,21 and
+    // d%7==5 at d=12,19,26 — six |400-100| steps
+    assert(sae1W == 6 * 300L,
+      s"lag-1 must pay the cycle edges, got $sae1W")
+    val (nG, sae1G, _, _) = got("gap")
+    // gap series: days 7..27 minus day 9 itself, minus day 10 (no
+    // day-9 lag-1 origin) and day 16 (no day-9 lag-7 origin) = 18
+    assert(nG == 18L, s"gappy scored $nG days")
+    // linear series: every scored lag-1 error is exactly 1
+    assert(sae1G == 18L, s"linear series lag-1 SAE must be n_days, got $sae1G")
+  }
 }

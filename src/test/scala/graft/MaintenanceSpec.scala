@@ -99,4 +99,51 @@ class MaintenanceSpec extends AnyFunSuite {
     // the rewrite loses no rows
     assert(spark.read.parquet(zDir).count() == ev.count())
   }
+
+  test("hive-partitioned layout: static filters AND join-driven dynamic pruning reach the scan") {
+    // the 100 TB fact-table story: a date-partitioned fact must be
+    // prunable BOTH by a literal date predicate (static partition
+    // pruning — the planner lists only matching directories) and by a
+    // join against a filtered dimension whose matching dates are only
+    // known at RUNTIME (dynamic partition pruning — Spark injects the
+    // dim's build-side keys as a partition filter). Without DPP a
+    // "join to the current release's dates" reads every partition.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val ev = Tables.events(spark, SparkTestSession.sf)
+      .withColumn("day", date_format($"ts", "yyyy-MM-dd"))
+    ev.write.partitionBy("day").mode("overwrite").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val days = fact.select("day").distinct().as[String].collect().sorted
+    assert(days.length >= 3, "fixture must span several day partitions")
+
+    // static: a literal day predicate becomes a PartitionFilter, and
+    // the scan's partition count drops to 1 (not a post-scan Filter)
+    val static = fact.filter($"day" === days.head)
+    val scan = static.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .get
+    assert(scan.partitionFilters.nonEmpty, "day predicate must be a partition filter")
+    assert(static.count() == ev.filter($"day" === days.head).count())
+
+    // dynamic: join fact to a dim filtered on a NON-join column; the
+    // qualifying days exist only after the dim is built, so the prune
+    // must be a dynamicpruning expression on the fact scan
+    // partition-type inference reads `day=2024-…` directories back as
+    // DATE — the dim must match, or the cast on the join key blocks
+    // the prune from reaching the scan cleanly. The dim must also be a
+    // real datasource: on an in-memory LocalRelation the optimizer
+    // folds the grp filter away before the PartitionPruning rule looks
+    // for a selective predicate, and no DPP is inserted.
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString
+    days.zipWithIndex.map { case (d, i) => (d, i % 2) }
+      .toSeq.toDF("day", "grp").withColumn("day", to_date($"day"))
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = fact.join(dim.filter($"grp" === 0), "day")
+    val planStr = joined.queryExecution.executedPlan.toString.toLowerCase
+    assert(planStr.contains("dynamicpruning"),
+      "join-driven date filter must reach the fact scan as dynamic pruning")
+    val keepDays = days.zipWithIndex.filter(_._2 % 2 == 0).map(_._1).toSet
+    assert(joined.count() == ev.filter($"day".isin(keepDays.toSeq: _*)).count())
+  }
 }

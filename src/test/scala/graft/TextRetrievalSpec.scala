@@ -251,4 +251,50 @@ class TextRetrievalSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(!a.sameElements(c), "changing the seed must change the order")
   }
+
+  // --------------------------------------------------- phrase search
+
+  test("phraseOccurrences: exact consecutive matches only, overlaps and repeats handled") {
+    val docs = Seq(
+      (1L, "x a b c y a b c"),      // two occurrences, first at pos 1
+      (2L, "a b x c"),              // all terms present, never consecutive
+      (3L, "a b"),                  // prefix only — no match
+      (4L, "c b a"),                // reversed — no match
+      (5L, "a b c")                 // exact doc == phrase, anchor 0
+    ).toDF("doc_id", "text")
+    val phrase = Seq((0, "a"), (1, "b"), (2, "c")).toDF("slot", "term")
+    val got = TextAnalysis.phraseOccurrences(docs, phrase, phraseLen = 3)
+      .select($"doc_id", $"n_occ", $"first_pos")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 2L, 1L), (5L, 1L, 0L)))
+  }
+
+  test("phraseOccurrences: a repeated phrase term needs distinct positions per slot") {
+    // phrase "a a b": doc 1 has it ("a a b"), doc 2 has only one 'a'
+    // before 'b' — a single token must not satisfy both 'a' slots
+    val docs = Seq(
+      (1L, "x a a b"),
+      (2L, "x a b b")
+    ).toDF("doc_id", "text")
+    val phrase = Seq((0, "a"), (1, "a"), (2, "b")).toDF("slot", "term")
+    val got = TextAnalysis.phraseOccurrences(docs, phrase, phraseLen = 3)
+      .select($"doc_id", $"n_occ", $"first_pos")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 1L, 1L)))
+  }
+
+  test("phraseOccurrences: layout-invariant across partitionings") {
+    val docs = (1L to 200L)
+      .map(i => (i, if (i % 7 == 0) s"pre tok$i alpha beta gamma post"
+                    else s"tok$i alpha gamma beta"))
+      .toDF("doc_id", "text")
+    val phrase = Seq((0, "alpha"), (1, "beta"), (2, "gamma")).toDF("slot", "term")
+    def run(parts: Int) =
+      TextAnalysis.phraseOccurrences(docs.repartition(parts), phrase, 3)
+        .select($"doc_id", $"n_occ", $"first_pos")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val expected = (1L to 200L).filter(_ % 7 == 0).map(i => (i, 1L, 2L))
+    assert(run(1) == expected)
+    assert(run(32) == expected)
+  }
 }
