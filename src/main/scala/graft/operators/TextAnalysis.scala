@@ -481,6 +481,46 @@ object TextAnalysis {
         min(col("anchor")).cast("long").as("first_pos"))
   }
 
+  /** Proximity (slop) search: per document, the MINIMAL token-window
+    * span covering one occurrence of EACH of three query terms, in
+    * any order — Lucene's SpanNear / the "terms near each other"
+    * relaxation of [[phraseOccurrences]]' exact consecutive match.
+    *
+    * Plan: the token stream is cut to the 3 query terms by a
+    * broadcast slot join (the q163 shape), then ONE aggregate pass
+    * collects each term's positions per doc through
+    * `bounded_min_k(CASE WHEN slot=i THEN pos END, k)` — three
+    * k-capped ascending position lists in a single shuffle, agg state
+    * ≤ 3k longs per doc at every plan stage. The min span is an
+    * IN-ROW higher-order-function reduction over the ≤ k³ position
+    * combos (greatest − least per combo, array_min over the flatten)
+    * — no joins, no window, fully codegen'd.
+    *
+    * The k cap makes this FIRST-k-OCCURRENCES semantics: a doc
+    * repeating a query term beyond k times scores only its first k
+    * positions — the standard posting-truncation trade, deterministic
+    * (positions are a pure function of the text), and mirrored
+    * verbatim by the oracle's row_number ≤ k. Docs missing any term
+    * are absent (all three lists must be non-empty). */
+  def proximityMinSpan(docs: DataFrame, slots: DataFrame, k: Int = 16,
+                       text: String = "text"): DataFrame = {
+    graft.functions.BoundedMinK.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), posexplode(words(col(text))).as(Seq("pos", "term")))
+      .join(broadcast(slots), Seq("term"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("slot"))
+      .groupBy("doc_id")
+      .agg(
+        expr(s"bounded_min_k(CASE WHEN slot = 0 THEN pos END, $k)").as("a0"),
+        expr(s"bounded_min_k(CASE WHEN slot = 1 THEN pos END, $k)").as("a1"),
+        expr(s"bounded_min_k(CASE WHEN slot = 2 THEN pos END, $k)").as("a2"))
+      .filter(size(col("a0")) > 0 && size(col("a1")) > 0 && size(col("a2")) > 0)
+      .select(col("doc_id"),
+        expr("array_min(flatten(transform(a0, x -> " +
+          "flatten(transform(a1, y -> transform(a2, z -> " +
+          "greatest(x, y, z) - least(x, y, z)))))))").as("min_span"))
+  }
+
   /** TF-IDF per (doc, term): tf = in-doc count, idf = ln(N/df) with
     * the corpus size N joined in as a 1-row broadcast (no driver
     * round-trip). The df side is a broadcast-able dimension for real

@@ -1221,7 +1221,39 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Proximity search over the corpus's three hottest terms: in which
+    * documents do the top-3 terms (by corpus count, term-asc
+    * tiebreak — a TOTAL order, the q154 vocabulary convention)
+    * co-occur, and how tightly? Emits every doc containing all three
+    * with its minimal covering span — the co-occurrence-mining
+    * complement of q163's exact phrase: q163 asks "this exact
+    * sequence", this asks "these terms near each other, any order"
+    * ([[graft.operators.TextAnalysis.proximityMinSpan]]).
+    *
+    * Scale: term derivation is a combinable count + TakeOrdered
+    * top-3; the match cuts the token stream to 3 terms via broadcast
+    * BEFORE its one exchange, holds ≤ 3·16 positions per doc in
+    * bounded agg state, and reduces spans in-row (≤ 16³ integer ops
+    * per doc, codegen'd higher-order functions — no self-join, no
+    * window). First-16-occurrences semantics, mirrored by the
+    * oracle's row_number cap. */
+  def q165ProximitySearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val slots = docs
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc).limit(3)
+      .select(col("term"), col("n"))
+      .withColumn("slot",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("term").asc)) - 1).cast("int"))
+      .select(col("slot"), col("term"))
+    TextAnalysis.proximityMinSpan(docs, slots, k = 16)
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_proximity_search" -> (q165ProximitySearch _),
     "q163_phrase_search" -> (q163PhraseSearch _),
     "q161_mg_top_terms"  -> (q161MgTopTerms _),
     "q158_merge_apply"   -> (q158MergeApply _),
@@ -1296,6 +1328,33 @@ object TextQueries {
        |           GROUP BY e.dst) c ON r.term = c.dst)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // top-3 terms by (count desc, term asc), first-16 positions per
+    // (doc, slot) via row_number (mirroring bounded_min_k's cap), min
+    // covering span via the 3-way per-doc position join
+    "q165_proximity_search" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tokx AS (SELECT doc_id, unnest(range(len(w))) AS pos, w FROM w),
+        |tok AS (SELECT doc_id, pos, w[pos+1] AS term FROM tokx),
+        |cnt AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+        |top3 AS (SELECT term,
+        |           CAST(row_number() OVER (ORDER BY n DESC, term) AS INT) - 1
+        |             AS slot
+        |         FROM cnt ORDER BY n DESC, term LIMIT 3),
+        |m AS (SELECT t.doc_id, t.pos, s.slot,
+        |        row_number() OVER (PARTITION BY t.doc_id, s.slot
+        |          ORDER BY t.pos) AS rn
+        |      FROM tok t JOIN top3 s USING (term)),
+        |p AS (SELECT doc_id, pos, slot FROM m WHERE rn <= 16),
+        |sp AS (SELECT a.doc_id,
+        |         greatest(a.pos, b.pos, c.pos) - least(a.pos, b.pos, c.pos)
+        |           AS span
+        |       FROM p a
+        |       JOIN p b ON a.doc_id = b.doc_id AND b.slot = 1
+        |       JOIN p c ON a.doc_id = c.doc_id AND c.slot = 2
+        |       WHERE a.slot = 0)
+        |SELECT doc_id, CAST(min(span) AS BIGINT) AS min_span
+        |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // stage 1: trigram counts via 1-based list indexing over a 0-based
     // range (the q67 shape), top-1 by (count desc, trigram asc);
     // stage 2: the anchor-arithmetic phrase match — token at pos p

@@ -35,13 +35,15 @@ class BenchContractSpec extends AnyFunSuite {
 
   test("per-query timings keep >= 10 ms precision at the current query count") {
     // the r6 regression this pins: 86 full-name keys forced the
-    // precision clamp to whole seconds. The driver's ~2 KB tail
-    // capture makes the 1950 B budget a HARD ceiling, so growth
-    // trades precision instead: with qNN ids, realistic sub-10 s
-    // timings carried 3 decimals to ~145 queries and self-clamped to
-    // 2 (10 ms — still far above the bench noise floor) at the r9
-    // registry size. The pin: realistic timings never lose more than
-    // 10 ms resolution, and the TOTAL always keeps 3 decimals.
+    // precision clamp to whole seconds. The driver's tail capture is
+    // a measured 2000 B (BENCH_r08.json), making the 1980 B budget a
+    // HARD ceiling, so growth trades precision instead: tiered
+    // formatting (sub-second values keep 2 decimals, >= 1 s values
+    // drop one — 100 ms is < 10% relative there) plus trailing-zero
+    // stripping and the basename-only sf field carry the r9 registry.
+    // The pin: realistic SUB-SECOND timings never lose more than
+    // 10 ms resolution, multi-second timings never more than 100 ms,
+    // and the TOTAL always keeps 3 decimals.
     // "realistic" = the actual bench distribution's shape (most
     // queries well under 1 s, a tail to ~3.5 s), not a uniform
     // worst case: every entry at 9+ s would mean a ~25-minute round,

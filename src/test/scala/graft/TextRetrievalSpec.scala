@@ -297,4 +297,34 @@ class TextRetrievalSpec extends AnyFunSuite {
     assert(run(1) == expected)
     assert(run(32) == expected)
   }
+
+  test("proximityMinSpan: true minimum over combos, any order; missing term drops the doc") {
+    val docs = Seq(
+      (1L, "t0 x x t1 t2"),                    // single combo: span 4
+      (2L, "t0 x t1 x x x t2 t0 t1 t2"),       // late cluster (7,8,9) beats early (0,2,6)
+      (3L, "t2 t1 t0"),                        // reversed order still spans 2
+      (4L, "t0 t1 x x x x x x x x t0 x t1"),   // t2 missing -> absent
+      (5L, "x t1 t0 t2 x")                     // span 2 around the middle
+    ).toDF("doc_id", "text")
+    val slots = Seq((0, "t0"), (1, "t1"), (2, "t2")).toDF("slot", "term")
+    val got = graft.operators.TextAnalysis.proximityMinSpan(docs, slots, k = 16)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 4L), (2L, 2L), (3L, 2L), (5L, 2L)))
+  }
+
+  test("proximityMinSpan: the k cap is first-k-occurrences semantics, exactly") {
+    // t0 at positions 0..19, t1 at 20, t2 at 21. With k = 16 only
+    // t0's first 16 positions (0..15) are scored, so the minimal span
+    // is 21 - 15 = 6 — NOT 2 (which t0@19 would give). The cap is the
+    // documented approximation and must bite deterministically.
+    val text = (Seq.fill(20)("t0") ++ Seq("t1", "t2")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val slots = Seq((0, "t0"), (1, "t1"), (2, "t2")).toDF("slot", "term")
+    val capped = graft.operators.TextAnalysis.proximityMinSpan(docs, slots, k = 16)
+      .as[(Long, Long)].collect().toSeq
+    assert(capped == Seq((1L, 6L)))
+    val uncapped = graft.operators.TextAnalysis.proximityMinSpan(docs, slots, k = 32)
+      .as[(Long, Long)].collect().toSeq
+    assert(uncapped == Seq((1L, 2L)))
+  }
 }
