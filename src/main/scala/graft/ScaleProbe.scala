@@ -280,6 +280,30 @@ object ScaleProbe {
         // r8 widening: skew audit — the rank window sorts |keys| rows
         // (synthetic zipf-ish keys, 100k·s events over ~√ that many
         // keys), never the event rows themselves
+        // r9 retrieval closers: both are scan-bound by construction —
+        // the phrase/term derivation is a corpus-token-volume count,
+        // the match stage moves only candidate votes (content-unique
+        // copies keep the derived phrase/terms inside one copy, so
+        // output stays ~flat while the scanned volume grows: the probe
+        // measures the scan-stage slope, which is the scale claim)
+        "q163_phrase_search" -> (() =>
+          ops.TextQueries.phraseSearch(docs).count()),
+        // slots pinned from the UNSCALED corpus: the scaled copies'
+        // suffixed tokens tie in count, and a term-asc tiebreak over
+        // ties picks three terms from three different copies — which
+        // co-occur nowhere and would probe an empty match stage
+        "q165_proximity_search" -> (() => {
+          val base = Tables.documents(spark, dir)
+          val slots = base
+            .select(explode(split($"text", " ")).as("term"))
+            .groupBy("term").agg(count(lit(1)).as("n"))
+            .orderBy($"n".desc, $"term".asc).limit(3)
+            .withColumn("slot",
+              (row_number().over(org.apache.spark.sql.expressions.Window
+                .orderBy($"n".desc, $"term".asc)) - 1).cast("int"))
+            .select($"slot", $"term")
+          operators.TextAnalysis.proximityMinSpan(docs, slots, k = 16).count()
+        }),
         "q121_key_skew" -> (() => {
           val synth = spark.range(100000L * s).select(
             (pmod(hash($"id"), lit(1000)) *
@@ -291,7 +315,13 @@ object ScaleProbe {
             .select($"n_keys").as[Long].collect()(0)
         }))
 
-      val rows = probes.map { case (name, f) =>
+      // dev convenience mirroring Bench's: SPARK_GRAFT_PROBE_ONLY=q163,...
+      // probes a subset for targeted iteration; unset runs all
+      val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+        .map(_.split(",").map(_.trim).toSet)
+      val rows = probes
+        .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+        .map { case (name, f) =>
         val (n, sec) = timeIt(f())
         println(f"$name%-22s $sec%8.2f s   (rows=$n)")
         s""""$name":{"sec":${math.round(sec * 1000) / 1000.0},"rows":$n}"""

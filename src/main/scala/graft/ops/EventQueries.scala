@@ -1071,13 +1071,19 @@ object EventQueries {
       .orderBy("event_type")
 
   /** The per-event-type KMV sketch of user_id — 5 rows of ≤ 64 hashes,
-    * the ONE corpus-sized pass shared by q141 (cardinality) and q160
-    * (pairwise set algebra); memoized because both read it per run. */
+    * the corpus-sized pass q141 (cardinality) and q160 (pair algebra)
+    * both build on. Deliberately NOT memoized: Memo persists, and
+    * caching this frame MEASURED SLOWER than recomputing it —
+    * +0.3–0.5 s of InMemoryRelation build (array-column columnar
+    * serialization + the extra stage) against a ~0.2 s aggregate,
+    * paid by BOTH consumers since the bench clears the memo between
+    * passes. The memo contract is for legs whose rebuild dwarfs the
+    * cache write (q34's pair set, q40's top-k); a sub-second bounded
+    * aggregate is the opposite case, so the two consumers share the
+    * PLAN, not a cache. */
   private def kmvUserHeads(spark: SparkSession, dir: String): DataFrame =
-    Memo.of(spark, s"kmv_user_heads:$dir:k=64") {
-      graft.operators.Sketches.kmvHeads(
-        Tables.events(spark, dir), "event_type", "user_id", k = 64)
-    }
+    graft.operators.Sketches.kmvHeads(
+      Tables.events(spark, dir), "event_type", "user_id", k = 64)
 
   /** Sketch-side audience overlap: distinct-user union, intersection,
     * and Jaccard per event-type pair estimated from the q141 KMV

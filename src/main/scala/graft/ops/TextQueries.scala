@@ -1203,9 +1203,11 @@ object TextQueries {
     * any phrase TERM, selectivity L/|vocab| — and the anchor groups
     * are at most L rows each. The LIKE '%phrase%' scan this replaces
     * reads every byte of every document with no pushdown story. */
-  def q163PhraseSearch(spark: SparkSession, dir: String): DataFrame = {
-    val w = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+  def q163PhraseSearch(spark: SparkSession, dir: String): DataFrame =
+    phraseSearch(Tables.documents(spark, dir))
+
+  def phraseSearch(docs: DataFrame): DataFrame = {
+    val w = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
     val top = w.filter(size(col("w")) >= 3)
       .select(explode(expr("transform(sequence(0, size(w) - 3), " +
         "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("tri"))
@@ -1214,8 +1216,7 @@ object TextQueries {
       .select(col("tri"))
     val slots = top
       .select(posexplode(split(col("tri"), " ")).as(Seq("slot", "term")))
-    TextAnalysis.phraseOccurrences(
-        Tables.documents(spark, dir), slots, phraseLen = 3)
+    TextAnalysis.phraseOccurrences(docs, slots, phraseLen = 3)
       .crossJoin(broadcast(top.select(col("tri").as("phrase"))))
       .select(col("doc_id"), col("phrase"), col("n_occ"), col("first_pos"))
       .orderBy("doc_id")
@@ -1237,8 +1238,10 @@ object TextQueries {
     * per doc, codegen'd higher-order functions — no self-join, no
     * window). First-16-occurrences semantics, mirrored by the
     * oracle's row_number cap. */
-  def q165ProximitySearch(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def q165ProximitySearch(spark: SparkSession, dir: String): DataFrame =
+    proximitySearch(Tables.documents(spark, dir))
+
+  def proximitySearch(docs: DataFrame): DataFrame = {
     val slots = docs
       .select(explode(split(col("text"), " ")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("n"))

@@ -327,4 +327,22 @@ class TextRetrievalSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSeq
     assert(uncapped == Seq((1L, 2L)))
   }
+
+  test("retrieval closers: empty and degenerate corpora yield empty, not errors") {
+    import graft.ops.{EventQueries, TextQueries}
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextQueries.phraseSearch(emptyDocs).count() == 0)
+    assert(TextQueries.proximitySearch(emptyDocs).count() == 0)
+    // docs too short for any trigram: the phrase stage finds no
+    // candidate and the search is empty, not a sequence() error
+    val shortDocs = Seq((1L, "a b"), (2L, "c")).toDF("doc_id", "text")
+    assert(TextQueries.phraseSearch(shortDocs).count() == 0)
+    val emptyEvents = Seq.empty[(String, java.sql.Timestamp)]
+      .toDF("event_type", "ts")
+    assert(EventQueries.seasonalBacktest(emptyEvents).count() == 0)
+    // a single day has no lag origins: zero scored days, no rows
+    val oneDay = Seq(("a", java.sql.Timestamp.valueOf("2024-03-01 10:00:00")))
+      .toDF("event_type", "ts")
+    assert(EventQueries.seasonalBacktest(oneDay).count() == 0)
+  }
 }
