@@ -47,5 +47,6 @@ object GraftSession {
     functions.BoundedMinKDistinct.register(spark)
     functions.BoundedMinKPairs.register(spark)
     functions.MisraGries.register(spark)
+    functions.DeflateLen.register(spark)
   }
 }

@@ -178,6 +178,63 @@ object Maintenance {
         .select(key, payload: _*))
   }
 
+  /** Incremental view maintenance for a distributive rollup
+    * (count + sum per group): refresh `baseRollup` under a CDC feed
+    * WITHOUT re-aggregating the base corpus — the lakehouse
+    * "maintain the stats table through the merge" primitive, and the
+    * batch form of what a streaming summing-state view maintains
+    * continuously.
+    *
+    * Inputs: `baseRollup` (groupCol, nCol, sumCol) — the prior
+    * materialized rollup; `baseRows` (key, groupCol, v) — the prior
+    * corpus projected to rollup granularity, probed ONLY for touched
+    * keys; `changes` (key, seqCol, opCol, groupCol, v) — the feed,
+    * with [[applyChanges]]' contract (seq totally orders each key,
+    * last change wins).
+    *
+    * Algebra (signed deltas — Blakeley et al.'s counting algorithm,
+    * SIGMOD 1986, for distributive aggregates): every touched base
+    * row RETRACTS (−1, −v) from its group; every winning upsert ADDS
+    * (+1, +v); the new rollup is base ⊎ delta with groups whose count
+    * reaches 0 dropped. Deletes of absent keys and re-upserts fall
+    * out of the algebra — no case analysis.
+    *
+    * Scale: shuffle ∝ |changes| + |touched base rows| + |groups|.
+    * The retraction probe is a key-partitioned LEFT SEMI join of base
+    * against the touched-key set — with base bucketed by key it is
+    * exchange-free on the base side, and the full-table re-aggregate
+    * this replaces never runs. Spec-pinned incremental ≡ recompute on
+    * the [[applyChanges]] output; q166's oracle states the same
+    * equivalence cross-engine. */
+  def incrementalRollup(baseRollup: DataFrame, baseRows: DataFrame,
+                        changes: DataFrame, key: String, seqCol: String,
+                        groupCol: String, nCol: String, sumCol: String,
+                        opCol: String = "op"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val touched = changes.select(col(key)).distinct()
+    val retract = baseRows.join(touched, Seq(key), "left_semi")
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("_n"), sum(col("v")).as("_s"))
+      .select(col(groupCol), (-col("_n")).as("dn"), (-col("_s")).as("ds"))
+    val w = Window.partitionBy(key).orderBy(col(seqCol).desc)
+    val adds = changes
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col(opCol) === "upsert")
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("dn"), sum(col("v")).as("ds"))
+      .select(col(groupCol), col("dn"), col("ds"))
+    val delta = retract.unionByName(adds)
+      .groupBy(groupCol)
+      .agg(sum(col("dn")).as("dn"), sum(col("ds")).as("ds"))
+    baseRollup.join(delta, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        (coalesce(col(nCol), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as(nCol),
+        (coalesce(col(sumCol), lit(0L)) + coalesce(col("ds"), lit(0L)))
+          .as(sumCol))
+      .filter(col(nCol) > 0)
+  }
+
   /** (parquet file count, total bytes) under a directory. */
   private[graft] def listParquet(spark: SparkSession, dir: String): (Long, Long) = {
     val path = new org.apache.hadoop.fs.Path(dir)

@@ -1119,6 +1119,14 @@ object TextQueries {
   def q158MergeApply(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir)
       .select("doc_id", "text", "lang", "source")
+    graft.operators.Maintenance.applyChanges(base, docChangeFeed(base),
+      key = "doc_id", seqCol = "seq")
+  }
+
+  /** The deterministic CDC feed q158 and q166 share: deletes (doc_id %
+    * 7 = 3), two generations of upserts, and inserts shifted by 1e6 —
+    * a stand-in for reading a second release's change log. */
+  private def docChangeFeed(base: DataFrame): DataFrame = {
     val nullS = lit(null).cast("string")
     val deletes = base.filter(expr("doc_id % 7 = 3"))
       .select(col("doc_id"), lit(1L).as("seq"), lit("delete").as("op"),
@@ -1132,9 +1140,35 @@ object TextQueries {
     val ins = base.filter(expr("doc_id % 25 = 0"))
       .select((col("doc_id") + 1000000L).as("doc_id"), lit(1L).as("seq"),
         lit("upsert").as("op"), col("text"), col("lang"), col("source"))
-    graft.operators.Maintenance.applyChanges(base,
-      deletes.unionByName(v2).unionByName(v3).unionByName(ins),
-      key = "doc_id", seqCol = "seq")
+    deletes.unionByName(v2).unionByName(v3).unionByName(ins)
+  }
+
+  /** Incremental view maintenance of a per-source rollup under the
+    * q158 CDC feed: the refreshed (n_docs, sum_chars) per source,
+    * computed from the PRIOR rollup plus the change feed — the base
+    * corpus is only probed for the touched keys' retractions, never
+    * re-aggregated ([[graft.operators.Maintenance.incrementalRollup]]).
+    * The DuckDB oracle is the FULL recompute over the merged table
+    * (q158's merge CTE + group-by), so the hash gate certifies
+    * incremental ≡ recompute cross-engine — the IVM correctness
+    * statement itself. The value is length(text) (character count,
+    * identical semantics both engines), re-derived per version so a
+    * v2/v3 upsert's longer text flows into the refreshed sums. */
+  def q166IncrementalRollup(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select("doc_id", "text", "lang", "source")
+    val baseRows = base.select(col("doc_id"), col("source"),
+      length(col("text")).cast("long").as("v"))
+    val baseRollup = baseRows.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("v")).as("sum_chars"))
+    val changes = docChangeFeed(base)
+      .select(col("doc_id"), col("seq"), col("op"), col("source"),
+        length(col("text")).cast("long").as("v"))
+    graft.operators.Maintenance.incrementalRollup(
+        baseRollup, baseRows, changes,
+        key = "doc_id", seqCol = "seq", groupCol = "source",
+        nCol = "n_docs", sumCol = "sum_chars")
+      .orderBy("source")
   }
 
   /** Per-language term heavy hitters via the native `misra_gries`
@@ -1255,7 +1289,40 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Compression-ratio quality screen per language: DEFLATE size over
+    * raw UTF-8 size, in integer permille — the global-redundancy
+    * signal ([[graft.functions.DeflateLen]]; Gopher/CCNet lineage)
+    * that complements q47's bigram concentration (local loops) and
+    * q139's positional n-grams (near-position repeats): a paragraph
+    * pasted anywhere in the doc compresses away regardless of
+    * position. One scan, one whole-stage-codegen'd native call per
+    * row, one 5-group aggregate — no shuffle beyond the group-by.
+    *
+    * Oracle: DuckDB has no zlib surface, so the oracle is a PINNED
+    * frame guarded twice — PinnedOracleSpec's fixture-content hash
+    * (regenerated fixtures fail loudly with re-pin instructions) and
+    * Round9SketchSpec's pin ≡ live-computation check, which also
+    * trips if a JVM/zlib change ever shifts deflate output (the
+    * q60/q61 pinned-agreement convention; deflate lengths are stable
+    * per zlib build, not a cross-engine contract). */
+  def q167CompressionRatio(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.DeflateLen.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        expr("octet_length(text)").cast("long").as("raw"),
+        expr("deflate_len(text)").as("defl"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("raw")).as("sum_raw"),
+        sum(col("defl")).as("sum_deflated"))
+      .withColumn("ratio_permille",
+        expr("sum_deflated * 1000 div sum_raw"))
+      .orderBy("lang")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_compression_ratio" -> (q167CompressionRatio _),
+    "q166_incremental_rollup" -> (q166IncrementalRollup _),
     "q165_proximity_search" -> (q165ProximitySearch _),
     "q163_phrase_search" -> (q163PhraseSearch _),
     "q161_mg_top_terms"  -> (q161MgTopTerms _),
@@ -1331,6 +1398,55 @@ object TextQueries {
        |           GROUP BY e.dst) c ON r.term = c.dst)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // PINNED frame (DuckDB has no zlib surface): measured at sf0.01,
+    // guarded by PinnedOracleSpec's fixture-content hash and by
+    // Round9SketchSpec's pin ≡ live-computation check — a fixture
+    // regen or a zlib change fails loudly with re-pin instructions
+    "q167_compression_ratio" ->
+      """SELECT lang, CAST(n AS BIGINT) AS n_docs,
+        |  CAST(r AS BIGINT) AS sum_raw,
+        |  CAST(d AS BIGINT) AS sum_deflated,
+        |  CAST(p AS BIGINT) AS ratio_permille
+        |FROM (VALUES
+        |  ('de',  70, 19525,  9548, 489),
+        |  ('en', 218, 64437, 30901, 479),
+        |  ('es',  73, 21756, 10416, 478),
+        |  ('fr',  64, 20623,  9610, 465),
+        |  ('zh',  75, 22833, 10874, 476)) t(lang, n, r, d, p)
+        |ORDER BY lang""".stripMargin,
+
+    // the FULL RECOMPUTE over q158's merged table — deliberately not
+    // the incremental algebra: the hash gate then certifies
+    // incremental ≡ recompute cross-engine, the IVM correctness claim
+    "q166_incremental_rollup" ->
+      """WITH ch AS (
+        |  SELECT doc_id, 1 AS seq, 'delete' AS op,
+        |    CAST(NULL AS VARCHAR) AS text, CAST(NULL AS VARCHAR) AS lang,
+        |    CAST(NULL AS VARCHAR) AS source
+        |  FROM documents WHERE doc_id % 7 = 3
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'upsert', text || ' v2', lang, source
+        |  FROM documents WHERE doc_id % 10 = 0 AND doc_id % 7 <> 3
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'upsert', text || ' v3', lang, source
+        |  FROM documents WHERE doc_id % 50 = 0 AND doc_id % 7 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 1, 'upsert', text, lang, source
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |lt AS (SELECT * FROM (
+        |         SELECT ch.*, row_number() OVER (PARTITION BY doc_id
+        |                                         ORDER BY seq DESC) AS rn
+        |         FROM ch) WHERE rn = 1),
+        |merged AS (
+        |  SELECT d.text, d.source
+        |  FROM documents d
+        |  WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.doc_id = d.doc_id)
+        |  UNION ALL
+        |  SELECT text, source FROM lt WHERE op = 'upsert')
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
+        |FROM merged GROUP BY source ORDER BY source""".stripMargin,
+
     // top-3 terms by (count desc, term asc), first-16 positions per
     // (doc, slot) via row_number (mirroring bounded_min_k's cap), min
     // covering span via the 3-way per-doc position join

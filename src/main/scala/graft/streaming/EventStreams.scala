@@ -332,6 +332,54 @@ object EventStreams extends Serializable {
       }
   }
 
+  case class RollupChange(id: Long, seq: Long, op: String, g: String, v: Long)
+  case class RollupDelta(g: String, dn: Long, ds: Long)
+  case class DocState(g: String, v: Long, seq: Long, alive: Boolean)
+
+  /** The streaming half of incremental view maintenance
+    * ([[graft.operators.Maintenance.incrementalRollup]]): turn a CDC
+    * stream into a stream of SIGNED rollup deltas — the prior state
+    * of a changed key retracts (−1, −v) from its group, the new
+    * winning upsert adds (+1, +v) — so `baseRollup ⊎ Σ(deltas)` is
+    * the refreshed per-group count+sum at any point, and folding an
+    * accumulated delta log into the rollup is exactly
+    * `incrementalRollup`'s merge (the lakehouse delta-log +
+    * compaction shape).
+    *
+    * State is the [[cdcView]] contract per key — one (group, value,
+    * seq, alive) record forever, tombstones kept so a lower-seq
+    * straggler can neither resurrect a deleted key NOR emit a stale
+    * delta (it leaves state untouched and emits nothing). Multiple
+    * changes to one key inside a micro-batch fold to their net
+    * effect: retract pre-batch state once, add the batch's winning
+    * upsert once — never intermediate churn. Emitted in Append mode,
+    * so the delta stream composes with a downstream summing
+    * aggregation or a file sink (the delta log). */
+  def cdcRollupDeltas(changes: Dataset[RollupChange]): Dataset[RollupDelta] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.id)
+      .flatMapGroupsWithState[DocState, RollupDelta](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (id: Long, it: Iterator[RollupChange], state: GroupState[DocState]) =>
+          val pre = state.getOption
+          var best: RollupChange = null
+          it.foreach { c =>
+            if (best == null || c.seq > best.seq) best = c
+          }
+          if (best == null || pre.exists(_.seq >= best.seq)) Iterator.empty
+          else {
+            val next = DocState(best.g, best.v, best.seq, best.op == "upsert")
+            state.update(next)
+            val retract = pre.filter(_.alive)
+              .map(p => RollupDelta(p.g, -1L, -p.v))
+            val add = if (next.alive) Some(RollupDelta(next.g, 1L, next.v))
+                      else None
+            (retract.toSeq ++ add.toSeq).iterator
+          }
+      }
+  }
+
   case class FunnelState(stage: Int, sinceMs: Long, sinceNanos: Int)
   case class FunnelRow(user_id: Long, stage: Long)
 

@@ -146,4 +146,120 @@ class MaintenanceSpec extends AnyFunSuite {
     val keepDays = days.zipWithIndex.filter(_._2 % 2 == 0).map(_._1).toSet
     assert(joined.count() == ev.filter($"day".isin(keepDays.toSeq: _*)).count())
   }
+
+  test("incrementalRollup == full recompute over applyChanges, on every edge case") {
+    // base: groups a (2 rows), b (1 row), c (1 row)
+    val base = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L), (4L, "c", 7L)
+    ).toDF("k", "g", "v")
+    // feed exercises: group emptied (c), value replaced twice (k=1:
+    // seq-2 wins), group moved (k=3 b->a), delete of an absent key
+    // (k=99), insert creating a NEW group (k=5 -> d), upsert-then-
+    // delete (k=2 stays deleted)
+    val changes = Seq(
+      (4L, 1L, "delete", null.asInstanceOf[String], 0L),
+      (1L, 1L, "upsert", "a", 11L),
+      (1L, 2L, "upsert", "a", 12L),
+      (3L, 1L, "upsert", "a", 5L),
+      (99L, 1L, "delete", null.asInstanceOf[String], 0L),
+      (5L, 1L, "upsert", "d", 100L),
+      (2L, 1L, "upsert", "a", 21L),
+      (2L, 2L, "delete", null.asInstanceOf[String], 0L)
+    ).toDF("k", "seq", "op", "g", "v")
+    val baseRollup = base.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+    val inc = Maintenance.incrementalRollup(baseRollup, base, changes,
+        key = "k", seqCol = "seq", groupCol = "g", nCol = "n", sumCol = "s")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    // expected state: k1=(a,12), k3=(a,5), k5=(d,100); k2/k4 deleted
+    assert(inc == Seq(("a", 2L, 17L), ("d", 1L, 100L)))
+    // and the general claim: identical to re-aggregating the merged table
+    val merged = Maintenance.applyChanges(base, changes,
+      key = "k", seqCol = "seq")
+    val full = merged.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(inc == full, "incremental maintenance must equal full recompute")
+  }
+
+  test("streaming cdcRollupDeltas: base + accumulated deltas == batch incrementalRollup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.RollupChange
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // base state arrives as seq-0 upserts in batch 1 (groups a/b/c),
+    // then the edge-case battery lands across batches 2-3 with the
+    // low-seq straggler for key 2 in its own batch
+    val ms = MemoryStream[RollupChange]
+    val q = EventStreams.cdcRollupDeltas(ms.toDS()).writeStream
+      .format("memory").queryName("rollup_deltas")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      ms.addData(
+        RollupChange(1L, 0L, "upsert", "a", 10L),
+        RollupChange(2L, 0L, "upsert", "a", 20L),
+        RollupChange(3L, 0L, "upsert", "b", 5L),
+        RollupChange(4L, 0L, "upsert", "c", 7L))
+      q.processAllAvailable()
+      ms.addData(
+        RollupChange(4L, 1L, "delete", null, 0L),
+        RollupChange(1L, 1L, "upsert", "a", 11L),
+        RollupChange(1L, 2L, "upsert", "a", 12L), // same-batch fold: net retract(10)+add(12)
+        RollupChange(3L, 1L, "upsert", "a", 5L),  // group move b -> a
+        RollupChange(5L, 1L, "upsert", "d", 100L),
+        RollupChange(2L, 2L, "delete", null, 0L))
+      q.processAllAvailable()
+      // straggler: lower seq than the delete — no state change, no delta
+      ms.addData(RollupChange(2L, 1L, "upsert", "a", 21L))
+      q.processAllAvailable()
+      val rollup = spark.table("rollup_deltas")
+        .groupBy("g").agg(sum($"dn").as("n"), sum($"ds").as("s"))
+        .filter($"n" > 0)
+        .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+      // same end state as the batch spec above: a = {12, 5}, d = {100}
+      assert(rollup == Seq(("a", 2L, 17L), ("d", 1L, 100L)))
+    } finally q.stop()
+  }
+
+  test("cdcRollupDeltas state survives a query restart from checkpoint") {
+    // the recovery contract behind "O(1) state per key FOREVER": the
+    // flatMapGroupsWithState store must come back after a stop/start
+    // cycle, or run 2's retractions would be computed against empty
+    // state and the delta log would silently double-count. The proof
+    // is the retraction itself: run 2 emits (-1, -10) for key 1 and
+    // (-1, -20) for key 2, values that exist ONLY in run 1's state.
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.RollupChange
+    val in = java.nio.file.Files.createTempDirectory("graft_cdc_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ck").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_cdc_out").toString
+    def land(name: String, rows: Seq[RollupChange]): Unit =
+      rows.toDF().coalesce(1).write.mode("overwrite").parquet(s"$in/$name")
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema(Seq.empty[RollupChange].toDF().schema)
+        .option("recursiveFileLookup", "true").parquet(in)
+        .as[RollupChange]
+        .transform(EventStreams.cdcRollupDeltas)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    land("b1", Seq(RollupChange(1L, 1L, "upsert", "a", 10L),
+      RollupChange(2L, 1L, "upsert", "b", 20L)))
+    runOnce()
+    land("b2", Seq(RollupChange(1L, 2L, "upsert", "a", 15L),
+      RollupChange(2L, 2L, "delete", null, 0L)))
+    runOnce() // NEW query instance; state must come from the checkpoint
+    val byG = spark.read.parquet(out)
+      .groupBy("g").agg(sum($"dn").as("n"), sum($"ds").as("s"))
+      .as[(String, Long, Long)].collect()
+      .map { case (g, n, s) => g -> (n, s) }.toMap
+    assert(byG("a") == ((1L, 15L)), s"a: ${byG.get("a")} — retraction of run-1 state missing?")
+    assert(byG("b") == ((0L, 0L)), s"b: ${byG.get("b")} — delete must retract run-1 state")
+  }
 }

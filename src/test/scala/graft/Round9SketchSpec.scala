@@ -166,6 +166,51 @@ class Round9SketchSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // -------------------------------------------------- compression ratio
+
+  test("deflate_len: global redundancy compresses, entropy does not; null-safe") {
+    graft.functions.DeflateLen.register(spark)
+    val para = "the quick brown fox jumps over the lazy dog and keeps going "
+    val rows = Seq(
+      ("pasted", para * 20),                       // global redundancy
+      ("prose", (1 to 20).map(i =>
+        s"sentence $i mixes fresh tokens like alpha$i beta$i").mkString(" ")),
+      ("entropy", (1 to 300).map(i =>
+        ((i * 2654435761L) % 1296).toHexString).mkString(""))
+    ).toDF("kind", "text")
+      .selectExpr("kind", "octet_length(text) AS raw", "deflate_len(text) AS d")
+      .collect().map(r => r.getString(0) -> (r.getInt(1).toLong, r.getLong(2))).toMap
+    def permille(t: (Long, Long)) = t._2 * 1000 / t._1
+    assert(permille(rows("pasted")) < 100,
+      s"20x-pasted paragraph must compress away, got ${permille(rows("pasted"))}")
+    assert(permille(rows("prose")) > permille(rows("pasted")))
+    assert(permille(rows("entropy")) > permille(rows("prose")),
+      "hex soup must compress worse than prose")
+    val n = Seq(Option.empty[String]).toDF("text")
+      .selectExpr("deflate_len(text) AS d").collect()(0)
+    assert(n.isNullAt(0), "null stays null")
+  }
+
+  test("q167 pin equals the live computation (zlib/fixture drift guard)") {
+    val dir001 = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir001/documents.parquet").exists())
+    // the oracle constants for q167 are a pinned frame; recompute live
+    // and compare value-for-value so a JVM/zlib change or fixture
+    // regen fails HERE with re-pin instructions before the driver gate
+    val live = graft.ops.TextQueries.q167CompressionRatio(spark, dir001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val pinned = Seq(
+      ("de", 70L, 19525L, 9548L, 489L),
+      ("en", 218L, 64437L, 30901L, 479L),
+      ("es", 73L, 21756L, 10416L, 478L),
+      ("fr", 64L, 20623L, 9610L, 465L),
+      ("zh", 75L, 22833L, 10874L, 476L))
+    assert(live == pinned,
+      s"q167 live != pin — fixture or zlib changed; re-pin the oracle VALUES " +
+        s"from the live rows: $live")
+  }
+
   test("q162 certificate is all-clear on the fixture (theorem columns hold)") {
     val rows = EventQueries.q162MgCertificate(spark, dir).collect()
     assert(rows.nonEmpty)
