@@ -33,12 +33,21 @@ object PlanAudit {
     * stays aggregate-sized; joining raw rows back in revokes
     * boundedness, which is the point). Returns one violation string
     * per offending Window node; empty = the plan honors the stance. */
-  def globalWindowViolations(df: DataFrame): Seq[String] = {
+  def globalWindowViolations(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) =>
+        s"global Window [${w.windowExpressions.map(_.name).mkString(", ")}] " +
+          "over a non-aggregate-bounded frame - a single-task sort of raw " +
+          "table volume; partition it or fold the frame first"
+    }
+
+  // attributes produced by partitioned Windows directly below `p`
+  // (looking through adjacent Window/Project stacking only — a
+  // selection must sit right on the windows it selects by)
+  private def partWinAttrs(p: LogicalPlan)
+      : org.apache.spark.sql.catalyst.expressions.AttributeSet = {
     import org.apache.spark.sql.catalyst.expressions.AttributeSet
-    // attributes produced by partitioned Windows directly below `p`
-    // (looking through adjacent Window/Project stacking only — a
-    // selection must sit right on the windows it selects by)
-    def partWinAttrs(p: LogicalPlan): AttributeSet = p match {
+    p match {
       case w: Window =>
         (if (w.partitionSpec.nonEmpty)
           AttributeSet(w.windowExpressions.map(_.toAttribute))
@@ -46,44 +55,79 @@ object PlanAudit {
       case pr: Project => partWinAttrs(pr.child)
       case _ => AttributeSet.empty
     }
-    def bounded(p: LogicalPlan): Boolean = p match {
-      case _: Aggregate => true
-      case _: GlobalLimit => true
-      case _: LocalRelation => true
-      case _: OneRowRelation => true
-      case j: Join if j.joinType == LeftSemi || j.joinType == LeftAnti =>
-        bounded(j.left)
-      case f: Filter
-        if f.condition.references.intersect(partWinAttrs(f.child)).nonEmpty =>
-        true
-      // row-MULTIPLYING nodes revoke boundedness even over a bounded
-      // child: explode of a collect_list over a GROUPED aggregate
-      // re-creates raw granularity (one element per original row), so
-      // a global Window above it is again a raw-volume sort. The one
-      // admitted Generate shape is the explode of a SINGLE-ROW frame
-      // (global aggregate / literal) — the dense-calendar generator
-      // (q100): its cardinality is generator-sized, disclosed in the
-      // query docstring, never proportional to input rows. Expand
-      // multiplies by its projection count — revoked outright.
-      case g: Generate =>
-        def oneRow(p: LogicalPlan): Boolean = p match {
-          case a: Aggregate => a.groupingExpressions.isEmpty
-          case pr: Project => oneRow(pr.child)
-          case f: Filter => oneRow(f.child)
-          case _: OneRowRelation => true
-          case _: LocalRelation => true
-          case _ => false
-        }
-        oneRow(g.child)
-      case _: Expand => false
-      case _: LeafNode => false
-      case other => other.children.forall(bounded)
-    }
+  }
+
+  /** The boundedness walk both audit rules share — see
+    * [[globalWindowViolations]]' scaladoc for the case-by-case
+    * rationale. */
+  private def bounded(p: LogicalPlan): Boolean = p match {
+    case _: Aggregate => true
+    case _: GlobalLimit => true
+    case _: LocalRelation => true
+    case _: OneRowRelation => true
+    case j: Join if j.joinType == LeftSemi || j.joinType == LeftAnti =>
+      bounded(j.left)
+    case f: Filter
+      if f.condition.references.intersect(partWinAttrs(f.child)).nonEmpty =>
+      true
+    // row-MULTIPLYING nodes revoke boundedness even over a bounded
+    // child: explode of a collect_list over a GROUPED aggregate
+    // re-creates raw granularity (one element per original row), so
+    // a global Window above it is again a raw-volume sort. The one
+    // admitted Generate shape is the explode of a SINGLE-ROW frame
+    // (global aggregate / literal) — the dense-calendar generator
+    // (q100): its cardinality is generator-sized, disclosed in the
+    // query docstring, never proportional to input rows. Expand
+    // multiplies by its projection count — revoked outright.
+    case g: Generate =>
+      def oneRow(p: LogicalPlan): Boolean = p match {
+        case a: Aggregate => a.groupingExpressions.isEmpty
+        case pr: Project => oneRow(pr.child)
+        case f: Filter => oneRow(f.child)
+        case _: OneRowRelation => true
+        case _: LocalRelation => true
+        case _ => false
+      }
+      oneRow(g.child)
+    case _: Expand => false
+    case _: LeafNode => false
+    case other => other.children.forall(bounded)
+  }
+
+  /** The registry's OTHER standing plan discipline as a checkable
+    * rule: every condition-less join (crossJoin / cartesian shape)
+    * must have at least one AGGREGATE-BOUNDED side — a 1-row global
+    * aggregate riding along, a limit-k frame, a literal grid. Two
+    * raw-volume sides under a cross shape is |A|·|B| rows, the plan
+    * that stops scaling fastest of all; it's also the shape Spark
+    * itself guards with spark.sql.crossJoin semantics, but Catalyst
+    * cannot know which side is "semantically tiny" — this rule can,
+    * using the same boundedness walk as the Window audit (Aggregate /
+    * Limit / literal leaves bound a subtree; joining raw rows back in
+    * revokes it). Joins WITH a condition are out of scope here: an
+    * inequality-only join (e.g. the q160 pair build) is still
+    * nested-loop physically, but its candidate volume is governed by
+    * the sides' own boundedness, which the per-query docstrings carry.
+    *
+    * An EXPLICIT broadcast hint also bounds a side: the walk is
+    * structural and cannot see data-dependent smallness (a
+    * filter-to-one-row query vector, a memoized aggregate behind an
+    * InMemoryRelation leaf), and `broadcast(...)` at the call site is
+    * precisely this repo's written assertion that the side is tiny —
+    * with the broadcast physically enforcing it (an executor OOMs
+    * loudly on a wrongly-hinted big side; a silent cartesian does
+    * not). Reported per offending Join node; empty = compliant. */
+  def unboundedCrossViolations(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, HintInfo}
+    def hintedBroadcast(h: Option[HintInfo]): Boolean =
+      h.exists(_.strategy.contains(BROADCAST))
     df.queryExecution.optimizedPlan.collect {
-      case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) =>
-        s"global Window [${w.windowExpressions.map(_.name).mkString(", ")}] " +
-          "over a non-aggregate-bounded frame - a single-task sort of raw " +
-          "table volume; partition it or fold the frame first"
+      case j: Join if j.condition.isEmpty &&
+          !(bounded(j.left) || hintedBroadcast(j.hint.leftHint)) &&
+          !(bounded(j.right) || hintedBroadcast(j.hint.rightHint)) =>
+        "condition-less join with two unbounded, unhinted sides - " +
+          "|A|*|B| output on raw volumes; aggregate/limit one side, " +
+          "broadcast the tiny one, or add a join key"
     }
   }
 

@@ -13,6 +13,13 @@ class GraftSessionSpec extends AnyFunSuite {
         |""".stripMargin).collect()(0)
     assert(r.getLong(0) != 0L)
     assert(r.getSeq[Long](1).length == 4)
+    // the late-r9 additions resolve from SQL too (aggregate + scalar)
+    val r2 = spark.sql(
+      """SELECT misra_gries(v, 4) AS mg, max(deflate_len(t)) AS d
+        |FROM VALUES (1L, 'aaaa'), (1L, 'aaaa'), (2L, 'bbbb') AS x(v, t)
+        |""".stripMargin).collect()(0)
+    assert(r2.getSeq[org.apache.spark.sql.Row](0).nonEmpty)
+    assert(r2.getLong(1) > 0L)
   }
 
   test("GraftExtensions injects all six functions through the extensions hook") {

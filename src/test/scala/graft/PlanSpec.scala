@@ -84,6 +84,25 @@ class PlanSpec extends AnyFunSuite {
       "audit failed to flag a global window over an explode-reinflated frame")
   }
 
+  test("no registered query cross-joins two unbounded sides; the audit catches one") {
+    // the crossJoin stance (every condition-less join rides a
+    // broadcast/aggregate-sized frame) as an enforced audit, sharing
+    // the Window rule's boundedness walk
+    val bad = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      PlanAudit.unboundedCrossViolations(fn(spark, sf)).map(v => s"$name: $v")
+    }
+    assert(bad.isEmpty, s"unbounded cross shapes in:\n${bad.mkString("\n")}")
+    import org.apache.spark.sql.functions._
+    val cartesian = Tables.events(spark, sf).select("event_id")
+      .crossJoin(Tables.documents(spark, sf).select("doc_id"))
+    assert(PlanAudit.unboundedCrossViolations(cartesian).nonEmpty,
+      "audit failed to flag a raw-x-raw cartesian")
+    val okay = Tables.events(spark, sf)
+      .crossJoin(Tables.events(spark, sf).agg(count(lit(1)).as("n_total")))
+    assert(PlanAudit.unboundedCrossViolations(okay).isEmpty,
+      "audit wrongly flagged a 1-row-aggregate rider")
+  }
+
   test("whole-stage codegen spans exist in aggregation plans") {
     // AQE hides codegen markers until stages materialize: execute first,
     // then the final plan carries the *(n) codegen prefixes
