@@ -1316,7 +1316,9 @@ object TextQueries {
         sum(col("raw")).as("sum_raw"),
         sum(col("defl")).as("sum_deflated"))
       .withColumn("ratio_permille",
-        expr("sum_deflated * 1000 div sum_raw"))
+        // greatest(…, 1): a group of empty documents has sum_raw = 0,
+        // which must degrade to ratio 0, not an ANSI division error
+        expr("sum_deflated * 1000 div greatest(sum_raw, 1)"))
       .orderBy("lang")
   }
 

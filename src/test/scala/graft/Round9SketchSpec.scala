@@ -189,6 +189,13 @@ class Round9SketchSpec extends AnyFunSuite {
     val n = Seq(Option.empty[String]).toDF("text")
       .selectExpr("deflate_len(text) AS d").collect()(0)
     assert(n.isNullAt(0), "null stays null")
+    // an all-empty corpus must yield ratio 0 through q167's guarded
+    // division, not an ANSI divide-by-zero (sum_raw = 0 there)
+    val row = Seq((1L, ""), (2L, "")).toDF("doc_id", "text")
+      .selectExpr("octet_length(text) AS raw", "deflate_len(text) AS d")
+      .selectExpr("sum(d) AS sd", "sum(raw) AS sr")
+      .selectExpr("sd * 1000 div greatest(sr, 1) AS p").collect()(0)
+    assert(row.getLong(0) >= 0L)
   }
 
   test("q167 pin equals the live computation (zlib/fixture drift guard)") {
