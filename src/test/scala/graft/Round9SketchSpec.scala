@@ -74,6 +74,23 @@ class Round9SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("misra_gries hot-key skew: one dominant value stays exact at any volume") {
+    // the all-rows-one-key shape that melts unbounded aggregations:
+    // 1M rows of value 42 plus a 3-value trickle. The dominant key
+    // never loses weight to a decrement it can't afford (its counter
+    // dwarfs the trickle), and with distinct = 4 <= k the summary is
+    // exact — state one counter per distinct value, never per row.
+    graft.functions.MisraGries.register(spark)
+    val got = spark.range(1000000L).selectExpr("42L AS v")
+      .union(spark.range(3).selectExpr("id AS v"))
+      .repartition(32)
+      .agg(expr("misra_gries(v, 8)").as("mg"))
+      .select(explode($"mg").as("e")).select($"e.v", $"e.c")
+      .as[(Long, Long)].collect().toMap
+    assert(got(42L) == 1000000L)
+    assert(got.size == 4)
+  }
+
   test("misra_gries rejects bad k and non-bigint input at analysis time") {
     graft.functions.MisraGries.register(spark)
     val df = Seq(1L, 2L).toDF("v")
