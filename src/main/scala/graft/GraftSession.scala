@@ -37,16 +37,6 @@ object GraftSession {
 
   /** Register the engine's native SQL functions (idempotent) — also
     * callable on an externally-built session. */
-  def registerFunctions(spark: SparkSession): Unit = {
-    functions.SimHash64.register(spark)
-    functions.MinHashSigs.register(spark)
-    functions.ShingleHashes.register(spark)
-    functions.SrpBuckets.register(spark)
-    functions.CosineSim.register(spark)
-    functions.BoundedMinK.register(spark)
-    functions.BoundedMinKDistinct.register(spark)
-    functions.BoundedMinKPairs.register(spark)
-    functions.MisraGries.register(spark)
-    functions.DeflateLen.register(spark)
-  }
+  def registerFunctions(spark: SparkSession): Unit =
+    functions.FunctionCatalog.registerAll(spark)
 }

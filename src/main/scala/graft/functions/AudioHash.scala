@@ -166,10 +166,7 @@ case class EHash64(child: Expression) extends BinaryImageHash {
 
 object EHash64 {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Registration.once(spark, "ehash64") { exprs =>
-      FunctionArgs.requireArity("ehash64", exprs, 1, "ehash64(payload binary)")
-      EHash64(exprs.head)
-    }
+    FunctionCatalog.register(spark, "ehash64")
 }
 
 case class EHash64Energy(child: Expression) extends GrayHash {
@@ -184,11 +181,7 @@ case class EHash64Energy(child: Expression) extends GrayHash {
 
 object EHash64Energy {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Registration.once(spark, "ehash64_energy") { exprs =>
-      FunctionArgs.requireArity("ehash64_energy", exprs, 1,
-        "ehash64_energy(energies array<bigint> of 65)")
-      EHash64Energy(exprs.head)
-    }
+    FunctionCatalog.register(spark, "ehash64_energy")
 }
 
 /** `audio_meta(binary) -> struct<sample_rate,channels,frames,bits>` —
@@ -223,8 +216,5 @@ case class AudioMeta(child: Expression) extends UnaryExpression {
 
 object AudioMeta {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Registration.once(spark, "audio_meta") { exprs =>
-      FunctionArgs.requireArity("audio_meta", exprs, 1, "audio_meta(payload binary)")
-      AudioMeta(exprs.head)
-    }
+    FunctionCatalog.register(spark, "audio_meta")
 }

@@ -135,11 +135,5 @@ object BoundedMinK {
   /** Register `bounded_min_k` — once per session ([[Registration]]).
     * k must be a foldable integer literal (it shapes the agg buffer). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Registration.once(spark, "bounded_min_k") { exprs =>
-      FunctionArgs.requireArity("bounded_min_k", exprs, 2,
-        "bounded_min_k(col bigint, k int literal)")
-      BoundedMinK(exprs.head,
-        FunctionArgs.foldableInt("bounded_min_k", exprs(1), "k"))
-        .toAggregateExpression()
-    }
+    FunctionCatalog.register(spark, "bounded_min_k")
 }

@@ -132,11 +132,5 @@ object BoundedMinKDistinct {
   /** Register `bounded_min_k_distinct` ([[Registration]]). k must be a
     * foldable integer literal (it shapes the agg buffer). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Registration.once(spark, "bounded_min_k_distinct") { exprs =>
-      FunctionArgs.requireArity("bounded_min_k_distinct", exprs, 2,
-        "bounded_min_k_distinct(col bigint, k int literal)")
-      BoundedMinKDistinct(exprs.head,
-        FunctionArgs.foldableInt("bounded_min_k_distinct", exprs(1), "k"))
-        .toAggregateExpression()
-    }
+    FunctionCatalog.register(spark, "bounded_min_k_distinct")
 }

@@ -141,11 +141,5 @@ object BoundedMinKPairs {
   /** Register `bounded_min_k_pairs` ([[Registration]]); k must be a
     * foldable integer literal (it shapes the agg buffer). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Registration.once(spark, "bounded_min_k_pairs") { exprs =>
-      FunctionArgs.requireArity("bounded_min_k_pairs", exprs, 3,
-        "bounded_min_k_pairs(ord bigint, tag bigint, k int literal)")
-      BoundedMinKPairs(exprs.head, exprs(1),
-        FunctionArgs.foldableInt("bounded_min_k_pairs", exprs(2), "k"))
-        .toAggregateExpression()
-    }
+    FunctionCatalog.register(spark, "bounded_min_k_pairs")
 }

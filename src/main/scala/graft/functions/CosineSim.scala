@@ -83,9 +83,5 @@ object CosineSim {
   /** Register `cosine_sim` — once per session, claiming the name over
     * any foreign pre-registration (see [[Registration]]). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Registration.once(spark, "cosine_sim") { exprs =>
-      FunctionArgs.requireArity("cosine_sim", exprs, 2,
-        "cosine_sim(a array<float|double>, b array<float|double>)")
-      CosineSim(exprs.head, exprs(1))
-    }
+    FunctionCatalog.register(spark, "cosine_sim")
 }

@@ -80,8 +80,5 @@ case class DeflateLen(child: Expression) extends UnaryExpression {
 
 object DeflateLen {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Registration.once(spark, "deflate_len") { exprs =>
-      FunctionArgs.requireArity("deflate_len", exprs, 1, "deflate_len(text string)")
-      DeflateLen(exprs.head)
-    }
+    FunctionCatalog.register(spark, "deflate_len")
 }

@@ -1,0 +1,178 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** THE inventory of graft's native SQL functions — one (name, usage,
+  * builder) row per function, consumed by BOTH registration routes:
+  *
+  *   - [[graft.GraftSession.registerFunctions]] (programmatic route,
+  *     and each operator's `X.register(spark)` convenience calls);
+  *   - [[graft.GraftExtensions]] (`spark.sql.extensions` route for
+  *     SQL-only deployments where infrastructure builds the session).
+  *
+  * Keeping the builders HERE — instead of one copy per companion
+  * object plus a hand-maintained list in each route — is what makes
+  * the two routes equivalent BY CONSTRUCTION: a new function added to
+  * this table is visible to SQL-only users the same commit it ships
+  * (round 9 shipped `misra_gries`/`deflate_len` to the programmatic
+  * route only; this table is the structural fix for that drift
+  * class). `GraftSessionSpec` asserts both routes resolve every
+  * catalog name.
+  */
+object FunctionCatalog {
+
+  /** One native function: SQL name, usage string (shown in DESCRIBE
+    * FUNCTION via the extensions route), expression builder. */
+  final case class FunctionDef(
+      name: String,
+      usage: String,
+      builder: Seq[Expression] => Expression)
+
+  val all: Seq[FunctionDef] = Seq(
+    FunctionDef("simhash64",
+      "simhash64(features array<bigint>) -> bigint", { exprs =>
+        FunctionArgs.requireArity("simhash64", exprs, 1,
+          "simhash64(features array<bigint>)")
+        SimHash64(exprs.head)
+      }),
+    FunctionDef("minhash_sigs",
+      "minhash_sigs(features array<bigint>, k INT) -> array<bigint>", { exprs =>
+        FunctionArgs.requireArity("minhash_sigs", exprs, 2,
+          "minhash_sigs(features array<bigint>, k INT literal)")
+        MinHashSigs(exprs.head,
+          FunctionArgs.foldableInt("minhash_sigs", exprs(1), "k"))
+      }),
+    FunctionDef("shingle_hashes",
+      "shingle_hashes(text STRING, k INT) -> array<bigint>", { exprs =>
+        FunctionArgs.requireArity("shingle_hashes", exprs, 2,
+          "shingle_hashes(text STRING, k INT literal)")
+        ShingleHashes(exprs.head,
+          FunctionArgs.foldableInt("shingle_hashes", exprs(1), "k"))
+      }),
+    FunctionDef("srp_buckets",
+      "srp_buckets(vec array<float|double>, tables INT, bits INT, seed BIGINT) -> array<bigint>", { exprs =>
+        FunctionArgs.requireArity("srp_buckets", exprs, 4,
+          "srp_buckets(vec array<float|double>, tables INT, bits INT, seed BIGINT)")
+        SrpBuckets(exprs.head,
+          FunctionArgs.foldableInt("srp_buckets", exprs(1), "tables"),
+          FunctionArgs.foldableInt("srp_buckets", exprs(2), "bits"),
+          FunctionArgs.foldableLong("srp_buckets", exprs(3), "seed"))
+      }),
+    FunctionDef("cosine_sim",
+      "cosine_sim(a array<float|double>, b array<float|double>) -> double", { exprs =>
+        FunctionArgs.requireArity("cosine_sim", exprs, 2,
+          "cosine_sim(a array<float|double>, b array<float|double>)")
+        CosineSim(exprs.head, exprs(1))
+      }),
+    FunctionDef("bounded_min_k",
+      "bounded_min_k(col BIGINT, k INT) -> array<bigint>", { exprs =>
+        FunctionArgs.requireArity("bounded_min_k", exprs, 2,
+          "bounded_min_k(col bigint, k int literal)")
+        BoundedMinK(exprs.head,
+          FunctionArgs.foldableInt("bounded_min_k", exprs(1), "k"))
+          .toAggregateExpression()
+      }),
+    FunctionDef("bounded_min_k_distinct",
+      "bounded_min_k_distinct(col BIGINT, k INT) -> array<bigint>", { exprs =>
+        FunctionArgs.requireArity("bounded_min_k_distinct", exprs, 2,
+          "bounded_min_k_distinct(col bigint, k int literal)")
+        BoundedMinKDistinct(exprs.head,
+          FunctionArgs.foldableInt("bounded_min_k_distinct", exprs(1), "k"))
+          .toAggregateExpression()
+      }),
+    FunctionDef("bounded_min_k_pairs",
+      "bounded_min_k_pairs(ord BIGINT, tag BIGINT, k INT) -> array<struct<o:bigint,t:bigint>>", { exprs =>
+        FunctionArgs.requireArity("bounded_min_k_pairs", exprs, 3,
+          "bounded_min_k_pairs(ord bigint, tag bigint, k int literal)")
+        BoundedMinKPairs(exprs.head, exprs(1),
+          FunctionArgs.foldableInt("bounded_min_k_pairs", exprs(2), "k"))
+          .toAggregateExpression()
+      }),
+    FunctionDef("misra_gries",
+      "misra_gries(col BIGINT, k INT) -> array<struct<v:bigint,c:bigint>>", { exprs =>
+        FunctionArgs.requireArity("misra_gries", exprs, 2,
+          "misra_gries(col bigint, k int literal)")
+        MisraGries(exprs.head,
+          FunctionArgs.foldableInt("misra_gries", exprs(1), "k"))
+          .toAggregateExpression()
+      }),
+    FunctionDef("deflate_len",
+      "deflate_len(text STRING) -> bigint", { exprs =>
+        FunctionArgs.requireArity("deflate_len", exprs, 1,
+          "deflate_len(text string)")
+        DeflateLen(exprs.head)
+      }),
+    FunctionDef("media_type",
+      "media_type(payload BINARY) -> string", { exprs =>
+        FunctionArgs.requireArity("media_type", exprs, 1,
+          "media_type(payload binary)")
+        MediaType(exprs.head)
+      }),
+    FunctionDef("ahash64",
+      "ahash64(payload BINARY) -> bigint", { exprs =>
+        FunctionArgs.requireArity("ahash64", exprs, 1,
+          "ahash64(payload binary)")
+        AHash64(exprs.head)
+      }),
+    FunctionDef("dhash64",
+      "dhash64(payload BINARY) -> bigint", { exprs =>
+        FunctionArgs.requireArity("dhash64", exprs, 1,
+          "dhash64(payload binary)")
+        DHash64(exprs.head)
+      }),
+    FunctionDef("image_meta",
+      "image_meta(payload BINARY) -> struct<width,height,channels>", { exprs =>
+        FunctionArgs.requireArity("image_meta", exprs, 1,
+          "image_meta(payload binary)")
+        ImageMeta(exprs.head)
+      }),
+    FunctionDef("ahash64_gray",
+      "ahash64_gray(cells ARRAY<BIGINT> of 64) -> bigint", { exprs =>
+        FunctionArgs.requireArity("ahash64_gray", exprs, 1,
+          "ahash64_gray(cells array<bigint> of 64)")
+        AHash64Gray(exprs.head)
+      }),
+    FunctionDef("dhash64_gray",
+      "dhash64_gray(cells ARRAY<BIGINT> of 72) -> bigint", { exprs =>
+        FunctionArgs.requireArity("dhash64_gray", exprs, 1,
+          "dhash64_gray(cells array<bigint> of 72)")
+        DHash64Gray(exprs.head)
+      }),
+    FunctionDef("ehash64",
+      "ehash64(payload BINARY) -> bigint", { exprs =>
+        FunctionArgs.requireArity("ehash64", exprs, 1,
+          "ehash64(payload binary)")
+        EHash64(exprs.head)
+      }),
+    FunctionDef("ehash64_energy",
+      "ehash64_energy(energies ARRAY<BIGINT> of 65) -> bigint", { exprs =>
+        FunctionArgs.requireArity("ehash64_energy", exprs, 1,
+          "ehash64_energy(energies array<bigint> of 65)")
+        EHash64Energy(exprs.head)
+      }),
+    FunctionDef("audio_meta",
+      "audio_meta(payload BINARY) -> struct<sample_rate,channels,frames,bits>", { exprs =>
+        FunctionArgs.requireArity("audio_meta", exprs, 1,
+          "audio_meta(payload binary)")
+        AudioMeta(exprs.head)
+      })
+  )
+
+  private val byName: Map[String, FunctionDef] =
+    all.map(d => d.name -> d).toMap
+
+  /** Register one catalog function in a session ([[Registration]]
+    * once-per-session semantics) — the delegation target for each
+    * companion object's `register(spark)` convenience method. */
+  def register(spark: SparkSession, name: String): Unit = {
+    val d = byName.getOrElse(name,
+      throw new IllegalArgumentException(s"no such graft function: $name"))
+    Registration.once(spark, d.name)(d.builder)
+  }
+
+  /** Register every catalog function — [[graft.GraftSession]]'s
+    * programmatic route. */
+  def registerAll(spark: SparkSession): Unit =
+    all.foreach(d => Registration.once(spark, d.name)(d.builder))
+}

@@ -191,10 +191,7 @@ case class AHash64(child: Expression) extends BinaryImageHash {
 
 object AHash64 {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Registration.once(spark, "ahash64") { exprs =>
-      FunctionArgs.requireArity("ahash64", exprs, 1, "ahash64(payload binary)")
-      AHash64(exprs.head)
-    }
+    FunctionCatalog.register(spark, "ahash64")
 }
 
 case class DHash64(child: Expression) extends BinaryImageHash {
@@ -207,10 +204,7 @@ case class DHash64(child: Expression) extends BinaryImageHash {
 
 object DHash64 {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Registration.once(spark, "dhash64") { exprs =>
-      FunctionArgs.requireArity("dhash64", exprs, 1, "dhash64(payload binary)")
-      DHash64(exprs.head)
-    }
+    FunctionCatalog.register(spark, "dhash64")
 }
 
 /** `image_meta(binary) -> struct<width,height,channels>` — header-level
@@ -245,10 +239,7 @@ case class ImageMeta(child: Expression) extends UnaryExpression {
 
 object ImageMeta {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Registration.once(spark, "image_meta") { exprs =>
-      FunctionArgs.requireArity("image_meta", exprs, 1, "image_meta(payload binary)")
-      ImageMeta(exprs.head)
-    }
+    FunctionCatalog.register(spark, "image_meta")
 }
 
 /** Pure hash arithmetic over a precomputed luminance grid — the
@@ -281,11 +272,7 @@ case class AHash64Gray(child: Expression) extends GrayHash {
 
 object AHash64Gray {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Registration.once(spark, "ahash64_gray") { exprs =>
-      FunctionArgs.requireArity("ahash64_gray", exprs, 1,
-        "ahash64_gray(cells array<bigint> of 64)")
-      AHash64Gray(exprs.head)
-    }
+    FunctionCatalog.register(spark, "ahash64_gray")
 }
 
 case class DHash64Gray(child: Expression) extends GrayHash {
@@ -300,9 +287,5 @@ case class DHash64Gray(child: Expression) extends GrayHash {
 
 object DHash64Gray {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Registration.once(spark, "dhash64_gray") { exprs =>
-      FunctionArgs.requireArity("dhash64_gray", exprs, 1,
-        "dhash64_gray(cells array<bigint> of 72)")
-      DHash64Gray(exprs.head)
-    }
+    FunctionCatalog.register(spark, "dhash64_gray")
 }

@@ -85,8 +85,5 @@ case class MediaType(child: Expression) extends UnaryExpression {
 
 object MediaType {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Registration.once(spark, "media_type") { exprs =>
-      FunctionArgs.requireArity("media_type", exprs, 1, "media_type(payload binary)")
-      MediaType(exprs.head)
-    }
+    FunctionCatalog.register(spark, "media_type")
 }

@@ -68,9 +68,5 @@ object MinHashSigs {
   /** Register `minhash_sigs` (idempotent); the k argument must be a
     * foldable integer literal. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Registration.once(spark, "minhash_sigs") { exprs =>
-      FunctionArgs.requireArity("minhash_sigs", exprs, 2,
-        "minhash_sigs(features array<bigint>, k INT literal)")
-      MinHashSigs(exprs.head, FunctionArgs.foldableInt("minhash_sigs", exprs(1), "k"))
-    }
+    FunctionCatalog.register(spark, "minhash_sigs")
 }

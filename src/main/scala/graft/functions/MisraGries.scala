@@ -52,8 +52,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, S
   * that regime is certified by q162's theorem-as-data columns and the
   * adversarial spec, the q143 "guarantee as data" convention.
   *
-  * Buffer: a HashMap plus the total-weight tally n (serialized with
-  * the counters so partials merge exactly). k <= [[MisraGries.MaxK]]:
+  * Buffer: a HashMap of the ≤ k counters — nothing else is needed or
+  * serialized (the q162 bound derives the group total n from a plain
+  * count(*) beside the summary). k <= [[MisraGries.MaxK]]:
   * the overflow decrement walks all k counters, so the cap is far
   * tighter than [[BoundedMinK.MaxK]] — heavy-hitter k is 10s-100s.
   */
@@ -205,11 +206,5 @@ object MisraGries {
   /** Register `misra_gries` ([[Registration]]). k must be a foldable
     * integer literal (it shapes the agg buffer). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Registration.once(spark, "misra_gries") { exprs =>
-      FunctionArgs.requireArity("misra_gries", exprs, 2,
-        "misra_gries(col bigint, k int literal)")
-      MisraGries(exprs.head,
-        FunctionArgs.foldableInt("misra_gries", exprs(1), "k"))
-        .toAggregateExpression()
-    }
+    FunctionCatalog.register(spark, "misra_gries")
 }

@@ -93,9 +93,5 @@ object ShingleHashes {
 
   /** Register `shingle_hashes` (idempotent); k must be a foldable literal. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Registration.once(spark, "shingle_hashes") { exprs =>
-      FunctionArgs.requireArity("shingle_hashes", exprs, 2,
-        "shingle_hashes(text STRING, k INT literal)")
-      ShingleHashes(exprs.head, FunctionArgs.foldableInt("shingle_hashes", exprs(1), "k"))
-    }
+    FunctionCatalog.register(spark, "shingle_hashes")
 }

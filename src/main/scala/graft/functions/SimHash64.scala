@@ -71,9 +71,5 @@ object SimHash64 {
   /** Register `simhash64` in the session's function registry
     * (idempotent); afterwards it is callable from SQL and `expr`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Registration.once(spark, "simhash64") { exprs =>
-      FunctionArgs.requireArity("simhash64", exprs, 1,
-        "simhash64(features array<bigint>)")
-      SimHash64(exprs.head)
-    }
+    FunctionCatalog.register(spark, "simhash64")
 }

@@ -105,12 +105,5 @@ object SrpBuckets {
   /** Register `srp_buckets` (idempotent); tables/bits/seed must be
     * foldable integer literals. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Registration.once(spark, "srp_buckets") { exprs =>
-      FunctionArgs.requireArity("srp_buckets", exprs, 4,
-        "srp_buckets(vec array<float|double>, tables INT, bits INT, seed BIGINT)")
-      SrpBuckets(exprs.head,
-        FunctionArgs.foldableInt("srp_buckets", exprs(1), "tables"),
-        FunctionArgs.foldableInt("srp_buckets", exprs(2), "bits"),
-        FunctionArgs.foldableLong("srp_buckets", exprs(3), "seed"))
-    }
+    FunctionCatalog.register(spark, "srp_buckets")
 }

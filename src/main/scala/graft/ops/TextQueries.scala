@@ -1316,9 +1316,15 @@ object TextQueries {
         sum(col("raw")).as("sum_raw"),
         sum(col("defl")).as("sum_deflated"))
       .withColumn("ratio_permille",
-        // greatest(…, 1): a group of empty documents has sum_raw = 0,
-        // which must degrade to ratio 0, not an ANSI division error
-        expr("sum_deflated * 1000 div greatest(sum_raw, 1)"))
+        // a group of all-empty documents has sum_raw = 0 while
+        // sum_deflated = 2 bytes per doc (DEFLATE of "" is the 2-byte
+        // empty stream), so plain division would report a huge ratio
+        // and greatest(…,1) alone would report 2000·n_docs; define
+        // the degenerate group as ratio 0 explicitly (no raw bytes →
+        // no redundancy signal), which also avoids the ANSI
+        // divide-by-zero
+        expr("CASE WHEN sum_raw = 0 THEN 0L " +
+          "ELSE sum_deflated * 1000 div sum_raw END"))
       .orderBy("lang")
   }
 

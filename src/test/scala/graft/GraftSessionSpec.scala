@@ -22,7 +22,7 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(r2.getLong(1) > 0L)
   }
 
-  test("GraftExtensions injects all six functions through the extensions hook") {
+  test("GraftExtensions injects the ENTIRE catalog through the extensions hook") {
     // drive the same path BaseSessionStateBuilder runs at session
     // construction (spark.sql.extensions=graft.GraftExtensions):
     // apply the extension, materialize its injections into the live
@@ -53,6 +53,34 @@ class GraftSessionSpec extends AnyFunSuite {
     // validated builders surface real errors, not IndexOutOfBounds
     val e = intercept[Exception](spark.sql("SELECT shingle_hashes('x')").collect())
     assert(e.getMessage.contains("shingle_hashes"), s"got: ${e.getMessage}")
+  }
+
+  test("both routes resolve every FunctionCatalog name (no route drift)") {
+    // the round-9 drift class: a function registered programmatically
+    // but absent from the spark.sql.extensions route. Both routes now
+    // iterate FunctionCatalog.all, and this asserts it stays that way.
+    val names = graft.functions.FunctionCatalog.all.map(_.name)
+    assert(names.size == names.distinct.size, "duplicate catalog names")
+    // extensions route: a fresh SparkSessionExtensions sees every name
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions()(ext)
+    val reg = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone()
+    classOf[org.apache.spark.sql.SparkSessionExtensions]
+      .getMethod("registerFunctions",
+        classOf[org.apache.spark.sql.catalyst.analysis.FunctionRegistry])
+      .invoke(ext, reg)
+    names.foreach { n =>
+      assert(reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(n)),
+        s"extensions route missing $n")
+    }
+    // programmatic route: registerFunctions makes every name resolvable
+    GraftSession.registerFunctions(spark)
+    names.foreach { n =>
+      assert(spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(n)),
+        s"programmatic route missing $n")
+    }
   }
 
   test("functions are deterministic across invocations") {

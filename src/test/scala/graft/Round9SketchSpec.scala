@@ -206,13 +206,18 @@ class Round9SketchSpec extends AnyFunSuite {
     val n = Seq(Option.empty[String]).toDF("text")
       .selectExpr("deflate_len(text) AS d").collect()(0)
     assert(n.isNullAt(0), "null stays null")
-    // an all-empty corpus must yield ratio 0 through q167's guarded
-    // division, not an ANSI divide-by-zero (sum_raw = 0 there)
+    // an all-empty corpus must yield ratio EXACTLY 0 through q167's
+    // explicit sum_raw = 0 branch — not an ANSI divide-by-zero, and
+    // not 2000·n_docs (DEFLATE of "" is 2 bytes, so sum_deflated = 4
+    // here while sum_raw = 0; plain or greatest-guarded division both
+    // get this wrong)
     val row = Seq((1L, ""), (2L, "")).toDF("doc_id", "text")
       .selectExpr("octet_length(text) AS raw", "deflate_len(text) AS d")
-      .selectExpr("sum(d) AS sd", "sum(raw) AS sr")
-      .selectExpr("sd * 1000 div greatest(sr, 1) AS p").collect()(0)
-    assert(row.getLong(0) >= 0L)
+      .selectExpr("sum(d) AS sum_deflated", "sum(raw) AS sum_raw")
+      .selectExpr("sum_deflated", "CASE WHEN sum_raw = 0 THEN 0L " +
+        "ELSE sum_deflated * 1000 div sum_raw END AS p").collect()(0)
+    assert(row.getLong(0) == 4L, "DEFLATE of '' must be 2 bytes per doc")
+    assert(row.getLong(1) == 0L, "all-empty group must degrade to ratio 0")
   }
 
   test("q167 pin equals the live computation (zlib/fixture drift guard)") {
