@@ -482,43 +482,66 @@ object TextAnalysis {
   }
 
   /** Proximity (slop) search: per document, the MINIMAL token-window
-    * span covering one occurrence of EACH of three query terms, in
-    * any order — Lucene's SpanNear / the "terms near each other"
+    * span covering one occurrence of EACH of `numTerms` query terms,
+    * in any order — Lucene's SpanNear / the "terms near each other"
     * relaxation of [[phraseOccurrences]]' exact consecutive match.
     *
-    * Plan: the token stream is cut to the 3 query terms by a
-    * broadcast slot join (the q163 shape), then ONE aggregate pass
-    * collects each term's positions per doc through
-    * `bounded_min_k(CASE WHEN slot=i THEN pos END, k)` — three
+    * Plan: the token stream is cut to the query terms by a broadcast
+    * slot join (the q163 shape), then ONE aggregate pass collects
+    * each term's positions per doc through
+    * `bounded_min_k(CASE WHEN slot=i THEN pos END, k)` — `numTerms`
     * k-capped ascending position lists in a single shuffle, agg state
-    * ≤ 3k longs per doc at every plan stage. The min span is an
-    * IN-ROW higher-order-function reduction over the ≤ k³ position
-    * combos (greatest − least per combo, array_min over the flatten)
-    * — no joins, no window, fully codegen'd.
+    * ≤ numTerms·k longs per doc at every plan stage. The min span is
+    * an IN-ROW higher-order-function reduction over the ≤ k^numTerms
+    * position combos (greatest − least per combo, array_min over the
+    * flatten) — no joins, no window, fully codegen'd. `numTerms` is a
+    * caller-supplied constant (the [[phraseOccurrences]] phraseLen
+    * convention — a derived slot frame is not executed twice just to
+    * learn its arity); a slot OUTSIDE 0..numTerms−1 raises in-plan
+    * instead of being silently ignored (a 4-term frame against the
+    * default arity used to return plausible-but-wrong 3-term spans),
+    * and the `require` bounds the in-row combo count.
     *
     * The k cap makes this FIRST-k-OCCURRENCES semantics: a doc
     * repeating a query term beyond k times scores only its first k
     * positions — the standard posting-truncation trade, deterministic
     * (positions are a pure function of the text), and mirrored
     * verbatim by the oracle's row_number ≤ k. Docs missing any term
-    * are absent (all three lists must be non-empty). */
+    * are absent (all lists must be non-empty). */
   def proximityMinSpan(docs: DataFrame, slots: DataFrame, k: Int = 16,
-                       text: String = "text"): DataFrame = {
+                       numTerms: Int = 3, text: String = "text"): DataFrame = {
+    require(numTerms >= 2, s"proximity needs >= 2 terms, got $numTerms")
+    require(math.pow(k.toDouble, numTerms.toDouble) <= (1 << 20),
+      s"k^numTerms = $k^$numTerms combos per doc exceeds the in-row " +
+        "reduction budget (2^20); lower k or numTerms")
     graft.functions.BoundedMinK.register(docs.sparkSession)
+    // nested flatten(transform(...)) over a0..a_{n-1}: the innermost
+    // lambda sees one position from every list and emits its span
+    def spanExpr(i: Int, bound: Seq[String]): String =
+      if (i == numTerms - 1) {
+        val xs = (bound :+ s"x$i").mkString(", ")
+        s"transform(a$i, x$i -> greatest($xs) - least($xs))"
+      } else s"flatten(transform(a$i, x$i -> ${spanExpr(i + 1, bound :+ s"x$i")}))"
+    val aggs = (0 until numTerms).map(i =>
+      expr(s"bounded_min_k(CASE WHEN slot = $i THEN pos END, $k)").as(s"a$i"))
+    val allPresent = (0 until numTerms).map(i => size(col(s"a$i")) > 0)
+      .reduce(_ && _)
     docs
       .select(col("doc_id"), posexplode(words(col(text))).as(Seq("pos", "term")))
       .join(broadcast(slots), Seq("term"))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("slot"))
-      .groupBy("doc_id")
-      .agg(
-        expr(s"bounded_min_k(CASE WHEN slot = 0 THEN pos END, $k)").as("a0"),
-        expr(s"bounded_min_k(CASE WHEN slot = 1 THEN pos END, $k)").as("a1"),
-        expr(s"bounded_min_k(CASE WHEN slot = 2 THEN pos END, $k)").as("a2"))
-      .filter(size(col("a0")) > 0 && size(col("a1")) > 0 && size(col("a2")) > 0)
+      // the guard lives INSIDE the pos projection so column pruning
+      // cannot drop it: an out-of-range slot row throws at scan time
       .select(col("doc_id"),
-        expr("array_min(flatten(transform(a0, x -> " +
-          "flatten(transform(a1, y -> transform(a2, z -> " +
-          "greatest(x, y, z) - least(x, y, z)))))))").as("min_span"))
+        when(col("slot").between(0, numTerms - 1), col("pos").cast("long"))
+          .otherwise(expr(
+            s"""cast(raise_error('proximityMinSpan: slot outside 0..${numTerms - 1} — pass numTerms matching the slot frame') as long)"""))
+          .as("pos"),
+        col("slot"))
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(allPresent)
+      .select(col("doc_id"),
+        expr(s"array_min(${spanExpr(0, Nil)})").as("min_span"))
   }
 
   /** TF-IDF per (doc, term): tf = in-doc count, idf = ln(N/df) with

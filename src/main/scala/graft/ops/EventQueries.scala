@@ -1139,12 +1139,19 @@ object EventQueries {
     * runs the summary alone. q75 covers the engine-internal
     * `freqItems` variant; this puts the summary itself under the
     * oracle gate. */
-  def q162MgCertificate(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.MisraGries.register(spark)
-    val k = 8
-    val keyed = Tables.events(spark, dir)
-      .select(col("event_type"),
-        expr("cast(floor(value / 10) as bigint)").as("key"))
+  def q162MgCertificate(spark: SparkSession, dir: String): DataFrame =
+    mgCertificate(
+      Tables.events(spark, dir)
+        .select(col("event_type"),
+          expr("cast(floor(value / 10) as bigint)").as("key")),
+      k = 8)
+
+  /** [[q162MgCertificate]]'s certificate over any (event_type, key)
+    * frame — separated so a spec can feed a decrement-cancelling
+    * group (k+1 distinct singletons empties the summary entirely) and
+    * assert the zeros row survives. */
+  def mgCertificate(keyed: DataFrame, k: Int): DataFrame = {
+    graft.functions.MisraGries.register(keyed.sparkSession)
     val mg = keyed
       .groupBy("event_type")
       .agg(expr(s"misra_gries(key, $k)").as("mg"),
@@ -1153,8 +1160,14 @@ object EventQueries {
       .withColumn("d_bound",
         expr(s"(n_total - aggregate(mg, 0L, (acc, e) -> acc + e.c)) " +
           s"div ${k + 1}"))
+      // explode_OUTER: a group whose summary came back EMPTY (every
+      // counter decrement-cancelled — possible whenever no key is
+      // heavy) must still emit its row; the theorem columns below all
+      // pass through null c_est/key as 0 via their when().otherwise(0)
+      // arms, matching the oracle's zeros row. Plain explode dropped
+      // the group and would fail the gate on such a fixture.
       .select(col("event_type"), col("n_total"), col("d_bound"),
-        explode(col("mg")).as("e"))
+        explode_outer(col("mg")).as("e"))
       .select(col("event_type"), col("n_total"), col("d_bound"),
         col("e.v").as("key"), col("e.c").as("c_est"))
     val exact = keyed.groupBy("event_type", "key")
