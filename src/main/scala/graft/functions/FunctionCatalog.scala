@@ -156,6 +156,18 @@ object FunctionCatalog {
         FunctionArgs.requireArity("audio_meta", exprs, 1,
           "audio_meta(payload binary)")
         AudioMeta(exprs.head)
+      }),
+    FunctionDef("gzip_members",
+      "gzip_members(archive BINARY) -> array<struct<idx,offset,clen,payload,err>>", { exprs =>
+        FunctionArgs.requireArity("gzip_members", exprs, 1,
+          "gzip_members(archive binary)")
+        GzipMembers(exprs.head)
+      }),
+    FunctionDef("gzip_member",
+      "gzip_member(payload BINARY) -> binary", { exprs =>
+        FunctionArgs.requireArity("gzip_member", exprs, 1,
+          "gzip_member(payload binary)")
+        GzipMemberEnc(exprs.head)
       })
   )
 

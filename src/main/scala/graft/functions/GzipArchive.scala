@@ -1,0 +1,254 @@
+package graft.functions
+
+import java.util.zip.{CRC32, DataFormatException, Deflater, Inflater}
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compressed web-crawl ingestion primitives — the member-level gzip
+  * codec under [[graft.sources.WebArchive]].
+  *
+  * A Common-Crawl WET/WARC file is a CONCATENATION of independent
+  * gzip members, one crawl record per member (the multi-member form
+  * RFC 1952 §2.2 defines and every crawl toolchain emits), so the
+  * unit of parallelism at 100 TB is the member, not the file:
+  * `gzip_members` splits an archive payload into per-member rows
+  * carrying provenance (byte offset + compressed length — exactly
+  * what a WARC index/cluster.idx records) and `gzip_member` builds
+  * one member, giving specs and oracles a closed deterministic
+  * round trip.
+  *
+  * Both are JDK-native (`Inflater`/`Deflater` — the [[DeflateLenCore]]
+  * stance: the JDK delegates to its bundled zlib, no new
+  * dependencies) and streaming per member: memory is one member's
+  * decompressed bytes, never the whole archive inflated at once.
+  *
+  * Corruption is DATA, not an error (the decodeImage quarantine
+  * convention): a member that fails its header parse, DEFLATE stream,
+  * CRC32, or ISIZE check yields a row with a null payload and a
+  * non-null `err`, covering the rest of the archive — after a corrupt
+  * member the following member boundary is unknowable (gzip has no
+  * resync marker), so scanning on is guesswork and the remainder is
+  * quarantined in one row. Two zip-bomb guards bound worst-case
+  * memory deterministically: a member inflating past
+  * [[GzipArchiveCore.MaxMemberBytes]] or an archive row inflating
+  * past [[GzipArchiveCore.MaxTotalBytes]] quarantines the remainder
+  * the same way.
+  */
+object GzipArchiveCore {
+
+  /** Per-member decompressed-size cap (bytes). A WET record is a web
+    * page's extracted text — tens of KB typical, MBs exceptional; a
+    * member claiming half a GiB is a bomb, not a document. */
+  val MaxMemberBytes: Long = 256L * 1024 * 1024
+
+  /** Per-archive-row decompressed budget (bytes): bounds one task's
+    * allocation whatever the member count. */
+  val MaxTotalBytes: Long = 1024L * 1024 * 1024
+
+  val memberSchema: StructType = StructType(Seq(
+    StructField("idx", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("clen", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("err", StringType, nullable = true)))
+
+  private def row(idx: Int, offset: Long, clen: Long,
+                  payload: Array[Byte], err: String): GenericInternalRow =
+    new GenericInternalRow(Array[Any](idx, offset, clen, payload,
+      if (err == null) null else UTF8String.fromString(err)))
+
+  /** RFC 1952 header: returns the offset of the DEFLATE stream, or −1
+    * if the header is malformed/truncated. */
+  private def headerEnd(b: Array[Byte], start: Int): Int = {
+    if (start + 10 > b.length) return -1
+    if ((b(start) & 0xff) != 0x1f || (b(start + 1) & 0xff) != 0x8b) return -1
+    if ((b(start + 2) & 0xff) != 8) return -1 // CM must be DEFLATE
+    val flg = b(start + 3) & 0xff
+    var p = start + 10
+    if ((flg & 0x04) != 0) { // FEXTRA
+      if (p + 2 > b.length) return -1
+      val xlen = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+      p += 2 + xlen
+      if (p > b.length) return -1
+    }
+    if ((flg & 0x08) != 0) { // FNAME, zero-terminated
+      while (p < b.length && b(p) != 0) p += 1
+      if (p >= b.length) return -1
+      p += 1
+    }
+    if ((flg & 0x10) != 0) { // FCOMMENT
+      while (p < b.length && b(p) != 0) p += 1
+      if (p >= b.length) return -1
+      p += 1
+    }
+    if ((flg & 0x02) != 0) { // FHCRC
+      p += 2
+      if (p > b.length) return -1
+    }
+    p
+  }
+
+  private def le32(b: Array[Byte], p: Int): Long =
+    (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+      ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+
+  /** Split a concatenated-gzip archive into member rows. */
+  def members(bytes: Array[Byte]): GenericArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[GenericInternalRow]
+    var pos = 0
+    var idx = 0
+    var total = 0L
+    var halted = false
+    while (!halted && pos < bytes.length) {
+      val rest = (bytes.length - pos).toLong
+      def quarantine(msg: String): Unit = {
+        out += row(idx, pos.toLong, rest, null, msg)
+        halted = true // no resync marker past a broken member
+      }
+      val dataStart = headerEnd(bytes, pos)
+      if (dataStart < 0) quarantine("malformed or truncated gzip header")
+      else {
+        val inf = new Inflater(true) // nowrap: header handled above
+        try {
+          inf.setInput(bytes, dataStart, bytes.length - dataStart)
+          val sink = new java.io.ByteArrayOutputStream(8192)
+          val buf = new Array[Byte](65536)
+          var failed: String = null
+          var done = false
+          while (!done && failed == null) {
+            val n =
+              try inf.inflate(buf)
+              catch { case _: DataFormatException =>
+                failed = "corrupt DEFLATE stream"; 0 }
+            if (failed == null) {
+              if (n > 0) {
+                sink.write(buf, 0, n)
+                if (sink.size() > MaxMemberBytes)
+                  failed = s"member exceeds $MaxMemberBytes decompressed bytes"
+                else if (total + sink.size() > MaxTotalBytes)
+                  failed = s"archive exceeds $MaxTotalBytes decompressed bytes"
+              } else if (inf.finished()) done = true
+              else failed = "truncated DEFLATE stream" // needs input we don't have
+            }
+          }
+          if (failed != null) quarantine(failed)
+          else {
+            val trailer = dataStart + inf.getBytesRead.toInt
+            if (trailer + 8 > bytes.length) quarantine("truncated gzip trailer")
+            else {
+              val payload = sink.toByteArray
+              val crc = new CRC32
+              crc.update(payload, 0, payload.length)
+              if (le32(bytes, trailer) != crc.getValue)
+                quarantine("gzip CRC32 mismatch")
+              else if (le32(bytes, trailer + 4) != (payload.length & 0xffffffffL))
+                quarantine("gzip ISIZE mismatch")
+              else {
+                val end = trailer + 8
+                out += row(idx, pos.toLong, (end - pos).toLong, payload, null)
+                total += payload.length
+                pos = end
+                idx += 1
+              }
+            }
+          }
+        } finally inf.end() // frees native zlib state promptly
+      }
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  /** Build ONE gzip member with fixed dials — level 6, MTIME 0, no
+    * name/comment, OS 255 — so the bytes are a pure function of the
+    * input for a given zlib build (the [[DeflateLenCore]] determinism
+    * contract; round-trip CONTENT is engine-independent either way). */
+  def gzipMember(bytes: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(6, true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val sink = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+      sink.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0xff.toByte))
+      val buf = new Array[Byte](65536)
+      while (!d.finished()) {
+        val n = d.deflate(buf)
+        sink.write(buf, 0, n)
+      }
+      val crc = new CRC32
+      crc.update(bytes, 0, bytes.length)
+      val tail = new Array[Byte](8)
+      val c = crc.getValue
+      val isize = bytes.length & 0xffffffffL
+      var i = 0
+      while (i < 4) {
+        tail(i) = ((c >>> (8 * i)) & 0xff).toByte
+        tail(4 + i) = ((isize >>> (8 * i)) & 0xff).toByte
+        i += 1
+      }
+      sink.write(tail)
+      sink.toByteArray
+    } finally d.end()
+  }
+}
+
+/** `gzip_members(binary) -> array<struct<idx,offset,clen,payload,err>>` */
+case class GzipMembers(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(GzipArchiveCore.memberSchema, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gzip_members requires binary, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    GzipArchiveCore.members(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GzipArchiveCore.members($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): GzipMembers =
+    copy(child = newChild)
+  override def prettyName: String = "gzip_members"
+}
+
+object GzipMembers {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    FunctionCatalog.register(spark, "gzip_members")
+}
+
+/** `gzip_member(binary) -> binary` — the builder half of the round trip. */
+case class GzipMemberEnc(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gzip_member requires binary, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    GzipArchiveCore.gzipMember(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GzipArchiveCore.gzipMember($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): GzipMemberEnc =
+    copy(child = newChild)
+  override def prettyName: String = "gzip_member"
+}
+
+object GzipMemberEnc {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    FunctionCatalog.register(spark, "gzip_member")
+}

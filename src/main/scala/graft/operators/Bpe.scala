@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer training and encoding — the loop
+  * around q145's merge-pair counting (reference-adjacent: tokenizer
+  * fit is a training-data job; the tokenizer must be trained on the
+  * corpus mix it will tokenize, so both halves belong in the engine).
+  *
+  * Representation: a word is a SYMBOL STRING with every symbol
+  * wrapped in U+001F unit separators — `[a,b] ⇒ ␟a␟␟b␟`. Merging the
+  * pair (x,y) is then `replace(s, ␟x␟␟y␟, ␟xy␟)`: each symbol
+  * boundary owns its own two separators, so left-to-right
+  * non-overlapping `replace` IS the greedy BPE merge (a run `a a a a`
+  * merges to `aa aa`, never the overlap-sharing `aa a a`), and —
+  * decisive for the oracle gate — `replace` has identical semantics
+  * in every SQL engine, so DuckDB replays training and encoding
+  * verbatim, no pinning (q101's unrolled-iteration convention).
+  *
+  * Training is on the WORD-FREQUENCY table, not the corpus: the
+  * classic Sennrich et al. (ACL 2016) formulation — pair counts
+  * weight by word frequency, so a 100 TB corpus reduces to its
+  * (pruned) vocabulary after ONE scan and every merge iteration
+  * touches |vocab| rows. `minCount` is the scale dial: real crawls
+  * have unbounded hapax tails; pruning them bounds the iteration
+  * state like every production BPE trainer does. Each iteration's
+  * argmax joins back as a BROADCAST 1-row aggregate (the q107/q109
+  * iterative-scalar stance — no driver-side value ever enters the
+  * dataflow), and the per-round eager `localCheckpoint` is the
+  * [[Dedup]] connected-components convention: cut lineage, one
+  * distributed job per round.
+  *
+  * Encoding applies the WHOLE ordered merge table in ONE in-row
+  * higher-order fold — `aggregate(merges, wrap(token), (acc, m) ->
+  * replace(acc, …))` — so it is a zero-shuffle map over documents
+  * whatever the merge count: the merge table rides along as a
+  * broadcast array, and token ids come from the deterministic
+  * (symbol-ascending) dense numbering of the final symbol set. */
+object Bpe {
+
+  /** U+001F as a SQL expression — the symbol-wrap separator. Tokens
+    * containing it are excluded from training (a control char inside
+    * a WORD is not text; the guard keeps the encoding injective). */
+  private val SepSql = "chr(31)"
+  private val Sep = 31.toChar.toString
+
+  /** `tok -> wrapped symbol string` for a token-valued SQL expr. */
+  private def wrapSql(tok: String): String =
+    s"array_join(transform(sequence(1, char_length($tok)), _wi -> " +
+      s"concat($SepSql, substr($tok, _wi, 1), $SepSql)), '')"
+
+  private def mergeStepSql(acc: String, l: String, r: String): String =
+    s"replace($acc, concat($SepSql, $l, $SepSql, $SepSql, $r, $SepSql), " +
+      s"concat($SepSql, $l, $r, $SepSql))"
+
+  /** Word-frequency table seeded with per-character symbol strings:
+    * (tok, cnt, s). One corpus scan; `minCount` prunes the hapax tail
+    * that would otherwise make iteration state corpus-sized. */
+  def vocabulary(docs: DataFrame, minCount: Long = 1L,
+                 text: String = "text"): DataFrame =
+    docs.select(explode(split(col(text), " ")).as("tok"))
+      .filter(length(col("tok")) >= 1 && !col("tok").contains(Sep))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .withColumn("s", expr(wrapSql("tok")))
+
+  /** Adjacent-pair counts over a vocab frame, weighted by word count:
+    * (l, r, cnt). The pair explode is in-row (q145's list-transform
+    * stance) and the aggregate's key space is bounded by the live
+    * symbol alphabet squared — map-side combine collapses each
+    * partition to that bound. */
+  def pairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .select(col("cnt"),
+        split(expr("substr(s, 2, char_length(s) - 2)"), Sep + Sep).as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(1, size(a) - 1), _pi -> " +
+          "struct(element_at(a, _pi) as l, element_at(a, _pi + 1) as r))"))
+        .as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Train `numMerges` merges: each round takes the argmax pair
+    * (count desc, pair asc — a total order, so the table is
+    * deterministic cross-engine) and rewrites the vocab through a
+    * broadcast of that 1-row frame. Returns (merge_rank, lhs, rhs,
+    * cnt) ordered by rank; stops early if the vocab runs out of
+    * pairs. O(numMerges) rounds of |vocab|-row jobs — corpus size
+    * enters only through the one vocabulary scan. */
+  def train(docs: DataFrame, numMerges: Int, minCount: Long = 1L,
+            text: String = "text"): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be positive, got $numMerges")
+    var vocab = vocabulary(docs, minCount, text).localCheckpoint()
+    val bests = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val best = pairCounts(vocab)
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc).limit(1)
+        .select(lit(rank).as("merge_rank"), col("l").as("lhs"),
+          col("r").as("rhs"), col("cnt"))
+        .localCheckpoint() // eager: 1 row, materialized once per round
+      if (best.isEmpty) exhausted = true
+      else {
+        bests += best
+        vocab = vocab
+          .crossJoin(broadcast(best.select(col("lhs"), col("rhs"))))
+          .withColumn("s", expr(mergeStepSql("s", "lhs", "rhs")))
+          .select("tok", "cnt", "s")
+        // cut the replace-chain lineage periodically (analysis cost),
+        // not every round (job count): the chain between checkpoints
+        // is narrow per-row work over checkpointed 1-row leaves
+        if (rank % 6 == 5) vocab = vocab.localCheckpoint()
+        rank += 1
+      }
+    }
+    if (bests.isEmpty)
+      vocab.sparkSession.emptyDataFrame
+        .withColumn("merge_rank", lit(0))
+        .withColumn("lhs", lit("")).withColumn("rhs", lit(""))
+        .withColumn("cnt", lit(0L)).limit(0)
+    else bests.reduce(_ union _)
+  }
+
+  /** Documents + merge table → per-doc encoded token stats and the
+    * encoded symbol stream: (…docs cols…, n_tokens_ws, n_tokens_bpe,
+    * bpe_syms array<string>). The whole merge table is applied in one
+    * in-row fold per token occurrence — zero shuffles over the
+    * corpus; the merge table is a broadcast array ordered by rank. */
+  def encode(docs: DataFrame, merges: DataFrame,
+             text: String = "text"): DataFrame = {
+    val marr = merges.agg(
+      expr("array_sort(collect_list(struct(merge_rank, lhs, rhs)))")
+        .as("marr"))
+    docs
+      .crossJoin(broadcast(marr))
+      .withColumn("_toks",
+        expr(s"filter(split($text, ' '), _t -> char_length(_t) >= 1 " +
+          s"and instr(_t, $SepSql) = 0)"))
+      .withColumn("_enc", expr(
+        "transform(_toks, _t -> aggregate(marr, " + wrapSql("_t") +
+          ", (_acc, _m) -> " + mergeStepSql("_acc", "_m.lhs", "_m.rhs") + "))"))
+      .withColumn("bpe_syms", expr(
+        "flatten(transform(_enc, _e -> " +
+          "split(substr(_e, 2, char_length(_e) - 2), " +
+          s"concat($SepSql, $SepSql))))"))
+      .withColumn("n_tokens_ws", size(col("_toks")).cast("long"))
+      .withColumn("n_tokens_bpe", size(col("bpe_syms")).cast("long"))
+      .drop("marr", "_toks", "_enc")
+  }
+
+  /** Deterministic id table for an encoded corpus: every distinct
+    * final symbol, densely numbered in symbol-ascending order —
+    * (sym, sym_id). The symbol set is bounded by |alphabet| +
+    * numMerges, so the numbering window runs over an
+    * aggregate-bounded frame. */
+  def symbolIds(encoded: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    encoded
+      .select(explode(col("bpe_syms")).as("sym"))
+      .groupBy("sym").agg(count(lit(1)).as("n_uses"))
+      .withColumn("sym_id",
+        (row_number().over(Window.orderBy(col("sym").asc)) - 1).cast("long"))
+  }
+
+  /** Encoded docs → (…, bpe_ids array<bigint>): the token-id stream a
+    * packing/budgeting stage (q38/q71) consumes. Broadcast dictionary
+    * join per symbol — the id table is alphabet+merges sized. */
+  def encodeIds(encoded: DataFrame, ids: DataFrame): DataFrame = {
+    val dict = ids.agg(map_from_arrays(
+      collect_list(col("sym")), collect_list(col("sym_id"))).as("_dict"))
+    encoded
+      .crossJoin(broadcast(dict))
+      .withColumn("bpe_ids",
+        expr("transform(bpe_syms, _s -> _dict[_s])"))
+      .drop("_dict")
+  }
+}
