@@ -26,6 +26,33 @@ import org.apache.spark.sql.SparkSession
   * hit would report the cache read, not the query.
   */
 object Bench {
+
+  /** Queries whose REGISTRY form carries an oracle-certificate leg —
+    * an exact recomputation (q105's exact dedup leg, q143/q147's
+    * exact counts, q162's exact frequency table) that exists to feed
+    * the DuckDB replay and would NOT run on the production path,
+    * where the summary/index alone is the product. Tagged so the
+    * bench line can report the production-path total separately: a
+    * regression in certificate plumbing and a regression in a real
+    * operator are different findings. */
+  val OracleCompositions: Set[String] = Set(
+    "q105_delta_dedup_capped", "q143_count_min",
+    "q147_join_size_est", "q162_mg_certificate")
+
+  /** The drift canary: a fixed CPU+shuffle-free job whose code never
+    * changes round to round, timed per pass like any query (min over
+    * passes). Round-over-round, canary_rN / canary_rN-1 isolates
+    * machine drift from code regressions — the r9→r10 +10% uniform
+    * drift was only diagnosable by noticing untouched queries moved
+    * too; the canary makes that one number. */
+  def canaryOnce(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    // bit_xor, not sum: a sum of 1e8 uniform 64-bit hashes overflows
+    // under the session's ANSI mode
+    spark.range(100000000L).selectExpr("bit_xor(xxhash64(id))").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -50,8 +77,10 @@ object Bench {
     val best = scala.collection.mutable.Map.empty[String, Double]
     val everOk = scala.collection.mutable.Map.empty[String, Boolean]
     val nFail = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    var canary = Double.MaxValue
     for (_ <- 1 to passes) {
       ops.Memo.clear(spark)
+      canary = math.min(canary, canaryOnce(spark))
       names.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         // A failed query must be visible in the output, not just a
@@ -82,7 +111,8 @@ object Bench {
     // sets `run / outputStrategy := StdoutOutput` so the forked run's
     // stdout passes through verbatim — without it, sbt's logger would
     // prefix the line with "[info] " and break json-parsing consumers.
-    println(summaryJson(names.map(_._1), best, everOk, nFail.toMap, passes, sfDir))
+    println(summaryJson(names.map(_._1), best, everOk, nFail.toMap, passes,
+      sfDir, canary))
     spark.stop()
   }
 
@@ -95,68 +125,69 @@ object Bench {
     * that buffer and the driver's `parsed` field came back null
     * (r1–r4) even though the line was valid JSON.
     *
-    * Per-query keys are the canonical `qNN` ids — the prefix before
-    * the first `_` of the registered name, which the driver brief's
-    * own contract example uses (`"queries":{"q1":sec,…}`). Full names
-    * at 86 queries cost ~1800 chars of keys alone, forcing the
-    * precision clamp all the way to whole seconds (worthless for
-    * round-over-round comparison); the 4-char ids keep 3-decimal
-    * timings with headroom past 150 queries. If ids ever collide the
-    * full names come back (defensive — correctness of the mapping
-    * beats compactness). */
+    * Per-query encoding (r11, when the registry hit 170 and the
+    * seconds-with-tiered-precision form ran out of budget): keys are
+    * the DIGITS of the canonical qNN id ("169"), values are INTEGER
+    * ms (`"qunit":"ms"` self-documents it). Integer ms beat decimal
+    * seconds on both axes at once — 1 ms resolution (the old form
+    * clamped to 10–100 ms) in ~3 bytes where "0.043" took 5 — and
+    * the dropped `q` prefix funds the r11 additions: `canary` (ms —
+    * [[canaryOnce]], the machine-drift discriminator), `prod`
+    * (seconds — the total excluding [[OracleCompositions]], the
+    * production-path number) and `comp` (their digit ids, so the
+    * split is self-describing). The headline `value` stays 3-decimal
+    * seconds — the driver's gate number, untouched. `failed`/`flaky`
+    * appear only when non-empty. If digit ids ever collide the full
+    * names come back (correctness of the mapping beats compactness),
+    * and if even integer ms overflows the budget the ladder falls
+    * back to integer SECONDS (`"qunit":"s"` — sub-1% relative in the
+    * only regime that can trigger it, an all-multi-minute round). */
   def summaryJson(names: Seq[String], best: collection.Map[String, Double],
                   everOk: collection.Map[String, Boolean],
                   nFail: collection.Map[String, Int],
-                  passes: Int, sfDir: String): String = {
-    val shortIds = names.map(n => n -> n.takeWhile(_ != '_')).toMap
+                  passes: Int, sfDir: String,
+                  canary: Double = 0.0): String = {
+    val digitIds = names.map(n =>
+      n -> n.takeWhile(_ != '_').dropWhile(!_.isDigit)).toMap
     val id: Map[String, String] =
-      if (shortIds.values.toSeq.distinct.size == names.size) shortIds
+      if (digitIds.values.toSeq.distinct.size == names.size &&
+        digitIds.values.forall(_.nonEmpty)) digitIds
       else names.map(n => n -> n).toMap
-    def build(prec: Int): String = {
-      // Two byte-savers, introduced when the registry crossed ~160
-      // queries and uniform 2-decimal lines stopped fitting:
-      // tiered precision — a value >= 1 s drops one decimal (100 ms
-      // is < 10% relative there, while the same byte on a 0.3 s query
-      // is the difference between 10 ms and 100 ms resolution) — and
-      // trailing-zero stripping ("0.40" → "0.4"), which carries no
-      // information at a fixed precision. Together they keep
-      // sub-second timings at 10 ms through roughly 180 queries; the
-      // uniform clamp ladder below still degrades everything evenly
-      // if a slow round blows past that.
-      def f(d: Double) = {
-        val p = math.max(0, if (d >= 10) prec - 2 else if (d >= 1) prec - 1 else prec)
-        val s = s"%.${p}f".formatLocal(java.util.Locale.ROOT, d)
-        if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse
-          .stripSuffix(".")
-        else s
-      }
+    def secs(d: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    def build(unit: String): String = {
+      def f(d: Double): String =
+        if (unit == "ms") math.round(d * 1000).toString
+        else math.round(d).toString
       val qs = names.map(k => "\"" + id(k) + "\":" + f(best(k)))
         .mkString("{", ",", "}")
       val failed = names.filterNot(everOk.getOrElse(_, false))
-        .map("\"" + id(_) + "\"").mkString("[", ",", "]")
+        .map("\"" + id(_) + "\"")
       // A query that failed SOME passes but succeeded at least once
       // has a valid min but is hiding instability — surface it as
       // flaky with its failed-pass count, not stderr-only.
       val flaky = names
         .filter(k => everOk.getOrElse(k, false) && nFail.getOrElse(k, 0) > 0)
-        .map(k => "\"" + id(k) + "\":" + nFail(k)).mkString("{", ",", "}")
+        .map(k => "\"" + id(k) + "\":" + nFail(k))
+      val comp = names.filter(OracleCompositions)
+      val prod = names.filterNot(OracleCompositions).map(best).sum
       val total = names.map(best).sum
-      // the total always carries 3 decimals — it is the headline number
-      // and fits regardless of query count
       // sf records the scale-factor directory's BASENAME — the full
       // path spent 15 B of the tail budget restating /root/testdata
-      // on every line
       val sf = new java.io.File(sfDir).getName
-      s"""{"metric":"total","value":${"%.3f".formatLocal(java.util.Locale.ROOT, total)},"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flaky,"passes":$passes,"sf":"$sf"}"""
+      val opt = new StringBuilder
+      if (failed.nonEmpty) opt ++= s""","failed":${failed.mkString("[", ",", "]")}"""
+      if (flaky.nonEmpty) opt ++= s""","flaky":${flaky.mkString("{", ",", "}")}"""
+      if (comp.nonEmpty)
+        opt ++= s""","prod":${secs(prod)},"comp":${
+          comp.map("\"" + id(_) + "\"").mkString("[", ",", "]")}"""
+      s"""{"metric":"total","value":${secs(total)},"unit":"sec","qunit":"$unit","queries":$qs,"canary":${f(canary)}$opt,"passes":$passes,"sf":"$sf"}"""
     }
-    // self-clamping precision: slow rounds / more queries widen the
-    // line; degrade per-query precision before the tail budget breaks.
     // The ceiling is MEASURED, not guessed: the driver stores the last
     // 2000 bytes of stdout verbatim (BENCH_r08.json "tail" is exactly
     // 2000 chars with our line at its end), and build.sbt's
     // showSuccess := false makes this println the final output — so a
     // line under 1980 survives whole with 20 B spare for a trailing
     // newline or a stray shutdown byte.
-    Iterator(3, 2, 1, 0).map(build).find(_.length < 1980).getOrElse(build(0))
+    Iterator("ms", "s").map(build).find(_.length < 1980).getOrElse(build("s"))
   }
 }

@@ -8,95 +8,91 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The driver parses Bench's LAST stdout line from a bounded tail
   * capture (~2 KB). This spec pins the contract without running the
   * bench: valid JSON, every registered query present, failures/flaky
-  * surfaced, and the line small enough for the tail buffer even with
-  * worst-case timings. */
+  * surfaced, the canary + production/certificate split present, and
+  * the line small enough for the tail buffer even with worst-case
+  * timings. */
 class BenchContractSpec extends AnyFunSuite {
 
   private val names = SparkEntry.queries.keys.toSeq.sorted
   private val mapper = new ObjectMapper()
 
+  private def digitId(n: String): String =
+    n.takeWhile(_ != '_').dropWhile(!_.isDigit)
+
   test("summary line is valid JSON with every registered query, under the tail budget") {
-    val best = names.map(_ -> 123.456789).toMap
+    val best = names.map(_ -> 0.456789).toMap
     val line = Bench.summaryJson(names, best,
       names.map(_ -> true).toMap, Map.empty, passes = 2,
-      sfDir = "/root/testdata/sf0.1")
-    assert(line.length < 2000,
+      sfDir = "/root/testdata/sf0.1", canary = 0.321)
+    assert(line.length < 1980,
       s"line is ${line.length} B — the driver tail capture truncates at 2000 B " +
-        "and its parsed field goes null; shorten names or precision")
+        "and its parsed field goes null; shorten ids or precision")
     val json = mapper.readTree(line)
-    // per-query keys are the canonical qNN ids (unique by construction
-    // in the registry; the fallback test below covers collisions)
-    val shortIds = names.map(_.takeWhile(_ != '_')).toSet
-    assert(shortIds.size == names.size, "registered qNN ids must be unique")
-    assert(json.get("queries").fieldNames().asScala.toSet == shortIds)
+    // per-query keys are the DIGITS of the canonical qNN ids (unique
+    // by construction; the fallback test below covers collisions)
+    val ids = names.map(digitId).toSet
+    assert(ids.size == names.size, "registered qNN ids must be unique")
+    assert(json.get("queries").fieldNames().asScala.toSet == ids)
     assert(json.get("value").asDouble() > 0)
-    assert(json.get("failed").isEmpty && json.get("flaky").isEmpty)
+    // empty failed/flaky are OMITTED — bytes fund precision instead
+    assert(json.get("failed") == null && json.get("flaky") == null)
   }
 
-  test("per-query timings keep >= 10 ms precision at the current query count") {
-    // the r6 regression this pins: 86 full-name keys forced the
-    // precision clamp to whole seconds. The driver's tail capture is
-    // a measured 2000 B (BENCH_r08.json), making the 1980 B budget a
-    // HARD ceiling, so growth trades precision instead: tiered
-    // formatting (sub-second values keep 2 decimals, >= 1 s values
-    // drop one — 100 ms is < 10% relative there) plus trailing-zero
-    // stripping and the basename-only sf field carry the r9 registry.
-    // The pin: realistic SUB-SECOND timings never lose more than
-    // 10 ms resolution, multi-second timings never more than 100 ms,
-    // and the TOTAL always keeps 3 decimals.
-    // "realistic" = the actual bench distribution's shape (most
-    // queries well under 1 s, a tail to ~3.5 s), not a uniform
-    // worst case: every entry at 9+ s would mean a ~25-minute round,
-    // at which point whole-second resolution is fine anyway. The
-    // cycle below averages ~0.95 s — above the current per-query mean,
-    // so the byte-length this exercises upper-bounds the real line.
+  test("per-query timings are integer ms: 1 ms resolution at the current query count") {
+    // the r6 regression this pins (one notch stronger since r11): the
+    // driver's tail capture is a measured 2000 B (BENCH_r08.json), a
+    // HARD ceiling. The r11 integer-ms encoding keeps 1 ms resolution
+    // on every query — the seconds form had already degraded to
+    // 100 ms at 170 queries — and must stay under the budget with a
+    // realistic timing distribution (cycle ~0.95 s, above the real
+    // per-query mean, so this upper-bounds the real line).
     val cycle = Array(0.043, 0.117, 0.234, 0.318, 0.441, 0.527,
       0.738, 1.412, 2.317, 3.289)
     val real = names.zipWithIndex
       .map { case (n, i) => n -> cycle(i % cycle.length) }.toMap
     val realLine = Bench.summaryJson(names, real,
       names.map(_ -> true).toMap, Map.empty, passes = 2,
-      sfDir = "/root/testdata/sf0.1")
+      sfDir = "/root/testdata/sf0.1", canary = 0.308)
+    assert(realLine.length < 1980, s"realistic line is ${realLine.length} B")
     val tree = mapper.readTree(realLine)
-    // the tiered-precision pin: sub-second timings keep 10 ms
-    // resolution, multi-second timings keep 100 ms (< 10% relative)
-    val subSec = names.find(n => real(n) < 1).get
-    val multiSec = names.find(n => real(n) >= 1).get
-    val rv = tree.get("queries")
-      .get(subSec.takeWhile(_ != '_')).asDouble()
-    assert(math.abs(rv - real(subSec)) < 0.005 + 1e-9,
-      s"expected >= 2-decimal sub-second timing, got $rv vs ${real(subSec)}")
-    val mv = tree.get("queries")
-      .get(multiSec.takeWhile(_ != '_')).asDouble()
-    assert(math.abs(mv - real(multiSec)) < 0.05 + 1e-9,
-      s"expected >= 1-decimal multi-second timing, got $mv vs ${real(multiSec)}")
+    assert(tree.get("qunit").asText() == "ms")
+    for (n <- Seq(names.find(real(_) < 1).get, names.find(real(_) >= 1).get))
+      assert(tree.get("queries").get(digitId(n)).asLong()
+        == math.round(real(n) * 1000),
+        s"$n must round-trip at 1 ms resolution")
     assert(math.abs(tree.get("value").asDouble() - real.values.sum) < 0.5,
-      "total must stay 3-decimal exact")
-    // all-slow worst case (every query > 100 s): whole-second
-    // resolution is < 1% relative error there and acceptable; the pin
-    // is only that the line still fits and parses with every query
+      "total must stay 3-decimal seconds")
+    assert(tree.get("canary").asLong() == 308L)
+    // the production/certificate split: prod + tagged = total
+    val comp = tree.get("comp").elements().asScala.map(_.asText()).toSet
+    assert(comp == Bench.OracleCompositions.map(digitId),
+      "every tagged composition query must appear in comp")
+    val prodExpected = names.filterNot(Bench.OracleCompositions).map(real).sum
+    assert(math.abs(tree.get("prod").asDouble() - prodExpected) < 0.01)
+
+    // all-slow worst case (every query > 100 s): integer ms would
+    // blow the budget, so the ladder falls back to integer seconds —
+    // < 1% relative error in the only regime that triggers it
     val slow = names.map(_ -> 123.456789).toMap
     val slowLine = Bench.summaryJson(names, slow,
       names.map(_ -> true).toMap, Map.empty, passes = 2,
       sfDir = "/root/testdata/sf0.1")
     val st = mapper.readTree(slowLine)
-    assert(slowLine.length < 2000)
+    assert(slowLine.length < 1980)
+    assert(st.get("qunit").asText() == "s")
     assert(st.get("queries").size() == names.size)
-    val sv = st.get("queries")
-      .get(names.head.takeWhile(_ != '_')).asDouble()
-    assert(math.abs(sv - 123.456789) < 0.5 + 1e-9,
-      s"worst-case resolution must stay within 0.5 s, got $sv")
+    assert(st.get("queries").get(digitId(names.head)).asLong() == 123L)
   }
 
   test("failures and flaky passes appear in their own fields (full names when ids collide)") {
-    val ns = Seq("q_ok", "q_dead", "q_flaky") // all share prefix "q"
+    val ns = Seq("q1_ok", "q1_dead", "q1_flaky") // colliding digit ids
     val line = Bench.summaryJson(ns,
-      Map("q_ok" -> 1.0, "q_dead" -> 0.5, "q_flaky" -> 2.0),
-      Map("q_ok" -> true, "q_dead" -> false, "q_flaky" -> true),
-      Map("q_dead" -> 2, "q_flaky" -> 1), passes = 2, sfDir = "x")
+      Map("q1_ok" -> 1.0, "q1_dead" -> 0.5, "q1_flaky" -> 2.0),
+      Map("q1_ok" -> true, "q1_dead" -> false, "q1_flaky" -> true),
+      Map("q1_dead" -> 2, "q1_flaky" -> 1), passes = 2, sfDir = "x")
     val json = mapper.readTree(line)
-    assert(json.get("failed").elements().asScala.map(_.asText()).toSeq == Seq("q_dead"))
-    assert(json.get("flaky").get("q_flaky").asInt() == 1)
+    assert(json.get("failed").elements().asScala.map(_.asText()).toSeq == Seq("q1_dead"))
+    assert(json.get("flaky").get("q1_flaky").asInt() == 1)
     assert(json.get("flaky").size() == 1)
     assert(json.get("queries").fieldNames().asScala.toSet == ns.toSet)
   }
