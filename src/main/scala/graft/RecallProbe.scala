@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   *     against the brute-force baseline and print recall@10 + wall
   *     time per setting — how the fixture-tuned defaults in
   *     SimilarityQueries were chosen.
-  *  2. Emit the five pinned agreement-oracle rows (q57–q61) as
+  *  2. Emit the six pinned agreement-oracle rows (q57–q61, q172) as
   *     ready-to-paste SQL, plus the fixture content hash — so when
   *     `/root/testdata` regenerates (the pinned-constant spec fails),
   *     re-pinning is one run of this tool, not a hand-derivation.
@@ -70,7 +70,8 @@ object RecallProbe {
       "q58_ivf_recall"        -> ops.SimilarityQueries.q58IvfRecall(spark, dir),
       "q59_neardup_recall"    -> ops.SimilarityQueries.q59NeardupRecall(spark, dir),
       "q60_minhash_recall"    -> ops.TextQueries.q60MinhashRecall(spark, dir),
-      "q61_simhash_agreement" -> ops.TextQueries.q61SimhashAgreement(spark, dir))
+      "q61_simhash_agreement" -> ops.TextQueries.q61SimhashAgreement(spark, dir),
+      "q172_pq_recall"        -> ops.SimilarityQueries.q172PqRecall(spark, dir))
     println("== pinned oracle SQL (paste into SimilarityQueries.oracles / TextQueries.oracles):")
     pinned.foreach { case (name, df) =>
       val r = df.first()

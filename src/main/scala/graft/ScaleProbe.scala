@@ -205,6 +205,33 @@ object ScaleProbe {
           operators.Multimodal.hashNearDupPairs(hashed,
             maxHamming = 4, bands = 8, keyBands = 2).count()
         }),
+        // r11: AUDIO near-dup — identical slice-key machinery over the
+        // energy-gradient hash; the cluster-envelope regime plants
+        // linear pair output exactly like q136's image grid, so the
+        // row measures band-join overhead on a second hash family
+        "q137_audio_near_dup" -> (() => {
+          graft.functions.EHash64Energy.register(spark)
+          val env = ops.EventQueries.clusterEnvelopeSql(
+            "doc_id div 16", "pmod(doc_id, 64)")
+          val hashed = docs.select($"doc_id".as("asset_id"),
+            expr(s"ehash64_energy($env)").as("ahash"))
+          operators.Multimodal.hashNearDupPairs(hashed,
+            maxHamming = 4, bands = 8, keyBands = 2).count()
+        }),
+        // r11: the multimodal INGEST front door at scale — binary
+        // payloads (text bytes behind real container magic numbers)
+        // through media_type sniff + route; per-row constant-time
+        // prefix inspection, one small-group aggregate, no shuffle of
+        // payload bytes
+        "q53_media_route" -> (() => {
+          val assets = docs.select($"doc_id".as("asset_id"),
+            expr("concat(element_at(array(" +
+              "X'89504E470D0A1A0A', X'FFD8FFE0', X'1F8B0800', X'0000'), " +
+              "cast(pmod(doc_id, 4) + 1 as int)), encode(text, 'UTF-8'))")
+              .as("payload"))
+          operators.Multimodal.routeByType(assets)
+            .groupBy($"route").agg(count(lit(1))).count()
+        }),
         // r8 widening: containment rides the identical inverted-index
         // self-join as ngramJaccardPairs (one undirected aggregate,
         // direction split on the pair frame) — content-unique copies

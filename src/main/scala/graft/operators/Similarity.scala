@@ -310,6 +310,160 @@ object Similarity {
     df.withColumn(outCol,
       expr("transform(q, v -> qmin + (cast(v as double) + 128.0d) * qscale)"))
 
+  // ------------------------------------------------ product quantization
+
+  /** L2-normalize a vector column into `outCol` (double). Constant/
+    * zero vectors keep direction 0 instead of dividing by zero. On a
+    * normalized corpus, L2² = 2 − 2·cos, so PQ's Euclidean machinery
+    * ranks exactly like cosine — which is what lets [[pqTopK]] share
+    * q40's cosine ground truth. */
+  def l2Normalize(df: DataFrame, vecCol: String = "embedding",
+                  outCol: String = "nv"): DataFrame =
+    df
+      .withColumn("_nrm", expr(
+        s"sqrt(aggregate(zip_with($vecCol, $vecCol, " +
+          "(x, y) -> cast(x as double) * y), 0d, (a, v) -> a + v))"))
+      .withColumn(outCol, expr(
+        s"transform($vecCol, x -> cast(x as double) / greatest(_nrm, 1e-30d))"))
+      .drop("_nrm")
+
+  /** Squared L2 between two double arrays, accumulated strictly
+    * left-to-right (bit-deterministic across partitionings). */
+  private def l2sqSql(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+      "0d, (acc, v) -> acc + v)"
+
+  /** Explode a normalized vector into its m subvectors: rows
+    * (…, sub, sv) with sv = dims [sub·d/m, (sub+1)·d/m). The split is
+    * in-plan (`size(nv) div m`), so one codebook API serves any
+    * dimension; dims must divide evenly by m. */
+  private def subvectors(df: DataFrame, m: Int): DataFrame =
+    df.select(col("*"), explode(expr(
+      s"transform(sequence(0, ${m - 1}), _s -> struct(_s as sub, " +
+        s"slice(nv, _s * (size(nv) div $m) + 1, size(nv) div $m) as sv))"))
+      .as("p"))
+      .withColumn("sub", col("p.sub")).withColumn("sv", col("p.sv"))
+      .drop("p", "nv")
+
+  /** Per-subspace codebooks: (sub, cid, cvec) — `m` independent
+    * ksub-way k-means problems over the corpus' subvectors. */
+  case class PqCodebook(centroids: DataFrame, m: Int, ksub: Int)
+
+  /** Nearest-centroid assignment per (vector, subspace): argmin L2²
+    * with a cid-asc tiebreak — deterministic on every partitioning. */
+  private def pqAssign(subvecs: DataFrame, cents: DataFrame): DataFrame =
+    subvecs.join(broadcast(cents), Seq("sub"))
+      .withColumn("d2", expr(l2sqSql("sv", "cvec")))
+      .groupBy("vid", "sub")
+      .agg(max_by(col("cid"), struct((-col("d2")).as("nd"),
+        (-col("cid")).as("nc"))).as("cid"),
+        first(col("sv")).as("sv")) // constant within the group
+
+  /** Train product-quantization codebooks — Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search" (TPAMI 2011): split
+    * each (L2-normalized) vector into `m` subvectors, k-means each
+    * subspace to `ksub` centroids, so a d-dim float vector compresses
+    * to m small codes (m bytes at ksub ≤ 256 — 32× beyond
+    * [[quantizeInt8]]'s 4×) while distances remain computable against
+    * the codes alone. The k-means machinery mirrors [[ivfBuildIndex]]
+    * exactly: deterministic smallest-seeded-hash seeds (one draw
+    * shared by all subspaces — each gets its slice), a bounded
+    * 256·ksub training sample so training cost is corpus-size-free,
+    * Lloyd means in exact DECIMAL (partitioning-deterministic), empty
+    * centroids drop. Memoized per (dials, corpus plan) like the IVF
+    * centroid table and for the same reason: it feeds multiple
+    * broadcasts. */
+  def pqTrain(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
+              lloydIters: Int = 2, seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding"): PqCodebook = {
+    require(m >= 1 && ksub >= 2, s"bad PQ dials: m=$m ksub=$ksub")
+    val nv = l2Normalize(corpus, vecCol)
+      .select(col(idCol).as("vid"), col("nv"))
+    val w = Window.orderBy(col("h").asc, col("vid").asc)
+    val seeds = subvectors(
+      nv.withColumn("h", xxhash64(col("vid"), lit(seed)))
+        .orderBy("h", "vid").limit(ksub)
+        .withColumn("cid", row_number().over(w) - 1), m)
+      .select(col("sub"), col("cid"), col("sv").as("cvec"))
+    val cents0 =
+      if (lloydIters <= 0) seeds
+      else {
+        val train = subvectors(
+          nv.withColumn("h", xxhash64(col("vid"), lit(seed + 1)))
+            .orderBy("h", "vid").limit(256 * ksub).drop("h"), m)
+        var cents = seeds
+        for (_ <- 1 to lloydIters) {
+          cents = pqAssign(train, cents)
+            .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
+            .groupBy("sub", "cid", "pos")
+            .agg((sum(col("v").cast("decimal(27,15)")) / count(lit(1)))
+              .cast("double").as("mu"))
+            .groupBy("sub", "cid")
+            .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("pm"))
+            .select(col("sub"), col("cid"),
+              expr("transform(pm, s -> s.mu)").as("cvec"))
+        }
+        cents
+      }
+    val cents = graft.ops.Memo.of(corpus.sparkSession,
+      s"pq_cents:$m:$ksub:$lloydIters:$seed:$idCol:$vecCol:${graft.ops.Memo.frameKey(corpus)}") {
+      cents0
+    }
+    PqCodebook(cents, m, ksub)
+  }
+
+  /** Encode a corpus against frozen codebooks: (vec_id, sub, code) —
+    * the materialized PQ index rows a vector ingest appends to, m
+    * small integers per vector. One broadcast pass, shuffle carries
+    * ids+codes only. */
+  def pqEncode(corpus: DataFrame, cb: PqCodebook,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqAssign(
+      subvectors(l2Normalize(corpus, vecCol)
+        .select(col(idCol).as("vid"), col("nv")), cb.m),
+      cb.centroids)
+      .select(col("vid").as(idCol), col("sub"), col("cid").as("code"))
+
+  /** Asymmetric-distance top-k over a PQ-encoded corpus (ADC, Jégou
+    * et al. §IV): each query computes one m×ksub distance table
+    * against the codebooks (exact query vs quantized corpus — the
+    * asymmetric side is free precision), every corpus vector's
+    * approximate distance is m table LOOKUPS summed — never a d-dim
+    * float op — and the ADC top-`rerank` shortlist is re-scored
+    * exactly (the standard two-stage: ADC recalls, floats decide).
+    * Same output contract as [[bruteForceTopK]]; scale shape: the
+    * table is |Q|·m·ksub broadcast rows, the corpus side touches only
+    * (id, sub, code) — the point of PQ at 100 TB: the float corpus
+    * stays on disk until the shortlist. */
+  def pqTopK(codes: DataFrame, cb: PqCodebook,
+             corpus: DataFrame, queries: DataFrame, k: Int,
+             rerank: Int = 50,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= k, s"rerank window $rerank must cover k=$k")
+    registerFns(queries) // scoreTopK's exact rerank uses cosine_sim
+    val table = subvectors(
+      l2Normalize(queries, vecCol)
+        .select(col(idCol).as("query_id"), col("nv")), cb.m)
+      .join(broadcast(cb.centroids), Seq("sub"))
+      .withColumn("d2", expr(l2sqSql("sv", "cvec")))
+      .select(col("query_id"), col("sub"), col("cid").as("code"), col("d2"))
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    val shortlist = codes
+      .select(col(idCol).as("neighbor_id"), col("sub"), col("code"))
+      .join(broadcast(table), Seq("sub", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      // exact DECIMAL accumulation: FP addition over the m partial
+      // distances is partitioning-order-dependent, and a flipped ulp
+      // on an adist tie would swap shortlist membership between runs
+      .agg(sum(col("d2").cast("decimal(27,15)")).as("adist"))
+      .withColumn("ar", row_number().over(wa))
+      .filter(col("ar") <= rerank)
+      .select("query_id", "neighbor_id")
+    scoreTopK(shortlist, corpus, queries, k, idCol, vecCol)
+  }
+
   /** Exact all-pairs cosine above a threshold — the brute-force
     * ORACLE leg for [[cosineNearDupPairs]] (same contract), O(n²) by
     * construction: every pair is scored. Correctness baseline and

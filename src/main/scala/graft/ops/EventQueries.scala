@@ -124,6 +124,20 @@ object EventQueries {
       s"pmod(d + if(i = ($perturbSql), 128L, 0L), 256L))"
   }
 
+  /** The audio analogue of [[clusterGridSql]]: a 65-window energy
+    * envelope (magnitudes mod 2¹⁶, the q137 regime) shared by every
+    * doc in a cluster except one perturb-position window boosted by
+    * 2¹⁵ — so cluster members land a few gradient-sign bits apart and
+    * near-dup pair output grows linearly with docs, the [[q136ImageNearDup]]
+    * scaling regime for [[graft.operators.Multimodal.hashNearDupPairs]]
+    * over `ehash64_energy`. */
+  def clusterEnvelopeSql(clusterSql: String, perturbSql: String): String = {
+    val seqN = s"transform(sequence(0, 64), i -> " +
+      s"($clusterSql) * 65 + cast(i as bigint) + 1)"
+    s"transform(${splitmixChainSql(seqN)}, (d, i) -> " +
+      s"pmod(d + if(i = ($perturbSql), 32768L, 0L), 65536L))"
+  }
+
   /** The splitmix-style mix of an array of positive BIGINT seeds:
     * multiply → xor-shift(16) → multiply → xor-shift(16), all inside
     * 2³² — four chained list transforms, every op exact in both

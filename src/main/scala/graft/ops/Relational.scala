@@ -1059,42 +1059,55 @@ object Relational {
     * inner product to mean anything — and the estimate is a join of
     * two sketch frames. The additive noise is ≈ |A|·|B|/w per row
     * (every non-matching key pair collides with probability 1/w), so
-    * w is the accuracy dial and must grow with the PRODUCT of the
-    * side cardinalities — the q41-bits stance: a sketch sized for
-    * sf0.01 underestimates nothing but overestimates more at sf0.1. At 100 TB this is the difference between
-    * knowing a join explodes before running it and discovering it in
-    * a 10-hour stage: sketch both sides in one scan each, estimate in
-    * milliseconds, THEN pick broadcast/shuffle/skew handling.
+    * w is the accuracy dial and must grow with the data — which is
+    * why w is SELF-SIZED, not a constant (round-9 finding: a
+    * hand-dialed 16384 was right at sf0.01 and 4× too narrow at
+    * sf0.1): w = clamp(max(|A|, |B|) / 4, 1024, 65536), computed from
+    * the sides' own row counts and joined into both sketch legs as a
+    * broadcast 1-row aggregate, so the dial follows the data with no
+    * re-tuning and the emitted `w` column puts the sizing rule itself
+    * under the oracle gate. (The counts are one cheap column-pruned
+    * scan each — the operator's scan set already touches both sides.)
+    * At 100 TB this is the difference between knowing a join explodes
+    * before running it and discovering it in a 10-hour stage: sketch
+    * both sides in one scan each, estimate in milliseconds, THEN pick
+    * broadcast/shuffle/skew handling.
     *
     * Every colliding key pair adds a non-negative cross term, so the
     * estimate never undershoots — `over_by = est − exact ≥ 0` is
     * emitted as data and certified by the oracle's counter-for-counter
     * rebuild (the exact join count is fixture-affordable; at scale it
-    * is precisely what you compute the sketch to avoid). */
+    * is precisely what you compute the sketch to avoid). The hash
+    * reads 5 hex digits (2²⁰ values) so the mod-w bias stays ≤ ~6%
+    * even at the 65536 clamp — 4 digits would double some buckets'
+    * mass at large w. */
   def q147JoinSizeEst(spark: SparkSession, dir: String): DataFrame = {
-    val w = 16384
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"))
+    val sel = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 490000).select(col("o_orderkey").as("k"))
+    val wFrame = li.agg(count(lit(1)).as("na"))
+      .crossJoin(sel.agg(count(lit(1)).as("nb")))
+      .select(expr("least(65536L, greatest(1024L, greatest(na, nb) div 4))")
+        .as("w"))
     // md5 once per (row, seed) via materialized hex columns — the
     // q144 lesson: the polynomial must read a column, not re-evaluate
     // the md5 call in every digit term
     def sketch(df: DataFrame, c: String, cnt: String): DataFrame =
-      (0 until 3).foldLeft(df) { (d, r) =>
+      (0 until 3).foldLeft(df.crossJoin(broadcast(wFrame))) { (d, r) =>
         d.withColumn(s"h$r",
-          expr(s"substr(md5(cast($c as string) || ':js$r'), 1, 4)"))
+          expr(s"substr(md5(cast($c as string) || ':js$r'), 1, 5)"))
       }
         .select(posexplode(array((0 until 3).map { r =>
-          expr(s"(${Md5Key.hexToLong(s"h$r", 4)}) % $w")
+          expr(s"(${Md5Key.hexToLong(s"h$r", 5)}) % w")
         }: _*)).as(Seq("r", "b")))
         .groupBy("r", "b").agg(count(lit(1)).as(cnt))
-    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"))
-    val sel = Tables.orders(spark, dir)
-      .filter(col("o_totalprice") > 490000).select(col("o_orderkey").as("k"))
     val inner = sketch(li, "l_orderkey", "cf")
       .join(sketch(sel, "k", "cd"), Seq("r", "b"))
       .groupBy("r").agg(sum(col("cf") * col("cd")).as("ip"))
     val est = inner.agg(min(col("ip")).as("est_join"))
     val exact = li.join(broadcast(sel), col("l_orderkey") === col("k"), "inner")
       .agg(count(lit(1)).as("n_exact"))
-    est.crossJoin(exact)
+    est.crossJoin(exact).crossJoin(broadcast(wFrame))
       .withColumn("over_by", col("est_join") - col("n_exact"))
   }
 
@@ -1189,14 +1202,17 @@ object Relational {
     // certified by hash equality against the exact join count
     "q147_join_size_est" -> {
       val poly = (src: String, seed: String) => Md5Key.hexToLong(
-        s"substr(md5(cast($src as string) || '$seed'), 1, 4)", 4)
+        s"substr(md5(cast($src as string) || '$seed'), 1, 5)", 5)
       def side(tbl: String, key: String, cnt: String): String =
         (0 until 3).map { r =>
-          s"SELECT $r AS r, ((${poly(key, s":js$r")}) % 16384) AS b FROM $tbl"
+          s"SELECT $r AS r, ((${poly(key, s":js$r")}) % nn.w) AS b FROM $tbl, nn"
         }.mkString("SELECT r, b, CAST(count(*) AS BIGINT) AS " + cnt +
           " FROM (", " UNION ALL ", ") GROUP BY r, b")
       s"""WITH sel AS (SELECT o_orderkey AS k FROM orders
          |             WHERE o_totalprice > 490000),
+         |nn AS (SELECT least(65536, greatest(1024, greatest(
+         |         (SELECT count(*) FROM lineitem),
+         |         (SELECT count(*) FROM sel)) // 4)) AS w),
          |sf AS (${side("lineitem", "l_orderkey", "cf")}),
          |sd AS (${side("sel", "k", "cd")}),
          |ip AS (SELECT sf.r, CAST(sum(cf * cd) AS BIGINT) AS ip
@@ -1206,7 +1222,8 @@ object Relational {
          |       FROM lineitem l JOIN sel ON l.l_orderkey = sel.k)
          |SELECT (SELECT min(ip) FROM ip) AS est_join,
          |  (SELECT n_exact FROM ex) AS n_exact,
-         |  (SELECT min(ip) FROM ip) - (SELECT n_exact FROM ex) AS over_by""".stripMargin
+         |  (SELECT min(ip) FROM ip) - (SELECT n_exact FROM ex) AS over_by,
+         |  (SELECT CAST(w AS BIGINT) FROM nn) AS w""".stripMargin
     },
 
     "q144_bloom_prune" -> {

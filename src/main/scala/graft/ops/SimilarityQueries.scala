@@ -76,6 +76,31 @@ object SimilarityQueries {
         nlist = 128, nprobe = 16, lloydIters = 2)
     }
 
+  /** Product-quantization ADC top-10 (rows-only check; q172 carries
+    * the pinned recall): train m=8/ksub=16 codebooks, encode the
+    * corpus to (id, sub, code) rows — 8 small ints per 64-dim vector,
+    * the 100 TB embedding-store posture [[Similarity.pqTrain]]
+    * documents — then asymmetric-distance shortlist (rerank=50) with
+    * exact float rerank. Random fixtures are PQ's adversarial case
+    * (no subspace structure to exploit); the rerank window is what
+    * keeps recall useful there, same trade as q41's table count. */
+  def q171PqTopK(spark: SparkSession, dir: String): DataFrame =
+    Memo.of(spark, s"pq_topk:$dir:m8k16l2r50") {
+      val c = corpus(spark, dir)
+      val cb = Similarity.pqTrain(c, m = 8, ksub = 16, lloydIters = 2)
+      Similarity.pqTopK(Similarity.pqEncode(c, cb), cb, c,
+        queryVectors(spark, dir), k = 10, rerank = 50)
+    }
+
+  /** PQ recall@10 vs the exact baseline — the q57/q58 convention:
+    * one pinned (n_exact, n_approx, n_hits, recall) row,
+    * deterministic under the fixed seed (decimal ADC accumulation;
+    * see [[Similarity.pqTopK]]). */
+  def q172PqRecall(spark: SparkSession, dir: String): DataFrame =
+    Agreement.summarize(
+      q171PqTopK(spark, dir), q40CosineTopK(spark, dir),
+      Seq("query_id", "neighbor_id"))
+
   /** SRP-LSH recall@10 vs the exact baseline — the numeric signal for
     * q41's rows-only output: a one-row (n_exact, n_approx, n_hits,
     * recall) summary, deterministic under the fixed seed, hash-checked
@@ -356,6 +381,8 @@ object SimilarityQueries {
     "q41_ann_topk"    -> (q41AnnTopK _),
     "q42_ann_neardup" -> (q42AnnNeardup _),
     "q43_ann_ivf"     -> (q43AnnIvf _),
+    "q171_pq_topk"    -> (q171PqTopK _),
+    "q172_pq_recall"  -> (q172PqRecall _),
     "q57_ann_recall"  -> (q57AnnRecall _),
     "q58_ivf_recall"  -> (q58IvfRecall _),
     "q59_neardup_recall" -> (q59NeardupRecall _),
@@ -553,6 +580,13 @@ object SimilarityQueries {
       """SELECT CAST(59 AS BIGINT) AS n_exact, CAST(48 AS BIGINT) AS n_approx,
         |  CAST(48 AS BIGINT) AS n_hits,
         |  CAST(48 AS DOUBLE)/CAST(59 AS DOUBLE) AS recall""".stripMargin,
+
+    // PQ ADC+rerank at a ~1/10 shortlist share — the q57/q58 pinned
+    // convention; RecallProbe re-prints this row on fixture regen
+    "q172_pq_recall" ->
+      """SELECT CAST(100 AS BIGINT) AS n_exact, CAST(100 AS BIGINT) AS n_approx,
+        |  CAST(64 AS BIGINT) AS n_hits,
+        |  CAST(64 AS DOUBLE)/CAST(100 AS DOUBLE) AS recall""".stripMargin,
 
     // round() here: both engines see the SAME double (exact float
     // widening + one sub + one div), and ties-at-.5 round identically

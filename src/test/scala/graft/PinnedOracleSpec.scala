@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.{FixtureId, SimilarityQueries, TextQueries}
 
-/** Durability guards for the five pinned agreement oracles (q57–q61):
+/** Durability guards for the six pinned agreement oracles (q57–q61, q172):
   *
   *  1. Fixture identity — the pinned constants are only valid for the
   *     exact fixture content they were measured on. If /root/testdata
@@ -50,7 +50,11 @@ class PinnedOracleSpec extends AnyFunSuite {
       ("q58 ivf ann", recallOf(SimilarityQueries.q58IvfRecall(spark, pinDir)), 0.60),
       ("q59 embedding near-dup", recallOf(SimilarityQueries.q59NeardupRecall(spark, pinDir)), 0.70),
       ("q60 minhash", recallOf(TextQueries.q60MinhashRecall(spark, pinDir)), 0.90),
-      ("q61 simhash", recallOf(TextQueries.q61SimhashAgreement(spark, pinDir)), 0.70))
+      ("q61 simhash", recallOf(TextQueries.q61SimhashAgreement(spark, pinDir)), 0.70),
+      // PQ ADC+rerank, measured 0.64 on the random (adversarial)
+      // fixture at a ~1/10 shortlist share — floor below it, same
+      // margin policy as the rows above
+      ("q172 pq adc", recallOf(SimilarityQueries.q172PqRecall(spark, pinDir)), 0.50))
     floors.foreach { case (name, recall, floor) =>
       assert(recall >= floor, f"$name recall $recall%.2f below floor $floor%.2f")
     }

@@ -30,7 +30,7 @@ class RelationalSpec extends AnyFunSuite {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // rows-only checks are allowed only for non-SQL-expressible operators
     assert(noOracle.forall(n => n.contains("minhash") || n.contains("simhash") ||
-      n.contains("ann") || n.contains("stream")),
+      n.contains("ann") || n.contains("stream") || n.contains("pq")),
       s"queries missing oracle: $noOracle")
   }
 

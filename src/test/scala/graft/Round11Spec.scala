@@ -219,6 +219,58 @@ class Round11Spec extends AnyFunSuite {
     assert(withIds == Seq((1L, Seq(1L, 0L, 2L)), (2L, Seq.empty[Long])))
   }
 
+  // ------------------------------------------------- product quantization
+
+  import graft.operators.Similarity
+
+  private def vecsDf(n: Int, dim: Int, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => (i.toLong,
+      Array.fill(dim)(rnd.nextFloat() * 2f - 1f).toSeq))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("pqTrain: codebooks are deterministic across partitionings") {
+    val v = vecsDf(60, 16, seed = 7)
+    def cents(parts: Int): Seq[(Int, Int, Seq[Double])] = {
+      graft.ops.Memo.clear(spark) // a memo hit would hide nondeterminism
+      Similarity.pqTrain(v.repartition(parts), m = 4, ksub = 8, lloydIters = 2)
+        .centroids.as[(Int, Int, Seq[Double])].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+    }
+    assert(cents(1) == cents(13))
+  }
+
+  test("pqTopK: with corpus <= ksub the codebook is lossless and ADC+rerank equals brute force") {
+    // every vector becomes its own centroid (seeds = whole corpus,
+    // each subvector's nearest centroid is itself at distance 0), so
+    // the ADC ranking is the exact ranking — the closed-form case
+    graft.ops.Memo.clear(spark)
+    val v = vecsDf(12, 16, seed = 11)
+    val cb = Similarity.pqTrain(v, m = 4, ksub = 16, lloydIters = 0)
+    val queries = v.filter($"vec_id" < 3)
+    val pq = Similarity.pqTopK(Similarity.pqEncode(v, cb), cb, v, queries,
+      k = 5, rerank = 11)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val bf = Similarity.bruteForceTopK(v, queries, k = 5)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(pq == bf)
+  }
+
+  test("pqEncode: codes are m small ids per vector; rerank window must cover k") {
+    graft.ops.Memo.clear(spark)
+    val v = vecsDf(40, 16, seed = 3)
+    val cb = Similarity.pqTrain(v, m = 4, ksub = 8, lloydIters = 1)
+    val codes = Similarity.pqEncode(v, cb)
+    assert(codes.count() == 40L * 4)
+    val rng = codes.agg(min($"code"), max($"code"), countDistinct($"vec_id"))
+      .as[(Int, Int, Long)].first()
+    assert(rng._1 >= 0 && rng._2 < 8 && rng._3 == 40L)
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(codes, cb, v, v.limit(1), k = 10, rerank = 5)
+    }
+  }
+
   test("wetRecords: a lying Content-Length (past member end) quarantines, not a silent short read") {
     val bodyBytes = "short".getBytes("UTF-8")
     val hdr = "WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: u\r\n" +
