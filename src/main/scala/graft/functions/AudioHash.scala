@@ -166,7 +166,7 @@ case class EHash64(child: Expression) extends BinaryImageHash {
 
 object EHash64 {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    FunctionCatalog.register(spark, "ehash64")
+    FunctionCatalog.register(spark, "ehash64", classOf[EHash64])
 }
 
 case class EHash64Energy(child: Expression) extends GrayHash {
@@ -181,7 +181,7 @@ case class EHash64Energy(child: Expression) extends GrayHash {
 
 object EHash64Energy {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    FunctionCatalog.register(spark, "ehash64_energy")
+    FunctionCatalog.register(spark, "ehash64_energy", classOf[EHash64Energy])
 }
 
 /** `audio_meta(binary) -> struct<sample_rate,channels,frames,bits>` —
@@ -216,5 +216,5 @@ case class AudioMeta(child: Expression) extends UnaryExpression {
 
 object AudioMeta {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    FunctionCatalog.register(spark, "audio_meta")
+    FunctionCatalog.register(spark, "audio_meta", classOf[AudioMeta])
 }

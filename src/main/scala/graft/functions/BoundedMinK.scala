@@ -135,5 +135,5 @@ object BoundedMinK {
   /** Register `bounded_min_k` — once per session ([[Registration]]).
     * k must be a foldable integer literal (it shapes the agg buffer). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    FunctionCatalog.register(spark, "bounded_min_k")
+    FunctionCatalog.register(spark, "bounded_min_k", classOf[BoundedMinK])
 }

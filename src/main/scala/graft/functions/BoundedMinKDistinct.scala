@@ -132,5 +132,5 @@ object BoundedMinKDistinct {
   /** Register `bounded_min_k_distinct` ([[Registration]]). k must be a
     * foldable integer literal (it shapes the agg buffer). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    FunctionCatalog.register(spark, "bounded_min_k_distinct")
+    FunctionCatalog.register(spark, "bounded_min_k_distinct", classOf[BoundedMinKDistinct])
 }

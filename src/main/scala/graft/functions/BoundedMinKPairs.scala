@@ -141,5 +141,5 @@ object BoundedMinKPairs {
   /** Register `bounded_min_k_pairs` ([[Registration]]); k must be a
     * foldable integer literal (it shapes the agg buffer). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    FunctionCatalog.register(spark, "bounded_min_k_pairs")
+    FunctionCatalog.register(spark, "bounded_min_k_pairs", classOf[BoundedMinKPairs])
 }

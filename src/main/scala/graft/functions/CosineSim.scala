@@ -83,5 +83,5 @@ object CosineSim {
   /** Register `cosine_sim` — once per session, claiming the name over
     * any foreign pre-registration (see [[Registration]]). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    FunctionCatalog.register(spark, "cosine_sim")
+    FunctionCatalog.register(spark, "cosine_sim", classOf[CosineSim])
 }

@@ -80,5 +80,5 @@ case class DeflateLen(child: Expression) extends UnaryExpression {
 
 object DeflateLen {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    FunctionCatalog.register(spark, "deflate_len")
+    FunctionCatalog.register(spark, "deflate_len", classOf[DeflateLen])
 }

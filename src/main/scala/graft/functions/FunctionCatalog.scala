@@ -23,35 +23,38 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object FunctionCatalog {
 
   /** One native function: SQL name, usage string (shown in DESCRIBE
-    * FUNCTION via the extensions route), expression builder. */
+    * FUNCTION via the extensions route), the Expression class the
+    * builder constructs (the [[register]] cross-check — see below),
+    * and the builder itself. */
   final case class FunctionDef(
       name: String,
       usage: String,
+      exprClass: Class[_],
       builder: Seq[Expression] => Expression)
 
   val all: Seq[FunctionDef] = Seq(
     FunctionDef("simhash64",
-      "simhash64(features array<bigint>) -> bigint", { exprs =>
+      "simhash64(features array<bigint>) -> bigint", classOf[SimHash64], { exprs =>
         FunctionArgs.requireArity("simhash64", exprs, 1,
           "simhash64(features array<bigint>)")
         SimHash64(exprs.head)
       }),
     FunctionDef("minhash_sigs",
-      "minhash_sigs(features array<bigint>, k INT) -> array<bigint>", { exprs =>
+      "minhash_sigs(features array<bigint>, k INT) -> array<bigint>", classOf[MinHashSigs], { exprs =>
         FunctionArgs.requireArity("minhash_sigs", exprs, 2,
           "minhash_sigs(features array<bigint>, k INT literal)")
         MinHashSigs(exprs.head,
           FunctionArgs.foldableInt("minhash_sigs", exprs(1), "k"))
       }),
     FunctionDef("shingle_hashes",
-      "shingle_hashes(text STRING, k INT) -> array<bigint>", { exprs =>
+      "shingle_hashes(text STRING, k INT) -> array<bigint>", classOf[ShingleHashes], { exprs =>
         FunctionArgs.requireArity("shingle_hashes", exprs, 2,
           "shingle_hashes(text STRING, k INT literal)")
         ShingleHashes(exprs.head,
           FunctionArgs.foldableInt("shingle_hashes", exprs(1), "k"))
       }),
     FunctionDef("srp_buckets",
-      "srp_buckets(vec array<float|double>, tables INT, bits INT, seed BIGINT) -> array<bigint>", { exprs =>
+      "srp_buckets(vec array<float|double>, tables INT, bits INT, seed BIGINT) -> array<bigint>", classOf[SrpBuckets], { exprs =>
         FunctionArgs.requireArity("srp_buckets", exprs, 4,
           "srp_buckets(vec array<float|double>, tables INT, bits INT, seed BIGINT)")
         SrpBuckets(exprs.head,
@@ -60,13 +63,13 @@ object FunctionCatalog {
           FunctionArgs.foldableLong("srp_buckets", exprs(3), "seed"))
       }),
     FunctionDef("cosine_sim",
-      "cosine_sim(a array<float|double>, b array<float|double>) -> double", { exprs =>
+      "cosine_sim(a array<float|double>, b array<float|double>) -> double", classOf[CosineSim], { exprs =>
         FunctionArgs.requireArity("cosine_sim", exprs, 2,
           "cosine_sim(a array<float|double>, b array<float|double>)")
         CosineSim(exprs.head, exprs(1))
       }),
     FunctionDef("bounded_min_k",
-      "bounded_min_k(col BIGINT, k INT) -> array<bigint>", { exprs =>
+      "bounded_min_k(col BIGINT, k INT) -> array<bigint>", classOf[BoundedMinK], { exprs =>
         FunctionArgs.requireArity("bounded_min_k", exprs, 2,
           "bounded_min_k(col bigint, k int literal)")
         BoundedMinK(exprs.head,
@@ -74,7 +77,7 @@ object FunctionCatalog {
           .toAggregateExpression()
       }),
     FunctionDef("bounded_min_k_distinct",
-      "bounded_min_k_distinct(col BIGINT, k INT) -> array<bigint>", { exprs =>
+      "bounded_min_k_distinct(col BIGINT, k INT) -> array<bigint>", classOf[BoundedMinKDistinct], { exprs =>
         FunctionArgs.requireArity("bounded_min_k_distinct", exprs, 2,
           "bounded_min_k_distinct(col bigint, k int literal)")
         BoundedMinKDistinct(exprs.head,
@@ -82,7 +85,7 @@ object FunctionCatalog {
           .toAggregateExpression()
       }),
     FunctionDef("bounded_min_k_pairs",
-      "bounded_min_k_pairs(ord BIGINT, tag BIGINT, k INT) -> array<struct<o:bigint,t:bigint>>", { exprs =>
+      "bounded_min_k_pairs(ord BIGINT, tag BIGINT, k INT) -> array<struct<o:bigint,t:bigint>>", classOf[BoundedMinKPairs], { exprs =>
         FunctionArgs.requireArity("bounded_min_k_pairs", exprs, 3,
           "bounded_min_k_pairs(ord bigint, tag bigint, k int literal)")
         BoundedMinKPairs(exprs.head, exprs(1),
@@ -90,7 +93,7 @@ object FunctionCatalog {
           .toAggregateExpression()
       }),
     FunctionDef("misra_gries",
-      "misra_gries(col BIGINT, k INT) -> array<struct<v:bigint,c:bigint>>", { exprs =>
+      "misra_gries(col BIGINT, k INT) -> array<struct<v:bigint,c:bigint>>", classOf[MisraGries], { exprs =>
         FunctionArgs.requireArity("misra_gries", exprs, 2,
           "misra_gries(col bigint, k int literal)")
         MisraGries(exprs.head,
@@ -98,73 +101,73 @@ object FunctionCatalog {
           .toAggregateExpression()
       }),
     FunctionDef("deflate_len",
-      "deflate_len(text STRING) -> bigint", { exprs =>
+      "deflate_len(text STRING) -> bigint", classOf[DeflateLen], { exprs =>
         FunctionArgs.requireArity("deflate_len", exprs, 1,
           "deflate_len(text string)")
         DeflateLen(exprs.head)
       }),
     FunctionDef("media_type",
-      "media_type(payload BINARY) -> string", { exprs =>
+      "media_type(payload BINARY) -> string", classOf[MediaType], { exprs =>
         FunctionArgs.requireArity("media_type", exprs, 1,
           "media_type(payload binary)")
         MediaType(exprs.head)
       }),
     FunctionDef("ahash64",
-      "ahash64(payload BINARY) -> bigint", { exprs =>
+      "ahash64(payload BINARY) -> bigint", classOf[AHash64], { exprs =>
         FunctionArgs.requireArity("ahash64", exprs, 1,
           "ahash64(payload binary)")
         AHash64(exprs.head)
       }),
     FunctionDef("dhash64",
-      "dhash64(payload BINARY) -> bigint", { exprs =>
+      "dhash64(payload BINARY) -> bigint", classOf[DHash64], { exprs =>
         FunctionArgs.requireArity("dhash64", exprs, 1,
           "dhash64(payload binary)")
         DHash64(exprs.head)
       }),
     FunctionDef("image_meta",
-      "image_meta(payload BINARY) -> struct<width,height,channels>", { exprs =>
+      "image_meta(payload BINARY) -> struct<width,height,channels>", classOf[ImageMeta], { exprs =>
         FunctionArgs.requireArity("image_meta", exprs, 1,
           "image_meta(payload binary)")
         ImageMeta(exprs.head)
       }),
     FunctionDef("ahash64_gray",
-      "ahash64_gray(cells ARRAY<BIGINT> of 64) -> bigint", { exprs =>
+      "ahash64_gray(cells ARRAY<BIGINT> of 64) -> bigint", classOf[AHash64Gray], { exprs =>
         FunctionArgs.requireArity("ahash64_gray", exprs, 1,
           "ahash64_gray(cells array<bigint> of 64)")
         AHash64Gray(exprs.head)
       }),
     FunctionDef("dhash64_gray",
-      "dhash64_gray(cells ARRAY<BIGINT> of 72) -> bigint", { exprs =>
+      "dhash64_gray(cells ARRAY<BIGINT> of 72) -> bigint", classOf[DHash64Gray], { exprs =>
         FunctionArgs.requireArity("dhash64_gray", exprs, 1,
           "dhash64_gray(cells array<bigint> of 72)")
         DHash64Gray(exprs.head)
       }),
     FunctionDef("ehash64",
-      "ehash64(payload BINARY) -> bigint", { exprs =>
+      "ehash64(payload BINARY) -> bigint", classOf[EHash64], { exprs =>
         FunctionArgs.requireArity("ehash64", exprs, 1,
           "ehash64(payload binary)")
         EHash64(exprs.head)
       }),
     FunctionDef("ehash64_energy",
-      "ehash64_energy(energies ARRAY<BIGINT> of 65) -> bigint", { exprs =>
+      "ehash64_energy(energies ARRAY<BIGINT> of 65) -> bigint", classOf[EHash64Energy], { exprs =>
         FunctionArgs.requireArity("ehash64_energy", exprs, 1,
           "ehash64_energy(energies array<bigint> of 65)")
         EHash64Energy(exprs.head)
       }),
     FunctionDef("audio_meta",
-      "audio_meta(payload BINARY) -> struct<sample_rate,channels,frames,bits>", { exprs =>
+      "audio_meta(payload BINARY) -> struct<sample_rate,channels,frames,bits>", classOf[AudioMeta], { exprs =>
         FunctionArgs.requireArity("audio_meta", exprs, 1,
           "audio_meta(payload binary)")
         AudioMeta(exprs.head)
       }),
     FunctionDef("gzip_members",
-      "gzip_members(archive BINARY) -> array<struct<idx,offset,clen,payload,err>>", { exprs =>
+      "gzip_members(archive BINARY) -> array<struct<idx,offset,clen,payload,err>>", classOf[GzipMembers], { exprs =>
         FunctionArgs.requireArity("gzip_members", exprs, 1,
           "gzip_members(archive binary)")
         GzipMembers(exprs.head)
       }),
     FunctionDef("gzip_member",
-      "gzip_member(payload BINARY) -> binary", { exprs =>
+      "gzip_member(payload BINARY) -> binary", classOf[GzipMemberEnc], { exprs =>
         FunctionArgs.requireArity("gzip_member", exprs, 1,
           "gzip_member(payload binary)")
         GzipMemberEnc(exprs.head)
@@ -180,6 +183,21 @@ object FunctionCatalog {
   def register(spark: SparkSession, name: String): Unit = {
     val d = byName.getOrElse(name,
       throw new IllegalArgumentException(s"no such graft function: $name"))
+    Registration.once(spark, d.name)(d.builder)
+  }
+
+  /** The companion-delegation form: `owner` is the companion's own
+    * Expression class, cross-checked against the catalog row so a
+    * copy-pasted wrong-but-valid NAME in a companion (e.g. "ahash64"
+    * inside DHash64.register) throws at first use instead of silently
+    * registering a different function — the string-keyed hole the
+    * round-10 advice flagged. */
+  def register(spark: SparkSession, name: String, owner: Class[_]): Unit = {
+    val d = byName.getOrElse(name,
+      throw new IllegalArgumentException(s"no such graft function: $name"))
+    require(d.exprClass == owner,
+      s"companion ${owner.getSimpleName}.register delegates to catalog " +
+        s"name '$name', which builds ${d.exprClass.getSimpleName}")
     Registration.once(spark, d.name)(d.builder)
   }
 

@@ -222,7 +222,7 @@ case class GzipMembers(child: Expression) extends UnaryExpression {
 
 object GzipMembers {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    FunctionCatalog.register(spark, "gzip_members")
+    FunctionCatalog.register(spark, "gzip_members", classOf[GzipMembers])
 }
 
 /** `gzip_member(binary) -> binary` — the builder half of the round trip. */
@@ -250,5 +250,5 @@ case class GzipMemberEnc(child: Expression) extends UnaryExpression {
 
 object GzipMemberEnc {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    FunctionCatalog.register(spark, "gzip_member")
+    FunctionCatalog.register(spark, "gzip_member", classOf[GzipMemberEnc])
 }

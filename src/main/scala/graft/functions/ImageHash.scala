@@ -191,7 +191,7 @@ case class AHash64(child: Expression) extends BinaryImageHash {
 
 object AHash64 {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    FunctionCatalog.register(spark, "ahash64")
+    FunctionCatalog.register(spark, "ahash64", classOf[AHash64])
 }
 
 case class DHash64(child: Expression) extends BinaryImageHash {
@@ -204,7 +204,7 @@ case class DHash64(child: Expression) extends BinaryImageHash {
 
 object DHash64 {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    FunctionCatalog.register(spark, "dhash64")
+    FunctionCatalog.register(spark, "dhash64", classOf[DHash64])
 }
 
 /** `image_meta(binary) -> struct<width,height,channels>` — header-level
@@ -239,7 +239,7 @@ case class ImageMeta(child: Expression) extends UnaryExpression {
 
 object ImageMeta {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    FunctionCatalog.register(spark, "image_meta")
+    FunctionCatalog.register(spark, "image_meta", classOf[ImageMeta])
 }
 
 /** Pure hash arithmetic over a precomputed luminance grid — the
@@ -272,7 +272,7 @@ case class AHash64Gray(child: Expression) extends GrayHash {
 
 object AHash64Gray {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    FunctionCatalog.register(spark, "ahash64_gray")
+    FunctionCatalog.register(spark, "ahash64_gray", classOf[AHash64Gray])
 }
 
 case class DHash64Gray(child: Expression) extends GrayHash {
@@ -287,5 +287,5 @@ case class DHash64Gray(child: Expression) extends GrayHash {
 
 object DHash64Gray {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    FunctionCatalog.register(spark, "dhash64_gray")
+    FunctionCatalog.register(spark, "dhash64_gray", classOf[DHash64Gray])
 }

@@ -85,5 +85,5 @@ case class MediaType(child: Expression) extends UnaryExpression {
 
 object MediaType {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    FunctionCatalog.register(spark, "media_type")
+    FunctionCatalog.register(spark, "media_type", classOf[MediaType])
 }

@@ -68,5 +68,5 @@ object MinHashSigs {
   /** Register `minhash_sigs` (idempotent); the k argument must be a
     * foldable integer literal. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    FunctionCatalog.register(spark, "minhash_sigs")
+    FunctionCatalog.register(spark, "minhash_sigs", classOf[MinHashSigs])
 }

@@ -206,5 +206,5 @@ object MisraGries {
   /** Register `misra_gries` ([[Registration]]). k must be a foldable
     * integer literal (it shapes the agg buffer). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    FunctionCatalog.register(spark, "misra_gries")
+    FunctionCatalog.register(spark, "misra_gries", classOf[MisraGries])
 }

@@ -93,5 +93,5 @@ object ShingleHashes {
 
   /** Register `shingle_hashes` (idempotent); k must be a foldable literal. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    FunctionCatalog.register(spark, "shingle_hashes")
+    FunctionCatalog.register(spark, "shingle_hashes", classOf[ShingleHashes])
 }

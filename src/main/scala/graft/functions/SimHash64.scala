@@ -71,5 +71,5 @@ object SimHash64 {
   /** Register `simhash64` in the session's function registry
     * (idempotent); afterwards it is callable from SQL and `expr`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    FunctionCatalog.register(spark, "simhash64")
+    FunctionCatalog.register(spark, "simhash64", classOf[SimHash64])
 }

@@ -105,5 +105,5 @@ object SrpBuckets {
   /** Register `srp_buckets` (idempotent); tables/bits/seed must be
     * foldable integer literals. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    FunctionCatalog.register(spark, "srp_buckets")
+    FunctionCatalog.register(spark, "srp_buckets", classOf[SrpBuckets])
 }

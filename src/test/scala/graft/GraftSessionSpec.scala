@@ -83,6 +83,31 @@ class GraftSessionSpec extends AnyFunSuite {
     }
   }
 
+  test("every companion register delegates to its OWN catalog row (class cross-check)") {
+    // the round-10 advice hole: register was string-keyed, so a
+    // copy-pasted wrong-but-valid name in a companion would silently
+    // register a different function. Each delegation now carries the
+    // companion's Expression class and the catalog row cross-checks
+    // it — this exercises all 21 delegations (a mismatch throws), and
+    // pins the failure mode explicitly.
+    import graft.functions._
+    Seq[org.apache.spark.sql.SparkSession => Unit](
+      SimHash64.register, MinHashSigs.register, ShingleHashes.register,
+      SrpBuckets.register, CosineSim.register, BoundedMinK.register,
+      BoundedMinKDistinct.register, BoundedMinKPairs.register,
+      MisraGries.register, DeflateLen.register, MediaType.register,
+      AHash64.register, DHash64.register, ImageMeta.register,
+      AHash64Gray.register, DHash64Gray.register, EHash64.register,
+      EHash64Energy.register, AudioMeta.register, GzipMembers.register,
+      GzipMemberEnc.register
+    ).foreach(_(spark))
+    val wrong = intercept[IllegalArgumentException] {
+      FunctionCatalog.register(spark, "ahash64", classOf[DHash64])
+    }
+    assert(wrong.getMessage.contains("DHash64") &&
+      wrong.getMessage.contains("ahash64"))
+  }
+
   test("functions are deterministic across invocations") {
     GraftSession.registerFunctions(spark)
     val q = "SELECT simhash64(shingle_hashes('alpha beta gamma delta', 2)) AS x"
