@@ -161,10 +161,23 @@ object FunctionCatalog {
         AudioMeta(exprs.head)
       }),
     FunctionDef("gzip_members",
-      "gzip_members(archive BINARY) -> array<struct<idx,offset,clen,payload,err>>", classOf[GzipMembers], { exprs =>
-        FunctionArgs.requireArity("gzip_members", exprs, 1,
-          "gzip_members(archive binary)")
-        GzipMembers(exprs.head)
+      "gzip_members(archive BINARY[, max_member BIGINT[, max_total BIGINT]]) -> array<struct<idx,offset,clen,payload,err>>", classOf[GzipMembers], { exprs =>
+        require(exprs.size >= 1 && exprs.size <= 3,
+          "gzip_members(archive binary[, max_member bigint[, max_total bigint]])" +
+            s" — got ${exprs.size} args")
+        val mm = if (exprs.size >= 2)
+          FunctionArgs.foldableLong("gzip_members", exprs(1), "max_member")
+        else GzipArchiveCore.MaxMemberBytes
+        val mt = if (exprs.size >= 3)
+          FunctionArgs.foldableLong("gzip_members", exprs(2), "max_total")
+        else GzipArchiveCore.MaxTotalBytes
+        GzipMembers(exprs.head, mm, mt)
+      }),
+    FunctionDef("gzip_member_index",
+      "gzip_member_index(archive BINARY) -> array<struct<idx,offset,clen,ulen,err>>", classOf[GzipMemberIdx], { exprs =>
+        FunctionArgs.requireArity("gzip_member_index", exprs, 1,
+          "gzip_member_index(archive binary)")
+        GzipMemberIdx(exprs.head)
       }),
     FunctionDef("gzip_member",
       "gzip_member(payload BINARY) -> binary", classOf[GzipMemberEnc], { exprs =>

@@ -97,8 +97,18 @@ object GzipArchiveCore {
     (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
       ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
 
-  /** Split a concatenated-gzip archive into member rows. */
-  def members(bytes: Array[Byte]): GenericArrayData = {
+  /** Split a concatenated-gzip archive into member rows, with the
+    * default bomb caps. */
+  def members(bytes: Array[Byte]): GenericArrayData =
+    members(bytes, MaxMemberBytes, MaxTotalBytes)
+
+  /** Split with caller-supplied caps — the PER-SLICE dials of the
+    * offset-splittable ingest: when a >MaxTotalBytes archive is fanned
+    * out as per-member slices ([[graft.sources.WebArchive.sliceMembers]]),
+    * each slice row pays its own budget, so the whole archive ingests
+    * without ever relaxing the per-task memory bound. */
+  def members(bytes: Array[Byte], maxMemberBytes: Long,
+              maxTotalBytes: Long): GenericArrayData = {
     val out = scala.collection.mutable.ArrayBuffer.empty[GenericInternalRow]
     var pos = 0
     var idx = 0
@@ -128,10 +138,10 @@ object GzipArchiveCore {
             if (failed == null) {
               if (n > 0) {
                 sink.write(buf, 0, n)
-                if (sink.size() > MaxMemberBytes)
-                  failed = s"member exceeds $MaxMemberBytes decompressed bytes"
-                else if (total + sink.size() > MaxTotalBytes)
-                  failed = s"archive exceeds $MaxTotalBytes decompressed bytes"
+                if (sink.size() > maxMemberBytes)
+                  failed = s"member exceeds $maxMemberBytes decompressed bytes"
+                else if (total + sink.size() > maxTotalBytes)
+                  failed = s"archive exceeds $maxTotalBytes decompressed bytes"
               } else if (inf.finished()) done = true
               else failed = "truncated DEFLATE stream" // needs input we don't have
             }
@@ -158,6 +168,82 @@ object GzipArchiveCore {
             }
           }
         } finally inf.end() // frees native zlib state promptly
+      }
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  val indexSchema: StructType = StructType(Seq(
+    StructField("idx", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("clen", LongType, nullable = false),
+    StructField("ulen", LongType, nullable = false),
+    StructField("err", StringType, nullable = true)))
+
+  private def idxRow(idx: Int, offset: Long, clen: Long, ulen: Long,
+                     err: String): GenericInternalRow =
+    new GenericInternalRow(Array[Any](idx, offset, clen, ulen,
+      if (err == null) null else UTF8String.fromString(err)))
+
+  /** Member INDEX of a concatenated-gzip archive — (idx, offset, clen,
+    * ulen, err) per member, NO payloads: the cluster.idx builder. The
+    * scan is streaming per member (CRC32 and length accumulate over
+    * the inflate buffer, nothing is retained), so memory is one 64 KiB
+    * buffer REGARDLESS of archive or member size — which is why this
+    * pass needs no bomb caps: there is no allocation for a bomb to
+    * blow up. A multi-GiB-decompressed archive that [[members]] would
+    * cap-quarantine indexes fine here; the caps then apply per SLICE
+    * on the fan-out read. Corruption quarantines the remainder as one
+    * err row, same contract as [[members]]. */
+  def memberIndex(bytes: Array[Byte]): GenericArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[GenericInternalRow]
+    var pos = 0
+    var idx = 0
+    var halted = false
+    while (!halted && pos < bytes.length) {
+      val rest = (bytes.length - pos).toLong
+      def quarantine(msg: String): Unit = {
+        out += idxRow(idx, pos.toLong, rest, 0L, msg)
+        halted = true
+      }
+      val dataStart = headerEnd(bytes, pos)
+      if (dataStart < 0) quarantine("malformed or truncated gzip header")
+      else {
+        val inf = new Inflater(true)
+        try {
+          inf.setInput(bytes, dataStart, bytes.length - dataStart)
+          val crc = new CRC32
+          var ulen = 0L
+          val buf = new Array[Byte](65536)
+          var failed: String = null
+          var done = false
+          while (!done && failed == null) {
+            val n =
+              try inf.inflate(buf)
+              catch { case _: DataFormatException =>
+                failed = "corrupt DEFLATE stream"; 0 }
+            if (failed == null) {
+              if (n > 0) { crc.update(buf, 0, n); ulen += n }
+              else if (inf.finished()) done = true
+              else failed = "truncated DEFLATE stream"
+            }
+          }
+          if (failed != null) quarantine(failed)
+          else {
+            val trailer = dataStart + inf.getBytesRead.toInt
+            if (trailer + 8 > bytes.length) quarantine("truncated gzip trailer")
+            else if (le32(bytes, trailer) != crc.getValue)
+              quarantine("gzip CRC32 mismatch")
+            else if (le32(bytes, trailer + 4) != (ulen & 0xffffffffL))
+              quarantine("gzip ISIZE mismatch")
+            else {
+              val end = trailer + 8
+              out += idxRow(idx, pos.toLong, (end - pos).toLong, ulen, null)
+              pos = end
+              idx += 1
+            }
+          }
+        } finally inf.end()
       }
     }
     new GenericArrayData(out.toArray[Any])
@@ -196,24 +282,36 @@ object GzipArchiveCore {
   }
 }
 
-/** `gzip_members(binary) -> array<struct<idx,offset,clen,payload,err>>` */
-case class GzipMembers(child: Expression) extends UnaryExpression {
+/** `gzip_members(binary[, max_member[, max_total]]) ->
+  * array<struct<idx,offset,clen,payload,err>>` — the cap operands are
+  * the PER-ROW bomb dials (defaults [[GzipArchiveCore.MaxMemberBytes]]
+  * / [[GzipArchiveCore.MaxTotalBytes]]); the sliced ingest passes its
+  * per-slice budgets here. */
+case class GzipMembers(child: Expression,
+                       maxMemberBytes: Long = GzipArchiveCore.MaxMemberBytes,
+                       maxTotalBytes: Long = GzipArchiveCore.MaxTotalBytes)
+  extends UnaryExpression {
   override def dataType: DataType =
     ArrayType(GzipArchiveCore.memberSchema, containsNull = false)
   override def nullable: Boolean = child.nullable
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case BinaryType if maxMemberBytes > 0 && maxTotalBytes > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case BinaryType => TypeCheckResult.TypeCheckFailure(
+      s"gzip_members caps must be positive, got ($maxMemberBytes, $maxTotalBytes)")
     case other => TypeCheckResult.TypeCheckFailure(
       s"gzip_members requires binary, got $other")
   }
 
   override def nullSafeEval(input: Any): Any =
-    GzipArchiveCore.members(input.asInstanceOf[Array[Byte]])
+    GzipArchiveCore.members(input.asInstanceOf[Array[Byte]],
+      maxMemberBytes, maxTotalBytes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.GzipArchiveCore.members($c);")
+      s"${ev.value} = graft.functions.GzipArchiveCore.members($c, " +
+        s"${maxMemberBytes}L, ${maxTotalBytes}L);")
 
   override protected def withNewChildInternal(newChild: Expression): GzipMembers =
     copy(child = newChild)
@@ -223,6 +321,37 @@ case class GzipMembers(child: Expression) extends UnaryExpression {
 object GzipMembers {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     FunctionCatalog.register(spark, "gzip_members", classOf[GzipMembers])
+}
+
+/** `gzip_member_index(binary) -> array<struct<idx,offset,clen,ulen,err>>`
+  * — payload-free streaming member index (constant memory; see
+  * [[GzipArchiveCore.memberIndex]]). */
+case class GzipMemberIdx(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(GzipArchiveCore.indexSchema, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gzip_member_index requires binary, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    GzipArchiveCore.memberIndex(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GzipArchiveCore.memberIndex($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): GzipMemberIdx =
+    copy(child = newChild)
+  override def prettyName: String = "gzip_member_index"
+}
+
+object GzipMemberIdx {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    FunctionCatalog.register(spark, "gzip_member_index", classOf[GzipMemberIdx])
 }
 
 /** `gzip_member(binary) -> binary` — the builder half of the round trip. */

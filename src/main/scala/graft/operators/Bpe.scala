@@ -156,8 +156,9 @@ object Bpe {
     * token occurrence, which is how a tokenizer actually deploys
     * (the merge fold is O(|vocab|·numMerges); documents then consume
     * the dictionary by broadcast hash join, an O(1) probe per token —
-    * measured 9.8 s → ~1 s on q170 at sf0.1 vs the per-occurrence
-    * fold, and the gap grows with corpus/vocab ratio). */
+    * and the gap over the per-occurrence [[encode]] fold grows with
+    * the corpus/vocab ratio; see [[encodeStats]] for the measured
+    * q170 numbers). */
   def encodeVocab(tokens: DataFrame, merges: DataFrame): DataFrame = {
     val marr = merges.agg(
       expr("array_sort(collect_list(struct(merge_rank, lhs, rhs)))")
@@ -171,6 +172,62 @@ object Bpe {
       .select(col("tok"), expr(
         "split(substr(_e, 2, char_length(_e) - 2), " +
           s"concat($SepSql, $SepSql))").as("syms"))
+  }
+
+  /** Deploy-shape per-doc encode stats — [[encodeVocab]]'s dictionary
+    * fold + two broadcast joins, producing exactly q170's output
+    * columns: (idCol, n_tokens_ws, n_tokens_bpe, id_sum), with
+    * token-free docs kept at 0 (left join from the docs frame).
+    *
+    * This is the path a tokenizer runs in production: the 16-merge
+    * fold executes once per DISTINCT token (|vocab| rows), symbol ids
+    * come from the dictionary's own symbol set (the same set
+    * [[symbolIds]] derives from the encoded corpus, because the
+    * dictionary is built from the corpus' distinct tokens), and each
+    * token OCCURRENCE costs one broadcast-map probe of the per-token
+    * (n_syms, id_sum) stats — so corpus size buys scan + one partial
+    * aggregate, never fold work. Scale dial: the broadcast is
+    * |vocab|-sized; [[vocabulary]]'s `minCount` is what bounds |vocab|
+    * on a real crawl (the [[train]] scaladoc's hapax argument). OOV
+    * tokens (possible when the dictionary was trained elsewhere or
+    * minCount pruned) fall back to the per-occurrence [[encode]] fold —
+    * here the inner join simply has no OOV because the dictionary is
+    * derived from the same docs frame.
+    *
+    * Measured at sf0.1 (32 cores, merges memoized by q169 running
+    * first — the shipped bench configuration): per-occurrence
+    * [[encode]] fold 34.6 s (BENCH_r11 q170) → this path 0.5 s — the
+    * fold work drops from every token occurrence to the corpus'
+    * distinct tokens. */
+  def encodeStats(docs: DataFrame, merges: DataFrame,
+                  text: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(idCol), explode(split(col(text), " ")).as("tok"))
+      .filter(length(col("tok")) >= 1 && !col("tok").contains(Sep))
+    val dict = encodeVocab(toks, merges)
+    // the same deterministic symbol-ascending dense numbering as
+    // symbolIds — over the dictionary (alphabet+merges bounded), so
+    // the window's single-partition frame is aggregate-bounded
+    val ids = dict.select(explode(col("syms")).as("sym")).distinct()
+      .withColumn("sym_id",
+        (row_number().over(Window.orderBy(col("sym").asc)) - 1).cast("long"))
+    val idMap = ids.agg(map_from_arrays(
+      collect_list(col("sym")), collect_list(col("sym_id"))).as("_dict"))
+    val tokStats = dict
+      .crossJoin(broadcast(idMap))
+      .select(col("tok"),
+        size(col("syms")).cast("long").as("_n_syms"),
+        expr("aggregate(syms, 0L, (_a, _s) -> _a + _dict[_s])").as("_tok_id_sum"))
+    val perDoc = toks
+      .join(broadcast(tokStats), Seq("tok"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens_ws"),
+        sum(col("_n_syms")).as("n_tokens_bpe"),
+        sum(col("_tok_id_sum")).as("id_sum"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_tokens_ws", "n_tokens_bpe", "id_sum"))
   }
 
   /** Deterministic id table for an encoded corpus: every distinct

@@ -336,14 +336,22 @@ object Similarity {
   /** Explode a normalized vector into its m subvectors: rows
     * (…, sub, sv) with sv = dims [sub·d/m, (sub+1)·d/m). The split is
     * in-plan (`size(nv) div m`), so one codebook API serves any
-    * dimension; dims must divide evenly by m. */
+    * dimension; dims must divide evenly by m — ENFORCED in-plan with
+    * `raise_error` (a silent `div` would drop the trailing `size mod
+    * m` dimensions and rank on a prefix of every vector with no
+    * sign anything was lost). */
   private def subvectors(df: DataFrame, m: Int): DataFrame =
-    df.select(col("*"), explode(expr(
-      s"transform(sequence(0, ${m - 1}), _s -> struct(_s as sub, " +
-        s"slice(nv, _s * (size(nv) div $m) + 1, size(nv) div $m) as sv))"))
-      .as("p"))
+    df
+      .withColumn("_nvck", when(expr(s"pmod(size(nv), $m) != 0"),
+        expr(s"cast(raise_error(concat('PQ: vector dim ', size(nv), " +
+          s"' not divisible by m=$m')) as array<double>)"))
+        .otherwise(col("nv")))
+      .select(col("*"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), _s -> struct(_s as sub, " +
+          s"slice(_nvck, _s * (size(_nvck) div $m) + 1, size(_nvck) div $m) as sv))"))
+        .as("p"))
       .withColumn("sub", col("p.sub")).withColumn("sv", col("p.sv"))
-      .drop("p", "nv")
+      .drop("p", "nv", "_nvck")
 
   /** Per-subspace codebooks: (sub, cid, cvec) — `m` independent
     * ksub-way k-means problems over the corpus' subvectors. */

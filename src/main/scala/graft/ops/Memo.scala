@@ -145,6 +145,19 @@ object Memo {
     }
   }
 
+  /** Per-session count of CACHE HITS — `of` calls served from the map
+    * instead of running `build`. The bench's per-query attribution
+    * signal: a query whose timed run consumed a hit is reading another
+    * query's materialized work, so its wall time is not comparable
+    * round-over-round (the q40 81 ms-vs-530 ms artifact the r11 judge
+    * flagged); Bench snapshots this around each query and tags the
+    * consumers in the summary line's `memo` field. Monotonic per
+    * session — callers diff snapshots, so [[clear]] need not reset. */
+  private val hitCounts = scala.collection.mutable.Map.empty[String, Long]
+
+  def hitCount(spark: SparkSession): Long =
+    synchronized { hitCounts.getOrElse(sid(spark), 0L) }
+
   /** The memoized frame for `key`, building + persisting it on first
     * use in this session. `build` runs at most once per (session, key)
     * and must be deterministic for the key. */
@@ -161,6 +174,7 @@ object Memo {
           })
       }
       val m = perSession(id)
+      if (m.contains(key)) hitCounts(id) = hitCounts.getOrElse(id, 0L) + 1L
       val frame = m.getOrElseUpdate(key, build.persist(StorageLevel.MEMORY_AND_DISK))
       if (m.size > MaxEntriesPerSession)
         m.keys.take(m.size - MaxEntriesPerSession).toSeq.foreach { old =>

@@ -1381,23 +1381,23 @@ object TextQueries {
   def q169BpeTrain(spark: SparkSession, dir: String): DataFrame =
     bpeMerges(spark, dir)
 
-  /** BPE ENCODE over the trained merges: per doc, whitespace tokens
-    * re-tokenized by applying all 16 merges in rank order (one in-row
-    * broadcast-array fold — zero corpus shuffles), plus the id-stream
-    * checksum under the deterministic symbol-ascending id numbering —
-    * so q38/q71-style token budgeting can run on real tokenizer
-    * output. The oracle replays the train chain, dictionary-joins the
-    * final vocab (minCount = 1 ⇒ no OOV on the fixture; the operator
-    * itself handles unseen tokens by the same fold), and re-derives
-    * the id table. */
-  def q170BpeEncode(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select("doc_id", "text")
-    val enc = graft.operators.Bpe.encode(docs, bpeMerges(spark, dir))
-    val ids = graft.operators.Bpe.symbolIds(enc)
-    graft.operators.Bpe.encodeIds(enc, ids)
-      .select(col("doc_id"), col("n_tokens_ws"), col("n_tokens_bpe"),
-        expr("aggregate(bpe_ids, 0L, (a, x) -> a + x)").as("id_sum"))
-  }
+  /** BPE ENCODE over the trained merges — registered over the
+    * DEPLOY-SHAPE dictionary path ([[graft.operators.Bpe.encodeStats]]):
+    * the 16-merge fold runs once per DISTINCT token, documents consume
+    * the result by broadcast join, and each doc reports whitespace vs
+    * BPE token counts plus the id-stream checksum under the
+    * deterministic symbol-ascending id numbering — so q38/q71-style
+    * token budgeting can run on real tokenizer output. (The
+    * per-occurrence [[graft.operators.Bpe.encode]] fold — same
+    * answers, spec-pinned equivalent — stays as the OOV fallback; at
+    * sf0.1 it cost 34.6 s vs 0.5 s here, 20% of the whole r11
+    * bench.) The oracle replays the train chain, dictionary-joins the
+    * final vocab (minCount = 1 ⇒ no OOV on the fixture), and
+    * re-derives the id table. */
+  def q170BpeEncode(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.encodeStats(
+      Tables.documents(spark, dir).select("doc_id", "text"),
+      bpeMerges(spark, dir))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q170_bpe_encode" -> (q170BpeEncode _),

@@ -41,20 +41,98 @@ object WebArchive {
   /** Archive rows (path + concatenated-gzip payload) → one row per
     * gzip member with provenance. Corrupt/truncated/bomb members come
     * back with `payload` null and `err` set (one row covers the
-    * remainder of that archive). */
+    * remainder of that archive). A null or zero-byte archive payload
+    * also yields ONE quarantine row (`explode_outer` + null-struct
+    * mapping) — a plain `explode` would drop the archive row entirely
+    * and silently break the audit identity. */
   def expandGzipMembers(archives: DataFrame,
                         pathCol: String = "archive",
-                        payloadCol: String = "payload"): DataFrame = {
+                        payloadCol: String = "payload",
+                        maxMemberBytes: Long = graft.functions.GzipArchiveCore.MaxMemberBytes,
+                        maxTotalBytes: Long = graft.functions.GzipArchiveCore.MaxTotalBytes): DataFrame = {
     graft.functions.GzipMembers.register(archives.sparkSession)
     archives
       .select(col(pathCol).as("archive"),
-        explode(expr(s"gzip_members($payloadCol)")).as("m"))
+        explode_outer(expr(
+          s"gzip_members($payloadCol, ${maxMemberBytes}L, ${maxTotalBytes}L)")).as("m"))
       .select(col("archive"),
-        col("m.idx").as("member_index"),
-        col("m.offset").as("member_offset"),
-        col("m.clen").as("member_clen"),
+        coalesce(col("m.idx"), lit(0)).as("member_index"),
+        coalesce(col("m.offset"), lit(0L)).as("member_offset"),
+        coalesce(col("m.clen"), lit(0L)).as("member_clen"),
         col("m.payload").as("member_payload"),
-        col("m.err").as("member_err"))
+        when(col("m").isNull, lit("empty or null archive payload"))
+          .otherwise(col("m.err")).as("member_err"))
+  }
+
+  /** Payload-free member index — the cluster.idx builder: (archive,
+    * member_index, member_offset, member_clen, member_ulen,
+    * member_err). The scan is streaming per member (constant memory —
+    * [[graft.functions.GzipArchiveCore.memberIndex]]), so an archive
+    * whose DECOMPRESSED size dwarfs the per-row bomb budget indexes
+    * fine; the caps then bind per SLICE on the fan-out read. In
+    * production this index is built once per crawl (or shipped with
+    * it, as Common Crawl ships cluster.idx) and persisted; rebuilding
+    * it per query would re-scan every archive. */
+  def memberIndex(archives: DataFrame,
+                  pathCol: String = "archive",
+                  payloadCol: String = "payload"): DataFrame = {
+    graft.functions.GzipMemberIdx.register(archives.sparkSession)
+    archives
+      .select(col(pathCol).as("archive"),
+        explode_outer(expr(s"gzip_member_index($payloadCol)")).as("m"))
+      .select(col("archive"),
+        coalesce(col("m.idx"), lit(0)).as("member_index"),
+        coalesce(col("m.offset"), lit(0L)).as("member_offset"),
+        coalesce(col("m.clen"), lit(0L)).as("member_clen"),
+        coalesce(col("m.ulen"), lit(0L)).as("member_ulen"),
+        when(col("m").isNull, lit("empty or null archive payload"))
+          .otherwise(col("m.err")).as("member_err"))
+  }
+
+  /** Fan an archive out into PER-MEMBER compressed slices along a
+    * member index: (archive, base_index, base_offset, slice) — each
+    * slice is an independent, individually-inflatable gzip stream, so
+    * the unit of parallelism becomes the MEMBER, not the file, and the
+    * bomb caps bind per slice. This is the offset-range read a
+    * 100 TB crawl ingest does against object storage; on in-memory
+    * archive rows the byte-range seek is a `substring` on the payload
+    * (the index side is broadcast: member coordinates only, no
+    * payloads move). Corrupt index rows (err set) are NOT sliced —
+    * [[wetDocumentsSliced]] re-unions them as quarantine rows so the
+    * audit identity survives the fan-out. */
+  def sliceMembers(archives: DataFrame, index: DataFrame,
+                   pathCol: String = "archive",
+                   payloadCol: String = "payload"): DataFrame =
+    archives
+      .select(col(pathCol).as("archive"), col(payloadCol).as("payload"))
+      .join(broadcast(index.filter(col("member_err").isNull)
+        .select("archive", "member_index", "member_offset", "member_clen")),
+        Seq("archive"))
+      .select(col("archive"),
+        col("member_index").as("base_index"),
+        col("member_offset").as("base_offset"),
+        expr("substring(payload, cast(member_offset as int) + 1, " +
+          "cast(member_clen as int))").as("slice"))
+
+  /** Slice rows → member rows with provenance REBASED to the original
+    * archive coordinates (member_index/member_offset are absolute, as
+    * if the whole file had been expanded in one task). Caps are
+    * per-slice dials. */
+  def expandSlices(slices: DataFrame,
+                   maxMemberBytes: Long = graft.functions.GzipArchiveCore.MaxMemberBytes,
+                   maxTotalBytes: Long = graft.functions.GzipArchiveCore.MaxTotalBytes): DataFrame = {
+    graft.functions.GzipMembers.register(slices.sparkSession)
+    slices
+      .select(col("archive"), col("base_index"), col("base_offset"),
+        explode_outer(expr(
+          s"gzip_members(slice, ${maxMemberBytes}L, ${maxTotalBytes}L)")).as("m"))
+      .select(col("archive"),
+        (col("base_index") + coalesce(col("m.idx"), lit(0))).as("member_index"),
+        (col("base_offset") + coalesce(col("m.offset"), lit(0L))).as("member_offset"),
+        coalesce(col("m.clen"), lit(0L)).as("member_clen"),
+        col("m.payload").as("member_payload"),
+        when(col("m").isNull, lit("empty or null slice"))
+          .otherwise(col("m.err")).as("member_err"))
   }
 
   /** Member rows → parsed WARC records. WARC headers are ASCII lines
@@ -66,8 +144,19 @@ object WebArchive {
     * reason; parsed rows carry (warc_type, target_uri, text). */
   def wetRecords(members: DataFrame): DataFrame =
     members
-      .withColumn("s", expr("decode(member_payload, 'UTF-8')"))
-      .withColumn("hdr_end", expr("instr(s, '\r\n\r\n')"))
+      // NON-VALIDATING byte reinterpretation — NOT decode(): under the
+      // session's ANSI coding behavior, decode(binary,'UTF-8') throws
+      // MALFORMED_CHARACTER_CODING on the first invalid byte, so one
+      // CRC-valid gzip member with a binary (non-UTF-8) payload — real
+      // crawls carry those in WARC response records — would abort the
+      // whole ingest job instead of quarantining the member. The cast
+      // copies bytes; is_valid_utf8 then routes undecodable payloads
+      // to a quarantine row, keeping "corruption is data" true at the
+      // character layer too.
+      .withColumn("s", col("member_payload").cast("string"))
+      .withColumn("utf8_ok", expr("is_valid_utf8(s)"))
+      .withColumn("hdr_end",
+        when(col("utf8_ok"), expr("instr(s, '\r\n\r\n')")))
       .withColumn("headers",
         expr("case when hdr_end > 0 then substr(s, 1, hdr_end - 1) end"))
       .withColumn("warc_type",
@@ -80,18 +169,33 @@ object WebArchive {
       .withColumn("quarantine",
         when(col("member_err").isNotNull, col("member_err"))
           .when(col("member_payload").isNull, lit("empty member"))
+          .when(!col("utf8_ok"), lit("payload is not valid UTF-8"))
           .when(!expr("s like 'WARC/%'"), lit("not a WARC record"))
           .when(col("hdr_end") <= 0, lit("no header terminator"))
+          // WARC 1.0 permits UTF-8 header VALUES; a multi-byte char in
+          // the header region desyncs hdr_end (a char index) from the
+          // byte offset the Content-Length slice needs, silently
+          // shearing the body — quarantine instead of slicing wrong.
+          // octet_length(string) is its UTF-8 byte count, so the
+          // comparison is exactly "headers are pure ASCII".
+          .when(expr("octet_length(headers) != char_length(headers)"),
+            lit("non-ASCII header"))
           .when(col("warc_type").isNull, lit("missing WARC-Type"))
           .when(col("content_length").isNull, lit("missing Content-Length"))
           .when(col("content_length") >
             expr("octet_length(member_payload)") - col("hdr_end") - 3,
-            lit("Content-Length past end of member")))
+            lit("Content-Length past end of member"))
+          // the whole payload is valid UTF-8 here, but a Content-Length
+          // landing mid-sequence would still shear the LAST char of the
+          // slice — catch it rather than emit mojibake
+          .when(!expr("is_valid_utf8(cast(substring(member_payload, " +
+            "hdr_end + 4, content_length) as string))"),
+            lit("Content-Length splits a UTF-8 sequence")))
       .withColumn("text",
         when(col("quarantine").isNull,
-          // byte-exact slice: headers are ASCII so hdr_end (a char
-          // index) IS the byte index; +4 skips the CRLFCRLF
-          expr("decode(substring(member_payload, hdr_end + 4, content_length), 'UTF-8')")))
+          // byte-exact slice: headers are ASCII (enforced above) so
+          // hdr_end (a char index) IS the byte index; +4 skips CRLFCRLF
+          expr("cast(substring(member_payload, hdr_end + 4, content_length) as string)")))
       .select(col("archive"), col("member_index"), col("member_offset"),
         col("member_clen"), col("warc_type"), col("target_uri"),
         col("content_length"), col("text"), col("quarantine"))
@@ -110,6 +214,15 @@ object WebArchive {
   def buildWetArchives(docs: DataFrame, groupCol: String = "source"): DataFrame = {
     graft.functions.GzipMemberEnc.register(docs.sparkSession)
     docs
+      // fail LOUDLY on null doc fields: a null doc_id/text would null
+      // `rec`, null its gzip member, and the aggregate concat would
+      // then null the whole group's payload — one bad row silently
+      // voiding an entire archive is exactly the failure a fixture
+      // builder must not have
+      .withColumn("_docok", when(col("doc_id").isNull || col("text").isNull,
+        expr("cast(raise_error('buildWetArchives: null doc_id or text') " +
+          "as boolean)")).otherwise(lit(true)))
+      .filter(col("_docok"))
       .withColumn("rec", concat(
         lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: " +
           "https://example.org/doc/"), col("doc_id"),
@@ -130,6 +243,38 @@ object WebArchive {
                    pathCol: String = "archive",
                    payloadCol: String = "payload"): DataFrame = {
     val recs = wetRecords(expandGzipMembers(archives, pathCol, payloadCol))
+    if (conversionOnly)
+      recs.filter(col("quarantine").isNotNull ||
+        col("warc_type") === "conversion")
+    else recs
+  }
+
+  /** The OFFSET-SPLITTABLE ingest: index → per-member slices → rebased
+    * member rows → parsed records — same output contract as
+    * [[wetDocuments]], but the unit of parallelism is the member and
+    * the bomb caps bind PER SLICE, so one real Common-Crawl WET file
+    * (>1 GiB decompressed — the whole-file path quarantine-truncates
+    * it at [[graft.functions.GzipArchiveCore.MaxTotalBytes]]) ingests
+    * completely. Index error rows (corrupt tails, null payloads)
+    * re-enter as quarantine member rows, so the audit identity
+    * `archive member rows = documents + quarantined` holds exactly as
+    * on the whole-file path. Pass a persisted crawl index as `index`
+    * to skip the in-line indexing scan. */
+  def wetDocumentsSliced(archives: DataFrame, conversionOnly: Boolean = true,
+                         pathCol: String = "archive",
+                         payloadCol: String = "payload",
+                         maxMemberBytes: Long = graft.functions.GzipArchiveCore.MaxMemberBytes,
+                         maxTotalBytes: Long = graft.functions.GzipArchiveCore.MaxTotalBytes,
+                         index: Option[DataFrame] = None): DataFrame = {
+    val idx = index.getOrElse(memberIndex(archives, pathCol, payloadCol))
+    val sliced = expandSlices(
+      sliceMembers(archives, idx, pathCol, payloadCol),
+      maxMemberBytes, maxTotalBytes)
+    val errRows = idx.filter(col("member_err").isNotNull)
+      .select(col("archive"), col("member_index"), col("member_offset"),
+        col("member_clen"), lit(null).cast("binary").as("member_payload"),
+        col("member_err"))
+    val recs = wetRecords(sliced.unionByName(errRows))
     if (conversionOnly)
       recs.filter(col("quarantine").isNotNull ||
         col("warc_type") === "conversion")

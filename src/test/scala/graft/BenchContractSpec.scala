@@ -84,6 +84,22 @@ class BenchContractSpec extends AnyFunSuite {
     assert(st.get("queries").get(digitId(names.head)).asLong() == 123L)
   }
 
+  test("memo-tagged queries appear as digit ids; the field is omitted when empty") {
+    val best = names.map(_ -> 0.4).toMap
+    val ok = names.map(_ -> true).toMap
+    val tagged = Set(names.head, names.last)
+    val line = Bench.summaryJson(names, best, ok, Map.empty, passes = 2,
+      sfDir = "/root/testdata/sf0.1", canary = 0.2, memoTagged = tagged)
+    assert(line.length < 1980, s"line with memo tags is ${line.length} B")
+    val json = mapper.readTree(line)
+    assert(json.get("memo").elements().asScala.map(_.asText()).toSet
+      == tagged.map(digitId))
+    // a stale tag for an unregistered query must not leak into the line
+    val line2 = Bench.summaryJson(names, best, ok, Map.empty, passes = 2,
+      sfDir = "x", memoTagged = Set("q999_gone"))
+    assert(mapper.readTree(line2).get("memo") == null)
+  }
+
   test("failures and flaky passes appear in their own fields (full names when ids collide)") {
     val ns = Seq("q1_ok", "q1_dead", "q1_flaky") // colliding digit ids
     val line = Bench.summaryJson(ns,

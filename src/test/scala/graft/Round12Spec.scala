@@ -1,0 +1,224 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GzipArchiveCore
+import graft.operators.{Bpe, Similarity}
+import graft.sources.WebArchive
+
+/** Round-12 closures of the round-11 advice items (WET ingest must
+  * quarantine — never throw — on non-UTF-8 payloads, non-ASCII
+  * headers, and null archive payloads; PQ must reject non-divisible
+  * dims in-plan) plus the q170 deploy-path equivalence: the
+  * dictionary-join [[Bpe.encodeStats]] must produce exactly the
+  * per-occurrence [[Bpe.encode]] fold's stats.
+  */
+class Round12Spec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private def wetRecordBytes(uri: String, body: Array[Byte]): Array[Byte] = {
+    val hdr = s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: $uri\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n"
+    hdr.getBytes("UTF-8") ++ body ++ "\r\n\r\n".getBytes("UTF-8")
+  }
+
+  // ------------------------------------------- non-UTF-8 payloads (advice high)
+
+  test("wetRecords: a CRC-valid member with a binary (non-UTF-8) payload quarantines, not aborts") {
+    // 0xFF 0xFE 0x80 is not valid UTF-8 anywhere; before the fix the
+    // validating decode() threw MALFORMED_CHARACTER_CODING and killed
+    // the whole job — the exact opposite of "corruption is data"
+    val binary = Array[Byte](0xff.toByte, 0xfe.toByte, 0x80.toByte, 0x41, 0x42)
+    val arc =
+      GzipArchiveCore.gzipMember(binary) ++
+        GzipArchiveCore.gzipMember(wetRecordBytes("https://e.org/doc/1",
+          "kept after the binary member".getBytes("UTF-8")))
+    val df = Seq(("arc-1", arc)).toDF("archive", "payload")
+    val got = WebArchive.wetDocuments(df)
+      .select($"member_index", $"target_uri", $"text", $"quarantine")
+      .as[(Int, Option[String], Option[String], Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(got.size == 2)
+    assert(got(0)._4.contains("payload is not valid UTF-8") && got(0)._3.isEmpty)
+    assert(got(1) == ((1, Some("https://e.org/doc/1"),
+      Some("kept after the binary member"), None)))
+  }
+
+  test("wetRecords: a WARC-shaped header followed by a non-UTF-8 BODY also quarantines") {
+    // valid ASCII headers, binary body — the response-record shape a
+    // real WARC (not WET) crawl file carries
+    val body = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0xc0.toByte)
+    val arc = GzipArchiveCore.gzipMember(wetRecordBytes("u", body))
+    val got = WebArchive.wetDocuments(
+      Seq(("arc-1", arc)).toDF("archive", "payload"))
+      .select($"text", $"quarantine")
+      .as[(Option[String], Option[String])].collect().toSeq
+    assert(got.size == 1 && got.head._1.isEmpty &&
+      got.head._2.contains("payload is not valid UTF-8"))
+  }
+
+  // --------------------------------------- non-ASCII headers (advice low)
+
+  test("wetRecords: a multi-byte UTF-8 header value quarantines instead of shearing the body") {
+    // WARC 1.0 permits UTF-8 header values; 'ü' makes hdr_end (a char
+    // index) two bytes short of the body's byte offset — the old slice
+    // silently returned text shifted by the difference
+    val body = "unsheared body".getBytes("UTF-8")
+    val hdr = s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      s"WARC-Target-URI: https://e.org/süß\r\nContent-Length: ${body.length}\r\n\r\n"
+    val arc = GzipArchiveCore.gzipMember(
+      hdr.getBytes("UTF-8") ++ body ++ "\r\n\r\n".getBytes("UTF-8"))
+    val got = WebArchive.wetDocuments(
+      Seq(("arc-1", arc)).toDF("archive", "payload"))
+      .select($"text", $"quarantine")
+      .as[(Option[String], Option[String])].collect().toSeq
+    assert(got == Seq((None, Some("non-ASCII header"))))
+  }
+
+  test("wetRecords: a Content-Length slicing mid-UTF-8-sequence quarantines, not mojibake") {
+    // body is 'é' (2 bytes) but Content-Length claims 1 — the slice
+    // would end inside the sequence
+    val body = "é".getBytes("UTF-8")
+    val hdr = "WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: u\r\n" +
+      "Content-Length: 1\r\n\r\n"
+    val arc = GzipArchiveCore.gzipMember(
+      hdr.getBytes("UTF-8") ++ body ++ "\r\n\r\n".getBytes("UTF-8"))
+    val got = WebArchive.wetDocuments(
+      Seq(("arc-1", arc)).toDF("archive", "payload"))
+      .select($"text", $"quarantine")
+      .as[(Option[String], Option[String])].collect().toSeq
+    assert(got == Seq((None, Some("Content-Length splits a UTF-8 sequence"))))
+  }
+
+  // ------------------------------------- null/empty archive rows (advice low)
+
+  test("expandGzipMembers: null and empty archive payloads yield quarantine rows, not silence") {
+    val good = GzipArchiveCore.gzipMember(
+      wetRecordBytes("https://e.org/doc/1", "alpha".getBytes("UTF-8")))
+    val df = Seq(
+      ("arc-null", null.asInstanceOf[Array[Byte]]),
+      ("arc-empty", Array.empty[Byte]),
+      ("arc-good", good)).toDF("archive", "payload")
+    val m = WebArchive.expandGzipMembers(df)
+      .select($"archive", $"member_payload".isNull, $"member_err")
+      .as[(String, Boolean, Option[String])].collect().sortBy(_._1).toSeq
+    // every archive row survives into the member frame: the audit
+    // identity "archive rows = documents + quarantined" stays provable
+    assert(m.map(_._1) == Seq("arc-empty", "arc-good", "arc-null"))
+    assert(m(0)._2 && m(0)._3.contains("empty or null archive payload"))
+    assert(!m(1)._2 && m(1)._3.isEmpty)
+    assert(m(2)._2 && m(2)._3.contains("empty or null archive payload"))
+  }
+
+  test("buildWetArchives: a null doc field fails loudly instead of nulling the whole archive") {
+    val docs = Seq((Some(1L), Some("ok"), "s1"), (None, Some("bad"), "s1"))
+      .toDF("doc_id", "text", "source")
+    val e = intercept[Exception] {
+      WebArchive.buildWetArchives(docs).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("null doc_id or text")))
+  }
+
+  // ------------------------------------------- PQ divisibility (advice low)
+
+  test("PQ: a vector dimension not divisible by m raises in-plan, never ranks on a prefix") {
+    val v = (0 until 10).map(i => (i.toLong, Seq.fill(15)(i.toFloat)))
+      .toDF("vec_id", "embedding") // 15 dims, m = 4
+    val e = intercept[Exception] {
+      graft.ops.Memo.clear(spark)
+      Similarity.pqTrain(v, m = 4, ksub = 4, lloydIters = 0)
+        .centroids.collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("not divisible by m=4")))
+  }
+
+  // ------------------------------------------ offset-splittable ingestion
+
+  test("sliced ingest: an archive past the total budget ingests FULLY via per-member slices") {
+    val recs = (1 to 4).map(i => (s"https://e.org/doc/$i", "x" * 600 + i))
+    val archive = recs.map { case (u, b) =>
+      GzipArchiveCore.gzipMember(wetRecordBytes(u, b.getBytes("UTF-8"))) }
+      .reduce(_ ++ _)
+    val df = Seq(("arc-1", archive)).toDF("archive", "payload")
+
+    // whole-file path with a 1000-byte per-row budget: member 0 (~700 B
+    // decompressed) fits, the remainder quarantines at the cap — the
+    // exact truncation a real >1 GiB-decompressed WET file hits against
+    // the default MaxTotalBytes
+    val whole = WebArchive.expandGzipMembers(df, maxTotalBytes = 1000L)
+      .select($"member_err").as[Option[String]].collect().flatten.toSeq
+    assert(whole.size == 1 && whole.head.contains("exceeds 1000"))
+
+    // sliced path with the SAME 1000-byte budget — now PER SLICE: every
+    // member ingests, zero quarantine
+    val docs = WebArchive.wetDocumentsSliced(df, maxTotalBytes = 1000L)
+      .select($"target_uri", $"text", $"quarantine")
+      .as[(String, String, Option[String])].collect().sortBy(_._1).toSeq
+    assert(docs == recs.map { case (u, b) => (u, b, None) }.sortBy(_._1))
+
+    // rebased provenance is ABSOLUTE: identical to an uncapped
+    // whole-file expansion's member coordinates
+    val fromSlices = WebArchive.expandSlices(
+      WebArchive.sliceMembers(df, WebArchive.memberIndex(df)),
+      maxTotalBytes = 1000L)
+      .select($"member_index", $"member_offset", $"member_clen")
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    val fromWhole = WebArchive.expandGzipMembers(df)
+      .select($"member_index", $"member_offset", $"member_clen")
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(fromSlices == fromWhole)
+  }
+
+  test("memberIndex: exact payload-free provenance; corrupt tails survive sliced ingest as quarantine") {
+    val goodRec = wetRecordBytes("https://e.org/doc/1", "alpha".getBytes("UTF-8"))
+    val good = GzipArchiveCore.gzipMember(goodRec)
+    val bad = GzipArchiveCore.gzipMember(
+      wetRecordBytes("https://e.org/doc/2", "beta".getBytes("UTF-8")))
+    bad(bad.length / 2) = (bad(bad.length / 2) ^ 0x55).toByte
+    val df = Seq(("arc-1", good ++ bad)).toDF("archive", "payload")
+
+    val idx = WebArchive.memberIndex(df)
+      .select($"member_index", $"member_offset", $"member_clen",
+        $"member_ulen", $"member_err")
+      .as[(Int, Long, Long, Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(idx.size == 2)
+    // ulen is the member's true decompressed size, measured streaming
+    assert(idx(0) == ((0, 0L, good.length.toLong, goodRec.length.toLong, None)))
+    assert(idx(1)._2 == good.length.toLong && idx(1)._5.nonEmpty)
+
+    // the sliced ingest re-unions the index's error rows: audit
+    // identity (member rows = documents + quarantined) holds
+    val out = WebArchive.wetDocumentsSliced(df)
+    assert(out.count() == 2)
+    assert(out.filter($"quarantine".isNull).count() == 1)
+    assert(out.filter($"quarantine".isNotNull).count() == 1)
+  }
+
+  // --------------------------------------------- q170 deploy-path equivalence
+
+  test("Bpe.encodeStats: dictionary-join path equals the per-occurrence fold's stats, zeros kept") {
+    val docs = Seq(
+      (1L, "aaab aaab ab xy"),
+      (2L, "aaaa aaa aaab"),
+      (3L, ""), // token-free doc must keep its zeros row
+      (4L, "ab ab ab")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, numMerges = 3)
+    val viaEncode = {
+      val enc = Bpe.encode(docs, merges)
+      Bpe.encodeIds(enc, Bpe.symbolIds(enc))
+        .select($"doc_id", $"n_tokens_ws", $"n_tokens_bpe",
+          expr("aggregate(bpe_ids, 0L, (a, x) -> a + x)").as("id_sum"))
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    }
+    val viaDict = Bpe.encodeStats(docs, merges)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(viaDict == viaEncode)
+    assert(viaDict.find(_._1 == 3L).contains((3L, 0L, 0L, 0L)))
+  }
+}
