@@ -383,10 +383,20 @@ object Similarity {
     * broadcasts. */
   def pqTrain(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
               lloydIters: Int = 2, seed: Long = 42L,
-              idCol: String = "vec_id", vecCol: String = "embedding"): PqCodebook = {
+              idCol: String = "vec_id", vecCol: String = "embedding"): PqCodebook =
+    pqTrainOn(
+      l2Normalize(corpus, vecCol).select(col(idCol).as("vid"), col("nv")),
+      m, ksub, lloydIters, seed,
+      s"pq_cents:$m:$ksub:$lloydIters:$seed:$idCol:$vecCol:${graft.ops.Memo.frameKey(corpus)}")
+
+  /** [[pqTrain]]'s core over a PRE-BUILT (vid, nv) frame with NO
+    * normalization — the residual-space entry point: IVF-PQ quantizes
+    * `nv − coarse_centroid` vectors, which must not be re-normalized
+    * (their magnitude IS the information the codebook captures). */
+  private[operators] def pqTrainOn(nv: DataFrame, m: Int, ksub: Int,
+                                   lloydIters: Int, seed: Long,
+                                   memoKey: String): PqCodebook = {
     require(m >= 1 && ksub >= 2, s"bad PQ dials: m=$m ksub=$ksub")
-    val nv = l2Normalize(corpus, vecCol)
-      .select(col(idCol).as("vid"), col("nv"))
     val w = Window.orderBy(col("h").asc, col("vid").asc)
     val seeds = subvectors(
       nv.withColumn("h", xxhash64(col("vid"), lit(seed)))
@@ -413,10 +423,7 @@ object Similarity {
         }
         cents
       }
-    val cents = graft.ops.Memo.of(corpus.sparkSession,
-      s"pq_cents:$m:$ksub:$lloydIters:$seed:$idCol:$vecCol:${graft.ops.Memo.frameKey(corpus)}") {
-      cents0
-    }
+    val cents = graft.ops.Memo.of(nv.sparkSession, memoKey)(cents0)
     PqCodebook(cents, m, ksub)
   }
 
@@ -426,11 +433,15 @@ object Similarity {
     * ids+codes only. */
   def pqEncode(corpus: DataFrame, cb: PqCodebook,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    pqAssign(
-      subvectors(l2Normalize(corpus, vecCol)
-        .select(col(idCol).as("vid"), col("nv")), cb.m),
-      cb.centroids)
-      .select(col("vid").as(idCol), col("sub"), col("cid").as("code"))
+    pqEncodeOn(l2Normalize(corpus, vecCol)
+      .select(col(idCol).as("vid"), col("nv")), cb)
+      .select(col("vid").as(idCol), col("sub"), col("code"))
+
+  /** [[pqEncode]]'s core over a pre-built (vid, nv) frame (no
+    * normalization — the residual-space entry point). */
+  private[operators] def pqEncodeOn(nv: DataFrame, cb: PqCodebook): DataFrame =
+    pqAssign(subvectors(nv, cb.m), cb.centroids)
+      .select(col("vid"), col("sub"), col("cid").as("code"))
 
   /** Asymmetric-distance top-k over a PQ-encoded corpus (ADC, Jégou
     * et al. §IV): each query computes one m×ksub distance table
@@ -465,6 +476,100 @@ object Similarity {
       // exact DECIMAL accumulation: FP addition over the m partial
       // distances is partitioning-order-dependent, and a flipped ulp
       // on an adist tie would swap shortlist membership between runs
+      .agg(sum(col("d2").cast("decimal(27,15)")).as("adist"))
+      .withColumn("ar", row_number().over(wa))
+      .filter(col("ar") <= rerank)
+      .select("query_id", "neighbor_id")
+    scoreTopK(shortlist, corpus, queries, k, idCol, vecCol)
+  }
+
+  // --------------------------------------------------------- IVF-PQ (IVFADC)
+
+  /** Materialized IVF-PQ index — Jégou et al. §V's IVFADC, the actual
+    * 100 TB embedding-store layout: coarse centroids route queries to
+    * lists, and each list member is stored as m PQ codes of its
+    * RESIDUAL (vector − its list's centroid). `centroids` (cid, cvec)
+    * live in the L2-normalized corpus space; `codebook` quantizes
+    * residual space; `codes` rows are (vid, list_id, sub, code) — the
+    * whole corpus persists as m+1 small integers per vector. */
+  case class IvfPqIndex(centroids: DataFrame, codebook: PqCodebook,
+                        codes: DataFrame)
+
+  /** Build an IVF-PQ index: coarse-quantize the normalized corpus into
+    * `nlist` lists (the [[ivfBuildIndex]] machinery verbatim), then
+    * PQ-train on the RESIDUALS and encode every vector's residual
+    * against the shared codebook. Residuals are the reason IVFADC
+    * out-recalls flat PQ at equal code budget: after subtracting the
+    * list centroid the vectors the codebook must cover occupy a much
+    * smaller ball, so the same ksub centroids quantize finer (Jégou
+    * §V.A). Residuals are NOT re-normalized — their magnitude is the
+    * signal ([[pqTrainOn]]).
+    *
+    * Scale shape: everything bounded or per-row — coarse training on
+    * the 256·nlist sample, PQ training on a 256·ksub residual sample,
+    * corpus assignment one broadcast pass, the final code join
+    * shuffles (id, list, sub, code) ints only. */
+  def ivfPqBuild(corpus: DataFrame, nlist: Int = 64, m: Int = 8,
+                 ksub: Int = 16, lloydIters: Int = 2, seed: Long = 42L,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): IvfPqIndex = {
+    registerFns(corpus)
+    val nvCorpus = l2Normalize(corpus, vecCol)
+      .select(col(idCol).as("vec_id"), col("nv").as("embedding"))
+    val ivf = ivfBuildIndex(nvCorpus, nlist, lloydIters, seed)
+    // residual per assigned vector: nv − its list's centroid
+    val resid = ivf.lists
+      .join(broadcast(ivf.centroids), col("list_id") === col("cid"))
+      .select(col("vid"), col("list_id"),
+        expr("zip_with(cv, cvec, (x, c) -> x - c)").as("nv"))
+    val cb = pqTrainOn(resid.select("vid", "nv"), m, ksub, lloydIters, seed,
+      s"ivfpq_cents:$nlist:$m:$ksub:$lloydIters:$seed:$idCol:$vecCol:" +
+        graft.ops.Memo.frameKey(corpus))
+    val codes = pqEncodeOn(resid.select("vid", "nv"), cb)
+      .join(resid.select("vid", "list_id"), Seq("vid"))
+      .select(col("vid"), col("list_id"), col("sub"), col("code"))
+    IvfPqIndex(ivf.centroids, cb, codes)
+  }
+
+  /** IVF-PQ top-k (IVFADC search, Jégou §V.B): each query probes its
+    * `nprobe` nearest lists, computes ONE m×ksub residual distance
+    * table PER PROBED LIST (the query residual differs per list —
+    * that is the asymmetric+residual trick), ADC-scores only the
+    * probed lists' code rows by m lookups each, and float-reranks the
+    * decimal-deterministic shortlist. vs flat [[pqTopK]]: the scored
+    * candidate set drops from the whole corpus to ~nprobe/nlist of it,
+    * while residual codebooks quantize finer — recall goes UP as cost
+    * goes down (q175 pins both sides of that trade on the fixture).
+    * The broadcast side is |Q|·nprobe·m·ksub table rows; the corpus
+    * side moves only the probed lists' int codes. */
+  def ivfPqTopK(index: IvfPqIndex, queries: DataFrame, corpus: DataFrame,
+                k: Int, nprobe: Int = 16, rerank: Int = 50,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= k, s"rerank window $rerank must cover k=$k")
+    registerFns(queries)
+    val qn = l2Normalize(queries, vecCol)
+      .select(col(idCol).as("query_id"), col("nv").as("qv"))
+    val wq = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cid").asc)
+    // probe routing + per-list query residual in one pass
+    val probes = qn
+      .crossJoin(broadcast(index.centroids))
+      .withColumn("cos", expr("cosine_sim(qv, cvec)"))
+      .withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("cid").as("list_id"),
+        expr("zip_with(qv, cvec, (x, c) -> x - c)").as("nv"))
+    val table = subvectors(probes, index.codebook.m)
+      .join(broadcast(index.codebook.centroids), Seq("sub"))
+      .withColumn("d2", expr(l2sqSql("sv", "cvec")))
+      .select(col("query_id"), col("list_id"), col("sub"),
+        col("cid").as("code"), col("d2"))
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    val shortlist = index.codes
+      .select(col("vid").as("neighbor_id"), col("list_id"), col("sub"), col("code"))
+      .join(broadcast(table), Seq("list_id", "sub", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      // exact decimal accumulation — the pqTopK determinism stance
       .agg(sum(col("d2").cast("decimal(27,15)")).as("adist"))
       .withColumn("ar", row_number().over(wa))
       .filter(col("ar") <= rerank)

@@ -101,6 +101,33 @@ object SimilarityQueries {
       q171PqTopK(spark, dir), q40CosineTopK(spark, dir),
       Seq("query_id", "neighbor_id"))
 
+  /** IVF-PQ (IVFADC) top-10 — the COMPOSED 100 TB embedding-store
+    * index: IVF routing (q43's machinery) over PQ-coded RESIDUALS
+    * (q171's), so each query ADC-scores only its nprobe/nlist share of
+    * the corpus while residual codebooks quantize finer than flat
+    * PQ's. Dials: nlist=64/nprobe=16 (1/4 probed share), the same
+    * m=8/ksub=16/rerank=50 code budget as q171 — so q175 vs q172 is a
+    * controlled comparison: recall at ~4× fewer scored candidates.
+    * Rows-only check; q175 carries the pinned recall. */
+  def q174IvfPqTopK(spark: SparkSession, dir: String): DataFrame =
+    Memo.of(spark, s"ivfpq_topk:$dir:n64p16m8k16l2r50") {
+      val c = corpus(spark, dir)
+      val idx = Similarity.ivfPqBuild(c, nlist = 64, m = 8, ksub = 16,
+        lloydIters = 2)
+      Similarity.ivfPqTopK(idx, queryVectors(spark, dir), c, k = 10,
+        nprobe = 16, rerank = 50)
+    }
+
+  /** IVF-PQ recall@10 vs the exact baseline (q174's signal, the
+    * q57/q58/q172 pinned convention). The pinned value reads AGAINST
+    * q172's flat-PQ row: same code budget, ~1/4 the scored
+    * candidates, equal-or-better recall — the residual-quantization
+    * dividend (Jégou §V.A) the composition exists for. */
+  def q175IvfPqRecall(spark: SparkSession, dir: String): DataFrame =
+    Agreement.summarize(
+      q174IvfPqTopK(spark, dir), q40CosineTopK(spark, dir),
+      Seq("query_id", "neighbor_id"))
+
   /** SRP-LSH recall@10 vs the exact baseline — the numeric signal for
     * q41's rows-only output: a one-row (n_exact, n_approx, n_hits,
     * recall) summary, deterministic under the fixed seed, hash-checked
@@ -383,6 +410,8 @@ object SimilarityQueries {
     "q43_ann_ivf"     -> (q43AnnIvf _),
     "q171_pq_topk"    -> (q171PqTopK _),
     "q172_pq_recall"  -> (q172PqRecall _),
+    "q174_ivfpq_topk" -> (q174IvfPqTopK _),
+    "q175_ivfpq_recall" -> (q175IvfPqRecall _),
     "q57_ann_recall"  -> (q57AnnRecall _),
     "q58_ivf_recall"  -> (q58IvfRecall _),
     "q59_neardup_recall" -> (q59NeardupRecall _),
@@ -587,6 +616,15 @@ object SimilarityQueries {
       """SELECT CAST(100 AS BIGINT) AS n_exact, CAST(100 AS BIGINT) AS n_approx,
         |  CAST(64 AS BIGINT) AS n_hits,
         |  CAST(64 AS DOUBLE)/CAST(100 AS DOUBLE) AS recall""".stripMargin,
+
+    // IVFADC at the same m=8/ksub=16/rerank=50 code budget as q172 but
+    // only a 1/4 probed share: recall 0.66 vs flat PQ's 0.64 at ~4×
+    // fewer scored candidates — the residual-quantization dividend,
+    // pinned like q57/q58/q172 (deterministic under the fixed seed)
+    "q175_ivfpq_recall" ->
+      """SELECT CAST(100 AS BIGINT) AS n_exact, CAST(100 AS BIGINT) AS n_approx,
+        |  CAST(66 AS BIGINT) AS n_hits,
+        |  CAST(66 AS DOUBLE)/CAST(100 AS DOUBLE) AS recall""".stripMargin,
 
     // round() here: both engines see the SAME double (exact float
     // widening + one sub + one div), and ties-at-.5 round identically

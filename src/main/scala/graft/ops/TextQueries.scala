@@ -1358,6 +1358,45 @@ object TextQueries {
         col("text"))
   }
 
+  /** Corrupt-input ACCOUNTING under the oracle gate — the audit
+    * identity q168's scaladoc states in prose (`member rows =
+    * documents + quarantined`), registered as a query over a fixture
+    * with PLANTED corruption: archives built from the documents table,
+    * then every even-length source's archive gets its member-2 gzip
+    * MAGIC byte zeroed (located via the payload-free
+    * [[graft.sources.WebArchive.memberIndex]] — the corruption is
+    * byte-surgical, so the quarantine reason is decided by OUR header
+    * parser, not by whatever a zlib build does with a broken stream:
+    * deterministic cross-engine). Per archive: total rows, document
+    * rows, quarantine rows, the quarantine reason, and the identity as
+    * a certified column. The DuckDB oracle derives it all from the
+    * documents table alone: a corrupted archive yields its 2 smallest
+    * doc_ids as documents plus ONE quarantine row covering the rest
+    * (gzip has no resync marker), an intact archive yields every doc. */
+  def q173WetQuarantineAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "source", "text")
+    val archives = graft.sources.WebArchive.buildWetArchives(docs)
+    val off2 = graft.sources.WebArchive.memberIndex(archives)
+      .filter(col("member_index") === 2 && col("member_err").isNull)
+      .select(col("archive"), col("member_offset").cast("int").as("corrupt_at"))
+    val planted = archives
+      .join(broadcast(off2), Seq("archive"), "left")
+      .withColumn("payload",
+        when(col("corrupt_at").isNotNull && length(col("archive")) % 2 === 0,
+          expr("concat(substring(payload, 1, corrupt_at), X'00', " +
+            "substring(payload, corrupt_at + 2, length(payload)))"))
+          .otherwise(col("payload")))
+      .select("archive", "payload")
+    graft.sources.WebArchive.wetDocuments(planted)
+      .groupBy("archive")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("text")).as("n_docs"),
+        count(col("quarantine")).as("n_quarantined"),
+        max(col("quarantine")).as("reason"))
+      .withColumn("identity_ok",
+        col("n_rows") === col("n_docs") + col("n_quarantined"))
+  }
+
   /** The q169/q170 merge table — memoized so train runs once per
     * Verify/Bench pass whichever of the two consumers goes first. */
   val BpeNumMerges = 16
@@ -1400,6 +1439,7 @@ object TextQueries {
       bpeMerges(spark, dir))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_wet_quarantine_audit" -> (q173WetQuarantineAudit _),
     "q170_bpe_encode" -> (q170BpeEncode _),
     "q169_bpe_train" -> (q169BpeTrain _),
     "q168_wet_ingest" -> (q168WetIngest _),
@@ -1512,6 +1552,24 @@ object TextQueries {
        |           GROUP BY e.dst) c ON r.term = c.dst)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // planted corruption is byte-surgical (member-2 gzip magic zeroed),
+    // so the outcome is decided by the repo's OWN header parser and the
+    // oracle derives every count from the documents table: corrupted
+    // archives (even-length source, >= 3 docs) keep their 2 smallest
+    // doc_ids + one quarantine row, intact archives keep every doc
+    "q173_wet_quarantine_audit" ->
+      """SELECT source AS archive,
+        |  CAST(CASE WHEN length(source) % 2 = 0 AND n >= 3
+        |       THEN 3 ELSE n END AS BIGINT) AS n_rows,
+        |  CAST(CASE WHEN length(source) % 2 = 0 AND n >= 3
+        |       THEN 2 ELSE n END AS BIGINT) AS n_docs,
+        |  CAST(CASE WHEN length(source) % 2 = 0 AND n >= 3
+        |       THEN 1 ELSE 0 END AS BIGINT) AS n_quarantined,
+        |  CASE WHEN length(source) % 2 = 0 AND n >= 3
+        |       THEN 'malformed or truncated gzip header' END AS reason,
+        |  TRUE AS identity_ok
+        |FROM (SELECT source, count(*) AS n FROM documents GROUP BY source)""".stripMargin,
+
     // the WET round trip recovers the corpus byte-for-byte, so the
     // oracle IS the documents table — zlib never enters the compare
     "q168_wet_ingest" ->

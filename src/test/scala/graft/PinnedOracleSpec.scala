@@ -4,7 +4,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.{FixtureId, SimilarityQueries, TextQueries}
 
-/** Durability guards for the six pinned agreement oracles (q57–q61, q172):
+/** Durability guards for the pinned agreement oracles (q57–q61, q172,
+  * q175):
   *
   *  1. Fixture identity — the pinned constants are only valid for the
   *     exact fixture content they were measured on. If /root/testdata
@@ -54,7 +55,12 @@ class PinnedOracleSpec extends AnyFunSuite {
       // PQ ADC+rerank, measured 0.64 on the random (adversarial)
       // fixture at a ~1/10 shortlist share — floor below it, same
       // margin policy as the rows above
-      ("q172 pq adc", recallOf(SimilarityQueries.q172PqRecall(spark, pinDir)), 0.50))
+      ("q172 pq adc", recallOf(SimilarityQueries.q172PqRecall(spark, pinDir)), 0.50),
+      // IVFADC (r12): measured 0.66 at a 1/4 probed share — the floor
+      // additionally encodes the composition's reason to exist: it
+      // must not re-pin BELOW the flat-PQ floor while scoring fewer
+      // candidates
+      ("q175 ivfpq adc", recallOf(SimilarityQueries.q175IvfPqRecall(spark, pinDir)), 0.50))
     floors.foreach { case (name, recall, floor) =>
       assert(recall >= floor, f"$name recall $recall%.2f below floor $floor%.2f")
     }
