@@ -272,6 +272,88 @@ object CorpusIngest {
       .trigger(trigger)
       .start()
 
+  /** One micro-batch of WET archive FILES (`binaryFile` rows: path,
+    * content) → (documents, quarantine) in the corpus schema — the
+    * adapter both the streaming and batch archive legs share, so
+    * stream ≡ batch holds by construction. Documents get a
+    * deterministic `doc_id` (default: xxhash64 of archive path +
+    * member offset — stable across replays and across the two legs;
+    * pass `docId` to derive ids from the crawl's own conventions,
+    * e.g. the fixture's `…/doc/<id>` URIs) and `source` = the archive
+    * path. Quarantine rows keep full provenance for the dead-letter
+    * sink — corruption is data on the streaming path too. */
+  /** [[archiveBatchDocs]]'s result: document + dead-letter frames,
+    * both reading the shared `pinned` member frame (unpersist it when
+    * the batch's actions are done — the [[processBatch]] style). */
+  final case class ArchiveBatch(docs: DataFrame, quarantine: DataFrame,
+                                pinned: DataFrame)
+
+  def archiveBatchDocs(archiveFiles: DataFrame,
+                       docId: Option[org.apache.spark.sql.Column] = None): ArchiveBatch = {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    // pinned: the gzip inflation + WARC parse feed the dead-letter
+    // write AND processBatch's several actions — unpinned, each action
+    // would re-inflate every archive
+    val recs = graft.sources.WebArchive.wetDocuments(
+      archiveFiles.select(col("path").as("archive"), col("content").as("payload")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val id = docId.getOrElse(xxhash64(col("archive"), col("member_offset")))
+    val docs = recs.filter(col("quarantine").isNull)
+      .select(id.as("doc_id"), col("text"), col("archive").as("source"))
+    val dead = recs.filter(col("quarantine").isNotNull)
+      .select("archive", "member_index", "member_offset", "member_clen",
+        "quarantine")
+    ArchiveBatch(docs, dead, recs)
+  }
+
+  /** Continuous ingest over a landing directory of WET ARCHIVE files —
+    * [[start]]'s shape with the WARC-gzip codec in front: each
+    * micro-batch expands its archives to member rows
+    * ([[graft.sources.WebArchive.wetDocuments]] — per-row expression
+    * work, zero shuffles before the clean/dedup stages), routes
+    * quarantine rows to an idempotent per-batch dead-letter partition
+    * (`outDir/quarantine/ingest_batch=<id>`, the same overwrite
+    * replay-safety as the corpus writes), and feeds the documents
+    * through the exact [[processBatch]] pipeline. At 100 TB this is
+    * the front door: crawl files land, docs flow, nothing corrupt is
+    * silently dropped. */
+  def startArchives(spark: SparkSession, inDir: String, outDir: String,
+                    trigger: Trigger = Trigger.AvailableNow(),
+                    minTokens: Int = 20, maxTokens: Int = 100000,
+                    minQuality: Double = 0.5, maxTopBigramRatio: Double = 0.2,
+                    langs: Seq[String] = Seq("en"),
+                    k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                    threshold: Double = 0.6): StreamingQuery =
+    spark.readStream
+      .format("binaryFile")
+      // binaryFile's schema is FIXED by the source, but the streaming
+      // reader still demands it explicitly (no inference pass on a
+      // stream) — this is that schema verbatim
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+      .load(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val ab = archiveBatchDocs(batch)
+        ab.quarantine.write.mode("overwrite")
+          .parquet(s"$outDir/quarantine/ingest_batch=$id")
+        processBatch(ab.docs, outDir, id, minTokens, maxTokens,
+          minQuality, maxTopBigramRatio, langs, k, numHashes, bands,
+          threshold)
+        ab.pinned.unpersist(blocking = false)
+        () // foreachBatch wants Unit; unpersist returns the frame
+      }
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(trigger)
+      .start()
+
   /** Usage: CorpusIngest <landingDir> <outDir> — processes every file
     * that landed since the last run's checkpoint (AvailableNow), then
     * prints the corpus size. Re-invoke on a schedule for incremental

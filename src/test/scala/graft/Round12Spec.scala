@@ -247,6 +247,61 @@ class Round12Spec extends AnyFunSuite {
     assert(c1.forall(c => c._4 >= 0 && c._4 < 8))
   }
 
+  // ----------------------------------------------- streaming archive ingest
+
+  test("startArchives: WET files stream into the corpus, stream ≡ batch, corruption dead-letters") {
+    import graft.streaming.CorpusIngest
+    val inDir = java.nio.file.Files.createTempDirectory("graft_wet_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_wet_out").toString
+
+    // land fixture docs as real WET archive files, one per source;
+    // corrupt one archive's member-2 magic so the stream must
+    // dead-letter it (fixture-size collect: test harness only)
+    val docs = Tables.documents(spark, SparkTestSession.sf)
+      .filter($"doc_id" < 200).select("doc_id", "source", "text")
+    val archives = graft.sources.WebArchive.buildWetArchives(docs)
+      .as[(String, Array[Byte])].collect().sortBy(_._1)
+    assert(archives.length >= 2)
+    archives.zipWithIndex.foreach { case ((src, payload), i) =>
+      val bytes =
+        if (i == 0) {
+          // zero member 2's gzip magic: members 0-1 ingest, rest quarantines
+          val off = graft.functions.GzipArchiveCore.memberIndex(payload)
+            .array.map(_.asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow])
+            .find(_.getInt(0) == 2).get.getLong(1).toInt
+          val b = payload.clone(); b(off) = 0x00.toByte; b
+        } else payload
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(inDir, s"$src.warc.wet.gz"), bytes)
+    }
+
+    CorpusIngest.startArchives(spark, inDir, outDir).awaitTermination()
+
+    // stream ≡ batch: the same adapter over a batch binaryFile read,
+    // through the same clean + in-batch dedup, must give the same docs
+    val batchRead = spark.read.format("binaryFile").load(inDir)
+    val ab = CorpusIngest.archiveBatchDocs(batchRead)
+    val cleaned = ab.docs.join(
+      graft.operators.TextAnalysis.cleanCorpus(ab.docs).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val expected = graft.operators.Dedup.dedupCorpus(cleaned)
+    val corpus = CorpusIngest.readCorpus(spark, s"$outDir/corpus").get
+    assert(corpus.count() == expected.count())
+    assert(corpus.join(expected.select("doc_id"), Seq("doc_id"), "left_anti")
+      .count() == 0)
+
+    // the corrupt tail is dead-lettered with provenance, not dropped
+    val dead = spark.read.parquet(s"$outDir/quarantine")
+    assert(dead.count() == 1)
+    val d = dead.select($"archive", $"quarantine").as[(String, String)].first()
+    assert(d._1.endsWith(s"${archives.head._1}.warc.wet.gz") && d._2.nonEmpty)
+
+    // idempotent re-run: nothing new landed, nothing changes
+    CorpusIngest.startArchives(spark, inDir, outDir).awaitTermination()
+    assert(CorpusIngest.readCorpus(spark, s"$outDir/corpus").get.count()
+      == corpus.count())
+  }
+
   // --------------------------------------------- q170 deploy-path equivalence
 
   test("Bpe.encodeStats: dictionary-join path equals the per-occurrence fold's stats, zeros kept") {
