@@ -167,7 +167,7 @@ object Bench {
         digitIds.values.forall(_.nonEmpty)) digitIds
       else names.map(n => n -> n).toMap
     def secs(d: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, d)
-    def build(unit: String): String = {
+    def build(unit: String, withMemo: Boolean = true): String = {
       def f(d: Double): String =
         if (unit == "ms") math.round(d * 1000).toString
         else math.round(d).toString
@@ -197,7 +197,7 @@ object Bench {
       // per-query numbers are not comparable round-over-round (they
       // read another query's materialized work). The total stays
       // honest either way — this is per-query attribution metadata.
-      val memo = names.filter(memoTagged)
+      val memo = if (withMemo) names.filter(memoTagged) else Nil
       if (memo.nonEmpty)
         opt ++= s""","memo":${memo.map("\"" + id(_) + "\"").mkString("[", ",", "]")}"""
       s"""{"metric":"total","value":${secs(total)},"unit":"sec","qunit":"$unit","queries":$qs,"canary":${f(canary)}$opt,"passes":$passes,"sf":"$sf"}"""
@@ -207,7 +207,13 @@ object Bench {
     // 2000 chars with our line at its end), and build.sbt's
     // showSuccess := false makes this println the final output — so a
     // line under 1980 survives whole with 20 B spare for a trailing
-    // newline or a stray shutdown byte.
-    Iterator("ms", "s").map(build).find(_.length < 1980).getOrElse(build("s"))
+    // newline or a stray shutdown byte. The ladder sheds the memo
+    // ATTRIBUTION field before it sheds ms RESOLUTION: a coarse timing
+    // hurts every round-over-round comparison, a missing memo list
+    // only the tagged queries' (r12: the full line measured 1931 B —
+    // 48 B of slack, one slow round from overflow).
+    Iterator(("ms", true), ("ms", false), ("s", true))
+      .map { case (u, m) => build(u, m) }
+      .find(_.length < 1980).getOrElse(build("s", withMemo = false))
   }
 }

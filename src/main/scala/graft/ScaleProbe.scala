@@ -59,13 +59,63 @@ object ScaleProbe {
     }.reduce(_ unionByName _)
   }
 
+  /** BPE headroom: the scale dial for a tokenizer is the MERGE COUNT,
+    * not corpus copies — a real tokenizer trains 30k–50k merges where
+    * the oracle-gated q169 proves 16. Sweeps merges 16× across train
+    * (expect wall/round ≈ flat: every round is one |vocab|-row
+    * aggregate + a 1-row argmax, corpus size enters only the first
+    * scan) and the dictionary encode (expect ∝ merges: the fold
+    * applies every merge to every distinct token). Rows recorded in
+    * ARCHITECTURE.md §headroom. Usage: ScaleProbe bpe [merge ...] */
+  def bpeProbe(spark: SparkSession, dir: String, merges: Seq[Int]): Unit = {
+    import spark.implicits._
+    // the raw fixture's vocabulary is only 31 words — BPE would exhaust
+    // its pair space long before realistic merge counts. Content-unique
+    // 10× copies (suffixed tokens) lift |vocab| ~10× and the symbol
+    // alphabet picks up the digit suffixes, so hundreds of merges have
+    // real pairs to consume while corpus volume ALSO scales — both
+    // dials of the real tokenizer job move together.
+    val docs = scaledDocs(spark, dir, 10).select("doc_id", "text")
+      .repartition(spark.sparkContext.defaultParallelism).cache()
+    docs.count()
+    merges.foreach { m =>
+      val (table, trainSec) = timeIt {
+        val t = operators.Bpe.train(docs, numMerges = m)
+        t.localCheckpoint() // count() then reuse without replaying rounds
+      }
+      val trained = table.count()
+      val toks = docs.select(explode(split($"text", " ")).as("tok"))
+      val (nvocab, encSec) = timeIt(
+        operators.Bpe.encodeVocab(toks, table).count())
+      val (_, statsSec) = timeIt(
+        operators.Bpe.encodeStats(docs, table).count())
+      println(f"bpe merges=$m%-5d (trained $trained%4d) train $trainSec%8.2f s " +
+        f"(${trainSec / trained.max(1L) * 1000}%7.1f ms/round)  " +
+        f"encodeVocab $encSec%7.2f s  encodeStats $statsSec%7.2f s  " +
+        f"vocab=$nvocab")
+      println(s"""{"probe":"bpe","merges":$m,"trained":$trained,"train_sec":${
+        math.round(trainSec * 1000) / 1000.0},"round_ms":${
+        math.round(trainSec / trained.max(1L) * 1000)},"encode_vocab_sec":${
+        math.round(encSec * 1000) / 1000.0},"encode_stats_sec":${
+        math.round(statsSec * 1000) / 1000.0},"vocab":$nvocab}""")
+    }
+    docs.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
-    val scales = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 10)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = GraftSession.create(appName = "graft-scale-probe",
       master = s"local[$cpus]", shufflePartitions = Some(cpus))
     spark.sparkContext.setLogLevel("WARN")
+    if (args.headOption.contains("bpe")) {
+      val ms = if (args.length > 1) args.drop(1).toSeq.map(_.toInt)
+               else Seq(16, 64, 256)
+      bpeProbe(spark, dir, ms)
+      spark.stop()
+      return
+    }
+    val scales = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 10)
     import spark.implicits._
 
     scales.foreach { s =>

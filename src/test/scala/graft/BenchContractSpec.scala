@@ -100,6 +100,25 @@ class BenchContractSpec extends AnyFunSuite {
     assert(mapper.readTree(line2).get("memo") == null)
   }
 
+  test("the ladder sheds the memo field before it sheds ms resolution") {
+    // every query memo-tagged: the memo array alone (~6 B × queries)
+    // blows the tail budget, so the middle rung must emit integer-ms
+    // WITHOUT the memo field rather than falling all the way to
+    // integer seconds
+    val cycle = Array(0.043, 0.117, 0.234, 0.318, 0.441, 0.527,
+      0.738, 1.412, 2.317, 3.289)
+    val real = names.zipWithIndex
+      .map { case (n, i) => n -> cycle(i % cycle.length) }.toMap
+    val line = Bench.summaryJson(names, real,
+      names.map(_ -> true).toMap, Map.empty, passes = 2,
+      sfDir = "/root/testdata/sf0.1", canary = 0.3,
+      memoTagged = names.toSet)
+    assert(line.length < 1980)
+    val t = mapper.readTree(line)
+    assert(t.get("qunit").asText() == "ms")
+    assert(t.get("memo") == null)
+  }
+
   test("failures and flaky passes appear in their own fields (full names when ids collide)") {
     val ns = Seq("q1_ok", "q1_dead", "q1_flaky") // colliding digit ids
     val line = Bench.summaryJson(ns,
