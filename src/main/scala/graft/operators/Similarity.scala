@@ -530,6 +530,25 @@ object Similarity {
     IvfPqIndex(ivf.centroids, cb, codes)
   }
 
+  /** Cluster + encode vectors against a FROZEN IVF-PQ index (coarse
+    * centroids + residual codebook): (vid, list_id, sub, code) rows —
+    * the per-batch append of a vector ingest, mirroring [[ivfAssign]]
+    * for the composed index. One broadcast assignment pass + one
+    * broadcast encode pass; the shuffle carries ids + ints only. */
+  def ivfPqAssign(centroids: DataFrame, cb: PqCodebook, vectors: DataFrame,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    registerFns(vectors)
+    val nv = l2Normalize(vectors, vecCol)
+      .select(col(idCol).as("vid"), col("nv").as("cv"))
+    val resid = assignToCentroids(nv, centroids)
+      .join(broadcast(centroids), col("list_id") === col("cid"))
+      .select(col("vid"), col("list_id"),
+        expr("zip_with(cv, cvec, (x, c) -> x - c)").as("nv"))
+    pqEncodeOn(resid.select("vid", "nv"), cb)
+      .join(resid.select("vid", "list_id"), Seq("vid"))
+      .select(col("vid"), col("list_id"), col("sub"), col("code"))
+  }
+
   /** IVF-PQ top-k (IVFADC search, Jégou §V.B): each query probes its
     * `nprobe` nearest lists, computes ONE m×ksub residual distance
     * table PER PROBED LIST (the query residual differs per list —

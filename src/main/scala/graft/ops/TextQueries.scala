@@ -1397,6 +1397,39 @@ object TextQueries {
         col("n_rows") === col("n_docs") + col("n_quarantined"))
   }
 
+  /** The cluster.idx BUILDER under the oracle gate — q168's index-side
+    * companion: the payload-free streaming member index
+    * ([[graft.sources.WebArchive.memberIndex]] — constant memory
+    * whatever the archive's decompressed size, the pass that makes
+    * offset-splittable ingestion possible) over archives built from
+    * the documents table. Certified two ways: (a) member count and Σ
+    * decompressed bytes per archive are re-derived INDEPENDENTLY in
+    * DuckDB by reconstructing every record's exact byte length from
+    * the documents table (the WET record layout is deterministic —
+    * header framing + body + trailing CRLFs, all byte-countable in
+    * SQL); (b) the properties DuckDB cannot recompute without zlib —
+    * offsets starting at 0 and compressed lengths exactly TILING the
+    * archive payload — are emitted as an in-plan certified column
+    * (the q173 convention). */
+  def q176WetMemberIndex(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "source", "text")
+    val archives = graft.sources.WebArchive.buildWetArchives(docs)
+    graft.sources.WebArchive.memberIndex(archives)
+      .groupBy("archive")
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("member_ulen")).as("sum_ulen"),
+        count(col("member_err")).as("n_errors"),
+        min(col("member_offset")).as("_min_off"),
+        max(col("member_offset") + col("member_clen")).as("_max_end"),
+        sum(col("member_clen")).as("_sum_clen"))
+      .join(archives.select(col("archive"),
+        octet_length(col("payload")).cast("long").as("_plen")), Seq("archive"))
+      .select(col("archive"), col("n_members"), col("sum_ulen"),
+        col("n_errors"),
+        (col("_min_off") === 0L && col("_max_end") === col("_plen") &&
+          col("_sum_clen") === col("_plen")).as("tiles_payload"))
+  }
+
   /** The q169/q170 merge table — memoized so train runs once per
     * Verify/Bench pass whichever of the two consumers goes first. */
   val BpeNumMerges = 16
@@ -1439,6 +1472,7 @@ object TextQueries {
       bpeMerges(spark, dir))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_wet_member_index" -> (q176WetMemberIndex _),
     "q173_wet_quarantine_audit" -> (q173WetQuarantineAudit _),
     "q170_bpe_encode" -> (q170BpeEncode _),
     "q169_bpe_train" -> (q169BpeTrain _),
@@ -1552,6 +1586,27 @@ object TextQueries {
        |           GROUP BY e.dst) c ON r.term = c.dst)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // every member's decompressed byte length is re-derived by
+    // reconstructing the deterministic WET record layout from the
+    // documents table (strlen = BYTES in DuckDB, matching Spark's
+    // octet_length); the zlib-dependent offset/clen facts arrive as
+    // the in-plan certified tiles_payload column (q173 convention)
+    "q176_wet_member_index" ->
+      """WITH r AS (SELECT source,
+        |  strlen('WARC/1.0' || chr(13)||chr(10)
+        |    || 'WARC-Type: conversion' || chr(13)||chr(10)
+        |    || 'WARC-Target-URI: https://example.org/doc/'
+        |    || CAST(doc_id AS VARCHAR) || chr(13)||chr(10)
+        |    || 'Content-Length: ' || CAST(strlen(text) AS VARCHAR)
+        |    || chr(13)||chr(10)||chr(13)||chr(10)
+        |    || text || chr(13)||chr(10)||chr(13)||chr(10)) AS ulen
+        |  FROM documents)
+        |SELECT source AS archive, CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(sum(ulen) AS BIGINT) AS sum_ulen,
+        |  CAST(0 AS BIGINT) AS n_errors,
+        |  TRUE AS tiles_payload
+        |FROM r GROUP BY source""".stripMargin,
+
     // planted corruption is byte-surgical (member-2 gzip magic zeroed),
     // so the outcome is decided by the repo's OWN header parser and the
     // oracle derives every count from the documents table: corrupted

@@ -76,6 +76,78 @@ object VectorIngest {
     path.getFileSystem(spark.sessionState.newHadoopConf()).exists(path)
   }
 
+  // ------------------------------------------------------ IVF-PQ variant
+
+  /** The IVF-PQ counterpart of [[processBatch]] — the index that
+    * actually fits a 100 TB embedding store at rest (m+1 small ints
+    * per vector instead of the full float list rows): the bootstrap
+    * batch trains coarse centroids AND the residual codebook
+    * ([[Similarity.ivfPqBuild]]) and freezes both; every later batch
+    * runs one broadcast assign + one broadcast encode
+    * ([[Similarity.ivfPqAssign]]) and appends (vid, list_id, sub,
+    * code) rows to its own idempotent partition. Same replay story as
+    * the flat variant: bootstrap retrains deterministically and
+    * overwrites, appends re-encode against the frozen tables and
+    * overwrite their own partition. */
+  def processBatchPq(batch: DataFrame, outDir: String, batchId: Long,
+                     nlist: Int = 32, m: Int = 8, ksub: Int = 16,
+                     lloydIters: Int = 2, seed: Long = 42L,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    val centPath = s"$outDir/pqindex/centroids"
+    val cbPath = s"$outDir/pqindex/codebook"
+    val codesPath = s"$outDir/pqindex/codes"
+    val pinned = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codes =
+      if (!pathExists(spark, centPath)) {
+        val idx = Similarity.ivfPqBuild(pinned, nlist, m, ksub, lloydIters,
+          seed, idCol, vecCol)
+        idx.centroids.write.mode("overwrite").parquet(centPath)
+        idx.codebook.centroids.write.mode("overwrite").parquet(cbPath)
+        idx.codes
+      } else {
+        val cb = readCodebook(spark, cbPath)
+        Similarity.ivfPqAssign(spark.read.parquet(centPath), cb, pinned,
+          idCol, vecCol)
+      }
+    codes.write.mode("overwrite").parquet(s"$codesPath/ingest_batch=$batchId")
+    pinned.unpersist(blocking = false)
+  }
+
+  /** Rebuild the codebook handle from its persisted centroid table —
+    * m and ksub are recovered from the table itself (max sub/code +
+    * 1), so the index directory is self-describing. */
+  private def readCodebook(spark: SparkSession, cbPath: String): Similarity.PqCodebook = {
+    val cents = spark.read.parquet(cbPath)
+    val dials = cents.agg(
+      org.apache.spark.sql.functions.max(col("sub")),
+      org.apache.spark.sql.functions.max(col("cid"))).first()
+    Similarity.PqCodebook(cents, dials.getInt(0) + 1, dials.getInt(1) + 1)
+  }
+
+  /** The materialized IVF-PQ index, or None before bootstrap. */
+  def readPqIndex(spark: SparkSession, outDir: String): Option[Similarity.IvfPqIndex] = {
+    val centPath = s"$outDir/pqindex/centroids"
+    val cbPath = s"$outDir/pqindex/codebook"
+    val codesPath = s"$outDir/pqindex/codes"
+    if (!pathExists(spark, centPath) || !pathExists(spark, codesPath)) None
+    else Some(Similarity.IvfPqIndex(
+      spark.read.parquet(centPath),
+      readCodebook(spark, cbPath),
+      spark.read.parquet(codesPath).drop("ingest_batch")))
+  }
+
+  /** IVFADC top-k against the materialized index. `corpus` supplies
+    * the float vectors for the exact rerank only — at scale it stays
+    * on disk until the shortlist (the PQ point). */
+  def topKPq(spark: SparkSession, outDir: String, queries: DataFrame,
+             corpus: DataFrame, k: Int, nprobe: Int = 8, rerank: Int = 50,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Similarity.ivfPqTopK(
+      readPqIndex(spark, outDir).getOrElse(
+        throw new IllegalStateException(s"no IVF-PQ index at $outDir/pqindex")),
+      queries, corpus, k, nprobe, rerank, idCol, vecCol)
+
   /** Start the ingest stream over a landing directory of embedding
     * parquet files; AvailableNow turns it into a scheduled
     * incremental indexer (same stance as [[CorpusIngest.start]]). */

@@ -59,6 +59,44 @@ class VectorIngestSpec extends AnyFunSuite {
     assert(once == twice)
   }
 
+  test("PQ ingest: bootstrap freezes coarse+codebook tables, appends encode against them, replay idempotent") {
+    graft.ops.Memo.clear(spark)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_vec_pq").toString
+    val wave1 = emb.filter($"vec_id" < 250)
+    val wave2 = emb.filter($"vec_id" >= 250)
+    VectorIngest.processBatchPq(wave1, outDir, 0L, nlist = 16, m = 4, ksub = 8)
+    VectorIngest.processBatchPq(wave2, outDir, 0L + 1, nlist = 16, m = 4, ksub = 8)
+
+    val idx = VectorIngest.readPqIndex(spark, outDir).get
+    // the codebook handle is self-describing: dials recovered from the
+    // persisted table
+    assert(idx.codebook.m == 4 && idx.codebook.ksub <= 8)
+    // every vector has exactly m code rows
+    assert(idx.codes.count() == emb.count() * 4)
+    assert(idx.codes.select("vid").distinct().count() == emb.count())
+
+    // queries against the materialized index == the composed
+    // frozen-table expectation over the full corpus
+    graft.ops.Memo.clear(spark)
+    val queries = emb.filter($"vec_id" < 10)
+    val got = VectorIngest.topKPq(spark, outDir, queries, emb, k = 10,
+      nprobe = 8, rerank = 40).collect().map(_.toSeq).toSet
+    val boot = Similarity.ivfPqBuild(wave1, nlist = 16, m = 4, ksub = 8)
+    val expIdx = Similarity.IvfPqIndex(boot.centroids, boot.codebook,
+      Similarity.ivfPqAssign(boot.centroids, boot.codebook, emb))
+    val exp = Similarity.ivfPqTopK(expIdx, queries, emb, k = 10,
+      nprobe = 8, rerank = 40).collect().map(_.toSeq).toSet
+    assert(got == exp)
+
+    // crash-replay of both batches: bit-identical code rows
+    val once = idx.codes.collect().map(_.toSeq).toSet
+    VectorIngest.processBatchPq(wave1, outDir, 0L, nlist = 16, m = 4, ksub = 8)
+    VectorIngest.processBatchPq(wave2, outDir, 1L, nlist = 16, m = 4, ksub = 8)
+    val twice = VectorIngest.readPqIndex(spark, outDir).get.codes
+      .collect().map(_.toSeq).toSet
+    assert(once == twice)
+  }
+
   test("ivfTopKIndexed over ivfBuildIndex is exactly ivfTopK (the refactor contract)") {
     val queries = emb.filter($"vec_id" < 10)
     val direct = Similarity.ivfTopK(emb, queries, k = 10, nlist = 16, nprobe = 4)
