@@ -179,6 +179,12 @@ object FunctionCatalog {
           "gzip_member_index(archive binary)")
         GzipMemberIdx(exprs.head)
       }),
+    FunctionDef("warc_split",
+      "warc_split(record BINARY) -> struct<hdr_end,headers,err>", classOf[WarcSplit], { exprs =>
+        FunctionArgs.requireArity("warc_split", exprs, 1,
+          "warc_split(record binary)")
+        WarcSplit(exprs.head)
+      }),
     FunctionDef("gzip_member",
       "gzip_member(payload BINARY) -> binary", classOf[GzipMemberEnc], { exprs =>
         FunctionArgs.requireArity("gzip_member", exprs, 1,

@@ -1430,6 +1430,32 @@ object TextQueries {
           col("_sum_clen") === col("_plen")).as("tiles_payload"))
   }
 
+  /** WARC RESPONSE records as multimodal assets — the other half of a
+    * real crawl file (WET text ingest is q168): binary bodies behind
+    * genuine container magic numbers (PNG/JPEG/gzip + an unknown
+    * tail — the q53 construction) travel the archive codec, the
+    * byte-level [[graft.functions.WarcSplit]] header parse, the
+    * byte-exact body slice, and the media-type router WITHOUT ever
+    * being decoded as text — the capability the round-11 advice
+    * finding was really about (binary bodies are the image/audio
+    * pillar's input, not corruption). Per (archive, route): asset
+    * count + total payload bytes, both re-derived in DuckDB from the
+    * documents table (route and magic length are functions of
+    * doc_id % 4; body bytes = magic + text bytes). */
+  def q177WarcAssets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        concat(
+          expr("element_at(array(X'89504E470D0A1A0A', X'FFD8FFE0', " +
+            "X'1F8B0800', X'0000'), cast(pmod(doc_id, 4) + 1 as int))"),
+          encode(col("text"), "UTF-8")).as("body"))
+    val archives = graft.sources.WebArchive.buildWarcArchives(docs)
+    graft.sources.WebArchive.warcAssets(archives)
+      .groupBy("archive", "route")
+      .agg(count(lit(1)).as("n_assets"),
+        sum(octet_length(col("payload")).cast("long")).as("sum_bytes"))
+  }
+
   /** The q169/q170 merge table — memoized so train runs once per
     * Verify/Bench pass whichever of the two consumers goes first. */
   val BpeNumMerges = 16
@@ -1472,6 +1498,7 @@ object TextQueries {
       bpeMerges(spark, dir))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_warc_assets" -> (q177WarcAssets _),
     "q176_wet_member_index" -> (q176WetMemberIndex _),
     "q173_wet_quarantine_audit" -> (q173WetQuarantineAudit _),
     "q170_bpe_encode" -> (q170BpeEncode _),
@@ -1586,6 +1613,19 @@ object TextQueries {
        |           GROUP BY e.dst) c ON r.term = c.dst)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // route and magic-prefix length are pure functions of doc_id % 4,
+    // body bytes = magic + text bytes — so the whole multimodal
+    // routing of binary WARC bodies replays from the documents table
+    "q177_warc_assets" ->
+      """SELECT source AS archive,
+        |  CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'image'
+        |       WHEN 2 THEN 'archive' ELSE 'unknown' END AS route,
+        |  CAST(count(*) AS BIGINT) AS n_assets,
+        |  CAST(sum(CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+        |           WHEN 2 THEN 4 ELSE 2 END + strlen(text)) AS BIGINT)
+        |    AS sum_bytes
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+
     // every member's decompressed byte length is re-derived by
     // reconstructing the deterministic WET record layout from the
     // documents table (strlen = BYTES in DuckDB, matching Spark's

@@ -135,30 +135,21 @@ object WebArchive {
           .otherwise(col("m.err")).as("member_err"))
   }
 
-  /** Member rows → parsed WARC records. WARC headers are ASCII lines
-    * terminated by CRLF with a blank line before the body, and the
-    * body is exactly Content-Length BYTES — so the header search runs
-    * on the decoded string (char index == byte index inside ASCII
-    * headers) and the body slice runs on the BINARY payload. Rows
-    * that fail any stage keep their provenance with a `quarantine`
-    * reason; parsed rows carry (warc_type, target_uri, text). */
-  def wetRecords(members: DataFrame): DataFrame =
+  /** Member rows → parsed WARC records with BINARY bodies — the
+    * GENERAL layer: a crawl's response records carry images, PDFs,
+    * archives, so nothing here ever decodes the payload as text. The
+    * header split is the byte-level native
+    * [[graft.functions.WarcSplit]] (ASCII-enforced headers, so the
+    * byte offsets the Content-Length slice needs can never desync
+    * from char indices), the body is a byte-exact BINARY slice. Rows
+    * that fail any stage keep provenance with a `quarantine` reason;
+    * parsed rows carry (warc_type, target_uri, body binary). */
+  def warcRecords(members: DataFrame): DataFrame = {
+    graft.functions.WarcSplit.register(members.sparkSession)
     members
-      // NON-VALIDATING byte reinterpretation — NOT decode(): under the
-      // session's ANSI coding behavior, decode(binary,'UTF-8') throws
-      // MALFORMED_CHARACTER_CODING on the first invalid byte, so one
-      // CRC-valid gzip member with a binary (non-UTF-8) payload — real
-      // crawls carry those in WARC response records — would abort the
-      // whole ingest job instead of quarantining the member. The cast
-      // copies bytes; is_valid_utf8 then routes undecodable payloads
-      // to a quarantine row, keeping "corruption is data" true at the
-      // character layer too.
-      .withColumn("s", col("member_payload").cast("string"))
-      .withColumn("utf8_ok", expr("is_valid_utf8(s)"))
-      .withColumn("hdr_end",
-        when(col("utf8_ok"), expr("instr(s, '\r\n\r\n')")))
-      .withColumn("headers",
-        expr("case when hdr_end > 0 then substr(s, 1, hdr_end - 1) end"))
+      .withColumn("w", expr("warc_split(member_payload)"))
+      .withColumn("hdr_end", col("w.hdr_end"))
+      .withColumn("headers", col("w.headers"))
       .withColumn("warc_type",
         expr("nullif(regexp_extract(headers, 'WARC-Type: ([^\\r\\n]+)', 1), '')"))
       .withColumn("target_uri",
@@ -169,33 +160,40 @@ object WebArchive {
       .withColumn("quarantine",
         when(col("member_err").isNotNull, col("member_err"))
           .when(col("member_payload").isNull, lit("empty member"))
-          .when(!col("utf8_ok"), lit("payload is not valid UTF-8"))
-          .when(!expr("s like 'WARC/%'"), lit("not a WARC record"))
-          .when(col("hdr_end") <= 0, lit("no header terminator"))
-          // WARC 1.0 permits UTF-8 header VALUES; a multi-byte char in
-          // the header region desyncs hdr_end (a char index) from the
-          // byte offset the Content-Length slice needs, silently
-          // shearing the body — quarantine instead of slicing wrong.
-          // octet_length(string) is its UTF-8 byte count, so the
-          // comparison is exactly "headers are pure ASCII".
-          .when(expr("octet_length(headers) != char_length(headers)"),
-            lit("non-ASCII header"))
+          .when(col("w.err").isNotNull, col("w.err"))
           .when(col("warc_type").isNull, lit("missing WARC-Type"))
           .when(col("content_length").isNull, lit("missing Content-Length"))
           .when(col("content_length") >
             expr("octet_length(member_payload)") - col("hdr_end") - 3,
-            lit("Content-Length past end of member"))
-          // the whole payload is valid UTF-8 here, but a Content-Length
-          // landing mid-sequence would still shear the LAST char of the
-          // slice — catch it rather than emit mojibake
-          .when(!expr("is_valid_utf8(cast(substring(member_payload, " +
-            "hdr_end + 4, content_length) as string))"),
-            lit("Content-Length splits a UTF-8 sequence")))
-      .withColumn("text",
+            lit("Content-Length past end of member")))
+      .withColumn("body",
         when(col("quarantine").isNull,
-          // byte-exact slice: headers are ASCII (enforced above) so
-          // hdr_end (a char index) IS the byte index; +4 skips CRLFCRLF
-          expr("cast(substring(member_payload, hdr_end + 4, content_length) as string)")))
+          // byte-exact: hdr_end is a 1-based BYTE position (warc_split
+          // contract); +4 skips the CRLFCRLF
+          expr("substring(member_payload, hdr_end + 4, content_length)")))
+      .select(col("archive"), col("member_index"), col("member_offset"),
+        col("member_clen"), col("warc_type"), col("target_uri"),
+        col("content_length"), col("body"), col("quarantine"))
+  }
+
+  /** The TEXT (WET) layer over [[warcRecords]]: conversion records are
+    * text by contract, so the binary body becomes a `text` column,
+    * with undecodable bodies quarantined. Same output schema as ever
+    * (…, text, quarantine). */
+  def wetRecords(members: DataFrame): DataFrame =
+    warcRecords(members)
+      // the TEXT layer on top of the binary split: WET conversion
+      // records are text by contract, so an undecodable body — a
+      // binary response record routed here by mistake, or a
+      // Content-Length slicing mid-UTF-8-sequence — quarantines
+      // instead of aborting the job (NON-validating cast +
+      // is_valid_utf8; the validating decode() threw
+      // MALFORMED_CHARACTER_CODING and killed the whole ingest).
+      .withColumn("quarantine", coalesce(col("quarantine"),
+        when(!expr("is_valid_utf8(cast(body as string))"),
+          lit("body is not valid UTF-8 text"))))
+      .withColumn("text",
+        when(col("quarantine").isNull, col("body").cast("string")))
       .select(col("archive"), col("member_index"), col("member_offset"),
         col("member_clen"), col("warc_type"), col("target_uri"),
         col("content_length"), col("text"), col("quarantine"))
@@ -233,6 +231,55 @@ object WebArchive {
       .agg(expr("aggregate(array_sort(collect_list(struct(doc_id, mb))), " +
         "cast('' as binary), (acc, r) -> concat(acc, r.mb))").as("payload"))
   }
+
+  /** Spec/oracle harness for the RESPONSE-record (binary-body) side:
+    * document rows with a `body` BINARY column → WARC archive rows,
+    * one gzip member per record (`WARC-Type: response`, Content-Length
+    * in bytes) — [[buildWetArchives]]'s shape with the body kept
+    * binary end-to-end, so the round trip certifies the byte-level
+    * split against payloads no text codec could survive. */
+  def buildWarcArchives(docs: DataFrame, groupCol: String = "source",
+                        bodyCol: String = "body"): DataFrame = {
+    graft.functions.GzipMemberEnc.register(docs.sparkSession)
+    docs
+      .withColumn("_docok", when(col("doc_id").isNull || col(bodyCol).isNull,
+        expr("cast(raise_error('buildWarcArchives: null doc_id or body') " +
+          "as boolean)")).otherwise(lit(true)))
+      .filter(col("_docok"))
+      .withColumn("rec", concat(
+        encode(concat(
+          lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " +
+            "https://example.org/doc/"), col("doc_id"),
+          lit("\r\nContent-Length: "),
+          octet_length(col(bodyCol)).cast("string"),
+          lit("\r\n\r\n")), "UTF-8"),
+        col(bodyCol), encode(lit("\r\n\r\n"), "UTF-8")))
+      .withColumn("mb", expr("gzip_member(rec)"))
+      .groupBy(col(groupCol).as("archive"))
+      .agg(expr("aggregate(array_sort(collect_list(struct(doc_id, mb))), " +
+        "cast('' as binary), (acc, r) -> concat(acc, r.mb))").as("payload"))
+  }
+
+  /** Archives → MULTIMODAL asset rows: response-record bodies routed
+    * by their sniffed media type ([[graft.operators.Multimodal
+    * .routeByType]] — constant-time prefix inspection, payload bytes
+    * never shuffle), quarantine rows kept under route `quarantine`.
+    * This is what the round-11 advice finding was really about: a
+    * crawl's binary bodies are not corruption, they are the image/
+    * audio pillar's INPUT — so the WET text path and this asset path
+    * now share one byte-level parser and split only at the body
+    * interpretation. */
+  def warcAssets(archives: DataFrame,
+                 pathCol: String = "archive",
+                 payloadCol: String = "payload"): DataFrame =
+    graft.operators.Multimodal.routeByType(
+      warcRecords(expandGzipMembers(archives, pathCol, payloadCol))
+        .filter(col("quarantine").isNotNull || col("warc_type") === "response")
+        .select(col("archive"), col("member_index"), col("member_offset"),
+          col("target_uri"), col("body").as("payload"), col("quarantine")))
+      .withColumn("route",
+        when(col("quarantine").isNotNull, lit("quarantine"))
+          .otherwise(col("route")))
 
   /** Archives → clean conversion-record document rows + quarantine
     * rows (kept, flagged — route them to a dead-letter sink with

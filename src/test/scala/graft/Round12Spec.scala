@@ -29,7 +29,8 @@ class Round12Spec extends AnyFunSuite {
   test("wetRecords: a CRC-valid member with a binary (non-UTF-8) payload quarantines, not aborts") {
     // 0xFF 0xFE 0x80 is not valid UTF-8 anywhere; before the fix the
     // validating decode() threw MALFORMED_CHARACTER_CODING and killed
-    // the whole job — the exact opposite of "corruption is data"
+    // the whole job — the exact opposite of "corruption is data". The
+    // byte-level parser now classifies it structurally: no WARC magic.
     val binary = Array[Byte](0xff.toByte, 0xfe.toByte, 0x80.toByte, 0x41, 0x42)
     val arc =
       GzipArchiveCore.gzipMember(binary) ++
@@ -41,14 +42,15 @@ class Round12Spec extends AnyFunSuite {
       .as[(Int, Option[String], Option[String], Option[String])]
       .collect().sortBy(_._1).toSeq
     assert(got.size == 2)
-    assert(got(0)._4.contains("payload is not valid UTF-8") && got(0)._3.isEmpty)
+    assert(got(0)._4.contains("not a WARC record") && got(0)._3.isEmpty)
     assert(got(1) == ((1, Some("https://e.org/doc/1"),
       Some("kept after the binary member"), None)))
   }
 
-  test("wetRecords: a WARC-shaped header followed by a non-UTF-8 BODY also quarantines") {
+  test("wetRecords: a WARC-shaped header followed by a non-UTF-8 BODY quarantines at the text layer") {
     // valid ASCII headers, binary body — the response-record shape a
-    // real WARC (not WET) crawl file carries
+    // real WARC (not WET) crawl file carries; the TEXT pipeline
+    // quarantines it (the ASSET pipeline, warcAssets, routes it)
     val body = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0xc0.toByte)
     val arc = GzipArchiveCore.gzipMember(wetRecordBytes("u", body))
     val got = WebArchive.wetDocuments(
@@ -56,7 +58,7 @@ class Round12Spec extends AnyFunSuite {
       .select($"text", $"quarantine")
       .as[(Option[String], Option[String])].collect().toSeq
     assert(got.size == 1 && got.head._1.isEmpty &&
-      got.head._2.contains("payload is not valid UTF-8"))
+      got.head._2.contains("body is not valid UTF-8 text"))
   }
 
   // --------------------------------------- non-ASCII headers (advice low)
@@ -78,8 +80,8 @@ class Round12Spec extends AnyFunSuite {
   }
 
   test("wetRecords: a Content-Length slicing mid-UTF-8-sequence quarantines, not mojibake") {
-    // body is 'é' (2 bytes) but Content-Length claims 1 — the slice
-    // would end inside the sequence
+    // body is 'é' (2 bytes) but Content-Length claims 1 — the binary
+    // slice ends inside the sequence, so the text layer rejects it
     val body = "é".getBytes("UTF-8")
     val hdr = "WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: u\r\n" +
       "Content-Length: 1\r\n\r\n"
@@ -89,7 +91,35 @@ class Round12Spec extends AnyFunSuite {
       Seq(("arc-1", arc)).toDF("archive", "payload"))
       .select($"text", $"quarantine")
       .as[(Option[String], Option[String])].collect().toSeq
-    assert(got == Seq((None, Some("Content-Length splits a UTF-8 sequence"))))
+    assert(got == Seq((None, Some("body is not valid UTF-8 text"))))
+  }
+
+  test("warcAssets: binary response bodies ROUTE as assets byte-identically, they don't quarantine") {
+    // a PNG-magic body full of invalid-UTF-8 bytes and a gzip-magic
+    // body: the text pipeline quarantines both; the asset pipeline
+    // must deliver both, byte-exact, with sniffed routes
+    val png = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a,
+      0x1a, 0x0a, 0xff.toByte, 0xc0.toByte, 0x00, 0x41)
+    val gz = Array[Byte](0x1f, 0x8b.toByte, 0x08, 0x00, 0xee.toByte, 0x42)
+    def respRecord(uri: String, body: Array[Byte]): Array[Byte] = {
+      val hdr = s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n"
+      hdr.getBytes("UTF-8") ++ body ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    val arc = GzipArchiveCore.gzipMember(respRecord("https://e.org/a.png", png)) ++
+      GzipArchiveCore.gzipMember(respRecord("https://e.org/b.gz", gz))
+    val df = Seq(("arc-1", arc)).toDF("archive", "payload")
+    val got = WebArchive.warcAssets(df)
+      .select($"target_uri", $"route", $"payload")
+      .as[(String, String, Array[Byte])].collect().sortBy(_._1).toSeq
+    assert(got.size == 2)
+    assert(got(0)._1 == "https://e.org/a.png" && got(0)._2 == "image" &&
+      java.util.Arrays.equals(got(0)._3, png))
+    assert(got(1)._1 == "https://e.org/b.gz" && got(1)._2 == "archive" &&
+      java.util.Arrays.equals(got(1)._3, gz))
+    // the same archive through the TEXT pipeline: both quarantine
+    assert(WebArchive.wetDocuments(df).filter($"quarantine".isNotNull)
+      .count() == 2)
   }
 
   // ------------------------------------- null/empty archive rows (advice low)
