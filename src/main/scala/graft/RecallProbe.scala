@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   *     against the brute-force baseline and print recall@10 + wall
   *     time per setting — how the fixture-tuned defaults in
   *     SimilarityQueries were chosen.
-  *  2. Emit the six pinned agreement-oracle rows (q57–q61, q172) as
+  *  2. Emit the pinned agreement-oracle rows (q57–q61, q172, q175) as
   *     ready-to-paste SQL, plus the fixture content hash — so when
   *     `/root/testdata` regenerates (the pinned-constant spec fails),
   *     re-pinning is one run of this tool, not a hand-derivation.
@@ -58,6 +58,17 @@ object RecallProbe {
         measure(s"ivf@1/8 n=$nlist p=$nprobe lloyd=$lloyd")(
           operators.Similarity.ivfTopK(emb, queries, k = 10,
             nlist = nlist, nprobe = nprobe, lloydIters = lloyd))
+      // IVFADC: probed share and rerank window against the residual
+      // codebook (q174's dials); Memo cleared so each setting pays its
+      // own build
+      for (nprobe <- Seq(8, 16, 32); rerank <- Seq(50, 100))
+        measure(s"ivfpq n=64 p=$nprobe r=$rerank") {
+          graft.ops.Memo.clear(spark)
+          val idx = operators.Similarity.ivfPqBuild(emb, nlist = 64,
+            m = 8, ksub = 16, lloydIters = 2)
+          operators.Similarity.ivfPqTopK(idx, queries, emb, k = 10,
+            nprobe = nprobe, rerank = rerank)
+        }
     }
 
     // ---- re-pin block: the five agreement rows at the PRODUCTION
@@ -71,7 +82,8 @@ object RecallProbe {
       "q59_neardup_recall"    -> ops.SimilarityQueries.q59NeardupRecall(spark, dir),
       "q60_minhash_recall"    -> ops.TextQueries.q60MinhashRecall(spark, dir),
       "q61_simhash_agreement" -> ops.TextQueries.q61SimhashAgreement(spark, dir),
-      "q172_pq_recall"        -> ops.SimilarityQueries.q172PqRecall(spark, dir))
+      "q172_pq_recall"        -> ops.SimilarityQueries.q172PqRecall(spark, dir),
+      "q175_ivfpq_recall"     -> ops.SimilarityQueries.q175IvfPqRecall(spark, dir))
     println("== pinned oracle SQL (paste into SimilarityQueries.oracles / TextQueries.oracles):")
     pinned.foreach { case (name, df) =>
       val r = df.first()

@@ -443,6 +443,19 @@ object Similarity {
     pqAssign(subvectors(nv, cb.m), cb.centroids)
       .select(col("vid"), col("sub"), col("cid").as("code"))
 
+  /** Residual encode with the list id CARRIED through the argmax's
+    * group keys (constant per vid) — the IVF-PQ build/append path
+    * needs (vid, list_id, sub, code) and would otherwise pay a
+    * join-back to the assignment frame for a column it already had. */
+  private def pqEncodeListed(resid: DataFrame, cb: PqCodebook): DataFrame =
+    subvectors(resid, cb.m)
+      .join(broadcast(cb.centroids), Seq("sub"))
+      .withColumn("d2", expr(l2sqSql("sv", "cvec")))
+      .groupBy("vid", "list_id", "sub")
+      .agg(max_by(col("cid"), struct((-col("d2")).as("nd"),
+        (-col("cid")).as("nc"))).as("code"))
+      .select("vid", "list_id", "sub", "code")
+
   /** Asymmetric-distance top-k over a PQ-encoded corpus (ADC, Jégou
     * et al. §IV): each query computes one m×ksub distance table
     * against the codebooks (exact query vs quantized corpus — the
@@ -524,10 +537,7 @@ object Similarity {
     val cb = pqTrainOn(resid.select("vid", "nv"), m, ksub, lloydIters, seed,
       s"ivfpq_cents:$nlist:$m:$ksub:$lloydIters:$seed:$idCol:$vecCol:" +
         graft.ops.Memo.frameKey(corpus))
-    val codes = pqEncodeOn(resid.select("vid", "nv"), cb)
-      .join(resid.select("vid", "list_id"), Seq("vid"))
-      .select(col("vid"), col("list_id"), col("sub"), col("code"))
-    IvfPqIndex(ivf.centroids, cb, codes)
+    IvfPqIndex(ivf.centroids, cb, pqEncodeListed(resid, cb))
   }
 
   /** Cluster + encode vectors against a FROZEN IVF-PQ index (coarse
@@ -544,9 +554,7 @@ object Similarity {
       .join(broadcast(centroids), col("list_id") === col("cid"))
       .select(col("vid"), col("list_id"),
         expr("zip_with(cv, cvec, (x, c) -> x - c)").as("nv"))
-    pqEncodeOn(resid.select("vid", "nv"), cb)
-      .join(resid.select("vid", "list_id"), Seq("vid"))
-      .select(col("vid"), col("list_id"), col("sub"), col("code"))
+    pqEncodeListed(resid, cb)
   }
 
   /** IVF-PQ top-k (IVFADC search, Jégou §V.B): each query probes its
