@@ -124,6 +124,115 @@ object Bpe {
     else bests.reduce(_ union _)
   }
 
+  /** Single-process merge training over the (bounded) word-frequency
+    * table — the deployment shape for REALISTIC merge counts: the
+    * distributed [[train]] loop prices each merge at one Spark job
+    * round (~150 ms scheduler floor measured at sf0.1 — `ScaleProbe
+    * bpe`), so a 30k–50k-merge tokenizer would spend hours on pure
+    * scheduling. Every production BPE trainer (Sennrich's subword-nmt
+    * onward) therefore iterates on the word-frequency table in one
+    * process; the DISTRIBUTED part of the job — the corpus scan that
+    * builds that table — stays on the cluster ([[vocabulary]]), and
+    * the collected state is bounded by `maxVocab` (enforced loudly),
+    * never by corpus size. This is a DOCUMENTED bounded collect, not
+    * a dataflow collect: the result re-enters Spark as the same
+    * (merge_rank, lhs, rhs, cnt) frame [[train]] returns, derived by
+    * the same argmax (count desc, pair asc) and greedy left-to-right
+    * non-overlapping merge semantics — spec-pinned identical.
+    * Per-round work is a full pair recount (O(Σ|word symbols|)); the
+    * classic incremental pair-index is a drop-in here if profiling
+    * ever demands it, invisible to callers. */
+  def trainLocal(docs: DataFrame, numMerges: Int, minCount: Long = 1L,
+                 text: String = "text", maxVocab: Int = 2000000): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be positive, got $numMerges")
+    val spark = docs.sparkSession
+    val rows = vocabulary(docs, minCount, text)
+      .select(col("tok"), col("cnt")).limit(maxVocab + 1).collect()
+    require(rows.length <= maxVocab,
+      s"trainLocal: vocabulary exceeds maxVocab=$maxVocab — raise minCount " +
+        "(hapax pruning) or the cap, or use the distributed train()")
+    // split by CODEPOINTS, not UTF-16 code units — Spark's substr
+    // (the distributed seed split) counts codepoints, so a char-level
+    // Java split would shear surrogate pairs and diverge on non-BMP
+    // text
+    def codepoints(s: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.toArray
+    }
+    // tiebreak comparison in UTF-8 BYTE order — Spark's string
+    // ordering — not Java's UTF-16 compareTo (they disagree between
+    // BMP chars above U+E000 and supplementary codepoints)
+    def utf8Less(a: String, b: String): Boolean =
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+    val words = rows.map(r => (codepoints(r.getString(0)), r.getLong(1)))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, cnt) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + cnt
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        // argmax: count desc, then (l, r) asc — train()'s total order
+        var best: ((String, String), Long) = null
+        counts.foreach { case (k, c) =>
+          if (best == null) best = (k, c)
+          else {
+            val ((bl, br), bc) = best
+            if (c > bc || (c == bc && (utf8Less(k._1, bl) ||
+              (k._1 == bl && utf8Less(k._2, br))))) best = (k, c)
+          }
+        }
+        val ((l, r), c) = best
+        merges += ((rank, l, r, c))
+        var w = 0
+        while (w < words.length) {
+          val (syms, cnt) = words(w)
+          // greedy left-to-right, non-overlapping — the separator-
+          // wrapped replace() semantics: a merged pair's output never
+          // re-pairs with the following symbol in the same round
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += l + r; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          if (out.length != syms.length) words(w) = (out.toArray, cnt)
+          w += 1
+        }
+        rank += 1
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      merges.map(m => org.apache.spark.sql.Row(m._1, m._2, m._3, m._4)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("merge_rank",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("lhs",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("rhs",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   /** Documents + merge table → per-doc encoded token stats and the
     * encoded symbol stream: (…docs cols…, n_tokens_ws, n_tokens_bpe,
     * bpe_syms array<string>). The whole merge table is applied in one

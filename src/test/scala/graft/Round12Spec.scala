@@ -334,6 +334,35 @@ class Round12Spec extends AnyFunSuite {
 
   // --------------------------------------------- q170 deploy-path equivalence
 
+  test("Bpe.trainLocal: single-process training equals the distributed loop, including non-BMP text") {
+    // the deployment shape for realistic merge counts (the distributed
+    // loop's ~150 ms/round scheduler floor — ScaleProbe bpe): same
+    // argmax total order, same greedy non-overlapping merges, bounded
+    // collect of the vocabulary only
+    val docs = Tables.documents(spark, SparkTestSession.sf)
+      .select("doc_id", "text")
+    val viaLocal = Bpe.trainLocal(docs, numMerges = 16)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    val viaSpark = Bpe.train(docs, numMerges = 16)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(viaLocal == viaSpark && viaLocal.size == 16)
+
+    // non-BMP: '𝕏' is a surrogate PAIR in UTF-16 — a char-level split
+    // would shear it; both paths must treat it as one symbol
+    val emoji = Seq((1L, "𝕏a 𝕏a ab")).toDF("doc_id", "text")
+    val l2 = Bpe.trainLocal(emoji, numMerges = 3)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    val s2 = Bpe.train(emoji, numMerges = 3)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(l2 == s2 && l2.head._2 == "𝕏")
+
+    // the vocab bound fails LOUDLY, pointing at the dials
+    val e = intercept[IllegalArgumentException] {
+      Bpe.trainLocal(docs, numMerges = 2, maxVocab = 3)
+    }
+    assert(e.getMessage.contains("maxVocab"))
+  }
+
   test("Bpe.encodeStats: dictionary-join path equals the per-occurrence fold's stats, zeros kept") {
     val docs = Seq(
       (1L, "aaab aaab ab xy"),
