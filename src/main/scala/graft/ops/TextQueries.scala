@@ -1456,6 +1456,34 @@ object TextQueries {
         sum(octet_length(col("payload")).cast("long")).as("sum_bytes"))
   }
 
+  /** HTML → training-text extraction under the strongest gate — the
+    * crawl stage that PRODUCES a WET file (q168 consumes one): each
+    * doc's text is wrapped in a full HTML page with hostile
+    * boilerplate — a script whose string literal contains `</p>` (the
+    * classic naive-stripper trap), a style block, title/nav/heading/
+    * footer lines, an entity — and [[graft.operators.Html]] must give
+    * back the corpus BYTE-FOR-BYTE: markup removal recovers the
+    * rendered lines, the jusText-style minWords filter drops every
+    * planted boilerplate line (all ≤ 2 words; real docs are ≥ 10).
+    * The oracle is just the documents table (q168's round-trip
+    * convention — no regex is pinned, the whole chain is certified by
+    * identity). */
+  def q178HtmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val html = docs.select(col("doc_id"), concat(
+      lit("<html><head><title>doc "), col("doc_id"),
+      lit("</title><script type=\"text/javascript\">var x = 1 < 2 && " +
+        "\"</p>\";</script><style>p { color: red; }</style></head>" +
+        "<body><nav>home about</nav><h1>doc "),
+      col("doc_id"),
+      lit("</h1><p>"), col("text"),
+      lit("</p><div>short</div><footer>&amp; example.org</footer>" +
+        "</body></html>")).as("html"))
+    graft.operators.Html.extractMainText(html, "html", "main_text",
+      minWords = 3)
+      .select("doc_id", "main_text")
+  }
+
   /** The q169/q170 merge table — memoized so train runs once per
     * Verify/Bench pass whichever of the two consumers goes first. */
   val BpeNumMerges = 16
@@ -1498,6 +1526,7 @@ object TextQueries {
       bpeMerges(spark, dir))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_html_extract" -> (q178HtmlExtract _),
     "q177_warc_assets" -> (q177WarcAssets _),
     "q176_wet_member_index" -> (q176WetMemberIndex _),
     "q173_wet_quarantine_audit" -> (q173WetQuarantineAudit _),
@@ -1613,6 +1642,12 @@ object TextQueries {
        |           GROUP BY e.dst) c ON r.term = c.dst)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the whole HTML extraction chain is certified by IDENTITY: if any
+    // regex step leaked markup or sheared content, main_text would not
+    // hash-match the corpus (the q168 round-trip convention)
+    "q178_html_extract" ->
+      "SELECT doc_id, text AS main_text FROM documents",
+
     // route and magic-prefix length are pure functions of doc_id % 4,
     // body bytes = magic + text bytes — so the whole multimodal
     // routing of binary WARC bodies replays from the documents table

@@ -332,6 +332,44 @@ class Round12Spec extends AnyFunSuite {
       == corpus.count())
   }
 
+  // -------------------------------------------------- HTML text extraction
+
+  test("Html.htmlToText: scripts/styles/comments die with their content, lines survive, entities decode") {
+    import graft.operators.Html
+    val html = Seq(
+      """<html><head><title>My Page</title>
+        |<script>if (a < b) { document.write("</p> trap"); }</script>
+        |<style>.x { font: 10px/1.5 serif; }</style></head>
+        |<body><!-- hidden <p>comment</p> -->
+        |<h1>A Heading</h1>
+        |<p>first&nbsp;paragraph with &amp;lt; literally &#39;quoted&#39;</p>
+        |<ul><li>item one here</li><li>item two here</li></ul>
+        |line a<br>line b
+        |</body></html>""".stripMargin).toDF("html")
+    val got = html.select(Html.htmlToText($"html").as("t"))
+      .as[String].first()
+    val lines = got.split("\n").toSeq
+    // script content (including its "</p> trap" string), style rules,
+    // and the comment's fake <p> must ALL be gone
+    assert(!got.contains("trap") && !got.contains("font") &&
+      !got.contains("comment") && !got.contains("<"))
+    assert(lines.contains("My Page") && lines.contains("A Heading"))
+    assert(lines.contains("item one here") && lines.contains("item two here"))
+    // <br> breaks the line; &amp;lt; decodes to the LITERAL "&lt;"
+    assert(lines.contains("line a") && lines.contains("line b"))
+    assert(lines.exists(_ ==
+      "first paragraph with &lt; literally 'quoted'"))
+  }
+
+  test("Html.mainContent: short boilerplate lines drop, content lines keep their exact text") {
+    import graft.operators.Html
+    val t = Seq("home about\nthe actual content line is here\nok\n" +
+      "another real line of content text").toDF("t")
+    val got = t.select(Html.mainContent($"t", 3).as("m")).as[String].first()
+    assert(got == "the actual content line is here\n" +
+      "another real line of content text")
+  }
+
   // --------------------------------------------- q170 deploy-path equivalence
 
   test("Bpe.trainLocal: single-process training equals the distributed loop, including non-BMP text") {
