@@ -1484,6 +1484,42 @@ object TextQueries {
       .select("doc_id", "main_text")
   }
 
+  /** The FULL crawl-to-corpus pipeline in one identity gate — the
+    * composition a real ingest runs end-to-end: documents → hostile
+    * HTML pages (q178's wrapper) → WARC RESPONSE records with the
+    * HTML as binary bodies → concatenated-gzip archives → member
+    * split (CRC-verified) → byte-level header parse → body slice →
+    * HTML markup removal + boilerplate filter → documents. Every
+    * stage that could shear a byte (gzip framing, Content-Length
+    * arithmetic, char/byte desync, regex leakage, line filtering)
+    * sits inside one hash-match against the unmodified documents
+    * table. This is q168's round trip with the two round-12 layers —
+    * binary WARC bodies and HTML extraction — composed in. */
+  def q179CrawlPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "source", "text")
+    val pages = docs.select(col("doc_id"), col("source"),
+      encode(concat(
+        lit("<html><head><title>doc "), col("doc_id"),
+        lit("</title><script type=\"text/javascript\">var x = 1 < 2 && " +
+          "\"</p>\";</script><style>p { color: red; }</style></head>" +
+          "<body><nav>home about</nav><h1>doc "),
+        col("doc_id"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><div>short</div><footer>&amp; example.org</footer>" +
+          "</body></html>")), "UTF-8").as("body"))
+    val archives = graft.sources.WebArchive.buildWarcArchives(pages)
+    val recs = graft.sources.WebArchive.warcRecords(
+      graft.sources.WebArchive.expandGzipMembers(archives))
+    graft.operators.Html.extractMainText(
+      recs.filter(col("quarantine").isNull)
+        .select(
+          expr("cast(regexp_extract(target_uri, 'doc/([0-9]+)', 1) as bigint)")
+            .as("doc_id"),
+          col("body").cast("string").as("html")),
+      "html", "main_text", minWords = 3)
+      .select("doc_id", "main_text")
+  }
+
   /** The q169/q170 merge table — memoized so train runs once per
     * Verify/Bench pass whichever of the two consumers goes first. */
   val BpeNumMerges = 16
@@ -1526,6 +1562,7 @@ object TextQueries {
       bpeMerges(spark, dir))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_crawl_pipeline" -> (q179CrawlPipeline _),
     "q178_html_extract" -> (q178HtmlExtract _),
     "q177_warc_assets" -> (q177WarcAssets _),
     "q176_wet_member_index" -> (q176WetMemberIndex _),
@@ -1646,6 +1683,12 @@ object TextQueries {
     // regex step leaked markup or sheared content, main_text would not
     // hash-match the corpus (the q168 round-trip convention)
     "q178_html_extract" ->
+      "SELECT doc_id, text AS main_text FROM documents",
+
+    // the complete crawl ingest (gzip codec -> WARC byte split -> HTML
+    // extraction) under ONE identity: any sheared byte anywhere in the
+    // chain fails the hash
+    "q179_crawl_pipeline" ->
       "SELECT doc_id, text AS main_text FROM documents",
 
     // route and magic-prefix length are pure functions of doc_id % 4,
