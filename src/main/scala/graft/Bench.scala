@@ -197,9 +197,11 @@ object Bench {
       // per-query numbers are not comparable round-over-round (they
       // read another query's materialized work). The total stays
       // honest either way — this is per-query attribution metadata.
+      // ONE comma-joined string, not a JSON array: ~2 B/id cheaper,
+      // and at 179 queries the tail budget is counted in tens of bytes.
       val memo = if (withMemo) names.filter(memoTagged) else Nil
       if (memo.nonEmpty)
-        opt ++= s""","memo":${memo.map("\"" + id(_) + "\"").mkString("[", ",", "]")}"""
+        opt ++= s""","memo":"${memo.map(id).mkString(",")}""""
       s"""{"metric":"total","value":${secs(total)},"unit":"sec","qunit":"$unit","queries":$qs,"canary":${f(canary)}$opt,"passes":$passes,"sf":"$sf"}"""
     }
     // The ceiling is MEASURED, not guessed: the driver stores the last
@@ -210,8 +212,9 @@ object Bench {
     // newline or a stray shutdown byte. The ladder sheds the memo
     // ATTRIBUTION field before it sheds ms RESOLUTION: a coarse timing
     // hurts every round-over-round comparison, a missing memo list
-    // only the tagged queries' (r12: the full line measured 1931 B —
-    // 48 B of slack, one slow round from overflow).
+    // only the tagged queries' (r12: the full line measured 1953 B at
+    // 179 queries with the comma-joined memo string — the JSON-array
+    // form had left 4 B of slack).
     Iterator(("ms", true), ("ms", false), ("s", true))
       .map { case (u, m) => build(u, m) }
       .find(_.length < 1980).getOrElse(build("s", withMemo = false))
