@@ -183,12 +183,19 @@ object Memo {
       frame
     }
 
-  /** Unpersist and forget every entry of this session. */
+  /** Unpersist and forget every entry of this session. The hit
+    * counter survives deliberately — Bench diffs snapshots across its
+    * clear() calls between passes; the counter is a few longs and
+    * dies with the app ([[dropAll]]). */
   def clear(spark: SparkSession): Unit = synchronized {
     perSession.remove(sid(spark))
       .foreach(_.values.foreach(_.unpersist(blocking = false)))
   }
 
-  /** Context is gone: blocks are already freed, just drop the refs. */
-  private def dropAll(): Unit = synchronized { perSession.clear() }
+  /** Context is gone: blocks are already freed, just drop the refs
+    * (hit counters included — their sids can never recur). */
+  private def dropAll(): Unit = synchronized {
+    perSession.clear()
+    hitCounts.clear()
+  }
 }

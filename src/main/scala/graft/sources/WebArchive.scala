@@ -288,8 +288,11 @@ object WebArchive {
     * through only when `conversionOnly` is false. */
   def wetDocuments(archives: DataFrame, conversionOnly: Boolean = true,
                    pathCol: String = "archive",
-                   payloadCol: String = "payload"): DataFrame = {
-    val recs = wetRecords(expandGzipMembers(archives, pathCol, payloadCol))
+                   payloadCol: String = "payload",
+                   maxMemberBytes: Long = graft.functions.GzipArchiveCore.MaxMemberBytes,
+                   maxTotalBytes: Long = graft.functions.GzipArchiveCore.MaxTotalBytes): DataFrame = {
+    val recs = wetRecords(expandGzipMembers(archives, pathCol, payloadCol,
+      maxMemberBytes, maxTotalBytes))
     if (conversionOnly)
       recs.filter(col("quarantine").isNotNull ||
         col("warc_type") === "conversion")

@@ -289,13 +289,27 @@ object CorpusIngest {
                                 pinned: DataFrame)
 
   def archiveBatchDocs(archiveFiles: DataFrame,
-                       docId: Option[org.apache.spark.sql.Column] = None): ArchiveBatch = {
+                       docId: Option[org.apache.spark.sql.Column] = None,
+                       maxMemberBytes: Long = graft.functions.GzipArchiveCore.MaxMemberBytes,
+                       maxTotalBytes: Long = graft.functions.GzipArchiveCore.MaxTotalBytes,
+                       sliced: Boolean = false): ArchiveBatch = {
     import org.apache.spark.sql.functions.{col, xxhash64}
+    val arch = archiveFiles
+      .select(col("path").as("archive"), col("content").as("payload"))
     // pinned: the gzip inflation + WARC parse feed the dead-letter
     // write AND processBatch's several actions — unpinned, each action
-    // would re-inflate every archive
-    val recs = graft.sources.WebArchive.wetDocuments(
-      archiveFiles.select(col("path").as("archive"), col("content").as("payload")))
+    // would re-inflate every archive.
+    // `sliced` routes through the offset-splittable path: the member
+    // index + per-member slices, so the caps bind PER SLICE and a
+    // bigger-than-budget crawl file ingests completely on the
+    // STREAMING leg too (same contract as the batch
+    // wetDocumentsSliced).
+    val recs = (if (sliced)
+      graft.sources.WebArchive.wetDocumentsSliced(arch,
+        maxMemberBytes = maxMemberBytes, maxTotalBytes = maxTotalBytes)
+    else
+      graft.sources.WebArchive.wetDocuments(arch,
+        maxMemberBytes = maxMemberBytes, maxTotalBytes = maxTotalBytes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val id = docId.getOrElse(xxhash64(col("archive"), col("member_offset")))
     val docs = recs.filter(col("quarantine").isNull)
@@ -323,7 +337,10 @@ object CorpusIngest {
                     minQuality: Double = 0.5, maxTopBigramRatio: Double = 0.2,
                     langs: Seq[String] = Seq("en"),
                     k: Int = 3, numHashes: Int = 16, bands: Int = 4,
-                    threshold: Double = 0.6): StreamingQuery =
+                    threshold: Double = 0.6,
+                    maxMemberBytes: Long = graft.functions.GzipArchiveCore.MaxMemberBytes,
+                    maxTotalBytes: Long = graft.functions.GzipArchiveCore.MaxTotalBytes,
+                    sliced: Boolean = false): StreamingQuery =
     spark.readStream
       .format("binaryFile")
       // binaryFile's schema is FIXED by the source, but the streaming
@@ -341,7 +358,8 @@ object CorpusIngest {
       .load(inDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val ab = archiveBatchDocs(batch)
+        val ab = archiveBatchDocs(batch, None, maxMemberBytes,
+          maxTotalBytes, sliced)
         ab.quarantine.write.mode("overwrite")
           .parquet(s"$outDir/quarantine/ingest_batch=$id")
         processBatch(ab.docs, outDir, id, minTokens, maxTokens,

@@ -332,6 +332,43 @@ class Round12Spec extends AnyFunSuite {
       == corpus.count())
   }
 
+  test("startArchives sliced: a bigger-than-budget archive ingests fully on the streaming leg too") {
+    import graft.streaming.CorpusIngest
+    val inDir = java.nio.file.Files.createTempDirectory("graft_wets_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_wets_out").toString
+
+    // one source's 25 fixture docs as ONE archive (~10 KB decompressed);
+    // a 2000-byte per-row budget truncates the whole-file path after a
+    // few members but binds PER SLICE on the sliced path
+    val docs = Tables.documents(spark, SparkTestSession.sf)
+      .filter($"doc_id" < 500).limit(500)
+    val src = docs.select($"source").first().getString(0)
+    val one = docs.filter($"source" === src).select("doc_id", "source", "text")
+    val payload = graft.sources.WebArchive.buildWetArchives(one)
+      .as[(String, Array[Byte])].first()._2
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(inDir, s"$src.warc.wet.gz"), payload)
+
+    // whole-file at this budget: provably truncates
+    val whole = graft.sources.WebArchive.wetDocuments(
+      Seq((src, payload)).toDF("archive", "payload"), maxTotalBytes = 2000L)
+    assert(whole.filter($"quarantine".isNotNull).count() == 1)
+    assert(whole.filter($"quarantine".isNull).count() < one.count())
+
+    CorpusIngest.startArchives(spark, inDir, outDir,
+      maxTotalBytes = 2000L, sliced = true).awaitTermination()
+    val corpus = CorpusIngest.readCorpus(spark, s"$outDir/corpus").get
+    // stream ≡ batch at the same dials, and NOTHING quarantined
+    val ab = CorpusIngest.archiveBatchDocs(
+      spark.read.format("binaryFile").load(inDir),
+      maxTotalBytes = 2000L, sliced = true)
+    val expected = graft.operators.Dedup.dedupCorpus(
+      ab.docs.join(graft.operators.TextAnalysis.cleanCorpus(ab.docs)
+        .select("doc_id"), Seq("doc_id"), "left_semi"))
+    assert(corpus.count() == expected.count() && expected.count() > 0)
+    assert(spark.read.parquet(s"$outDir/quarantine").isEmpty)
+  }
+
   // -------------------------------------------------- HTML text extraction
 
   test("Html.htmlToText: scripts/styles/comments die with their content, lines survive, entities decode") {
