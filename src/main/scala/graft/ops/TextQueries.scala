@@ -1520,6 +1520,33 @@ object TextQueries {
       .select("doc_id", "main_text")
   }
 
+  /** Domain governance under the oracle gate — per-domain corpus
+    * accounting + blocklist flags ([[graft.operators.Domains]], the
+    * C4-style stage between ingest and training): deterministic URIs
+    * built over the documents table exercise userinfo stripping, port
+    * stripping, subdomain → registrable-domain reduction, and
+    * malformed-URI nulls; the DuckDB oracle replays the exact
+    * construction + extraction regex chain, so host surgery is
+    * cross-engine-certified, not pinned. Blocklist semantics (domain
+    * `src0.org` bans www./cdn. subdomains too; exact host
+    * `cdn.src1.org` bans only itself) surface as the `blocked`
+    * column; [[graft.operators.Domains.filterBlocked]]'s anti-join ≡
+    * this flag is spec-pinned. */
+  def q180DomainStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        expr("CASE pmod(doc_id, 4) " +
+          "WHEN 0 THEN concat('https://crawler@www.', source, " +
+          "'.org:8443/p/', doc_id, '?q=1') " +
+          "WHEN 1 THEN concat('http://', source, '.org/p/', doc_id) " +
+          "WHEN 2 THEN concat('https://cdn.', source, '.org/img/', doc_id) " +
+          "ELSE concat('notauri ', doc_id) END").as("uri"))
+    graft.operators.Domains.domainStats(docs)
+      .withColumn("blocked",
+        coalesce(col("domain") === "src0.org", lit(false)) ||
+          coalesce(col("host") === "cdn.src1.org", lit(false)))
+  }
+
   /** The q169/q170 merge table — memoized so train runs once per
     * Verify/Bench pass whichever of the two consumers goes first. */
   val BpeNumMerges = 16
@@ -1562,6 +1589,7 @@ object TextQueries {
       bpeMerges(spark, dir))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_domain_stats" -> (q180DomainStats _),
     "q179_crawl_pipeline" -> (q179CrawlPipeline _),
     "q178_html_extract" -> (q178HtmlExtract _),
     "q177_warc_assets" -> (q177WarcAssets _),
@@ -1690,6 +1718,34 @@ object TextQueries {
     // chain fails the hash
     "q179_crawl_pipeline" ->
       "SELECT doc_id, text AS main_text FROM documents",
+
+    // the URI construction AND the host/domain extraction regexes are
+    // replayed verbatim (RE2 ∩ Java dialect); coalesce() normalizes
+    // the engines' no-match conventions before nullif
+    "q180_domain_stats" ->
+      """WITH u AS (SELECT doc_id, text,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'https://crawler@www.' || source || '.org:8443/p/'
+        |                || doc_id || '?q=1'
+        |    WHEN 1 THEN 'http://' || source || '.org/p/' || doc_id
+        |    WHEN 2 THEN 'https://cdn.' || source || '.org/img/' || doc_id
+        |    ELSE 'notauri ' || doc_id END AS uri
+        |  FROM documents),
+        |h AS (SELECT doc_id, text,
+        |  lower(nullif(coalesce(regexp_extract(
+        |    coalesce(regexp_extract(uri,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), ''),
+        |    '^(?:[^@]*@)?([^:]+)', 1), ''), '')) AS host
+        |  FROM u),
+        |d AS (SELECT doc_id, text, host,
+        |  nullif(coalesce(regexp_extract(host, '([^.]+\.[^.]+)$', 1), ''), '')
+        |    AS domain
+        |  FROM h)
+        |SELECT host, domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  coalesce(domain = 'src0.org', false)
+        |    OR coalesce(host = 'cdn.src1.org', false) AS blocked
+        |FROM d GROUP BY host, domain""".stripMargin,
 
     // route and magic-prefix length are pure functions of doc_id % 4,
     // body bytes = magic + text bytes — so the whole multimodal

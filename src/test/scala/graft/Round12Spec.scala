@@ -369,6 +369,38 @@ class Round12Spec extends AnyFunSuite {
     assert(spark.read.parquet(s"$outDir/quarantine").isEmpty)
   }
 
+  // ---------------------------------------------------- domain governance
+
+  test("Domains: host surgery handles userinfo/port/malformed URIs; filterBlocked matches the flag") {
+    import graft.operators.Domains
+    val uris = Seq(
+      (1L, "https://crawler@www.a.org:8443/p/1?q=1", "w x y"),
+      (2L, "http://a.org/p/2", "w x"),
+      (3L, "https://cdn.b.org/img/3", "w"),
+      (4L, "notauri 4", "w x y z"),
+      (5L, "HTTPS://WWW.A.ORG/caps", "w")).toDF("doc_id", "uri", "text")
+    val hosts = uris.select($"doc_id", Domains.uriHost($"uri").as("h"))
+      .as[(Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(hosts == Seq((1L, Some("www.a.org")), (2L, Some("a.org")),
+      (3L, Some("cdn.b.org")), (4L, None), (5L, Some("www.a.org"))))
+
+    // blocking domain a.org removes hosts www.a.org AND a.org;
+    // blocking exact host cdn.b.org removes only it
+    val bl = Seq("a.org", "cdn.b.org").toDF("blocked")
+    val kept = Domains.filterBlocked(uris, bl)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(4L)) // only the malformed-URI doc survives
+
+    // and the anti-join agrees with the stats frame's flag semantics
+    val stats = Domains.domainStats(uris)
+      .withColumn("blocked",
+        coalesce($"domain" === "a.org", lit(false)) ||
+          coalesce($"host" === "cdn.b.org", lit(false)))
+    val blockedDocs = stats.filter($"blocked").agg(sum($"n_docs"))
+      .as[Long].first()
+    assert(blockedDocs == 4L)
+  }
+
   // -------------------------------------------------- HTML text extraction
 
   test("Html.htmlToText: scripts/styles/comments die with their content, lines survive, entities decode") {
