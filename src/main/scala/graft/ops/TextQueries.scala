@@ -609,6 +609,56 @@ object TextQueries {
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
 
+  /** Synchronous label-propagation iterations for community
+    * detection (Raghavan et al. 2007) — completes the graph family
+    * (q39 CC = connectivity, q101 PageRank = centrality, q118
+    * triangles = cohesion; LPA = mesoscale structure, the "which
+    * topical cluster" signal mixing and near-dup triage consume).
+    * Deterministic synchronous variant: every node simultaneously
+    * adopts the most frequent label among its NEIGHBORS (count desc,
+    * label asc — a total order, so the fixed-point-free oscillation
+    * classic async LPA avoids by randomization is here simply
+    * deterministic and the oracle unrolls the fixed iteration count,
+    * the q101 convention). Labels init to the node's own term. Each
+    * iteration is one edge join + one combinable count + one
+    * `min_by((−count, label))` argmax — |edges|-row shuffles, and the
+    * capped edge build keeps |edges| ∝ docs. */
+  val LpaIters = 4
+
+  def lpaCommunities(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be positive, got $iters")
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v"))
+    for (_ <- 1 to iters) {
+      labels = edges
+        .join(labels.select(col("v").as("dst"), col("lbl")), "dst")
+        .groupBy(col("src"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("src").as("v"))
+        .agg(min_by(col("lbl"),
+          struct((-col("c")).as("nc"), col("lbl"))).as("lbl"))
+    }
+    labels
+  }
+
+  /** Community sizes after [[LpaIters]] rounds over the q101 capped
+    * co-occurrence graph: (community = the surviving label, n_terms).
+    * The oracle replays every round as unrolled MATERIALIZED CTEs —
+    * what it certifies is the ALGEBRA (neighbor counts, argmax
+    * tie-breaks, the synchronous update), which on this fixture's
+    * deliberately tiny 31-token vocabulary collapses to one dense
+    * community (any community algorithm agrees there); the
+    * structure-recovery behavior is pinned by the hand-derived
+    * bridged-cliques spec. */
+  def q181LpaCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val e = Memo.of(spark, s"pr_edges:$dir:cap=$PageRankMaxTermsPerDoc") {
+      coOccurrenceEdges(Tables.documents(spark, dir), PageRankMaxTermsPerDoc)
+    }
+    lpaCommunities(e, LpaIters)
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_terms"))
+  }
+
   /** Inverted index with bounded posting heads: term → (df, first 40
     * doc ids) for df ≥ 3 — the hot-key cap lives on posting LENGTH via
     * the k-capped native aggregate (see [[TextAnalysis.invertedIndex]]
@@ -1589,6 +1639,7 @@ object TextQueries {
       bpeMerges(spark, dir))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_lpa_communities" -> (q181LpaCommunities _),
     "q180_domain_stats" -> (q180DomainStats _),
     "q179_crawl_pipeline" -> (q179CrawlPipeline _),
     "q178_html_extract" -> (q178HtmlExtract _),
@@ -1695,6 +1746,19 @@ object TextQueries {
        |  FROM wc),
        |${(0 until BpeNumMerges).map(bpeStageSql).mkString(",\n")}""".stripMargin
 
+  /** One synchronous LPA round of the q181 oracle: each node adopts
+    * its neighbors' most frequent label, count desc / label asc (the
+    * window evaluates AFTER the group-by, so `ORDER BY count(*)` is
+    * the per-(src,lbl) neighbor count — exactly Spark's
+    * `min_by((−c, lbl))`). */
+  private def lpaIterSql(prev: String, cur: String): String =
+    s"""$cur AS MATERIALIZED (SELECT src AS v, lbl FROM (
+       |  SELECT e.src, p.lbl,
+       |         row_number() OVER (PARTITION BY e.src
+       |                            ORDER BY count(*) DESC, p.lbl) AS rn
+       |  FROM e JOIN $prev p ON e.dst = p.v
+       |  GROUP BY e.src, p.lbl) WHERE rn = 1)""".stripMargin
+
   /** One PageRank iteration of the q101 oracle: rank_{k+1} from
     * rank_k, all integer floor division (see [[q101PageRank]]). */
   private def prIterSql(prev: String, cur: String): String =
@@ -1718,6 +1782,29 @@ object TextQueries {
     // chain fails the hash
     "q179_crawl_pipeline" ->
       "SELECT doc_id, text AS main_text FROM documents",
+
+    // the q101 edge prefix + every LPA round unrolled (q101's
+    // convention): argmax tie-breaks and the synchronous update are
+    // re-derived cross-engine, nothing pinned
+    "q181_lpa_communities" ->
+      s"""WITH tf AS (SELECT doc_id, term, count(*) AS tf
+         |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |                  FROM documents)
+         |            GROUP BY doc_id, term),
+         |t AS (SELECT doc_id, term FROM (
+         |        SELECT doc_id, term,
+         |               row_number() OVER (PARTITION BY doc_id
+         |                                  ORDER BY tf DESC, term) AS rk
+         |        FROM tf) WHERE rk <= ${TextQueries.PageRankMaxTermsPerDoc}),
+         |e AS (SELECT DISTINCT a.term AS src, b.term AS dst
+         |      FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.term != b.term),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS lbl FROM e),
+         |${lpaIterSql("l0", "l1")},
+         |${lpaIterSql("l1", "l2")},
+         |${lpaIterSql("l2", "l3")},
+         |${lpaIterSql("l3", "l4")}
+         |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_terms
+         |FROM l4 GROUP BY lbl""".stripMargin,
 
     // the URI construction AND the host/domain extraction regexes are
     // replayed verbatim (RE2 ∩ Java dialect); coalesce() normalizes

@@ -369,6 +369,22 @@ class Round12Spec extends AnyFunSuite {
     assert(spark.read.parquet(s"$outDir/quarantine").isEmpty)
   }
 
+  // ------------------------------------------------- LPA community detection
+
+  test("lpaCommunities: two bridged cliques resolve to their own communities (hand-derived)") {
+    // cliques {a,b,c} and {x,y,z} with bridge c—x; the deterministic
+    // synchronous rounds (most frequent neighbor label, count desc /
+    // label asc) hand-derive to communities {a,b,c}→'a' and
+    // {x,y,z}→'c' after 4 rounds
+    val und = Seq(("a","b"), ("a","c"), ("b","c"),
+      ("x","y"), ("x","z"), ("y","z"), ("c","x"))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = graft.ops.TextQueries.lpaCommunities(edges, 4)
+      .as[(String, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("a","a"), ("b","a"), ("c","a"),
+      ("x","c"), ("y","c"), ("z","c")))
+  }
+
   // ---------------------------------------------------- domain governance
 
   test("Domains: host surgery handles userinfo/port/malformed URIs; filterBlocked matches the flag") {
