@@ -17,12 +17,16 @@ object Domains {
 
   /** scheme://[userinfo@]host[:port]/… → lowercased host: authority
     * extracted up to the first `/?#`, userinfo and port stripped.
+    * Bracketed IPv6 hosts (`https://[::1]:8080/`) keep their brackets
+    * as one token — the naive `[^:]+` port-strip would truncate them
+    * at the first colon, so the bracket alternative comes FIRST.
     * Null/relative/malformed URIs yield null (no throw — crawl URIs
     * are untrusted input). */
   def uriHost(uri: Column): Column = {
     val auth = regexp_extract(uri, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
     // nullif: regexp_extract returns '' on no-match
-    lower(nullif(regexp_extract(auth, "^(?:[^@]*@)?([^:]+)", 1), lit("")))
+    lower(nullif(
+      regexp_extract(auth, "^(?:[^@]*@)?(\\[[^\\]]*\\]|[^:]+)", 1), lit("")))
   }
 
   /** Naive registrable domain: the host's last two labels

@@ -800,4 +800,51 @@ object TextAnalysis {
         // typed HOF, not SQL text — `text` is a caller-supplied name
         aggregate(split(col(text), " "), lit(7L),
           (acc, w) => xxhash64(acc, w)))
+
+  /** The published Gopher document-quality rules (Rae et al. 2021,
+    * Appendix A1.1) as one per-row expression pass — the industry-
+    * standard REJECTION filter this module's continuous quality score
+    * complements: word-count bounds, mean-word-length bounds,
+    * symbol-to-word ratio (`#` and `...`), alphabetic-word share, and
+    * the ≥ 2-stopword rule. All ratio comparisons are INTEGER
+    * cross-multiplications and the mean word length a permille
+    * integer, so every flag replays exactly in DuckDB (no float
+    * thresholds to drift). The paper's line-level bullet/ellipsis
+    * rules need multi-line documents and are omitted — documented,
+    * not silently skipped: this fixture is single-line and the line
+    * rules would be vacuously true.
+    *
+    * Output: per-doc integer evidence + one flag per rule + `pass`.
+    * Thresholds are the paper's (50 ≤ words ≤ 100k, 3 ≤ mean len ≤
+    * 10, symbols/words ≤ 0.1, alpha share ≥ 0.8, ≥ 2 of the 8
+    * canonical stopwords). */
+  def gopherFlags(docs: DataFrame, text: String = "text",
+                  minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val stops = "array('the','be','to','of','and','that','have','with')"
+    docs
+      .withColumn("_ws", expr(s"filter(split($text, ' '), _w -> _w != '')"))
+      .withColumn("n_words", size(col("_ws")).cast("long"))
+      .withColumn("_chars", expr(
+        "aggregate(_ws, 0L, (_a, _w) -> _a + char_length(_w))"))
+      .withColumn("mwl_permille",
+        when(col("n_words") > 0, expr("_chars * 1000L div n_words"))
+          .otherwise(lit(0L)))
+      .withColumn("_nsym", expr(
+        s"(char_length($text) - char_length(replace($text, '#', ''))) + " +
+          s"(char_length($text) - char_length(replace($text, '...', ''))) div 3"))
+      .withColumn("_nalpha", expr(
+        "cast(size(filter(_ws, _w -> _w rlike '[a-z]')) as long)"))
+      .withColumn("_nstop", expr(
+        s"cast(size(array_intersect(array_distinct(_ws), $stops)) as long)"))
+      .withColumn("words_ok",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("mwl_ok",
+        col("mwl_permille") >= 3000L && col("mwl_permille") <= 10000L)
+      .withColumn("sym_ok", expr("_nsym * 10L <= n_words"))
+      .withColumn("alpha_ok", expr("_nalpha * 10L >= n_words * 8L"))
+      .withColumn("stop_ok", col("_nstop") >= 2L)
+      .withColumn("pass", col("words_ok") && col("mwl_ok") &&
+        col("sym_ok") && col("alpha_ok") && col("stop_ok"))
+      .drop("_ws", "_chars", "_nsym", "_nalpha", "_nstop")
+  }
 }

@@ -1597,6 +1597,20 @@ object TextQueries {
           coalesce(col("host") === "cdn.src1.org", lit(false)))
   }
 
+  /** The published Gopher rejection rules per doc under the oracle
+    * gate ([[TextAnalysis.gopherFlags]] — Rae et al. 2021 A1.1):
+    * integer evidence + one flag per rule + the composite pass. On
+    * this synthetic fixture the stopword rule is uniformly false (the
+    * 31-token vocabulary contains only 'the' of the canonical 8) and
+    * the word-count bound splits the corpus at 50 — both replayed,
+    * not assumed; every ratio is an integer cross-multiplication so
+    * no float threshold can drift between engines. */
+  def q182GopherFilter(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.gopherFlags(
+      Tables.documents(spark, dir).select("doc_id", "text"))
+      .select("doc_id", "n_words", "mwl_permille", "words_ok", "mwl_ok",
+        "sym_ok", "alpha_ok", "stop_ok", "pass")
+
   /** The q169/q170 merge table — memoized so train runs once per
     * Verify/Bench pass whichever of the two consumers goes first. */
   val BpeNumMerges = 16
@@ -1639,6 +1653,7 @@ object TextQueries {
       bpeMerges(spark, dir))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_gopher_filter" -> (q182GopherFilter _),
     "q181_lpa_communities" -> (q181LpaCommunities _),
     "q180_domain_stats" -> (q180DomainStats _),
     "q179_crawl_pipeline" -> (q179CrawlPipeline _),
@@ -1783,6 +1798,41 @@ object TextQueries {
     "q179_crawl_pipeline" ->
       "SELECT doc_id, text AS main_text FROM documents",
 
+    // every Gopher rule re-derived: integer cross-multiplied ratios,
+    // permille mean word length, the 8-stopword intersection
+    "q182_gopher_filter" ->
+      """WITH w AS (SELECT doc_id, text,
+        |  list_filter(string_split(text, ' '), _w -> _w <> '') AS ws
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(coalesce(list_sum(list_transform(ws, _w -> length(_w))), 0)
+        |    AS BIGINT) AS chars,
+        |  CAST((length(text) - length(replace(text, '#', '')))
+        |    + (length(text) - length(replace(text, '...', ''))) // 3
+        |    AS BIGINT) AS nsym,
+        |  CAST(len(list_filter(ws, _w -> regexp_matches(_w, '[a-z]')))
+        |    AS BIGINT) AS nalpha,
+        |  CAST(len(list_intersect(list_distinct(ws),
+        |    ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+        |    AS nstop
+        |  FROM w)
+        |SELECT doc_id, n_words,
+        |  CAST(CASE WHEN n_words > 0 THEN chars * 1000 // n_words
+        |       ELSE 0 END AS BIGINT) AS mwl_permille,
+        |  n_words >= 50 AND n_words <= 100000 AS words_ok,
+        |  (CASE WHEN n_words > 0 THEN chars * 1000 // n_words ELSE 0 END)
+        |    BETWEEN 3000 AND 10000 AS mwl_ok,
+        |  nsym * 10 <= n_words AS sym_ok,
+        |  nalpha * 10 >= n_words * 8 AS alpha_ok,
+        |  nstop >= 2 AS stop_ok,
+        |  (n_words >= 50 AND n_words <= 100000)
+        |    AND ((CASE WHEN n_words > 0 THEN chars * 1000 // n_words
+        |          ELSE 0 END) BETWEEN 3000 AND 10000)
+        |    AND nsym * 10 <= n_words AND nalpha * 10 >= n_words * 8
+        |    AND nstop >= 2 AS pass
+        |FROM m""".stripMargin,
+
     // the q101 edge prefix + every LPA round unrolled (q101's
     // convention): argmax tie-breaks and the synchronous update are
     // re-derived cross-engine, nothing pinned
@@ -1822,7 +1872,7 @@ object TextQueries {
         |  lower(nullif(coalesce(regexp_extract(
         |    coalesce(regexp_extract(uri,
         |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), ''),
-        |    '^(?:[^@]*@)?([^:]+)', 1), ''), '')) AS host
+        |    '^(?:[^@]*@)?(\[[^\]]*\]|[^:]+)', 1), ''), '')) AS host
         |  FROM u),
         |d AS (SELECT doc_id, text, host,
         |  nullif(coalesce(regexp_extract(host, '([^.]+\.[^.]+)$', 1), ''), '')

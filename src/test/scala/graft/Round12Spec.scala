@@ -369,6 +369,35 @@ class Round12Spec extends AnyFunSuite {
     assert(spark.read.parquet(s"$outDir/quarantine").isEmpty)
   }
 
+  // ------------------------------------------------- Gopher quality rules
+
+  test("gopherFlags: each published rule rejects its own pathology, the clean doc passes") {
+    import graft.operators.TextAnalysis
+    val clean = (Seq("the", "be", "to") ++
+      Seq.fill(47)("words")).mkString(" ")           // 50 words, stops, alpha
+    val docs = Seq(
+      (1L, clean),                                   // pass
+      (2L, Seq.fill(10)("words").mkString(" ")),     // too few words
+      (3L, (Seq("the", "be") ++ Seq.fill(48)("ab")).mkString(" ")), // mwl 2000 < 3000
+      (4L, (Seq("the", "be") ++ Seq.fill(40)("words") ++
+        Seq.fill(8)("####")).mkString(" ")),         // symbol ratio
+      (5L, (Seq("the", "be") ++ Seq.fill(36)("words") ++
+        Seq.fill(12)("1234")).mkString(" ")),        // alpha share 40/50 = 0.8 ok; 38/50 fails
+      (6L, Seq.fill(50)("words").mkString(" ")))     // no stopwords
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherFlags(docs)
+      .select($"doc_id", $"words_ok", $"mwl_ok", $"sym_ok", $"alpha_ok",
+        $"stop_ok", $"pass")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    assert(got(0) == ((1L, true, true, true, true, true, true)))
+    assert(!got(1)._2 && !got(1)._7)             // word count
+    assert(!got(2)._3 && !got(2)._7)             // mean word length
+    assert(!got(3)._4 && !got(3)._7)             // symbols
+    assert(!got(4)._5 && !got(4)._7)             // alpha share 38/50 < 0.8
+    assert(!got(5)._6 && !got(5)._7)             // stopwords
+  }
+
   // ------------------------------------------------- LPA community detection
 
   test("lpaCommunities: two bridged cliques resolve to their own communities (hand-derived)") {
@@ -394,18 +423,23 @@ class Round12Spec extends AnyFunSuite {
       (2L, "http://a.org/p/2", "w x"),
       (3L, "https://cdn.b.org/img/3", "w"),
       (4L, "notauri 4", "w x y z"),
-      (5L, "HTTPS://WWW.A.ORG/caps", "w")).toDF("doc_id", "uri", "text")
+      (5L, "HTTPS://WWW.A.ORG/caps", "w"),
+      (6L, "https://[2001:DB8::1]:8443/v6", "w")).toDF("doc_id", "uri", "text")
     val hosts = uris.select($"doc_id", Domains.uriHost($"uri").as("h"))
       .as[(Long, Option[String])].collect().sortBy(_._1).toSeq
     assert(hosts == Seq((1L, Some("www.a.org")), (2L, Some("a.org")),
-      (3L, Some("cdn.b.org")), (4L, None), (5L, Some("www.a.org"))))
+      (3L, Some("cdn.b.org")), (4L, None), (5L, Some("www.a.org")),
+      // bracketed IPv6 survives the port strip intact (the naive
+      // [^:]+ form truncated it to "[")
+      (6L, Some("[2001:db8::1]"))))
 
     // blocking domain a.org removes hosts www.a.org AND a.org;
     // blocking exact host cdn.b.org removes only it
     val bl = Seq("a.org", "cdn.b.org").toDF("blocked")
     val kept = Domains.filterBlocked(uris, bl)
       .select($"doc_id").as[Long].collect().sorted.toSeq
-    assert(kept == Seq(4L)) // only the malformed-URI doc survives
+    // only the malformed-URI and IPv6 docs survive
+    assert(kept == Seq(4L, 6L))
 
     // and the anti-join agrees with the stats frame's flag semantics
     val stats = Domains.domainStats(uris)
