@@ -778,6 +778,27 @@ object TextQueries {
     TextAnalysis.lmMeanScore(
       Tables.documents(spark, dir), bigramModel(spark, dir))
 
+  /** Cross-corpus LM TRANSFER scoring — the deployment shape q151's
+    * scaladoc promises ("the model frame is built once from a
+    * reference corpus and reused across candidate sources"), now
+    * registered and gated: the bigram model trains on the REFERENCE
+    * half (even doc_id) and scores the HELD-OUT half it never saw —
+    * the actual CCNet workflow (score candidate crawl text under a
+    * trusted-corpus LM; self-scoring is only the bootstrap). Unseen
+    * transitions score 0, so out-of-reference docs sink — exactly the
+    * decontamination/quality-transfer signal. Same integer algebra as
+    * q151, so the oracle is q151's replay split by the same
+    * doc_id-parity predicate. */
+  def q183CrossLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val model = Memo.of(spark, s"bigramModelRef:$dir") {
+      TextAnalysis.bigramModel(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), minCount = 3L)
+    }
+    TextAnalysis.lmMeanScore(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), model)
+  }
+
   /** Tokenizer-vocabulary OOV audit ([[TextAnalysis.oovRate]]): per
     * (lang, source) stratum, the exact permille of tokens outside the
     * corpus top-1000 vocabulary — the coverage check run before
@@ -1653,6 +1674,7 @@ object TextQueries {
       bpeMerges(spark, dir))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_cross_lm_score" -> (q183CrossLmScore _),
     "q182_gopher_filter" -> (q182GopherFilter _),
     "q181_lpa_communities" -> (q181LpaCommunities _),
     "q180_domain_stats" -> (q180DomainStats _),
@@ -1797,6 +1819,37 @@ object TextQueries {
     // chain fails the hash
     "q179_crawl_pipeline" ->
       "SELECT doc_id, text AS main_text FROM documents",
+
+    // q151's replay with the model CTEs restricted to the reference
+    // half and the scored side to the held-out half
+    "q183_cross_lm_score" ->
+      """WITH dr AS (SELECT doc_id, string_split(text, ' ') AS w
+        |            FROM documents WHERE doc_id % 2 = 0),
+        |br AS (SELECT doc_id, unnest(list_transform(range(len(w) - 1),
+        |        i -> w[i+1] || ' ' || w[i+2])) AS pair
+        |      FROM dr WHERE len(w) >= 2),
+        |bbr AS (SELECT split_part(pair, ' ', 1) AS w1,
+        |          split_part(pair, ' ', 2) AS w2
+        |        FROM br),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |        FROM bbr GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+        |m AS (SELECT c12.w1, c12.w2,
+        |        CAST((c12.c12 * 1000000) // c1.c1 AS BIGINT) AS p_scaled
+        |      FROM c12 JOIN c1 USING (w1) WHERE c12.c12 >= 3),
+        |dh AS (SELECT doc_id, string_split(text, ' ') AS w
+        |       FROM documents WHERE doc_id % 2 = 1),
+        |bh AS (SELECT doc_id, unnest(list_transform(range(len(w) - 1),
+        |        i -> w[i+1] || ' ' || w[i+2])) AS pair
+        |       FROM dh WHERE len(w) >= 2),
+        |bbh AS (SELECT doc_id, split_part(pair, ' ', 1) AS w1,
+        |          split_part(pair, ' ', 2) AS w2
+        |        FROM bh)
+        |SELECT bbh.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(CAST(sum(coalesce(m.p_scaled, 0)) AS BIGINT) // count(*)
+        |    AS BIGINT) AS lm_score
+        |FROM bbh LEFT JOIN m ON bbh.w1 = m.w1 AND bbh.w2 = m.w2
+        |GROUP BY bbh.doc_id""".stripMargin,
 
     // every Gopher rule re-derived: integer cross-multiplied ratios,
     // permille mean word length, the 8-stopword intersection
