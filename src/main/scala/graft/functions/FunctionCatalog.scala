@@ -174,10 +174,14 @@ object FunctionCatalog {
         GzipMembers(exprs.head, mm, mt)
       }),
     FunctionDef("gzip_member_index",
-      "gzip_member_index(archive BINARY) -> array<struct<idx,offset,clen,ulen,err>>", classOf[GzipMemberIdx], { exprs =>
-        FunctionArgs.requireArity("gzip_member_index", exprs, 1,
-          "gzip_member_index(archive binary)")
-        GzipMemberIdx(exprs.head)
+      "gzip_member_index(archive BINARY[, max_ulen BIGINT]) -> array<struct<idx,offset,clen,ulen,err>>", classOf[GzipMemberIdx], { exprs =>
+        require(exprs.size >= 1 && exprs.size <= 2,
+          "gzip_member_index(archive binary[, max_ulen bigint])" +
+            s" — got ${exprs.size} args")
+        val mu = if (exprs.size >= 2)
+          FunctionArgs.foldableLong("gzip_member_index", exprs(1), "max_ulen")
+        else GzipArchiveCore.MaxIndexMemberBytes
+        GzipMemberIdx(exprs.head, mu)
       }),
     FunctionDef("warc_split",
       "warc_split(record BINARY) -> struct<hdr_end,headers,err>", classOf[WarcSplit], { exprs =>

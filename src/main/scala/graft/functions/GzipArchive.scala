@@ -50,6 +50,15 @@ object GzipArchiveCore {
     * allocation whatever the member count. */
   val MaxTotalBytes: Long = 1024L * 1024 * 1024
 
+  /** Per-member decompressed ceiling for the PAYLOAD-FREE index pass.
+    * Memory there is constant regardless, but CPU is not: a crafted
+    * bomb member (KBs compressed, TBs decompressed) would spin one
+    * indexing task for hours. Far looser than [[MaxMemberBytes]] —
+    * the index pass exists precisely to admit archives the whole-file
+    * budget rejects — but finite, so untrusted crawl input cannot buy
+    * unbounded CPU with a constant-size payload. */
+  val MaxIndexMemberBytes: Long = 64L * 1024 * 1024 * 1024
+
   val memberSchema: StructType = StructType(Seq(
     StructField("idx", IntegerType, nullable = false),
     StructField("offset", LongType, nullable = false),
@@ -193,9 +202,16 @@ object GzipArchiveCore {
     * pass needs no bomb caps: there is no allocation for a bomb to
     * blow up. A multi-GiB-decompressed archive that [[members]] would
     * cap-quarantine indexes fine here; the caps then apply per SLICE
-    * on the fan-out read. Corruption quarantines the remainder as one
-    * err row, same contract as [[members]]. */
-  def memberIndex(bytes: Array[Byte]): GenericArrayData = {
+    * on the fan-out read. The one cap that DOES apply is the CPU-side
+    * bomb ceiling `maxUlen` (default [[MaxIndexMemberBytes]]): memory
+    * is constant whatever the member inflates to, but the inflate
+    * LOOP is not, so a member past the ceiling quarantines the
+    * remainder like any other corruption. Corruption quarantines the
+    * remainder as one err row, same contract as [[members]]. */
+  def memberIndex(bytes: Array[Byte]): GenericArrayData =
+    memberIndex(bytes, MaxIndexMemberBytes)
+
+  def memberIndex(bytes: Array[Byte], maxUlen: Long): GenericArrayData = {
     val out = scala.collection.mutable.ArrayBuffer.empty[GenericInternalRow]
     var pos = 0
     var idx = 0
@@ -223,7 +239,11 @@ object GzipArchiveCore {
               catch { case _: DataFormatException =>
                 failed = "corrupt DEFLATE stream"; 0 }
             if (failed == null) {
-              if (n > 0) { crc.update(buf, 0, n); ulen += n }
+              if (n > 0) {
+                crc.update(buf, 0, n); ulen += n
+                if (ulen > maxUlen)
+                  failed = s"member exceeds $maxUlen decompressed bytes (index cap)"
+              }
               else if (inf.finished()) done = true
               else failed = "truncated DEFLATE stream"
             }
@@ -323,26 +343,32 @@ object GzipMembers {
     FunctionCatalog.register(spark, "gzip_members", classOf[GzipMembers])
 }
 
-/** `gzip_member_index(binary) -> array<struct<idx,offset,clen,ulen,err>>`
-  * — payload-free streaming member index (constant memory; see
-  * [[GzipArchiveCore.memberIndex]]). */
-case class GzipMemberIdx(child: Expression) extends UnaryExpression {
+/** `gzip_member_index(binary[, max_ulen]) ->
+  * array<struct<idx,offset,clen,ulen,err>>` — payload-free streaming
+  * member index (constant memory; see
+  * [[GzipArchiveCore.memberIndex]]); `max_ulen` is the CPU-side bomb
+  * ceiling, default [[GzipArchiveCore.MaxIndexMemberBytes]]. */
+case class GzipMemberIdx(child: Expression,
+                         maxUlen: Long = GzipArchiveCore.MaxIndexMemberBytes)
+  extends UnaryExpression {
   override def dataType: DataType =
     ArrayType(GzipArchiveCore.indexSchema, containsNull = false)
   override def nullable: Boolean = child.nullable
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case BinaryType if maxUlen > 0 => TypeCheckResult.TypeCheckSuccess
+    case BinaryType => TypeCheckResult.TypeCheckFailure(
+      s"gzip_member_index max_ulen must be positive, got $maxUlen")
     case other => TypeCheckResult.TypeCheckFailure(
       s"gzip_member_index requires binary, got $other")
   }
 
   override def nullSafeEval(input: Any): Any =
-    GzipArchiveCore.memberIndex(input.asInstanceOf[Array[Byte]])
+    GzipArchiveCore.memberIndex(input.asInstanceOf[Array[Byte]], maxUlen)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.GzipArchiveCore.memberIndex($c);")
+      s"${ev.value} = graft.functions.GzipArchiveCore.memberIndex($c, ${maxUlen}L);")
 
   override protected def withNewChildInternal(newChild: Expression): GzipMemberIdx =
     copy(child = newChild)

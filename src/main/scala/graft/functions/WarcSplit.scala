@@ -17,14 +17,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *    version line) — else err `not a WARC record`;
   *  - the header block ends at the first CRLFCRLF — absent, err
   *    `no header terminator`;
-  *  - every header byte must be < 0x80 (WARC permits UTF-8 header
-  *    VALUES, but a multi-byte char makes char-index ≠ byte-offset and
-  *    a downstream slice would silently shear the body) — else err
-  *    `non-ASCII header`;
+  *  - the header bytes must be VALID UTF-8 (WARC/1.0 §4 permits UTF-8
+  *    header values — e.g. a non-ASCII WARC-Target-URI — and they are
+  *    safe here because `hdr_end` is a BYTE offset consumed by a
+  *    BINARY substring, so multi-byte chars can never shear the body
+  *    slice; only undecodable bytes, which would corrupt every
+  *    downstream regex over the header text, quarantine) — else err
+  *    `invalid UTF-8 in header`;
   *  - on success: `hdr_end` = the 1-BASED byte position of the CRLF
   *    CRLF (drop-in for the old `instr(s, …)` contract: headers =
   *    bytes [0, hdr_end-1), body starts at byte hdr_end+4), plus the
-  *    headers decoded as a (provably ASCII ⇒ valid UTF-8) string.
+  *    headers decoded as a (validated) UTF-8 string.
   */
 object WarcSplitCore {
 
@@ -51,12 +54,9 @@ object WarcSplitCore {
       else i += 1
     }
     if (end < 0) return row(null, null, "no header terminator")
-    var j = 0
-    while (j < end) {
-      if ((bytes(j) & 0x80) != 0) return row(null, null, "non-ASCII header")
-      j += 1
-    }
-    row(end + 1, UTF8String.fromBytes(bytes, 0, end), null)
+    val headers = UTF8String.fromBytes(bytes, 0, end)
+    if (!headers.isValid) return row(null, null, "invalid UTF-8 in header")
+    row(end + 1, headers, null)
   }
 }
 

@@ -20,23 +20,162 @@ object Domains {
     * Bracketed IPv6 hosts (`https://[::1]:8080/`) keep their brackets
     * as one token — the naive `[^:]+` port-strip would truncate them
     * at the first colon, so the bracket alternative comes FIRST.
+    * A single trailing dot (the DNS-root FQDN form `blocked.org.` —
+    * resolves identically to `blocked.org` and would otherwise evade
+    * every host/domain key, blocklists included) is stripped.
     * Null/relative/malformed URIs yield null (no throw — crawl URIs
     * are untrusted input). */
   def uriHost(uri: Column): Column = {
     val auth = regexp_extract(uri, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
     // nullif: regexp_extract returns '' on no-match
-    lower(nullif(
-      regexp_extract(auth, "^(?:[^@]*@)?(\\[[^\\]]*\\]|[^:]+)", 1), lit("")))
+    lower(nullif(regexp_replace(
+      regexp_extract(auth, "^(?:[^@]*@)?(\\[[^\\]]*\\]|[^:]+)", 1),
+      "\\.$", ""), lit("")))
   }
 
   /** Naive registrable domain: the host's last two labels
-    * (`cdn.example.org` → `example.org`). DOCUMENTED approximation —
-    * the exact answer needs the public-suffix list (`co.uk` has three
-    * registrable labels); the two-label form is what a blocklist
-    * keyed on registrable domains matches against, and swapping in a
-    * PSL lookup changes only this Column. */
+    * (`cdn.example.org` → `example.org`). Kept as the zero-knowledge
+    * FALLBACK (it is exactly the PSL's default `*` rule applied
+    * everywhere); [[registrableDomainPsl]] is the production form. */
   def registrableDomain(host: Column): Column =
     nullif(regexp_extract(host, "([^.]+\\.[^.]+)$", 1), lit(""))
+
+  /** Public-suffix-list rules, grouped by label count so the matcher
+    * is a fixed when-chain of set probes (longest effective suffix
+    * first). Semantics per the published PSL algorithm
+    * (publicsuffix.org/list): exception rules (`!www.ck`) beat
+    * everything; otherwise the longest matching rule wins; a wildcard
+    * `*.ck` matches any single label in the starred position; no
+    * match falls through to the default rule `*` (the TLD itself is
+    * the suffix — i.e. the two-label [[registrableDomain]]). The rule
+    * sets compile to `isin` probes (Catalyst folds >10 literals to a
+    * hashed InSet), so even the full ~15k-entry public list is one
+    * map-side hash lookup per row — broadcast-by-literal, no join, no
+    * shuffle. */
+  case class PslRules(normal: Map[Int, Seq[String]],
+                      wildcard: Map[Int, Seq[String]],
+                      exception: Map[Int, Seq[String]]) {
+    /** Effective public-suffix label count for `host` (labels =
+      * pre-split host). Returned as a when-chain Column. */
+    private[operators] def suffixLen(labels: Column, n: Column): Column = {
+      def sufK(i: Int): Column =
+        when(n >= i, array_join(slice(labels, n - lit(i) + 1, lit(i)), "."))
+      // exceptions first (PSL: they override all other rules), longest
+      // rule first within each class; then normals/wildcards by
+      // effective suffix length, longest first
+      val excArms = exception.keys.toSeq.sorted.reverse.map { e =>
+        (sufK(e).isin(exception(e): _*), lit(e - 1))
+      }
+      val lenArms = {
+        val effLens =
+          (normal.keys ++ wildcard.keys.map(_ + 1)).toSeq.distinct.sorted.reverse
+        effLens.map { s =>
+          val viaNormal = normal.get(s).map(sufK(s).isin(_: _*))
+          val viaWild = wildcard.get(s - 1).map(sufK(s - 1).isin(_: _*))
+          val cond = (viaNormal.toSeq ++ viaWild.toSeq).reduce(_ || _)
+          (cond, lit(s))
+        }
+      }
+      (excArms ++ lenArms).foldRight(lit(1): Column) { case ((c, v), acc) =>
+        when(c, v).otherwise(acc)
+      }
+    }
+  }
+
+  object PslRules {
+    /** Parse the publicsuffix.org list format: `//` comments and
+      * blanks skipped, `!rule` = exception, `*.base` = wildcard
+      * (keyed by the base), else a normal rule. Only the ICANN/private
+      * distinction is ignored — both sections carry registrability
+      * semantics. Pass the full published file's lines here to swap
+      * the embedded subset for the real thing (≈15k rules → one
+      * InSet probe per label count, still zero-shuffle). */
+    def fromLines(lines: Iterable[String]): PslRules = {
+      val rules = lines.iterator.map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("//"))
+        .map(_.takeWhile(!_.isWhitespace)).filter(_.nonEmpty).toSeq
+      def labels(s: String) = s.count(_ == '.') + 1
+      val (exc, rest) = rules.partition(_.startsWith("!"))
+      val (wild, norm) = rest.partition(_.startsWith("*."))
+      PslRules(
+        normal = norm.groupBy(labels).map { case (k, v) => k -> v },
+        wildcard = wild.map(_.drop(2)).groupBy(labels)
+          .map { case (k, v) => k -> v },
+        exception = exc.map(_.drop(1)).groupBy(labels)
+          .map { case (k, v) => k -> v })
+    }
+
+    /** Embedded SUBSET of the public suffix list — the most common
+      * ccTLD second-level registries plus the canonical wildcard /
+      * exception examples, enough that `co.uk`-family hosts reduce to
+      * the right registrable domain out of the box. DOCUMENTED
+      * subset, not the full list (the full file is public data;
+      * production loads it via [[fromLines]]). */
+    val embedded: PslRules = fromLines(EmbeddedPsl)
+  }
+
+  /** The embedded rule subset, verbatim PSL syntax (one rule per
+    * line, publicsuffix.org format) so [[PslRules.fromLines]] is the
+    * single parser for both the subset and the real file. */
+  val EmbeddedPsl: Seq[String] = Seq(
+    // gTLD-style two-label registries
+    "co.uk", "org.uk", "net.uk", "ac.uk", "gov.uk", "ltd.uk", "plc.uk",
+    "me.uk", "sch.uk", "nhs.uk", "police.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
+    "gr.jp", "lg.jp",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    "geek.nz", "gen.nz", "kiwi.nz", "maori.nz",
+    "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "co.in", "net.in", "org.in", "gov.in", "ac.in", "res.in", "edu.in",
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "gen.tr", "web.tr",
+    "com.sg", "net.sg", "org.sg", "gov.sg", "edu.sg",
+    "co.kr", "ne.kr", "or.kr", "go.kr", "ac.kr", "re.kr", "pe.kr",
+    "com.tw", "net.tw", "org.tw", "gov.tw", "edu.tw", "idv.tw",
+    "com.hk", "net.hk", "org.hk", "gov.hk", "edu.hk", "idv.hk",
+    "co.il", "net.il", "org.il", "gov.il", "ac.il", "muni.il",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
+    "com.ua", "net.ua", "org.ua", "gov.ua", "edu.ua",
+    "co.th", "net.th", "or.th", "ac.th", "go.th", "in.th",
+    "co.id", "net.id", "or.id", "ac.id", "go.id", "web.id", "sch.id",
+    "com.my", "net.my", "org.my", "gov.my", "edu.my",
+    "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph",
+    "com.vn", "net.vn", "org.vn", "gov.vn", "edu.vn", "ac.vn",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke",
+    "com.ng", "net.ng", "org.ng", "gov.ng", "edu.ng",
+    "com.eg", "net.eg", "org.eg", "gov.eg", "edu.eg",
+    "com.sa", "net.sa", "org.sa", "gov.sa", "edu.sa", "med.sa", "sch.sa",
+    // private-section style (delegated hosting suffixes)
+    "github.io", "gitlab.io", "blogspot.com", "herokuapp.com",
+    // wildcard TLDs + the canonical exceptions
+    "*.bd", "*.ck", "*.er", "*.fk", "*.jm", "*.kh", "*.mm", "*.np",
+    "*.pg", "!www.ck",
+    // a representative city wildcard family (JP geographic)
+    "*.kawasaki.jp", "*.kitakyushu.jp", "*.kobe.jp", "*.nagoya.jp",
+    "*.sapporo.jp", "*.sendai.jp", "*.yokohama.jp",
+    "!city.kawasaki.jp", "!city.kitakyushu.jp", "!city.kobe.jp",
+    "!city.nagoya.jp", "!city.sapporo.jp", "!city.sendai.jp",
+    "!city.yokohama.jp")
+
+  /** PSL-aware registrable domain: the public suffix plus one label,
+    * null when the host IS a public suffix (or null). Examples:
+    * `cdn.example.co.uk` → `example.co.uk`; `foo.bar.ck` →
+    * `foo.bar.ck` (`*.ck` makes `bar.ck` itself the suffix);
+    * `www.ck` → `www.ck` (exception rule). Pure per-row expression
+    * work — the rule sets are InSet probes, so this scales as the
+    * scan does. */
+  def registrableDomainPsl(host: Column,
+                           rules: PslRules = PslRules.embedded): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val l = rules.suffixLen(labels, n)
+    when(host.isNotNull && (n > l),
+      array_join(slice(labels, n - l, l + lit(1)), "."))
+  }
 
   /** Per-host corpus accounting: (host, domain, n_docs, n_tokens) —
     * the frame quota/mixing policies and over-crawl audits read. One
@@ -45,7 +184,7 @@ object Domains {
                   textCol: String = "text"): DataFrame =
     docs
       .withColumn("host", uriHost(col(uriCol)))
-      .withColumn("domain", registrableDomain(col("host")))
+      .withColumn("domain", registrableDomainPsl(col("host")))
       .groupBy("host", "domain")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"))
@@ -61,7 +200,7 @@ object Domains {
     val bl = broadcast(blocklist.select(col("blocked")).distinct())
     docs
       .withColumn("_host", uriHost(col(uriCol)))
-      .withColumn("_dom", registrableDomain(col("_host")))
+      .withColumn("_dom", registrableDomainPsl(col("_host")))
       .join(bl, col("_host") === col("blocked"), "left_anti")
       .join(bl, col("_dom") === col("blocked"), "left_anti")
       .drop("_host", "_dom")

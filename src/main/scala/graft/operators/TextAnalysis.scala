@@ -805,24 +805,33 @@ object TextAnalysis {
     * Appendix A1.1) as one per-row expression pass — the industry-
     * standard REJECTION filter this module's continuous quality score
     * complements: word-count bounds, mean-word-length bounds,
-    * symbol-to-word ratio (`#` and `...`), alphabetic-word share, and
-    * the ≥ 2-stopword rule. All ratio comparisons are INTEGER
-    * cross-multiplications and the mean word length a permille
-    * integer, so every flag replays exactly in DuckDB (no float
-    * thresholds to drift). The paper's line-level bullet/ellipsis
-    * rules need multi-line documents and are omitted — documented,
-    * not silently skipped: this fixture is single-line and the line
-    * rules would be vacuously true.
+    * symbol-to-word ratio (`#` and `...`), alphabetic-word share, the
+    * ≥ 2-stopword rule, and the two LINE-level rules (≤ 90% of lines
+    * may start with a bullet, ≤ 30% may end with an ellipsis — on a
+    * single-line document both are trivially satisfied, which is the
+    * rule's own semantics, not a shortcut). All ratio comparisons are
+    * INTEGER cross-multiplications and the mean word length a
+    * permille integer, so every flag replays exactly in DuckDB (no
+    * float thresholds to drift). The alphabetic-word rule is
+    * case-insensitive (`(?i)[a-z]` — all-caps words like `NASA` are
+    * alphabetic; the lowercase-only form over-rejected mixed-case
+    * text vs the published rule).
     *
     * Output: per-doc integer evidence + one flag per rule + `pass`.
     * Thresholds are the paper's (50 ≤ words ≤ 100k, 3 ≤ mean len ≤
     * 10, symbols/words ≤ 0.1, alpha share ≥ 0.8, ≥ 2 of the 8
-    * canonical stopwords). */
+    * canonical stopwords, bullet lines ≤ 90%, ellipsis lines ≤ 30%).
+    * Bullet = line starts with `•`, `- ` or `* `; ellipsis = line
+    * ends with `...` or `…` — the ASCII and typographic forms both
+    * (documented set; the paper does not enumerate its glyphs). */
   def gopherFlags(docs: DataFrame, text: String = "text",
                   minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
     val stops = "array('the','be','to','of','and','that','have','with')"
     docs
-      .withColumn("_ws", expr(s"filter(split($text, ' '), _w -> _w != '')"))
+      // words split on space OR newline: on a multi-line document a
+      // space-only split would glue the last word of one line to the
+      // first of the next through the embedded \n
+      .withColumn("_ws", expr(s"filter(split($text, '[ \n]'), _w -> _w != '')"))
       .withColumn("n_words", size(col("_ws")).cast("long"))
       .withColumn("_chars", expr(
         "aggregate(_ws, 0L, (_a, _w) -> _a + char_length(_w))"))
@@ -833,9 +842,15 @@ object TextAnalysis {
         s"(char_length($text) - char_length(replace($text, '#', ''))) + " +
           s"(char_length($text) - char_length(replace($text, '...', ''))) div 3"))
       .withColumn("_nalpha", expr(
-        "cast(size(filter(_ws, _w -> _w rlike '[a-z]')) as long)"))
+        "cast(size(filter(_ws, _w -> _w rlike '(?i)[a-z]')) as long)"))
       .withColumn("_nstop", expr(
         s"cast(size(array_intersect(array_distinct(_ws), $stops)) as long)"))
+      .withColumn("_ls", expr(s"split($text, '\n')"))
+      .withColumn("n_lines", size(col("_ls")).cast("long"))
+      .withColumn("_nbullet", expr(
+        "cast(size(filter(_ls, _l -> _l rlike '^(•|- |\\\\* )')) as long)"))
+      .withColumn("_nellip", expr(
+        "cast(size(filter(_ls, _l -> _l rlike '(\\\\.\\\\.\\\\.|…)$')) as long)"))
       .withColumn("words_ok",
         col("n_words") >= minWords && col("n_words") <= maxWords)
       .withColumn("mwl_ok",
@@ -843,8 +858,12 @@ object TextAnalysis {
       .withColumn("sym_ok", expr("_nsym * 10L <= n_words"))
       .withColumn("alpha_ok", expr("_nalpha * 10L >= n_words * 8L"))
       .withColumn("stop_ok", col("_nstop") >= 2L)
+      .withColumn("bullet_ok", expr("_nbullet * 10L <= n_lines * 9L"))
+      .withColumn("ellip_ok", expr("_nellip * 10L <= n_lines * 3L"))
       .withColumn("pass", col("words_ok") && col("mwl_ok") &&
-        col("sym_ok") && col("alpha_ok") && col("stop_ok"))
-      .drop("_ws", "_chars", "_nsym", "_nalpha", "_nstop")
+        col("sym_ok") && col("alpha_ok") && col("stop_ok") &&
+        col("bullet_ok") && col("ellip_ok"))
+      .drop("_ws", "_chars", "_nsym", "_nalpha", "_nstop", "_ls",
+        "_nbullet", "_nellip")
   }
 }

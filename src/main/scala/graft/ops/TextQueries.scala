@@ -1632,6 +1632,26 @@ object TextQueries {
       .select("doc_id", "n_words", "mwl_permille", "words_ok", "mwl_ok",
         "sym_ok", "alpha_ok", "stop_ok", "pass")
 
+  /** The Gopher LINE-level rules on a MULTI-LINE corpus built in-query
+    * (the q178 wrapper convention — the fixture is single-line, so the
+    * bullet/ellipsis rules would be vacuous on it): each doc gains a
+    * deterministic pmod-driven mix of bullet lines (`•`, `- `) and
+    * ellipsis-terminated lines (`...`, `…`), so both rules trip on
+    * known subsets and every count crosses the 90%/30% thresholds at
+    * different doc_ids. The DuckDB oracle replays the construction AND
+    * the line classification regexes verbatim. */
+  def q184GopherLines(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val multi = docs.withColumn("mtext", concat(col("text"),
+      expr("repeat('\n• bullet item', cast(pmod(doc_id, 12) as int))"),
+      expr("repeat('\n- dash item', cast(pmod(doc_id, 3) as int))"),
+      expr("repeat('\nsee more...', cast(pmod(doc_id, 4) as int))"),
+      expr("repeat('\ntrailing note…', cast(pmod(doc_id, 2) as int))")))
+    graft.operators.TextAnalysis.gopherFlags(multi, text = "mtext")
+      .select("doc_id", "n_words", "n_lines", "words_ok", "bullet_ok",
+        "ellip_ok", "pass")
+  }
+
   /** The q169/q170 merge table — memoized so train runs once per
     * Verify/Bench pass whichever of the two consumers goes first. */
   val BpeNumMerges = 16
@@ -1674,6 +1694,7 @@ object TextQueries {
       bpeMerges(spark, dir))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_gopher_lines" -> (q184GopherLines _),
     "q183_cross_lm_score" -> (q183CrossLmScore _),
     "q182_gopher_filter" -> (q182GopherFilter _),
     "q181_lpa_communities" -> (q181LpaCommunities _),
@@ -1855,7 +1876,7 @@ object TextQueries {
     // permille mean word length, the 8-stopword intersection
     "q182_gopher_filter" ->
       """WITH w AS (SELECT doc_id, text,
-        |  list_filter(string_split(text, ' '), _w -> _w <> '') AS ws
+        |  list_filter(string_split_regex(text, '[ \n]'), _w -> _w <> '') AS ws
         |  FROM documents),
         |m AS (SELECT doc_id,
         |  CAST(len(ws) AS BIGINT) AS n_words,
@@ -1864,7 +1885,7 @@ object TextQueries {
         |  CAST((length(text) - length(replace(text, '#', '')))
         |    + (length(text) - length(replace(text, '...', ''))) // 3
         |    AS BIGINT) AS nsym,
-        |  CAST(len(list_filter(ws, _w -> regexp_matches(_w, '[a-z]')))
+        |  CAST(len(list_filter(ws, _w -> regexp_matches(_w, '(?i)[a-z]')))
         |    AS BIGINT) AS nalpha,
         |  CAST(len(list_intersect(list_distinct(ws),
         |    ['the','be','to','of','and','that','have','with'])) AS BIGINT)
@@ -1884,6 +1905,51 @@ object TextQueries {
         |          ELSE 0 END) BETWEEN 3000 AND 10000)
         |    AND nsym * 10 <= n_words AND nalpha * 10 >= n_words * 8
         |    AND nstop >= 2 AS pass
+        |FROM m""".stripMargin,
+
+    // the multi-line construction AND every rule (the line-level
+    // bullet/ellipsis pair included) re-derived over mtext; all
+    // thresholds integer cross-multiplications as in q182
+    "q184_gopher_lines" ->
+      """WITH md AS (SELECT doc_id,
+        |  text || repeat(chr(10) || '• bullet item', doc_id % 12)
+        |       || repeat(chr(10) || '- dash item', doc_id % 3)
+        |       || repeat(chr(10) || 'see more...', doc_id % 4)
+        |       || repeat(chr(10) || 'trailing note…', doc_id % 2) AS mtext
+        |  FROM documents),
+        |w AS (SELECT doc_id, mtext,
+        |  list_filter(string_split_regex(mtext, '[ \n]'), _w -> _w <> '') AS ws,
+        |  string_split(mtext, chr(10)) AS ls
+        |  FROM md),
+        |m AS (SELECT doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(coalesce(list_sum(list_transform(ws, _w -> length(_w))), 0)
+        |    AS BIGINT) AS chars,
+        |  CAST((length(mtext) - length(replace(mtext, '#', '')))
+        |    + (length(mtext) - length(replace(mtext, '...', ''))) // 3
+        |    AS BIGINT) AS nsym,
+        |  CAST(len(list_filter(ws, _w -> regexp_matches(_w, '(?i)[a-z]')))
+        |    AS BIGINT) AS nalpha,
+        |  CAST(len(list_intersect(list_distinct(ws),
+        |    ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+        |    AS nstop,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(list_filter(ls, _l -> regexp_matches(_l, '^(•|- |\* )')))
+        |    AS BIGINT) AS nbullet,
+        |  CAST(len(list_filter(ls, _l -> regexp_matches(_l, '(\.\.\.|…)$')))
+        |    AS BIGINT) AS nellip
+        |  FROM w)
+        |SELECT doc_id, n_words, n_lines,
+        |  n_words >= 50 AND n_words <= 100000 AS words_ok,
+        |  nbullet * 10 <= n_lines * 9 AS bullet_ok,
+        |  nellip * 10 <= n_lines * 3 AS ellip_ok,
+        |  (n_words >= 50 AND n_words <= 100000)
+        |    AND ((CASE WHEN n_words > 0 THEN chars * 1000 // n_words
+        |          ELSE 0 END) BETWEEN 3000 AND 10000)
+        |    AND nsym * 10 <= n_words AND nalpha * 10 >= n_words * 8
+        |    AND nstop >= 2
+        |    AND nbullet * 10 <= n_lines * 9
+        |    AND nellip * 10 <= n_lines * 3 AS pass
         |FROM m""".stripMargin,
 
     // the q101 edge prefix + every LPA round unrolled (q101's

@@ -102,8 +102,14 @@ object VectorIngest {
       if (!pathExists(spark, centPath)) {
         val idx = Similarity.ivfPqBuild(pinned, nlist, m, ksub, lloydIters,
           seed, idCol, vecCol)
-        idx.centroids.write.mode("overwrite").parquet(centPath)
+        // codebook FIRST: the branch above gates on centPath, so the
+        // centroid write is the bootstrap's commit marker — a crash
+        // between the two writes must leave centPath ABSENT (replay
+        // retrains deterministically), never present-with-missing-
+        // codebook (every replay would take the assign branch and die
+        // in readCodebook until manual cleanup)
         idx.codebook.centroids.write.mode("overwrite").parquet(cbPath)
+        idx.centroids.write.mode("overwrite").parquet(centPath)
         idx.codes
       } else {
         val cb = readCodebook(spark, cbPath)

@@ -63,10 +63,13 @@ class Round12Spec extends AnyFunSuite {
 
   // --------------------------------------- non-ASCII headers (advice low)
 
-  test("wetRecords: a multi-byte UTF-8 header value quarantines instead of shearing the body") {
-    // WARC 1.0 permits UTF-8 header values; 'ü' makes hdr_end (a char
-    // index) two bytes short of the body's byte offset — the old slice
-    // silently returned text shifted by the difference
+  test("wetRecords: a multi-byte UTF-8 header value parses with an UNSHEARED body slice") {
+    // WARC 1.0 permits UTF-8 header values, and they are safe here
+    // because hdr_end is a BYTE offset consumed by a BINARY substring:
+    // 'ü'/'ß' each add a byte of char/byte skew that a char-indexed
+    // split would transfer to the body slice — the byte-level split
+    // must not (r12 quarantined these outright; the r12 advice pass
+    // flagged that as over-rejection of legitimate crawl records)
     val body = "unsheared body".getBytes("UTF-8")
     val hdr = s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
       s"WARC-Target-URI: https://e.org/süß\r\nContent-Length: ${body.length}\r\n\r\n"
@@ -74,9 +77,24 @@ class Round12Spec extends AnyFunSuite {
       hdr.getBytes("UTF-8") ++ body ++ "\r\n\r\n".getBytes("UTF-8"))
     val got = WebArchive.wetDocuments(
       Seq(("arc-1", arc)).toDF("archive", "payload"))
+      .select($"target_uri", $"text", $"quarantine")
+      .as[(Option[String], Option[String], Option[String])].collect().toSeq
+    assert(got == Seq((Some("https://e.org/süß"),
+      Some("unsheared body"), None)))
+  }
+
+  test("wetRecords: an INVALID-UTF-8 header byte quarantines — undecodable headers stay out") {
+    val body = "b".getBytes("UTF-8")
+    val good = s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      s"WARC-Target-URI: https://e.org/x\r\nContent-Length: ${body.length}\r\n\r\n"
+    val raw = good.getBytes("UTF-8")
+    raw(raw.indexOf('x'.toInt)) = 0xC3.toByte // dangling UTF-8 lead byte
+    val arc = GzipArchiveCore.gzipMember(raw ++ body ++ "\r\n\r\n".getBytes("UTF-8"))
+    val got = WebArchive.wetDocuments(
+      Seq(("arc-1", arc)).toDF("archive", "payload"))
       .select($"text", $"quarantine")
       .as[(Option[String], Option[String])].collect().toSeq
-    assert(got == Seq((None, Some("non-ASCII header"))))
+    assert(got == Seq((None, Some("invalid UTF-8 in header"))))
   }
 
   test("wetRecords: a Content-Length slicing mid-UTF-8-sequence quarantines, not mojibake") {
