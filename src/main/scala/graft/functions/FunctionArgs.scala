@@ -20,6 +20,15 @@ object FunctionArgs {
     if (exprs.length != n)
       fail(s"$fn expects $n arguments but got ${exprs.length}; usage: $signature")
 
+  /** Ranged form for functions with trailing optional arguments —
+    * same AnalysisException type and message format as [[requireArity]]
+    * so wrong-arity errors stay uniform across the catalog. */
+  def requireArity(fn: String, exprs: Seq[Expression], min: Int, max: Int,
+                   signature: String): Unit =
+    if (exprs.length < min || exprs.length > max)
+      fail(s"$fn expects $min to $max arguments but got ${exprs.length}; " +
+        s"usage: $signature")
+
   private def foldableNumber(fn: String, e: Expression, argName: String): Number = {
     if (!e.foldable)
       fail(s"$fn: argument '$argName' must be a literal, got ${e.sql}")

@@ -162,9 +162,8 @@ object FunctionCatalog {
       }),
     FunctionDef("gzip_members",
       "gzip_members(archive BINARY[, max_member BIGINT[, max_total BIGINT]]) -> array<struct<idx,offset,clen,payload,err>>", classOf[GzipMembers], { exprs =>
-        require(exprs.size >= 1 && exprs.size <= 3,
-          "gzip_members(archive binary[, max_member bigint[, max_total bigint]])" +
-            s" — got ${exprs.size} args")
+        FunctionArgs.requireArity("gzip_members", exprs, 1, 3,
+          "gzip_members(archive binary[, max_member bigint[, max_total bigint]])")
         val mm = if (exprs.size >= 2)
           FunctionArgs.foldableLong("gzip_members", exprs(1), "max_member")
         else GzipArchiveCore.MaxMemberBytes
@@ -175,9 +174,8 @@ object FunctionCatalog {
       }),
     FunctionDef("gzip_member_index",
       "gzip_member_index(archive BINARY[, max_ulen BIGINT]) -> array<struct<idx,offset,clen,ulen,err>>", classOf[GzipMemberIdx], { exprs =>
-        require(exprs.size >= 1 && exprs.size <= 2,
-          "gzip_member_index(archive binary[, max_ulen bigint])" +
-            s" — got ${exprs.size} args")
+        FunctionArgs.requireArity("gzip_member_index", exprs, 1, 2,
+          "gzip_member_index(archive binary[, max_ulen bigint])")
         val mu = if (exprs.size >= 2)
           FunctionArgs.foldableLong("gzip_member_index", exprs(1), "max_ulen")
         else GzipArchiveCore.MaxIndexMemberBytes

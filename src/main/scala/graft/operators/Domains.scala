@@ -71,7 +71,14 @@ object Domains {
           (normal.keys ++ wildcard.keys.map(_ + 1)).toSeq.distinct.sorted.reverse
         effLens.map { s =>
           val viaNormal = normal.get(s).map(sufK(s).isin(_: _*))
-          val viaWild = wildcard.get(s - 1).map(sufK(s - 1).isin(_: _*))
+          // a wildcard only matches when a label OCCUPIES the starred
+          // position (publicsuffix.org: the rule has s labels, so the
+          // host needs >= s); without the guard a host EQUAL to the
+          // wildcard base (kawasaki.jp under *.kawasaki.jp) would claim
+          // suffix length s > n and null out instead of falling through
+          // to the default rule
+          val viaWild =
+            wildcard.get(s - 1).map(w => (n >= s) && sufK(s - 1).isin(w: _*))
           val cond = (viaNormal.toSeq ++ viaWild.toSeq).reduce(_ || _)
           (cond, lit(s))
         }

@@ -828,10 +828,12 @@ object TextAnalysis {
                   minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
     val stops = "array('the','be','to','of','and','that','have','with')"
     docs
-      // words split on space OR newline: on a multi-line document a
-      // space-only split would glue the last word of one line to the
-      // first of the next through the embedded \n
-      .withColumn("_ws", expr(s"filter(split($text, '[ \n]'), _w -> _w != '')"))
+      // words split on space OR newline (CR included: CRLF-terminated
+      // crawl text would otherwise leave '\r' glued to the last word of
+      // every line, skewing mean-word-length and the alpha rule): on a
+      // multi-line document a space-only split would glue the last word
+      // of one line to the first of the next through the embedded \n
+      .withColumn("_ws", expr(s"filter(split($text, '[ \n\r]'), _w -> _w != '')"))
       .withColumn("n_words", size(col("_ws")).cast("long"))
       .withColumn("_chars", expr(
         "aggregate(_ws, 0L, (_a, _w) -> _a + char_length(_w))"))
@@ -845,7 +847,10 @@ object TextAnalysis {
         "cast(size(filter(_ws, _w -> _w rlike '(?i)[a-z]')) as long)"))
       .withColumn("_nstop", expr(
         s"cast(size(array_intersect(array_distinct(_ws), $stops)) as long)"))
-      .withColumn("_ls", expr(s"split($text, '\n')"))
+      // lines split on '\r?\n' so CRLF terminators are consumed by the
+      // delimiter — a line ending '...\r' would otherwise defeat the
+      // $-anchored ellipsis rule
+      .withColumn("_ls", expr(s"split($text, '\r?\n')"))
       .withColumn("n_lines", size(col("_ls")).cast("long"))
       .withColumn("_nbullet", expr(
         "cast(size(filter(_ls, _l -> _l rlike '^(•|- |\\\\* )')) as long)"))

@@ -1602,16 +1602,32 @@ object TextQueries {
     * `src0.org` bans www./cdn. subdomains too; exact host
     * `cdn.src1.org` bans only itself) surface as the `blocked`
     * column; [[graft.operators.Domains.filterBlocked]]'s anti-join ≡
-    * this flag is spec-pinned. */
+    * this flag is spec-pinned.
+    *
+    * The URI arms deliberately cover every PSL rule class so the
+    * when-chain in [[graft.operators.Domains.registrableDomainPsl]]
+    * is certified arm-by-arm against a full SQL replay (not just on
+    * hosts where PSL ≡ the two-label fallback): a `co.uk` normal
+    * rule (arm 4), a `*.ck` wildcard (arm 5), the `!city.kawasaki.jp`
+    * exception (arm 6), a host EQUAL to a wildcard base — the
+    * default-rule fallthrough (arm 7), the trailing-dot FQDN form
+    * (arm 8), and a host that IS a public suffix → null domain
+    * (arm 9). */
   def q180DomainStats(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"),
-        expr("CASE pmod(doc_id, 4) " +
+        expr("CASE pmod(doc_id, 10) " +
           "WHEN 0 THEN concat('https://crawler@www.', source, " +
           "'.org:8443/p/', doc_id, '?q=1') " +
           "WHEN 1 THEN concat('http://', source, '.org/p/', doc_id) " +
           "WHEN 2 THEN concat('https://cdn.', source, '.org/img/', doc_id) " +
-          "ELSE concat('notauri ', doc_id) END").as("uri"))
+          "WHEN 3 THEN concat('notauri ', doc_id) " +
+          "WHEN 4 THEN concat('https://www.', source, '.co.uk/p/', doc_id) " +
+          "WHEN 5 THEN concat('http://a.b.', source, '.ck/x/', doc_id) " +
+          "WHEN 6 THEN concat('https://www.city.kawasaki.jp/e/', doc_id) " +
+          "WHEN 7 THEN concat('http://kawasaki.jp/w/', doc_id) " +
+          "WHEN 8 THEN concat('https://cdn.', source, '.org./img/', doc_id) " +
+          "ELSE concat('http://host.kawasaki.jp/s/', doc_id) END").as("uri"))
     graft.operators.Domains.domainStats(docs)
       .withColumn("blocked",
         coalesce(col("domain") === "src0.org", lit(false)) ||
@@ -1828,6 +1844,36 @@ object TextQueries {
        |           FROM e JOIN $prev p ON e.src = p.term
        |           GROUP BY e.dst) c ON r.term = c.dst)""".stripMargin
 
+  /** DuckDB replay of the PSL suffix-length when-chain in
+    * [[graft.operators.Domains.PslRules.suffixLen]] — GENERATED from
+    * the same embedded rule set the engine compiles, so the q180
+    * oracle and the production matcher cannot drift. Arm order is the
+    * matcher's exactly: exception rules (longest first, value = rule
+    * labels − 1), then effective suffix lengths descending (normal
+    * `isin` probe OR label-guarded wildcard probe), default rule 1
+    * last. `labs`/`n` name the label-array / label-count columns in
+    * the enclosing CTE. */
+  private def pslSuffixLenSql(labs: String, n: String): String = {
+    val r = graft.operators.Domains.PslRules.embedded
+    def inList(xs: Seq[String]) = xs.sorted.map(x => s"'$x'").mkString(", ")
+    // last i labels joined by '.', guarded on the host having >= i
+    def sufKIn(i: Int, xs: Seq[String]) =
+      s"($n >= $i AND array_to_string(list_slice($labs, $n - ${i - 1}, $n)," +
+        s" '.') IN (${inList(xs)}))"
+    val excArms = r.exception.keys.toSeq.sorted.reverse.map { e =>
+      s"WHEN ${sufKIn(e, r.exception(e))} THEN ${e - 1}"
+    }
+    val effLens =
+      (r.normal.keys ++ r.wildcard.keys.map(_ + 1)).toSeq.distinct.sorted.reverse
+    val lenArms = effLens.map { s =>
+      val conds = r.normal.get(s).map(sufKIn(s, _)).toSeq ++
+        // the wildcard needs a label IN the starred position: n >= s
+        r.wildcard.get(s - 1).map(w => s"($n >= $s AND ${sufKIn(s - 1, w)})")
+      s"WHEN ${conds.mkString(" OR ")} THEN $s"
+    }
+    (excArms ++ lenArms).mkString("CASE ", " ", " ELSE 1 END")
+  }
+
   val oracles: Map[String, String] = Map(
     // the whole HTML extraction chain is certified by IDENTITY: if any
     // regex step leaked markup or sheared content, main_text would not
@@ -1876,7 +1922,7 @@ object TextQueries {
     // permille mean word length, the 8-stopword intersection
     "q182_gopher_filter" ->
       """WITH w AS (SELECT doc_id, text,
-        |  list_filter(string_split_regex(text, '[ \n]'), _w -> _w <> '') AS ws
+        |  list_filter(string_split_regex(text, '[ \n\r]'), _w -> _w <> '') AS ws
         |  FROM documents),
         |m AS (SELECT doc_id,
         |  CAST(len(ws) AS BIGINT) AS n_words,
@@ -1918,8 +1964,8 @@ object TextQueries {
         |       || repeat(chr(10) || 'trailing note…', doc_id % 2) AS mtext
         |  FROM documents),
         |w AS (SELECT doc_id, mtext,
-        |  list_filter(string_split_regex(mtext, '[ \n]'), _w -> _w <> '') AS ws,
-        |  string_split(mtext, chr(10)) AS ls
+        |  list_filter(string_split_regex(mtext, '[ \n\r]'), _w -> _w <> '') AS ws,
+        |  string_split_regex(mtext, '\r?\n') AS ls
         |  FROM md),
         |m AS (SELECT doc_id,
         |  CAST(len(ws) AS BIGINT) AS n_words,
@@ -1975,28 +2021,42 @@ object TextQueries {
          |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_terms
          |FROM l4 GROUP BY lbl""".stripMargin,
 
-    // the URI construction AND the host/domain extraction regexes are
-    // replayed verbatim (RE2 ∩ Java dialect); coalesce() normalizes
-    // the engines' no-match conventions before nullif
+    // the URI construction AND the host/domain extraction are replayed
+    // verbatim (regexes RE2 ∩ Java dialect; the PSL when-chain is
+    // GENERATED from the same embedded rule set the engine compiles,
+    // via pslSuffixLenSql — oracle and engine cannot drift); coalesce()
+    // normalizes the engines' no-match conventions before nullif
     "q180_domain_stats" ->
-      """WITH u AS (SELECT doc_id, text,
-        |  CASE doc_id % 4
+      raw"""WITH u AS (SELECT doc_id, text,
+        |  CASE doc_id % 10
         |    WHEN 0 THEN 'https://crawler@www.' || source || '.org:8443/p/'
         |                || doc_id || '?q=1'
         |    WHEN 1 THEN 'http://' || source || '.org/p/' || doc_id
         |    WHEN 2 THEN 'https://cdn.' || source || '.org/img/' || doc_id
-        |    ELSE 'notauri ' || doc_id END AS uri
+        |    WHEN 3 THEN 'notauri ' || doc_id
+        |    WHEN 4 THEN 'https://www.' || source || '.co.uk/p/' || doc_id
+        |    WHEN 5 THEN 'http://a.b.' || source || '.ck/x/' || doc_id
+        |    WHEN 6 THEN 'https://www.city.kawasaki.jp/e/' || doc_id
+        |    WHEN 7 THEN 'http://kawasaki.jp/w/' || doc_id
+        |    WHEN 8 THEN 'https://cdn.' || source || '.org./img/' || doc_id
+        |    ELSE 'http://host.kawasaki.jp/s/' || doc_id END AS uri
         |  FROM documents),
         |h AS (SELECT doc_id, text,
-        |  lower(nullif(coalesce(regexp_extract(
+        |  lower(nullif(regexp_replace(coalesce(regexp_extract(
         |    coalesce(regexp_extract(uri,
         |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), ''),
-        |    '^(?:[^@]*@)?(\[[^\]]*\]|[^:]+)', 1), ''), '')) AS host
+        |    '^(?:[^@]*@)?(\[[^\]]*\]|[^:]+)', 1), ''), '\.$$', ''), ''))
+        |    AS host
         |  FROM u),
+        |l AS (SELECT doc_id, text, host, string_split(host, '.') AS labs,
+        |  len(string_split(host, '.')) AS n FROM h),
+        |s AS (SELECT doc_id, text, host, labs, n,
+        |  ${pslSuffixLenSql("labs", "n")} AS sl FROM l),
         |d AS (SELECT doc_id, text, host,
-        |  nullif(coalesce(regexp_extract(host, '([^.]+\.[^.]+)$', 1), ''), '')
+        |  CASE WHEN host IS NOT NULL AND n > sl
+        |    THEN array_to_string(list_slice(labs, n - sl, n), '.') END
         |    AS domain
-        |  FROM h)
+        |  FROM s)
         |SELECT host, domain, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
         |  coalesce(domain = 'src0.org', false)

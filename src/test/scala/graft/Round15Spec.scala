@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Domains
+import graft.operators.Domains.PslRules
+
+/** Round-15 closures of the round-13 verification debt: the PSL
+  * registrable-domain matcher gets its first direct exercise (every
+  * rule class — normal, wildcard, exception, the default-rule
+  * fallthrough for a host EQUAL to a wildcard base, and bare public
+  * suffixes), the `fromLines` parser is pinned on the published
+  * publicsuffix.org syntax, and the trailing-dot FQDN host form is
+  * certified through `uriHost`.
+  */
+class Round15Spec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  // ------------------------------------------------ PslRules.fromLines
+
+  test("PslRules.fromLines: comments/blanks skipped, three rule classes routed, keyed by label count") {
+    val r = PslRules.fromLines(Seq(
+      "// comment line",
+      "",
+      "com",
+      "co.uk",
+      "*.ck",
+      "*.kawasaki.jp",
+      "!www.ck",
+      "!city.kawasaki.jp",
+      "  ack.invalid trailing-note", // PSL spec: rule ends at whitespace
+      "// ===END ICANN DOMAINS==="))
+    assert(r.normal == Map(1 -> Seq("com"), 2 -> Seq("co.uk", "ack.invalid")))
+    assert(r.wildcard == Map(1 -> Seq("ck"), 2 -> Seq("kawasaki.jp")))
+    assert(r.exception == Map(2 -> Seq("www.ck"), 3 -> Seq("city.kawasaki.jp")))
+  }
+
+  // ------------------------------------- registrableDomainPsl, per rule class
+
+  test("registrableDomainPsl: normal/wildcard/exception/default arms match the publicsuffix.org algorithm") {
+    val cases = Seq(
+      // normal two-label rule: suffix co.uk, registrable = +1 label
+      (1L, "cdn.example.co.uk", Some("example.co.uk")),
+      (2L, "example.co.uk", Some("example.co.uk")),
+      // a host that IS a public suffix registers nothing
+      (3L, "co.uk", None),
+      // default rule * : unknown TLD → last two labels
+      (4L, "cdn.example.org", Some("example.org")),
+      (5L, "org", None),
+      // wildcard *.ck : bar.ck is itself a suffix → registrable is 3 labels
+      (6L, "a.foo.bar.ck", Some("foo.bar.ck")),
+      (7L, "foo.bar.ck", Some("foo.bar.ck")),
+      (8L, "bar.ck", None),
+      // exception !www.ck beats *.ck : suffix is just ck
+      (9L, "www.ck", Some("www.ck")),
+      (10L, "sub.www.ck", Some("www.ck")),
+      // 2-label wildcard family *.kawasaki.jp + !city.kawasaki.jp
+      (11L, "x.host.kawasaki.jp", Some("x.host.kawasaki.jp")),
+      (12L, "host.kawasaki.jp", None),
+      (13L, "www.city.kawasaki.jp", Some("city.kawasaki.jp")),
+      (14L, "city.kawasaki.jp", Some("city.kawasaki.jp")),
+      // host EQUAL to a wildcard base: *.kawasaki.jp does NOT match
+      // (no label in the starred position) → default rule applies and
+      // the host is its own registrable domain — the round-13 bug
+      // returned null here, silently bypassing blocklists
+      (15L, "kawasaki.jp", Some("kawasaki.jp")),
+      // null host stays null
+      (16L, null.asInstanceOf[String], None))
+    val got = cases.toDF("id", "host", "want")
+      .select($"id", Domains.registrableDomainPsl($"host").as("dom"), $"want")
+      .as[(Long, Option[String], Option[String])].collect().sortBy(_._1)
+    got.foreach { case (id, dom, want) =>
+      assert(dom == want, s"case $id: got $dom, want $want")
+    }
+  }
+
+  test("uriHost: single trailing dot (FQDN root form) is stripped; interior dots survive") {
+    val got = Seq(
+      (1L, "https://blocked.org./x"),
+      (2L, "http://user@www.example.co.uk.:8080/p?q=1"),
+      (3L, "https://example.org/x"))
+      .toDF("id", "uri")
+      .select($"id", Domains.uriHost($"uri").as("h"))
+      .as[(Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, Some("blocked.org")),
+      (2L, Some("www.example.co.uk")), (3L, Some("example.org"))))
+  }
+
+  // ------------------------------------------ catalog arity uniformity
+
+  test("gzip_member_index / gzip_members: wrong arity raises the catalog's uniform AnalysisException") {
+    GraftSession.registerFunctions(spark)
+    val e = intercept[Exception](
+      spark.sql("SELECT gzip_member_index(cast('x' AS binary), 1, 2, 3)")
+        .collect())
+    assert(e.getMessage.contains("gzip_member_index expects 1 to 2 arguments"),
+      s"got: ${e.getMessage}")
+    val e2 = intercept[Exception](spark.sql("SELECT gzip_members()").collect())
+    assert(e2.getMessage.contains("gzip_members expects 1 to 3 arguments"),
+      s"got: ${e2.getMessage}")
+  }
+
+  // ------------------------------------------------- gopher rules on CRLF
+
+  test("gopherFlags: CRLF terminators are consumed — CR neither pads words nor defeats the ellipsis anchor") {
+    val docs = Seq((1L, "see more...\r\nab cd")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.gopherFlags(docs, minWords = 1L)
+      .select($"n_words", $"mwl_permille", $"n_lines", $"ellip_ok")
+      .as[(Long, Long, Long, Boolean)].collect().head
+    // words: see/more.../ab/cd (no '\r' glued to 'more...'), chars 14
+    // → mwl 3500‰; 2 lines, 1 ellipsis-terminated ('...\r\n' — the
+    // pre-fix '\n'-only split left '...\r' and the $-anchor missed it)
+    // → 1*10 > 2*3 trips the rule
+    assert(got == ((4L, 3500L, 2L, false)))
+  }
+
+  test("filterBlocked: a trailing-dot FQDN and a wildcard-base host cannot evade the blocklist") {
+    val docs = Seq(
+      (1L, "https://blocked.org./x", "a b"), // FQDN form of a blocked domain
+      (2L, "http://kawasaki.jp/w", "a"), // wildcard-base host, blocked domain
+      (3L, "https://fine.example.org/y", "a b c")).toDF("doc_id", "uri", "text")
+    val bl = Seq("blocked.org", "kawasaki.jp").toDF("blocked")
+    val kept = Domains.filterBlocked(docs, bl)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(3L))
+  }
+}
