@@ -181,6 +181,15 @@ object FunctionCatalog {
         else GzipArchiveCore.MaxIndexMemberBytes
         GzipMemberIdx(exprs.head, mu)
       }),
+    FunctionDef("file_range_read",
+      "file_range_read(path STRING, offset BIGINT, len BIGINT[, max_bytes BIGINT]) -> struct<slice,err>", classOf[FileRangeRead], { exprs =>
+        FunctionArgs.requireArity("file_range_read", exprs, 3, 4,
+          "file_range_read(path string, offset bigint, len bigint[, max_bytes bigint])")
+        val mb = if (exprs.size >= 4)
+          FunctionArgs.foldableLong("file_range_read", exprs(3), "max_bytes")
+        else FileRangeCore.MaxRangeBytes
+        FileRangeRead(exprs(0), exprs(1), exprs(2), mb)
+      }),
     FunctionDef("warc_split",
       "warc_split(record BINARY) -> struct<hdr_end,headers,err>", classOf[WarcSplit], { exprs =>
         FunctionArgs.requireArity("warc_split", exprs, 1,

@@ -1668,6 +1668,53 @@ object TextQueries {
         "ellip_ok", "pass")
   }
 
+  /** The RANGE-READ crawl ingest under the oracle gate — the
+    * production 100 TB archive path registered end-to-end: the
+    * documents table becomes per-source WET archive FILES on disk
+    * (the sandbox's test medium; the reader is Hadoop-FS
+    * scheme-transparent, so the same plan does s3a ranged GETs), a
+    * member index is built and PERSISTED once (the cluster.idx role),
+    * and [[graft.sources.WebArchive.wetDocumentsRanged]] re-ingests
+    * every document through per-member byte-range reads — no archive
+    * payload column exists anywhere in the measured plan. Output is
+    * per-archive recovery + audit counts; the oracle replays them
+    * from the raw documents table, so a shear anywhere in file-write
+    * → index → ranged fetch → inflate → WARC parse → UTF-8 decode
+    * breaks the hash. (The file materialization is the fixture
+    * assembly, memoized once per session; its collect is
+    * fixture-sized by construction, the buildWetArchives harness
+    * convention.) */
+  def q185RangedIngest(spark: SparkSession, dir: String): DataFrame = {
+    val idx = Memo.of(spark, s"ranged_fixture_index:$dir") {
+      val docs = Tables.documents(spark, dir).select("doc_id", "source", "text")
+      val arcs = graft.sources.WebArchive.buildWetArchives(docs)
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-q185-" + java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12))
+      val arcDir = new java.io.File(root, "arcs"); arcDir.mkdirs()
+      arcs.collect().foreach { r =>
+        java.nio.file.Files.write(
+          new java.io.File(arcDir, r.getString(0) + ".warc.gz").toPath,
+          r.getAs[Array[Byte]](1))
+      }
+      val fileRows = spark.read.format("binaryFile")
+        .load(arcDir.getAbsolutePath)
+        .select(col("path").as("archive"), col("content").as("payload"))
+      val idxPath = new java.io.File(root, "index").getAbsolutePath
+      graft.sources.WebArchive.memberIndex(fileRows)
+        .write.mode("overwrite").parquet(idxPath)
+      spark.read.parquet(idxPath)
+    }
+    graft.sources.WebArchive.wetDocumentsRanged(idx)
+      .select(
+        regexp_extract(col("archive"), "([^/]+)\\.warc\\.gz", 1).as("archive"),
+        col("text"), col("quarantine"))
+      .groupBy("archive")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(octet_length(col("text"))).cast("long").as("sum_text_bytes"),
+        count(col("quarantine")).as("n_quarantined"))
+  }
+
   /** The q169/q170 merge table — memoized so train runs once per
     * Verify/Bench pass whichever of the two consumers goes first. */
   val BpeNumMerges = 16
@@ -1710,6 +1757,7 @@ object TextQueries {
       bpeMerges(spark, dir))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_ranged_ingest" -> (q185RangedIngest _),
     "q184_gopher_lines" -> (q184GopherLines _),
     "q183_cross_lm_score" -> (q183CrossLmScore _),
     "q182_gopher_filter" -> (q182GopherFilter _),
@@ -1875,6 +1923,16 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // the ranged ingest is certified by full recovery: every document
+    // of every source must come back byte-complete (sum_text_bytes =
+    // raw strlen sum) with zero quarantines through file-write → index
+    // → per-member byte-range fetch → inflate → WARC parse → decode
+    "q185_ranged_ingest" ->
+      """SELECT source AS archive, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS sum_text_bytes,
+        |  CAST(0 AS BIGINT) AS n_quarantined
+        |FROM documents GROUP BY source""".stripMargin,
+
     // the whole HTML extraction chain is certified by IDENTITY: if any
     // regex step leaked markup or sheared content, main_text would not
     // hash-match the corpus (the q168 round-trip convention)

@@ -117,13 +117,21 @@ object WebArchive {
   /** Slice rows → member rows with provenance REBASED to the original
     * archive coordinates (member_index/member_offset are absolute, as
     * if the whole file had been expanded in one task). Caps are
-    * per-slice dials. */
+    * per-slice dials. When `errCol` names a column, a non-null value
+    * there takes precedence as the member error — the ranged path
+    * carries its fetch failures through here so a failed range read
+    * becomes a quarantine row in the SAME single pass (filtering the
+    * error rows out first would re-execute the range fetch per
+    * branch: two GETs per member). */
   def expandSlices(slices: DataFrame,
                    maxMemberBytes: Long = graft.functions.GzipArchiveCore.MaxMemberBytes,
-                   maxTotalBytes: Long = graft.functions.GzipArchiveCore.MaxTotalBytes): DataFrame = {
+                   maxTotalBytes: Long = graft.functions.GzipArchiveCore.MaxTotalBytes,
+                   errCol: Option[String] = None): DataFrame = {
     graft.functions.GzipMembers.register(slices.sparkSession)
+    val carried = errCol.map(col).getOrElse(lit(null).cast("string"))
     slices
       .select(col("archive"), col("base_index"), col("base_offset"),
+        carried.as("_carried_err"),
         explode_outer(expr(
           s"gzip_members(slice, ${maxMemberBytes}L, ${maxTotalBytes}L)")).as("m"))
       .select(col("archive"),
@@ -131,8 +139,45 @@ object WebArchive {
         (col("base_offset") + coalesce(col("m.offset"), lit(0L))).as("member_offset"),
         coalesce(col("m.clen"), lit(0L)).as("member_clen"),
         col("m.payload").as("member_payload"),
-        when(col("m").isNull, lit("empty or null slice"))
-          .otherwise(col("m.err")).as("member_err"))
+        coalesce(col("_carried_err"),
+          when(col("m").isNull, lit("empty or null slice"))
+            .otherwise(col("m.err"))).as("member_err"))
+  }
+
+  /** The TRUE object-storage fan-out: a persisted member index whose
+    * `archive` column holds REAL file paths → per-member compressed
+    * slices fetched by positioned byte-range reads
+    * ([[graft.functions.FileRangeRead]] — Hadoop `FileSystem`, so
+    * `file://`/`hdfs://`/`s3a://` are one code path and the read is a
+    * ranged GET on object stores). No archive payload column exists
+    * anywhere in this plan: the only thing that shuffles or sits in a
+    * row is `(path, offset, clen)` plus ONE member's compressed bytes,
+    * so a task never holds a whole crawl file and the 2 GiB
+    * row-size bound of the `binaryFile` route becomes a per-MEMBER
+    * bound. Fetch failures (missing file, short read, over-cap claim)
+    * surface in `slice_err`, never as exceptions.
+    *
+    * `fanoutPartitions` repartitions the index before the fetch: an
+    * index is KBs per thousand members, so its parquet layout gives
+    * far fewer tasks than the fetch work wants — at scale set this to
+    * ~(total members / desired members-per-task); None keeps the plan
+    * shuffle-free for small reads. */
+  def sliceMembersRanged(index: DataFrame,
+                         maxSliceBytes: Long = graft.functions.FileRangeCore.MaxRangeBytes,
+                         fanoutPartitions: Option[Int] = None): DataFrame = {
+    graft.functions.FileRangeRead.register(index.sparkSession)
+    val base = index.filter(col("member_err").isNull)
+      .select(col("archive"), col("member_index"), col("member_offset"),
+        col("member_clen"))
+    val fanned = fanoutPartitions.map(base.repartition(_)).getOrElse(base)
+    fanned
+      .select(col("archive"),
+        col("member_index").as("base_index"),
+        col("member_offset").as("base_offset"),
+        expr(s"file_range_read(archive, member_offset, member_clen, " +
+          s"${maxSliceBytes}L)").as("r"))
+      .select(col("archive"), col("base_index"), col("base_offset"),
+        col("r.slice").as("slice"), col("r.err").as("slice_err"))
   }
 
   /** Member rows → parsed WARC records with BINARY bodies — the
@@ -321,6 +366,38 @@ object WebArchive {
       sliceMembers(archives, idx, pathCol, payloadCol),
       maxMemberBytes, maxTotalBytes)
     val errRows = idx.filter(col("member_err").isNotNull)
+      .select(col("archive"), col("member_index"), col("member_offset"),
+        col("member_clen"), lit(null).cast("binary").as("member_payload"),
+        col("member_err"))
+    val recs = wetRecords(sliced.unionByName(errRows))
+    if (conversionOnly)
+      recs.filter(col("quarantine").isNotNull ||
+        col("warc_type") === "conversion")
+    else recs
+  }
+
+  /** The RANGE-READ ingest — [[wetDocumentsSliced]]'s contract with
+    * the in-memory archive rows removed entirely: input is ONLY a
+    * persisted member index over real file paths (`archive` = path,
+    * plus member_index/member_offset/member_clen/member_err — what
+    * [[memberIndex]] emits and Common Crawl ships as cluster.idx), and
+    * every compressed member is fetched by its own byte-range read at
+    * parse time. Same output schema and audit identity: index rows =
+    * documents + quarantined (index error rows re-enter as quarantine
+    * rows; failed range fetches become quarantine rows through the
+    * carried `slice_err`). This is the production 100 TB path: build
+    * or receive the index once, then every query over the crawl reads
+    * exactly the byte ranges it needs, at member granularity, with no
+    * task ever holding a whole file. */
+  def wetDocumentsRanged(index: DataFrame, conversionOnly: Boolean = true,
+                         maxMemberBytes: Long = graft.functions.GzipArchiveCore.MaxMemberBytes,
+                         maxTotalBytes: Long = graft.functions.GzipArchiveCore.MaxTotalBytes,
+                         maxSliceBytes: Long = graft.functions.FileRangeCore.MaxRangeBytes,
+                         fanoutPartitions: Option[Int] = None): DataFrame = {
+    val sliced = expandSlices(
+      sliceMembersRanged(index, maxSliceBytes, fanoutPartitions),
+      maxMemberBytes, maxTotalBytes, errCol = Some("slice_err"))
+    val errRows = index.filter(col("member_err").isNotNull)
       .select(col("archive"), col("member_index"), col("member_offset"),
         col("member_clen"), lit(null).cast("binary").as("member_payload"),
         col("member_err"))

@@ -88,6 +88,90 @@ class Round15Spec extends AnyFunSuite {
       (2L, Some("www.example.co.uk")), (3L, Some("example.org"))))
   }
 
+  // --------------------------------------------- range-read archive ingest
+
+  private def writeArchiveFiles(docs: org.apache.spark.sql.DataFrame): (java.io.File, java.io.File) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ranged").toFile
+    val arcDir = new java.io.File(dir, "arcs"); arcDir.mkdirs()
+    graft.sources.WebArchive.buildWetArchives(docs)
+      .as[(String, Array[Byte])].collect().foreach { case (a, p) =>
+        java.nio.file.Files.write(
+          new java.io.File(arcDir, s"$a.warc.gz").toPath, p)
+      }
+    (dir, arcDir)
+  }
+
+  test("wetDocumentsRanged: members arrive via per-member byte-range reads; provenance ≡ the sliced path; no whole-file row in the plan") {
+    import graft.sources.WebArchive
+    val docs = Seq(
+      (1L, "alpha text one", "arcA"), (2L, "beta text two", "arcA"),
+      (3L, "gamma text three", "arcA"), (4L, "delta four", "arcB"),
+      (5L, "epsilon five", "arcB")).toDF("doc_id", "text", "source")
+    val (dir, arcDir) = writeArchiveFiles(docs)
+    val fileRows = spark.read.format("binaryFile")
+      .load(arcDir.getAbsolutePath)
+      .select($"path".as("archive"), $"content".as("payload"))
+    // the index is built ONCE (production: shipped with the crawl as
+    // cluster.idx), persisted, and re-read — so the ranged plan's only
+    // input is the index parquet, never archive payload bytes
+    val idxPath = new java.io.File(dir, "index").getAbsolutePath
+    WebArchive.memberIndex(fileRows).write.parquet(idxPath)
+    val index = spark.read.parquet(idxPath)
+
+    val ranged = WebArchive.wetDocumentsRanged(index)
+    val plan = ranged.queryExecution.executedPlan.toString
+    assert(!plan.contains("binaryFile"),
+      "ranged plan must not scan whole archive files")
+
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(regexp_extract($"archive", "(arc[A-Z])", 1).as("arc"),
+        $"member_index", $"member_offset", $"member_clen",
+        $"target_uri", $"text", $"quarantine")
+      .as[(String, Int, Long, Long, Option[String], Option[String], Option[String])]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    val gotRanged = key(ranged)
+    val gotSliced = key(WebArchive.wetDocumentsSliced(fileRows))
+    assert(gotRanged == gotSliced,
+      s"ranged != sliced:\n$gotRanged\n$gotSliced")
+    // and the round trip recovered every document, none quarantined
+    assert(gotRanged.size == 5 && gotRanged.forall(_._7.isEmpty))
+    assert(gotRanged.flatMap(_._6).toSet ==
+      docs.select($"text").as[String].collect().toSet)
+  }
+
+  test("wetDocumentsRanged: fetch failures quarantine in one pass — over-cap claims, unreachable paths, corrupt index rows") {
+    import graft.sources.WebArchive
+    val docs = Seq((1L, "kept text", "arcC"), (2L, "more text", "arcC"))
+      .toDF("doc_id", "text", "source")
+    val (dir, arcDir) = writeArchiveFiles(docs)
+    val fileRows = spark.read.format("binaryFile")
+      .load(arcDir.getAbsolutePath)
+      .select($"path".as("archive"), $"content".as("payload"))
+    val real = WebArchive.memberIndex(fileRows)
+    // doctor the index: a member pointing at a missing file, and a
+    // pre-flagged corrupt row that must re-enter as quarantine
+    val missing = new java.io.File(dir, "nope.warc.gz").getAbsolutePath
+    val doctored = real.unionByName(Seq(
+      (s"file:$missing", 0, 0L, 64L, 0L, None: Option[String]),
+      ("whatever", 9, 0L, 0L, 0L, Some("truncated gzip trailer")))
+      .toDF("archive", "member_index", "member_offset", "member_clen",
+        "member_ulen", "member_err"))
+    val out = WebArchive.wetDocumentsRanged(doctored)
+      .select($"quarantine").as[Option[String]].collect().toSeq
+    // audit identity: 2 real docs + 2 quarantine rows, nothing dropped
+    assert(out.size == 4)
+    assert(out.count(_.isEmpty) == 2)
+    assert(out.exists(_.exists(_.contains("range read failed"))))
+    assert(out.exists(_.exists(_.contains("truncated gzip trailer"))))
+
+    // a hostile clen claim past the per-slice cap quarantines instead
+    // of allocating: cap at 4 bytes, every member over-claims
+    val capped = WebArchive.wetDocumentsRanged(real, maxSliceBytes = 4L)
+      .select($"quarantine").as[Option[String]].collect().toSeq
+    assert(capped.size == 2 &&
+      capped.forall(_.exists(_.contains("exceeds 4 byte cap"))))
+  }
+
   // ------------------------------------------ catalog arity uniformity
 
   test("gzip_member_index / gzip_members: wrong arity raises the catalog's uniform AnalysisException") {
