@@ -442,14 +442,18 @@ class Round12Spec extends AnyFunSuite {
       (3L, "https://cdn.b.org/img/3", "w"),
       (4L, "notauri 4", "w x y z"),
       (5L, "HTTPS://WWW.A.ORG/caps", "w"),
-      (6L, "https://[2001:DB8::1]:8443/v6", "w")).toDF("doc_id", "uri", "text")
+      (6L, "https://[2001:DB8::1]:8443/v6", "w"),
+      (7L, "https://a.org./fqdn", "w")).toDF("doc_id", "uri", "text")
     val hosts = uris.select($"doc_id", Domains.uriHost($"uri").as("h"))
       .as[(Long, Option[String])].collect().sortBy(_._1).toSeq
     assert(hosts == Seq((1L, Some("www.a.org")), (2L, Some("a.org")),
       (3L, Some("cdn.b.org")), (4L, None), (5L, Some("www.a.org")),
       // bracketed IPv6 survives the port strip intact (the naive
       // [^:]+ form truncated it to "[")
-      (6L, Some("[2001:db8::1]"))))
+      (6L, Some("[2001:db8::1]")),
+      // the DNS-root FQDN form resolves to the same host — the
+      // trailing dot must not mint a blocklist-evading key
+      (7L, Some("a.org"))))
 
     // blocking domain a.org removes hosts www.a.org AND a.org;
     // blocking exact host cdn.b.org removes only it
@@ -466,7 +470,9 @@ class Round12Spec extends AnyFunSuite {
           coalesce($"host" === "cdn.b.org", lit(false)))
     val blockedDocs = stats.filter($"blocked").agg(sum($"n_docs"))
       .as[Long].first()
-    assert(blockedDocs == 4L)
+    // docs 1/2/5 via domain a.org, 3 via exact host, 7 via the
+    // trailing-dot FQDN form collapsing onto a.org
+    assert(blockedDocs == 5L)
   }
 
   // -------------------------------------------------- HTML text extraction

@@ -172,6 +172,30 @@ class Round15Spec extends AnyFunSuite {
       capped.forall(_.exists(_.contains("exceeds 4 byte cap"))))
   }
 
+  // ---------------------------------------------- index-pass bomb ceiling
+
+  test("gzip_member_index: a member decompressing past max_ulen quarantines the remainder (CPU bomb ceiling)") {
+    import graft.functions.GzipArchiveCore
+    GraftSession.registerFunctions(spark)
+    val arc = GzipArchiveCore.gzipMember("tiny".getBytes("UTF-8")) ++
+      GzipArchiveCore.gzipMember(Array.fill[Byte](4096)('a')) ++
+      GzipArchiveCore.gzipMember("never reached".getBytes("UTF-8"))
+    val got = Seq(Tuple1(arc)).toDF("p")
+      .select(explode(expr("gzip_member_index(p, 1024)")).as("m"))
+      .select($"m.idx", $"m.ulen", $"m.err")
+      .as[(Int, Long, Option[String])].collect().sortBy(_._1).toSeq
+    // member 0 indexes (4 bytes), member 1 trips the ceiling mid-inflate
+    // and ONE quarantine row covers the remainder — the bomb buys
+    // bounded CPU, and nothing is silently dropped
+    assert(got.size == 2)
+    assert(got(0) == ((0, 4L, None)))
+    assert(got(1)._1 == 1 && got(1)._3.exists(_.contains("index cap")))
+    // the same archive under the default ceiling indexes completely
+    val all = Seq(Tuple1(arc)).toDF("p")
+      .select(explode(expr("gzip_member_index(p)")).as("m"))
+    assert(all.filter($"m.err".isNotNull).count() == 0 && all.count() == 3)
+  }
+
   // ------------------------------------------ catalog arity uniformity
 
   test("gzip_member_index / gzip_members: wrong arity raises the catalog's uniform AnalysisException") {

@@ -97,6 +97,26 @@ class VectorIngestSpec extends AnyFunSuite {
     assert(once == twice)
   }
 
+  test("PQ bootstrap crash-replay: centroids are the commit marker — a partial bootstrap (codebook written, marker not) retrains instead of failing") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_vec_crash").toString
+    val wave1 = emb.filter($"vec_id" < 250)
+    VectorIngest.processBatchPq(wave1, outDir, 0L, nlist = 16, m = 4, ksub = 8)
+    // simulate the only crash-reachable partial state under the
+    // codebook-before-marker write order: codebook persisted, centroid
+    // commit marker not (the inverse order left marker-present/
+    // codebook-missing, where every replay died in readCodebook)
+    val conf = spark.sessionState.newHadoopConf()
+    val cent = new org.apache.hadoop.fs.Path(s"$outDir/pqindex/centroids")
+    val fs = cent.getFileSystem(conf)
+    assert(fs.delete(cent, true))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/pqindex/codebook")))
+    // replay must take the TRAIN branch and leave a whole, queryable index
+    VectorIngest.processBatchPq(wave1, outDir, 0L, nlist = 16, m = 4, ksub = 8)
+    val idx = VectorIngest.readPqIndex(spark, outDir).get
+    assert(idx.centroids.select("cid").distinct().count() == 16L)
+    assert(idx.codes.select("vid").distinct().count() == wave1.count())
+  }
+
   test("ivfTopKIndexed over ivfBuildIndex is exactly ivfTopK (the refactor contract)") {
     val queries = emb.filter($"vec_id" < 10)
     val direct = Similarity.ivfTopK(emb, queries, k = 10, nlist = 16, nprobe = 4)
