@@ -181,6 +181,12 @@ object FunctionCatalog {
         else GzipArchiveCore.MaxIndexMemberBytes
         GzipMemberIdx(exprs.head, mu)
       }),
+    FunctionDef("html_unescape",
+      "html_unescape(text STRING) -> STRING", classOf[HtmlUnescape], { exprs =>
+        FunctionArgs.requireArity("html_unescape", exprs, 1,
+          "html_unescape(text string)")
+        HtmlUnescape(exprs.head)
+      }),
     FunctionDef("file_range_read",
       "file_range_read(path STRING, offset BIGINT, len BIGINT[, max_bytes BIGINT]) -> struct<slice,err>", classOf[FileRangeRead], { exprs =>
         FunctionArgs.requireArity("file_range_read", exprs, 3, 4,

@@ -11,8 +11,11 @@ import org.apache.spark.sql.functions._
   *  - [[htmlToText]]: markup removal — scripts/styles/comments
   *    deleted (their text is code, not content), block-level closers
   *    become newlines (so the document's visual lines survive as
-  *    machine-readable lines), remaining tags stripped, the five
-  *    ubiquitous entities decoded, whitespace normalized per line.
+  *    machine-readable lines), remaining tags stripped, character
+  *    references decoded (ALL numeric forms + the documented named
+  *    tier — the native single-pass
+  *    [[graft.functions.HtmlUnescapeCore]]), whitespace normalized
+  *    per line.
   *  - [[mainContent]]: a jusText-style line filter — boilerplate
   *    (nav, titles, footers, button labels) lives in SHORT lines, so
   *    keeping only lines with ≥ `minWords` words removes most of it
@@ -20,13 +23,16 @@ import org.apache.spark.sql.functions._
   *    stopword ratios; the word-count core is what generalizes
   *    across languages and is the 80% at 1% of the complexity.)
   *
-  * Both layers are chains of regexp_replace / higher-order array
-  * functions in the RE2 ∩ Java-regex dialect, so DuckDB replays the
-  * entire extraction verbatim and the q178 oracle can demand the
-  * strongest possible result: HTML built around the corpus must give
-  * back the corpus BYTE-FOR-BYTE (the q168 round-trip convention).
-  * Per-row expression work throughout — zero shuffles, scales as the
-  * scan does. */
+  * The regex layers stay in the RE2 ∩ Java dialect; the q178/q179
+  * gate does not replay them — it demands the strongest possible
+  * result instead: HTML built around the corpus must give back the
+  * corpus BYTE-FOR-BYTE (the q168 round-trip convention), character
+  * references included. Per-row expression work throughout — zero
+  * shuffles, scales as the scan does.
+  *
+  * [[htmlToText]] resolves `html_unescape` by name: sessions built
+  * through [[graft.GraftSession]] / the extensions route carry it;
+  * [[extractMainText]] self-registers for any other session. */
 object Html {
 
   /** Block-level closers (plus <br>) whose end marks a rendered line
@@ -49,14 +55,17 @@ object Html {
       s"(?i)</($BlockClose)\\s*>|<br\\s*/?>", "\n")
     // 4. every remaining tag becomes a space
     val noTags = regexp_replace(withBreaks, "<[^>]*>", " ")
-    // 5. the five ubiquitous entities; &amp; LAST so "&amp;lt;"
-    //    decodes to the literal "&lt;", not "<"
-    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
-      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
-    // 6. normalize: horizontal whitespace runs to one space, trimmed
-    //    lines, blank lines dropped
-    val oneSpace = regexp_replace(decoded, "[ \\t\\r\\f\\x0B]+", " ")
+    // 5. character references — ALL numeric forms plus the documented
+    //    named tier, one native left-to-right pass
+    //    ([[graft.functions.HtmlUnescapeCore]]; the earlier fold of
+    //    per-entity regexp_replace re-scanned every document once per
+    //    entity and could not express numeric references at all).
+    //    Single-pass also hard-guarantees "&amp;lt;" → literal "&lt;".
+    val decoded = call_function("html_unescape", noTags)
+    // 6. normalize: horizontal whitespace runs to one space (U+00A0
+    //    included, so &nbsp;/&#160; fold like the space they render
+    //    as), trimmed lines, blank lines dropped
+    val oneSpace = regexp_replace(decoded, "[ \\t\\r\\f\\x0B\\x{A0}]+", " ")
     val trimmedLines = regexp_replace(oneSpace, " ?\\n ?", "\n")
     trim(regexp_replace(trimmedLines, "\\n+", "\n"))
   }
@@ -73,6 +82,8 @@ object Html {
     * boilerplate-filtered. */
   def extractMainText(df: DataFrame, htmlCol: String,
                       outCol: String = "text",
-                      minWords: Int = 3): DataFrame =
+                      minWords: Int = 3): DataFrame = {
+    graft.functions.HtmlUnescape.register(df.sparkSession)
     df.withColumn(outCol, mainContent(htmlToText(col(htmlCol)), minWords))
+  }
 }

@@ -1536,9 +1536,17 @@ object TextQueries {
     * back the corpus BYTE-FOR-BYTE: markup removal recovers the
     * rendered lines, the jusText-style minWords filter drops every
     * planted boilerplate line (all ≤ 2 words; real docs are ≥ 10).
-    * The oracle is just the documents table (q168's round-trip
-    * convention — no regex is pinned, the whole chain is certified by
-    * identity). */
+    * The oracle is the documents table plus the one deterministic
+    * suffix arm (q168's round-trip convention — no regex is pinned,
+    * the whole chain is certified by identity).
+    *
+    * Character references ride the same identity: one doc arm ships
+    * its spaces as `&#32;` (decimal numeric), one its `e`s as
+    * `&#x65;` (hex numeric) — both must decode back to the exact
+    * corpus bytes — and one arm appends a typographic named-entity
+    * suffix (`&nbsp;&mdash;&ldquo;…`) whose decoded form the oracle
+    * concatenates verbatim, so the named tier is cross-engine-checked
+    * too, including the U+00A0 → space whitespace fold. */
   def q178HtmlExtract(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val html = docs.select(col("doc_id"), concat(
@@ -1547,7 +1555,14 @@ object TextQueries {
         "\"</p>\";</script><style>p { color: red; }</style></head>" +
         "<body><nav>home about</nav><h1>doc "),
       col("doc_id"),
-      lit("</h1><p>"), col("text"),
+      lit("</h1><p>"),
+      expr("CASE pmod(doc_id, 4) " +
+        "WHEN 0 THEN replace(text, ' ', '&#32;') " +
+        "WHEN 1 THEN replace(text, 'e', '&#x65;') " +
+        "ELSE text END"),
+      expr("CASE WHEN pmod(doc_id, 4) = 2 " +
+        "THEN '&nbsp;&mdash;&nbsp;&ldquo;data&rdquo;&hellip;' " +
+        "ELSE '' END"),
       lit("</p><div>short</div><footer>&amp; example.org</footer>" +
         "</body></html>")).as("html"))
     graft.operators.Html.extractMainText(html, "html", "main_text",
@@ -1937,7 +1952,9 @@ object TextQueries {
     // regex step leaked markup or sheared content, main_text would not
     // hash-match the corpus (the q168 round-trip convention)
     "q178_html_extract" ->
-      "SELECT doc_id, text AS main_text FROM documents",
+      """SELECT doc_id, text || CASE WHEN doc_id % 4 = 2
+        |  THEN ' — “data”…' ELSE '' END AS main_text
+        |FROM documents""".stripMargin,
 
     // the complete crawl ingest (gzip codec -> WARC byte split -> HTML
     // extraction) under ONE identity: any sheared byte anywhere in the

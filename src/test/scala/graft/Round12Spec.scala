@@ -479,6 +479,7 @@ class Round12Spec extends AnyFunSuite {
 
   test("Html.htmlToText: scripts/styles/comments die with their content, lines survive, entities decode") {
     import graft.operators.Html
+    GraftSession.registerFunctions(spark) // htmlToText resolves html_unescape by name
     val html = Seq(
       """<html><head><title>My Page</title>
         |<script>if (a < b) { document.write("</p> trap"); }</script>

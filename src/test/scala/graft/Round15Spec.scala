@@ -172,6 +172,28 @@ class Round15Spec extends AnyFunSuite {
       capped.forall(_.exists(_.contains("exceeds 4 byte cap"))))
   }
 
+  // ------------------------------------------- HTML character references
+
+  test("html_unescape: numeric refs decode across the full scalar range; malformed forms pass through literally") {
+    import graft.functions.HtmlUnescapeCore.unescape
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def d(s: String) = unescape(u(s)).toString
+    // decimal, hex (both cases), non-BMP, and the named tier
+    assert(d("&#32;a&#x65;b&#X41;") == " aebA")
+    assert(d("&#8217;s &#xA0;x") == "’s \u00A0x")
+    assert(d("&#128169;") == new String(Character.toChars(0x1f4a9)))
+    assert(d("it&rsquo;s &mdash; fine&hellip;") == "it’s — fine…")
+    assert(d("1&frac12;&deg; &copy;2024") == "1½° ©2024")
+    assert(d("a&shy;b") == "ab") // soft hyphen is a rendering hint
+    // single pass: &amp;lt; is the LITERAL &lt;, never <
+    assert(d("&amp;lt; and &amp;#60;") == "&lt; and &#60;")
+    // untrusted-input passthrough: unknown name, bad number, zero,
+    // surrogate, out-of-range, unterminated, over-long body
+    assert(d("&unknown; &#x; &#0; &#xD800; &#1114112; &#12") ==
+      "&unknown; &#x; &#0; &#xD800; &#1114112; &#12")
+    assert(d("AT&T & friends") == "AT&T & friends")
+  }
+
   // ---------------------------------------------- index-pass bomb ceiling
 
   test("gzip_member_index: a member decompressing past max_ulen quarantines the remainder (CPU bomb ceiling)") {
