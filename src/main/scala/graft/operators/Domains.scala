@@ -184,6 +184,66 @@ object Domains {
       array_join(slice(labels, n - l, l + lit(1)), "."))
   }
 
+  /** URL canonicalization — the C4/Common-Crawl companion to
+    * registrable-domain governance: crawls reach the same resource
+    * through many spellings, and URL-level exact dedup only works on a
+    * canonical form. Documented steps, all per-row expression work in
+    * the RE2 ∩ Java dialect (zero shuffles, scales as the scan does):
+    *
+    *  1. fragment stripped (`#…` never reaches the server);
+    *  2. percent-escapes hex-UPPERCASED (`%2f` → `%2F`, RFC 3986
+    *     §6.2.2.1 — invalid escapes like `100%`​`sure` pass through);
+    *  3. scheme and authority lowercased (path/query case preserved —
+    *     it is significant);
+    *  4. default ports dropped (`http://…:80`, `https://…:443`);
+    *  5. tracking parameters removed (`utm_*`, `gclid`, `fbclid` —
+    *     the advertising click-id tier; a trailing empty `?` goes
+    *     with them);
+    *  6. empty path becomes `/` (`http://a.org` ≡ `http://a.org/`).
+    *
+    * Idempotent (canonical input maps to itself — spec-pinned); null
+    * and relative/malformed URIs pass through null/unchanged. */
+  def canonicalizeUrl(uri: Column): Column = {
+    val noFrag = regexp_replace(uri, "#.*$", "")
+    // '%'-split: piece 0 is never an escape; any later piece starting
+    // with two hex digits had a '%' before it
+    val pct = array_join(
+      transform(split(noFrag, "%"), (p, i) =>
+        when(i === 0 || !p.rlike("^[0-9a-fA-F]{2}"), p)
+          .otherwise(concat(upper(p.substr(lit(1), lit(2))),
+            p.substr(lit(3), length(p))))), "%")
+    val auth = regexp_extract(pct, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    // relative/malformed → auth = '' and rest = the whole string
+    val rest = regexp_replace(pct, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val lowered = concat(lower(auth), rest)
+    val p80 = regexp_replace(lowered, "^(http://[^/?#:]+):80(/|\\?|$)", "$1$2")
+    val p443 = regexp_replace(p80, "^(https://[^/?#:]+):443(/|\\?|$)", "$1$2")
+    val base = regexp_extract(p443, "^([^?]*)", 1)
+    val qs = regexp_replace(p443, "^[^?]*\\??", "")
+    val kept = filter(split(qs, "&"), p =>
+      !p.rlike("^(utm_[^=&]*|gclid|fbclid)(=|$)") && p =!= lit(""))
+    val rejoined = when(size(kept) > 0,
+      concat(base, lit("?"), array_join(kept, "&"))).otherwise(base)
+    val slash = regexp_replace(
+      regexp_replace(rejoined, "^([a-z][a-z0-9+.-]*://[^/?#]+)$", "$1/"),
+      "^([a-z][a-z0-9+.-]*://[^/?#]+)\\?", "$1/?")
+    slash
+  }
+
+  /** URL-level exact dedup over the canonical form — the crawl
+    * pipeline's cheapest dedup pass, run BEFORE content hashing
+    * (same-URL fetches are duplicates by construction; content dedup
+    * then only pays for genuinely distinct pages). One hash-shuffle
+    * aggregate, the [[Dedup.exactDedup]] shape: smallest id per
+    * canonical URL wins, copy count kept for the yield audit. */
+  def urlDedup(docs: DataFrame, uriCol: String = "uri",
+               idCol: String = "doc_id"): DataFrame =
+    docs
+      .withColumn("canonical_url", canonicalizeUrl(col(uriCol)))
+      .groupBy("canonical_url")
+      .agg(min(col(idCol)).as(idCol),
+        count(lit(1)).as("n_copies"))
+
   /** Per-host corpus accounting: (host, domain, n_docs, n_tokens) —
     * the frame quota/mixing policies and over-crawl audits read. One
     * scan, one combinable aggregate. */

@@ -1730,6 +1730,32 @@ object TextQueries {
         count(col("quarantine")).as("n_quarantined"))
   }
 
+  /** URL-level dedup on the canonical form under the oracle gate —
+    * [[graft.operators.Domains.canonicalizeUrl]] +
+    * [[graft.operators.Domains.urlDedup]]: five URI spellings per
+    * (source, class) — mixed case + default port + fragment, encoded
+    * tracking params (including a doc-varying one, so a lazy substring
+    * match cannot pass), lowercase percent-escapes, a bare authority,
+    * and a `:80/?utm_…` form — must collapse to exactly TWO canonical
+    * URLs per source. The oracle derives the expected canonical
+    * strings and group stats INDEPENDENTLY from the documents table
+    * (the q173 convention: expected-form, not chain-replay), so any
+    * canonicalization drift breaks the hash. */
+  def q186UrlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        expr("CASE pmod(doc_id, 5) " +
+          "WHEN 0 THEN concat('https://www.', source, '.org/a%2fb?x=1') " +
+          "WHEN 1 THEN concat('HTTPS://WWW.', upper(source), " +
+          "'.ORG:443/a%2Fb?x=1#frag') " +
+          "WHEN 2 THEN concat('https://www.', source, " +
+          "'.org/a%2fb?utm_source=feed&x=1&utm_campaign=', doc_id) " +
+          "WHEN 3 THEN concat('http://', source, '.org') " +
+          "ELSE concat('http://', source, '.org:80/?utm_campaign=z&gclid=', " +
+          "doc_id) END").as("uri"))
+    graft.operators.Domains.urlDedup(docs)
+  }
+
   /** The q169/q170 merge table — memoized so train runs once per
     * Verify/Bench pass whichever of the two consumers goes first. */
   val BpeNumMerges = 16
@@ -1772,6 +1798,7 @@ object TextQueries {
       bpeMerges(spark, dir))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_url_dedup" -> (q186UrlDedup _),
     "q185_ranged_ingest" -> (q185RangedIngest _),
     "q184_gopher_lines" -> (q184GopherLines _),
     "q183_cross_lm_score" -> (q183CrossLmScore _),
@@ -1938,6 +1965,17 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // the EXPECTED canonical forms, derived independently of the
+    // canonicalization chain: arms 0-2 collapse onto the %2F/x=1 form,
+    // arms 3-4 onto the bare root — group stats must match exactly
+    "q186_url_dedup" ->
+      """SELECT CASE WHEN doc_id % 5 <= 2
+        |  THEN 'https://www.' || source || '.org/a%2Fb?x=1'
+        |  ELSE 'http://' || source || '.org/' END AS canonical_url,
+        |  CAST(min(doc_id) AS BIGINT) AS doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
     // the ranged ingest is certified by full recovery: every document
     // of every source must come back byte-complete (sum_text_bytes =
     // raw strlen sum) with zero quarantines through file-write → index

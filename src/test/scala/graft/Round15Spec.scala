@@ -172,6 +172,41 @@ class Round15Spec extends AnyFunSuite {
       capped.forall(_.exists(_.contains("exceeds 4 byte cap"))))
   }
 
+  // ----------------------------------------------- URL canonicalization
+
+  test("canonicalizeUrl: each documented step fires, invalid input passes through, and the form is idempotent") {
+    val cases = Seq(
+      // case + default port + fragment + pct-case, all at once
+      (1L, "HTTPS://User@Example.ORG:443/Path/%2f?b=2&utm_source=x&a=1#top",
+        "https://user@example.org/Path/%2F?b=2&a=1"),
+      (2L, "http://a.org:80", "http://a.org/"),
+      // non-default port survives
+      (3L, "http://a.org:8080/x", "http://a.org:8080/x"),
+      // tracking params die, trailing empty '?' goes with them
+      (4L, "http://a.org/?utm_source=1", "http://a.org/"),
+      (5L, "http://a.org/p?utm_a=1&gclid=2&q=3", "http://a.org/p?q=3"),
+      // invalid percent-escape and relative input pass through
+      (6L, "100% sure thing", "100% sure thing"),
+      // bare authority gains the root slash; query stays anchored
+      (7L, "http://a.org?q=1", "http://a.org/?q=1"),
+      // path/query case is significant and preserved
+      (8L, "https://a.org/CaseSensitive?Q=V", "https://a.org/CaseSensitive?Q=V"))
+      .toDF("id", "uri", "want")
+    import graft.operators.Domains.canonicalizeUrl
+    val got = cases
+      .select($"id", canonicalizeUrl($"uri").as("c"),
+        canonicalizeUrl(canonicalizeUrl($"uri")).as("cc"), $"want")
+      .as[(Long, String, String, String)].collect().sortBy(_._1)
+    got.foreach { case (id, c, cc, want) =>
+      assert(c == want, s"case $id: got $c, want $want")
+      assert(cc == c, s"case $id not idempotent: $c re-canonicalized to $cc")
+    }
+    // null propagates
+    val n = Seq(Tuple1(null.asInstanceOf[String])).toDF("uri")
+      .select(canonicalizeUrl($"uri")).as[Option[String]].first()
+    assert(n.isEmpty)
+  }
+
   // ------------------------------------------- HTML character references
 
   test("html_unescape: numeric refs decode across the full scalar range; malformed forms pass through literally") {
