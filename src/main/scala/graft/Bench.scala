@@ -39,6 +39,16 @@ object Bench {
     "q105_delta_dedup_capped", "q143_count_min",
     "q147_join_size_est", "q162_mg_certificate")
 
+  /** Queries whose registry entry bills a ONE-OFF index build together
+    * with the search it serves (q171 trains the PQ codebook before its
+    * top-k; q174 builds the whole IVF-PQ index before its probe): in
+    * production the build amortizes across every query that hits the
+    * MATERIALIZED index (the VectorIngest path q175 certifies), so
+    * billing it per-search misprices the operator ~10×. Tagged and —
+    * like the certificate compositions — excluded from `prod`, listed
+    * under their own `idx` field so the split is self-describing. */
+  val IndexBuilds: Set[String] = Set("q171_pq_topk", "q174_ivfpq_topk")
+
   /** The drift canary: a fixed CPU+shuffle-free job whose code never
     * changes round to round, timed per pass like any query (min over
     * passes). Round-over-round, canary_rN / canary_rN-1 isolates
@@ -50,6 +60,22 @@ object Bench {
     // bit_xor, not sum: a sum of 1e8 uniform 64-bit hashes overflows
     // under the session's ANSI mode
     spark.range(100000000L).selectExpr("bit_xor(xxhash64(id))").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** The SHUFFLE canary — the CPU canary's blind spot made one number:
+    * r13's per-query median moved 0.684× while the CPU canary moved
+    * 0.459×, i.e. the exchange/spill side of the machine drifted
+    * differently from raw compute, and no fixed job measured it. A
+    * fixed-size two-phase aggregate over 8M rows into 64k keys forces
+    * a real exchange whose code never changes round to round; the
+    * pair (canary, canary_sh) now brackets both drift axes. */
+  def canaryShuffleOnce(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(4000000L)
+      .selectExpr("pmod(xxhash64(id), 65536) AS k", "xxhash64(id + 1) AS v")
+      .groupBy("k").agg(org.apache.spark.sql.functions.expr("bit_xor(v) AS x"))
+      .selectExpr("bit_xor(x)").collect()
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -79,9 +105,11 @@ object Bench {
     val nFail = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
     val memoTagged = scala.collection.mutable.Set.empty[String]
     var canary = Double.MaxValue
+    var canarySh = Double.MaxValue
     for (_ <- 1 to passes) {
       ops.Memo.clear(spark)
       canary = math.min(canary, canaryOnce(spark))
+      canarySh = math.min(canarySh, canaryShuffleOnce(spark))
       names.foreach { case (name, fn) =>
         val hits0 = ops.Memo.hitCount(spark)
         val t0 = System.nanoTime()
@@ -121,7 +149,7 @@ object Bench {
     // stdout passes through verbatim — without it, sbt's logger would
     // prefix the line with "[info] " and break json-parsing consumers.
     println(summaryJson(names.map(_._1), best, everOk, nFail.toMap, passes,
-      sfDir, canary, memoTagged.toSet))
+      sfDir, canary, memoTagged.toSet, canarySh))
     spark.stop()
   }
 
@@ -147,7 +175,12 @@ object Bench {
     * split is self-describing). r12 adds `memo` (digit ids of queries
     * whose timed run consumed a shared memoized frame — per-query
     * numbers not comparable round-over-round; omitted when empty).
-    * The headline `value` stays 3-decimal
+    * r15 adds `csh` (ms — [[canaryShuffleOnce]], the exchange-side
+    * drift discriminator the CPU canary is blind to) and `idx` (digit
+    * ids of [[IndexBuilds]], excluded from `prod` alongside `comp`);
+    * `comp` and `idx` use memo's comma-joined-string encoding (~2 B/id
+    * cheaper than a JSON array — the byte source that funds the two
+    * new fields at 186 queries). The headline `value` stays 3-decimal
     * seconds — the driver's gate number, untouched. `failed`/`flaky`
     * appear only when non-empty. If digit ids ever collide the full
     * names come back (correctness of the mapping beats compactness),
@@ -159,7 +192,8 @@ object Bench {
                   nFail: collection.Map[String, Int],
                   passes: Int, sfDir: String,
                   canary: Double = 0.0,
-                  memoTagged: Set[String] = Set.empty): String = {
+                  memoTagged: Set[String] = Set.empty,
+                  canarySh: Double = 0.0): String = {
     val digitIds = names.map(n =>
       n -> n.takeWhile(_ != '_').dropWhile(!_.isDigit)).toMap
     val id: Map[String, String] =
@@ -182,7 +216,12 @@ object Bench {
         .filter(k => everOk.getOrElse(k, false) && nFail.getOrElse(k, 0) > 0)
         .map(k => "\"" + id(k) + "\":" + nFail(k))
       val comp = names.filter(OracleCompositions)
-      val prod = names.filterNot(OracleCompositions).map(best).sum
+      val idxB = names.filter(IndexBuilds)
+      // prod excludes BOTH non-production classes: certificate
+      // compositions (oracle plumbing) and one-off index builds
+      // (amortized in production by the materialized-index path)
+      val excluded = OracleCompositions ++ IndexBuilds
+      val prod = names.filterNot(excluded).map(best).sum
       val total = names.map(best).sum
       // sf records the scale-factor directory's BASENAME — the full
       // path spent 15 B of the tail budget restating /root/testdata
@@ -190,19 +229,23 @@ object Bench {
       val opt = new StringBuilder
       if (failed.nonEmpty) opt ++= s""","failed":${failed.mkString("[", ",", "]")}"""
       if (flaky.nonEmpty) opt ++= s""","flaky":${flaky.mkString("{", ",", "}")}"""
+      // comp/idx as ONE comma-joined string each (the memo encoding —
+      // ~2 B/id cheaper than a JSON array; at 186 queries the tail
+      // budget is counted in tens of bytes)
+      if (comp.nonEmpty || idxB.nonEmpty)
+        opt ++= s""","prod":${secs(prod)}"""
       if (comp.nonEmpty)
-        opt ++= s""","prod":${secs(prod)},"comp":${
-          comp.map("\"" + id(_) + "\"").mkString("[", ",", "]")}"""
+        opt ++= s""","comp":"${comp.map(id).mkString(",")}""""
+      if (idxB.nonEmpty)
+        opt ++= s""","idx":"${idxB.map(id).mkString(",")}""""
       // queries whose timed run consumed a shared memoized frame: their
       // per-query numbers are not comparable round-over-round (they
       // read another query's materialized work). The total stays
       // honest either way — this is per-query attribution metadata.
-      // ONE comma-joined string, not a JSON array: ~2 B/id cheaper,
-      // and at 179 queries the tail budget is counted in tens of bytes.
       val memo = if (withMemo) names.filter(memoTagged) else Nil
       if (memo.nonEmpty)
         opt ++= s""","memo":"${memo.map(id).mkString(",")}""""
-      s"""{"metric":"total","value":${secs(total)},"unit":"sec","qunit":"$unit","queries":$qs,"canary":${f(canary)}$opt,"passes":$passes,"sf":"$sf"}"""
+      s"""{"metric":"total","value":${secs(total)},"unit":"sec","qunit":"$unit","queries":$qs,"canary":${f(canary)},"csh":${f(canarySh)}$opt,"passes":$passes,"sf":"$sf"}"""
     }
     // The ceiling is MEASURED, not guessed: the driver stores the last
     // 2000 bytes of stdout verbatim (BENCH_r08.json "tail" is exactly

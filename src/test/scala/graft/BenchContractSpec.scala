@@ -52,7 +52,7 @@ class BenchContractSpec extends AnyFunSuite {
       .map { case (n, i) => n -> cycle(i % cycle.length) }.toMap
     val realLine = Bench.summaryJson(names, real,
       names.map(_ -> true).toMap, Map.empty, passes = 2,
-      sfDir = "/root/testdata/sf0.1", canary = 0.308)
+      sfDir = "/root/testdata/sf0.1", canary = 0.308, canarySh = 0.142)
     assert(realLine.length < 1980, s"realistic line is ${realLine.length} B")
     val tree = mapper.readTree(realLine)
     assert(tree.get("qunit").asText() == "ms")
@@ -63,11 +63,18 @@ class BenchContractSpec extends AnyFunSuite {
     assert(math.abs(tree.get("value").asDouble() - real.values.sum) < 0.5,
       "total must stay 3-decimal seconds")
     assert(tree.get("canary").asLong() == 308L)
-    // the production/certificate split: prod + tagged = total
-    val comp = tree.get("comp").elements().asScala.map(_.asText()).toSet
+    assert(tree.get("csh").asLong() == 142L,
+      "the shuffle canary must ride the line in integer ms")
+    // the production/certificate/index-build split: comp and idx use
+    // memo's comma-joined-string encoding, prod excludes both classes
+    val comp = tree.get("comp").asText().split(",").toSet
     assert(comp == Bench.OracleCompositions.map(digitId),
       "every tagged composition query must appear in comp")
-    val prodExpected = names.filterNot(Bench.OracleCompositions).map(real).sum
+    val idx = tree.get("idx").asText().split(",").toSet
+    assert(idx == Bench.IndexBuilds.map(digitId),
+      "every tagged index-build query must appear in idx")
+    val prodExpected = names
+      .filterNot(Bench.OracleCompositions ++ Bench.IndexBuilds).map(real).sum
     assert(math.abs(tree.get("prod").asDouble() - prodExpected) < 0.01)
 
     // all-slow worst case (every query > 100 s): integer ms would
