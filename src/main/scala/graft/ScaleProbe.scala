@@ -102,6 +102,41 @@ object ScaleProbe {
     docs.unpersist()
   }
 
+  /** trainLocal headroom at REALISTIC merge counts (a production
+    * tokenizer trains 30k–50k merges; the oracle-gated q169 proves
+    * 16): the driver-side trainer's per-round full recount is
+    * O(Σ|word symbols|) by design (`Bpe.scala` reserves the
+    * incremental pair index if this probe ever demands it). The dial
+    * that matters is DISTINCT WORDS — corpus volume enters only the
+    * one vocabulary scan — so the probe synthesizes a vocabulary
+    * large enough that 30k merges never exhaust the pair space
+    * (Σ(|word|−1) ≈ 7·nWords potential merges), with mild count
+    * variation so argmax ties are not the only path. Usage:
+    * ScaleProbe bpe-local [nwords merge ...] */
+  def bpeLocalProbe(spark: SparkSession, nWords: Int, merges: Seq[Int]): Unit = {
+    import spark.implicits._
+    // deterministic base-26 words ("w" + digits 0-9a-p), 1-5 copies
+    val docs = (0 until nWords).map { i =>
+      val w = "w" + java.lang.Long.toString(i.toLong, 26)
+      (i.toLong, (Seq.fill(1 + i % 5)(w)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val nsyms = (0 until nWords.min(200000))
+      .map(i => 1 + java.lang.Long.toString(i.toLong, 26).length).sum
+    println(s"bpe-local vocab: $nWords distinct words, ~$nsyms symbol slots")
+    merges.foreach { m =>
+      val (table, sec) = timeIt {
+        val t = operators.Bpe.trainLocal(docs, numMerges = m)
+        t.localCheckpoint()
+      }
+      val trained = table.count()
+      println(f"bpe-local merges=$m%-6d (trained $trained%5d) " +
+        f"$sec%8.2f s (${sec / trained.max(1L) * 1000}%7.2f ms/round)")
+      println(s"""{"probe":"bpe-local","nwords":$nWords,"merges":$m,""" +
+        s""""trained":$trained,"train_sec":${math.round(sec * 1000) / 1000.0},""" +
+        s""""round_ms":${math.round(sec / trained.max(1L) * 1000000) / 1000.0}}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
@@ -112,6 +147,14 @@ object ScaleProbe {
       val ms = if (args.length > 1) args.drop(1).toSeq.map(_.toInt)
                else Seq(16, 64, 256)
       bpeProbe(spark, dir, ms)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("bpe-local")) {
+      val nWords = if (args.length > 1) args(1).toInt else 60000
+      val ms = if (args.length > 2) args.drop(2).toSeq.map(_.toInt)
+               else Seq(1000, 8000, 30000)
+      bpeLocalProbe(spark, nWords, ms)
       spark.stop()
       return
     }

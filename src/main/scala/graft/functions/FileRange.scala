@@ -68,7 +68,7 @@ object FileRangeCore {
   private val confCache =
     new java.util.concurrent.ConcurrentHashMap[Seq[(String, String)], Configuration]()
 
-  private def confFor(fsConf: Seq[(String, String)]): Configuration =
+  private[functions] def hadoopConf(fsConf: Seq[(String, String)]): Configuration =
     confCache.computeIfAbsent(fsConf, k => {
       val c = new Configuration()
       k.foreach { case (key, value) => c.set(key, value) }
@@ -93,7 +93,7 @@ object FileRangeCore {
       return err(s"range length $len exceeds JVM array bound")
     try {
       val p = new org.apache.hadoop.fs.Path(path.toString)
-      val fs = p.getFileSystem(confFor(fsConf))
+      val fs = p.getFileSystem(hadoopConf(fsConf))
       val in = fs.open(p)
       try {
         val buf = new Array[Byte](len.toInt)

@@ -187,6 +187,15 @@ object FunctionCatalog {
           "html_unescape(text string)")
         HtmlUnescape(exprs.head)
       }),
+    FunctionDef("gzip_index_path",
+      "gzip_index_path(path STRING[, max_ulen BIGINT]) -> array<struct<idx,offset,clen,ulen,err>>", classOf[GzipIndexPath], { exprs =>
+        FunctionArgs.requireArity("gzip_index_path", exprs, 1, 2,
+          "gzip_index_path(path string[, max_ulen bigint])")
+        val mu = if (exprs.size >= 2)
+          FunctionArgs.foldableLong("gzip_index_path", exprs(1), "max_ulen")
+        else GzipArchiveCore.MaxIndexMemberBytes
+        GzipIndexPath(exprs.head, mu)
+      }),
     FunctionDef("file_range_read",
       "file_range_read(path STRING, offset BIGINT, len BIGINT[, max_bytes BIGINT]) -> struct<slice,err>", classOf[FileRangeRead], { exprs =>
         FunctionArgs.requireArity("file_range_read", exprs, 3, 4,

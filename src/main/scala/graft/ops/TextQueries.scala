@@ -1688,8 +1688,11 @@ object TextQueries {
     * documents table becomes per-source WET archive FILES on disk
     * (the sandbox's test medium; the reader is Hadoop-FS
     * scheme-transparent, so the same plan does s3a ranged GETs), a
-    * member index is built and PERSISTED once (the cluster.idx role),
-    * and [[graft.sources.WebArchive.wetDocumentsRanged]] re-ingests
+    * member index is built by STREAMING each path
+    * ([[graft.sources.WebArchive.memberIndexFromPaths]] — bounded
+    * window, no whole-file row even at build time) and PERSISTED once
+    * (the cluster.idx role), and
+    * [[graft.sources.WebArchive.wetDocumentsRanged]] re-ingests
     * every document through per-member byte-range reads — no archive
     * payload column exists anywhere in the measured plan. Output is
     * per-archive recovery + audit counts; the oracle replays them
@@ -1707,16 +1710,15 @@ object TextQueries {
         "graft-q185-" + java.security.MessageDigest.getInstance("MD5")
           .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12))
       val arcDir = new java.io.File(root, "arcs"); arcDir.mkdirs()
-      arcs.collect().foreach { r =>
-        java.nio.file.Files.write(
-          new java.io.File(arcDir, r.getString(0) + ".warc.gz").toPath,
-          r.getAs[Array[Byte]](1))
+      val files = arcs.collect().map { r =>
+        val f = new java.io.File(arcDir, r.getString(0) + ".warc.gz")
+        java.nio.file.Files.write(f.toPath, r.getAs[Array[Byte]](1))
+        "file:" + f.getAbsolutePath
       }
-      val fileRows = spark.read.format("binaryFile")
-        .load(arcDir.getAbsolutePath)
-        .select(col("path").as("archive"), col("content").as("payload"))
+      import spark.implicits._
       val idxPath = new java.io.File(root, "index").getAbsolutePath
-      graft.sources.WebArchive.memberIndex(fileRows)
+      graft.sources.WebArchive
+        .memberIndexFromPaths(files.toSeq.toDF("archive"))
         .write.mode("overwrite").parquet(idxPath)
       spark.read.parquet(idxPath)
     }

@@ -89,6 +89,32 @@ object WebArchive {
           .otherwise(col("m.err")).as("member_err"))
   }
 
+  /** The STREAMING index builder over file PATHS — [[memberIndex]]'s
+    * contract with the whole-file payload rows removed: input is a
+    * one-column frame of archive paths, each indexed through a
+    * bounded rolling window ([[graft.functions.GzipIndexPath]], ~128
+    * KiB regardless of file size). Together with
+    * [[wetDocumentsRanged]] this closes the archive pipeline's last
+    * whole-file residency: index by streaming the path, then read
+    * members by byte range — no stage ever materializes a compressed
+    * crawl file. Output schema identical to [[memberIndex]] (archive
+    * = the path; open failures quarantine as one err row). */
+  def memberIndexFromPaths(paths: DataFrame,
+                           pathCol: String = "archive",
+                           maxUlen: Long = graft.functions.GzipArchiveCore.MaxIndexMemberBytes): DataFrame = {
+    graft.functions.GzipIndexPath.register(paths.sparkSession)
+    paths
+      .select(col(pathCol).as("archive"),
+        explode_outer(expr(s"gzip_index_path($pathCol, ${maxUlen}L)")).as("m"))
+      .select(col("archive"),
+        coalesce(col("m.idx"), lit(0)).as("member_index"),
+        coalesce(col("m.offset"), lit(0L)).as("member_offset"),
+        coalesce(col("m.clen"), lit(0L)).as("member_clen"),
+        coalesce(col("m.ulen"), lit(0L)).as("member_ulen"),
+        when(col("m").isNull, lit("empty archive"))
+          .otherwise(col("m.err")).as("member_err"))
+  }
+
   /** Fan an archive out into PER-MEMBER compressed slices along a
     * member index: (archive, base_index, base_offset, slice) — each
     * slice is an independent, individually-inflatable gzip stream, so

@@ -372,6 +372,78 @@ object CorpusIngest {
       .trigger(trigger)
       .start()
 
+  /** The RANGE-READ continuous ingest — [[startArchives]] with the
+    * whole-file residency removed from the STREAMING leg too: the
+    * stream carries only file PATHS (the binaryFile source pruned to
+    * `path`, so its content column is never required and a landed
+    * 100 GB crawl file costs the stream a row, not its bytes), each
+    * micro-batch stream-indexes its new files through the bounded
+    * window ([[graft.sources.WebArchive.memberIndexFromPaths]]),
+    * PERSISTS the index as an idempotent per-batch artifact — the
+    * cluster.idx later ranged readers consume without re-scanning —
+    * and ingests the members via per-member byte-range reads
+    * ([[graft.sources.WebArchive.wetDocumentsRanged]]). Same document
+    * shaping, dead-letter, and downstream clean/dedup pipeline as
+    * [[startArchives]], so stream ≡ batch holds on this leg by the
+    * same construction; the index read back from its own artifact
+    * means the expensive indexing scan runs ONCE per batch however
+    * many actions consume the records. */
+  def startArchivesRanged(spark: SparkSession, inDir: String, outDir: String,
+                          trigger: Trigger = Trigger.AvailableNow(),
+                          minTokens: Int = 20, maxTokens: Int = 100000,
+                          minQuality: Double = 0.5,
+                          maxTopBigramRatio: Double = 0.2,
+                          langs: Seq[String] = Seq("en"),
+                          k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                          threshold: Double = 0.6,
+                          maxMemberBytes: Long = graft.functions.GzipArchiveCore.MaxMemberBytes,
+                          maxTotalBytes: Long = graft.functions.GzipArchiveCore.MaxTotalBytes,
+                          maxSliceBytes: Long = graft.functions.FileRangeCore.MaxRangeBytes,
+                          fanoutPartitions: Option[Int] = None): StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    spark.readStream
+      .format("binaryFile")
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+      .load(inDir)
+      .select(col("path")) // prune BEFORE foreachBatch: content never reads
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val ss = batch.sparkSession
+        val idxPath = s"$outDir/member_index/ingest_batch=$id"
+        graft.sources.WebArchive
+          .memberIndexFromPaths(batch.select(col("path").as("archive")))
+          .write.mode("overwrite").parquet(idxPath)
+        val recs = graft.sources.WebArchive.wetDocumentsRanged(
+          ss.read.parquet(idxPath),
+          maxMemberBytes = maxMemberBytes, maxTotalBytes = maxTotalBytes,
+          maxSliceBytes = maxSliceBytes, fanoutPartitions = fanoutPartitions)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        recs.filter(col("quarantine").isNotNull)
+          .select("archive", "member_index", "member_offset", "member_clen",
+            "quarantine")
+          .write.mode("overwrite").parquet(s"$outDir/quarantine/ingest_batch=$id")
+        val docs = recs.filter(col("quarantine").isNull)
+          .select(xxhash64(col("archive"), col("member_offset")).as("doc_id"),
+            col("text"), col("archive").as("source"))
+        processBatch(docs, outDir, id, minTokens, maxTokens,
+          minQuality, maxTopBigramRatio, langs, k, numHashes, bands,
+          threshold)
+        recs.unpersist(blocking = false)
+        ()
+      }
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(trigger)
+      .start()
+  }
+
   /** Usage: CorpusIngest <landingDir> <outDir> — processes every file
     * that landed since the last run's checkpoint (AvailableNow), then
     * prints the corpus size. Re-invoke on a schedule for incremental

@@ -172,6 +172,49 @@ class Round15Spec extends AnyFunSuite {
       capped.forall(_.exists(_.contains("exceeds 4 byte cap"))))
   }
 
+  // ------------------------------------------ BPE incremental pair index
+
+  test("incrementalMerges ≡ recountMerges: ties, overlaps, non-BMP, exhaustion, and a randomized soak") {
+    import graft.operators.Bpe
+    def syms(s: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.toArray
+    }
+    def both(v: Array[(Array[String], Long)], m: Int) = (
+      Bpe.incrementalMerges(v.map(x => (x._1.clone(), x._2)), m),
+      Bpe.recountMerges(v.map(x => (x._1.clone(), x._2)), m))
+    val vocabs = Seq(
+      // overlapping runs: greedy non-overlap must agree round by round
+      Array((syms("aaaa"), 3L), (syms("aaa"), 2L), (syms("aa"), 7L)),
+      // all-equal counts: the pair-asc tiebreak decides every round
+      Array((syms("ab"), 1L), (syms("ba"), 1L), (syms("bb"), 1L),
+        (syms("ac"), 1L), (syms("ca"), 1L)),
+      // non-BMP symbols + repeated pair inside one word (the
+      // double-occurrence counts path)
+      Array((syms("𝒜b𝒜b"), 2L),
+        (syms("b𝒜"), 5L)))
+    vocabs.foreach { v =>
+      val (inc, rec) = both(v, 50)
+      assert(inc == rec, s"engines diverged on ${v.map(_._1.mkString).toSeq}")
+      // 50 >> pair space: both engines must exhaust at the same rank
+      assert(inc.size < 50)
+    }
+    // randomized soak over a tiny alphabet (maximal tie/collision
+    // density), deep enough to hit exhaustion
+    val rnd = new scala.util.Random(42)
+    val soak = Array.fill(200)((
+      syms(Array.fill(2 + rnd.nextInt(8))("abc".charAt(rnd.nextInt(3))).mkString),
+      1L + rnd.nextInt(5)))
+    val (inc, rec) = both(soak, 300)
+    assert(inc == rec && inc.nonEmpty)
+  }
+
   // ----------------------------------------------- URL canonicalization
 
   test("canonicalizeUrl: each documented step fires, invalid input passes through, and the form is idempotent") {
@@ -251,6 +294,126 @@ class Round15Spec extends AnyFunSuite {
     val all = Seq(Tuple1(arc)).toDF("p")
       .select(explode(expr("gzip_member_index(p)")).as("m"))
     assert(all.filter($"m.err".isNotNull).count() == 0 && all.count() == 3)
+  }
+
+  // ------------------------------------------ range-read streaming ingest
+
+  test("startArchivesRanged: stream ≡ batch via path-only stream + per-batch index artifact; corruption dead-letters") {
+    import graft.streaming.CorpusIngest
+    val inDir = java.nio.file.Files.createTempDirectory("graft_rng_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_rng_out").toString
+    val docs = Tables.documents(spark, SparkTestSession.sf)
+      .filter($"doc_id" < 200).select("doc_id", "source", "text")
+    val archives = graft.sources.WebArchive.buildWetArchives(docs)
+      .as[(String, Array[Byte])].collect().sortBy(_._1)
+    assert(archives.length >= 2)
+    archives.zipWithIndex.foreach { case ((src, payload), i) =>
+      val bytes =
+        if (i == 0) {
+          val off = graft.functions.GzipArchiveCore.memberIndex(payload)
+            .array.map(_.asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow])
+            .find(_.getInt(0) == 2).get.getLong(1).toInt
+          val b = payload.clone(); b(off) = 0x00.toByte; b
+        } else payload
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(inDir, s"$src.warc.wet.gz"), bytes)
+    }
+
+    CorpusIngest.startArchivesRanged(spark, inDir, outDir).awaitTermination()
+
+    // the per-batch index artifact exists and is the cluster.idx shape
+    val idx = spark.read.parquet(s"$outDir/member_index")
+    assert(idx.columns.toSet == Set("archive", "member_index",
+      "member_offset", "member_clen", "member_ulen", "member_err",
+      "ingest_batch"))
+    assert(idx.filter($"member_err".isNotNull).count() == 1)
+
+    // stream ≡ batch: the whole-file adapter over the same files,
+    // through the same clean + in-batch dedup, gives the same corpus
+    val ab = CorpusIngest.archiveBatchDocs(
+      spark.read.format("binaryFile").load(inDir))
+    val expected = graft.operators.Dedup.dedupCorpus(
+      ab.docs.join(graft.operators.TextAnalysis.cleanCorpus(ab.docs)
+        .select("doc_id"), Seq("doc_id"), "left_semi"))
+    val corpus = CorpusIngest.readCorpus(spark, s"$outDir/corpus").get
+    assert(corpus.count() == expected.count() && corpus.count() > 0)
+    assert(corpus.join(expected.select("doc_id"), Seq("doc_id"), "left_anti")
+      .count() == 0)
+
+    // the corrupt tail dead-letters with provenance, not silently drops
+    val dead = spark.read.parquet(s"$outDir/quarantine")
+    assert(dead.count() == 1)
+    assert(dead.select($"archive").as[String].first()
+      .endsWith(s"${archives.head._1}.warc.wet.gz"))
+
+    // idempotent re-run: nothing new landed, nothing changes
+    CorpusIngest.startArchivesRanged(spark, inDir, outDir).awaitTermination()
+    assert(CorpusIngest.readCorpus(spark, s"$outDir/corpus").get.count()
+      == corpus.count())
+  }
+
+  // ------------------------------------------- streaming path indexer
+
+  test("gzip_index_path ≡ gzip_member_index row-for-row: intact, corrupt, truncated, over-ceiling, headered") {
+    import graft.functions.{GzipArchiveCore, GzipStreamIndexCore}
+    def member(s: String) = GzipArchiveCore.gzipMember(s.getBytes("UTF-8"))
+    // a member with FNAME+FEXTRA+FCOMMENT header fields, built by hand
+    // around a stock member's DEFLATE body (flags 0x1C)
+    def headered(s: String): Array[Byte] = {
+      val m = member(s)
+      val body = m.drop(10) // DEFLATE stream + trailer
+      val extra = Array[Byte](3, 0, 'x', 'y', 'z')
+      Array[Byte](0x1f, 0x8b.toByte, 8, 0x1c, 0, 0, 0, 0, 0, 0xff.toByte) ++
+        extra ++ "name.txt".getBytes("UTF-8") ++ Array[Byte](0) ++
+        "a comment".getBytes("UTF-8") ++ Array[Byte](0) ++ body
+    }
+    val intact = member("alpha") ++ headered("beta") ++ member("gamma")
+    val corrupt = {
+      val a = member("alpha") ++ member("beta") ++ member("gamma")
+      a(member("alpha").length + 4) = 0x77 // poison member 2's header
+      a
+    }
+    val truncated = (member("alpha") ++ member("beta"))
+      .dropRight(5) // shear member 2's trailer
+    val big = member("small") ++ member("x" * 4096) ++ member("tail")
+    def viaBytes(a: Array[Byte], cap: Long) =
+      GzipArchiveCore.memberIndex(a, cap).array.toSeq.map(_.toString)
+    def viaStream(a: Array[Byte], cap: Long) =
+      GzipStreamIndexCore.indexStream(
+        new java.io.ByteArrayInputStream(a), cap).array.toSeq.map(_.toString)
+    for ((arc, cap) <- Seq((intact, Long.MaxValue), (corrupt, Long.MaxValue),
+      (truncated, Long.MaxValue), (big, 1024L), (Array.empty[Byte], 1024L))) {
+      assert(viaStream(arc, cap) == viaBytes(arc, cap),
+        s"stream and bytes indexers diverged (len=${arc.length}, cap=$cap)")
+    }
+    // and the headered member's provenance is byte-exact
+    val rows = GzipStreamIndexCore.indexStream(
+      new java.io.ByteArrayInputStream(intact), Long.MaxValue)
+    assert(rows.numElements() == 3)
+  }
+
+  test("memberIndexFromPaths: streams real files with memberIndex-identical rows; open failures quarantine") {
+    import graft.sources.WebArchive
+    val docs = Seq((1L, "path text one", "arcP"), (2L, "path text two", "arcP"),
+      (3L, "other doc", "arcQ")).toDF("doc_id", "text", "source")
+    val (dir, arcDir) = writeArchiveFiles(docs)
+    val fileRows = spark.read.format("binaryFile")
+      .load(arcDir.getAbsolutePath)
+      .select($"path".as("archive"), $"content".as("payload"))
+    val paths = fileRows.select($"archive")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select($"archive", $"member_index", $"member_offset",
+        $"member_clen", $"member_ulen", $"member_err")
+      .as[(String, Int, Long, Long, Long, Option[String])]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(key(WebArchive.memberIndexFromPaths(paths)) ==
+      key(WebArchive.memberIndex(fileRows)))
+    // a missing path quarantines as one row, never throws
+    val missing = Seq("file:" + new java.io.File(dir, "gone.gz").getAbsolutePath)
+      .toDF("archive")
+    val got = WebArchive.memberIndexFromPaths(missing)
+      .select($"member_err").as[Option[String]].collect().toSeq
+    assert(got.size == 1 && got.head.exists(_.contains("index open failed")))
   }
 
   // ------------------------------------------ catalog arity uniformity
