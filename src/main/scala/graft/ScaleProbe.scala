@@ -137,6 +137,66 @@ object ScaleProbe {
     }
   }
 
+  /** Archive-ingest path comparison: the SAME corpus as WET archive
+    * FILES read three ways — whole-file (`binaryFile` + per-row
+    * expansion), sliced (whole-file rows fanned out per member by
+    * in-memory substring), and RANGED (streaming path index once +
+    * per-member byte-range reads, no payload rows anywhere). Wall
+    * times are same-machine comparable; the ranged row also reports
+    * its one-off index-build cost separately (in production the index
+    * ships with the crawl). Usage: ScaleProbe archive [nArch] */
+  def archiveProbe(spark: SparkSession, dir: String, nArch: Int): Unit = {
+    import spark.implicits._
+    val docs = scaledDocs(spark, dir, 10)
+      .select(expr("doc_id"), col("text"),
+        expr(s"concat('arc', pmod(doc_id, $nArch))").as("source"))
+    val root = java.nio.file.Files.createTempDirectory("graft-arcprobe").toFile
+    val arcDir = new java.io.File(root, "arcs"); arcDir.mkdirs()
+    val files = graft.sources.WebArchive.buildWetArchives(docs)
+      .as[(String, Array[Byte])].collect().map { case (a, p) =>
+        val f = new java.io.File(arcDir, s"$a.warc.gz")
+        java.nio.file.Files.write(f.toPath, p)
+        "file:" + f.getAbsolutePath
+      }
+    val nDocs = docs.count()
+    val bytes = files.map(f => new java.io.File(f.stripPrefix("file:")).length).sum
+    println(s"archive probe: $nArch archives, $nDocs docs, $bytes compressed bytes")
+    def fileRows = spark.read.format("binaryFile").load(arcDir.getAbsolutePath)
+      .select(col("path").as("archive"), col("content").as("payload"))
+    val (nWhole, tWhole) = timeIt(
+      graft.sources.WebArchive.wetDocuments(fileRows)
+        .filter(col("quarantine").isNull).count())
+    val (nSliced, tSliced) = timeIt(
+      graft.sources.WebArchive.wetDocumentsSliced(fileRows)
+        .filter(col("quarantine").isNull).count())
+    val idxPath = new java.io.File(root, "index").getAbsolutePath
+    val (_, tIndex) = timeIt {
+      graft.sources.WebArchive
+        .memberIndexFromPaths(files.toSeq.toDF("archive"))
+        .write.mode("overwrite").parquet(idxPath)
+    }
+    val (nRanged, tRanged) = timeIt(
+      graft.sources.WebArchive.wetDocumentsRanged(spark.read.parquet(idxPath))
+        .filter(col("quarantine").isNull).count())
+    val (nCoal, tCoal) = timeIt(
+      graft.sources.WebArchive.wetDocumentsRanged(spark.read.parquet(idxPath),
+        coalesceMembers = 64)
+        .filter(col("quarantine").isNull).count())
+    require(nWhole == nDocs && nSliced == nDocs && nRanged == nDocs &&
+      nCoal == nDocs,
+      s"paths disagree: whole=$nWhole sliced=$nSliced ranged=$nRanged " +
+        s"coalesced=$nCoal docs=$nDocs")
+    println(f"archive whole-file $tWhole%7.2f s   sliced $tSliced%7.2f s   " +
+      f"ranged $tRanged%7.2f s   ranged-coalesced(64) $tCoal%7.2f s " +
+      f"(+ index build $tIndex%6.2f s, one-off)")
+    println(s"""{"probe":"archive","n_arch":$nArch,"n_docs":$nDocs,""" +
+      s""""bytes":$bytes,"whole_sec":${math.round(tWhole * 1000) / 1000.0},""" +
+      s""""sliced_sec":${math.round(tSliced * 1000) / 1000.0},""" +
+      s""""ranged_sec":${math.round(tRanged * 1000) / 1000.0},""" +
+      s""""ranged64_sec":${math.round(tCoal * 1000) / 1000.0},""" +
+      s""""index_sec":${math.round(tIndex * 1000) / 1000.0}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
@@ -147,6 +207,11 @@ object ScaleProbe {
       val ms = if (args.length > 1) args.drop(1).toSeq.map(_.toInt)
                else Seq(16, 64, 256)
       bpeProbe(spark, dir, ms)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("archive")) {
+      archiveProbe(spark, dir, if (args.length > 1) args(1).toInt else 16)
       spark.stop()
       return
     }

@@ -187,23 +187,77 @@ object WebArchive {
     * index is KBs per thousand members, so its parquet layout gives
     * far fewer tasks than the fetch work wants — at scale set this to
     * ~(total members / desired members-per-task); None keeps the plan
-    * shuffle-free for small reads. */
+    * shuffle-free for small reads.
+    *
+    * `coalesceMembers` > 1 batches runs of ADJACENT members (by
+    * member_index div k) into ONE range request covering the group's
+    * byte span, then cuts each member's slice from the fetched buffer
+    * by offset arithmetic — the OBJECT-STORE dial: crawl members are
+    * a few KB and every GET carries 10–50 ms latency plus a
+    * per-request charge, so a 64-member group cuts request count 64×.
+    * On page-cached LOCAL files it does not pay (measured 2.8 s
+    * per-member vs 4.1 s coalesced on 50k members — syscalls are free
+    * there, and the group path adds an index shuffle + a per-member
+    * buffer copy; ARCHITECTURE.md §headroom), which is why 1 (the
+    * pure zero-shuffle per-member form) is the default. Costs one
+    * SHUFFLE of the payload-free index (collect_list state ≤ k
+    * coordinate structs per group) and reads any gap bytes between
+    * retained members (none exist in practice: the indexer halts at
+    * the first error, so retained members are contiguous).
+    * Output is spec-pinned byte-identical to the per-member form at
+    * any k. */
   def sliceMembersRanged(index: DataFrame,
                          maxSliceBytes: Long = graft.functions.FileRangeCore.MaxRangeBytes,
-                         fanoutPartitions: Option[Int] = None): DataFrame = {
+                         fanoutPartitions: Option[Int] = None,
+                         coalesceMembers: Int = 1): DataFrame = {
     graft.functions.FileRangeRead.register(index.sparkSession)
     val base = index.filter(col("member_err").isNull)
       .select(col("archive"), col("member_index"), col("member_offset"),
         col("member_clen"))
-    val fanned = fanoutPartitions.map(base.repartition(_)).getOrElse(base)
-    fanned
-      .select(col("archive"),
-        col("member_index").as("base_index"),
-        col("member_offset").as("base_offset"),
-        expr(s"file_range_read(archive, member_offset, member_clen, " +
-          s"${maxSliceBytes}L)").as("r"))
-      .select(col("archive"), col("base_index"), col("base_offset"),
-        col("r.slice").as("slice"), col("r.err").as("slice_err"))
+    if (coalesceMembers <= 1) {
+      val fanned = fanoutPartitions.map(base.repartition(_)).getOrElse(base)
+      fanned
+        .select(col("archive"),
+          col("member_index").as("base_index"),
+          col("member_offset").as("base_offset"),
+          expr(s"file_range_read(archive, member_offset, member_clen, " +
+            s"${maxSliceBytes}L)").as("r"))
+        .select(col("archive"), col("base_index"), col("base_offset"),
+          col("r.slice").as("slice"), col("r.err").as("slice_err"))
+    } else {
+      val grouped = base
+        .groupBy(col("archive"),
+          expr(s"member_index div $coalesceMembers").as("_grp"))
+        .agg(min(col("member_offset")).as("_goff"),
+          max(col("member_offset") + col("member_clen")).as("_gend"),
+          collect_list(struct(col("member_index"), col("member_offset"),
+            col("member_clen"))).as("_ms"))
+      val fanned = fanoutPartitions.map(grouped.repartition(_)).getOrElse(grouped)
+      fanned
+        // the range read is LET-BOUND via the single-element-array
+        // transform (the shingleExpr idiom): as a bare projected
+        // column, CollapseProject inlines it into the Generate's
+        // output projection and the GROUP read re-executes once per
+        // MEMBER — measured 4× slower than not coalescing at all; the
+        // lambda binding pins it to one fetch per group
+        .select(col("archive"),
+          explode(expr(
+            s"""transform(array(
+               |  file_range_read(archive, _goff, _gend - _goff, ${maxSliceBytes}L)),
+               |  _r -> transform(_ms, m -> named_struct(
+               |    'base_index', m.member_index,
+               |    'base_offset', m.member_offset,
+               |    'slice', CASE WHEN _r.err IS NULL THEN
+               |      substring(_r.slice,
+               |        cast(m.member_offset - _goff as int) + 1,
+               |        cast(m.member_clen as int)) END,
+               |    'slice_err', _r.err)))[0]""".stripMargin)).as("s"))
+        .select(col("archive"),
+          col("s.base_index").as("base_index"),
+          col("s.base_offset").as("base_offset"),
+          col("s.slice").as("slice"),
+          col("s.slice_err").as("slice_err"))
+    }
   }
 
   /** Member rows → parsed WARC records with BINARY bodies — the
@@ -419,9 +473,11 @@ object WebArchive {
                          maxMemberBytes: Long = graft.functions.GzipArchiveCore.MaxMemberBytes,
                          maxTotalBytes: Long = graft.functions.GzipArchiveCore.MaxTotalBytes,
                          maxSliceBytes: Long = graft.functions.FileRangeCore.MaxRangeBytes,
-                         fanoutPartitions: Option[Int] = None): DataFrame = {
+                         fanoutPartitions: Option[Int] = None,
+                         coalesceMembers: Int = 1): DataFrame = {
     val sliced = expandSlices(
-      sliceMembersRanged(index, maxSliceBytes, fanoutPartitions),
+      sliceMembersRanged(index, maxSliceBytes, fanoutPartitions,
+        coalesceMembers),
       maxMemberBytes, maxTotalBytes, errCol = Some("slice_err"))
     val errRows = index.filter(col("member_err").isNotNull)
       .select(col("archive"), col("member_index"), col("member_offset"),

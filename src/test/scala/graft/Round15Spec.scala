@@ -139,6 +139,27 @@ class Round15Spec extends AnyFunSuite {
       docs.select($"text").as[String].collect().toSet)
   }
 
+  test("wetDocumentsRanged coalesced: grouped range requests give the per-member output exactly") {
+    import graft.sources.WebArchive
+    val docs = (1L to 9L).map(i => (i, s"doc number $i text", s"arc${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    val (dir, arcDir) = writeArchiveFiles(docs)
+    val fileRows = spark.read.format("binaryFile")
+      .load(arcDir.getAbsolutePath)
+      .select($"path".as("archive"), $"content".as("payload"))
+    val idx = WebArchive.memberIndex(fileRows)
+    def key(k: Int) = WebArchive.wetDocumentsRanged(idx, coalesceMembers = k)
+      .select($"archive", $"member_index", $"member_offset", $"member_clen",
+        $"target_uri", $"text", $"quarantine")
+      .as[(String, Int, Long, Long, Option[String], Option[String], Option[String])]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    val perMember = key(1)
+    // k=3 splits each archive into groups incl. a short tail group;
+    // k=64 puts every member in one group — both must be byte-identical
+    assert(key(3) == perMember && key(64) == perMember)
+    assert(perMember.size == 9 && perMember.forall(_._7.isEmpty))
+  }
+
   test("wetDocumentsRanged: fetch failures quarantine in one pass — over-cap claims, unreachable paths, corrupt index rows") {
     import graft.sources.WebArchive
     val docs = Seq((1L, "kept text", "arcC"), (2L, "more text", "arcC"))
