@@ -197,6 +197,52 @@ object ScaleProbe {
       s""""index_sec":${math.round(tIndex * 1000) / 1000.0}}""")
   }
 
+  /** PSL full-list headroom: the embedded rule subset is ~260 rules;
+    * production loads the full publicsuffix.org file (~15k). The
+    * matcher compiles rules to InSet probes inside a when-chain, so
+    * the open question (r13 verdict) is PLAN cost, not row cost: does
+    * a 15k-literal expression tree analyze/codegen/broadcast in
+    * acceptable time? The probe synthesizes a full-size rule set
+    * (real shape: ~94% two-label normals, wildcard + exception
+    * families), times analysis (explain) and execution of domainStats
+    * over the fixture, and prints the compiled plan's string size as
+    * the task-binary proxy. Usage: ScaleProbe psl [nRules] */
+  def pslProbe(spark: SparkSession, dir: String, nRules: Int): Unit = {
+    import graft.operators.Domains
+    val lines = (0 until nRules).map { i =>
+      val base = "r" + java.lang.Long.toString(i.toLong, 36)
+      i % 50 match {
+        case 48 => s"*.$base.zz"
+        case 49 => s"!x.$base.zz"
+        case _ => s"$base.zz"
+      }
+    }
+    val (rules, tParse) = timeIt(Domains.PslRules.fromLines(lines))
+    val docs = scaledDocs(spark, dir, 1)
+      .select(col("doc_id"), col("text"),
+        expr("concat('https://www.', pmod(doc_id, 1000), '.r', " +
+          "pmod(doc_id, 777), '.zz/p/', doc_id)").as("uri"))
+    val stats = docs
+      .withColumn("host", Domains.uriHost(col("uri")))
+      .withColumn("domain",
+        Domains.registrableDomainPsl(col("host"), rules))
+      .groupBy("domain").count()
+    val (planLen, tAnalyze) = timeIt(
+      stats.queryExecution.executedPlan.toString.length)
+    val (n, tCold) = timeIt(stats.count())
+    // warm run: codegen/InSet-build/scan-setup amortized — the cost a
+    // long-lived job actually pays per batch
+    val (_, tWarm) = timeIt(stats.count())
+    println(f"psl rules=$nRules parse ${tParse * 1000}%.0f ms  " +
+      f"analyze+plan ${tAnalyze * 1000}%.0f ms (plan string $planLen B)  " +
+      f"run cold ${tCold * 1000}%.0f ms / warm ${tWarm * 1000}%.0f ms " +
+      f"($n domains)")
+    println(s"""{"probe":"psl","rules":$nRules,"parse_ms":${
+      math.round(tParse * 1000)},"plan_ms":${math.round(tAnalyze * 1000)},""" +
+      s""""plan_bytes":$planLen,"cold_ms":${math.round(tCold * 1000)},""" +
+      s""""warm_ms":${math.round(tWarm * 1000)},"n_domains":$n}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
@@ -207,6 +253,11 @@ object ScaleProbe {
       val ms = if (args.length > 1) args.drop(1).toSeq.map(_.toInt)
                else Seq(16, 64, 256)
       bpeProbe(spark, dir, ms)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("psl")) {
+      pslProbe(spark, dir, if (args.length > 1) args(1).toInt else 15000)
       spark.stop()
       return
     }

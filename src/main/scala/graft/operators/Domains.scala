@@ -51,7 +51,10 @@ object Domains {
     * sets compile to `isin` probes (Catalyst folds >10 literals to a
     * hashed InSet), so even the full ~15k-entry public list is one
     * map-side hash lookup per row — broadcast-by-literal, no join, no
-    * shuffle. */
+    * shuffle. MEASURED at full size (`ScaleProbe psl 15000`,
+    * ARCHITECTURE.md §headroom): ~0.1 µs/row InSet probes, ~1 s
+    * once-per-query driver planning, 406 KB plan — the when-chain
+    * holds, no join fallback needed. */
   case class PslRules(normal: Map[Int, Seq[String]],
                       wildcard: Map[Int, Seq[String]],
                       exception: Map[Int, Seq[String]]) {
