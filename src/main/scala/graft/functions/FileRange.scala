@@ -78,11 +78,59 @@ object FileRangeCore {
   private def err(msg: String): GenericInternalRow =
     new GenericInternalRow(Array[Any](null, UTF8String.fromString(msg)))
 
+  /** Per-THREAD open-stream cache: an index sorted by (path, offset)
+    * gives each task long runs of members from the same file, and
+    * re-opening per member costs a syscall locally and a HEAD request
+    * on object stores. Positioned reads (`PositionedReadable`) are
+    * thread-safe by Hadoop contract, but EVICTION is not — a shared
+    * cache closing a stream another thread is mid-read on would
+    * quarantine a healthy member — so the cache is thread-local
+    * (task threads are long-lived): ≤ [[StreamCacheSize]] streams per
+    * thread, LRU-closed on eviction, reclaimed with the executor. */
+  private val StreamCacheSize = 4
+
+  private val streamCache =
+    new ThreadLocal[java.util.LinkedHashMap[String, org.apache.hadoop.fs.FSDataInputStream]] {
+      override def initialValue() =
+        new java.util.LinkedHashMap[String, org.apache.hadoop.fs.FSDataInputStream](
+          8, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, org.apache.hadoop.fs.FSDataInputStream]): Boolean =
+            if (size() > StreamCacheSize) {
+              try e.getValue.close() catch { case _: Exception => }
+              true
+            } else false
+        }
+    }
+
+  private def openCached(path: String,
+                         fsConf: Seq[(String, String)]): org.apache.hadoop.fs.FSDataInputStream = {
+    val cache = streamCache.get()
+    val hit = cache.get(path)
+    if (hit != null) hit
+    else {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val in = p.getFileSystem(hadoopConf(fsConf)).open(p)
+      cache.put(path, in)
+      in
+    }
+  }
+
+  private def evict(path: String): Unit = {
+    val in = streamCache.get().remove(path)
+    if (in != null) try in.close() catch { case _: Exception => }
+  }
+
   /** Positioned read of `[offset, offset+len)` from `path`. Hadoop
-    * caches `FileSystem` instances per (scheme, authority), so the
-    * per-row cost is one open + one positioned read — on object
-    * storage, one ranged GET per member, the production access
-    * pattern a crawl index exists to enable. */
+    * caches `FileSystem` instances per (scheme, authority) and the
+    * per-thread cache above holds the stream open across a task's run
+    * of same-file members, so the steady-state per-row cost is ONE
+    * positioned read — on object storage, one ranged GET per member,
+    * the production access pattern a crawl index exists to enable. A
+    * failed read retries once on a FRESH stream (a cached handle can
+    * go stale if the file was replaced — crawl archives are immutable
+    * by convention, but the retry makes the cache invisible either
+    * way) before quarantining. */
   def read(path: UTF8String, offset: Long, len: Long, maxBytes: Long,
            fsConf: Seq[(String, String)]): GenericInternalRow = {
     if (offset < 0 || len < 0)
@@ -91,18 +139,23 @@ object FileRangeCore {
       return err(s"range length $len exceeds $maxBytes byte cap")
     if (len > Int.MaxValue - 16)
       return err(s"range length $len exceeds JVM array bound")
-    try {
-      val p = new org.apache.hadoop.fs.Path(path.toString)
-      val fs = p.getFileSystem(hadoopConf(fsConf))
-      val in = fs.open(p)
-      try {
-        val buf = new Array[Byte](len.toInt)
-        in.readFully(offset, buf)
-        new GenericInternalRow(Array[Any](buf, null))
-      } finally in.close()
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        err(s"range read failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+    val pathStr = path.toString
+    def attempt(): GenericInternalRow = {
+      val in = openCached(pathStr, fsConf)
+      val buf = new Array[Byte](len.toInt)
+      in.readFully(offset, buf)
+      new GenericInternalRow(Array[Any](buf, null))
+    }
+    try attempt()
+    catch {
+      case scala.util.control.NonFatal(_) =>
+        evict(pathStr)
+        try attempt()
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            evict(pathStr)
+            err(s"range read failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
     }
   }
 }
