@@ -6,13 +6,20 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Domains
 import graft.operators.Domains.PslRules
 
-/** Round-15 closures of the round-13 verification debt: the PSL
+/** Round-15 battery. Verification-debt closures: the PSL
   * registrable-domain matcher gets its first direct exercise (every
-  * rule class — normal, wildcard, exception, the default-rule
-  * fallthrough for a host EQUAL to a wildcard base, and bare public
-  * suffixes), the `fromLines` parser is pinned on the published
-  * publicsuffix.org syntax, and the trailing-dot FQDN host form is
-  * certified through `uriHost`.
+  * rule class, including the default-rule fallthrough for a host
+  * EQUAL to a wildcard base), `fromLines` pinned on the published
+  * publicsuffix.org syntax, the trailing-dot FQDN form through
+  * `uriHost`, the gzip index-pass bomb ceiling, and CRLF-correct
+  * Gopher rules. New-capability contracts: the range-read archive
+  * ingest (provenance ≡ the sliced path, no whole-file plan rows,
+  * quarantine battery, coalesced ≡ per-member), the streaming path
+  * indexer (row-for-row ≡ the bytes indexer across corruption
+  * classes), the range-read continuous-ingest leg (stream ≡ batch),
+  * html_unescape's scalar-range and passthrough edges, URL
+  * canonicalization per documented step + idempotence, and the BPE
+  * incremental pair index ≡ the recount reference.
   */
 class Round15Spec extends AnyFunSuite {
   import SparkTestSession.spark
