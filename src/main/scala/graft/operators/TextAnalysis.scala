@@ -824,6 +824,61 @@ object TextAnalysis {
     * Bullet = line starts with `•`, `- ` or `* `; ellipsis = line
     * ends with `...` or `…` — the ASCII and typographic forms both
     * (documented set; the paper does not enumerate its glyphs). */
+  /** The published C4 cleaning rules (Raffel et al., JMLR 2020 §2.2 —
+    * the Colossal Clean Crawled Corpus recipe), the OTHER canonical
+    * crawl filter beside Gopher ([[gopherFlags]]): C4 is a KEEP-lines
+    * + flag-pages scheme where Gopher is a reject-documents scheme.
+    *
+    * Line level (a line survives into `clean_text` iff ALL hold):
+    *  - ends in a terminal punctuation mark — period, `!`, `?`, or a
+    *    closing quote (`"`/`”`), trailing spaces ignored;
+    *  - has ≥ `minLineWords` whitespace-separated words (paper: 3);
+    *  - does not contain the word "javascript" (case-insensitive).
+    *
+    * Page level (flags + the composite `pass`):
+    *  - `n_sentences` ≥ `minSentences` over the CLEANED text (paper:
+    *    5; sentences counted as terminal `.`/`!`/`?` marks — the
+    *    integer proxy that replays cross-engine);
+    *  - no `{` anywhere (code, not prose);
+    *  - no "lorem ipsum" (case-insensitive; placeholder boilerplate);
+    *  - no word from `badWords` (the paper applies a public blocklist;
+    *    the LIST is policy data the caller supplies — default empty =
+    *    the arm is vacuously true).
+    *
+    * `clean_md5` fingerprints the cleaned text so the oracle gate
+    * certifies the kept CONTENT, not just the counts. All per-row
+    * array/regex work in the RE2 ∩ Java dialect — zero shuffles. */
+  def c4Flags(docs: DataFrame, text: String = "text",
+              minLineWords: Long = 3L, minSentences: Long = 5L,
+              badWords: Seq[String] = Nil): DataFrame = {
+    val base = docs
+      .withColumn("_ls", expr(s"split($text, '\r?\n')"))
+      .withColumn("_kept", expr(
+        "filter(_ls, _l -> rtrim(_l) rlike '[.!?\"”]" + "$' and " +
+          s"size(filter(split(_l, ' '), _w -> _w != '')) >= $minLineWords " +
+          "and not contains(lower(_l), 'javascript'))"))
+      .withColumn("clean_text", expr("array_join(_kept, '\n')"))
+      .withColumn("clean_md5", md5(col("clean_text")))
+      .withColumn("n_lines", size(col("_ls")).cast("long"))
+      .withColumn("n_kept_lines", size(col("_kept")).cast("long"))
+      .withColumn("n_sentences", expr(
+        "cast(char_length(clean_text) - " +
+          "char_length(translate(clean_text, '.!?', '')) as long)"))
+      .withColumn("has_brace", expr(s"contains($text, '{')"))
+      .withColumn("has_lorem", expr(s"contains(lower($text), 'lorem ipsum')"))
+    val withBad =
+      if (badWords.isEmpty) base.withColumn("has_bad_word", lit(false))
+      else base.withColumn("has_bad_word", expr(
+        s"size(array_intersect(filter(split(lower($text), '[ \n\r]'), " +
+          "_w -> _w != ''), array(" +
+          badWords.map(w => "'" + w.toLowerCase + "'").mkString(", ") +
+          "))) > 0"))
+    withBad
+      .withColumn("pass", col("n_sentences") >= minSentences &&
+        !col("has_brace") && !col("has_lorem") && !col("has_bad_word"))
+      .drop("_ls", "_kept")
+  }
+
   def gopherFlags(docs: DataFrame, text: String = "text",
                   minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
     val stops = "array('the','be','to','of','and','that','have','with')"

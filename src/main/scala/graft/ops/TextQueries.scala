@@ -1758,6 +1758,39 @@ object TextQueries {
     graft.operators.Domains.urlDedup(docs)
   }
 
+  /** The C4 cleaning rules on a MULTI-LINE corpus built in-query (the
+    * q184 wrapper convention) under the oracle gate
+    * ([[graft.operators.TextAnalysis.c4Flags]] — Raffel et al. 2020
+    * §2.2): each doc gains a deterministic pmod-driven mix of lines
+    * that trip exactly one rule each — too few words, the
+    * "javascript" word, no terminal punctuation — plus page-level
+    * `{` / "lorem ipsum" / bad-word arms on disjoint doc subsets, so
+    * every rule fires on a known slice and the sentence threshold
+    * crosses at different doc_ids. `clean_md5` puts the kept CONTENT
+    * itself under the hash gate; the DuckDB oracle replays the
+    * construction AND every rule verbatim. */
+  def q187C4Clean(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val multi = docs.withColumn("mtext", concat(col("text"), lit("."),
+      expr("repeat('\nshort no.', cast(pmod(doc_id, 3) as int))"),
+      expr("repeat('\nthis line mentions javascript somewhere fine.', " +
+        "cast(pmod(doc_id, 2) as int))"),
+      expr("repeat('\nanother good sentence right here!', " +
+        "cast(pmod(doc_id, 4) as int))"),
+      expr("repeat('\ntrailing line without terminal punct', " +
+        "cast(pmod(doc_id, 5) as int))"),
+      expr("CASE WHEN pmod(doc_id, 7) = 0 " +
+        "THEN '\ncode { here } is flagged.' ELSE '' END"),
+      expr("CASE WHEN pmod(doc_id, 11) = 0 " +
+        "THEN '\nLorem Ipsum dolor sit amet.' ELSE '' END"),
+      expr("CASE WHEN pmod(doc_id, 13) = 0 " +
+        "THEN '\nthis page has badword inside it.' ELSE '' END")))
+    graft.operators.TextAnalysis
+      .c4Flags(multi, text = "mtext", badWords = Seq("badword"))
+      .select("doc_id", "clean_md5", "n_lines", "n_kept_lines",
+        "n_sentences", "has_brace", "has_lorem", "has_bad_word", "pass")
+  }
+
   /** The q169/q170 merge table — memoized so train runs once per
     * Verify/Bench pass whichever of the two consumers goes first. */
   val BpeNumMerges = 16
@@ -1800,6 +1833,7 @@ object TextQueries {
       bpeMerges(spark, dir))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_c4_clean" -> (q187C4Clean _),
     "q186_url_dedup" -> (q186UrlDedup _),
     "q185_ranged_ingest" -> (q185RangedIngest _),
     "q184_gopher_lines" -> (q184GopherLines _),
@@ -1967,6 +2001,54 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // the multi-line construction AND every C4 rule replayed verbatim;
+    // clean_md5 certifies the kept CONTENT cross-engine, not just the
+    // counts (md5 hex is identical in both engines, the q37 stance)
+    "q187_c4_clean" ->
+      raw"""WITH md AS (SELECT doc_id,
+        |  text || '.'
+        |  || repeat(chr(10) || 'short no.', doc_id % 3)
+        |  || repeat(chr(10) ||
+        |     'this line mentions javascript somewhere fine.', doc_id % 2)
+        |  || repeat(chr(10) ||
+        |     'another good sentence right here!', doc_id % 4)
+        |  || repeat(chr(10) ||
+        |     'trailing line without terminal punct', doc_id % 5)
+        |  || CASE WHEN doc_id % 7 = 0
+        |     THEN chr(10) || 'code { here } is flagged.' ELSE '' END
+        |  || CASE WHEN doc_id % 11 = 0
+        |     THEN chr(10) || 'Lorem Ipsum dolor sit amet.' ELSE '' END
+        |  || CASE WHEN doc_id % 13 = 0
+        |     THEN chr(10) || 'this page has badword inside it.' ELSE '' END
+        |    AS mtext
+        |  FROM documents),
+        |k AS (SELECT doc_id, mtext,
+        |  string_split_regex(mtext, '\r?\n') AS ls,
+        |  list_filter(string_split_regex(mtext, '\r?\n'), _l ->
+        |    regexp_matches(rtrim(_l), '[.!?"”]$$')
+        |    AND len(list_filter(string_split(_l, ' '), _w -> _w <> '')) >= 3
+        |    AND NOT contains(lower(_l), 'javascript')) AS kept
+        |  FROM md),
+        |c AS (SELECT doc_id, mtext, ls, kept,
+        |  array_to_string(kept, chr(10)) AS clean,
+        |  len(list_intersect(list_filter(
+        |    string_split_regex(lower(mtext), '[ \n\r]'), _w -> _w <> ''),
+        |    ['badword'])) > 0 AS bad
+        |  FROM k)
+        |SELECT doc_id, md5(clean) AS clean_md5,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+        |  CAST(length(clean) - length(translate(clean, '.!?', ''))
+        |    AS BIGINT) AS n_sentences,
+        |  contains(mtext, '{') AS has_brace,
+        |  contains(lower(mtext), 'lorem ipsum') AS has_lorem,
+        |  bad AS has_bad_word,
+        |  (length(clean) - length(translate(clean, '.!?', ''))) >= 5
+        |    AND NOT contains(mtext, '{')
+        |    AND NOT contains(lower(mtext), 'lorem ipsum')
+        |    AND NOT bad AS pass
+        |FROM c""".stripMargin,
+
     // the EXPECTED canonical forms, derived independently of the
     // canonicalization chain: arms 0-2 collapse onto the %2F/x=1 form,
     // arms 3-4 onto the bare root — group stats must match exactly

@@ -458,6 +458,54 @@ class Round15Spec extends AnyFunSuite {
       s"got: ${e2.getMessage}")
   }
 
+  // ----------------------------------------------------- C4 cleaning rules
+
+  test("c4Flags: each published rule drops exactly its own line / flags its own page") {
+    import graft.operators.TextAnalysis
+    val doc =
+      "a good first sentence right here.\r\n" + // kept (CRLF-terminated)
+        "two words.\n" + // dropped: < 3 words
+        "a line that mentions JavaScript libraries.\n" + // dropped: javascript
+        "no terminal punctuation on this line\n" + // dropped: punct rule
+        "is this a question? \n" + // kept: trailing space rtrimmed, ends '?'
+        "she said “fine.”" // kept: closing curly quote
+    val clean = Seq((1L, doc)).toDF("doc_id", "text")
+    val got = TextAnalysis.c4Flags(clean)
+      .select($"clean_text", $"n_lines", $"n_kept_lines", $"n_sentences",
+        $"has_brace", $"has_lorem", $"has_bad_word", $"pass")
+      .as[(String, Long, Long, Long, Boolean, Boolean, Boolean, Boolean)]
+      .collect().head
+    assert(got._1 ==
+      "a good first sentence right here.\n" +
+        "is this a question? \n" +
+        "she said “fine.”")
+    assert(got._2 == 6 && got._3 == 3)
+    // sentences in the KEPT text: '.', '?', '.' (inside the quote)
+    assert(got._4 == 3)
+    assert(!got._5 && !got._6 && !got._7)
+    assert(!got._8) // 3 sentences < the 5-sentence page floor
+
+    // page-level flags: brace, lorem ipsum, bad word — each on its own doc
+    val pages = Seq(
+      (1L, Seq.fill(5)("a solid sentence right here.").mkString("\n")),
+      (2L, Seq.fill(5)("a solid sentence right here.").mkString("\n") +
+        "\nvar x = { a: 1 }."),
+      (3L, Seq.fill(5)("a solid sentence right here.").mkString("\n") +
+        "\nLorem ipsum dolor sit amet."),
+      (4L, Seq.fill(5)("a solid sentence right here.").mkString("\n") +
+        "\nthis page contains SlurWord today."))
+      .toDF("doc_id", "text")
+    val flags = TextAnalysis.c4Flags(pages, badWords = Seq("slurword"))
+      .select($"doc_id", $"has_brace", $"has_lorem", $"has_bad_word", $"pass")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    assert(flags == Seq(
+      (1L, false, false, false, true),
+      (2L, true, false, false, false),
+      (3L, false, true, false, false),
+      (4L, false, false, true, false)))
+  }
+
   // ------------------------------------------------- gopher rules on CRLF
 
   test("gopherFlags: CRLF terminators are consumed — CR neither pads words nor defeats the ellipsis anchor") {
