@@ -115,6 +115,22 @@ object Domains {
           .map { case (k, v) => k -> v })
     }
 
+    /** Load the published list from a file — `file://`, `hdfs://`,
+      * `s3a://` (the scheme-transparent S12 stance): production drops
+      * the real ~15k-rule publicsuffix.org file next to the job and
+      * swaps the embedded subset with one call. Measured at full
+      * size: the compiled when-chain holds (ARCHITECTURE.md
+      * §headroom, `ScaleProbe psl`). Driver-side, once per job. */
+    def fromFile(spark: org.apache.spark.sql.SparkSession,
+                 path: String): PslRules = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val in = p.getFileSystem(spark.sessionState.newHadoopConf()).open(p)
+      try {
+        val src = scala.io.Source.fromInputStream(in, "UTF-8")
+        fromLines(src.getLines().toSeq)
+      } finally in.close()
+    }
+
     /** Embedded SUBSET of the public suffix list — the most common
       * ccTLD second-level registries plus the canonical wildcard /
       * exception examples, enough that `co.uk`-family hosts reduce to
@@ -205,7 +221,13 @@ object Domains {
     *  6. empty path becomes `/` (`http://a.org` ≡ `http://a.org/`).
     *
     * Idempotent (canonical input maps to itself — spec-pinned); null
-    * and relative/malformed URIs pass through null/unchanged. */
+    * and relative/malformed URIs pass through null/unchanged.
+    * Documented non-goals: IDN hosts stay in whatever form they
+    * arrived (no punycode conversion — two spellings of one IDN host
+    * dedup separately, the conservative failure), and bracketed IPv6
+    * authorities skip the default-port strip (the `[^/?#:]+` host
+    * token excludes them — `https://[::1]:443/` keeps its port
+    * rather than risk truncating the address). */
   def canonicalizeUrl(uri: Column): Column = {
     val noFrag = regexp_replace(uri, "#.*$", "")
     // '%'-split: piece 0 is never an escape; any later piece starting

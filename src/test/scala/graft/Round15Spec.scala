@@ -44,6 +44,15 @@ class Round15Spec extends AnyFunSuite {
     assert(r.exception == Map(2 -> Seq("www.ck"), 3 -> Seq("city.kawasaki.jp")))
   }
 
+  test("PslRules.fromFile: the published file format loads scheme-transparently and matches fromLines") {
+    val f = java.nio.file.Files.createTempFile("psl", ".dat")
+    java.nio.file.Files.writeString(f,
+      "// test list\ncom\nco.uk\n*.ck\n!www.ck\n")
+    val viaFile = PslRules.fromFile(spark, "file:" + f.toAbsolutePath)
+    val viaLines = PslRules.fromLines(Seq("com", "co.uk", "*.ck", "!www.ck"))
+    assert(viaFile == viaLines)
+  }
+
   // ------------------------------------- registrableDomainPsl, per rule class
 
   test("registrableDomainPsl: normal/wildcard/exception/default arms match the publicsuffix.org algorithm") {
