@@ -205,7 +205,8 @@ object Bench {
         digitIds.values.forall(_.nonEmpty)) digitIds
       else names.map(n => n -> n).toMap
     def secs(d: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, d)
-    def build(unit: String, withMemo: Boolean = true): String = {
+    def build(unit: String, withMemo: Boolean = true,
+              withTagLists: Boolean = true): String = {
       def f(d: Double): String =
         if (unit == "ms") math.round(d * 1000).toString
         else math.round(d).toString
@@ -238,9 +239,12 @@ object Bench {
       // budget is counted in tens of bytes)
       if (comp.nonEmpty || idxB.nonEmpty)
         opt ++= s""","prod":${secs(prod)}"""
-      if (comp.nonEmpty)
+      // the comp/idx membership LISTS are code constants
+      // (OracleCompositions / IndexBuilds) recoverable from this file,
+      // so they shed before anything per-run does
+      if (comp.nonEmpty && withTagLists)
         opt ++= s""","comp":"${comp.map(id).mkString(",")}""""
-      if (idxB.nonEmpty)
+      if (idxB.nonEmpty && withTagLists)
         opt ++= s""","idx":"${idxB.map(id).mkString(",")}""""
       // queries whose timed run consumed a shared memoized frame: their
       // per-query numbers are not comparable round-over-round (they
@@ -256,14 +260,17 @@ object Bench {
     // 2000 chars with our line at its end), and build.sbt's
     // showSuccess := false makes this println the final output — so a
     // line under 1980 survives whole with 20 B spare for a trailing
-    // newline or a stray shutdown byte. The ladder sheds the memo
-    // ATTRIBUTION field before it sheds ms RESOLUTION: a coarse timing
-    // hurts every round-over-round comparison, a missing memo list
-    // only the tagged queries' (r12: the full line measured 1953 B at
-    // 179 queries with the comma-joined memo string — the JSON-array
-    // form had left 4 B of slack).
-    Iterator(("ms", true), ("ms", false), ("s", true))
-      .map { case (u, m) => build(u, m) }
-      .find(_.length < 1980).getOrElse(build("s", withMemo = false))
+    // newline or a stray shutdown byte. Shedding order (r15, when 187
+    // queries outgrew the two-rung ladder): memo first (per-run
+    // attribution, but only for the tagged queries), then the comp/idx
+    // membership lists (pure code constants — zero information lost,
+    // they are readable above), and only then ms RESOLUTION, which a
+    // coarse fallback would cost EVERY round-over-round comparison.
+    // `prod` never sheds before resolution: it is per-run data.
+    Iterator(("ms", true, true), ("ms", false, true), ("ms", false, false),
+      ("s", true, true))
+      .map { case (u, m, t) => build(u, m, t) }
+      .find(_.length < 1980)
+      .getOrElse(build("s", withMemo = false, withTagLists = false))
   }
 }

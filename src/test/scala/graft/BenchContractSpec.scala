@@ -65,17 +65,30 @@ class BenchContractSpec extends AnyFunSuite {
     assert(tree.get("canary").asLong() == 308L)
     assert(tree.get("csh").asLong() == 142L,
       "the shuffle canary must ride the line in integer ms")
-    // the production/certificate/index-build split: comp and idx use
-    // memo's comma-joined-string encoding, prod excludes both classes
-    val comp = tree.get("comp").asText().split(",").toSet
-    assert(comp == Bench.OracleCompositions.map(digitId),
-      "every tagged composition query must appear in comp")
-    val idx = tree.get("idx").asText().split(",").toSet
-    assert(idx == Bench.IndexBuilds.map(digitId),
-      "every tagged index-build query must appear in idx")
+    // prod (per-run data) NEVER sheds before resolution: it excludes
+    // both tagged classes whatever rung the line landed on
     val prodExpected = names
       .filterNot(Bench.OracleCompositions ++ Bench.IndexBuilds).map(real).sum
     assert(math.abs(tree.get("prod").asDouble() - prodExpected) < 0.01)
+
+    // the comp/idx membership LISTS are code constants, so they are
+    // the second shed (after memo, before ms resolution). On a
+    // registry small enough for the full rung they must be present
+    // and correct in memo's comma-joined-string encoding.
+    val subset = (names.filter(Bench.OracleCompositions) ++
+      names.filter(Bench.IndexBuilds) ++ names).distinct.take(150)
+    val subLine = Bench.summaryJson(subset,
+      subset.map(_ -> 0.456789).toMap, subset.map(_ -> true).toMap,
+      Map.empty, passes = 2, sfDir = "/root/testdata/sf0.1",
+      canary = 0.308, canarySh = 0.142)
+    val st2 = mapper.readTree(subLine)
+    assert(st2.get("qunit").asText() == "ms")
+    assert(st2.get("comp").asText().split(",").toSet ==
+      Bench.OracleCompositions.map(digitId),
+      "every tagged composition query must appear in comp")
+    assert(st2.get("idx").asText().split(",").toSet ==
+      Bench.IndexBuilds.map(digitId),
+      "every tagged index-build query must appear in idx")
 
     // all-slow worst case (every query > 100 s): integer ms would
     // blow the budget, so the ladder falls back to integer seconds —
