@@ -71,7 +71,7 @@ object Bench {
     * r13's per-query median moved 0.684× while the CPU canary moved
     * 0.459×, i.e. the exchange/spill side of the machine drifted
     * differently from raw compute, and no fixed job measured it. A
-    * fixed-size two-phase aggregate over 8M rows into 64k keys forces
+    * fixed-size two-phase aggregate over 4M rows into 64k keys forces
     * a real exchange whose code never changes round to round; the
     * pair (canary, canary_sh) now brackets both drift axes. */
   def canaryShuffleOnce(spark: SparkSession): Double = {
@@ -154,6 +154,15 @@ object Bench {
     // prefix the line with "[info] " and break json-parsing consumers.
     println(summaryJson(names.map(_._1), best, everOk, nFail.toMap, passes,
       sfDir, canary, memoTagged.toSet, canarySh))
+    // The FULL line (memo + tag lists, ms, no ladder) goes to stderr:
+    // the driver's 2000 B stdout tail never sees it, but a local run
+    // (BENCH_LOCAL_rNN.json) keeps per-run memo attribution even
+    // after the stdout ladder sheds it — the r15 q82/q105 regression
+    // was un-attributable precisely because the ladder dropped `memo`
+    // and no unsheared record existed (VERDICT r15 "What's wrong" 1).
+    System.err.println("[bench-full] " + summaryJson(names.map(_._1), best,
+      everOk, nFail.toMap, passes, sfDir, canary, memoTagged.toSet,
+      canarySh, forceFull = true))
     spark.stop()
   }
 
@@ -197,7 +206,8 @@ object Bench {
                   passes: Int, sfDir: String,
                   canary: Double = 0.0,
                   memoTagged: Set[String] = Set.empty,
-                  canarySh: Double = 0.0): String = {
+                  canarySh: Double = 0.0,
+                  forceFull: Boolean = false): String = {
     val digitIds = names.map(n =>
       n -> n.takeWhile(_ != '_').dropWhile(!_.isDigit)).toMap
     val id: Map[String, String] =
@@ -267,7 +277,8 @@ object Bench {
     // they are readable above), and only then ms RESOLUTION, which a
     // coarse fallback would cost EVERY round-over-round comparison.
     // `prod` never sheds before resolution: it is per-run data.
-    Iterator(("ms", true, true), ("ms", false, true), ("ms", false, false),
+    if (forceFull) build("ms", withMemo = true, withTagLists = true)
+    else Iterator(("ms", true, true), ("ms", false, true), ("ms", false, false),
       ("s", true, true))
       .map { case (u, m, t) => build(u, m, t) }
       .find(_.length < 1980)

@@ -331,6 +331,35 @@ object ScaleProbe {
         // d-row aggregate, so time ∝ n·d with a fixed job count
         "q107_power_iteration" -> (() =>
           operators.Spectral.dominantProjection(emb, iterations = 2).count()),
+        // r16: two-component PCA — the q107 loop plus an exact integer
+        // deflation and a second loop over the deflated matrix: the
+        // job COUNT is fixed per scale step and every round is one
+        // scan + a d-row aggregate, so time ∝ n·d like q107's
+        "q109_pca2" -> (() =>
+          operators.Spectral.pca2Projection(emb, iterations = 2).count()),
+        // r16: the both-gates ingest form (Jaccard OR containment) —
+        // q62's delta frame with one extra integer predicate on the
+        // already-aggregated pair stats, so the scaling shape must
+        // match q62's (any divergence is a bug in the containment arm)
+        "q135_delta_containment" -> (() =>
+          operators.Dedup.deltaDedup(
+            docs.filter(pmod($"doc_id", lit(5)) =!= 0),
+            docs.filter(pmod($"doc_id", lit(5)) === 0),
+            k = 3, threshold = 0.6, releaseEagerly = false,
+            containmentPermille = Some(250L)).count()),
+        // r16: cross-lingual semantic pairs — the q81 sign-band
+        // self-join + integer cosine gate generates candidates (ids
+        // only through the join); languages attach per-row to the
+        // GATED pair frame (tiny), so the probe measures the
+        // candidate path's slope, the scale-bearing stage
+        "q150_crosslingual" -> (() => {
+          val pairs = operators.Similarity.semanticNearDupPairs(emb,
+            bands = 8, bandBits = 6, simNumSqE4 = 2025L)
+          pairs
+            .withColumn("lang1", concat(lit("l"), pmod(hash($"d1"), lit(5))))
+            .withColumn("lang2", concat(lit("l"), pmod(hash($"d2"), lit(5))))
+            .filter($"lang1" =!= $"lang2").count()
+        }),
         // r7 widening: prefix blocking — content-unique copies change
         // every token, so blocks never span copies and pair work
         // scales with docs, not docs²

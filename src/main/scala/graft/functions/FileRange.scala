@@ -103,21 +103,28 @@ object FileRangeCore {
         }
     }
 
+  // cache key carries the override set, not just the path: two
+  // expressions with different fs.* overrides reading the SAME path
+  // must not reuse a stream opened under the other configuration
+  private def cacheKey(path: String, fsConf: Seq[(String, String)]): String =
+    s"${fsConf.hashCode}|$path"
+
   private def openCached(path: String,
                          fsConf: Seq[(String, String)]): org.apache.hadoop.fs.FSDataInputStream = {
     val cache = streamCache.get()
-    val hit = cache.get(path)
+    val key = cacheKey(path, fsConf)
+    val hit = cache.get(key)
     if (hit != null) hit
     else {
       val p = new org.apache.hadoop.fs.Path(path)
       val in = p.getFileSystem(hadoopConf(fsConf)).open(p)
-      cache.put(path, in)
+      cache.put(key, in)
       in
     }
   }
 
-  private def evict(path: String): Unit = {
-    val in = streamCache.get().remove(path)
+  private def evict(path: String, fsConf: Seq[(String, String)]): Unit = {
+    val in = streamCache.get().remove(cacheKey(path, fsConf))
     if (in != null) try in.close() catch { case _: Exception => }
   }
 
@@ -149,11 +156,11 @@ object FileRangeCore {
     try attempt()
     catch {
       case scala.util.control.NonFatal(_) =>
-        evict(pathStr)
+        evict(pathStr, fsConf)
         try attempt()
         catch {
           case scala.util.control.NonFatal(e) =>
-            evict(pathStr)
+            evict(pathStr, fsConf)
             err(s"range read failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
         }
     }

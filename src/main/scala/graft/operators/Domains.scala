@@ -212,8 +212,9 @@ object Domains {
     *  1. fragment stripped (`#…` never reaches the server);
     *  2. percent-escapes hex-UPPERCASED (`%2f` → `%2F`, RFC 3986
     *     §6.2.2.1 — invalid escapes like `100%`​`sure` pass through);
-    *  3. scheme and authority lowercased (path/query case preserved —
-    *     it is significant);
+    *  3. scheme and host[:port] lowercased (path/query case preserved
+    *     — it is significant; userinfo too: RFC 3986 §3.2.1 treats it
+    *     as case-sensitive, so `User@` and `user@` stay distinct);
     *  4. default ports dropped (`http://…:80`, `https://…:443`);
     *  5. tracking parameters removed (`utm_*`, `gclid`, `fbclid` —
     *     the advertising click-id tier; a trailing empty `?` goes
@@ -240,7 +241,16 @@ object Domains {
     val auth = regexp_extract(pct, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
     // relative/malformed → auth = '' and rest = the whole string
     val rest = regexp_replace(pct, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
-    val lowered = concat(lower(auth), rest)
+    // userinfo — everything up to the LAST '@' in the authority (the
+    // host token cannot contain '@') — is case-sensitive per RFC 3986
+    // §3.2.1: lowercase only scheme:// and host[:port] around it.
+    // ui = '' when no userinfo; then this is plain lower(auth).
+    val ui = regexp_extract(auth, "^[A-Za-z][A-Za-z0-9+.-]*://(.*@)", 1)
+    val loweredAuth = when(ui === lit(""), lower(auth)).otherwise(concat(
+      lower(regexp_extract(auth, "^([A-Za-z][A-Za-z0-9+.-]*://)", 1)),
+      ui,
+      lower(regexp_replace(auth, "^[A-Za-z][A-Za-z0-9+.-]*://.*@", ""))))
+    val lowered = concat(loweredAuth, rest)
     val p80 = regexp_replace(lowered, "^(http://[^/?#:]+):80(/|\\?|$)", "$1$2")
     val p443 = regexp_replace(p80, "^(https://[^/?#:]+):443(/|\\?|$)", "$1$2")
     val base = regexp_extract(p443, "^([^?]*)", 1)

@@ -841,9 +841,17 @@ object TextAnalysis {
     *    integer proxy that replays cross-engine);
     *  - no `{` anywhere (code, not prose);
     *  - no "lorem ipsum" (case-insensitive; placeholder boilerplate);
-    *  - no word from `badWords` (the paper applies a public blocklist;
-    *    the LIST is policy data the caller supplies — default empty =
-    *    the arm is vacuously true).
+    *  - no entry from `badWords` (the paper applies a public
+    *    blocklist; the LIST is policy data the caller supplies —
+    *    default empty = the arm is vacuously true). Single-token
+    *    entries match whole whitespace-separated words; entries
+    *    containing whitespace (the real C4 blocklist has multi-word
+    *    phrases) match as case-insensitive substrings — a
+    *    whole-phrase-with-boundaries match would need per-entry
+    *    regexes, and substring is the conservative (over-flagging)
+    *    side for a safety filter. Entries are typed literals, never
+    *    spliced into SQL text, so quotes/backslashes in an entry are
+    *    data, not syntax.
     *
     * `clean_md5` fingerprints the cleaned text so the oracle gate
     * certifies the kept CONTENT, not just the counts. All per-row
@@ -868,11 +876,18 @@ object TextAnalysis {
       .withColumn("has_lorem", expr(s"contains(lower($text), 'lorem ipsum')"))
     val withBad =
       if (badWords.isEmpty) base.withColumn("has_bad_word", lit(false))
-      else base.withColumn("has_bad_word", expr(
-        s"size(array_intersect(filter(split(lower($text), '[ \n\r]'), " +
-          "_w -> _w != ''), array(" +
-          badWords.map(w => "'" + w.toLowerCase + "'").mkString(", ") +
-          "))) > 0"))
+      else {
+        val (phrases, tokens) =
+          badWords.map(_.toLowerCase).distinct.partition(_.exists(_.isWhitespace))
+        val tokenHit =
+          if (tokens.isEmpty) lit(false)
+          else size(array_intersect(
+            expr(s"filter(split(lower($text), '[ \n\r]'), _w -> _w != '')"),
+            array(tokens.map(lit): _*))) > 0
+        val hit = phrases.foldLeft(tokenHit)((acc, p) =>
+          acc || lower(col(text)).contains(p))
+        base.withColumn("has_bad_word", hit)
+      }
     withBad
       .withColumn("pass", col("n_sentences") >= minSentences &&
         !col("has_brace") && !col("has_lorem") && !col("has_bad_word"))

@@ -225,6 +225,20 @@ object WebArchive {
         .select(col("archive"), col("base_index"), col("base_offset"),
           col("r.slice").as("slice"), col("r.err").as("slice_err"))
     } else {
+      // the GROUP fetch budget scales by k: k adjacent members each
+      // under the per-member cap legitimately span up to k×cap bytes,
+      // and checking the group span against the per-member cap would
+      // quarantine every healthy member in the group. A group whose
+      // span still exceeds k×cap (a member over the per-member cap, a
+      // hostile offset, a gappy doctored index) is NOT quarantined
+      // wholesale: the group read is skipped and each member falls
+      // back to its own per-member ranged read, so the per-MEMBER cap
+      // is the only cap that ever decides a member's fate and the
+      // coalesced form stays byte-identical (slice AND slice_err) to
+      // the per-member form on every input, honest or hostile.
+      val groupCap =
+        if (maxSliceBytes > Long.MaxValue / coalesceMembers) Long.MaxValue
+        else maxSliceBytes * coalesceMembers
       val grouped = base
         .groupBy(col("archive"),
           expr(s"member_index div $coalesceMembers").as("_grp"))
@@ -243,20 +257,32 @@ object WebArchive {
         .select(col("archive"),
           explode(expr(
             s"""transform(array(
-               |  file_range_read(archive, _goff, _gend - _goff, ${maxSliceBytes}L)),
+               |  CASE WHEN _gend - _goff <= ${groupCap}L THEN
+               |    file_range_read(archive, _goff, _gend - _goff, ${groupCap}L)
+               |  END),
                |  _r -> transform(_ms, m -> named_struct(
                |    'base_index', m.member_index,
                |    'base_offset', m.member_offset,
-               |    'slice', CASE WHEN _r.err IS NULL THEN
-               |      substring(_r.slice,
-               |        cast(m.member_offset - _goff as int) + 1,
-               |        cast(m.member_clen as int)) END,
-               |    'slice_err', _r.err)))[0]""".stripMargin)).as("s"))
+               |    'r', CASE
+               |      WHEN m.member_clen > ${maxSliceBytes}L THEN named_struct(
+               |        'slice', CAST(NULL AS BINARY),
+               |        'err', concat('range length ',
+               |          cast(m.member_clen as string),
+               |          ' exceeds ${maxSliceBytes} byte cap'))
+               |      WHEN _r IS NOT NULL THEN named_struct(
+               |        'slice', CASE WHEN _r.err IS NULL THEN
+               |          substring(_r.slice,
+               |            cast(m.member_offset - _goff as int) + 1,
+               |            cast(m.member_clen as int)) END,
+               |        'err', _r.err)
+               |      ELSE file_range_read(archive, m.member_offset,
+               |        m.member_clen, ${maxSliceBytes}L)
+               |    END)))[0]""".stripMargin)).as("s"))
         .select(col("archive"),
           col("s.base_index").as("base_index"),
           col("s.base_offset").as("base_offset"),
-          col("s.slice").as("slice"),
-          col("s.slice_err").as("slice_err"))
+          col("s.r.slice").as("slice"),
+          col("s.r.err").as("slice_err"))
     }
   }
 
