@@ -197,6 +197,61 @@ object ScaleProbe {
       s""""index_sec":${math.round(tIndex * 1000) / 1000.0}}""")
   }
 
+  /** The `coalesceMembers` CROSSOVER measurement (r15 verdict: the
+    * dial's winning regime — per-request latency — had never been
+    * demonstrated; the only data was page-cached local files, where
+    * it loses). Routes the ranged fetch through
+    * [[graft.sources.SlowLocalFileSystem]] (`slowfile:` = local FS +
+    * `delayMs` sleep per POSITIONED read, the object-store GET model)
+    * and times k ∈ {1, 8, 64} over an `nMembers`-member index,
+    * recording the issued-request count alongside wall time: the
+    * request count is the deterministic half of the claim (cut k×),
+    * the wall time is the latency half (≈ requests × delay /
+    * parallelism). Both forms get the same fan-out so the comparison
+    * is pure request arithmetic. The index is BUILT over `file:`
+    * paths (no delay — the indexer's sequential streaming is not
+    * what this probe measures) and rewritten to `slowfile:` for the
+    * fetch. Usage: ScaleProbe archive-latency [nMembers] [delayMs] */
+  def archiveLatencyProbe(spark: SparkSession, nMembers: Int,
+                          delayMs: Long): Unit = {
+    import spark.implicits._
+    val docs = spark.range(nMembers.toLong).select(
+      $"id".as("doc_id"),
+      concat(lit("member payload number "), $"id").as("text"),
+      lit("arcL").as("source"))
+    val root = java.nio.file.Files.createTempDirectory("graft-latprobe").toFile
+    val arcDir = new java.io.File(root, "arcs"); arcDir.mkdirs()
+    graft.sources.WebArchive.buildWetArchives(docs)
+      .as[(String, Array[Byte])].collect().foreach { case (a, p) =>
+        java.nio.file.Files.write(
+          new java.io.File(arcDir, s"$a.warc.gz").toPath, p)
+      }
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.slowfile.impl", "graft.sources.SlowLocalFileSystem")
+    hc.set("fs.slowfile.delay.ms", delayMs.toString)
+    val files = arcDir.listFiles().map(f => "file:" + f.getAbsolutePath).toSeq
+    val idxPath = new java.io.File(root, "idx").getAbsolutePath
+    graft.sources.WebArchive.memberIndexFromPaths(files.toDF("archive"))
+      .withColumn("archive",
+        regexp_replace(col("archive"), "^file:", "slowfile:"))
+      .write.mode("overwrite").parquet(idxPath)
+    val index = spark.read.parquet(idxPath)
+    val fan = Some(spark.sparkContext.defaultParallelism * 4)
+    val cells = Seq(1, 8, 64).map { k =>
+      graft.sources.SlowLocalFileSystem.positionedReads.set(0L)
+      val (n, sec) = timeIt(
+        graft.sources.WebArchive.sliceMembersRanged(index,
+          fanoutPartitions = fan, coalesceMembers = k)
+          .filter(col("slice_err").isNull).count())
+      val reads = graft.sources.SlowLocalFileSystem.positionedReads.get()
+      require(n == nMembers, s"k=$k recovered $n of $nMembers members")
+      println(f"latency probe k=$k%-3d ${sec}%7.2f s   ($reads ranged reads)")
+      s""""k$k":{"sec":${math.round(sec * 1000) / 1000.0},"reads":$reads}"""
+    }
+    println(s"""{"probe":"archive_latency","members":$nMembers,""" +
+      s""""delay_ms":$delayMs,""" + cells.mkString(",") + "}")
+  }
+
   /** PSL full-list headroom: the embedded rule subset is ~260 rules;
     * production loads the full publicsuffix.org file (~15k). The
     * matcher compiles rules to InSet probes inside a when-chain, so
@@ -263,6 +318,13 @@ object ScaleProbe {
     }
     if (args.headOption.contains("archive")) {
       archiveProbe(spark, dir, if (args.length > 1) args(1).toInt else 16)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("archive-latency")) {
+      archiveLatencyProbe(spark,
+        if (args.length > 1) args(1).toInt else 10000,
+        if (args.length > 2) args(2).toLong else 20L)
       spark.stop()
       return
     }

@@ -53,6 +53,13 @@ object FunctionCatalog {
         ShingleHashes(exprs.head,
           FunctionArgs.foldableInt("shingle_hashes", exprs(1), "k"))
       }),
+    FunctionDef("mix64_fold",
+      "mix64_fold(arr array<bigint>, seed BIGINT) -> bigint", classOf[Mix64Fold], { exprs =>
+        FunctionArgs.requireArity("mix64_fold", exprs, 2,
+          "mix64_fold(arr array<bigint>, seed BIGINT literal)")
+        Mix64Fold(exprs.head,
+          FunctionArgs.foldableLong("mix64_fold", exprs(1), "seed"))
+      }),
     FunctionDef("srp_buckets",
       "srp_buckets(vec array<float|double>, tables INT, bits INT, seed BIGINT) -> array<bigint>", classOf[SrpBuckets], { exprs =>
         FunctionArgs.requireArity("srp_buckets", exprs, 4,

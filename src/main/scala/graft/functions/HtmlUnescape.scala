@@ -21,47 +21,136 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Coverage: ALL numeric references (`&#NNN;` decimal, `&#xHH;` hex,
   * any Unicode scalar value — rejects 0, surrogates, > 0x10FFFF) plus
-  * a DOCUMENTED named subset ([[HtmlUnescapeCore.Named]]): the HTML 2.0
-  * four, plus the typographic/symbol tier that dominates named-entity
-  * frequency in public web-crawl statistics. Anything unrecognized —
-  * unknown name, malformed number, missing `;` within 32 chars —
-  * passes through as literal text (crawl input is untrusted; decode
-  * must never throw). `&nbsp;`/`&#160;` both yield U+00A0, which the
-  * caller's whitespace normalization folds to a plain space
-  * ([[graft.operators.Html.htmlToText]] step 6), so the named and
-  * numeric spellings of a no-break space cannot diverge. */
+  * the COMPLETE HTML 4.01 named table ([[HtmlUnescapeCore.Named]],
+  * 252 names: the Latin-1 block `&eacute;`/`&uuml;`-class accented
+  * letters, the Greek/symbol block, the `special` block), `&apos;`,
+  * and the spec's uppercase legacy spellings (`&AMP;` etc.). The
+  * HTML5 LEGACY subset — exactly the Latin-1-era names the published
+  * spec lists as valid WITHOUT a trailing semicolon
+  * ([[HtmlUnescapeCore.Legacy]]) — also decodes semicolon-less by
+  * longest-match (`&copy 2020` → `© 2020`, `&notit;` → `¬it;`),
+  * matching the HTML5 data-state tokenizer and CPython's
+  * `html.unescape`. Anything else unrecognized — unknown name,
+  * malformed number, numeric reference with no `;` within 32 chars
+  * (numeric refs REQUIRE the semicolon here: the spec decodes
+  * `&#169x` too, but stray `&#` sequences in prose/URLs are common
+  * enough in crawl text that the conservative side wins) — passes
+  * through as literal text (crawl input is untrusted; decode must
+  * never throw). The HTML5-only long tail beyond HTML 4.01 (~2k
+  * math-alphanumeric/combining names, e.g. `&DoubleLongLeftArrow;`)
+  * passes through likewise — a documented non-goal; those names are
+  * vanishingly rare in crawl text next to the accented-letter and
+  * typographic tiers covered here. `&nbsp;`/`&#160;` both yield
+  * U+00A0, which the caller's whitespace normalization folds to a
+  * plain space ([[graft.operators.Html.htmlToText]] step 6), so the
+  * named and numeric spellings of a no-break space cannot diverge. */
 object HtmlUnescapeCore {
 
-  /** The named subset, HTML-case-sensitive (`&Dagger;` ≠ `&dagger;`).
-    * `shy` (soft hyphen) decodes to the empty string: it is a
-    * rendering hint, not text. */
-  val Named: Map[String, String] = Map(
-    // HTML 2.0 core + the two quote names
-    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
-    "apos" -> "'", "nbsp" -> "\u00A0",
-    // typographic punctuation (the high-frequency tier)
-    "rsquo" -> "’", "lsquo" -> "‘",
-    "rdquo" -> "”", "ldquo" -> "“",
-    "ndash" -> "–", "mdash" -> "—",
-    "hellip" -> "…", "middot" -> "·", "bull" -> "•",
-    "laquo" -> "«", "raquo" -> "»",
-    "prime" -> "′", "Prime" -> "″",
-    "dagger" -> "†", "Dagger" -> "‡", "permil" -> "‰",
-    "shy" -> "",
-    // legal / commerce symbols
-    "copy" -> "©", "reg" -> "®", "trade" -> "™",
-    "sect" -> "§", "para" -> "¶", "deg" -> "°",
-    "euro" -> "€", "pound" -> "£", "yen" -> "¥",
-    "cent" -> "¢",
-    // math / fractions
-    "times" -> "×", "divide" -> "÷", "plusmn" -> "±",
-    "minus" -> "−", "ne" -> "≠", "le" -> "≤",
-    "ge" -> "≥", "infin" -> "∞",
-    "sup2" -> "²", "sup3" -> "³",
-    "frac12" -> "½", "frac14" -> "¼", "frac34" -> "¾",
+  /** The 96 `HTMLlat1` names, IN CODEPOINT ORDER: the published HTML
+    * 4.01 Latin-1 entity set maps name-by-name onto U+00A0–U+00FF, so
+    * the table is the name list zipped against that range — no
+    * per-name codepoint to mistype. */
+  private val Latin1Names: Seq[String] = Seq(
+    "nbsp", "iexcl", "cent", "pound", "curren", "yen", "brvbar", "sect",
+    "uml", "copy", "ordf", "laquo", "not", "shy", "reg", "macr",
+    "deg", "plusmn", "sup2", "sup3", "acute", "micro", "para", "middot",
+    "cedil", "sup1", "ordm", "raquo", "frac14", "frac12", "frac34", "iquest",
+    "Agrave", "Aacute", "Acirc", "Atilde", "Auml", "Aring", "AElig", "Ccedil",
+    "Egrave", "Eacute", "Ecirc", "Euml", "Igrave", "Iacute", "Icirc", "Iuml",
+    "ETH", "Ntilde", "Ograve", "Oacute", "Ocirc", "Otilde", "Ouml", "times",
+    "Oslash", "Ugrave", "Uacute", "Ucirc", "Uuml", "Yacute", "THORN", "szlig",
+    "agrave", "aacute", "acirc", "atilde", "auml", "aring", "aelig", "ccedil",
+    "egrave", "eacute", "ecirc", "euml", "igrave", "iacute", "icirc", "iuml",
+    "eth", "ntilde", "ograve", "oacute", "ocirc", "otilde", "ouml", "divide",
+    "oslash", "ugrave", "uacute", "ucirc", "uuml", "yacute", "thorn", "yuml")
+
+  /** The `HTMLsymbol` block (Greek letters, math, arrows, card suits)
+    * and the `HTMLspecial` block (markup chars, Latin Extended,
+    * spacing/directional marks, quotes, `&euro;`) — codepoints per the
+    * published HTML 4.01 entity DTDs, with the HTML5 revision that
+    * `&lang;`/`&rang;` map to the mathematical angle brackets
+    * U+27E8/U+27E9 (HTML 4.01 pointed at the deprecated CJK forms). */
+  private val SymbolAndSpecial: Seq[(String, Int)] = Seq(
+    // markup-significant (HTMLspecial) + HTML5's apos
+    "quot" -> 0x22, "amp" -> 0x26, "apos" -> 0x27, "lt" -> 0x3C, "gt" -> 0x3E,
+    // Latin Extended / ligatures
+    "OElig" -> 0x152, "oelig" -> 0x153, "Scaron" -> 0x160, "scaron" -> 0x161,
+    "Yuml" -> 0x178, "fnof" -> 0x192, "circ" -> 0x2C6, "tilde" -> 0x2DC,
+    // Greek uppercase (no final-sigma slot at U+03A2)
+    "Alpha" -> 0x391, "Beta" -> 0x392, "Gamma" -> 0x393, "Delta" -> 0x394,
+    "Epsilon" -> 0x395, "Zeta" -> 0x396, "Eta" -> 0x397, "Theta" -> 0x398,
+    "Iota" -> 0x399, "Kappa" -> 0x39A, "Lambda" -> 0x39B, "Mu" -> 0x39C,
+    "Nu" -> 0x39D, "Xi" -> 0x39E, "Omicron" -> 0x39F, "Pi" -> 0x3A0,
+    "Rho" -> 0x3A1, "Sigma" -> 0x3A3, "Tau" -> 0x3A4, "Upsilon" -> 0x3A5,
+    "Phi" -> 0x3A6, "Chi" -> 0x3A7, "Psi" -> 0x3A8, "Omega" -> 0x3A9,
+    // Greek lowercase (sigmaf = final sigma U+03C2)
+    "alpha" -> 0x3B1, "beta" -> 0x3B2, "gamma" -> 0x3B3, "delta" -> 0x3B4,
+    "epsilon" -> 0x3B5, "zeta" -> 0x3B6, "eta" -> 0x3B7, "theta" -> 0x3B8,
+    "iota" -> 0x3B9, "kappa" -> 0x3BA, "lambda" -> 0x3BB, "mu" -> 0x3BC,
+    "nu" -> 0x3BD, "xi" -> 0x3BE, "omicron" -> 0x3BF, "pi" -> 0x3C0,
+    "rho" -> 0x3C1, "sigmaf" -> 0x3C2, "sigma" -> 0x3C3, "tau" -> 0x3C4,
+    "upsilon" -> 0x3C5, "phi" -> 0x3C6, "chi" -> 0x3C7, "psi" -> 0x3C8,
+    "omega" -> 0x3C9, "thetasym" -> 0x3D1, "upsih" -> 0x3D2, "piv" -> 0x3D6,
+    // spacing + directional marks
+    "ensp" -> 0x2002, "emsp" -> 0x2003, "thinsp" -> 0x2009,
+    "zwnj" -> 0x200C, "zwj" -> 0x200D, "lrm" -> 0x200E, "rlm" -> 0x200F,
+    // typographic punctuation
+    "ndash" -> 0x2013, "mdash" -> 0x2014,
+    "lsquo" -> 0x2018, "rsquo" -> 0x2019, "sbquo" -> 0x201A,
+    "ldquo" -> 0x201C, "rdquo" -> 0x201D, "bdquo" -> 0x201E,
+    "dagger" -> 0x2020, "Dagger" -> 0x2021, "bull" -> 0x2022,
+    "hellip" -> 0x2026, "permil" -> 0x2030,
+    "prime" -> 0x2032, "Prime" -> 0x2033,
+    "lsaquo" -> 0x2039, "rsaquo" -> 0x203A,
+    "oline" -> 0x203E, "frasl" -> 0x2044, "euro" -> 0x20AC,
+    // letterlike
+    "image" -> 0x2111, "weierp" -> 0x2118, "real" -> 0x211C,
+    "trade" -> 0x2122, "alefsym" -> 0x2135,
     // arrows
-    "larr" -> "←", "rarr" -> "→",
-    "uarr" -> "↑", "darr" -> "↓")
+    "larr" -> 0x2190, "uarr" -> 0x2191, "rarr" -> 0x2192, "darr" -> 0x2193,
+    "harr" -> 0x2194, "crarr" -> 0x21B5,
+    "lArr" -> 0x21D0, "uArr" -> 0x21D1, "rArr" -> 0x21D2, "dArr" -> 0x21D3,
+    "hArr" -> 0x21D4,
+    // mathematical operators
+    "forall" -> 0x2200, "part" -> 0x2202, "exist" -> 0x2203,
+    "empty" -> 0x2205, "nabla" -> 0x2207, "isin" -> 0x2208,
+    "notin" -> 0x2209, "ni" -> 0x220B, "prod" -> 0x220F, "sum" -> 0x2211,
+    "minus" -> 0x2212, "lowast" -> 0x2217, "radic" -> 0x221A,
+    "prop" -> 0x221D, "infin" -> 0x221E, "ang" -> 0x2220,
+    "and" -> 0x2227, "or" -> 0x2228, "cap" -> 0x2229, "cup" -> 0x222A,
+    "int" -> 0x222B, "there4" -> 0x2234, "sim" -> 0x223C,
+    "cong" -> 0x2245, "asymp" -> 0x2248, "ne" -> 0x2260,
+    "equiv" -> 0x2261, "le" -> 0x2264, "ge" -> 0x2265,
+    "sub" -> 0x2282, "sup" -> 0x2283, "nsub" -> 0x2284,
+    "sube" -> 0x2286, "supe" -> 0x2287, "oplus" -> 0x2295,
+    "otimes" -> 0x2297, "perp" -> 0x22A5, "sdot" -> 0x22C5,
+    // technical / geometric / suits
+    "lceil" -> 0x2308, "rceil" -> 0x2309, "lfloor" -> 0x230A,
+    "rfloor" -> 0x230B, "lang" -> 0x27E8, "rang" -> 0x27E9,
+    "loz" -> 0x25CA, "spades" -> 0x2660, "clubs" -> 0x2663,
+    "hearts" -> 0x2665, "diams" -> 0x2666)
+
+  /** The full named table, HTML-case-sensitive (`&Dagger;` ≠
+    * `&dagger;`; `&AMP;` is the spec's uppercase legacy spelling, but
+    * `&Amp;` is nothing). `shy` (soft hyphen) decodes to the empty
+    * string: it is a rendering hint, not text. */
+  val Named: Map[String, String] =
+    (Latin1Names.zipWithIndex.map { case (n, i) =>
+      n -> new String(Character.toChars(0xA0 + i)) } ++
+      SymbolAndSpecial.map { case (n, cp) =>
+        n -> new String(Character.toChars(cp)) } ++
+      Seq("AMP" -> "&", "COPY" -> "©", "GT" -> ">", "LT" -> "<",
+        "QUOT" -> "\"", "REG" -> "®")).toMap + ("shy" -> "")
+
+  /** The HTML5 legacy subset — the published spec's exact list of
+    * named references valid WITHOUT a trailing semicolon (the
+    * Latin-1-era names plus the markup four and their uppercase
+    * spellings). */
+  val Legacy: Set[String] =
+    (Latin1Names ++ Seq("amp", "lt", "gt", "quot",
+      "AMP", "COPY", "GT", "LT", "QUOT", "REG")).toSet
+  private val LegacyMaxLen = Legacy.iterator.map(_.length).max
+  private val LegacyMinLen = Legacy.iterator.map(_.length).min
 
   /** Longest reference body we will consider between `&` and `;` —
     * `&#x10FFFF;` is 9; real named entities top out near 8; anything
@@ -83,6 +172,20 @@ object HtmlUnescapeCore {
     } else Named.getOrElse(body, null)
   }
 
+  /** Longest [[Legacy]] name starting at `from` (exclusive of the
+    * `&`), or -1. Names are 2–6 chars of ASCII letters; the scan
+    * tries the longest window first so `&notin` never stops at
+    * `&not` when the longer name exists semicolon-terminated
+    * upstream (the caller checks the `;` form before this). */
+  private def legacyLen(str: String, from: Int): Int = {
+    var len = math.min(LegacyMaxLen, str.length - from)
+    while (len >= LegacyMinLen) {
+      if (Legacy.contains(str.substring(from, from + len))) return len
+      len -= 1
+    }
+    -1
+  }
+
   def unescape(s: UTF8String): UTF8String = {
     val str = s.toString
     var amp = str.indexOf('&')
@@ -96,8 +199,17 @@ object HtmlUnescapeCore {
       val rep =
         if (semi < 0 || semi - amp - 1 > MaxBody) null
         else decodeBody(str.substring(amp + 1, semi))
-      if (rep == null) { sb.append('&'); i = amp + 1 }
-      else { sb.append(rep); i = semi + 1 }
+      if (rep != null) { sb.append(rep); i = semi + 1 }
+      else if (amp + 1 < str.length && str.charAt(amp + 1) != '#') {
+        // the `;` form didn't resolve: HTML5's legacy names decode
+        // without the semicolon by LONGEST match (`&copy 2020`,
+        // `&notit;` → `¬it;` — the missing-semicolon parse error the
+        // spec and CPython's html.unescape both decode through)
+        val n = legacyLen(str, amp + 1)
+        if (n < 0) { sb.append('&'); i = amp + 1 }
+        else { sb.append(Named(str.substring(amp + 1, amp + 1 + n)))
+               i = amp + 1 + n }
+      } else { sb.append('&'); i = amp + 1 }
       amp = str.indexOf('&', i)
     }
     sb.append(str, i, str.length)

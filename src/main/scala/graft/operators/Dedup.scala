@@ -253,17 +253,21 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val signed = withMinHash(docs, k, numHashes)
+    graft.functions.Mix64Fold.register(docs.sparkSession)
     // sig is lambda-bound: 4 band hashes must not re-derive the 16
     // min-hashes (CollapseProject would inline them 4x otherwise)
     // ids-only through the explode and self-join: shingle arrays must
     // not ride the 4-way band explode shuffle; they are re-attached
     // only for the (few) surviving candidate pairs.
+    // band key = mix64_fold(band rows, seed = band id): the splitmix
+    // fold replaced xxhash64 in r16 so the q35 oracle can replay the
+    // bucket arithmetic in DuckDB (see Mix64Fold's scaladoc)
     val banded = signed
       .withColumn("bands",
         transform(array(col("sig")), g =>
           array((0 until bands).map { b =>
-            xxhash64((lit(b.toLong) +:
-              (0 until rows).map(r => element_at(g, b * rows + r + 1))): _*)
+            call_function("mix64_fold",
+              slice(g, lit(b * rows + 1), lit(rows)), lit(b.toLong))
           }: _*)
         ).getItem(0))
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_id", "band_hash")))

@@ -8,8 +8,10 @@ import graft.operators.{Dedup, Sharding, TextAnalysis}
 
 /** Text-analysis / dedup operator inventory over the `documents`
   * fixture, oracle-paired where the semantics are SQL-expressible.
-  * LSH-based ops (minhash/simhash) get rows-only checks: their output
-  * depends on xxhash64 bucketing, which DuckDB cannot reproduce.
+  * Since r16 that includes the minhash/simhash LSH family: their
+  * FNV/splitmix signature arithmetic replays in DuckDB HUGEINT
+  * modular SQL ([[LshOracleSql]] — the band combiner moved from
+  * xxhash64 to the replayable `mix64_fold` to make it possible).
   */
 object TextQueries {
 
@@ -87,7 +89,9 @@ object TextQueries {
     Dedup.yieldCurve(exactJaccardPairs(spark, dir, BaseJaccardThreshold),
       thresholdsPermille = Seq(600L, 700L, 800L, 900L))
 
-  /** MinHash+LSH near-dup pairs (scale path; rows-only check).
+  /** MinHash+LSH near-dup pairs (scale path) under the FULL
+    * cross-engine gate since r16 ([[LshOracleSql.minHashPairsSql]]
+    * replays signatures, band buckets and the verification Jaccard).
     * Memoized: q60 re-reads this output as its approx side. */
   def q35MinhashPairs(spark: SparkSession, dir: String): DataFrame =
     Memo.of(spark, s"minhash_pairs:$dir") {
@@ -95,7 +99,8 @@ object TextQueries {
         k = 3, numHashes = 16, bands = 4, threshold = 0.6)
     }
 
-  /** SimHash near-dup pairs (scale path; rows-only check).
+  /** SimHash near-dup pairs (scale path) under the FULL cross-engine
+    * gate since r16 ([[LshOracleSql.simHashPairsSql]]).
     * Memoized: q61 re-reads this output as its approx side. */
   def q36SimhashPairs(spark: SparkSession, dir: String): DataFrame =
     Memo.of(spark, s"simhash_pairs:$dir") {
@@ -1562,6 +1567,10 @@ object TextQueries {
         "ELSE text END"),
       expr("CASE WHEN pmod(doc_id, 4) = 2 " +
         "THEN '&nbsp;&mdash;&nbsp;&ldquo;data&rdquo;&hellip;' " +
+        // accented-letter names + a LEGACY no-semicolon form (&copy
+        // followed by a space — the HTML5 missing-semicolon decode)
+        "WHEN pmod(doc_id, 4) = 3 " +
+        "THEN '&nbsp;caf&eacute;, &Uuml;ber na&iuml;ve &amp; more &copy 2020' " +
         "ELSE '' END"),
       lit("</p><div>short</div><footer>&amp; example.org</footer>" +
         "</body></html>")).as("html"))
@@ -2075,7 +2084,9 @@ object TextQueries {
     // hash-match the corpus (the q168 round-trip convention)
     "q178_html_extract" ->
       """SELECT doc_id, text || CASE WHEN doc_id % 4 = 2
-        |  THEN ' — “data”…' ELSE '' END AS main_text
+        |  THEN ' — “data”…'
+        |  WHEN doc_id % 4 = 3
+        |  THEN ' café, Über naïve & more © 2020' ELSE '' END AS main_text
         |FROM documents""".stripMargin,
 
     // the complete crawl ingest (gzip codec -> WARC byte split -> HTML
@@ -3030,6 +3041,17 @@ object TextQueries {
         |  CAST(common AS DOUBLE) / (n1.ns + n2.ns - common) AS jaccard
         |FROM c JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
         |WHERE CAST(common AS DOUBLE) / (n1.ns + n2.ns - common) >= 0.2""".stripMargin,
+
+    // r16: the FULL LSH replays — FNV/splitmix/band-fold arithmetic
+    // restated in DuckDB HUGEINT modular SQL (generated — see
+    // LshOracleSql); candidate generation AND the verification gate
+    // both under the cross-engine hash, ending the rows-only era for
+    // the minhash/simhash family (their recall oracles q60/q61 stay)
+    "q35_minhash_pairs" ->
+      LshOracleSql.minHashPairsSql(k = 3, numHashes = 16, bands = 4,
+        thresholdSql = "0.6"),
+    "q36_simhash_pairs" ->
+      LshOracleSql.simHashPairsSql(k = 3, maxHamming = 6),
 
     "q37_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_md5, substring(md5(text), 1, 4) AS fp_bucket

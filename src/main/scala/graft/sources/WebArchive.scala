@@ -206,6 +206,25 @@ object WebArchive {
     * the first error, so retained members are contiguous).
     * Output is spec-pinned byte-identical to the per-member form at
     * any k. */
+  /** Production sizing for `fanoutPartitions`: an index is KBs per
+    * thousand members, so its parquet layout yields far fewer tasks
+    * than the fetch work wants — at a billion members the shuffle-free
+    * default would hand one task millions of ranged reads. The
+    * formula is the documented recipe: ceil(total members / target
+    * members-per-task). 4096 members/task is the object-store sweet
+    * spot — ~4k ranged GETs ≈ 1–3 min of request latency per task,
+    * large enough to amortize task startup, small enough for retry
+    * granularity. Pass `Some(fanoutFor(index.count()))` when the
+    * index is big; leave `None` (shuffle-free) for small reads —
+    * q185's fixture-scale path does, and the spec pins that the
+    * repartition appears ONLY when asked. */
+  def fanoutFor(totalMembers: Long, membersPerTask: Long = 4096L): Int = {
+    require(totalMembers >= 0 && membersPerTask > 0,
+      s"need totalMembers >= 0 and membersPerTask > 0: $totalMembers/$membersPerTask")
+    math.max(1L, math.min(Int.MaxValue.toLong,
+      (totalMembers + membersPerTask - 1) / membersPerTask)).toInt
+  }
+
   def sliceMembersRanged(index: DataFrame,
                          maxSliceBytes: Long = graft.functions.FileRangeCore.MaxRangeBytes,
                          fanoutPartitions: Option[Int] = None,
