@@ -239,14 +239,22 @@ object ScaleProbe {
     val fan = Some(spark.sparkContext.defaultParallelism * 4)
     val cells = Seq(1, 8, 64).map { k =>
       graft.sources.SlowLocalFileSystem.positionedReads.set(0L)
-      val (n, sec) = timeIt(
-        graft.sources.WebArchive.sliceMembersRanged(index,
-          fanoutPartitions = fan, coalesceMembers = k)
-          .filter(col("slice_err").isNull).count())
+      val df = graft.sources.WebArchive.sliceMembersRanged(index,
+        fanoutPartitions = fan, coalesceMembers = k)
+        .filter(col("slice_err").isNull)
+      // the fetch stage's REAL task count — the fan-out claim is about
+      // where the reads run, and an optimizer/AQE surprise that moves
+      // them into a 1-task stage shows up here, not in wall time alone
+      val parts = df.rdd.getNumPartitions
+      val (n, sec) = timeIt(df.count())
       val reads = graft.sources.SlowLocalFileSystem.positionedReads.get()
       require(n == nMembers, s"k=$k recovered $n of $nMembers members")
-      println(f"latency probe k=$k%-3d ${sec}%7.2f s   ($reads ranged reads)")
-      s""""k$k":{"sec":${math.round(sec * 1000) / 1000.0},"reads":$reads}"""
+      println(f"latency probe k=$k%-3d ${sec}%7.2f s   " +
+        f"($reads ranged reads, $parts partitions)")
+      if (sys.env.contains("SPARK_GRAFT_PROBE_EXPLAIN"))
+        System.err.println(df.queryExecution.executedPlan.toString)
+      s""""k$k":{"sec":${math.round(sec * 1000) / 1000.0},"reads":$reads,""" +
+        s""""parts":$parts}"""
     }
     println(s"""{"probe":"archive_latency","members":$nMembers,""" +
       s""""delay_ms":$delayMs,""" + cells.mkString(",") + "}")
@@ -413,10 +421,44 @@ object ScaleProbe {
         // self-join + integer cosine gate generates candidates (ids
         // only through the join); languages attach per-row to the
         // GATED pair frame (tiny), so the probe measures the
-        // candidate path's slope, the scale-bearing stage
+        // candidate path's slope, the scale-bearing stage.
+        // DIRECTION-unique copies, not scaledEmbeddings' additive
+        // ±0.5 offsets: under the SEMANTIC gate an additive nudge
+        // leaves cross-copy cosines ≈ 0.87, every copy of a base
+        // vector near-dups every other copy, and the pair OUTPUT
+        // grows ∝ copies² (measured: 237 → 91M rows at 16×, a
+        // fixture artifact — the pair frame is Θ(Σ cluster²) by
+        // CONTRACT; see ARCHITECTURE §headroom megacluster note).
+        // Replacing copies' vectors with fresh deterministic
+        // directions keeps clusters inside one copy, so the probe
+        // measures the candidate path, not output volume.
         "q150_crosslingual" -> (() => {
-          val pairs = operators.Similarity.semanticNearDupPairs(emb,
-            bands = 8, bandBits = 6, simNumSqE4 = 2025L)
+          val base = Tables.embeddings(spark, dir)
+            .select("vec_id", "embedding")
+          // hash-based white noise, NOT sin of linearly-shifted
+          // arguments: sin(x + c·i) keeps cos(c)-level correlation
+          // between copies (measured: the first fix still emitted
+          // 65M pairs at 16× — cos(37 rad) ≈ 0.77), while sin of a
+          // 64-bit hash is effectively uniform noise per (vec, dim,
+          // copy) and cross-copy cosines concentrate at ~1/√d
+          val uniq = (0 until s).map { i =>
+            if (i == 0) base
+            else base.select(
+              ($"vec_id" + lit(i * 10000000L)).as("vec_id"),
+              expr(s"transform(embedding, (x, j) -> " +
+                s"float(sin(xxhash64(vec_id * 1048573 + j * 101 + $i))))")
+                .as("embedding"))
+          }.reduce(_ unionByName _).repartition(cpus * 2)
+          // the documented dial: bandBits grows with corpus size to
+          // hold candidate share (occupancy ≈ n/2^bits per band);
+          // 8 bands × 8 bits = 64 is the fixture's DIM CEILING — the
+          // sign-band family reads raw dimension signs, so past this
+          // n the production handoff is SRP buckets (decoupled bit
+          // width) or IVF blocking; the 16× cell measures the capped
+          // regime on purpose (see ARCHITECTURE §headroom)
+          val bb = if (s >= 4) 8 else 6
+          val pairs = operators.Similarity.semanticNearDupPairs(uniq,
+            bands = 8, bandBits = bb, simNumSqE4 = 2025L)
           pairs
             .withColumn("lang1", concat(lit("l"), pmod(hash($"d1"), lit(5))))
             .withColumn("lang2", concat(lit("l"), pmod(hash($"d2"), lit(5))))

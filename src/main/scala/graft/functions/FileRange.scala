@@ -179,6 +179,22 @@ case class FileRangeRead(first: Expression, second: Expression,
                            FileRangeCore.activeFsConf())
   extends TernaryExpression {
 
+  /** DECLARED non-deterministic — not because the result varies (an
+    * immutable archive always returns the same bytes) but to pin the
+    * I/O to where the plan put it. Deterministic status licenses two
+    * optimizer moves that are each catastrophic for a ranged-GET
+    * expression (both observed, r16 `ScaleProbe archive-latency`):
+    * CollapseProject re-evaluates the read once per extracted struct
+    * field, and PushDownPredicate rewrites a caller's
+    * `slice_err IS NULL` filter through the projection and BELOW the
+    * `fanoutPartitions` exchange — every member then fetches inside
+    * the index SCAN stage (one task per index file: the 10k-member
+    * latency probe ran its reads SERIALLY, 204 s at 20 ms/GET) and
+    * AGAIN post-shuffle, doubling GET count. Non-determinism forbids
+    * both rewrites: one read per row, executed in the stage the
+    * dataflow placed it. */
+  override lazy val deterministic: Boolean = false
+
   override def dataType: DataType = FileRangeCore.rangeSchema
   override def nullable: Boolean =
     first.nullable || second.nullable || third.nullable

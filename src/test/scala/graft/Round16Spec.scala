@@ -215,6 +215,22 @@ class Round16Spec extends AnyFunSuite {
       // the dial's claim IS this arithmetic: 40 requests → ceil(40/8)
       assert(n1 == 40L, s"per-member issued $n1 reads")
       assert(n8 == 5L, s"coalesced(8) issued $n8 reads")
+
+      // the r16 optimizer trap, pinned: a caller filtering on
+      // slice_err used to have the predicate REWRITTEN through the
+      // projection and pushed below the fan-out exchange — every
+      // member fetched once in the (serial) index-scan stage for the
+      // filter and again post-shuffle for the projection: 2× the GETs
+      // and the fan-out dead. file_range_read's declared
+      // non-determinism forbids the rewrite; exactly one read per
+      // member must survive a filtered, fanned, counted plan.
+      SlowLocalFileSystem.positionedReads.set(0L)
+      val n = WebArchive.sliceMembersRanged(index,
+        fanoutPartitions = Some(8), coalesceMembers = 1)
+        .filter($"slice_err".isNull).count()
+      assert(n == 40L)
+      assert(SlowLocalFileSystem.positionedReads.get() == 40L,
+        s"filtered+fanned plan issued ${SlowLocalFileSystem.positionedReads.get()} reads for 40 members")
     } finally {
       hc.unset("fs.slowfile.impl")
       hc.unset("fs.slowfile.delay.ms")
