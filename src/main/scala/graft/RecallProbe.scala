@@ -83,7 +83,8 @@ object RecallProbe {
       "q60_minhash_recall"    -> ops.TextQueries.q60MinhashRecall(spark, dir),
       "q61_simhash_agreement" -> ops.TextQueries.q61SimhashAgreement(spark, dir),
       "q172_pq_recall"        -> ops.SimilarityQueries.q172PqRecall(spark, dir),
-      "q175_ivfpq_recall"     -> ops.SimilarityQueries.q175IvfPqRecall(spark, dir))
+      "q175_ivfpq_recall"     -> ops.SimilarityQueries.q175IvfPqRecall(spark, dir),
+      "q188_srp_semantic_recall" -> ops.SimilarityQueries.q188SrpSemanticRecall(spark, dir))
     println("== pinned oracle SQL (paste into SimilarityQueries.oracles / TextQueries.oracles):")
     pinned.foreach { case (name, df) =>
       val r = df.first()

@@ -464,6 +464,26 @@ object ScaleProbe {
             .withColumn("lang2", concat(lit("l"), pmod(hash($"d2"), lit(5))))
             .filter($"lang1" =!= $"lang2").count()
         }),
+        // r16: the PAST-the-ceiling form — SRP hyperplane buckets
+        // decouple bit width from dimension, so the dial keeps
+        // scaling (bits + 2 per 4× data holds candidate share
+        // constant) where the sign family capped at 8×8 = d = 64
+        "q150srp_pairs" -> (() => {
+          val base = Tables.embeddings(spark, dir)
+            .select("vec_id", "embedding")
+          val uniq = (0 until s).map { i =>
+            if (i == 0) base
+            else base.select(
+              ($"vec_id" + lit(i * 10000000L)).as("vec_id"),
+              expr(s"transform(embedding, (x, j) -> " +
+                s"float(sin(xxhash64(vec_id * 1048573 + j * 101 + $i))))")
+                .as("embedding"))
+          }.reduce(_ unionByName _).repartition(cpus * 2)
+          val bits = if (s >= 16) 16 else if (s >= 4) 14 else 12
+          operators.Similarity.semanticNearDupPairsSrp(uniq,
+            tables = 8, bits = bits, seed = 2025L,
+            simNumSqE4 = 2025L).count()
+        }),
         // r7 widening: prefix blocking — content-unique copies change
         // every token, so blocks never span copies and pair work
         // scales with docs, not docs²

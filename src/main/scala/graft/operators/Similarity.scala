@@ -750,6 +750,81 @@ object Similarity {
     }
   }
 
+  /** [[semanticNearDupPairs]] with SRP (seeded random hyperplane)
+    * candidate buckets instead of raw sign bands — the documented
+    * handoff PAST the sign family's dimension ceiling (r16 ladder
+    * finding): sign bands read `bands × bandBits` raw dimension
+    * signs, so their bucket key space is capped at 2^(d/bands) and
+    * candidate volume goes n²-shaped once n outgrows it. SRP buckets
+    * ([[graft.functions.SrpBuckets]], the q41 ANN machinery) project
+    * onto seeded hyperplanes, so `bits` grows with n indefinitely —
+    * the production dial is bits ≈ log2(n · tables / target bucket
+    * occupancy). The DECISION gate is byte-identical to
+    * [[semanticDedup]]'s (same int8 codes, same BIGINT cosine
+    * inequality), so the two variants differ only in candidate
+    * recall; the float hyperplane projections are why this form has
+    * no DuckDB replay (q81/q150 keep the sign-band form for the
+    * oracle gate — a documented trade, not a gap). */
+  def semanticNearDupPairsSrp(corpus: DataFrame, tables: Int = 8,
+                              bits: Int = 12, seed: Long = 2025L,
+                              simNumSqE4: Long = 2025L,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame = {
+    graft.functions.SrpBuckets.register(corpus.sparkSession)
+    require(simNumSqE4 >= 0L && simNumSqE4 <= 10000L,
+      s"simNumSqE4 is t^2 * 1e4, must be in [0,10000]: $simNumSqE4")
+    corpus.select(col(vecCol)).head(1).headOption.foreach { r =>
+      val d = r.getSeq[Any](0).size
+      require(d <= MaxSemanticDedupDim,
+        s"the integer gate (dot^2 * 1e4 in BIGINT) is safe only for " +
+          s"dims <= $MaxSemanticDedupDim; got $d")
+    }
+    val coded = quantizeInt8(corpus, vecCol)
+      .withColumn("c", expr("transform(q, v -> cast(v as bigint))"))
+      .withColumn("ss", expr("aggregate(c, 0L, (a, x) -> a + x * x)"))
+    // (table, bucket) key via posexplode: bucket values are per-table
+    // bit patterns, so the table index must ride the join key
+    val sigs = coded.select(col(idCol).as("vid"),
+        posexplode(call_function("srp_buckets",
+          col(vecCol), lit(tables), lit(bits), lit(seed)))
+          .as(Seq("band", "bkt")))
+    val cand = sigs.as("a").join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.bkt") === col("b.bkt") &&
+        col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("d1"), col("b.vid").as("d2"))
+      .dropDuplicates("d1", "d2")
+    val side1 = coded.select(col(idCol).as("d1"), col("c").as("c1"), col("ss").as("ss1"))
+    val side2 = coded.select(col(idCol).as("d2"), col("c").as("c2"), col("ss").as("ss2"))
+    cand.join(side1, "d1").join(side2, "d2")
+      .withColumn("dot", expr("aggregate(zip_with(c1, c2, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * lit(10000L) >= lit(simNumSqE4) * col("ss1") * col("ss2"))
+      .select(col("d1"), col("d2"), col("dot"), col("ss1"), col("ss2"))
+  }
+
+  /** The EXACT gated pair set — every (d1 < d2) pair satisfying
+    * [[semanticDedup]]'s int8 BIGINT cosine inequality, scored by an
+    * all-pairs self-join. O(n²) by construction: the brute-force
+    * ORACLE leg (the [[bruteForcePairs]] convention) serving as the
+    * recall denominator for the LSH candidate variants; never the
+    * scale path. */
+  def semanticPairsExact(corpus: DataFrame, simNumSqE4: Long = 2025L,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    require(simNumSqE4 >= 0L && simNumSqE4 <= 10000L,
+      s"simNumSqE4 is t^2 * 1e4, must be in [0,10000]: $simNumSqE4")
+    val coded = quantizeInt8(corpus, vecCol)
+      .withColumn("c", expr("transform(q, v -> cast(v as bigint))"))
+      .withColumn("ss", expr("aggregate(c, 0L, (a, x) -> a + x * x)"))
+    val a = coded.select(col(idCol).as("d1"), col("c").as("c1"), col("ss").as("ss1"))
+    val b = coded.select(col(idCol).as("d2"), col("c").as("c2"), col("ss").as("ss2"))
+    a.join(b, col("d1") < col("d2"))
+      .withColumn("dot", expr("aggregate(zip_with(c1, c2, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * lit(10000L) >= lit(simNumSqE4) * col("ss1") * col("ss2"))
+      .select(col("d1"), col("d2"), col("dot"), col("ss1"), col("ss2"))
+  }
+
   /** [[semanticDedup]]'s keep-first rule over an externally-supplied
     * gated pair frame (d1 < d2) — lets callers memoize the expensive
     * pair leg once and fold it multiple ways. */

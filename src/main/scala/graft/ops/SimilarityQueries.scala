@@ -137,6 +137,26 @@ object SimilarityQueries {
       q41AnnTopK(spark, dir), q40CosineTopK(spark, dir),
       Seq("query_id", "neighbor_id"))
 
+  /** SRP-semantic-pair recall vs the EXACT int8-gated pair set — the
+    * r16 agreement row for [[Similarity.semanticNearDupPairsSrp]]
+    * (the past-dim-ceiling candidate form): both sides apply the
+    * identical BIGINT cosine gate, so every miss is pure candidate
+    * recall, and the exact side is the disclosed O(n²) oracle leg
+    * ([[Similarity.semanticPairsExact]], the q59 denominator
+    * convention). Dials are RecallProbe-tuned to the 500-vector
+    * fixture exactly like q41's (32 tables × 6 bits — at 8×8 the
+    * borderline-cosine pairs rarely shared a bucket and recall read
+    * 0.18; production grows bits with n, the r16 ladder's
+    * q150srp_pairs row measures that regime); seeded hyperplanes make
+    * the row deterministic, pinned like q57–q61. */
+  def q188SrpSemanticRecall(spark: SparkSession, dir: String): DataFrame =
+    Agreement.summarize(
+      Similarity.semanticNearDupPairsSrp(corpus(spark, dir),
+        tables = 32, bits = 6, seed = 2025L).select(col("d1"), col("d2")),
+      Similarity.semanticPairsExact(corpus(spark, dir))
+        .select(col("d1"), col("d2")),
+      Seq("d1", "d2"))
+
   /** IVF-flat recall@10 vs the exact baseline (q43's signal). */
   def q58IvfRecall(spark: SparkSession, dir: String): DataFrame =
     Agreement.summarize(
@@ -415,6 +435,7 @@ object SimilarityQueries {
     "q57_ann_recall"  -> (q57AnnRecall _),
     "q58_ivf_recall"  -> (q58IvfRecall _),
     "q59_neardup_recall" -> (q59NeardupRecall _),
+    "q188_srp_semantic_recall" -> (q188SrpSemanticRecall _),
     "q65_hybrid_search" -> (q65HybridSearch _),
     "q122_rrf"        -> (q122Rrf _),
     "q74_quantize"    -> (q74Quantize _)
@@ -612,6 +633,16 @@ object SimilarityQueries {
 
     // PQ ADC+rerank at a ~1/10 shortlist share — the q57/q58 pinned
     // convention; RecallProbe re-prints this row on fixture regen
+    // SRP semantic-pair recall vs the exact int8-gated pair set —
+    // n_approx = n_hits (zero false positives) is structural: both
+    // sides apply the identical BIGINT gate, so the pinned row
+    // certifies candidate recall alone (0.66 at the fixture-tuned
+    // 32×6 dials; 8×8 measured 0.18 — the q41 tuning story repeated)
+    "q188_srp_semantic_recall" ->
+      """SELECT CAST(67 AS BIGINT) AS n_exact, CAST(44 AS BIGINT) AS n_approx,
+        |  CAST(44 AS BIGINT) AS n_hits,
+        |  CAST(44 AS DOUBLE)/CAST(67 AS DOUBLE) AS recall""".stripMargin,
+
     "q172_pq_recall" ->
       """SELECT CAST(100 AS BIGINT) AS n_exact, CAST(100 AS BIGINT) AS n_approx,
         |  CAST(64 AS BIGINT) AS n_hits,

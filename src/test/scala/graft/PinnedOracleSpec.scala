@@ -60,9 +60,22 @@ class PinnedOracleSpec extends AnyFunSuite {
       // additionally encodes the composition's reason to exist: it
       // must not re-pin BELOW the flat-PQ floor while scoring fewer
       // candidates
-      ("q175 ivfpq adc", recallOf(SimilarityQueries.q175IvfPqRecall(spark, pinDir)), 0.50))
+      ("q175 ivfpq adc", recallOf(SimilarityQueries.q175IvfPqRecall(spark, pinDir)), 0.50),
+      // SRP semantic pairs (r16): measured 0.66 at the fixture-tuned
+      // 32×6 dials against the exact int8-gated pair set; the
+      // identical-gate structure additionally means n_approx ==
+      // n_hits, asserted below as its own invariant
+      ("q188 srp semantic", recallOf(SimilarityQueries.q188SrpSemanticRecall(spark, pinDir)), 0.50))
     floors.foreach { case (name, recall, floor) =>
       assert(recall >= floor, f"$name recall $recall%.2f below floor $floor%.2f")
     }
+  }
+
+  test("q188: zero false positives is structural (both sides share the int8 gate)") {
+    assume(fixturePresent, s"$pinDir not present in this environment")
+    val r = SimilarityQueries.q188SrpSemanticRecall(spark, pinDir).first()
+    assert(r.getLong(1) == r.getLong(2),
+      s"SRP emitted ${r.getLong(1)} pairs but only ${r.getLong(2)} are in " +
+        "the exact gated set — the gate implementations diverged")
   }
 }

@@ -3,12 +3,21 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Round-16 battery — hardening contracts from the round-15 advice:
-  * c4Flags badWords entries are DATA (quotes never reach SQL syntax,
-  * multi-word phrases actually match), the coalesced ranged-slice
-  * path keeps the per-member byte cap (and only that cap) under any
-  * group size, and the per-thread range-read stream cache
-  * distinguishes fs.* override sets on the same path.
+/** Round-16 battery. Advice hardening: c4Flags badWords entries are
+  * DATA (quotes never reach SQL syntax, multi-word phrases actually
+  * match), the coalesced ranged-slice path keeps the per-member byte
+  * cap (and only that cap) under any group size via the per-member
+  * fallback, and the per-thread range-read stream cache
+  * distinguishes fs.* override sets on the same path. Build
+  * contracts: the full HTML 4.01 entity table + HTML5 legacy
+  * no-semicolon decoding, the PSL published-format snapshot battery
+  * (punycode / private-section / wildcard / exception at depth),
+  * `fanoutFor` + the shuffle-free default, the slowfile-counted
+  * k-fold request-cut and the optimizer-pushdown regression pin
+  * (file_range_read non-determinism keeps reads in their stage,
+  * one per member), `mix64_fold` pinned against the independent
+  * reference constants (the q35 oracle's replayable band key), and
+  * the SRP semantic-pair form past the sign-band dimension ceiling.
   */
 class Round16Spec extends AnyFunSuite {
   import SparkTestSession.spark
@@ -235,6 +244,35 @@ class Round16Spec extends AnyFunSuite {
       hc.unset("fs.slowfile.impl")
       hc.unset("fs.slowfile.delay.ms")
     }
+  }
+
+  // ------------------- SRP semantic pairs (past the sign-band ceiling)
+
+  test("semanticNearDupPairsSrp: bit width decoupled from dimension, same integer gate — planted pair found, anti-correlated pair rejected") {
+    import graft.operators.Similarity
+    // dim-8 vectors: the sign-band family tops out at bands×bandBits
+    // = 8 here; SRP buckets at bits=16 are impossible for it and
+    // routine for the hyperplane form — the r16 ladder's handoff
+    val v1 = Seq(0.9f, -0.3f, 0.5f, 0.1f, -0.7f, 0.2f, 0.8f, -0.1f)
+    val v2 = v1.map(x => x * 1.02f + 0.005f) // near-identical direction
+    val v3 = Seq(-0.3f, 0.9f, 0.1f, 0.5f, 0.2f, -0.7f, -0.1f, 0.8f) // dot(v1,v3) < 0
+    val df = Seq((1L, v1), (2L, v2), (3L, v3)).toDF("vec_id", "embedding")
+    val pairs = Similarity.semanticNearDupPairsSrp(df,
+        tables = 8, bits = 16, seed = 7L)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+    // the sign-band form REJECTS this dial on dim-8 input (loud, not
+    // silent): 8 bands × 16 bits would read past the array end
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticNearDupPairs(df, bands = 8, bandBits = 16)
+    }
+    assert(e.getMessage.contains("bands*bandBits"))
+    // determinism: the seeded hyperplanes make the pair frame a pure
+    // function of (input, dials)
+    val again = Similarity.semanticNearDupPairsSrp(df,
+        tables = 8, bits = 16, seed = 7L)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(again == pairs)
   }
 
   // ------------------------------- mix64_fold (the replayable band key)
