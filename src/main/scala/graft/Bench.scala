@@ -37,7 +37,11 @@ object Bench {
     * operator are different findings. */
   val OracleCompositions: Set[String] = Set(
     "q105_delta_dedup_capped", "q143_count_min",
-    "q147_join_size_est", "q162_mg_certificate")
+    "q147_join_size_est", "q162_mg_certificate",
+    // r16: the SRP agreement row's denominator is the disclosed
+    // O(n²) exact gated pair set — certificate-only by construction
+    // (production consumes the SRP pair frame directly)
+    "q188_srp_semantic_recall")
 
   /** Queries whose registry entry bills ONE-OFF build work together
     * with the read it serves (q171 trains the PQ codebook before its
