@@ -1793,9 +1793,17 @@ object TextQueries {
       expr("CASE WHEN pmod(doc_id, 11) = 0 " +
         "THEN '\nLorem Ipsum dolor sit amet.' ELSE '' END"),
       expr("CASE WHEN pmod(doc_id, 13) = 0 " +
-        "THEN '\nthis page has badword inside it.' ELSE '' END")))
+        "THEN '\nthis page has badword inside it.' ELSE '' END"),
+      // r16: the hardened badWords arms under the oracle gate — a
+      // multi-word PHRASE entry (substring semantics) and a
+      // quote-bearing token entry (quotes are data, not SQL syntax)
+      expr("CASE WHEN pmod(doc_id, 17) = 0 " +
+        "THEN '\nthe page contains a bad phrase somewhere.' ELSE '' END"),
+      expr("CASE WHEN pmod(doc_id, 19) = 0 " +
+        "THEN '\nquote arm: don\\'t appears here.' ELSE '' END")))
     graft.operators.TextAnalysis
-      .c4Flags(multi, text = "mtext", badWords = Seq("badword"))
+      .c4Flags(multi, text = "mtext",
+        badWords = Seq("badword", "bad phrase", "don't"))
       .select("doc_id", "clean_md5", "n_lines", "n_kept_lines",
         "n_sentences", "has_brace", "has_lorem", "has_bad_word", "pass")
   }
@@ -2029,6 +2037,10 @@ object TextQueries {
         |     THEN chr(10) || 'Lorem Ipsum dolor sit amet.' ELSE '' END
         |  || CASE WHEN doc_id % 13 = 0
         |     THEN chr(10) || 'this page has badword inside it.' ELSE '' END
+        |  || CASE WHEN doc_id % 17 = 0
+        |     THEN chr(10) || 'the page contains a bad phrase somewhere.' ELSE '' END
+        |  || CASE WHEN doc_id % 19 = 0
+        |     THEN chr(10) || 'quote arm: don''t appears here.' ELSE '' END
         |    AS mtext
         |  FROM documents),
         |k AS (SELECT doc_id, mtext,
@@ -2040,9 +2052,10 @@ object TextQueries {
         |  FROM md),
         |c AS (SELECT doc_id, mtext, ls, kept,
         |  array_to_string(kept, chr(10)) AS clean,
-        |  len(list_intersect(list_filter(
+        |  (len(list_intersect(list_filter(
         |    string_split_regex(lower(mtext), '[ \n\r]'), _w -> _w <> ''),
-        |    ['badword'])) > 0 AS bad
+        |    ['badword', 'don''t'])) > 0
+        |   OR contains(lower(mtext), 'bad phrase')) AS bad
         |  FROM k)
         |SELECT doc_id, md5(clean) AS clean_md5,
         |  CAST(len(ls) AS BIGINT) AS n_lines,
