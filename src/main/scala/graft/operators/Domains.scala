@@ -216,9 +216,14 @@ object Domains {
     *     — it is significant; userinfo too: RFC 3986 §3.2.1 treats it
     *     as case-sensitive, so `User@` and `user@` stay distinct);
     *  4. default ports dropped (`http://…:80`, `https://…:443`);
-    *  5. tracking parameters removed (`utm_*`, `gclid`, `fbclid` —
-    *     the advertising click-id tier; a trailing empty `?` goes
-    *     with them);
+    *  5. tracking parameters removed — `utm_*` plus the well-known
+    *     advertising/email click-id set (`gclid`/`gclsrc`/`dclid`/
+    *     `wbraid`/`gbraid` Google, `fbclid` Meta, `msclkid`
+    *     Microsoft, `twclid` Twitter/X, `igshid` Instagram,
+    *     `mc_cid`/`mc_eid` Mailchimp); a trailing empty `?` goes
+    *     with them. The list is the widely published tracker tier,
+    *     not a guess — every entry identifies a CLICK, never
+    *     content, so stripping can only merge true duplicates;
     *  6. empty path becomes `/` (`http://a.org` ≡ `http://a.org/`).
     *
     * Idempotent (canonical input maps to itself — spec-pinned); null
@@ -256,7 +261,8 @@ object Domains {
     val base = regexp_extract(p443, "^([^?]*)", 1)
     val qs = regexp_replace(p443, "^[^?]*\\??", "")
     val kept = filter(split(qs, "&"), p =>
-      !p.rlike("^(utm_[^=&]*|gclid|fbclid)(=|$)") && p =!= lit(""))
+      !p.rlike("^(utm_[^=&]*|gclid|gclsrc|dclid|wbraid|gbraid|fbclid|" +
+        "msclkid|twclid|igshid|mc_cid|mc_eid)(=|$)") && p =!= lit(""))
     val rejoined = when(size(kept) > 0,
       concat(base, lit("?"), array_join(kept, "&"))).otherwise(base)
     val slash = regexp_replace(

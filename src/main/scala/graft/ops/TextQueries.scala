@@ -1762,8 +1762,12 @@ object TextQueries {
           "WHEN 2 THEN concat('https://www.', source, " +
           "'.org/a%2fb?utm_source=feed&x=1&utm_campaign=', doc_id) " +
           "WHEN 3 THEN concat('http://', source, '.org') " +
+          // the full r16 click-id tier rides this arm: every one of
+          // these params must strip (and the then-empty '?' drop) for
+          // the oracle's expected canonical form to hash-match
           "ELSE concat('http://', source, '.org:80/?utm_campaign=z&gclid=', " +
-          "doc_id) END").as("uri"))
+          "doc_id, '&msclkid=m', doc_id, '&wbraid=w&twclid=t&mc_eid=e') " +
+          "END").as("uri"))
     graft.operators.Domains.urlDedup(docs)
   }
 

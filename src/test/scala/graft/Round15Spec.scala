@@ -270,6 +270,12 @@ class Round15Spec extends AnyFunSuite {
       // tracking params die, trailing empty '?' goes with them
       (4L, "http://a.org/?utm_source=1", "http://a.org/"),
       (5L, "http://a.org/p?utm_a=1&gclid=2&q=3", "http://a.org/p?q=3"),
+      // the full r16 click-id tier strips; lookalikes do NOT (the
+      // rule is anchored whole-name-with-= match, never substring)
+      (10L, "http://a.org/p?msclkid=1&wbraid=2&q=3&twclid=4&mc_eid=5&igshid=6",
+        "http://a.org/p?q=3"),
+      (11L, "http://a.org/p?gclidx=1&mc_eidy=2&xmsclkid=3",
+        "http://a.org/p?gclidx=1&mc_eidy=2&xmsclkid=3"),
       // invalid percent-escape and relative input pass through
       (6L, "100% sure thing", "100% sure thing"),
       // bare authority gains the root slash; query stays anchored
