@@ -86,4 +86,48 @@ object Html {
     graft.functions.HtmlUnescape.register(df.sparkSession)
     df.withColumn(outCol, mainContent(htmlToText(col(htmlCol)), minWords))
   }
+
+  /** Page-declared directives — the two head signals a modern
+    * training pipeline reads BEFORE keeping a page (r16):
+    *
+    *  - `rel_canonical`: the page's own `<link rel="canonical">`
+    *    target. The strongest URL-dedup signal there is — the SITE
+    *    says which URL this content belongs to, catching mirrors and
+    *    parameter variants [[Domains.canonicalizeUrl]]'s syntactic
+    *    rules cannot; feed it to [[Domains.urlDedup]] as the
+    *    dedup key (`coalesce(rel_canonical, canonical_url)`).
+    *  - `meta_robots` + derived `noindex`/`nofollow`: the page's
+    *    `<meta name="robots">` opt-out. Respecting `noindex` at
+    *    ingest is the polite-crawl floor for training corpora.
+    *
+    * Both attribute orders (`rel` before or after `href`, `name`
+    * before or after `content`) are matched; tag/attribute names are
+    * case-insensitive via `(?i)` (RE2 ∩ Java — the oracle replays
+    * the same patterns verbatim in DuckDB); attribute VALUES keep
+    * their case (a canonical URL's path is case-significant, and the
+    * noindex/nofollow tokens are lowercased only for the boolean
+    * derivation). Token matching is comma/space-delimited whole-word
+    * (`noindexfoo` does not count). Absent directives come back
+    * null/false — per-row regex work, zero shuffles. */
+  def pageDirectives(df: DataFrame, htmlCol: String): DataFrame = {
+    def firstNonEmpty(a: Column, b: Column): Column =
+      coalesce(nullif(a, lit("")), nullif(b, lit("")))
+    val canon = firstNonEmpty(
+      regexp_extract(col(htmlCol),
+        "(?i)<link[^>]*\\brel=[\"']canonical[\"'][^>]*\\bhref=[\"']([^\"']*)[\"']", 1),
+      regexp_extract(col(htmlCol),
+        "(?i)<link[^>]*\\bhref=[\"']([^\"']*)[\"'][^>]*\\brel=[\"']canonical[\"']", 1))
+    val robots = firstNonEmpty(
+      regexp_extract(col(htmlCol),
+        "(?i)<meta[^>]*\\bname=[\"']robots[\"'][^>]*\\bcontent=[\"']([^\"']*)[\"']", 1),
+      regexp_extract(col(htmlCol),
+        "(?i)<meta[^>]*\\bcontent=[\"']([^\"']*)[\"'][^>]*\\bname=[\"']robots[\"']", 1))
+    def hasToken(token: String): Column =
+      coalesce(lower(col("meta_robots")).rlike(s"(^|[,\\s])$token([,\\s]|$$)"),
+        lit(false))
+    df.withColumn("rel_canonical", canon)
+      .withColumn("meta_robots", robots)
+      .withColumn("noindex", hasToken("noindex"))
+      .withColumn("nofollow", hasToken("nofollow"))
+  }
 }

@@ -1782,6 +1782,34 @@ object TextQueries {
     * crosses at different doc_ids. `clean_md5` puts the kept CONTENT
     * itself under the hash gate; the DuckDB oracle replays the
     * construction AND every rule verbatim. */
+  /** Page directives under the oracle gate ([[graft.operators.Html
+    * .pageDirectives]]): each doc wraps in a head whose
+    * `<link rel=canonical>` / `<meta name=robots>` arms rotate
+    * through BOTH attribute orders, mixed tag/attribute case, and
+    * absence — and the DuckDB oracle derives the expected outputs
+    * INDEPENDENTLY from doc_id (the q186 convention), so the regex
+    * layer is certified by producing exactly the right value from
+    * every hostile spelling, not by replaying itself. */
+  def q189PageDirectives(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val pages = docs.select(col("doc_id"), concat(
+      lit("<html><head><title>d</title>"),
+      expr("CASE pmod(doc_id, 3) " +
+        "WHEN 0 THEN '<meta name=\"robots\" content=\"noindex, follow\">' " +
+        "WHEN 1 THEN '<meta content=\"NOFOLLOW,archive\" name=\"ROBOTS\">' " +
+        "ELSE '<meta name=\"viewport\" content=\"width=device-width\">' END"),
+      expr("CASE pmod(doc_id, 5) " +
+        "WHEN 0 THEN concat('<link rel=\"canonical\" " +
+        "href=\"https://example.org/c/', doc_id, '\">') " +
+        "WHEN 1 THEN concat('<LINK href=\"https://Example.org/Alt/', " +
+        "doc_id, '\" rel=\"canonical\">') " +
+        "ELSE '<link rel=\"stylesheet\" href=\"/s.css\">' END"),
+      lit("</head><body><p>"), col("text"),
+      lit("</p></body></html>")).as("html"))
+    graft.operators.Html.pageDirectives(pages, "html")
+      .select("doc_id", "rel_canonical", "meta_robots", "noindex", "nofollow")
+  }
+
   def q187C4Clean(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val multi = docs.withColumn("mtext", concat(col("text"), lit("."),
@@ -1855,6 +1883,7 @@ object TextQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q187_c4_clean" -> (q187C4Clean _),
+    "q189_page_directives" -> (q189PageDirectives _),
     "q186_url_dedup" -> (q186UrlDedup _),
     "q185_ranged_ingest" -> (q185RangedIngest _),
     "q184_gopher_lines" -> (q184GopherLines _),
@@ -2025,6 +2054,21 @@ object TextQueries {
     // the multi-line construction AND every C4 rule replayed verbatim;
     // clean_md5 certifies the kept CONTENT cross-engine, not just the
     // counts (md5 hex is identical in both engines, the q37 stance)
+    // expected values derived INDEPENDENTLY of the extraction regexes
+    // (the q186 convention): the html arms rotate attribute order and
+    // case, and the gate demands exactly these outputs from each
+    "q189_page_directives" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN 'https://example.org/c/' || doc_id
+        |    WHEN 1 THEN 'https://Example.org/Alt/' || doc_id
+        |    ELSE NULL END AS rel_canonical,
+        |  CASE doc_id % 3 WHEN 0 THEN 'noindex, follow'
+        |    WHEN 1 THEN 'NOFOLLOW,archive' ELSE NULL END AS meta_robots,
+        |  doc_id % 3 = 0 AS noindex,
+        |  doc_id % 3 = 1 AS nofollow
+        |FROM documents""".stripMargin,
+
     "q187_c4_clean" ->
       raw"""WITH md AS (SELECT doc_id,
         |  text || '.'

@@ -246,6 +246,27 @@ class Round16Spec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------ page directives (canonical / robots)
+
+  test("pageDirectives: both attribute orders and cases match; tokens are whole-word; absent directives null/false") {
+    val rows = Seq(
+      (1L, """<link rel="canonical" href="https://a.org/X"><meta name="robots" content="noindex,nofollow">"""),
+      (2L, """<LINK href='https://b.org/Y' rel='canonical'><META content='NOFOLLOW, archive' name='ROBOTS'>"""),
+      // lookalike token must NOT count; stylesheet link must not match
+      (3L, """<link rel="stylesheet" href="/s.css"><meta name="robots" content="noindexfoo">"""),
+      (4L, """<p>no head directives at all</p>"""))
+      .toDF("doc_id", "html")
+    val got = graft.operators.Html.pageDirectives(rows, "html")
+      .select($"doc_id", $"rel_canonical", $"meta_robots", $"noindex", $"nofollow")
+      .as[(Long, Option[String], Option[String], Boolean, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, Some("https://a.org/X"), Some("noindex,nofollow"), true, true),
+      (2L, Some("https://b.org/Y"), Some("NOFOLLOW, archive"), false, true),
+      (3L, None, Some("noindexfoo"), false, false),
+      (4L, None, None, false, false)))
+  }
+
   // ------------------- SRP semantic pairs (past the sign-band ceiling)
 
   test("semanticNearDupPairsSrp: bit width decoupled from dimension, same integer gate — planted pair found, anti-correlated pair rejected") {
