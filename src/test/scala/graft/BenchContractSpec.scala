@@ -105,18 +105,36 @@ class BenchContractSpec extends AnyFunSuite {
   }
 
   test("memo-tagged queries appear as digit ids; the field is omitted when empty") {
-    val best = names.map(_ -> 0.4).toMap
-    val ok = names.map(_ -> true).toMap
-    val tagged = Set(names.head, names.last)
-    val line = Bench.summaryJson(names, best, ok, Map.empty, passes = 2,
+    // a SMALL synthetic registry: the memo FORMAT contract must stay
+    // testable whatever the real registry's size — at 189 queries the
+    // memo-bearing rung legitimately exceeds the tail budget and the
+    // ladder sheds it first (by design; the full line with memo
+    // always lands on stderr / BENCH_LOCAL), so the real-registry
+    // assertion below is only that shedding happened cleanly
+    val small = (1 to 10).map(i => f"q$i%02d_synth").toSeq
+    val sBest = small.map(_ -> 0.4).toMap
+    val sOk = small.map(_ -> true).toMap
+    val tagged = Set(small.head, small.last)
+    val line = Bench.summaryJson(small, sBest, sOk, Map.empty, passes = 2,
       sfDir = "/root/testdata/sf0.1", canary = 0.2, memoTagged = tagged)
-    assert(line.length < 1980, s"line with memo tags is ${line.length} B")
     val json = mapper.readTree(line)
     assert(json.get("memo").asText().split(",").toSet == tagged.map(digitId))
     // a stale tag for an unregistered query must not leak into the line
-    val line2 = Bench.summaryJson(names, best, ok, Map.empty, passes = 2,
+    val line2 = Bench.summaryJson(small, sBest, sOk, Map.empty, passes = 2,
       sfDir = "x", memoTagged = Set("q999_gone"))
     assert(mapper.readTree(line2).get("memo") == null)
+    // real registry: the line always fits, with or without memo tags
+    // surviving the ladder; forceFull always carries them
+    val best = names.map(_ -> 0.4).toMap
+    val ok = names.map(_ -> true).toMap
+    val real = Bench.summaryJson(names, best, ok, Map.empty, passes = 2,
+      sfDir = "/root/testdata/sf0.1", canary = 0.2,
+      memoTagged = Set(names.head))
+    assert(real.length < 1980, s"laddered line is ${real.length} B")
+    val full = Bench.summaryJson(names, best, ok, Map.empty, passes = 2,
+      sfDir = "/root/testdata/sf0.1", canary = 0.2,
+      memoTagged = Set(names.head), forceFull = true)
+    assert(mapper.readTree(full).get("memo").asText() == digitId(names.head))
   }
 
   test("the ladder sheds the memo field before it sheds ms resolution") {
