@@ -152,21 +152,27 @@ object Bench {
         everOk(name) = wasOk || ok
       }
     }
-    // ONE bare JSON line on stdout (the driver contract). build.sbt
-    // sets `run / outputStrategy := StdoutOutput` so the forked run's
-    // stdout passes through verbatim — without it, sbt's logger would
-    // prefix the line with "[info] " and break json-parsing consumers.
-    println(summaryJson(names.map(_._1), best, everOk, nFail.toMap, passes,
-      sfDir, canary, memoTagged.toSet, canarySh))
-    // The FULL line (memo + tag lists, ms, no ladder) goes to stderr:
-    // the driver's 2000 B stdout tail never sees it, but a local run
-    // (BENCH_LOCAL_rNN.json) keeps per-run memo attribution even
-    // after the stdout ladder sheds it — the r15 q82/q105 regression
-    // was un-attributable precisely because the ladder dropped `memo`
+    // The FULL line (memo + tag lists, ms, no ladder) goes to stderr
+    // FIRST: the driver's 2000 B tail capture MERGES stderr into
+    // stdout (proven r16: the 2061 B [bench-full] line printed after
+    // the ladder line pushed the parseable line out of the window and
+    // arrived beheaded — BENCH_r16.json parsed:null), so anything
+    // printed near round end must leave the ladder line as the LAST
+    // output of the merged stream. A local run (BENCH_LOCAL_rNN.json)
+    // still keeps per-run memo attribution even after the stdout
+    // ladder sheds it — the r15 q82/q105 regression was
+    // un-attributable precisely because the ladder dropped `memo`
     // and no unsheared record existed (VERDICT r15 "What's wrong" 1).
     System.err.println("[bench-full] " + summaryJson(names.map(_._1), best,
       everOk, nFail.toMap, passes, sfDir, canary, memoTagged.toSet,
       canarySh, forceFull = true))
+    // ONE bare JSON line on stdout, LAST in the merged stream (the
+    // driver contract). build.sbt sets `run / outputStrategy :=
+    // StdoutOutput` so the forked run's stdout passes through
+    // verbatim — without it, sbt's logger would prefix the line with
+    // "[info] " and break json-parsing consumers.
+    println(summaryJson(names.map(_._1), best, everOk, nFail.toMap, passes,
+      sfDir, canary, memoTagged.toSet, canarySh))
     spark.stop()
   }
 

@@ -120,8 +120,20 @@ object LshOracleSql {
       ("jj", s"SELECT * FROM (VALUES $jrows) AS jt(j, jc)"),
       ("mh0", "SELECT doc_id, sh, j, jc FROM shd CROSS JOIN jj"))
     val (mhSt, mhLast) = chain("mh0", "mh", mixStages("xor(sh, jc)", "mv"))
+    // The engine's min is a SIGNED Long comparison (MinHashSigs.compute:
+    // `v < sig(j)` with sig initialized to Long.MaxValue), but mv here
+    // is UBIGINT whose min() is unsigned order. Signed order inside the
+    // unsigned domain = unsigned order of (v XOR 2^63): flip the sign
+    // bit, take the unsigned min, flip it back — sv then carries the
+    // exact 64-bit pattern of the engine's signature, and every
+    // downstream consumer (band fold, list ordering) is bitwise.
+    // Pinned by Round17Spec "signed-min identity" on sign-straddling
+    // hashes; a plain min(mv) diverges on any doc whose k mixed values
+    // include one with the high bit set — i.e. essentially all docs.
+    val sbit = s"${uns(java.lang.Long.MIN_VALUE)}::UBIGINT"
     val sig = Seq(
-      ("sig", s"SELECT doc_id, j, min(mv) AS sv FROM $mhLast GROUP BY doc_id, j"),
+      ("sig", s"SELECT doc_id, j, xor(min(xor(mv, $sbit)), $sbit) AS sv " +
+        s"FROM $mhLast GROUP BY doc_id, j"),
       ("sigl", "SELECT doc_id, list(sv ORDER BY j) AS sl FROM sig GROUP BY doc_id"),
       ("bb", s"SELECT * FROM (VALUES ${(0 until bands).map(b => s"($b)").mkString(", ")}) AS bt(b)"),
       ("bf0", "SELECT doc_id, b, sl FROM sigl CROSS JOIN bb"))

@@ -156,6 +156,41 @@ class BenchContractSpec extends AnyFunSuite {
     assert(t.get("memo") == null)
   }
 
+  test("merged-stream tail: the ladder line survives as the LAST line when the full line prints first") {
+    // The driver's 2000 B tail capture MERGES stderr into stdout
+    // (proven r16: BENCH_r16.json parsed:null — the [bench-full]
+    // stderr line printed AFTER the stdout ladder line pushed the
+    // parseable line out of the window and arrived beheaded). The fix
+    // is emission ORDER: full line first, ladder line last. This
+    // simulates the merged stream at the REAL registry size with the
+    // worst realistic payload (memo tags on every query, forceFull
+    // carries them all) and asserts the tail's last line is the
+    // parseable ladder line.
+    val cycle = Array(0.043, 0.117, 0.234, 0.318, 0.441, 0.527,
+      0.738, 1.412, 2.317, 3.289)
+    val real = names.zipWithIndex
+      .map { case (n, i) => n -> cycle(i % cycle.length) }.toMap
+    val ok = names.map(_ -> true).toMap
+    val full = "[bench-full] " + Bench.summaryJson(names, real, ok,
+      Map.empty, passes = 3, sfDir = "/root/testdata/sf0.1",
+      canary = 0.308, memoTagged = names.toSet, canarySh = 0.142,
+      forceFull = true)
+    val ladder = Bench.summaryJson(names, real, ok, Map.empty,
+      passes = 3, sfDir = "/root/testdata/sf0.1", canary = 0.308,
+      memoTagged = names.toSet, canarySh = 0.142)
+    // emission order as in Bench.main: full (stderr) BEFORE ladder
+    // (stdout); the merged stream interleaves whole lines here because
+    // both ends are line-buffered println calls
+    val merged = full + "\n" + ladder + "\n"
+    val tail = merged.takeRight(2000)
+    val lastLine = tail.split("\n").last
+    assert(lastLine == ladder,
+      "the last line of the merged 2000 B tail must be the ladder line")
+    val json = mapper.readTree(lastLine)
+    assert(json.get("value").asDouble() > 0)
+    assert(json.get("queries").size() == names.size)
+  }
+
   test("failures and flaky passes appear in their own fields (full names when ids collide)") {
     val ns = Seq("q1_ok", "q1_dead", "q1_flaky") // colliding digit ids
     val line = Bench.summaryJson(ns,

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-17 hardening pins. */
+class Round17Spec extends AnyFunSuite {
+
+  /** The q35 DuckDB replay's signed-min identity (ADVICE r16 high):
+    * the engine's MinHash min is a SIGNED Long comparison, the replay
+    * works in UBIGINT where min() is unsigned order — the replay
+    * therefore takes min over xor(v, 2^63) and xors the result back.
+    * This pins the identity the SQL relies on, on inputs whose mixed
+    * values straddle the sign bit (they essentially always do: 500/500
+    * sf0.01 docs carry at least one negative signature value), against
+    * an independent unsigned-domain reimplementation. Before the r17
+    * fix the replayed signatures diverged from the engine's on 500/500
+    * docs; after it they are bitwise equal (measured via the replay
+    * cut at the sigl CTE vs a python reimplementation of this exact
+    * algorithm — see LshOracleSql scaladoc).
+    */
+  test("signed-min identity: engine MinHash == unsigned-domain min over sign-flipped values") {
+    val SignBit = java.math.BigInteger.ONE.shiftLeft(63)
+    val M64 = java.math.BigInteger.ONE.shiftLeft(64)
+    def toUnsigned(v: Long): java.math.BigInteger = {
+      val b = java.math.BigInteger.valueOf(v)
+      if (v < 0) b.add(M64) else b
+    }
+    // independent replay of the sig CTE semantics: mix each (hash, j)
+    // pair exactly as the engine does, then take the UNSIGNED min of
+    // the sign-flipped values and flip back — must equal the engine's
+    // signed min bit-for-bit
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val k = 16
+    // hashes chosen to force mixed values on BOTH sides of the sign
+    // bit in every signature slot (a deterministic spread; no RNG)
+    val hashes: Array[Long] = (1 to 64).map(i =>
+      mix(i.toLong * 0x9E3779B97F4A7C15L)).toArray
+    val engine = functions.MinHashSigs
+      .compute(new GenericArrayData(hashes), k).toLongArray()
+
+    val replay = (0 until k).map { j =>
+      val mixed = hashes.map(h => mix(h ^ (j * 0xC2B2AE3D27D4EB4FL)))
+      // the identity under test: min in the xor(·, 2^63) unsigned
+      // domain, computed with BigInteger so no signed Long compare can
+      // sneak back in
+      val minFlipped = mixed.map(v => toUnsigned(v).xor(SignBit)).min
+      val back = minFlipped.xor(SignBit)
+      // back to the Long bit pattern
+      back.subtract(if (back.testBit(63)) M64 else java.math.BigInteger.ZERO)
+        .longValueExact()
+    }
+    assert(engine.toSeq == replay,
+      "replayed signatures must equal the engine's signed-min signatures bitwise")
+    // the test is vacuous unless the mixed values actually straddle
+    // the sign bit in at least one slot
+    val straddles = (0 until k).exists { j =>
+      val mixed = hashes.map(h => mix(h ^ (j * 0xC2B2AE3D27D4EB4FL)))
+      mixed.exists(_ < 0) && mixed.exists(_ >= 0)
+    }
+    assert(straddles, "fixture must straddle the sign bit")
+    // and a plain UNSIGNED min (the pre-r17 replay) must DISAGREE here,
+    // or the fixture doesn't witness the bug
+    val unsignedMin = (0 until k).map { j =>
+      val mixed = hashes.map(h => mix(h ^ (j * 0xC2B2AE3D27D4EB4FL)))
+      val mn = mixed.map(toUnsigned).min
+      mn.subtract(if (mn.testBit(63)) M64 else java.math.BigInteger.ZERO)
+        .longValueExact()
+    }
+    assert(unsignedMin != engine.toSeq,
+      "the unsigned-order min must diverge on a sign-straddling fixture")
+  }
+
+  /** The generated q35 SQL must carry the sign-flip form, not a bare
+    * min(mv) — a regression guard on the generator text itself. */
+  test("q35 replay SQL takes min in the sign-flipped domain") {
+    val sql = ops.LshOracleSql.minHashPairsSql(k = 3, numHashes = 16,
+      bands = 4, thresholdSql = "0.6")
+    assert(sql.contains("xor(min(xor(mv, 9223372036854775808::UBIGINT)), 9223372036854775808::UBIGINT)"))
+    assert(!sql.contains("min(mv) AS sv"))
+  }
+}
