@@ -105,9 +105,15 @@ object FileRangeCore {
 
   // cache key carries the override set, not just the path: two
   // expressions with different fs.* overrides reading the SAME path
-  // must not reuse a stream opened under the other configuration
+  // must not reuse a stream opened under the other configuration.
+  // The key embeds the conf CONTENTS (sorted, NUL-separated — conf
+  // keys/values are printable), not Seq.hashCode: a 32-bit hash made
+  // cross-configuration reuse improbable instead of impossible
+  // (ADVICE r16 low — two override sets colliding in hashCode would
+  // share one stream on the same path).
   private def cacheKey(path: String, fsConf: Seq[(String, String)]): String =
-    s"${fsConf.hashCode}|$path"
+    fsConf.map { case (k, v) => k + "\u0000" + v }.sorted
+      .mkString("\u0000") + "|" + path
 
   private def openCached(path: String,
                          fsConf: Seq[(String, String)]): org.apache.hadoop.fs.FSDataInputStream = {

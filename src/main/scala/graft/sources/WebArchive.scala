@@ -255,9 +255,21 @@ object WebArchive {
       // is the only cap that ever decides a member's fate and the
       // coalesced form stays byte-identical (slice AND slice_err) to
       // the per-member form on every input, honest or hostile.
-      val groupCap =
+      // ... and clamped to the JVM array bound (Int.MaxValue - 16, the
+      // same bound FileRangeCore.read enforces): k×cap exceeds it for
+      // k >= 8 at the default 256 MiB cap, and WITHOUT the clamp a
+      // group span between the JVM bound and k×cap would pass this
+      // gate, fail inside the group read ("range length N exceeds JVM
+      // array bound"), and stamp that error onto every member via the
+      // `_r IS NOT NULL` branch — healthy members wrongly quarantined
+      // where the contract promises the per-member fallback. Clamped,
+      // such spans skip the group read entirely and each member reads
+      // itself (ADVICE r16 medium; Round17Spec pins it with a group
+      // span past the JVM bound whose members are individually fine).
+      val jvmBound = (Int.MaxValue - 16).toLong
+      val groupCap = math.min(jvmBound,
         if (maxSliceBytes > Long.MaxValue / coalesceMembers) Long.MaxValue
-        else maxSliceBytes * coalesceMembers
+        else maxSliceBytes * coalesceMembers)
       val grouped = base
         .groupBy(col("archive"),
           expr(s"member_index div $coalesceMembers").as("_grp"))

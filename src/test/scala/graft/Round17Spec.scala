@@ -5,6 +5,58 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Round-17 hardening pins. */
 class Round17Spec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  /** ADVICE r16 medium: a group span between the JVM array bound and
+    * k×maxSliceBytes used to pass the group-read gate, fail inside the
+    * read ("range length N exceeds JVM array bound"), and stamp that
+    * error onto every member — healthy members wrongly quarantined
+    * where the contract promises byte-identity with the per-member
+    * form. The gate now clamps the group cap to the JVM bound, so such
+    * spans skip the group read and fall back per-member. The fixture
+    * is a sparse 2.5 GB file with 10 real bytes at each end — both
+    * members individually healthy, group span unreadable as one array.
+    */
+  test("group span past the JVM array bound falls back to per-member reads") {
+    import graft.sources.WebArchive
+    val f = java.io.File.createTempFile("graft-sparse", ".bin")
+    f.deleteOnExit()
+    val far = 2500000000L
+    val raf = new java.io.RandomAccessFile(f, "rw")
+    try {
+      raf.write("HEADBYTES!".getBytes("US-ASCII"))
+      raf.seek(far)
+      raf.write("TAILBYTES!".getBytes("US-ASCII"))
+    } finally raf.close()
+    try {
+      val index = Seq(
+        ("file:" + f.getAbsolutePath, 0, 0L, 10L, None: Option[String]),
+        ("file:" + f.getAbsolutePath, 1, far, 10L, None: Option[String]))
+        .toDF("archive", "member_index", "member_offset", "member_clen",
+          "member_err")
+      // k=2 at a 1.6 GB per-member cap: the raw group cap (3.2 GB)
+      // admits the 2.5 GB span, the JVM bound does not
+      val cap = 1600000000L
+      val out = WebArchive.sliceMembersRanged(index,
+        maxSliceBytes = cap, coalesceMembers = 2)
+        .select($"base_index", $"slice", $"slice_err")
+        .collect().sortBy(_.getInt(0))
+      assert(out.length == 2)
+      assert(out.forall(_.isNullAt(2)),
+        s"healthy members must not be quarantined: ${out.map(_.getString(2)).mkString(",")}")
+      assert(new String(out(0).getAs[Array[Byte]](1), "US-ASCII") == "HEADBYTES!")
+      assert(new String(out(1).getAs[Array[Byte]](1), "US-ASCII") == "TAILBYTES!")
+      // and the per-member form agrees byte-for-byte (the contract)
+      val pm = WebArchive.sliceMembersRanged(index,
+        maxSliceBytes = cap, coalesceMembers = 1)
+        .select($"base_index", $"slice", $"slice_err")
+        .collect().sortBy(_.getInt(0))
+      assert(pm.map(r => (r.getInt(0), r.getAs[Array[Byte]](1).toSeq, r.isNullAt(2))).toSeq ==
+        out.map(r => (r.getInt(0), r.getAs[Array[Byte]](1).toSeq, r.isNullAt(2))).toSeq)
+    } finally f.delete()
+  }
+
 
   /** The q35 DuckDB replay's signed-min identity (ADVICE r16 high):
     * the engine's MinHash min is a SIGNED Long comparison, the replay
