@@ -69,6 +69,12 @@ object FunctionCatalog {
           FunctionArgs.foldableInt("srp_buckets", exprs(2), "bits"),
           FunctionArgs.foldableLong("srp_buckets", exprs(3), "seed"))
       }),
+    FunctionDef("url_resolve",
+      "url_resolve(base STRING, ref STRING) -> STRING", classOf[UrlResolve], { exprs =>
+        FunctionArgs.requireArity("url_resolve", exprs, 2,
+          "url_resolve(base STRING, ref STRING)")
+        UrlResolve(exprs.head, exprs(1))
+      }),
     FunctionDef("cosine_sim",
       "cosine_sim(a array<float|double>, b array<float|double>) -> double", classOf[CosineSim], { exprs =>
         FunctionArgs.requireArity("cosine_sim", exprs, 2,

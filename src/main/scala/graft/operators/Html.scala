@@ -88,46 +88,91 @@ object Html {
   }
 
   /** Page-declared directives — the two head signals a modern
-    * training pipeline reads BEFORE keeping a page (r16):
+    * training pipeline reads BEFORE keeping a page (r16, widened r17):
     *
     *  - `rel_canonical`: the page's own `<link rel="canonical">`
-    *    target. The strongest URL-dedup signal there is — the SITE
-    *    says which URL this content belongs to, catching mirrors and
-    *    parameter variants [[Domains.canonicalizeUrl]]'s syntactic
-    *    rules cannot; feed it to [[Domains.urlDedup]] as the
-    *    dedup key (`coalesce(rel_canonical, canonical_url)`).
+    *    target, verbatim. The strongest URL-dedup signal there is —
+    *    the SITE says which URL this content belongs to, catching
+    *    mirrors and parameter variants [[Domains.canonicalizeUrl]]'s
+    *    syntactic rules cannot.
+    *  - `canonical_resolved` (r17): the canonical target RESOLVED per
+    *    RFC 3986 §5 against the page's effective base — `<base href>`
+    *    when present (itself resolved against `pageUrlCol`), the page
+    *    URL otherwise. Real pages overwhelmingly declare RELATIVE
+    *    canonical URLs (`href="/article/x"`), which collide across
+    *    sites until resolved; THIS column is the dedup key — feed
+    *    `coalesce(canonical_resolved, canonical_url)` to
+    *    [[Domains.urlDedup]]. Null when no absolute target exists
+    *    (relative href with no pageUrl and no absolute base).
+    *  - `base_href`: the first `<base href>` value, verbatim (null
+    *    when absent) — surfaced for provenance/debugging.
     *  - `meta_robots` + derived `noindex`/`nofollow`: the page's
     *    `<meta name="robots">` opt-out. Respecting `noindex` at
     *    ingest is the polite-crawl floor for training corpora.
     *
-    * Both attribute orders (`rel` before or after `href`, `name`
-    * before or after `content`) are matched; tag/attribute names are
-    * case-insensitive via `(?i)` (RE2 ∩ Java — the oracle replays
-    * the same patterns verbatim in DuckDB); attribute VALUES keep
-    * their case (a canonical URL's path is case-significant, and the
-    * noindex/nofollow tokens are lowercased only for the boolean
-    * derivation). Token matching is comma/space-delimited whole-word
-    * (`noindexfoo` does not count). Absent directives come back
-    * null/false — per-row regex work, zero shuffles. */
-  def pageDirectives(df: DataFrame, htmlCol: String): DataFrame = {
-    def firstNonEmpty(a: Column, b: Column): Column =
-      coalesce(nullif(a, lit("")), nullif(b, lit("")))
-    val canon = firstNonEmpty(
-      regexp_extract(col(htmlCol),
-        "(?i)<link[^>]*\\brel=[\"']canonical[\"'][^>]*\\bhref=[\"']([^\"']*)[\"']", 1),
-      regexp_extract(col(htmlCol),
-        "(?i)<link[^>]*\\bhref=[\"']([^\"']*)[\"'][^>]*\\brel=[\"']canonical[\"']", 1))
-    val robots = firstNonEmpty(
-      regexp_extract(col(htmlCol),
-        "(?i)<meta[^>]*\\bname=[\"']robots[\"'][^>]*\\bcontent=[\"']([^\"']*)[\"']", 1),
-      regexp_extract(col(htmlCol),
-        "(?i)<meta[^>]*\\bcontent=[\"']([^\"']*)[\"'][^>]*\\bname=[\"']robots[\"']", 1))
+    * Extraction is TAG-level (r17): the first `<link>` whose `rel`
+    * value contains `canonical` as a whole space-separated token
+    * (multi-token lists like `rel="canonical alternate"` count, HTML
+    * rel is a token list) is captured whole, then `href` is pulled
+    * from the captured tag — so attribute ORDER never matters by
+    * construction (the r16 form enumerated both orders). Attribute
+    * values match double-quoted, single-quoted, AND unquoted
+    * spellings (`content=noindex` is valid HTML); names/tokens are
+    * case-insensitive via `(?i)` (RE2 ∩ Java dialect throughout — no
+    * lookaround); attribute VALUES keep their case (a canonical URL's
+    * path is case-significant; the noindex/nofollow tokens lowercase
+    * only for the boolean derivation), with HTML's leading/trailing
+    * whitespace strip applied to URL values. Token matching is
+    * comma/space-delimited whole-word (`noindexfoo` does not count).
+    * Absent directives come back null/false — per-row regex + one
+    * codegen'd [[graft.functions.UrlResolve]] call, zero shuffles. */
+  def pageDirectives(df: DataFrame, htmlCol: String,
+                     pageUrlCol: Option[String] = None): DataFrame = {
+    graft.functions.UrlResolveCore.register(df.sparkSession)
+    def firstNonEmpty(cs: Column*): Column =
+      coalesce(cs.map(nullif(_, lit(""))): _*)
+    // attribute value out of a CAPTURED TAG string: quoted forms
+    // first (the unquoted arm cannot start at a quote, so the
+    // coalesce order is just preference, not correctness)
+    def attrValue(tag: Column, attr: String): Column = firstNonEmpty(
+      regexp_extract(tag, s"(?i)\\b$attr\\s*=\\s*\"([^\"]*)\"", 1),
+      regexp_extract(tag, s"(?i)\\b$attr\\s*=\\s*'([^']*)'", 1),
+      regexp_extract(tag, s"(?i)\\b$attr\\s*=\\s*([^\\s\"'>]+)", 1))
+    // <link> whose rel VALUE contains the whole token `canonical`:
+    // quoted arms token-match inside the quotes; the unquoted arm is
+    // single-token by grammar (an unquoted value ends at whitespace),
+    // and its tail alternation handles last-attribute position
+    // (`...rel=canonical>`) without lookahead
+    val canonTag = regexp_extract(col(htmlCol),
+      "(?i)<link\\b[^>]*\\brel\\s*=\\s*(?:\"(?:[^\"]*\\s)?canonical(?:\\s[^\"]*)?\"[^>]*" +
+        "|'(?:[^']*\\s)?canonical(?:\\s[^']*)?'[^>]*" +
+        "|canonical(?:[\\s/][^>]*)?)>", 0)
+    val robotsTag = regexp_extract(col(htmlCol),
+      "(?i)<meta\\b[^>]*\\bname\\s*=\\s*(?:\"robots\"[^>]*" +
+        "|'robots'[^>]*|robots(?:[\\s/][^>]*)?)>", 0)
+    val baseTag = regexp_extract(col(htmlCol),
+      "(?i)<base\\b[^>]*\\bhref\\s*=[^>]*>", 0)
     def hasToken(token: String): Column =
       coalesce(lower(col("meta_robots")).rlike(s"(^|[,\\s])$token([,\\s]|$$)"),
         lit(false))
-    df.withColumn("rel_canonical", canon)
-      .withColumn("meta_robots", robots)
+    val pageUrl = pageUrlCol.map(col)
+      .getOrElse(lit(null).cast("string"))
+    def urlResolve(base: Column, ref: Column): Column =
+      call_function("url_resolve", base, ref)
+    val out = df
+      .withColumn("rel_canonical", trim(attrValue(canonTag, "href"), " \t\n\r"))
+      .withColumn("base_href", trim(attrValue(baseTag, "href"), " \t\n\r"))
+      .withColumn("meta_robots", attrValue(robotsTag, "content"))
       .withColumn("noindex", hasToken("noindex"))
       .withColumn("nofollow", hasToken("nofollow"))
+    // effective base per the HTML spec: the document's <base href>
+    // resolved against the page URL (the fallback base), the page URL
+    // itself when absent or unresolvable
+    out.withColumn("canonical_resolved",
+      urlResolve(
+        coalesce(
+          urlResolve(coalesce(pageUrl, lit("")), col("base_href")),
+          pageUrl, lit("")),
+        col("rel_canonical")))
   }
 }

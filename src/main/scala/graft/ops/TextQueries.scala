@@ -1785,29 +1785,52 @@ object TextQueries {
   /** Page directives under the oracle gate ([[graft.operators.Html
     * .pageDirectives]]): each doc wraps in a head whose
     * `<link rel=canonical>` / `<meta name=robots>` arms rotate
-    * through BOTH attribute orders, mixed tag/attribute case, and
-    * absence — and the DuckDB oracle derives the expected outputs
-    * INDEPENDENTLY from doc_id (the q186 convention), so the regex
-    * layer is certified by producing exactly the right value from
-    * every hostile spelling, not by replaying itself. */
+    * through BOTH attribute orders, mixed tag/attribute case,
+    * single/double/UNQUOTED attribute values, multi-token `rel`
+    * lists, RELATIVE hrefs (root-path, dot-segment, and
+    * `<base href>`-relative — the r17 RFC 3986 §5 resolution arms),
+    * and absence — and the DuckDB oracle derives the expected outputs
+    * INDEPENDENTLY from doc_id (the q186 convention), so the regex +
+    * resolution layers are certified by producing exactly the right
+    * value from every hostile spelling, not by replaying themselves. */
   def q189PageDirectives(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
-    val pages = docs.select(col("doc_id"), concat(
-      lit("<html><head><title>d</title>"),
-      expr("CASE pmod(doc_id, 3) " +
-        "WHEN 0 THEN '<meta name=\"robots\" content=\"noindex, follow\">' " +
-        "WHEN 1 THEN '<meta content=\"NOFOLLOW,archive\" name=\"ROBOTS\">' " +
-        "ELSE '<meta name=\"viewport\" content=\"width=device-width\">' END"),
-      expr("CASE pmod(doc_id, 5) " +
-        "WHEN 0 THEN concat('<link rel=\"canonical\" " +
-        "href=\"https://example.org/c/', doc_id, '\">') " +
-        "WHEN 1 THEN concat('<LINK href=\"https://Example.org/Alt/', " +
-        "doc_id, '\" rel=\"canonical\">') " +
-        "ELSE '<link rel=\"stylesheet\" href=\"/s.css\">' END"),
+    val id = col("doc_id").cast("string")
+    val m7 = pmod(col("doc_id"), lit(7))
+    val m4 = pmod(col("doc_id"), lit(4))
+    val pageUrl = concat(lit("http://s"),
+      pmod(col("doc_id"), lit(10)).cast("string"),
+      lit(".example.com/dir/sub/page"), id, lit(".html"))
+    val robotsArm = when(m4 === 0,
+        lit("<meta name=\"robots\" content=\"noindex, follow\">"))
+      .when(m4 === 1, lit("<meta content=\"NOFOLLOW,archive\" name=\"ROBOTS\">"))
+      // unquoted attribute values — valid HTML the r16 form missed
+      .when(m4 === 2, lit("<meta name=robots content=noindex>"))
+      .otherwise(lit("<meta name=\"viewport\" content=\"width=device-width\">"))
+    val baseArm = when(m7 === 4,
+      lit("<base href=\"https://cdn.example.net/b/x.html\">")).otherwise(lit(""))
+    val linkArm = when(m7 === 0, concat(
+        lit("<link rel=\"canonical\" href=\"https://example.org/c/"), id, lit("\">")))
+      .when(m7 === 1, concat(
+        lit("<LINK href=\"https://Example.org/Alt/"), id, lit("\" rel=\"canonical\">")))
+      // multi-token rel list + unquoted root-relative href
+      .when(m7 === 2, concat(
+        lit("<link rel=\"canonical alternate\" href=/article/"), id, lit(">")))
+      // single-quoted, dot-segment relative (resolves via merge +
+      // remove_dot_segments against the page URL)
+      .when(m7 === 3, concat(
+        lit("<link rel='canonical' href='../other/"), id, lit("'>")))
+      // unquoted rel + path-relative href against the <base href>
+      .when(m7 === 4, concat(lit("<link rel=canonical href=y/"), id, lit(">")))
+      .otherwise(lit("<link rel=\"stylesheet\" href=\"/s.css\">"))
+    val pages = docs.select(col("doc_id"), pageUrl.as("page_url"), concat(
+      lit("<html><head><title>d</title>"), baseArm, robotsArm, linkArm,
       lit("</head><body><p>"), col("text"),
       lit("</p></body></html>")).as("html"))
-    graft.operators.Html.pageDirectives(pages, "html")
-      .select("doc_id", "rel_canonical", "meta_robots", "noindex", "nofollow")
+    graft.operators.Html.pageDirectives(pages, "html",
+        pageUrlCol = Some("page_url"))
+      .select("doc_id", "rel_canonical", "canonical_resolved", "base_href",
+        "meta_robots", "noindex", "nofollow")
   }
 
   def q187C4Clean(spark: SparkSession, dir: String): DataFrame = {
@@ -2059,14 +2082,27 @@ object TextQueries {
     // case, and the gate demands exactly these outputs from each
     "q189_page_directives" ->
       """SELECT doc_id,
-        |  CASE doc_id % 5
+        |  CASE doc_id % 7
         |    WHEN 0 THEN 'https://example.org/c/' || doc_id
         |    WHEN 1 THEN 'https://Example.org/Alt/' || doc_id
+        |    WHEN 2 THEN '/article/' || doc_id
+        |    WHEN 3 THEN '../other/' || doc_id
+        |    WHEN 4 THEN 'y/' || doc_id
         |    ELSE NULL END AS rel_canonical,
-        |  CASE doc_id % 3 WHEN 0 THEN 'noindex, follow'
-        |    WHEN 1 THEN 'NOFOLLOW,archive' ELSE NULL END AS meta_robots,
-        |  doc_id % 3 = 0 AS noindex,
-        |  doc_id % 3 = 1 AS nofollow
+        |  CASE doc_id % 7
+        |    WHEN 0 THEN 'https://example.org/c/' || doc_id
+        |    WHEN 1 THEN 'https://Example.org/Alt/' || doc_id
+        |    WHEN 2 THEN 'http://s' || (doc_id % 10) || '.example.com/article/' || doc_id
+        |    WHEN 3 THEN 'http://s' || (doc_id % 10) || '.example.com/dir/other/' || doc_id
+        |    WHEN 4 THEN 'https://cdn.example.net/b/y/' || doc_id
+        |    ELSE NULL END AS canonical_resolved,
+        |  CASE WHEN doc_id % 7 = 4 THEN 'https://cdn.example.net/b/x.html'
+        |    ELSE NULL END AS base_href,
+        |  CASE doc_id % 4 WHEN 0 THEN 'noindex, follow'
+        |    WHEN 1 THEN 'NOFOLLOW,archive'
+        |    WHEN 2 THEN 'noindex' ELSE NULL END AS meta_robots,
+        |  doc_id % 4 IN (0, 2) AS noindex,
+        |  doc_id % 4 = 1 AS nofollow
         |FROM documents""".stripMargin,
 
     "q187_c4_clean" ->

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions.coalesce
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Round-17 hardening pins. */
@@ -126,6 +127,106 @@ class Round17Spec extends AnyFunSuite {
     }
     assert(unsignedMin != engine.toSeq,
       "the unsigned-order min must diverge on a sign-straddling fixture")
+  }
+
+  /** RFC 3986 §5.4's own example tables — normal (§5.4.1) AND
+    * abnormal (§5.4.2, strict mode) — pinned verbatim against
+    * [[graft.functions.UrlResolveCore]]. */
+  test("url_resolve: RFC 3986 §5.4 normal and abnormal reference-resolution examples") {
+    import graft.functions.UrlResolveCore.resolveStr
+    val base = "http://a/b/c/d;p?q"
+    val cases = Seq(
+      // §5.4.1 normal
+      "g:h" -> "g:h", "g" -> "http://a/b/c/g", "./g" -> "http://a/b/c/g",
+      "g/" -> "http://a/b/c/g/", "/g" -> "http://a/g", "//g" -> "http://g",
+      "?y" -> "http://a/b/c/d;p?y", "g?y" -> "http://a/b/c/g?y",
+      "#s" -> "http://a/b/c/d;p?q#s", "g#s" -> "http://a/b/c/g#s",
+      "g?y#s" -> "http://a/b/c/g?y#s", ";x" -> "http://a/b/c/;x",
+      "g;x" -> "http://a/b/c/g;x", "g;x?y#s" -> "http://a/b/c/g;x?y#s",
+      "" -> "http://a/b/c/d;p?q", "." -> "http://a/b/c/",
+      "./" -> "http://a/b/c/", ".." -> "http://a/b/",
+      "../" -> "http://a/b/", "../g" -> "http://a/b/g",
+      "../.." -> "http://a/", "../../" -> "http://a/",
+      "../../g" -> "http://a/g",
+      // §5.4.2 abnormal
+      "../../../g" -> "http://a/g", "../../../../g" -> "http://a/g",
+      "/./g" -> "http://a/g", "/../g" -> "http://a/g",
+      "g." -> "http://a/b/c/g.", ".g" -> "http://a/b/c/.g",
+      "g.." -> "http://a/b/c/g..", "..g" -> "http://a/b/c/..g",
+      "./../g" -> "http://a/b/g", "./g/." -> "http://a/b/c/g/",
+      "g/./h" -> "http://a/b/c/g/h", "g/../h" -> "http://a/b/c/h",
+      "g;x=1/./y" -> "http://a/b/c/g;x=1/y",
+      "g;x=1/../y" -> "http://a/b/c/y",
+      "g?y/./x" -> "http://a/b/c/g?y/./x",
+      "g?y/../x" -> "http://a/b/c/g?y/../x",
+      "g#s/./x" -> "http://a/b/c/g#s/./x",
+      "g#s/../x" -> "http://a/b/c/g#s/../x",
+      // strict mode: ref's own scheme wins even when it equals base's
+      "http:g" -> "http:g")
+    for ((ref, want) <- cases)
+      assert(resolveStr(base, ref) == want, s"resolve($base, $ref)")
+    // no defined target: relative ref against a scheme-less base
+    assert(resolveStr("", "/x") == null)
+    assert(resolveStr("not a url", "../x") == null)
+    // absolute ref still resolves with no usable base (dot-normalized)
+    assert(resolveStr("", "https://e.com/a/../b") == "https://e.com/b")
+    // authority with empty base path: merge prepends '/'
+    assert(resolveStr("http://h", "g") == "http://h/g")
+  }
+
+  /** pageDirectives r17 widening: unquoted attribute values,
+    * multi-token rel lists, relative hrefs resolved against the page
+    * URL and `<base href>`, and the urlDedup composition — a relative
+    * canonical that collides textually across sites must merge
+    * mirrors correctly ONLY after resolution. */
+  test("pageDirectives: relaxed spellings resolve to usable dedup keys; urlDedup composition merges mirrors") {
+    import graft.operators.{Domains, Html}
+    val rows = Seq(
+      // mirror pair: SAME relative canonical href on two hosts — the
+      // raw href collides ("/canon/1" == "/canon/1"), the resolved
+      // keys must NOT merge them (different sites)
+      (1L, "http://a.com/x/p1", "<html><head><link rel=\"canonical alternate\" href=/canon/1></head><body>m</body></html>"),
+      (2L, "http://b.com/y/p2", "<html><head><link rel=canonical href=/canon/1></head><body>m</body></html>"),
+      // true mirror: parameter variant of doc 1's URL declaring the
+      // same absolute target via a dot-segment relative href
+      (3L, "http://a.com/x/sub/p3", "<html><head><link rel='canonical' href='../../canon/1'></head><body>m</body></html>"),
+      // <base href> overrides the page URL as resolution base
+      (4L, "http://c.com/z/p4", "<html><head><base href=\"https://cdn.net/lib/\"><link rel=\"canonical\" href=\"art/4\"></head><body>m</body></html>"),
+      // unquoted meta robots content
+      (5L, "http://d.com/p5", "<html><head><meta name=robots content=noindex,nofollow></head><body>m</body></html>"),
+      // no canonical, no robots
+      (6L, "http://e.com/p6", "<html><head><title>t</title></head><body>m</body></html>"))
+      .toDF("doc_id", "uri", "html")
+    val d = Html.pageDirectives(rows, "html", pageUrlCol = Some("uri"))
+      .select($"doc_id", $"rel_canonical", $"canonical_resolved",
+        $"base_href", $"meta_robots", $"noindex", $"nofollow")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(d(1L).getString(1) == "/canon/1")
+    assert(d(1L).getString(2) == "http://a.com/canon/1")
+    assert(d(2L).getString(2) == "http://b.com/canon/1")
+    assert(d(3L).getString(2) == "http://a.com/canon/1")
+    assert(d(4L).getString(3) == "https://cdn.net/lib/")
+    assert(d(4L).getString(2) == "https://cdn.net/lib/art/4")
+    assert(d(5L).getString(4) == "noindex,nofollow")
+    assert(d(5L).getBoolean(5) && d(5L).getBoolean(6))
+    assert(d(6L).isNullAt(1) && d(6L).isNullAt(2) && d(6L).isNullAt(4))
+    assert(!d(6L).getBoolean(5) && !d(6L).getBoolean(6))
+
+    // the composition the operator exists for: canonical_resolved
+    // (falling back to the page's own canonicalized URL) as the
+    // urlDedup key. Docs 1 and 3 merge (same resolved target); doc 2
+    // stays its own cluster despite the textually-identical raw href;
+    // doc 6 dedups under its own URL.
+    val keyed = Html.pageDirectives(rows, "html", pageUrlCol = Some("uri"))
+      .withColumn("dedup_key",
+        coalesce($"canonical_resolved", Domains.canonicalizeUrl($"uri")))
+    val clusters = Domains.urlDedup(keyed, uriCol = "dedup_key")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(clusters("http://a.com/canon/1") == 2L,
+      "docs 1 and 3 must merge under the resolved canonical")
+    assert(clusters("http://b.com/canon/1") == 1L,
+      "doc 2 must NOT merge with the a.com mirror pair")
+    assert(clusters.values.sum == 6L)
   }
 
   /** The generated q35 SQL must carry the sign-flip form, not a bare
