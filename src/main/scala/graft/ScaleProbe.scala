@@ -306,6 +306,57 @@ object ScaleProbe {
       s""""warm_ms":${math.round(tWarm * 1000)},"n_domains":$n}""")
   }
 
+  /** Named-character-reference frequency by decoder tier (r17 — the
+    * VERDICT r16 ask: the "HTML5-only names are vanishingly rare"
+    * claim was itself unmeasured). Scans every `&name[;]` candidate in
+    * the documents corpus at the given SF and buckets it:
+    * HTML4+symbol (in [[graft.functions.HtmlUnescapeCore.Named]]),
+    * legacy-no-semicolon (in `Legacy`, matched without `;`), UNKNOWN
+    * (would pass through undecoded — the HTML5-only ~2k tail or plain
+    * prose ampersands). Distinct-name counts aggregate distributed
+    * (groupBy name — bounded by the name vocabulary, not the corpus);
+    * classification is driver-side over that tiny frame. PROVENANCE:
+    * the corpus is the synthetic testdata fixture, not a real crawl —
+    * the probe measures what OUR gates exercise and gives the
+    * methodology; the number for real crawl text needs real crawl
+    * text (no egress). Usage: ScaleProbe entities */
+  def entityTailProbe(spark: SparkSession, dir: String): Unit = {
+    import graft.functions.HtmlUnescapeCore
+    val docs = Tables.documents(spark, dir).select(col("text"))
+    val nDocs = docs.count()
+    // with-semicolon candidates (the only form HTML5-only names have)
+    val withSemi = docs
+      .select(explode(expr(
+        "regexp_extract_all(text, '&([A-Za-z][A-Za-z0-9]{1,31});', 1)"))
+        .as("name"))
+      .groupBy("name").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // bare `&name` candidates (legacy decode territory) — counted
+    // separately; the same text span can appear in both tallies, the
+    // tiers below only read the one that decides its decode
+    val bare = docs
+      .select(explode(expr(
+        "regexp_extract_all(text, '&([A-Za-z][A-Za-z0-9]{1,31})', 1)"))
+        .as("name"))
+      .groupBy("name").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val html4 = withSemi.filter(c => HtmlUnescapeCore.Named.contains(c._1))
+    val unknown = withSemi.filterNot(c => HtmlUnescapeCore.Named.contains(c._1))
+    val legacyBare = bare.filter { case (n, _) =>
+      HtmlUnescapeCore.Legacy.exists(l => n.startsWith(l)) }
+    def total(a: Array[(String, Long)]) = a.map(_._2).sum
+    println(f"entities docs=$nDocs  html4+symbol(&x;)=${total(html4)}%d " +
+      f"(${html4.length} names)  unknown(&x; passthrough)=${total(unknown)}%d " +
+      f"(${unknown.length} names)  legacy-prefix(&x bare)=${total(legacyBare)}%d")
+    if (unknown.nonEmpty)
+      println("top unknown: " + unknown.sortBy(-_._2).take(20)
+        .map { case (n, c) => s"&$n;=$c" }.mkString(" "))
+    println(s"""{"probe":"entities","docs":$nDocs,""" +
+      s""""html4_hits":${total(html4)},"html4_names":${html4.length},""" +
+      s""""unknown_hits":${total(unknown)},"unknown_names":${unknown.length},""" +
+      s""""legacy_bare_hits":${total(legacyBare)}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
@@ -316,6 +367,11 @@ object ScaleProbe {
       val ms = if (args.length > 1) args.drop(1).toSeq.map(_.toInt)
                else Seq(16, 64, 256)
       bpeProbe(spark, dir, ms)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("entities")) {
+      entityTailProbe(spark, dir)
       spark.stop()
       return
     }
