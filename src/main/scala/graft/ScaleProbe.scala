@@ -535,7 +535,11 @@ object ScaleProbe {
                 s"float(sin(xxhash64(vec_id * 1048573 + j * 101 + $i))))")
                 .as("embedding"))
           }.reduce(_ unionByName _).repartition(cpus * 2)
-          val bits = if (s >= 16) 16 else if (s >= 4) 14 else 12
+          // srpBitsFor IS the ladder progression (12→14→16 at
+          // 1×/4×/16×); the 64× cell holds the 16 ceiling on purpose
+          // (the measured ceiling-held regime — ARCHITECTURE ladder)
+          val bits = math.min(16,
+            operators.Similarity.srpBitsFor(2000L * s, tables = 8))
           operators.Similarity.semanticNearDupPairsSrp(uniq,
             tables = 8, bits = bits, seed = 2025L,
             simNumSqE4 = 2025L).count()

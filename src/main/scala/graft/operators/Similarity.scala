@@ -750,6 +750,36 @@ object Similarity {
     }
   }
 
+  /** Production sizing for [[semanticNearDupPairsSrp]]'s `bits` dial
+    * (r17 — the r16 ladder documented the recipe in prose; this is
+    * the [[graft.sources.WebArchive.fanoutFor]] convention of making
+    * the recipe an artifact): `bits = ceil(log2(n · tables /
+    * targetOccupancy))` holds expected bucket occupancy — and with it
+    * the per-bucket candidate share — constant as the corpus grows,
+    * which is exactly the ladder's measured 12 → 14 → 16 progression
+    * (+2 bits per 4× data at n = 2000/8000/32000, tables = 8,
+    * occupancy 4; ARCHITECTURE r16 ladder table). Cost grows as
+    * tables × bits hyperplane projections per vector — linear in
+    * bits, so the dial is cheap to grow where the sign-band family's
+    * key space was CAPPED at 2^(d/bands). Clamped to [minBits, 62]
+    * (the bucket key is one BIGINT bit pattern). */
+  def srpBitsFor(n: Long, tables: Int = 8, targetOccupancy: Long = 4L,
+                 minBits: Int = 8): Int = {
+    require(n >= 0 && tables > 0 && targetOccupancy > 0 &&
+      minBits >= 1 && minBits <= 62,
+      s"need n >= 0, tables/occupancy > 0, minBits in [1,62]: " +
+        s"$n/$tables/$targetOccupancy/$minBits")
+    // overflow-safe: past Long.MaxValue/tables the key count already
+    // saturates the 62-bit cap for any occupancy dial worth using
+    val keys =
+      if (n > Long.MaxValue / tables) Long.MaxValue
+      else n * tables / targetOccupancy
+    val ceilLog2 =
+      if (keys <= 1L) 1
+      else 64 - java.lang.Long.numberOfLeadingZeros(keys - 1)
+    math.min(62, math.max(minBits, ceilLog2))
+  }
+
   /** [[semanticNearDupPairs]] with SRP (seeded random hyperplane)
     * candidate buckets instead of raw sign bands — the documented
     * handoff PAST the sign family's dimension ceiling (r16 ladder
@@ -758,8 +788,9 @@ object Similarity {
     * candidate volume goes n²-shaped once n outgrows it. SRP buckets
     * ([[graft.functions.SrpBuckets]], the q41 ANN machinery) project
     * onto seeded hyperplanes, so `bits` grows with n indefinitely —
-    * the production dial is bits ≈ log2(n · tables / target bucket
-    * occupancy). The DECISION gate is byte-identical to
+    * the production dial is [[srpBitsFor]] (bits ≈ log2(n · tables /
+    * target bucket occupancy), the ladder's 12→14→16). The DECISION
+    * gate is byte-identical to
     * [[semanticDedup]]'s (same int8 codes, same BIGINT cosine
     * inequality), so the two variants differ only in candidate
     * recall; the float hyperplane projections are why this form has

@@ -146,9 +146,11 @@ object SimilarityQueries {
     * convention). Dials are RecallProbe-tuned to the 500-vector
     * fixture exactly like q41's (32 tables × 6 bits — at 8×8 the
     * borderline-cosine pairs rarely shared a bucket and recall read
-    * 0.18; production grows bits with n, the r16 ladder's
-    * q150srp_pairs row measures that regime); seeded hyperplanes make
-    * the row deterministic, pinned like q57–q61. */
+    * 0.18; production grows bits with n via
+    * [[Similarity.srpBitsFor]] — the r17 helper form of the ladder's
+    * 12→14→16 recipe, which the r16 q150srp_pairs ladder row
+    * measures); seeded hyperplanes make the row deterministic,
+    * pinned like q57–q61. */
   def q188SrpSemanticRecall(spark: SparkSession, dir: String): DataFrame =
     Agreement.summarize(
       Similarity.semanticNearDupPairsSrp(corpus(spark, dir),

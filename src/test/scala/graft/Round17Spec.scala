@@ -229,6 +229,30 @@ class Round17Spec extends AnyFunSuite {
     assert(clusters.values.sum == 6L)
   }
 
+  /** srpBitsFor is the ladder's measured dial progression made an
+    * artifact (the fanoutFor convention): ceil(log2(n·tables/occ))
+    * reproduces the r16 q150srp ladder cells exactly — 12/14/16 bits
+    * at n = 2000/8000/32000 (tables 8, occupancy 4) — and grows +2
+    * bits per 4× data, holding expected bucket occupancy (and the
+    * candidate share) constant. */
+  test("srpBitsFor reproduces the ladder's 12→14→16 progression and grows +2 per 4×") {
+    import graft.operators.Similarity.srpBitsFor
+    assert(srpBitsFor(2000L) == 12)
+    assert(srpBitsFor(8000L) == 14)
+    assert(srpBitsFor(32000L) == 16)
+    assert(srpBitsFor(128000L) == 18)
+    // +2 per 4× across the production range
+    for (n <- Seq(100000L, 1000000L, 100000000L))
+      assert(srpBitsFor(4 * n) == srpBitsFor(n) + 2, s"n=$n")
+    // floors and ceilings
+    assert(srpBitsFor(0L) == 8, "tiny corpora floor at minBits")
+    assert(srpBitsFor(Long.MaxValue, tables = 8) == 62,
+      "the BIGINT bucket key caps bits at 62 (overflow-safe)")
+    // a billion-vector corpus at the default dials: 31 bits — far
+    // from both bounds, linear cost (tables × bits projections/vec)
+    assert(srpBitsFor(1000000000L) == 31)
+  }
+
   /** The generated q35 SQL must carry the sign-flip form, not a bare
     * min(mv) — a regression guard on the generator text itself. */
   test("q35 replay SQL takes min in the sign-flipped domain") {
