@@ -639,6 +639,33 @@ object Dedup {
     DedupIndex(hashes, shingles, counts, dfs)
   }
 
+  /** Persist a built index as the production artifact (r17): in a
+    * real pipeline the dedup index SHIPS with the corpus (the q185
+    * cluster.idx convention) and every ingest batch consumes it as
+    * cheap parquet scans — it is not rebuilt per batch. One parquet
+    * table per index frame; [[readDedupIndex]] is the consuming
+    * side. Overwrite mode: an index publish replaces the previous
+    * snapshot whole. */
+  def writeDedupIndex(index: DedupIndex, path: String): Unit = {
+    index.hashes.write.mode("overwrite").parquet(s"$path/hashes")
+    index.shingles.write.mode("overwrite").parquet(s"$path/shingles")
+    index.counts.write.mode("overwrite").parquet(s"$path/counts")
+    index.dfs.write.mode("overwrite").parquet(s"$path/dfs")
+  }
+
+  /** Read a persisted index back ([[writeDedupIndex]]'s layout).
+    * Every consumer scan is a plain parquet read — deterministic
+    * cost, no persist-layer memory/disk bimodality, and
+    * [[deltaDedupIndexed]]'s multiple reads of `shingles` each prune
+    * columns at the scan. */
+  def readDedupIndex(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DedupIndex =
+    DedupIndex(
+      spark.read.parquet(s"$path/hashes"),
+      spark.read.parquet(s"$path/shingles"),
+      spark.read.parquet(s"$path/counts"),
+      spark.read.parquet(s"$path/dfs"))
+
   /** [[deltaDedup]] against a prebuilt index — produces the identical
     * novel set (spec-pinned equivalence) without touching corpus text.
     * `k` must match the index's build parameter.

