@@ -357,6 +357,32 @@ object ScaleProbe {
       s""""legacy_bare_hits":${total(legacyBare)}}""")
   }
 
+  /** The ladder's MEMORY axis (r17 — VERDICT r16 task 7: the 64×
+    * cells measured wall time only; the 100 TB posture needs the
+    * memory curve too). Accumulates, across every task that ends
+    * while a probe runs, the MAX per-task `peakExecutionMemory` (the
+    * number that decides whether a fixed-size executor OOMs as data
+    * scales — aggregate/join/sort hash structures, not cached blocks)
+    * and the SUM of memory+disk spill bytes (the number that says the
+    * operator degraded to spilling instead). Listener events post
+    * asynchronously; [[settle]]'s bounded sleep lets the tail drain —
+    * a probe row is seconds-scale, so the residual undercount risk is
+    * noise (documented, not hidden). */
+  private class MemProbeListener extends org.apache.spark.scheduler.SparkListener {
+    val peak = new java.util.concurrent.atomic.AtomicLong(0L)
+    val spill = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        peak.getAndAccumulate(m.peakExecutionMemory, math.max(_, _))
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+    def reset(): Unit = { peak.set(0L); spill.set(0L) }
+    def settle(): Unit = Thread.sleep(300)
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
@@ -768,12 +794,32 @@ object ScaleProbe {
       // probes a subset for targeted iteration; unset runs all
       val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
         .map(_.split(",").map(_.trim).toSet)
+      // the memory axis (one probe flag: SPARK_GRAFT_PROBE_MEM=1) —
+      // per-cell max task peakExecutionMemory + total spill bytes
+      val memL =
+        if (sys.env.get("SPARK_GRAFT_PROBE_MEM").contains("1")) {
+          val l = new MemProbeListener
+          spark.sparkContext.addSparkListener(l)
+          Some(l)
+        } else None
       val rows = probes
         .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
         .map { case (name, f) =>
+        memL.foreach(_.reset())
         val (n, sec) = timeIt(f())
-        println(f"$name%-22s $sec%8.2f s   (rows=$n)")
-        s""""$name":{"sec":${math.round(sec * 1000) / 1000.0},"rows":$n}"""
+        val mem = memL.map { l =>
+          l.settle()
+          (l.peak.get() / (1024.0 * 1024.0),
+            l.spill.get() / (1024.0 * 1024.0))
+        }
+        val memTxt = mem.map { case (p, sp) =>
+          f"   peak-task-mem $p%7.1f MiB  spill $sp%7.1f MiB" }.getOrElse("")
+        println(f"$name%-22s $sec%8.2f s   (rows=$n)$memTxt")
+        s""""$name":{"sec":${math.round(sec * 1000) / 1000.0},"rows":$n""" +
+          mem.map { case (p, sp) =>
+            s""","peak_mb":${math.round(p * 10) / 10.0}""" +
+              s""","spill_mb":${math.round(sp * 10) / 10.0}""" }.getOrElse("") +
+          "}"
       }
       println(s"""{"probe":"scale","scale":$s,"docs":$nd,"vecs":$ne,""" +
         rows.mkString(",") + "}")

@@ -1862,6 +1862,46 @@ object TextQueries {
         "meta_robots", "noindex", "nofollow")
   }
 
+  /** Canonical-KEY dedup — the composition q189's resolution exists
+    * for (r17), registered under its own cross-engine gate: mirror
+    * hosts (`m0.`/`m1.` of the same site) declare canonical targets —
+    * absolute on one arm, `<base href>`-RELATIVE on another — and the
+    * dedup key is `coalesce(canonical_resolved, page URL)` through
+    * [[graft.operators.Domains.urlDedup]]. Docs on DIFFERENT mirror
+    * hosts merge exactly when their resolved canonical coincides (the
+    * merge a raw relative href could never produce — it collides
+    * textually across sites instead); no-canonical docs fall back to
+    * their own URL as singletons. The oracle derives every doc's
+    * expected KEY independently from doc_id (the q186 convention) and
+    * groups — resolution is certified by producing the right cluster
+    * structure, not by replaying RFC 3986 in SQL. */
+  def q190CanonicalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    val id = col("doc_id").cast("string")
+    val m2 = pmod(col("doc_id"), lit(2)).cast("string")
+    val m5 = pmod(col("doc_id"), lit(5)).cast("string")
+    val m3 = pmod(col("doc_id"), lit(3))
+    val grp = expr("doc_id div 20").cast("string")
+    val pageUrl = concat(lit("http://m"), m2, lit(".site"), m5,
+      lit(".org/p/"), id)
+    val baseArm = when(m3 === 1, concat(
+      lit("<base href=\"https://site"), m5, lit(".org/b/\">")))
+      .otherwise(lit(""))
+    val linkArm = when(m3 === 0, concat(
+        lit("<link rel=\"canonical\" href=\"https://site"), m5,
+        lit(".org/art/"), grp, lit("\">")))
+      .when(m3 === 1, concat(
+        lit("<link rel=canonical href=art/"), grp, lit(">")))
+      .otherwise(lit(""))
+    val pages = docs.select(col("doc_id"), pageUrl.as("page_url"),
+      concat(lit("<html><head>"), baseArm, linkArm,
+        lit("</head><body>x</body></html>")).as("html"))
+    val keyed = graft.operators.Html
+      .pageDirectives(pages, "html", pageUrlCol = Some("page_url"))
+      .withColumn("u", coalesce(col("canonical_resolved"), col("page_url")))
+    graft.operators.Domains.urlDedup(keyed, uriCol = "u")
+  }
+
   def q187C4Clean(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val multi = docs.withColumn("mtext", concat(col("text"), lit("."),
@@ -1936,6 +1976,7 @@ object TextQueries {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q187_c4_clean" -> (q187C4Clean _),
     "q189_page_directives" -> (q189PageDirectives _),
+    "q190_canonical_dedup" -> (q190CanonicalDedup _),
     "q186_url_dedup" -> (q186UrlDedup _),
     "q185_ranged_ingest" -> (q185RangedIngest _),
     "q184_gopher_lines" -> (q184GopherLines _),
@@ -2109,6 +2150,17 @@ object TextQueries {
     // expected values derived INDEPENDENTLY of the extraction regexes
     // (the q186 convention): the html arms rotate attribute order and
     // case, and the gate demands exactly these outputs from each
+    "q190_canonical_dedup" ->
+      """WITH k AS (SELECT doc_id,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN 'https://site' || (doc_id % 5) || '.org/art/' || (doc_id // 20)
+        |    WHEN 1 THEN 'https://site' || (doc_id % 5) || '.org/b/art/' || (doc_id // 20)
+        |    ELSE 'http://m' || (doc_id % 2) || '.site' || (doc_id % 5) || '.org/p/' || doc_id
+        |  END AS u FROM documents)
+        |SELECT u AS canonical_url, min(doc_id) AS doc_id,
+        |  count(*) AS n_copies
+        |FROM k GROUP BY u""".stripMargin,
+
     "q189_page_directives" ->
       """SELECT doc_id,
         |  CASE doc_id % 7
