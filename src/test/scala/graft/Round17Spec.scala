@@ -229,6 +229,54 @@ class Round17Spec extends AnyFunSuite {
     assert(clusters.values.sum == 6L)
   }
 
+  /** The persisted dedup-index artifact (r17 — q105's build-once
+    * form): write → read must round-trip every index frame, and the
+    * read-back index must drive deltaDedupIndexed to the direct
+    * operator's exact novel set under a BITING hot-shingle cap (the
+    * CorpusIngestSpec equivalence, extended through the parquet
+    * layer). */
+  test("writeDedupIndex/readDedupIndex round-trip preserves the indexed dedup answer") {
+    import graft.operators.Dedup
+    val docs = (1L to 120L).map { i =>
+      val base = s"tok${i % 7} alpha beta gamma delta tok${i % 11} " +
+        s"epsilon zeta tok$i eta theta"
+      // %5==0 delta docs: near-dups of their i-1 corpus neighbor
+      val text = if (i % 5 == 0) s"tok${(i - 1) % 7} alpha beta gamma " +
+        s"delta tok${(i - 1) % 11} epsilon zeta tok${i - 1} eta iota"
+      else base
+      (i, text)
+    }.toDF("doc_id", "text")
+    val corpus = docs.filter($"doc_id" % 5 =!= 0)
+    val delta = docs.filter($"doc_id" % 5 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-rt").toFile
+    try {
+      val built = Dedup.buildDedupIndex(corpus, k = 3)
+      Dedup.writeDedupIndex(built, dir.getAbsolutePath)
+      val read = Dedup.readDedupIndex(spark, dir.getAbsolutePath)
+      // frames round-trip as multisets
+      for ((a, b, name) <- Seq(
+        (built.hashes, read.hashes, "hashes"),
+        (built.shingles, read.shingles, "shingles"),
+        (built.counts, read.counts, "counts"),
+        (built.dfs, read.dfs, "dfs")))
+        assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+          s"$name must round-trip")
+      val direct = Dedup.deltaDedup(corpus, delta,
+          maxShingleDocFreq = Some(2))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val viaArtifact = Dedup.deltaDedupIndexed(read, delta,
+          k = 3, threshold = 0.6, maxShingleDocFreq = Some(2))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(viaArtifact == direct,
+        s"missing=${(direct -- viaArtifact).take(5)} extra=${(viaArtifact -- direct).take(5)}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   /** srpBitsFor is the ladder's measured dial progression made an
     * artifact (the fanoutFor convention): ceil(log2(n·tables/occ))
     * reproduces the r16 q150srp ladder cells exactly — 12/14/16 bits
