@@ -386,8 +386,20 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    // SPARK_GRAFT_PROBE_SHUFFLE overrides the shuffle-partition count —
+    // added to TEST whether the r17 memory axis's two spilling cells
+    // (q150 sign-band, q127) were an undersized-partition artifact.
+    // MEASURED ANSWER: no — at 512 partitions the 16× cells spill MORE
+    // (q150 5.6 → 12.7 GB, 21.5 → 78.6 s; q127 3.7 → 4.1 GB), because
+    // the spill is the self-join's sort volume (data-inherent at the
+    // capped dial), not per-partition aggregate size, and extra tasks
+    // just multiply sort runs. The production mitigation is the
+    // operator handoff (SRP form: zero spill at the same cell), not a
+    // partition dial. The knob stays for future regime experiments.
+    val probeShuffle = sys.env.get("SPARK_GRAFT_PROBE_SHUFFLE")
+      .map(_.toInt).getOrElse(cpus)
     val spark = GraftSession.create(appName = "graft-scale-probe",
-      master = s"local[$cpus]", shufflePartitions = Some(cpus))
+      master = s"local[$cpus]", shufflePartitions = Some(probeShuffle))
     spark.sparkContext.setLogLevel("WARN")
     if (args.headOption.contains("bpe")) {
       val ms = if (args.length > 1) args.drop(1).toSeq.map(_.toInt)
