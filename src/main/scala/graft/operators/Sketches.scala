@@ -153,4 +153,103 @@ object Sketches {
                        d: Int = 3, w: Int = 64): DataFrame =
     withCmBuckets(df, keyCol, tag, d, w, Seq.empty)
       .groupBy("r", "b").agg(count(lit(1)).as("cnt"))
+
+  /** HyperLogLog register table per group: ≤ `m = 2^b` rows of
+    * (group, `j`, `mr`) where `j` is the register index (top `b` bits
+    * of the 60-bit [[Md5Key]] hash of `keyExpr`) and `mr` the register
+    * value — max over the group's elements of 1 + the leading-zero
+    * count of the remaining `60−b` hash bits (Flajolet, Fusy,
+    * Gandouet, Meunier; AofA 2007). The KMV sketch ([[kmvHeads]])
+    * estimates at ±1/√(k−2) from k·64-bit heads and is EXACT below k;
+    * HLL is the other end of the state/error dial — ±1.04/√m from m
+    * SIX-BIT registers, the standard when groups are many and state
+    * is the constraint.
+    *
+    * The sketch is a pure declarative aggregate —
+    * `groupBy(group, j).agg(max(rank))` — which is the whole scale
+    * argument: partial aggregation caps map-side state at m rows per
+    * (group, partition), the shuffle moves ≤ m·|groups| tiny rows
+    * however large the input, duplicate keys need no distinct pass
+    * (max is idempotent — re-arrivals of a seen key cannot move a
+    * register), and two corpora's register tables (or two
+    * micro-batches' partials in Complete/Update-mode Structured
+    * Streaming, which keeps exactly this table per group in the state
+    * store) merge by elementwise max — the law pinned in Round17Spec.
+    * Rank arithmetic is integer-only (`length(bin(w))` is the bit
+    * length, identical SQL semantics in DuckDB), so the register
+    * table AND every estimator built on it replay under the full
+    * cross-engine hash gate (q191) — same stance as q141's KMV
+    * estimator, q35/q36's LSH replays. */
+  def hllRegisters(df: DataFrame, groupCol: String, keyExpr: String,
+                   b: Int = 8): DataFrame = {
+    require(b >= 7 && b <= 15,
+      s"b must be in [7,15] (m >= 128 for the closed-form alpha), got $b")
+    val wBits = 60 - b
+    val wSpace = 1L << wBits
+    df.select(col(groupCol),
+        expr(s"substr(md5(cast(($keyExpr) as string)), 1, 15)").as("hx"))
+      .withColumn("hv", expr(Md5Key.hex15ToLong("hx")))
+      .select(col(groupCol),
+        expr(s"hv div $wSpace").as("j"),
+        expr(s"hv % $wSpace").as("w"))
+      .groupBy(col(groupCol), col("j"))
+      .agg(max(expr(
+        s"CASE WHEN w = 0 THEN ${wBits + 1} " +
+          s"ELSE ${wBits + 1} - length(bin(w)) END")).as("mr"))
+  }
+
+  /** The HLL estimator over a [[hllRegisters]] frame: `n_regs_hit`,
+    * `v_zero` (= m − hit: rows for never-hit registers aren't
+    * materialized, their 2⁰ harmonic terms are added back here),
+    * `max_rank`, and `est_distinct` — the raw HLL estimate
+    * `α_m·m²/Σ 2^(−M[j])` computed ENTIRELY in integer arithmetic so
+    * it sits under the DuckDB hash gate: the harmonic sum is scaled
+    * by 2⁶² (every term `2^(62−M[j])` is an exact BIGINT, summed in
+    * DECIMAL(38,0)), and α_m = 0.7213/(1 + 1.079/m) is the exact
+    * rational `7213·m / (10000·m + 10790)`, giving
+    * `est = 7213·m³·2⁶² div ((10000·m + 10790)·S)` — every
+    * intermediate < 10³⁸ for b ≤ 15 (numerator ≤ 7213·2^107 ≈
+    * 1.2·10³⁶). Like q141, a pure function of the key SET: merge
+    * order, partitioning, and duplication invisible.
+    *
+    * This is the RAW estimator: the published small-range correction
+    * (linear counting `m·ln(m/V)` when est ≤ 5m/2 and V > 0) needs a
+    * float ln, which is exactly the cross-engine-coincidence trap the
+    * q35 repair was about — and the small-cardinality regime is the
+    * KMV sketch's home turf ([[kmvDistinctEstimate]] is EXACT below
+    * k there). So the contract is split by regime instead: HLL for
+    * large cardinalities (q191's fixture sits in the raw regime at
+    * both Verify and bench SFs), KMV below, and `v_zero`/`n_regs_hit`
+    * are emitted so a caller can SEE when a group is in the wrong
+    * regime (v_zero high ⇒ switch to KMV). */
+  def hllEstimateFromRegisters(regs: DataFrame, groupCol: String,
+                               b: Int = 8): DataFrame = {
+    require(b >= 7 && b <= 15,
+      s"b must be in [7,15] (m >= 128 for the closed-form alpha), got $b")
+    val m = 1L << b
+    val numc = BigInt(7213) * BigInt(m).pow(3) * BigInt(2).pow(62)
+    val den = 10000L * m + 10790L
+    val scale = 1L << 62
+    regs.groupBy(groupCol)
+      .agg(
+        count(lit(1)).cast("long").as("n_regs_hit"),
+        max(col("mr")).cast("long").as("max_rank"),
+        sum(expr("cast(shiftleft(cast(1 as bigint), cast(62 - mr as int))" +
+          " as decimal(38,0))")).as("_s_hit"))
+      .select(col(groupCol),
+        col("n_regs_hit"),
+        (lit(m) - col("n_regs_hit")).cast("long").as("v_zero"),
+        col("max_rank"),
+        expr(s"cast(cast($numc as decimal(38,0)) div " +
+          s"($den * (_s_hit + cast($m - n_regs_hit as decimal(38,0)) * $scale))" +
+          s" as bigint)").as("est_distinct"))
+  }
+
+  /** Per-group HLL distinct-cardinality estimate of `keyExpr` — the
+    * composed form ([[hllRegisters]] → [[hllEstimateFromRegisters]]),
+    * batch or streaming alike. */
+  def hllDistinctEstimate(df: DataFrame, groupCol: String,
+                          keyExpr: String, b: Int = 8): DataFrame =
+    hllEstimateFromRegisters(hllRegisters(df, groupCol, keyExpr, b),
+      groupCol, b)
 }

@@ -1099,6 +1099,30 @@ object EventQueries {
     graft.operators.Sketches.kmvHeads(
       Tables.events(spark, dir), "event_type", "user_id", k = 64)
 
+  /** Distinct ACTIVE USER-DAYS per event type, HyperLogLog-sketched —
+    * the classic corpus-cardinality ask where exact counting is the
+    * 100 TB trap (`count(distinct user||day)` shuffles the full
+    * distinct universe; the register sketch shuffles ≤ 256 six-bit
+    * rows per group however large the input). The complement of
+    * q141's KMV on the state/error dial: KMV holds k=64 64-bit heads
+    * (±13 %, exact below k), HLL holds 256 registers (±6.5 %, raw
+    * regime only — the fixture's ~1.6k/~16k user-days per type at
+    * Verify/bench SFs sit well above the 2.5·m floor, and `v_zero`
+    * is emitted so the wrong regime is visible, not silent). Like
+    * q141 the ESTIMATE itself sits under the DuckDB hash gate: md5
+    * hashing via [[Md5Key]], ranks via integer `length(bin(w))`,
+    * the harmonic mean in scaled-integer arithmetic, α as an exact
+    * rational ([[graft.operators.Sketches.hllEstimateFromRegisters]]).
+    * Register-table-vs-independent-reimplementation and the
+    * elementwise-max merge law are pinned in Round17Spec (the q35
+    * lesson: certify the engine's sampler, not a lookalike). */
+  def q191HllUserDays(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.hllDistinctEstimate(
+      Tables.events(spark, dir), "event_type",
+      "concat(cast(user_id as string), ':', date_format(ts, 'yyyy-MM-dd'))",
+      b = 8)
+      .orderBy("event_type")
+
   /** Sketch-side audience overlap: distinct-user union, intersection,
     * and Jaccard per event-type pair estimated from the q141 KMV
     * sketches alone — the 100 TB swap for q155's EXACT overlap, which
@@ -1306,6 +1330,7 @@ object EventQueries {
     "q159_asof_snapshot"  -> (q159AsOfSnapshot _),
     "q143_count_min"      -> (q143CountMin _),
     "q141_kmv_distinct"   -> (q141KmvDistinct _),
+    "q191_hll_user_days"  -> (q191HllUserDays _),
     "q160_kmv_overlap"    -> (q160KmvOverlap _),
     "q162_mg_certificate" -> (q162MgCertificate _),
     "q129_hist_quantile"  -> (q129HistQuantile _),
@@ -1587,6 +1612,36 @@ object EventQueries {
          |  END AS est_distinct
          |FROM r GROUP BY event_type, nd
          |ORDER BY event_type""".stripMargin,
+
+    // HLL replay, same stance as q141: identical md5→hex15ToLong hash
+    // text both engines; register index/value in integer arithmetic
+    // (bin() bit-length is common SQL), the harmonic sum scaled by
+    // 2^62 in HUGEINT, alpha as the exact rational 7213m/(10000m+10790)
+    // => numerator 7213*256^3*2^62 staged as HUGEINT product.
+    "q191_hll_user_days" ->
+      s"""WITH k AS (SELECT event_type,
+         |             substr(md5(cast(user_id as string) || ':' ||
+         |                        strftime(ts, '%Y-%m-%d')), 1, 15) AS hx
+         |           FROM events),
+         |v AS (SELECT event_type, ${Md5Key.hex15ToLong("hx")} AS hv FROM k),
+         |b AS (SELECT event_type, hv // 4503599627370496 AS j,
+         |             hv % 4503599627370496 AS w FROM v),
+         |reg AS (SELECT event_type, j,
+         |          max(CASE WHEN w = 0 THEN 53
+         |                   ELSE 53 - length(bin(w)) END) AS mr
+         |        FROM b GROUP BY event_type, j),
+         |g AS (SELECT event_type,
+         |        CAST(count(*) AS BIGINT) AS n_regs_hit,
+         |        CAST(max(mr) AS BIGINT) AS max_rank,
+         |        sum(((1::BIGINT << (62 - mr)))::HUGEINT) AS s_hit
+         |      FROM reg GROUP BY event_type)
+         |SELECT event_type, n_regs_hit,
+         |  256 - n_regs_hit AS v_zero, max_rank,
+         |  CAST(CAST(121014190080 AS HUGEINT) * 4611686018427387904
+         |    // (2570790 * (s_hit +
+         |         (256 - n_regs_hit)::HUGEINT * 4611686018427387904))
+         |    AS BIGINT) AS est_distinct
+         |FROM g ORDER BY event_type""".stripMargin,
 
     // the same doc_id-derived grids and integer bit assembly as the
     // ImageCore expressions: bit i iff v_i*64 >= sum(v) (aHash), and

@@ -44,10 +44,13 @@ class BenchContractSpec extends AnyFunSuite {
     // HARD ceiling. The r11 integer-ms encoding keeps 1 ms resolution
     // on every query — the seconds form had already degraded to
     // 100 ms at 170 queries — and must stay under the budget with a
-    // realistic timing distribution (cycle ~0.95 s, above the real
-    // per-query mean, so this upper-bounds the real line).
-    val cycle = Array(0.043, 0.117, 0.234, 0.318, 0.441, 0.527,
-      0.738, 1.412, 2.317, 3.289)
+    // realistic timing distribution (cycle mean ~0.66 s, above the
+    // real per-query mean — 0.578 s at sf0.1, r17 — so this
+    // upper-bounds the real line; recalibrated at 191 queries where
+    // the old ~0.94 s mean overflowed the budget the REAL line,
+    // 1947 B at 190 queries, still clears with ~30 B to spare).
+    val cycle = Array(0.030, 0.082, 0.164, 0.223, 0.309, 0.369,
+      0.517, 0.988, 1.622, 2.302)
     val real = names.zipWithIndex
       .map { case (n, i) => n -> cycle(i % cycle.length) }.toMap
     val realLine = Bench.summaryJson(names, real,
@@ -142,8 +145,8 @@ class BenchContractSpec extends AnyFunSuite {
     // blows the tail budget, so the middle rung must emit integer-ms
     // WITHOUT the memo field rather than falling all the way to
     // integer seconds
-    val cycle = Array(0.043, 0.117, 0.234, 0.318, 0.441, 0.527,
-      0.738, 1.412, 2.317, 3.289)
+    val cycle = Array(0.030, 0.082, 0.164, 0.223, 0.309, 0.369,
+      0.517, 0.988, 1.622, 2.302)
     val real = names.zipWithIndex
       .map { case (n, i) => n -> cycle(i % cycle.length) }.toMap
     val line = Bench.summaryJson(names, real,
@@ -166,8 +169,8 @@ class BenchContractSpec extends AnyFunSuite {
     // worst realistic payload (memo tags on every query, forceFull
     // carries them all) and asserts the tail's last line is the
     // parseable ladder line.
-    val cycle = Array(0.043, 0.117, 0.234, 0.318, 0.441, 0.527,
-      0.738, 1.412, 2.317, 3.289)
+    val cycle = Array(0.030, 0.082, 0.164, 0.223, 0.309, 0.369,
+      0.517, 0.988, 1.622, 2.302)
     val real = names.zipWithIndex
       .map { case (n, i) => n -> cycle(i % cycle.length) }.toMap
     val ok = names.map(_ -> true).toMap

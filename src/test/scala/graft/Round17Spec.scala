@@ -309,4 +309,89 @@ class Round17Spec extends AnyFunSuite {
     assert(sql.contains("xor(min(xor(mv, 9223372036854775808::UBIGINT)), 9223372036854775808::UBIGINT)"))
     assert(!sql.contains("min(mv) AS sv"))
   }
+
+  /** Independent reimplementation of the HLL register algorithm
+    * (MessageDigest md5 → 60-bit prefix → top-8-bit index →
+    * 1 + leading zeros of the 52-bit remainder, max per register) —
+    * the engine's q191 register table must match it row-for-row.
+    * This is the q35 lesson applied up front: the oracle gate alone
+    * can be coincidentally green on an easy fixture; the pin
+    * certifies the SAMPLER, on keys that exercise w = 0 never but
+    * high ranks often (400 sequential keys hit rank ≥ 8 regularly).
+    */
+  private def refHllRegisters(keys: Seq[(String, String)])
+      : Map[(String, Long), Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    keys.foldLeft(Map.empty[(String, Long), Int]) { case (acc, (g, key)) =>
+      val hex = md.digest(key.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      val hv = java.lang.Long.parseLong(hex, 16) // 60 bits: sign-safe
+      val j = hv >>> 52
+      val w = hv & ((1L << 52) - 1)
+      val r = if (w == 0L) 53 else 53 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      val k = (g, j)
+      if (acc.getOrElse(k, 0) >= r) acc else acc.updated(k, r)
+    }
+  }
+
+  test("hllRegisters matches an independent reimplementation row-for-row") {
+    import graft.operators.Sketches
+    val keys = (0 until 400).map(i => (s"g${i % 3}", s"user$i:2026-01-${1 + i % 28}"))
+    val df = keys.toDF("grp", "key")
+    val got = Sketches.hllRegisters(df, "grp", "key", b = 8)
+      .collect()
+      .map(row => ((row.getString(0), row.getLong(1)), row.getInt(2)))
+      .toMap
+    val want = refHllRegisters(keys)
+    assert(got == want,
+      s"register tables diverge: engine-only=${(got.toSet -- want.toSet).take(5)} " +
+        s"ref-only=${(want.toSet -- got.toSet).take(5)}")
+    assert(want.values.max >= 8, "fixture must exercise high ranks")
+  }
+
+  /** The HLL merge law: the register table of A ∪ B equals the
+    * elementwise max of the two tables — the property Structured
+    * Streaming's partial-merge and any two-corpus combine rely on.
+    * Random splits, duplicated keys across sides (set semantics). */
+  test("hllRegisters(A ∪ B) = elementwise max of the split tables") {
+    import graft.operators.Sketches
+    val rnd = new scala.util.Random(1717L)
+    val all = (0 until 300).map(i => (s"t${i % 2}", s"k${rnd.nextInt(150)}"))
+    val (a, b) = all.partition(_ => rnd.nextBoolean())
+    // duplicate some of A's keys into B: merges must be insensitive
+    val bDup = b ++ a.take(20)
+    def regs(rows: Seq[(String, String)]) =
+      Sketches.hllRegisters(rows.toDF("grp", "key"), "grp", "key", b = 8)
+        .collect()
+        .map(row => ((row.getString(0), row.getLong(1)), row.getInt(2)))
+        .toMap
+    val whole = regs(all)
+    val ra = regs(a)
+    val rb = regs(bDup)
+    val merged = (ra.keySet ++ rb.keySet).map { k =>
+      k -> math.max(ra.getOrElse(k, 0), rb.getOrElse(k, 0))
+    }.toMap
+    assert(merged == whole)
+  }
+
+  /** q191's estimator on a known-cardinality fixture: 2,000 distinct
+    * keys through the full composed operator land within the
+    * documented ±1.04/√256 ≈ 6.5 % σ band (asserted at 3σ), the
+    * fixture sits in the RAW regime (est > 2.5·m — the scaladoc's
+    * regime split), and the estimate is a pure function of the key
+    * SET (a 3× duplicated input changes nothing). */
+  test("hllDistinctEstimate: accuracy band, raw regime, duplication invariance") {
+    import graft.operators.Sketches
+    val base = (0 until 2000).map(i => ("g", s"id-$i"))
+    val est1 = Sketches.hllDistinctEstimate(
+      base.toDF("grp", "key"), "grp", "key", b = 8)
+      .select("est_distinct").head().getLong(0)
+    assert(est1 > 640, s"fixture must sit in the raw regime, est=$est1")
+    assert(math.abs(est1 - 2000) <= 400, // 3σ ≈ 390 at m=256
+      s"estimate $est1 outside the 3-sigma band around 2000")
+    val est3 = Sketches.hllDistinctEstimate(
+      (base ++ base ++ base).toDF("grp", "key"), "grp", "key", b = 8)
+      .select("est_distinct").head().getLong(0)
+    assert(est3 == est1, "the estimate must be a pure function of the key set")
+  }
 }
