@@ -214,8 +214,10 @@ object Bench {
     * appear only when non-empty. If digit ids ever collide the full
     * names come back (correctness of the mapping beats compactness),
     * and if even integer ms overflows the budget the ladder falls
-    * back to integer SECONDS (`"qunit":"s"` — sub-1% relative in the
-    * only regime that can trigger it, an all-multi-minute round). */
+    * back to integer CENTISECONDS (`"qunit":"cs"`, r17 — 10 ms
+    * resolution, ~1 digit per query cheaper) and only then to integer
+    * SECONDS (`"qunit":"s"` — sub-1% relative in the only regime that
+    * can still trigger it, an all-multi-minute round). */
   def summaryJson(names: Seq[String], best: collection.Map[String, Double],
                   everOk: collection.Map[String, Boolean],
                   nFail: collection.Map[String, Int],
@@ -235,6 +237,7 @@ object Bench {
               withTagLists: Boolean = true): String = {
       def f(d: Double): String =
         if (unit == "ms") math.round(d * 1000).toString
+        else if (unit == "cs") math.round(d * 100).toString
         else math.round(d).toString
       val qs = names.map(k => "\"" + id(k) + "\":" + f(best(k)))
         .mkString("{", ",", "}")
@@ -290,12 +293,17 @@ object Bench {
     // queries outgrew the two-rung ladder): memo first (per-run
     // attribution, but only for the tagged queries), then the comp/idx
     // membership lists (pure code constants — zero information lost,
-    // they are readable above), and only then ms RESOLUTION, which a
-    // coarse fallback would cost EVERY round-over-round comparison.
-    // `prod` never sheds before resolution: it is per-run data.
+    // they are readable above), and only then ms RESOLUTION — first to
+    // integer CENTISECONDS (r17, when 193 queries put the real ms line
+    // a few bytes over budget: 10 ms resolution keeps sub-second
+    // queries comparable round-over-round where the old direct fall to
+    // integer seconds would have zeroed them), and only past that to
+    // integer seconds (sub-1% relative only in an all-multi-minute
+    // round). `prod` never sheds before resolution: it is per-run
+    // data.
     if (forceFull) build("ms", withMemo = true, withTagLists = true)
     else Iterator(("ms", true, true), ("ms", false, true), ("ms", false, false),
-      ("s", true, true))
+      ("cs", false, false), ("s", true, true))
       .map { case (u, m, t) => build(u, m, t) }
       .find(_.length < 1980)
       .getOrElse(build("s", withMemo = false, withTagLists = false))

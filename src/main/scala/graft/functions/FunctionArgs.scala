@@ -44,4 +44,14 @@ object FunctionArgs {
 
   def foldableLong(fn: String, e: Expression, argName: String): Long =
     foldableNumber(fn, e, argName).longValue()
+
+  def foldableString(fn: String, e: Expression, argName: String): String = {
+    if (!e.foldable)
+      fail(s"$fn: argument '$argName' must be a literal, got ${e.sql}")
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other =>
+        fail(s"$fn: argument '$argName' must be a string literal, got $other")
+    }
+  }
 }

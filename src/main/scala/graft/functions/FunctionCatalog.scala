@@ -194,6 +194,17 @@ object FunctionCatalog {
         else GzipArchiveCore.MaxIndexMemberBytes
         GzipMemberIdx(exprs.head, mu)
       }),
+    FunctionDef("html_unescape_full",
+      "html_unescape_full(text STRING, table_path STRING literal) -> STRING",
+      classOf[HtmlUnescapeFull], { exprs =>
+        FunctionArgs.requireArity("html_unescape_full", exprs, 2,
+          "html_unescape_full(text string, table_path string literal)")
+        val path = FunctionArgs.foldableString("html_unescape_full",
+          exprs(1), "table_path")
+        HtmlUnescapeFull(exprs.head,
+          HtmlUnescapeCore.Named ++ HtmlEntities.load(
+            org.apache.spark.sql.SparkSession.active, path), path)
+      }),
     FunctionDef("html_unescape",
       "html_unescape(text STRING) -> STRING", classOf[HtmlUnescape], { exprs =>
         FunctionArgs.requireArity("html_unescape", exprs, 1,

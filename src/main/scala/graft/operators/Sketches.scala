@@ -252,4 +252,77 @@ object Sketches {
                           keyExpr: String, b: Int = 8): DataFrame =
     hllEstimateFromRegisters(hllRegisters(df, groupCol, keyExpr, b),
       groupCol, b)
+
+  /** Bloom-filter BITMAP over `keyCol` as ≤ `mBits/64` BIGINT words:
+    * `kHash` seed-keyed md5 positions per key (the [[withCmBuckets]]
+    * hashing convention at 8 hex chars — 32 bits, so mBits can exceed
+    * the CM sketch's 16-bit bucket space), OR-folded per word. Like
+    * the CM counters the state is a bounded group-by (`bit_or` is a
+    * combinable aggregate: map-side partials OR together), so the
+    * build is one pass over the key set with ≤ mBits/64 rows of
+    * shuffle, two filters' bitmaps (or two micro-batches' partials)
+    * merge by the same OR, and duplicate keys are free (OR is
+    * idempotent — no distinct pass). Membership semantics are the
+    * Bloom theorem's: NO false negatives ever (every inserted key's
+    * bits are set), false positives at the classic
+    * `(1 − e^(−kn/m))^k` rate — the q193 dial (k=3, m=2¹⁷) prices the
+    * sf0.1 fixture at ~0.9 %. All arithmetic integer (positions,
+    * words, bit masks), so bitmap AND probe replay under the DuckDB
+    * hash gate.
+    *
+    * Relation to q144: [[graft.ops.Relational.q144BloomPrune]] inlines
+    * this same construction for JOIN pruning (k=2, 60-bit words,
+    * 16-bit position space — sized for integer dim keys). This is the
+    * reusable operator form at crawl-text dials: 32-bit position
+    * space (8 hex chars) so mBits can reach 2¹⁷+, and FULL 64-bit
+    * words — bit 63 is usable because the oracle replays its mask
+    * with the q134 minlong CASE trick where a literal `1 << 63` would
+    * overflow DuckDB's signed shift (Spark's `shiftleft` is a bit op,
+    * no ANSI check; the cross-engine equality is pinned by q193's
+    * gate and the prototype replay). */
+  def bloomBits(df: DataFrame, keyCol: String, tag: String = "bf",
+                kHash: Int = 3, mBits: Int = 131072): DataFrame = {
+    require(mBits % 64 == 0 && mBits > 0, s"mBits must be a positive multiple of 64, got $mBits")
+    (0 until kHash).foldLeft(df) { (acc, r) =>
+      acc.withColumn(s"_h$r",
+        expr(s"substr(md5(cast($keyCol as string) || ':$tag$r'), 1, 8)"))
+    }.select(posexplode(array((0 until kHash).map { r =>
+        expr(s"(${Md5Key.hexToLong(s"_h$r", 8)}) % $mBits")
+      }: _*)).as(Seq("r", "pos")))
+      .select(expr("pos div 64").as("word"), expr("pos % 64").as("bit"))
+      .groupBy("word")
+      .agg(expr("bit_or(shiftleft(cast(1 as bigint), cast(bit as int)))")
+        .as("bits"))
+  }
+
+  /** Bloom membership probe: `carry` columns + a `maybe` boolean per
+    * input row. The probe is SHUFFLE-FREE by construction: the
+    * `kHash` positions are computed as COLUMNS (no explode), each
+    * looked up through its own broadcast hash join against the tiny
+    * bitmap frame, and `maybe` is the AND of the hits — so probing a
+    * 100 TB corpus against a benchmark filter is one map-side pass,
+    * the decontamination pre-filter shape (the exact
+    * [[Dedup.contamination]] overlap join then runs only on the
+    * survivors the filter couldn't clear). Missing words (bitmap rows
+    * are materialized only for set words) read as all-zero via the
+    * left join's NULL → false. */
+  def bloomMaybe(df: DataFrame, keyCol: String, bits: DataFrame,
+                 carry: Seq[String], tag: String = "bf",
+                 kHash: Int = 3, mBits: Int = 131072): DataFrame = {
+    val withPos = (0 until kHash).foldLeft(df) { (acc, r) =>
+      acc.withColumn(s"_h$r",
+          expr(s"substr(md5(cast($keyCol as string) || ':$tag$r'), 1, 8)"))
+        .withColumn(s"_p$r", expr(s"(${Md5Key.hexToLong(s"_h$r", 8)}) % $mBits"))
+    }
+    val joined = (0 until kHash).foldLeft(withPos) { (acc, r) =>
+      acc.join(broadcast(bits.select(col("word").as(s"_w$r"),
+          col("bits").as(s"_b$r"))),
+          expr(s"_p$r div 64 = _w$r"), "left")
+        .withColumn(s"_hit$r", coalesce(
+          expr(s"(_b$r & shiftleft(cast(1 as bigint), cast(_p$r % 64 as int))) != 0"),
+          lit(false)))
+    }
+    joined.select(carry.map(col) :+
+      (0 until kHash).map(r => col(s"_hit$r")).reduce(_ && _).as("maybe"): _*)
+  }
 }

@@ -171,6 +171,39 @@ object TextQueries {
       k = 3, minOverlap = 3)
   }
 
+  /** Bloom-filter decontamination PRE-FILTER — the 100 TB shape of
+    * q48: the eval set's distinct 3-gram shingles build a 2¹⁷-bit /
+    * 3-hash Bloom bitmap (2,048 BIGINT words ≈ 16 KB — broadcastable
+    * at ANY eval-set scale, where q48 broadcasts the shingle set
+    * itself), and the corpus side is probed SHUFFLE-FREE
+    * ([[graft.operators.Sketches.bloomMaybe]]: positions as columns,
+    * broadcast lookups, no explode) with one final per-doc aggregate.
+    * The Bloom theorem makes the split sound: NO false negatives —
+    * every doc q48 flags, this flags (pinned in Round17Spec) — so the
+    * exact overlap join need only run on the pre-filter's survivors;
+    * false positives cost only wasted exact-checks, at the classic
+    * (1−e^(−kn/m))^k ≈ 0.9 % at the sf0.1 dials. Everything is
+    * integer arithmetic over seed-keyed md5 positions, so bitmap,
+    * probe, and per-doc counts all replay under the DuckDB gate. */
+  def q193BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = docs
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(expr("transform(sequence(0, size(w) - 3), " +
+          "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"))).as("shingle"))
+    val bits = graft.operators.Sketches.bloomBits(
+      sh.filter(col("source") === "src0").select("shingle"), "shingle")
+    graft.operators.Sketches.bloomMaybe(
+        sh.filter(col("source") =!= "src0").select("doc_id", "shingle"),
+        "shingle", bits, carry = Seq("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_shingles"),
+        sum(when(col("maybe"), 1L).otherwise(0L)).as("n_maybe"))
+      .withColumn("flagged_bloom", col("n_maybe") >= 3)
+  }
+
   /** Flagship end-to-end dedup: exact pass → near-dup pairs →
     * connected components → one representative per component. Uses the
     * exact-Jaccard pair leg so DuckDB can replay the whole composition
@@ -1608,6 +1641,35 @@ object TextQueries {
       .select("doc_id", "main_text")
   }
 
+  /** The extended-entity decode under its own gate: HTML5-only names
+    * (letterlike, double-struck, dingbats, long arrows, the
+    * multi-codepoint `&fjlig;` ligature) through `html_unescape_full`
+    * with the committed snapshot of the published entity-table format
+    * ([[graft.functions.HtmlEntities]] — production swaps in the real
+    * ~2.2k-name file by path, the PSL stance). The arms also pin the
+    * boundaries: an HTML 4.01 name (`&eacute;`) must still decode
+    * through the MERGED table, an unknown name (`&notarealname;`)
+    * must pass through literally (chosen with no legacy-name prefix:
+    * `&notarealname;` would decode its `&not` head), and an extension
+    * name WITHOUT its
+    * semicolon must stay literal (the no-semicolon set is the frozen
+    * Legacy list, extension-independent). The oracle derives every
+    * expected character from its CODEPOINT (`chr(10003)` etc. — the
+    * untypeable-wrong stance of the Latin-1 zip), never from a typed
+    * glyph. */
+  def q192Html5Entities(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    docs.select(col("doc_id"),
+      call_function("html_unescape_full",
+        concat(col("text"), expr("CASE pmod(doc_id, 4) " +
+          "WHEN 0 THEN ' &check; list &cross; done &DoubleLongLeftArrow; back' " +
+          "WHEN 1 THEN ' se&ell;&ell; the &numero;1 &copysr; label' " +
+          "WHEN 2 THEN ' &fjlig;ord &Zopf; &Qopf; &Ropf; math' " +
+          "ELSE ' &star;&starf; rated caf&eacute; &planck; &zzznope; " +
+          "end &check no-semi' END")),
+        lit("classpath:graft/html5_entities_snapshot.json")).as("decoded"))
+  }
+
   /** The FULL crawl-to-corpus pipeline in one identity gate — the
     * composition a real ingest runs end-to-end: documents → hostile
     * HTML pages (q178's wrapper) → WARC RESPONSE records with the
@@ -1986,6 +2048,7 @@ object TextQueries {
     "q180_domain_stats" -> (q180DomainStats _),
     "q179_crawl_pipeline" -> (q179CrawlPipeline _),
     "q178_html_extract" -> (q178HtmlExtract _),
+    "q192_html5_entities" -> (q192Html5Entities _),
     "q177_warc_assets" -> (q177WarcAssets _),
     "q176_wet_member_index" -> (q176WetMemberIndex _),
     "q173_wet_quarantine_audit" -> (q173WetQuarantineAudit _),
@@ -2033,6 +2096,7 @@ object TextQueries {
     "q46_mix_quota"     -> (q46MixQuota _),
     "q47_repetition"    -> (q47Repetition _),
     "q48_decontaminate" -> (q48Decontaminate _),
+    "q193_bloom_decontaminate" -> (q193BloomDecontaminate _),
     "q49_dedup_corpus"  -> (q49DedupCorpus _),
     "q56_chunks"        -> (q56Chunks _),
     "q60_minhash_recall" -> (q60MinhashRecall _),
@@ -2265,6 +2329,22 @@ object TextQueries {
         |  THEN ' — “data”…'
         |  WHEN doc_id % 4 = 3
         |  THEN ' café, Über naïve & more © 2020' ELSE '' END AS main_text
+        |FROM documents""".stripMargin,
+
+    // extended-entity decode: every expected character is DERIVED from
+    // its codepoint (chr), never typed; the unknown name and the
+    // no-semicolon extension name must survive literally
+    "q192_html5_entities" ->
+      """SELECT doc_id, text || CASE doc_id % 4
+        |  WHEN 0 THEN ' ' || chr(10003) || ' list ' || chr(10007) ||
+        |    ' done ' || chr(10232) || ' back'
+        |  WHEN 1 THEN ' se' || chr(8467) || chr(8467) || ' the ' ||
+        |    chr(8470) || '1 ' || chr(8471) || ' label'
+        |  WHEN 2 THEN ' fjord ' || chr(8484) || ' ' || chr(8474) || ' ' ||
+        |    chr(8477) || ' math'
+        |  ELSE ' ' || chr(9734) || chr(9733) || ' rated caf' || chr(233) ||
+        |    ' ' || chr(8463) || ' &zzznope; end &check no-semi'
+        |END AS decoded
         |FROM documents""".stripMargin,
 
     // the complete crawl ingest (gzip codec -> WARC byte split -> HTML
@@ -3382,6 +3462,47 @@ object TextQueries {
         |SELECT d2.doc_id, d2.source
         |FROM docs2 d2 LEFT JOIN comp USING (doc_id)
         |WHERE comp.component_id IS NULL OR comp.component_id = d2.doc_id""".stripMargin,
+
+    // full Bloom replay: same seed-keyed md5 positions (8 hex chars ->
+    // the shared instr-polynomial), the sign-bit mask via the q134
+    // minlong trick, bit_or build, 3-way word-join probe. Validated
+    // against an independent python reimplementation before porting.
+    "q193_bloom_decontaminate" -> {
+      def mask(p: String) =
+        s"CASE WHEN $p % 64 = 63 THEN -9223372036854775807 - 1 " +
+          s"ELSE (1::BIGINT << CAST($p % 64 AS INT)) END"
+      def hxCols = (0 until 3).map { r =>
+        s"substr(md5(shingle || ':bf$r'), 1, 8) AS hx$r" }.mkString(", ")
+      def pCols = (0 until 3).map { r =>
+        s"${Md5Key.hexToLong(s"hx$r", 8)} % 131072 AS p$r" }.mkString(", ")
+      s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+         |           FROM documents),
+         |sh AS (SELECT doc_id, source,
+         |         unnest(list_distinct(list_transform(range(len(w) - 2),
+         |           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS shingle
+         |       FROM d WHERE len(w) >= 3),
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+         |bhx AS (SELECT shingle, $hxCols FROM bench),
+         |bp AS (SELECT shingle, $pCols FROM bhx),
+         |bw AS (SELECT pos // 64 AS word, ${mask("pos")} AS bitv
+         |       FROM (SELECT unnest([p0, p1, p2]) AS pos FROM bp) u),
+         |bits AS (SELECT word, bit_or(bitv) AS bits FROM bw GROUP BY word),
+         |phx AS (SELECT doc_id, shingle, $hxCols
+         |        FROM sh WHERE source != 'src0'),
+         |pr AS (SELECT doc_id, shingle, $pCols FROM phx),
+         |h AS (SELECT doc_id,
+         |        (coalesce(b0.bits & ${mask("p0")}, 0) != 0
+         |         AND coalesce(b1.bits & ${mask("p1")}, 0) != 0
+         |         AND coalesce(b2.bits & ${mask("p2")}, 0) != 0) AS maybe
+         |      FROM pr
+         |      LEFT JOIN bits b0 ON p0 // 64 = b0.word
+         |      LEFT JOIN bits b1 ON p1 // 64 = b1.word
+         |      LEFT JOIN bits b2 ON p2 // 64 = b2.word)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+         |  (sum(CASE WHEN maybe THEN 1 ELSE 0 END) >= 3) AS flagged_bloom
+         |FROM h GROUP BY doc_id""".stripMargin
+    },
 
     "q48_decontaminate" ->
       """WITH sh AS (

@@ -107,6 +107,34 @@ class BenchContractSpec extends AnyFunSuite {
     assert(st.get("queries").get(digitId(names.head)).asLong() == 123L)
   }
 
+  test("past the ms budget the ladder lands on CENTISECONDS, not integer seconds") {
+    // a synthetic 210-query registry at the pre-r17 stress
+    // distribution (mean ~0.94 s): integer ms overflows the tail
+    // budget (measured ~2.1 kB), centiseconds fit (~1.94 kB), and the
+    // r17 rung must catch it at 10 ms resolution — the old direct
+    // fall to integer seconds zeroed every sub-second query, costing
+    // the whole round-over-round comparison (220+ queries at this
+    // distribution overflow cs too and legitimately land on seconds)
+    val big = (1 to 210).map(i => s"q${i}_synth")
+    val cycle = Array(0.043, 0.117, 0.234, 0.318, 0.441, 0.527,
+      0.738, 1.412, 2.317, 3.289)
+    val real = big.zipWithIndex
+      .map { case (n, i) => n -> cycle(i % cycle.length) }.toMap
+    val line = Bench.summaryJson(big, real, big.map(_ -> true).toMap,
+      Map.empty, passes = 2, sfDir = "/root/testdata/sf0.1",
+      canary = 0.308, canarySh = 0.142)
+    assert(line.length < 1980, s"cs line is ${line.length} B")
+    val t = mapper.readTree(line)
+    assert(t.get("qunit").asText() == "cs",
+      s"expected the centisecond rung, got ${t.get("qunit").asText()}")
+    for (n <- Seq(big.find(real(_) < 1).get, big.find(real(_) >= 1).get))
+      assert(t.get("queries").get(digitId(n)).asLong()
+        == math.round(real(n) * 100),
+        s"$n must round-trip at 10 ms resolution")
+    assert(math.abs(t.get("value").asDouble() - real.values.sum) < 0.5,
+      "the headline total stays 3-decimal seconds on every rung")
+  }
+
   test("memo-tagged queries appear as digit ids; the field is omitted when empty") {
     // a SMALL synthetic registry: the memo FORMAT contract must stay
     // testable whatever the real registry's size — at 189 queries the

@@ -394,4 +394,90 @@ class Round17Spec extends AnyFunSuite {
       .select("est_distinct").head().getLong(0)
     assert(est3 == est1, "the estimate must be a pure function of the key set")
   }
+
+  /** The Bloom pre-filter's load-bearing guarantees: bitmaps merge by
+    * OR (two half-builds, with cross-side duplicates, OR'd together
+    * == the whole build — the property partial aggregation and
+    * two-corpus combines rely on), every INSERTED key probes
+    * maybe=true (no false negatives — the Bloom theorem, structural),
+    * and on the fixture corpus every doc the EXACT decontamination
+    * (q48) flags is flagged by the pre-filter — the containment that
+    * makes the 100 TB split (Bloom pass first, exact join on
+    * survivors only) sound. */
+  test("bloomBits/bloomMaybe: OR merge law, no false negatives, q48 containment") {
+    import graft.operators.Sketches
+    val rnd = new scala.util.Random(9317L)
+    val all = (0 until 300).map(_ => s"k${rnd.nextInt(140)}")
+    val (a, b) = all.partition(_ => rnd.nextBoolean())
+    def bm(keys: Seq[String]) =
+      Sketches.bloomBits(keys.toDF("key"), "key", mBits = 4096)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val whole = bm(all)
+    val ra = bm(a ++ b.take(10))
+    val rb = bm(b)
+    val merged = (ra.keySet ++ rb.keySet)
+      .map(w => w -> (ra.getOrElse(w, 0L) | rb.getOrElse(w, 0L))).toMap
+    assert(merged == whole)
+    val bitsDf = Sketches.bloomBits(all.toDF("key"), "key", mBits = 4096)
+    val probed = Sketches.bloomMaybe(all.distinct.toDF("key"), "key",
+      bitsDf, carry = Seq("key"), mBits = 4096)
+    assert(probed.filter(!$"maybe").count() == 0,
+      "an inserted key must never probe maybe=false")
+    val bloomFlagged = graft.ops.TextQueries
+      .q193BloomDecontaminate(spark, SparkTestSession.sf)
+      .filter($"flagged_bloom").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val exactFlagged = graft.ops.TextQueries
+      .q48Decontaminate(spark, SparkTestSession.sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exactFlagged.subsetOf(bloomFlagged),
+      s"Bloom missed exact-flagged docs: ${(exactFlagged -- bloomFlagged).take(5)}")
+  }
+
+  /** The extended-entity loader and `html_unescape_full` boundaries:
+    * the committed snapshot (published entities.json format,
+    * provenance-disclosed transcription) parses — multi-codepoint
+    * ligature included, the `_provenance` key skipped — HTML5-only
+    * names decode through the merged table, the DEFAULT decoder still
+    * passes them through (the compiled table's documented non-goal
+    * must not move), extension names never decode without their
+    * semicolon (the no-semicolon set is the spec-frozen Legacy list,
+    * extension-independent), and the SQL route loads by path at plan
+    * time. */
+  test("html_unescape_full: snapshot-extended decode with frozen legacy boundaries") {
+    import graft.functions.{HtmlEntities, HtmlUnescapeCore}
+    import org.apache.spark.unsafe.types.UTF8String
+    val table = HtmlEntities.load(spark,
+      "classpath:graft/html5_entities_snapshot.json")
+    assert(table("check") == "✓")
+    assert(table("fjlig") == "fj", "multi-codepoint entries must survive")
+    assert(!table.contains("_provenance") &&
+      !table.keys.exists(_.startsWith("&")))
+    val merged = HtmlUnescapeCore.Named ++ table
+    def full(s: String) =
+      HtmlUnescapeCore.unescapeWith(UTF8String.fromString(s), merged).toString
+    def dflt(s: String) =
+      HtmlUnescapeCore.unescape(UTF8String.fromString(s)).toString
+    assert(full("a &check; b") == "a ✓ b")
+    assert(dflt("a &check; b") == "a &check; b",
+      "the compiled table's non-goal must not move")
+    assert(full("&fjlig;ord &Zopf;") == "fjord ℤ")
+    assert(full("caf&eacute; &DoubleLongLeftArrow;") == "café ⟸")
+    assert(full("&check mark") == "&check mark",
+      "extension names must not decode semicolon-less")
+    assert(full("&copy 2020") == "© 2020",
+      "the frozen legacy set still decodes semicolon-less through the merged table")
+    assert(full("&zzznope; x") == "&zzznope; x")
+    // ...and a legacy PREFIX inside an unknown name decodes through
+    // it (the spec's `&notit;` -> `(not-sign)it;` parse, already pinned
+    // for the compiled table): extension loading must not change that
+    assert(full("&notarealname;") == "\u00acarealname;")
+    // SQL route: the registered function loads the table by path at
+    // analysis time and ships it inside the expression
+    graft.GraftSession.registerFunctions(spark)
+    val out = spark.sql("SELECT html_unescape_full('&star;&starf; &amp;', " +
+      "'classpath:graft/html5_entities_snapshot.json') AS d")
+      .head().getString(0)
+    assert(out == "☆★ &")
+  }
 }
