@@ -246,8 +246,13 @@ object Sketches {
   }
 
   /** Per-group HLL distinct-cardinality estimate of `keyExpr` — the
-    * composed form ([[hllRegisters]] → [[hllEstimateFromRegisters]]),
-    * batch or streaming alike. */
+    * composed form ([[hllRegisters]] → [[hllEstimateFromRegisters]]).
+    * Batch only as ONE plan (streaming supports no chained
+    * aggregations): the streaming form runs [[hllRegisters]] as the
+    * streaming query — the state store holds exactly the register
+    * table — and applies [[hllEstimateFromRegisters]] as a batch read
+    * over its ≤ m·|groups|-row output (pinned equal to this composed
+    * form in Round17Spec). */
   def hllDistinctEstimate(df: DataFrame, groupCol: String,
                           keyExpr: String, b: Int = 8): DataFrame =
     hllEstimateFromRegisters(hllRegisters(df, groupCol, keyExpr, b),

@@ -395,6 +395,53 @@ class Round17Spec extends AnyFunSuite {
     assert(est3 == est1, "the estimate must be a pure function of the key set")
   }
 
+  /** The HLL scaladoc's streaming claim, executed: in Complete mode
+    * Structured Streaming keeps exactly the REGISTER TABLE per group
+    * in the state store (one aggregate — streaming supports no
+    * chained aggs, so the estimator runs as a batch read over the
+    * ≤ m·|groups|-row streamed output), merging micro-batch partials
+    * through the aggregate's own max — so the continuously-maintained
+    * registers, and the estimate read off them, must equal the batch
+    * forms over the union, with cross-batch duplicates deduped by
+    * max-idempotence (no set buffer needed, unlike KMV). Mirrors the
+    * kmv streaming spec (Round9WideningSpec). */
+  test("streaming HLL registers: final state equals the batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Sketches
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val b1 = (1 to 900).map(i => ("a", s"k$i")) ++
+      (1 to 400).map(i => ("b", s"k$i"))
+    val b2 = (600 to 1500).map(i => ("a", s"k$i")) ++
+      (1 to 400).map(i => ("b", s"k$i")) // b re-sends everything
+    val ms = MemoryStream[(String, String)]
+    val q = Sketches.hllRegisters(
+        ms.toDF().toDF("g", "id"), "g", "id", b = 8)
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+      val streamedRegs = spark.table("hll_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+      val batchRegs = Sketches.hllRegisters(
+          (b1 ++ b2).toDF("g", "id"), "g", "id", b = 8).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+      assert(streamedRegs == batchRegs,
+        "the state-store register table must equal the batch register table")
+      // the estimator over the streamed table == the batch estimate
+      val streamedEst = Sketches.hllEstimateFromRegisters(
+          spark.table("hll_stream"), "g", b = 8).collect()
+        .map(r => r.getString(0) -> r.getLong(4)).toMap
+      val batchEst = Sketches.hllDistinctEstimate(
+          (b1 ++ b2).toDF("g", "id"), "g", "id", b = 8).collect()
+        .map(r => r.getString(0) -> r.getLong(4)).toMap
+      assert(streamedEst == batchEst)
+      // 'b' was sent twice in full: the estimate must not double
+      assert(streamedEst("b") < 700,
+        s"cross-batch duplicates must not inflate the estimate: ${streamedEst("b")}")
+    } finally q.stop()
+  }
+
   /** The Bloom pre-filter's load-bearing guarantees: bitmaps merge by
     * OR (two half-builds, with cross-side duplicates, OR'd together
     * == the whole build — the property partial aggregation and
