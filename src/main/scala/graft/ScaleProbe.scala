@@ -791,6 +791,39 @@ object ScaleProbe {
             .select($"slot", $"term")
           operators.TextAnalysis.proximityMinSpan(docs, slots, k = 16).count()
         }),
+        // r17: HLL distinct user-days shape — one bounded two-level
+        // aggregate (register table ≤ m rows per group at EVERY cell:
+        // state constant in corpus size, the whole point), so time ∝
+        // rows scanned, exactly linear by shape
+        "q191_hll" -> (() =>
+          operators.Sketches.hllDistinctEstimate(
+            docs.select($"doc_id", $"source"), "source",
+            "cast(doc_id as string)").count()),
+        // r17: Bloom decontamination pre-filter — the bench set (src0
+        // shingles) grows WITH the corpus here, so this measures both
+        // the bit_or build (∝ bench shingles) and the shuffle-free
+        // probe (∝ corpus shingles, broadcast lookups + one per-doc
+        // aggregate); the bitmap stays 2¹⁷ bits at every cell (probe
+        // state constant — production scales mBits ∝ n to hold FPR,
+        // same recipe as srpBitsFor)
+        "q193_bloom_prefilter" -> (() => {
+          val sh = docs
+            .select($"doc_id", $"source", split($"text", " ").as("w"))
+            .filter(size($"w") >= 3)
+            .select($"doc_id", $"source",
+              explode(array_distinct(expr(
+                "transform(sequence(0, size(w) - 3), " +
+                  "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")))
+                .as("shingle"))
+          val bits = operators.Sketches.bloomBits(
+            sh.filter($"source" === "src0").select("shingle"), "shingle")
+          operators.Sketches.bloomMaybe(
+              sh.filter($"source" =!= "src0").select("doc_id", "shingle"),
+              "shingle", bits, carry = Seq("doc_id"))
+            .groupBy("doc_id")
+            .agg(sum(when($"maybe", 1L).otherwise(0L)).as("n_maybe"))
+            .count()
+        }),
         "q121_key_skew" -> (() => {
           val synth = spark.range(100000L * s).select(
             (pmod(hash($"id"), lit(1000)) *
