@@ -258,6 +258,58 @@ object Sketches {
     hllEstimateFromRegisters(hllRegisters(df, groupCol, keyExpr, b),
       groupCol, b)
 
+  /** HLL set algebra over a [[hllRegisters]] frame — the q160
+    * (KMV pair algebra) counterpart at HLL's state point: for every
+    * unordered pair of groups, the UNION cardinality estimate comes
+    * from the elementwise-max register vector (exact sketch algebra:
+    * the register table of A ∪ B IS max(K(A), K(B)) — the law pinned
+    * in Round17Spec), and the INTERSECTION estimate by
+    * inclusion–exclusion (`est_A + est_B − est_union`, clamped at 0 —
+    * noisier than the union, the documented HLL property; KMV's ρ
+    * estimator is the alternative when intersection precision
+    * matters). The per-group register map is densified to an m-vector
+    * once (`map_from_entries` over the ≤ m-row register table), pairs
+    * join on a BROADCAST of the |groups|-row vector frame, and every
+    * estimator is the same integer-exact rational as
+    * [[hllEstimateFromRegisters]] (never-hit registers contribute
+    * their 2⁶² term inside the in-row `aggregate` fold) — so the
+    * whole pair frame sits under the DuckDB hash gate (q194).
+    * C(|groups|, 2) pairs of 100 TB key sets become C(|groups|, 2)
+    * pairs of 256-byte-ish register vectors. */
+  def hllPairAlgebra(regs: DataFrame, groupCol: String,
+                     b: Int = 8): DataFrame = {
+    require(b >= 7 && b <= 15,
+      s"b must be in [7,15] (m >= 128 for the closed-form alpha), got $b")
+    val m = 1L << b
+    val numc = BigInt(7213) * BigInt(m).pow(3) * BigInt(2).pow(62)
+    val den = 10000L * m + 10790L
+    val dense = regs.groupBy(groupCol)
+      .agg(map_from_entries(collect_list(struct(col("j"), col("mr"))))
+        .as("rm"))
+      .select(col(groupCol),
+        expr(s"transform(sequence(0, ${m - 1}), " +
+          "j -> coalesce(rm[cast(j as bigint)], 0))").as("regs"))
+    def est(arr: String) =
+      s"cast(cast($numc as decimal(38,0)) div ($den * aggregate($arr, " +
+        "cast(0 as decimal(38,0)), (acc, r) -> acc + " +
+        "cast(shiftleft(cast(1 as bigint), cast(62 - r as int))" +
+        " as decimal(38,0)))) as bigint)"
+    val a = dense.select(col(groupCol).as("t1"), col("regs").as("r1"))
+    val bside = dense.select(col(groupCol).as("t2"), col("regs").as("r2"))
+    a.join(broadcast(bside), col("t1") < col("t2"))
+      .withColumn("ru", expr("zip_with(r1, r2, (x, y) -> greatest(x, y))"))
+      .withColumn("est_t1", expr(est("r1")))
+      .withColumn("est_t2", expr(est("r2")))
+      .withColumn("est_union", expr(est("ru")))
+      .withColumn("est_inter",
+        greatest(col("est_t1") + col("est_t2") - col("est_union"), lit(0L)))
+      .select(col("t1"), col("t2"), col("est_t1"), col("est_t2"),
+        col("est_union"), col("est_inter"),
+        expr("cast(cast(est_inter as decimal(38,0)) * 1000 " +
+          "div greatest(est_union, 1) as bigint)")
+          .as("jaccard_est_permille"))
+  }
+
   /** Bloom-filter BITMAP over `keyCol` as ≤ `mBits/64` BIGINT words:
     * `kHash` seed-keyed md5 positions per key (the [[withCmBuckets]]
     * hashing convention at 8 hex chars — 32 bits, so mBits can exceed

@@ -1123,6 +1123,28 @@ object EventQueries {
       b = 8)
       .orderBy("event_type")
 
+  /** HLL-side user-day overlap per event-type pair — q160's audience
+    * algebra at HLL's state point: union from the elementwise-max
+    * register vectors (exact sketch algebra), intersection by
+    * inclusion–exclusion (clamped; noisier than KMV's ρ estimator by
+    * design — the documented trade is 256 six-bit registers of state
+    * against intersection precision). Shares the register-build PLAN
+    * with q191 (the q141/q160 convention: a sub-second bounded
+    * aggregate is cheaper to recompute than to cache); the pair side
+    * is C(5,2) broadcast rows of 256-entry vectors, and every
+    * estimator is the same integer rational as q191's, so the whole
+    * frame hash-replays (q194). The q194-vs-q191 per-group estimator
+    * consistency (est_t1/est_t2 == q191's est_distinct) is pinned in
+    * Round17Spec. */
+  def q194HllOverlap(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.hllPairAlgebra(
+      graft.operators.Sketches.hllRegisters(
+        Tables.events(spark, dir), "event_type",
+        "concat(cast(user_id as string), ':', date_format(ts, 'yyyy-MM-dd'))",
+        b = 8),
+      "event_type", b = 8)
+      .orderBy("t1", "t2")
+
   /** Sketch-side audience overlap: distinct-user union, intersection,
     * and Jaccard per event-type pair estimated from the q141 KMV
     * sketches alone — the 100 TB swap for q155's EXACT overlap, which
@@ -1331,6 +1353,7 @@ object EventQueries {
     "q143_count_min"      -> (q143CountMin _),
     "q141_kmv_distinct"   -> (q141KmvDistinct _),
     "q191_hll_user_days"  -> (q191HllUserDays _),
+    "q194_hll_overlap"    -> (q194HllOverlap _),
     "q160_kmv_overlap"    -> (q160KmvOverlap _),
     "q162_mg_certificate" -> (q162MgCertificate _),
     "q129_hist_quantile"  -> (q129HistQuantile _),
@@ -1612,6 +1635,49 @@ object EventQueries {
          |  END AS est_distinct
          |FROM r GROUP BY event_type, nd
          |ORDER BY event_type""".stripMargin,
+
+    // q191's register CTEs extended with pair algebra: union registers
+    // by greatest() over a dense (pair x 256) grid, the same HUGEINT
+    // harmonic estimator, inclusion-exclusion intersection clamped at 0
+    "q194_hll_overlap" ->
+      s"""WITH k AS (SELECT event_type,
+         |             substr(md5(cast(user_id as string) || ':' ||
+         |                        strftime(ts, '%Y-%m-%d')), 1, 15) AS hx
+         |           FROM events),
+         |v AS (SELECT event_type, ${Md5Key.hex15ToLong("hx")} AS hv FROM k),
+         |b AS (SELECT event_type, hv // 4503599627370496 AS j,
+         |             hv % 4503599627370496 AS w FROM v),
+         |reg AS (SELECT event_type, j,
+         |          max(CASE WHEN w = 0 THEN 53
+         |                   ELSE 53 - length(bin(w)) END) AS mr
+         |        FROM b GROUP BY event_type, j),
+         |g AS (SELECT DISTINCT event_type FROM reg),
+         |pairs AS (SELECT a.event_type AS t1, b2.event_type AS t2
+         |          FROM g a JOIN g b2 ON a.event_type < b2.event_type),
+         |grid AS (SELECT t1, t2, t.j FROM pairs CROSS JOIN range(256) t(j)),
+         |rr AS (SELECT gr.t1, gr.t2,
+         |         coalesce(r1.mr, 0) AS m1, coalesce(r2.mr, 0) AS m2
+         |       FROM grid gr
+         |       LEFT JOIN reg r1 ON r1.event_type = gr.t1 AND r1.j = gr.j
+         |       LEFT JOIN reg r2 ON r2.event_type = gr.t2 AND r2.j = gr.j),
+         |s AS (SELECT t1, t2,
+         |        sum((1::BIGINT << (62 - m1))::HUGEINT) AS s1,
+         |        sum((1::BIGINT << (62 - m2))::HUGEINT) AS s2,
+         |        sum((1::BIGINT << (62 - greatest(m1, m2)))::HUGEINT) AS su
+         |      FROM rr GROUP BY t1, t2),
+         |e AS (SELECT t1, t2,
+         |        CAST(CAST(121014190080 AS HUGEINT) * 4611686018427387904
+         |          // (2570790 * s1) AS BIGINT) AS est_t1,
+         |        CAST(CAST(121014190080 AS HUGEINT) * 4611686018427387904
+         |          // (2570790 * s2) AS BIGINT) AS est_t2,
+         |        CAST(CAST(121014190080 AS HUGEINT) * 4611686018427387904
+         |          // (2570790 * su) AS BIGINT) AS est_union
+         |      FROM s)
+         |SELECT t1, t2, est_t1, est_t2, est_union,
+         |  greatest(est_t1 + est_t2 - est_union, 0) AS est_inter,
+         |  CAST(greatest(est_t1 + est_t2 - est_union, 0)::HUGEINT * 1000
+         |    // greatest(est_union, 1) AS BIGINT) AS jaccard_est_permille
+         |FROM e ORDER BY t1, t2""".stripMargin,
 
     // HLL replay, same stance as q141: identical md5→hex15ToLong hash
     // text both engines; register index/value in integer arithmetic

@@ -442,6 +442,35 @@ class Round17Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  /** q194's pair algebra must be CONSISTENT with q191's single-group
+    * estimator (same registers → identical per-group estimates inside
+    * the pair frame), and structurally sound: the union estimate can
+    * never fall below either side's (elementwise max ⇒ the union's
+    * harmonic sum is ≤ both sides'), with the union-register law
+    * itself already pinned by the merge-law test above. */
+  test("hllPairAlgebra: per-group estimates match hllEstimateFromRegisters; union >= both sides") {
+    import graft.operators.Sketches
+    val rnd = new scala.util.Random(4242L)
+    val rows = (0 until 1200).map { i =>
+      (s"g${i % 3}", s"k${rnd.nextInt(800) + (i % 3) * 500}")
+    }
+    val regs = Sketches.hllRegisters(rows.toDF("g", "id"), "g", "id", b = 8)
+    val single = Sketches.hllEstimateFromRegisters(regs, "g", b = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    val pairs = Sketches.hllPairAlgebra(regs, "g", b = 8).collect()
+    assert(pairs.length == 3) // C(3,2)
+    pairs.foreach { r =>
+      val (t1, t2) = (r.getString(0), r.getString(1))
+      val (e1, e2, eu, ei) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(e1 == single(t1) && e2 == single(t2),
+        s"pair-side estimates must equal the single-group estimator: $t1/$t2")
+      assert(eu >= math.max(e1, e2),
+        s"union estimate below a side: $eu < max($e1, $e2)")
+      assert(ei >= 0 && ei <= eu)
+    }
+  }
+
   /** The Bloom pre-filter's load-bearing guarantees: bitmaps merge by
     * OR (two half-builds, with cross-side duplicates, OR'd together
     * == the whole build — the property partial aggregation and
