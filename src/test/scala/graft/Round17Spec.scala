@@ -442,6 +442,38 @@ class Round17Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  /** The estimator's GENERIC dials: q191/q194 gate b=8 only, but the
+    * operator claims b ∈ [7,15] — the rational-α and scaled-harmonic
+    * constants are computed from b, so exercise the formula at the
+    * ends and middle of the range on a known cardinality (the σ =
+    * 1.04/√m band tightens as b grows; asserted at 3σ + a grace
+    * margin for the small-m ends). The raw regime holds at b=7/10
+    * but NOT at b=15 (5000 < 2.5·2¹⁵), so the top dial asserts the
+    * v_zero emission instead: with m=32768 ≫ n the sketch is in the在 the
+    * linear-counting regime and the documented answer is the
+    * emitted regime telemetry; assert exactly that). */
+  test("hll estimator dials: b=7 and b=10 accuracy bands; b=15 regime telemetry") {
+    import graft.operators.Sketches
+    val base = (0 until 5000).map(i => ("g", s"key-$i"))
+    for ((b, tol) <- Seq((7, 0.35), (10, 0.12))) {
+      val est = Sketches.hllDistinctEstimate(
+        base.toDF("grp", "key"), "grp", "key", b = b)
+        .select("est_distinct").head().getLong(0)
+      assert(math.abs(est - 5000.0) / 5000.0 <= tol,
+        s"b=$b estimate $est outside ±${tol * 100}% of 5000")
+    }
+    // b=15: m = 32768 > n — the raw-regime precondition fails by
+    // construction and the scaladoc's answer is the emitted
+    // telemetry: v_zero is large and visible, the caller's cue to
+    // hand off to KMV (exact below k) in this regime
+    val row = Sketches.hllDistinctEstimate(
+      base.toDF("grp", "key"), "grp", "key", b = 15)
+      .select("n_regs_hit", "v_zero").head()
+    assert(row.getLong(1) > 25000,
+      "with m >> n the wrong regime must be VISIBLE in v_zero")
+    assert(row.getLong(0) < 6000)
+  }
+
   /** q194's pair algebra must be CONSISTENT with q191's single-group
     * estimator (same registers → identical per-group estimates inside
     * the pair frame), and structurally sound: the union estimate can
