@@ -325,21 +325,36 @@ object HtmlEntities {
   }
 
   /** `classpath:resource/name.json` or any Hadoop-readable path
-    * (file://, hdfs://, s3a:// — the scheme-transparent S12 stance). */
+    * (file://, hdfs://, s3a:// — the scheme-transparent S12 stance).
+    *
+    * Filesystem paths key the cache by (path, length, mtime) so a
+    * long-lived driver picks up a REPLACED entity file on the next
+    * load instead of silently serving the stale table for the JVM
+    * lifetime (ADVICE r17); classpath resources are immutable per
+    * JVM by construction and key by name alone. */
   def load(spark: org.apache.spark.sql.SparkSession,
-           path: String): Map[String, String] =
-    cache.computeIfAbsent(path, { p =>
+           path: String): Map[String, String] = {
+    val key =
+      if (path.startsWith("classpath:")) path
+      else {
+        val hp = new org.apache.hadoop.fs.Path(path)
+        val st = hp.getFileSystem(spark.sessionState.newHadoopConf())
+          .getFileStatus(hp)
+        s"$path#${st.getLen}#${st.getModificationTime}"
+      }
+    cache.computeIfAbsent(key, { _ =>
       val in =
-        if (p.startsWith("classpath:")) {
-          val n = p.substring("classpath:".length)
+        if (path.startsWith("classpath:")) {
+          val n = path.substring("classpath:".length)
           val st = Thread.currentThread().getContextClassLoader
             .getResourceAsStream(n)
           require(st != null, s"classpath resource not found: $n")
           st
         } else {
-          val hp = new org.apache.hadoop.fs.Path(p)
+          val hp = new org.apache.hadoop.fs.Path(path)
           hp.getFileSystem(spark.sessionState.newHadoopConf()).open(hp)
         }
       try fromStream(in) finally in.close()
     })
+  }
 }

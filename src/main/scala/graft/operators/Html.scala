@@ -133,25 +133,31 @@ object Html {
       coalesce(cs.map(nullif(_, lit(""))): _*)
     // attribute value out of a CAPTURED TAG string: quoted forms
     // first (the unquoted arm cannot start at a quote, so the
-    // coalesce order is just preference, not correctness)
+    // coalesce order is just preference, not correctness). The name
+    // is anchored to a preceding DELIMITER, not \b: '-' is a word
+    // boundary, so \bhref would match inside data-href and a hostile
+    // <link rel=canonical data-href="/wrong" href="/right"> could
+    // surface the wrong value (ADVICE r17). RE2-safe, no lookbehind.
     def attrValue(tag: Column, attr: String): Column = firstNonEmpty(
-      regexp_extract(tag, s"(?i)\\b$attr\\s*=\\s*\"([^\"]*)\"", 1),
-      regexp_extract(tag, s"(?i)\\b$attr\\s*=\\s*'([^']*)'", 1),
-      regexp_extract(tag, s"(?i)\\b$attr\\s*=\\s*([^\\s\"'>]+)", 1))
+      regexp_extract(tag, s"(?i)(?:^|[\\s\"'/])$attr\\s*=\\s*\"([^\"]*)\"", 1),
+      regexp_extract(tag, s"(?i)(?:^|[\\s\"'/])$attr\\s*=\\s*'([^']*)'", 1),
+      regexp_extract(tag, s"(?i)(?:^|[\\s\"'/])$attr\\s*=\\s*([^\\s\"'>]+)", 1))
     // <link> whose rel VALUE contains the whole token `canonical`:
     // quoted arms token-match inside the quotes; the unquoted arm is
     // single-token by grammar (an unquoted value ends at whitespace),
     // and its tail alternation handles last-attribute position
     // (`...rel=canonical>`) without lookahead
+    // same delimiter anchoring as attrValue: [\s"'/] before the
+    // attribute name, never \b (data-rel= must not match rel=)
     val canonTag = regexp_extract(col(htmlCol),
-      "(?i)<link\\b[^>]*\\brel\\s*=\\s*(?:\"(?:[^\"]*\\s)?canonical(?:\\s[^\"]*)?\"[^>]*" +
+      "(?i)<link\\b[^>]*[\\s\"'/]rel\\s*=\\s*(?:\"(?:[^\"]*\\s)?canonical(?:\\s[^\"]*)?\"[^>]*" +
         "|'(?:[^']*\\s)?canonical(?:\\s[^']*)?'[^>]*" +
         "|canonical(?:[\\s/][^>]*)?)>", 0)
     val robotsTag = regexp_extract(col(htmlCol),
-      "(?i)<meta\\b[^>]*\\bname\\s*=\\s*(?:\"robots\"[^>]*" +
+      "(?i)<meta\\b[^>]*[\\s\"'/]name\\s*=\\s*(?:\"robots\"[^>]*" +
         "|'robots'[^>]*|robots(?:[\\s/][^>]*)?)>", 0)
     val baseTag = regexp_extract(col(htmlCol),
-      "(?i)<base\\b[^>]*\\bhref\\s*=[^>]*>", 0)
+      "(?i)<base\\b[^>]*[\\s\"'/]href\\s*=[^>]*>", 0)
     def hasToken(token: String): Column =
       coalesce(lower(col("meta_robots")).rlike(s"(^|[,\\s])$token([,\\s]|$$)"),
         lit(false))

@@ -154,6 +154,19 @@ object Sketches {
     withCmBuckets(df, keyCol, tag, d, w, Seq.empty)
       .groupBy("r", "b").agg(count(lit(1)).as("cnt"))
 
+  /** α numerator factor `7213·m³` of the integer-exact HLL estimator
+    * (`est = 7213·m³·2⁶² div ((10000·m + 10790)·S)`), exposed so the
+    * DuckDB oracle SQL interpolates the SAME literal the engine
+    * computes — the two sides must never hand-maintain this constant
+    * independently (an r17 oracle had it off by 2¹⁷, ~1.08e-6
+    * relative, enough to flip the floor division on ~3% of
+    * cardinalities; ADVICE r17 high). */
+  def hllAlphaNum(b: Int): BigInt = {
+    require(b >= 7 && b <= 15,
+      s"b must be in [7,15] (m >= 128 for the closed-form alpha), got $b")
+    BigInt(7213) * BigInt(1L << b).pow(3)
+  }
+
   /** HyperLogLog register table per group: ≤ `m = 2^b` rows of
     * (group, `j`, `mr`) where `j` is the register index (top `b` bits
     * of the 60-bit [[Md5Key]] hash of `keyExpr`) and `mr` the register
@@ -227,7 +240,7 @@ object Sketches {
     require(b >= 7 && b <= 15,
       s"b must be in [7,15] (m >= 128 for the closed-form alpha), got $b")
     val m = 1L << b
-    val numc = BigInt(7213) * BigInt(m).pow(3) * BigInt(2).pow(62)
+    val numc = hllAlphaNum(b) * BigInt(2).pow(62)
     val den = 10000L * m + 10790L
     val scale = 1L << 62
     regs.groupBy(groupCol)
@@ -281,7 +294,7 @@ object Sketches {
     require(b >= 7 && b <= 15,
       s"b must be in [7,15] (m >= 128 for the closed-form alpha), got $b")
     val m = 1L << b
-    val numc = BigInt(7213) * BigInt(m).pow(3) * BigInt(2).pow(62)
+    val numc = hllAlphaNum(b) * BigInt(2).pow(62)
     val den = 10000L * m + 10790L
     val dense = regs.groupBy(groupCol)
       .agg(map_from_entries(collect_list(struct(col("j"), col("mr"))))

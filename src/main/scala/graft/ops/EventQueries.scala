@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsOf, Maintenance, Multimodal}
+import graft.operators.{AsOf, Maintenance, Multimodal, Sketches}
 import graft.streaming.EventStreams
 
 /** Event-time window inventory over `events`, plus multimodal
@@ -1666,11 +1666,11 @@ object EventQueries {
          |        sum((1::BIGINT << (62 - greatest(m1, m2)))::HUGEINT) AS su
          |      FROM rr GROUP BY t1, t2),
          |e AS (SELECT t1, t2,
-         |        CAST(CAST(121014190080 AS HUGEINT) * 4611686018427387904
+         |        CAST(CAST(${Sketches.hllAlphaNum(8)} AS HUGEINT) * 4611686018427387904
          |          // (2570790 * s1) AS BIGINT) AS est_t1,
-         |        CAST(CAST(121014190080 AS HUGEINT) * 4611686018427387904
+         |        CAST(CAST(${Sketches.hllAlphaNum(8)} AS HUGEINT) * 4611686018427387904
          |          // (2570790 * s2) AS BIGINT) AS est_t2,
-         |        CAST(CAST(121014190080 AS HUGEINT) * 4611686018427387904
+         |        CAST(CAST(${Sketches.hllAlphaNum(8)} AS HUGEINT) * 4611686018427387904
          |          // (2570790 * su) AS BIGINT) AS est_union
          |      FROM s)
          |SELECT t1, t2, est_t1, est_t2, est_union,
@@ -1703,7 +1703,7 @@ object EventQueries {
          |      FROM reg GROUP BY event_type)
          |SELECT event_type, n_regs_hit,
          |  256 - n_regs_hit AS v_zero, max_rank,
-         |  CAST(CAST(121014190080 AS HUGEINT) * 4611686018427387904
+         |  CAST(CAST(${Sketches.hllAlphaNum(8)} AS HUGEINT) * 4611686018427387904
          |    // (2570790 * (s_hit +
          |         (256 - n_regs_hit)::HUGEINT * 4611686018427387904))
          |    AS BIGINT) AS est_distinct

@@ -378,17 +378,25 @@ object TextQueries {
   }
 
   /** Build-once path for q105's persisted dedup index. The artifact
-    * key embeds the source parquet's (path, length, mtime) file set,
-    * so a regenerated fixture can never serve a stale index; staging
-    * + atomic rename keeps concurrent builders (parallel local runs)
-    * correct — the loser's staging dir is discarded. */
+    * key embeds the source parquet's (path, length, NANOSECOND mtime)
+    * file set — ns granularity (ADVICE r17) so a same-size fixture
+    * regenerated within the same wall-clock second still changes the
+    * signature — so a regenerated fixture can never serve a stale
+    * index; staging + atomic rename keeps concurrent builders
+    * (parallel local runs) correct — the loser's staging dir is
+    * discarded. Build-path runs also sweep crashed builders' orphaned
+    * `.stage-<pid>` dirs and week-old index dirs, bounding tmpdir
+    * accumulation. */
   private def q105IndexPath(spark: SparkSession, dir: String): String =
     q105IndexLock.synchronized {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) f.listFiles.toSeq.sortBy(_.getName).flatMap(walk)
         else Seq(f)
+      def nsMtime(f: java.io.File): Long =
+        java.nio.file.Files.getLastModifiedTime(f.toPath)
+          .to(java.util.concurrent.TimeUnit.NANOSECONDS)
       val sigSrc = walk(new java.io.File(s"$dir/documents.parquet"))
-        .map(f => s"${f.getPath}:${f.length}:${f.lastModified}")
+        .map(f => s"${f.getPath}:${f.length}:${nsMtime(f)}")
         .mkString("|") + "|k=3|id_lt=1000|corpus=mod5ne0"
       val sig = java.security.MessageDigest.getInstance("MD5")
         .digest(sigSrc.getBytes("UTF-8")).map("%02x".format(_))
@@ -396,6 +404,7 @@ object TextQueries {
       val root = new java.io.File(
         sys.props("java.io.tmpdir"), s"graft_q105_idx_$sig")
       if (!root.isDirectory) {
+        sweepStaleIndexArtifacts(root.getParentFile)
         val staging = new java.io.File(root.getParentFile,
           root.getName + ".stage-" + ProcessHandle.current.pid)
         val corpus = docsRebalanced(spark, dir)
@@ -419,6 +428,32 @@ object TextQueries {
     }
 
   private val q105IndexLock = new Object
+
+  /** Publish-time sweep (ADVICE r17): a `.stage-<pid>` dir whose owner
+    * process is gone is a crashed builder's leak; a `graft_q105_idx_*`
+    * dir untouched for 7+ days keys a fixture long since regenerated
+    * (live signatures are re-published on every build, and a
+    * mid-sweep reader of a deleted week-old index just rebuilds).
+    * Runs only on the build path — steady-state runs never pay it. */
+  private def sweepStaleIndexArtifacts(tmp: java.io.File): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    val stage = """graft_q105_idx_.*\.stage-(\d+)""".r
+    val weekMs = 7L * 24 * 3600 * 1000
+    val now = System.currentTimeMillis
+    Option(tmp.listFiles).getOrElse(Array.empty).foreach { f =>
+      f.getName match {
+        case stage(pid) =>
+          val o = ProcessHandle.of(pid.toLong)
+          if (!(o.isPresent && o.get.isAlive)) rm(f)
+        case n if n.startsWith("graft_q105_idx_") &&
+          now - f.lastModified > weekMs => rm(f)
+        case _ => ()
+      }
+    }
+  }
 
   /** q62's incremental dedup with BOTH gates real pretraining
     * pipelines run: Jaccard ≥ 0.6 OR shingle containment ≥ 250‰ —

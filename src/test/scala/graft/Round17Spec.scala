@@ -449,7 +449,7 @@ class Round17Spec extends AnyFunSuite {
     * 1.04/√m band tightens as b grows; asserted at 3σ + a grace
     * margin for the small-m ends). The raw regime holds at b=7/10
     * but NOT at b=15 (5000 < 2.5·2¹⁵), so the top dial asserts the
-    * v_zero emission instead: with m=32768 ≫ n the sketch is in the在 the
+    * v_zero emission instead: with m=32768 ≫ n the sketch is in the
     * linear-counting regime and the documented answer is the
     * emitted regime telemetry; assert exactly that). */
   test("hll estimator dials: b=7 and b=10 accuracy bands; b=15 regime telemetry") {
