@@ -36,7 +36,7 @@ object Sketches {
     df
       .select(col(groupCol),
         expr(s"substr(md5(cast($idCol as string)), 1, 15)").as("hx"))
-      .withColumn("hv", expr(Md5Key.hex15ToLong("hx")))
+      .withColumn("hv", expr(Md5Key.hex15ToLongSpark("hx")))
       .groupBy(groupCol)
       .agg(expr(s"bounded_min_k_distinct(hv, $k)").as("hs"))
   }
@@ -120,21 +120,28 @@ object Sketches {
   }
 
   /** Each input row fanned out to its `d` count-min (row, bucket)
-    * coordinates, with `carry` columns riding along. The md5 hex is
-    * materialized ONCE per (row, seed) before the digit polynomial —
-    * embedding the md5 call in each polynomial term re-evaluates it
-    * per digit (the q143/q144/q147 lesson). Seed-keyed md5 keeps the
-    * bucketing a pure function of the key, so an oracle (or another
-    * engine's sketch) rebuilds the identical counters. */
+    * coordinates, with `carry` columns riding along. ONE md5 digest
+    * per input row (r18): the 32-hex digest is materialized once and
+    * hash row `r` reads its own disjoint 4-hex slice at offset
+    * `1 + 4r` ([[Md5Key.hexToLongAt]]) — the d-separate-digests form
+    * this replaces cost d× the md5 volume for the same independence
+    * (md5 avalanche decorrelates slices exactly as it decorrelated
+    * seeds), and the earlier q143/q144/q147 lesson still applies: the
+    * digest must be a materialized COLUMN, never an md5 call embedded
+    * in each polynomial term (re-evaluated per digit). Tag-keyed md5
+    * keeps the bucketing a pure function of the key, so an oracle (or
+    * another engine's sketch) rebuilds the identical counters by
+    * replaying the same slice offsets. */
   def withCmBuckets(df: DataFrame, keyCol: String, tag: String,
-                    d: Int, w: Int, carry: Seq[String]): DataFrame =
-    (0 until d).foldLeft(df) { (acc, r) =>
-      acc.withColumn(s"_h$r",
-        expr(s"substr(md5(cast($keyCol as string) || ':$tag$r'), 1, 4)"))
-    }.select(carry.map(col) :+
-      posexplode(array((0 until d).map { r =>
-        expr(s"(${Md5Key.hexToLong(s"_h$r", 4)}) % $w")
-      }: _*)).as(Seq("r", "b")): _*)
+                    d: Int, w: Int, carry: Seq[String]): DataFrame = {
+    require(d >= 1 && d <= 8,
+      s"d must be in [1,8] (8 disjoint 4-hex slices per md5 digest), got $d")
+    df.withColumn("_hx", expr(s"md5(cast($keyCol as string) || ':$tag')"))
+      .select(carry.map(col) :+
+        posexplode(array((0 until d).map { r =>
+          expr(s"(${Md5Key.hexToLongSparkAt("_hx", 1 + 4 * r, 4)}) % $w")
+        }: _*)).as(Seq("r", "b")): _*)
+  }
 
   /** The count-min sketch itself: `d × w` exact BIGINT counters over
     * `keyCol` — q143's build as a reusable operator, shared verbatim
@@ -201,7 +208,7 @@ object Sketches {
     val wSpace = 1L << wBits
     df.select(col(groupCol),
         expr(s"substr(md5(cast(($keyExpr) as string)), 1, 15)").as("hx"))
-      .withColumn("hv", expr(Md5Key.hex15ToLong("hx")))
+      .withColumn("hv", expr(Md5Key.hex15ToLongSpark("hx")))
       .select(col(groupCol),
         expr(s"hv div $wSpace").as("j"),
         expr(s"hv % $wSpace").as("w"))
@@ -324,9 +331,9 @@ object Sketches {
   }
 
   /** Bloom-filter BITMAP over `keyCol` as ≤ `mBits/64` BIGINT words:
-    * `kHash` seed-keyed md5 positions per key (the [[withCmBuckets]]
-    * hashing convention at 8 hex chars — 32 bits, so mBits can exceed
-    * the CM sketch's 16-bit bucket space), OR-folded per word. Like
+    * `kHash` md5-slice positions per key (the [[withCmBuckets]]
+    * single-digest convention at 8 hex chars — 32 bits, so mBits can
+    * exceed the CM sketch's 16-bit bucket space), OR-folded per word. Like
     * the CM counters the state is a bounded group-by (`bit_or` is a
     * combinable aggregate: map-side partials OR together), so the
     * build is one pass over the key set with ≤ mBits/64 rows of
@@ -353,11 +360,11 @@ object Sketches {
   def bloomBits(df: DataFrame, keyCol: String, tag: String = "bf",
                 kHash: Int = 3, mBits: Int = 131072): DataFrame = {
     require(mBits % 64 == 0 && mBits > 0, s"mBits must be a positive multiple of 64, got $mBits")
-    (0 until kHash).foldLeft(df) { (acc, r) =>
-      acc.withColumn(s"_h$r",
-        expr(s"substr(md5(cast($keyCol as string) || ':$tag$r'), 1, 8)"))
-    }.select(posexplode(array((0 until kHash).map { r =>
-        expr(s"(${Md5Key.hexToLong(s"_h$r", 8)}) % $mBits")
+    require(kHash >= 1 && kHash <= 4,
+      s"kHash must be in [1,4] (4 disjoint 8-hex slices per md5 digest), got $kHash")
+    df.withColumn("_hx", expr(s"md5(cast($keyCol as string) || ':$tag')"))
+      .select(posexplode(array((0 until kHash).map { r =>
+        expr(s"(${Md5Key.hexToLongSparkAt("_hx", 1 + 8 * r, 8)}) % $mBits")
       }: _*)).as(Seq("r", "pos")))
       .select(expr("pos div 64").as("word"), expr("pos % 64").as("bit"))
       .groupBy("word")
@@ -379,10 +386,13 @@ object Sketches {
   def bloomMaybe(df: DataFrame, keyCol: String, bits: DataFrame,
                  carry: Seq[String], tag: String = "bf",
                  kHash: Int = 3, mBits: Int = 131072): DataFrame = {
-    val withPos = (0 until kHash).foldLeft(df) { (acc, r) =>
-      acc.withColumn(s"_h$r",
-          expr(s"substr(md5(cast($keyCol as string) || ':$tag$r'), 1, 8)"))
-        .withColumn(s"_p$r", expr(s"(${Md5Key.hexToLong(s"_h$r", 8)}) % $mBits"))
+    require(kHash >= 1 && kHash <= 4,
+      s"kHash must be in [1,4] (4 disjoint 8-hex slices per md5 digest), got $kHash")
+    val withPos = (0 until kHash).foldLeft(
+      df.withColumn("_hx", expr(s"md5(cast($keyCol as string) || ':$tag')"))) {
+      (acc, r) =>
+        acc.withColumn(s"_p$r",
+          expr(s"(${Md5Key.hexToLongSparkAt("_hx", 1 + 8 * r, 8)}) % $mBits"))
     }
     val joined = (0 until kHash).foldLeft(withPos) { (acc, r) =>
       acc.join(broadcast(bits.select(col("word").as(s"_w$r"),

@@ -835,7 +835,7 @@ object EventQueries {
         expr("substr(md5(cast(event_id as string) || ':mom'), 1, 2)"))
       .select(col("event_type"),
         expr("cast(floor(value * 100) as bigint)").as("c"),
-        expr(s"(${Md5Key.hexToLong("hx", 2)}) % $buckets").as("bkt"))
+        expr(s"(${Md5Key.hexToLongSpark("hx", 2)}) % $buckets").as("bkt"))
       .groupBy("event_type", "bkt")
       .agg(sum(col("c")).as("s"), count(lit(1)).as("n"))
       .withColumn("bmean", expr("(s - pmod(s, n)) div n"))
@@ -1268,8 +1268,9 @@ object EventQueries {
     * deterministic, ORACLE-REPLAYABLE alternative to q75's
     * engine-internal `stat.freqItems`.
     *
-    * Hashes are seed-keyed md5 prefixes through the shared
-    * [[Md5Key.hexToLong]] polynomial mod w, so DuckDB rebuilds the
+    * Hashes are disjoint 4-hex slices of one md5 digest per row
+    * (the r18 single-digest convention) through the shared
+    * [[Md5Key.hexToLongAt]] polynomial mod w, so DuckDB rebuilds the
     * identical 192 counters. The query emits, per user: exact count
     * (fixture-affordable — the oracle needs it to certify the bound),
     * the sketch estimate via a BROADCAST join of the 192-row sketch,
@@ -1496,24 +1497,33 @@ object EventQueries {
          |  bmean AS mom_cents
          |FROM r WHERE rk = (nb + 1) // 2""".stripMargin,
 
-    // the count-min sketch rebuilt counter-for-counter: same seed-keyed
-    // md5 bucket hashes, same 192 exact BIGINT counters, same min-over-
-    // rows estimate — the over_by ≥ 0 guarantee is certified by hash
-    // equality, not trusted
+    // the count-min sketch rebuilt counter-for-counter: same
+    // single-digest md5 bucket hashes (hash r = the disjoint 4-hex
+    // slice at 1-based offset 1+4r of ONE md5 per row — the r18
+    // engine convention), same 192 exact BIGINT counters, same
+    // min-over-rows estimate — the over_by ≥ 0 guarantee is certified
+    // by hash equality, not trusted. The slice offset is the SQL
+    // expression 1 + 4*rs.r so one digit polynomial serves all d rows.
     "q143_count_min" -> {
-      val poly = (src: String) => Md5Key.hexToLong(
-        s"substr(md5(cast($src as string) || ':cm' || cast(rs.r as string)), 1, 4)", 4)
+      val poly = (hx: String) => (0 until 4).map { i =>
+        s"(instr('0123456789abcdef', substr($hx, 4 * rs.r + ${1 + i}, 1)) - 1) " +
+          s"* CAST(${BigInt(16).pow(3 - i)} AS BIGINT)"
+      }.mkString("(", " + ", ")")
       s"""WITH rs AS (SELECT unnest([0, 1, 2]) AS r),
+         |eh AS (SELECT user_id, md5(cast(user_id as string) || ':cm') AS hx
+         |       FROM events),
          |h AS (SELECT e.user_id, rs.r,
-         |        (${poly("e.user_id")}) % 64 AS b
-         |      FROM events e CROSS JOIN rs),
+         |        (${poly("e.hx")}) % 64 AS b
+         |      FROM eh e CROSS JOIN rs),
          |sk AS (SELECT r, b, CAST(count(*) AS BIGINT) AS cnt
          |       FROM h GROUP BY r, b),
          |ex AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
          |       FROM events GROUP BY user_id),
-         |pr AS (SELECT ex.user_id, ex.n_exact, rs.r,
-         |        (${poly("ex.user_id")}) % 64 AS b
-         |       FROM ex CROSS JOIN rs)
+         |xh AS (SELECT user_id, n_exact,
+         |         md5(cast(user_id as string) || ':cm') AS hx FROM ex),
+         |pr AS (SELECT xh.user_id, xh.n_exact, rs.r,
+         |        (${poly("xh.hx")}) % 64 AS b
+         |       FROM xh CROSS JOIN rs)
          |SELECT pr.user_id, pr.n_exact, min(sk.cnt) AS n_est,
          |  min(sk.cnt) - pr.n_exact AS over_by
          |FROM pr JOIN sk USING (r, b)

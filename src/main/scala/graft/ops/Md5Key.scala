@@ -24,15 +24,52 @@ object Md5Key {
     * int32 (ANSI Spark throws); an `L` suffix would fix Spark but
     * DuckDB doesn't parse it. width ≤ 15 keeps the maximum value at
     * 2^60−1, 3 bits inside int64. */
-  def hexToLong(c: String, width: Int): String = {
+  def hexToLong(c: String, width: Int): String = hexToLongAt(c, 1, width)
+
+  /** Like [[hexToLong]] but reading `width` hex chars starting at the
+    * 1-based `offset` of `c` — the SINGLE-DIGEST convention (r18): one
+    * md5 yields 32 hex chars, i.e. several disjoint independent
+    * slices, so a d-hash sketch build (count-min rows, Bloom
+    * positions) costs ONE digest per input row instead of d, with
+    * each hash function reading its own slice. Slice independence is
+    * md5's avalanche property — the same reason seed-keyed digests
+    * were independent. Oracles replay the same offsets, so the gates
+    * hold cross-engine exactly as before. */
+  def hexToLongAt(c: String, offset: Int, width: Int): String = {
     require(width >= 1 && width <= 15, s"width must be in [1,15], got $width")
+    require(offset >= 1 && offset + width - 1 <= 32,
+      s"slice [$offset, ${offset + width - 1}] must sit inside the 32 hex chars of an md5 digest")
     (0 until width).map { i =>
       val pow = BigInt(16).pow(width - 1 - i)
-      s"(instr('0123456789abcdef', substr($c, ${i + 1}, 1)) - 1) " +
+      s"(instr('0123456789abcdef', substr($c, ${offset + i}, 1)) - 1) " +
         s"* CAST($pow AS BIGINT)"
     }.mkString("(", "\n + ", ")")
   }
 
   /** The full-width key: 15 hex chars → [0, 2^60). */
   def hex15ToLong(c: String): String = hexToLong(c, 15)
+
+  /** Spark-ENGINE form of [[hexToLongAt]]: the identical value via
+    * the codegen'd `conv(hex, 16, 10)` built-in instead of the
+    * unrolled instr polynomial. The polynomial exists because `conv`
+    * is not portable SQL (DuckDB lacks it), but the ENGINE side never
+    * needed portability — the hash gate compares VALUES, and the
+    * polynomial's per-digit substr+instr tree measured ~2.6× the cost
+    * of one conv on the q147 probe (r18), multiplying at width 15
+    * (15 instr+substr calls vs one conv). DuckDB oracles keep
+    * [[hexToLongAt]]; conv == polynomial on lowercase hex is pinned
+    * by fuzz in Round18Spec (exact BIGINT < 2^60 on both paths). */
+  def hexToLongSparkAt(c: String, offset: Int, width: Int): String = {
+    require(width >= 1 && width <= 15, s"width must be in [1,15], got $width")
+    require(offset >= 1 && offset + width - 1 <= 32,
+      s"slice [$offset, ${offset + width - 1}] must sit inside the 32 hex chars of an md5 digest")
+    s"cast(conv(substr($c, $offset, $width), 16, 10) as bigint)"
+  }
+
+  /** [[hexToLong]]'s engine-side twin (prefix slice). */
+  def hexToLongSpark(c: String, width: Int): String =
+    hexToLongSparkAt(c, 1, width)
+
+  /** [[hex15ToLong]]'s engine-side twin. */
+  def hex15ToLongSpark(c: String): String = hexToLongSparkAt(c, 1, 15)
 }

@@ -985,8 +985,10 @@ object Relational {
     *
     * Layout: 512 words × 60 usable bits (bit 63 is unreachable —
     * `1 << 63` overflows both engines' signed shifts, so the word
-    * space stops at 60 and stays exact everywhere); k = 2 seed-keyed
-    * md5 hashes through the shared [[Md5Key.hexToLong]] polynomial.
+    * space stops at 60 and stays exact everywhere); k = 2 hashes as
+    * disjoint 4-hex slices of ONE md5 digest per key through the
+    * shared [[Md5Key.hexToLongAt]] polynomial (r18 single-digest
+    * convention).
     *
     * The output row certifies the structure end-to-end: n_candidates
     * needs the identical 512-word filter; n_true is computed on the
@@ -998,27 +1000,27 @@ object Relational {
     * survived into. */
   def q144BloomPrune(spark: SparkSession, dir: String): DataFrame = {
     val m = 30720 // 512 words x 60 bits
-    // materialize each seed's 4-hex md5 prefix ONCE per row, then run
-    // the digit polynomial over the materialized column — embedding
-    // the md5 call inside every polynomial term re-evaluates it per
-    // digit (measured 4× the md5 volume on the 600k-row sf0.1 scan)
-    def hx(r: Int, c: String): Column =
-      expr(s"substr(md5(cast($c as string) || ':bf$r'), 1, 4)")
-    def idx(hxCol: String): String =
-      s"(${Md5Key.hexToLong(hxCol, 4)}) % $m"
+    // ONE md5 digest per row (r18), materialized as a column (the
+    // measured lesson stands: an md5 call embedded in every
+    // polynomial term re-evaluates per digit — 4× the md5 volume on
+    // the 600k-row sf0.1 scan); hash r reads its disjoint 4-hex slice
+    // at offset 1+4r, halving the md5 volume of the two-seed form.
+    def hx(c: String): Column =
+      expr(s"md5(cast($c as string) || ':bf')")
+    def idx(r: Int): String =
+      s"(${Md5Key.hexToLongSparkAt("hx", 1 + 4 * r, 4)}) % $m"
     val sel = Tables.orders(spark, dir)
       .filter(col("o_totalprice") > 490000).select(col("o_orderkey").as("k"))
     val words = sel
-      .withColumn("h0", hx(0, "k")).withColumn("h1", hx(1, "k"))
-      .select(explode(array(expr(idx("h0")), expr(idx("h1")))).as("idx"))
+      .withColumn("hx", hx("k"))
+      .select(explode(array(expr(idx(0)), expr(idx(1)))).as("idx"))
       .select(expr("idx div 60").as("word"),
         expr("CAST(1 AS BIGINT) << (idx % 60)").as("bit"))
       .groupBy("word").agg(expr("bit_or(bit)").as("bits"))
     val li = Tables.lineitem(spark, dir).select(col("l_orderkey"))
-      .withColumn("h0", hx(0, "l_orderkey"))
-      .withColumn("h1", hx(1, "l_orderkey"))
-      .withColumn("i0", expr(idx("h0")))
-      .withColumn("i1", expr(idx("h1")))
+      .withColumn("hx", hx("l_orderkey"))
+      .withColumn("i0", expr(idx(0)))
+      .withColumn("i1", expr(idx(1)))
     // ONE pass over the fact side: bloom hit and true membership as
     // flag columns folded by a single aggregate (the 4-separate-legs
     // formulation re-scanned lineitem three times — measured as the
@@ -1089,16 +1091,16 @@ object Relational {
       .crossJoin(sel.agg(count(lit(1)).as("nb")))
       .select(expr("least(65536L, greatest(1024L, greatest(na, nb) div 4))")
         .as("w"))
-    // md5 once per (row, seed) via materialized hex columns — the
-    // q144 lesson: the polynomial must read a column, not re-evaluate
-    // the md5 call in every digit term
+    // ONE md5 digest per row (r18): hash row r reads its own disjoint
+    // 5-hex slice at offset 1+5r of the single materialized digest —
+    // a third of the md5 volume of the seed-per-row form this
+    // replaces. The q144 lesson still holds: the digest is a COLUMN,
+    // never an md5 call embedded in each polynomial digit term.
     def sketch(df: DataFrame, c: String, cnt: String): DataFrame =
-      (0 until 3).foldLeft(df.crossJoin(broadcast(wFrame))) { (d, r) =>
-        d.withColumn(s"h$r",
-          expr(s"substr(md5(cast($c as string) || ':js$r'), 1, 5)"))
-      }
+      df.crossJoin(broadcast(wFrame))
+        .withColumn("hx", expr(s"md5(cast($c as string) || ':js')"))
         .select(posexplode(array((0 until 3).map { r =>
-          expr(s"(${Md5Key.hexToLong(s"h$r", 5)}) % w")
+          expr(s"(${Md5Key.hexToLongSparkAt("hx", 1 + 5 * r, 5)}) % w")
         }: _*)).as(Seq("r", "b")))
         .groupBy("r", "b").agg(count(lit(1)).as(cnt))
     val inner = sketch(li, "l_orderkey", "cf")
@@ -1201,11 +1203,12 @@ object Relational {
     // family, same per-row inner products, same min — over_by ≥ 0 is
     // certified by hash equality against the exact join count
     "q147_join_size_est" -> {
-      val poly = (src: String, seed: String) => Md5Key.hexToLong(
-        s"substr(md5(cast($src as string) || '$seed'), 1, 5)", 5)
-      def side(tbl: String, key: String, cnt: String): String =
+      // single-digest replay (r18): one staged md5 per row, hash r
+      // reads the disjoint 5-hex slice at offset 1+5r — the engine's
+      // exact convention
+      def side(src: String, cnt: String): String =
         (0 until 3).map { r =>
-          s"SELECT $r AS r, ((${poly(key, s":js$r")}) % nn.w) AS b FROM $tbl, nn"
+          s"SELECT $r AS r, ((${Md5Key.hexToLongAt("t.hx", 1 + 5 * r, 5)}) % nn.w) AS b FROM $src t, nn"
         }.mkString("SELECT r, b, CAST(count(*) AS BIGINT) AS " + cnt +
           " FROM (", " UNION ALL ", ") GROUP BY r, b")
       s"""WITH sel AS (SELECT o_orderkey AS k FROM orders
@@ -1213,8 +1216,11 @@ object Relational {
          |nn AS (SELECT least(65536, greatest(1024, greatest(
          |         (SELECT count(*) FROM lineitem),
          |         (SELECT count(*) FROM sel)) // 4)) AS w),
-         |sf AS (${side("lineitem", "l_orderkey", "cf")}),
-         |sd AS (${side("sel", "k", "cd")}),
+         |hf AS (SELECT md5(cast(l_orderkey as string) || ':js') AS hx
+         |       FROM lineitem),
+         |hd AS (SELECT md5(cast(k as string) || ':js') AS hx FROM sel),
+         |sf AS (${side("hf", "cf")}),
+         |sd AS (${side("hd", "cd")}),
          |ip AS (SELECT sf.r, CAST(sum(cf * cd) AS BIGINT) AS ip
          |       FROM sf JOIN sd ON sf.r = sd.r AND sf.b = sd.b
          |       GROUP BY sf.r),
@@ -1227,20 +1233,24 @@ object Relational {
     },
 
     "q144_bloom_prune" -> {
-      val poly = (src: String, seed: String) => Md5Key.hexToLong(
-        s"substr(md5(cast($src as string) || '$seed'), 1, 4)", 4)
+      // single-digest replay (r18): hash r = the 4-hex slice at
+      // offset 1+4r of one staged md5, the engine's exact convention
+      val idx = (r: Int) =>
+        s"((${Md5Key.hexToLongAt("hx", 1 + 4 * r, 4)}) % 30720)"
       s"""WITH sel AS (SELECT o_orderkey AS k FROM orders
          |             WHERE o_totalprice > 490000),
-         |bidx AS (SELECT ((${poly("sel.k", ":bf0")}) % 30720) AS idx FROM sel
+         |bh AS (SELECT md5(cast(k as string) || ':bf') AS hx FROM sel),
+         |bidx AS (SELECT ${idx(0)} AS idx FROM bh
          |         UNION ALL
-         |         SELECT ((${poly("sel.k", ":bf1")}) % 30720) AS idx FROM sel),
+         |         SELECT ${idx(1)} AS idx FROM bh),
          |w AS (SELECT idx // 60 AS word,
          |        bit_or(CAST(1 AS BIGINT) << (idx % 60)) AS bits
          |      FROM bidx GROUP BY idx // 60),
-         |pi AS (SELECT l.l_orderkey,
-         |         ((${poly("l.l_orderkey", ":bf0")}) % 30720) AS i0,
-         |         ((${poly("l.l_orderkey", ":bf1")}) % 30720) AS i1
-         |       FROM lineitem l),
+         |ph AS (SELECT l_orderkey,
+         |         md5(cast(l_orderkey as string) || ':bf') AS hx
+         |       FROM lineitem),
+         |pi AS (SELECT l_orderkey, ${idx(0)} AS i0, ${idx(1)} AS i1
+         |       FROM ph),
          |cand AS (SELECT p.l_orderkey FROM pi p
          |         LEFT JOIN w w0 ON p.i0 // 60 = w0.word
          |         LEFT JOIN w w1 ON p.i1 // 60 = w1.word

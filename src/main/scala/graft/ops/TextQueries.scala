@@ -183,8 +183,9 @@ object TextQueries {
     * exact overlap join need only run on the pre-filter's survivors;
     * false positives cost only wasted exact-checks, at the classic
     * (1−e^(−kn/m))^k ≈ 0.9 % at the sf0.1 dials. Everything is
-    * integer arithmetic over seed-keyed md5 positions, so bitmap,
-    * probe, and per-doc counts all replay under the DuckDB gate. */
+    * integer arithmetic over md5-slice positions (one digest per
+    * shingle, r18), so bitmap, probe, and per-doc counts all replay
+    * under the DuckDB gate. */
   def q193BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val sh = docs
@@ -1162,7 +1163,7 @@ object TextQueries {
     docs.select(col("doc_id"), col("lang"))
       .withColumn("hx",
         expr("substr(md5(cast(doc_id as string) || ':s42'), 1, 3)"))
-      .withColumn("hv", expr(Md5Key.hexToLong("hx", 3)))
+      .withColumn("hv", expr(Md5Key.hexToLongSpark("hx", 3)))
       .join(broadcast(rates), "lang")
       .filter(col("hv") < col("rate"))
       .select("doc_id", "lang")
@@ -1232,7 +1233,7 @@ object TextQueries {
         greatest(col("n_chars"), lit(1L)).as("w"))
       .withColumn("hx",
         expr("substr(md5(cast(doc_id as string) || ':ps42'), 1, 15)"))
-      .withColumn("p", expr(s"(${Md5Key.hex15ToLong("hx")}) div w"))
+      .withColumn("p", expr(s"(${Md5Key.hex15ToLongSpark("hx")}) div w"))
     val agg = docs.groupBy("source").agg(
       expr(s"bounded_min_k_pairs(p, doc_id, ${k + 1})").as("ps"),
       sum(col("w")).as("exact_total"))
@@ -1376,10 +1377,10 @@ object TextQueries {
     val toks = Tables.documents(spark, dir)
       .select(col("lang"), explode(split(col("text"), " ")).as("term"))
       .withColumn("hx", expr("substr(md5(term), 1, 15)"))
-      .select(col("lang"), col("term"), expr(Md5Key.hex15ToLong("hx")).as("hv"))
+      .select(col("lang"), col("term"), expr(Md5Key.hex15ToLongSpark("hx")).as("hv"))
     val dict = toks.select("term").distinct()
       .withColumn("hx", expr("substr(md5(term), 1, 15)"))
-      .select(col("term"), expr(Md5Key.hex15ToLong("hx")).as("hv"))
+      .select(col("term"), expr(Md5Key.hex15ToLongSpark("hx")).as("hv"))
       .groupBy("hv").agg(min(col("term")).as("term"))
     toks
       .groupBy("lang").agg(expr(s"misra_gries(hv, $k)").as("mg"))
@@ -3498,18 +3499,19 @@ object TextQueries {
         |FROM docs2 d2 LEFT JOIN comp USING (doc_id)
         |WHERE comp.component_id IS NULL OR comp.component_id = d2.doc_id""".stripMargin,
 
-    // full Bloom replay: same seed-keyed md5 positions (8 hex chars ->
-    // the shared instr-polynomial), the sign-bit mask via the q134
-    // minlong trick, bit_or build, 3-way word-join probe. Validated
-    // against an independent python reimplementation before porting.
+    // full Bloom replay: same single-digest md5 positions (hash r =
+    // the disjoint 8-hex slice at offset 1+8r of ONE md5 per shingle,
+    // the r18 engine convention, through the shared instr-polynomial),
+    // the sign-bit mask via the q134 minlong trick, bit_or build,
+    // 3-way word-join probe. Validated against an independent python
+    // reimplementation before porting.
     "q193_bloom_decontaminate" -> {
       def mask(p: String) =
         s"CASE WHEN $p % 64 = 63 THEN -9223372036854775807 - 1 " +
           s"ELSE (1::BIGINT << CAST($p % 64 AS INT)) END"
-      def hxCols = (0 until 3).map { r =>
-        s"substr(md5(shingle || ':bf$r'), 1, 8) AS hx$r" }.mkString(", ")
+      def hxCols = "md5(shingle || ':bf') AS hx"
       def pCols = (0 until 3).map { r =>
-        s"${Md5Key.hexToLong(s"hx$r", 8)} % 131072 AS p$r" }.mkString(", ")
+        s"${Md5Key.hexToLongAt("hx", 1 + 8 * r, 8)} % 131072 AS p$r" }.mkString(", ")
       s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
          |           FROM documents),
          |sh AS (SELECT doc_id, source,

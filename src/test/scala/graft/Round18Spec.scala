@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-18 hardening pins. */
+class Round18Spec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  /** The r18 engine-side hex→long swap: Spark computes md5-slice
+    * values with the codegen'd `conv(hex, 16, 10)` built-in
+    * ([[graft.ops.Md5Key.hexToLongSparkAt]]) while the DuckDB oracle
+    * keeps the portable instr polynomial ([[Md5Key.hexToLongAt]]).
+    * The hash gate compares VALUES, so the whole cross-engine
+    * contract now rests on conv == polynomial over lowercase hex —
+    * THE fuzz this test is. 500 random digests × every (offset,
+    * width) shape the engine uses (4-hex CM rows, 5-hex q147 slices,
+    * 8-hex Bloom positions, the 15-hex KMV/HLL key) plus boundary
+    * digests (all-0, all-f). */
+  test("hexToLongSparkAt (conv) == hexToLongAt (instr polynomial) on md5 slices") {
+    import graft.ops.Md5Key
+    import org.apache.spark.sql.functions._
+    val shapes = Seq((1, 4), (5, 4), (29, 4), (1, 5), (11, 5), (1, 8),
+      (17, 8), (25, 8), (1, 15), (18, 15))
+    val df = spark.range(500)
+      .select(expr("md5(cast(id as string))").as("hx"))
+      .union(Seq("0" * 32, "f" * 32, "0123456789abcdef0123456789abcdef")
+        .toDF("hx"))
+    val checks = shapes.zipWithIndex.flatMap { case ((off, w), i) =>
+      Seq(expr(Md5Key.hexToLongSparkAt("hx", off, w)).as(s"c$i"),
+        expr(Md5Key.hexToLongAt("hx", off, w)).as(s"p$i"))
+    }
+    val rows = df.select(checks: _*).collect()
+    rows.foreach { r =>
+      shapes.indices.foreach { i =>
+        assert(r.getLong(2 * i) === r.getLong(2 * i + 1),
+          s"conv != polynomial at shape ${shapes(i)}: $r")
+      }
+    }
+  }
+
+  /** The r18 single-digest convention: d hash functions read disjoint
+    * slices of ONE md5 per row. Pins (a) the slice layout — bucket r
+    * of [[graft.operators.Sketches.withCmBuckets]] equals the 4-hex
+    * slice at offset 1+4r of md5(key || ':' || tag) — and (b) the
+    * dial bounds that keep every slice inside the 32-hex digest. */
+  test("single-digest slice layout: withCmBuckets/bloomBits read disjoint md5 slices") {
+    import graft.operators.Sketches
+    import org.apache.spark.sql.functions._
+    val keys = (0 until 64).map(i => s"key-$i").toDF("key")
+    val got = Sketches.withCmBuckets(keys, "key", "cm", d = 3, w = 64,
+        carry = Seq("key"))
+      .groupBy("key").pivot("r", Seq(0, 1, 2)).agg(first("b"))
+    val want = keys.select(col("key"),
+      expr("md5(key || ':cm')").as("hx"))
+      .select(col("key"),
+        expr("cast(conv(substr(hx, 1, 4), 16, 10) as bigint) % 64").as("e0"),
+        expr("cast(conv(substr(hx, 5, 4), 16, 10) as bigint) % 64").as("e1"),
+        expr("cast(conv(substr(hx, 9, 4), 16, 10) as bigint) % 64").as("e2"))
+    val j = got.join(want, "key")
+      .filter(col("0") =!= col("e0") || col("1") =!= col("e1") ||
+        col("2") =!= col("e2"))
+    assert(j.count() === 0)
+    // dial bounds: the digest has 8 4-hex / 4 8-hex slices, no more
+    intercept[IllegalArgumentException] {
+      Sketches.withCmBuckets(keys, "key", "cm", d = 9, w = 64, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.bloomBits(keys, "key", kHash = 5)
+    }
+  }
+}
