@@ -330,6 +330,43 @@ object Sketches {
           .as("jaccard_est_permille"))
   }
 
+  /** Production sizing dial for [[bloomBits]] — `mBits` from the
+    * expected distinct-key count `n`, the hash count `kHash`, and a
+    * target false-positive rate (permille), via the classic Bloom
+    * curve `p = (1 − e^(−k·n/m))^k` solved for m
+    * (`m = ⌈−k·n / ln(1 − p^(1/k))⌉`), rounded UP to the next power
+    * of two — so the achieved rate is at or below target, `pos %
+    * mBits` stays uniform, and two filters sized for the same n can
+    * OR-merge — floored at `minBits` and capped at 2³⁰ (128 MiB of
+    * words; past that, shard the key space across several filters
+    * and probe the shard — one bitmap is the wrong shape). The
+    * [[graft.operators.Similarity.srpBitsFor]] /
+    * [[graft.sources.WebArchive.fanoutFor]] convention: the dial that
+    * was documented prose becomes a helper with the deployed
+    * operating points as its spec (Round18Spec).
+    *
+    * q193's fixture dial is this curve's output: the sf0.1-scale eval
+    * set (~10k distinct shingles) at k=3 and a 10‰ target gives
+    * 2¹⁷ = 131072 — whose achieved rate at that load is the ~0.9%
+    * the q193 scaladoc documents. The QUERY keeps mBits fixed because
+    * its DuckDB oracle replays the literal bitmap; production sizes
+    * per corpus with this helper. */
+  def bloomBitsFor(n: Long, kHash: Int = 3, targetFprPermille: Int = 10,
+                   minBits: Int = 4096): Int = {
+    require(n >= 0 && kHash >= 1 && kHash <= 4 &&
+      targetFprPermille >= 1 && targetFprPermille <= 999 &&
+      minBits >= 64 && Integer.bitCount(minBits) == 1 && minBits <= (1 << 30),
+      s"need n >= 0, kHash in [1,4], target in [1,999] permille, minBits a " +
+        s"power of two in [64, 2^30]: $n/$kHash/$targetFprPermille/$minBits")
+    if (n == 0L) minBits
+    else {
+      val p = targetFprPermille / 1000.0
+      val mReal = -kHash.toDouble * n / math.log1p(-math.pow(p, 1.0 / kHash))
+      val b = math.ceil(math.log(mReal) / math.log(2.0)).toInt
+      math.max(minBits, 1 << math.min(30, math.max(6, b)))
+    }
+  }
+
   /** Bloom-filter BITMAP over `keyCol` as ≤ `mBits/64` BIGINT words:
     * `kHash` md5-slice positions per key (the [[withCmBuckets]]
     * single-digest convention at 8 hex chars — 32 bits, so mBits can

@@ -182,7 +182,13 @@ object TextQueries {
     * every doc q48 flags, this flags (pinned in Round17Spec) — so the
     * exact overlap join need only run on the pre-filter's survivors;
     * false positives cost only wasted exact-checks, at the classic
-    * (1−e^(−kn/m))^k ≈ 0.9 % at the sf0.1 dials. Everything is
+    * (1−e^(−kn/m))^k ≈ 0.9 % at the sf0.1 dials. mBits is FIXED at
+    * 2¹⁷ here because the DuckDB oracle replays the literal bitmap;
+    * production must scale m with the eval-set size to hold the FPR —
+    * [[graft.operators.Sketches.bloomBitsFor]] is that dial (2¹⁷ is
+    * exactly its output for this fixture's ~10k-shingle eval set at
+    * k=3 / 10‰ target; the deployed points are pinned in
+    * Round18Spec). Everything is
     * integer arithmetic over md5-slice positions (one digest per
     * shingle, r18), so bitmap, probe, and per-doc counts all replay
     * under the DuckDB gate. */

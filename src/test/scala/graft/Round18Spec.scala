@@ -69,4 +69,33 @@ class Round18Spec extends AnyFunSuite {
       Sketches.bloomBits(keys, "key", kHash = 5)
     }
   }
+
+  /** [[graft.operators.Sketches.bloomBitsFor]] — the prose-dial →
+    * spec'd-helper convention (srpBitsFor/fanoutFor precedent). Pins
+    * the DEPLOYED operating points: the sf0.1 fixture's eval set is
+    * 10,179 distinct shingles (measured via DuckDB this round) and
+    * the helper reproduces q193's fixed 2¹⁷ dial from it at k=3 /
+    * 10‰ — whose achieved rate (1−e^(−kn/m))^k = 0.90% is exactly
+    * the documented fixture FPR; sf0.01's 1,355 shingles size to
+    * 2¹⁵. Plus the curve guarantees: the achieved rate never exceeds
+    * target (round-up), m is a power of two ≥ minBits (so always a
+    * multiple of 64 — bloomBits' word requirement), monotone in n
+    * and anti-monotone in target. */
+  test("bloomBitsFor: deployed dials reproduced, achieved FPR <= target") {
+    import graft.operators.Sketches.bloomBitsFor
+    assert(bloomBitsFor(10179, 3, 10) === 131072) // the q193 sf0.1 dial
+    assert(bloomBitsFor(1355, 3, 10) === 32768)   // sf0.01-scale eval set
+    assert(bloomBitsFor(0, 3, 10) === 4096)       // empty set -> floor
+    for (n <- Seq(100L, 1000L, 10000L, 100000L, 1000000L);
+         k <- 1 to 4; pm <- Seq(1, 10, 100)) {
+      val m = bloomBitsFor(n, k, pm)
+      assert(Integer.bitCount(m) === 1 && m % 64 === 0 && m >= 4096)
+      val achieved = math.pow(1 - math.exp(-k.toDouble * n / m), k)
+      assert(achieved <= pm / 1000.0 + 1e-12,
+        s"achieved $achieved > target ${pm / 1000.0} at n=$n k=$k m=$m")
+      assert(bloomBitsFor(2 * n, k, pm) >= m, "monotone in n")
+      assert(bloomBitsFor(n, k, math.min(999, pm * 10)) <= m,
+        "anti-monotone in target")
+    }
+  }
 }
