@@ -278,6 +278,48 @@ object Sketches {
     hllEstimateFromRegisters(hllRegisters(df, groupCol, keyExpr, b),
       groupCol, b)
 
+  /** Regime-ROUTED distinct estimation (r18): one composed operator
+    * that picks the right sketch per group from the sketches' own
+    * regime telemetry, turning the documented KMV-below / HLL-above
+    * split (see [[hllEstimateFromRegisters]]) into behavior instead
+    * of a caller's footnote. The route rule is the published HLL
+    * small-range boundary: the raw estimator is biased when
+    * `est_raw ≤ 5m/2` with empty registers present (`v_zero > 0`) —
+    * the regime where the standard fix is linear counting, whose
+    * float `ln` is exactly what the integer-exact gate stance
+    * forbids. KMV is the gate-compatible substitute there: EXACT
+    * below k and ±1/√(k−2) just above, precisely the small-to-mid
+    * cardinality band the boundary admits (5m/2 = 640 at b=8 vs
+    * k=64's exact range — production pairs the dials so KMV's
+    * accurate band covers the HLL raw hole). Both sketches are
+    * one-pass bounded combinable aggregates over the SAME [[Md5Key]]
+    * hash; the join and routing run on the |groups|-row estimate
+    * frames. Every output column — both estimates, the telemetry,
+    * the route decision, the routed estimate — is integer/string
+    * exact, so the whole decision sits under the DuckDB hash gate
+    * (q195, whose fixture straddles both regimes at every SF).
+    *
+    * Streaming: run [[kmvHeads]] and [[hllRegisters]] as two
+    * streaming aggregates (each is its own one-aggregate state form —
+    * the r17 lesson) and apply this routing as a batch read over
+    * their bounded outputs. */
+  def adaptiveDistinct(df: DataFrame, groupCol: String, keyExpr: String,
+                       k: Int = 64, b: Int = 8): DataFrame = {
+    val m = 1L << b
+    val kmv = kmvDistinctEstimate(df, groupCol, keyExpr, k)
+      .select(col(groupCol), col("n_heads"),
+        col("est_distinct").as("est_kmv"))
+    val hll = hllDistinctEstimate(df, groupCol, keyExpr, b)
+      .select(col(groupCol), col("v_zero"), col("est_distinct").as("est_hll"))
+    kmv.join(hll, Seq(groupCol))
+      .withColumn("route",
+        when(col("est_hll") <= lit(5L * m / 2) && col("v_zero") > 0,
+          lit("kmv")).otherwise(lit("hll")))
+      .withColumn("est_distinct",
+        when(col("route") === "kmv", col("est_kmv"))
+          .otherwise(col("est_hll")))
+  }
+
   /** HLL set algebra over a [[hllRegisters]] frame — the q160
     * (KMV pair algebra) counterpart at HLL's state point: for every
     * unordered pair of groups, the UNION cardinality estimate comes

@@ -1145,6 +1145,32 @@ object EventQueries {
       "event_type", b = 8)
       .orderBy("t1", "t2")
 
+  /** Regime-ROUTED distinct estimation over a fixture that straddles
+    * both regimes at every SF (r18): "big:" groups count user-DAYS
+    * per event type (the q191 key — ~1.6k/~16k distinct at
+    * Verify/bench SFs, well above HLL's 5m/2 = 640 raw floor) and
+    * "small:" groups count `user_id mod 40` (≤ 40 distinct — inside
+    * KMV's k=64 EXACT band and inside the HLL small-range hole), so
+    * [[graft.operators.Sketches.adaptiveDistinct]] must route the two
+    * families differently and the ROUTE DECISION itself is a gated
+    * column: the oracle recomputes both estimators and the boundary
+    * rule, and a route flip on any group is a hash mismatch. This
+    * turns the v_zero/n_heads telemetry q191/q141 emit into behavior —
+    * the VERDICT r17 "documentation → behavior" item. */
+  def q195AdaptiveDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val big = ev.select(
+      concat(lit("big:"), col("event_type")).as("grp"),
+      expr("concat(cast(user_id as string), ':', date_format(ts, 'yyyy-MM-dd'))")
+        .as("key"))
+    val small = ev.select(
+      concat(lit("small:"), col("event_type")).as("grp"),
+      pmod(col("user_id"), lit(40)).cast("string").as("key"))
+    graft.operators.Sketches.adaptiveDistinct(
+        big.unionByName(small), "grp", "key", k = 64, b = 8)
+      .orderBy("grp")
+  }
+
   /** Sketch-side audience overlap: distinct-user union, intersection,
     * and Jaccard per event-type pair estimated from the q141 KMV
     * sketches alone — the 100 TB swap for q155's EXACT overlap, which
@@ -1355,6 +1381,7 @@ object EventQueries {
     "q141_kmv_distinct"   -> (q141KmvDistinct _),
     "q191_hll_user_days"  -> (q191HllUserDays _),
     "q194_hll_overlap"    -> (q194HllOverlap _),
+    "q195_adaptive_distinct" -> (q195AdaptiveDistinct _),
     "q160_kmv_overlap"    -> (q160KmvOverlap _),
     "q162_mg_certificate" -> (q162MgCertificate _),
     "q129_hist_quantile"  -> (q129HistQuantile _),
@@ -1688,6 +1715,55 @@ object EventQueries {
          |  CAST(greatest(est_t1 + est_t2 - est_union, 0)::HUGEINT * 1000
          |    // greatest(est_union, 1) AS BIGINT) AS jaccard_est_permille
          |FROM e ORDER BY t1, t2""".stripMargin,
+
+    // both sketches AND the route boundary replayed: one shared
+    // md5→hex15 hash CTE feeds the q141 KMV estimator and the q191
+    // HLL estimator per group, then the published small-range rule
+    // (est_raw <= 5m/2 AND v_zero > 0 -> KMV) picks the route — a
+    // route flip on any group is a hash mismatch, so the DECISION is
+    // certified, not just the estimates
+    "q195_adaptive_distinct" ->
+      s"""WITH src AS (
+         |  SELECT 'big:' || event_type AS grp,
+         |         cast(user_id as string) || ':' ||
+         |           strftime(ts, '%Y-%m-%d') AS key
+         |  FROM events
+         |  UNION ALL
+         |  SELECT 'small:' || event_type AS grp,
+         |         cast(user_id % 40 as string) AS key FROM events),
+         |h AS (SELECT DISTINCT grp, substr(md5(key), 1, 15) AS hx FROM src),
+         |v AS (SELECT DISTINCT grp, ${Md5Key.hex15ToLong("hx")} AS hv FROM h),
+         |r AS (SELECT grp, hv,
+         |        CAST(row_number() OVER (PARTITION BY grp ORDER BY hv) AS BIGINT) AS rn,
+         |        CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS nd
+         |      FROM v),
+         |kv AS (SELECT grp, least(nd, 64) AS n_heads,
+         |         CASE WHEN nd < 64 THEN nd
+         |              ELSE CAST(CAST(63 AS HUGEINT) * ${Md5Key.Space}
+         |                     // greatest(min(CASE WHEN rn = 64 THEN hv END), 1) AS BIGINT)
+         |         END AS est_kmv
+         |       FROM r GROUP BY grp, nd),
+         |b AS (SELECT grp, hv // 4503599627370496 AS j,
+         |             hv % 4503599627370496 AS w FROM v),
+         |reg AS (SELECT grp, j,
+         |          max(CASE WHEN w = 0 THEN 53
+         |                   ELSE 53 - length(bin(w)) END) AS mr
+         |        FROM b GROUP BY grp, j),
+         |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_regs_hit,
+         |        sum(((1::BIGINT << (62 - mr)))::HUGEINT) AS s_hit
+         |      FROM reg GROUP BY grp),
+         |hl AS (SELECT grp, 256 - n_regs_hit AS v_zero,
+         |         CAST(CAST(${graft.operators.Sketches.hllAlphaNum(8)} AS HUGEINT) * 4611686018427387904
+         |           // (2570790 * (s_hit +
+         |                (256 - n_regs_hit)::HUGEINT * 4611686018427387904))
+         |           AS BIGINT) AS est_hll
+         |       FROM g)
+         |SELECT kv.grp, n_heads, est_kmv, v_zero, est_hll,
+         |  CASE WHEN est_hll <= 640 AND v_zero > 0 THEN 'kmv' ELSE 'hll' END
+         |    AS route,
+         |  CASE WHEN est_hll <= 640 AND v_zero > 0 THEN est_kmv ELSE est_hll END
+         |    AS est_distinct
+         |FROM kv JOIN hl USING (grp) ORDER BY kv.grp""".stripMargin,
 
     // HLL replay, same stance as q141: identical md5→hex15ToLong hash
     // text both engines; register index/value in integer arithmetic

@@ -70,6 +70,28 @@ class Round18Spec extends AnyFunSuite {
     }
   }
 
+  /** [[graft.operators.Sketches.adaptiveDistinct]] against TRUTH (the
+    * q195 oracle certifies cross-engine replay; this pins semantics):
+    * a group inside the KMV exact band routes 'kmv' and reports the
+    * EXACT cardinality — the regime where HLL's raw estimator is the
+    * documented 5× trap — while a group above the 5m/2 floor routes
+    * 'hll' and lands within the ±1.04/√m band (3σ + grace). */
+  test("adaptiveDistinct: exact below k via KMV route, HLL raw above the floor") {
+    import graft.operators.Sketches
+    val small = (0 until 30).map(i => ("small", s"s-$i"))
+    val big = (0 until 5000).map(i => ("big", s"b-$i"))
+    val df = (small ++ big ++ small ++ big).toDF("grp", "key") // dups free
+    val out = Sketches.adaptiveDistinct(df, "grp", "key")
+      .collect().map(r => r.getAs[String]("grp") ->
+        (r.getAs[String]("route"), r.getAs[Long]("est_distinct"))).toMap
+    assert(out("small") === ("kmv", 30L))
+    val (routeBig, estBig) = out("big")
+    assert(routeBig === "hll")
+    val sigma = 1.04 / math.sqrt(256.0)
+    assert(math.abs(estBig - 5000.0) / 5000.0 < 3 * sigma + 0.05,
+      s"HLL-routed estimate $estBig too far from 5000")
+  }
+
   /** [[graft.operators.Sketches.bloomBitsFor]] — the prose-dial →
     * spec'd-helper convention (srpBitsFor/fanoutFor precedent). Pins
     * the DEPLOYED operating points: the sf0.1 fixture's eval set is
