@@ -582,6 +582,31 @@ object ScaleProbe {
             tables = 8, bits = bits, seed = 2025L,
             simNumSqE4 = 2025L).count()
         }),
+        // r18: the q150 shape through the AUTOMATIC handoff
+        // (semanticNearDupPairsAuto): below the dim ceiling the route
+        // is the sign-band form at the occupancy-holding bandBits
+        // (1×/4× → the same 6/8 dials the manual cells run); at 16×
+        // the ceiling binds and the route flips to SRP — the cell
+        // exists to measure that the AUTOMATIC path inherits SRP's
+        // zero spill exactly where the capped sign form spills 5.6 GB
+        "q150auto_pairs" -> (() => {
+          val base = Tables.embeddings(spark, dir)
+            .select("vec_id", "embedding")
+          val uniq = (0 until s).map { i =>
+            if (i == 0) base
+            else base.select(
+              ($"vec_id" + lit(i * 10000000L)).as("vec_id"),
+              expr(s"transform(embedding, (x, j) -> " +
+                s"float(sin(xxhash64(vec_id * 1048573 + j * 101 + $i))))")
+                .as("embedding"))
+          }.reduce(_ unionByName _).repartition(cpus * 2)
+          val pairs = operators.Similarity.semanticNearDupPairsAuto(uniq,
+            bands = 8, simNumSqE4 = 2025L, nOpt = Some(2000L * s))
+          pairs
+            .withColumn("lang1", concat(lit("l"), pmod(hash($"d1"), lit(5))))
+            .withColumn("lang2", concat(lit("l"), pmod(hash($"d2"), lit(5))))
+            .filter($"lang1" =!= $"lang2").count()
+        }),
         // r7 widening: prefix blocking — content-unique copies change
         // every token, so blocks never span copies and pair work
         // scales with docs, not docs²

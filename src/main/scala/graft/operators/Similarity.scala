@@ -880,4 +880,74 @@ object Similarity {
                            vecCol: String = "embedding"): DataFrame =
     semanticDedup(corpus, bands, bandBits, simNumSqE4, idCol, vecCol,
       pairsOnly = true)
+
+  /** Route decision for [[semanticNearDupPairsAuto]] — (family, dial):
+    * `("signband", bandBits)` while the sign family's DIMENSION
+    * CEILING admits the bandBits the occupancy dial wants, else
+    * `("srp", bits)` with [[srpBitsFor]]'s dial. The wanted width is
+    * `ceil(log2(n / signBandOccupancy))` (per-band bucket occupancy,
+    * the same law as SRP's — occupancy ≈ n/2^bits); the ceiling is
+    * `min(16, dim/bands)` because sign bands read RAW dimension signs
+    * (bands × bandBits positions must exist) where SRP projects onto
+    * seeded hyperplanes and grows indefinitely. The defaults
+    * REPRODUCE the measured ladder exactly — the q150 fixture
+    * (dim 64, 8 bands) routes (2000 → signband/6, 8000 → signband/8,
+    * 32000 → srp/16): the first two are the dials the 1×/4× cells ran
+    * zero-spill, the third is the cell where the capped sign form
+    * spilled 5.6 GB and the SRP form spilled zero (ARCHITECTURE r17
+    * ladder; the partition-count alternative was tested and REFUTED).
+    * signBandOccupancy = 32 is the measured-fine 1× operating point —
+    * sign-band tolerates deeper buckets than SRP's target-4 because
+    * its per-band candidate volume n·occ stays small at small n. */
+  def semanticRouteFor(n: Long, dim: Int, bands: Int = 8,
+                       signBandOccupancy: Long = 32L, tables: Int = 8,
+                       srpOccupancy: Long = 4L): (String, Int) = {
+    require(n >= 0 && dim >= 1 && bands >= 1 && signBandOccupancy > 0,
+      s"need n >= 0, dim/bands >= 1, occupancy > 0: $n/$dim/$bands/$signBandOccupancy")
+    val maxBandBits = math.min(16, dim / bands)
+    val keys = n / signBandOccupancy
+    val wanted =
+      if (keys <= 1L) 1
+      else 64 - java.lang.Long.numberOfLeadingZeros(keys - 1)
+    if (wanted <= maxBandBits) ("signband", math.max(1, wanted))
+    else ("srp", srpBitsFor(n, tables, srpOccupancy))
+  }
+
+  /** [[semanticNearDupPairs]] with the sign-band → SRP handoff made
+    * AUTOMATIC (r18, VERDICT r17 item 5): the caller asks for gated
+    * near-dup pairs at a volume, and [[semanticRouteFor]] picks the
+    * candidate family — raw sign bands while their dimension ceiling
+    * admits the occupancy-holding bit width (the oracle-replayable
+    * form, zero extra cost), SRP hyperplane buckets past it (the
+    * zero-spill form at the volume where the capped sign family
+    * degrades to spilling its self-join sort). Both families feed the
+    * IDENTICAL int8 BIGINT cosine gate, so the output schema and gate
+    * semantics never change across the handoff — only candidate
+    * recall characteristics do (equivalence with the directly-dialed
+    * forms pinned in Round18Spec on both sides of the boundary).
+    *
+    * `nOpt`: the corpus size if the caller knows it (a catalog count
+    * at 100 TB); None counts `idCol` (one column-pruned pass). */
+  def semanticNearDupPairsAuto(corpus: DataFrame, bands: Int = 8,
+                               simNumSqE4: Long = 2025L,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding",
+                               tables: Int = 8, seed: Long = 2025L,
+                               signBandOccupancy: Long = 32L,
+                               srpOccupancy: Long = 4L,
+                               nOpt: Option[Long] = None): DataFrame = {
+    val n = nOpt.getOrElse(corpus.select(col(idCol)).count())
+    val dim = corpus.select(col(vecCol)).head(1).headOption
+      .map(_.getSeq[Any](0).size).getOrElse(0)
+    require(dim >= 1, s"cannot route an empty corpus without dims")
+    semanticRouteFor(n, dim, bands, signBandOccupancy, tables,
+        srpOccupancy) match {
+      case ("signband", bandBits) =>
+        semanticNearDupPairs(corpus, bands, bandBits, simNumSqE4,
+          idCol, vecCol)
+      case (_, bits) =>
+        semanticNearDupPairsSrp(corpus, tables, bits, seed, simNumSqE4,
+          idCol, vecCol)
+    }
+  }
 }

@@ -92,6 +92,58 @@ class Round18Spec extends AnyFunSuite {
       s"HLL-routed estimate $estBig too far from 5000")
   }
 
+  /** [[graft.operators.Similarity.semanticRouteFor]] — the sign-band →
+    * SRP handoff rule, pinned at the MEASURED ladder points (q150
+    * fixture: dim 64, 8 bands): 1×/4× reproduce the zero-spill manual
+    * dials (signband 6/8), 16× is exactly where the capped sign form
+    * spilled 5.6 GB and the route must flip to SRP at srpBitsFor's 16.
+    * Plus the ceiling law: more dims re-admit the sign family at the
+    * same n; fewer dims force SRP earlier. */
+  test("semanticRouteFor: ladder dials reproduced, flip at the dim ceiling") {
+    import graft.operators.Similarity.semanticRouteFor
+    assert(semanticRouteFor(2000L, 64) === ("signband", 6))   // 1x
+    assert(semanticRouteFor(8000L, 64) === ("signband", 8))   // 4x
+    assert(semanticRouteFor(32000L, 64) === ("srp", 16))      // 16x
+    assert(semanticRouteFor(32000L, 128)._1 === "signband")   // more dims
+    assert(semanticRouteFor(2000L, 16) === ("srp", 12))       // dim-starved
+    assert(semanticRouteFor(0L, 64) === ("signband", 1))
+  }
+
+  /** [[graft.operators.Similarity.semanticNearDupPairsAuto]] equals
+    * the directly-dialed form on BOTH sides of the handoff: the gate
+    * is byte-identical across families, so the routed output must be
+    * row-identical to the family the route picked. Vectors get
+    * per-(id, dim) hash-noise directions (the ladder's decorrelation
+    * convention) with planted near-dup pairs via shared directions. */
+  test("semanticNearDupPairsAuto == the directly-dialed family on each side") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    def corpus(n: Int, dim: Int) = spark.range(n)
+      .select(col("id").as("vec_id"),
+        expr(s"transform(sequence(1, $dim), j -> " +
+          // planted clusters: ids sharing id div 4 share a direction
+          s"float(sin(xxhash64((id div 4) * 1048573 + j * 101))))")
+          .as("embedding"))
+    // signband side: n=200, dim=64 -> ("signband", 3)
+    val c1 = corpus(200, 64)
+    val (r1, d1) = Similarity.semanticRouteFor(200L, 64)
+    assert(r1 === "signband")
+    val auto1 = Similarity.semanticNearDupPairsAuto(c1, nOpt = Some(200L))
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct1 = Similarity.semanticNearDupPairs(c1, bands = 8, bandBits = d1)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto1 === direct1 && auto1.nonEmpty)
+    // srp side: dim 16 starves the ceiling (16/8 = 2 < wanted 3)
+    val c2 = corpus(200, 16)
+    val (r2, d2) = Similarity.semanticRouteFor(200L, 16)
+    assert(r2 === "srp")
+    val auto2 = Similarity.semanticNearDupPairsAuto(c2, nOpt = Some(200L))
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct2 = Similarity.semanticNearDupPairsSrp(c2, tables = 8, bits = d2)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto2 === direct2 && auto2.nonEmpty)
+  }
+
   /** [[graft.operators.Sketches.bloomBitsFor]] — the prose-dial →
     * spec'd-helper convention (srpBitsFor/fanoutFor precedent). Pins
     * the DEPLOYED operating points: the sf0.1 fixture's eval set is
