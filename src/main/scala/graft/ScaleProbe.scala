@@ -723,6 +723,36 @@ object ScaleProbe {
         // add zero cross-copy candidates, so time ∝ docs
         "q127_containment" -> (() =>
           operators.Dedup.containmentPairs(docs, k = 3).count()),
+        // r18 A/B (VERDICT r17 item 6): the same containment pipeline
+        // with a SHUFFLE_HASH hint on the inverted-index self-join —
+        // the 16× cell's 3.7 GB spill is sort volume, and a shuffled
+        // hash join has no sort to spill; the memory axis shows
+        // whether the hash build trades spill for peak task memory.
+        // Inlined rather than a containmentPairs dial so the
+        // experiment can't leak into the oracle-gated operator before
+        // the verdict is in.
+        "q127shj_containment" -> (() => {
+          graft.functions.ShingleHashes.register(spark)
+          val sh = docs
+            .withColumn("fh", expr("shingle_hashes(text, 3)"))
+            .filter(size($"fh") > 0)
+            .select($"doc_id", size($"fh").cast("long").as("ns"),
+              explode($"fh").as("shingle"))
+          val und = sh.as("a").hint("SHUFFLE_HASH")
+            .join(sh.as("b"),
+              col("a.shingle") === col("b.shingle") &&
+                col("a.doc_id") < col("b.doc_id"))
+            .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+            .agg(count(lit(1)).as("common"),
+              max(col("a.ns")).as("n1"), max(col("b.ns")).as("n2"))
+          und.select(col("d1").as("contained"), col("common"),
+              col("n1").as("n_contained"))
+            .unionAll(und.select(col("d2").as("contained"), col("common"),
+              col("n2").as("n_contained")))
+            .withColumn("cont_permille", expr("common * 1000 div n_contained"))
+            .filter(col("n_contained") >= 10 && col("cont_permille") >= 800)
+            .count()
+        }),
         // r8 widening: bigram LM — one per-row list transform + two
         // combinable counts; no positional self-join anywhere
         "q128_bigram_lm" -> (() => {
