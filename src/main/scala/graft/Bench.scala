@@ -215,9 +215,17 @@ object Bench {
     * names come back (correctness of the mapping beats compactness),
     * and if even integer ms overflows the budget the ladder falls
     * back to integer CENTISECONDS (`"qunit":"cs"`, r17 — 10 ms
-    * resolution, ~1 digit per query cheaper) and only then to integer
-    * SECONDS (`"qunit":"s"` — sub-1% relative in the only regime that
-    * can still trigger it, an all-multi-minute round). */
+    * resolution, ~1 digit per query cheaper), then to integer
+    * DECISECONDS (`"qunit":"ds"`, r18 — 100 ms resolution, another
+    * digit cheaper: the rung for the 220–240-query band where cs
+    * overflows but zeroing every sub-second query to "s" would still
+    * cost the round-over-round comparison), then to integer SECONDS
+    * (`"qunit":"s"` — sub-1% relative in the only regime that can
+    * still trigger it, an all-multi-minute round), and past even that
+    * to the TOP-N SHED (r18): per-query entries for the slowest K
+    * only with the dropped count as `"shed":K'` — the headline
+    * total/prod always cover every query, and keep=0 always fits, so
+    * the driver line can never arrive beheaded. */
   def summaryJson(names: Seq[String], best: collection.Map[String, Double],
                   everOk: collection.Map[String, Boolean],
                   nFail: collection.Map[String, Int],
@@ -234,12 +242,25 @@ object Bench {
       else names.map(n => n -> n).toMap
     def secs(d: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     def build(unit: String, withMemo: Boolean = true,
-              withTagLists: Boolean = true): String = {
+              withTagLists: Boolean = true,
+              keep: Option[Int] = None): String = {
+      // the LAST-resort shed (r18): keep only the `keep` slowest
+      // queries' per-query entries, with a `shed` count so the drop is
+      // visible — the headline total/prod still cover EVERY query.
+      // Triggered only when even integer seconds without tags
+      // overflows (first hit at 195 queries in the all-slow worst
+      // case); the slowest entries are the ones a regression hunt
+      // reads first, so they are the ones that survive.
+      val kept = keep match {
+        case Some(n) => names.sortBy(k => -best.getOrElse(k, 0.0)).take(n)
+        case None => names
+      }
       def f(d: Double): String =
         if (unit == "ms") math.round(d * 1000).toString
         else if (unit == "cs") math.round(d * 100).toString
+        else if (unit == "ds") math.round(d * 10).toString
         else math.round(d).toString
-      val qs = names.map(k => "\"" + id(k) + "\":" + f(best(k)))
+      val qs = kept.map(k => "\"" + id(k) + "\":" + f(best(k)))
         .mkString("{", ",", "}")
       val failed = names.filterNot(everOk.getOrElse(_, false))
         .map("\"" + id(_) + "\"")
@@ -282,6 +303,8 @@ object Bench {
       val memo = if (withMemo) names.filter(memoTagged) else Nil
       if (memo.nonEmpty)
         opt ++= s""","memo":"${memo.map(id).mkString(",")}""""
+      if (kept.size < names.size)
+        opt ++= s""","shed":${names.size - kept.size}"""
       s"""{"metric":"total","value":${secs(total)},"unit":"sec","qunit":"$unit","queries":$qs,"canary":${f(canary)},"csh":${f(canarySh)}$opt,"passes":$passes,"sf":"$sf"}"""
     }
     // The ceiling is MEASURED, not guessed: the driver stores the last
@@ -297,15 +320,27 @@ object Bench {
     // integer CENTISECONDS (r17, when 193 queries put the real ms line
     // a few bytes over budget: 10 ms resolution keeps sub-second
     // queries comparable round-over-round where the old direct fall to
-    // integer seconds would have zeroed them), and only past that to
-    // integer seconds (sub-1% relative only in an all-multi-minute
-    // round). `prod` never sheds before resolution: it is per-run
-    // data.
+    // integer seconds would have zeroed them), then to integer
+    // DECISECONDS (r18 — BenchContractSpec pinned 220+ queries
+    // overflowing cs one growth-round before the registry got there),
+    // and only past that to integer seconds (sub-1% relative only in
+    // an all-multi-minute round). `prod` never sheds before
+    // resolution: it is per-run data.
     if (forceFull) build("ms", withMemo = true, withTagLists = true)
     else Iterator(("ms", true, true), ("ms", false, true), ("ms", false, false),
-      ("cs", false, false), ("s", true, true))
+      ("cs", false, false), ("ds", false, false), ("s", true, true),
+      ("s", false, false))
       .map { case (u, m, t) => build(u, m, t) }
       .find(_.length < 1980)
-      .getOrElse(build("s", withMemo = false, withTagLists = false))
+      .getOrElse {
+        // top-N shed: per-query entries for the slowest K only, with
+        // the dropped count in `shed`; keep=0 (headline-only) always
+        // fits, so the driver line can never arrive beheaded
+        Iterator(150, 100, 50, 20, 0)
+          .map(k => build("s", withMemo = false, withTagLists = false,
+            keep = Some(k)))
+          .find(_.length < 1980)
+          .get
+      }
   }
 }

@@ -38,17 +38,15 @@ class BenchContractSpec extends AnyFunSuite {
     assert(json.get("failed") == null && json.get("flaky") == null)
   }
 
-  test("per-query timings are integer ms: 1 ms resolution at the current query count") {
+  test("the current query count lands on the cs rung at the stress distribution") {
     // the r6 regression this pins (one notch stronger since r11): the
     // driver's tail capture is a measured 2000 B (BENCH_r08.json), a
-    // HARD ceiling. The r11 integer-ms encoding keeps 1 ms resolution
-    // on every query — the seconds form had already degraded to
-    // 100 ms at 170 queries — and must stay under the budget with a
-    // realistic timing distribution (cycle mean ~0.66 s, above the
-    // real per-query mean — 0.578 s at sf0.1, r17 — so this
-    // upper-bounds the real line; recalibrated at 191 queries where
-    // the old ~0.94 s mean overflowed the budget the REAL line,
-    // 1947 B at 190 queries, still clears with ~30 B to spare).
+    // HARD ceiling. Recalibrated at 195 queries (r18, when q195 tipped
+    // the ms rung): at the stress distribution (cycle mean ~0.66 s,
+    // above the real per-query mean — 0.578 s at sf0.1, r17) the line
+    // now lands on CENTISECONDS — this pin is the registry-growth
+    // tripwire: when it breaks again the count crossed the next rung
+    // boundary and this comment gets the next recalibration note.
     val cycle = Array(0.030, 0.082, 0.164, 0.223, 0.309, 0.369,
       0.517, 0.988, 1.622, 2.302)
     val real = names.zipWithIndex
@@ -58,16 +56,17 @@ class BenchContractSpec extends AnyFunSuite {
       sfDir = "/root/testdata/sf0.1", canary = 0.308, canarySh = 0.142)
     assert(realLine.length < 1980, s"realistic line is ${realLine.length} B")
     val tree = mapper.readTree(realLine)
-    assert(tree.get("qunit").asText() == "ms")
+    assert(tree.get("qunit").asText() == "cs",
+      s"expected cs at ${names.size} queries, got ${tree.get("qunit").asText()}")
     for (n <- Seq(names.find(real(_) < 1).get, names.find(real(_) >= 1).get))
       assert(tree.get("queries").get(digitId(n)).asLong()
-        == math.round(real(n) * 1000),
-        s"$n must round-trip at 1 ms resolution")
+        == math.round(real(n) * 100),
+        s"$n must round-trip at 10 ms resolution")
     assert(math.abs(tree.get("value").asDouble() - real.values.sum) < 0.5,
       "total must stay 3-decimal seconds")
-    assert(tree.get("canary").asLong() == 308L)
-    assert(tree.get("csh").asLong() == 142L,
-      "the shuffle canary must ride the line in integer ms")
+    assert(tree.get("canary").asLong() == 31L)
+    assert(tree.get("csh").asLong() == 14L,
+      "the canaries ride the line in the rung's own unit")
     // prod (per-run data) NEVER sheds before resolution: it excludes
     // both tagged classes whatever rung the line landed on
     val prodExpected = names
@@ -94,8 +93,12 @@ class BenchContractSpec extends AnyFunSuite {
       "every tagged index-build query must appear in idx")
 
     // all-slow worst case (every query > 100 s): integer ms would
-    // blow the budget, so the ladder falls back to integer seconds —
-    // < 1% relative error in the only regime that triggers it
+    // blow the budget, so the ladder falls to integer seconds and —
+    // since 195 queries × 3-digit values overflow even that (r18,
+    // measured 1983 B) — to the top-N shed: per-query entries for the
+    // slowest K, the dropped count visible in `shed`, headline
+    // total/prod still over every query. The line can never arrive
+    // beheaded: keep=0 always fits.
     val slow = names.map(_ -> 123.456789).toMap
     val slowLine = Bench.summaryJson(names, slow,
       names.map(_ -> true).toMap, Map.empty, passes = 2,
@@ -103,8 +106,14 @@ class BenchContractSpec extends AnyFunSuite {
     val st = mapper.readTree(slowLine)
     assert(slowLine.length < 1980)
     assert(st.get("qunit").asText() == "s")
-    assert(st.get("queries").size() == names.size)
-    assert(st.get("queries").get(digitId(names.head)).asLong() == 123L)
+    val shed = Option(st.get("shed")).map(_.asInt()).getOrElse(0)
+    assert(st.get("queries").size() + shed == names.size,
+      "every query is either listed or counted in shed")
+    assert(shed > 0, s"at ${names.size} all-slow queries the shed tier must fire")
+    val anyKept = st.get("queries").fieldNames().asScala.next()
+    assert(st.get("queries").get(anyKept).asLong() == 123L)
+    assert(math.abs(st.get("value").asDouble() - slow.values.sum) < 0.5,
+      "the headline total covers shed queries too")
   }
 
   test("past the ms budget the ladder lands on CENTISECONDS, not integer seconds") {
@@ -133,6 +142,33 @@ class BenchContractSpec extends AnyFunSuite {
         s"$n must round-trip at 10 ms resolution")
     assert(math.abs(t.get("value").asDouble() - real.values.sum) < 0.5,
       "the headline total stays 3-decimal seconds on every rung")
+  }
+
+  test("past the cs budget the ladder lands on DECISECONDS, not integer seconds") {
+    // a synthetic 230-query registry at the same stress distribution:
+    // the r17 spec measured 220+ queries overflowing the centisecond
+    // rung, and the registry sits one growth-round away — the r18 ds
+    // rung must catch the 220–240 band at 100 ms resolution instead
+    // of zeroing every sub-second query to "s"
+    val big = (1 to 230).map(i => s"q${i}_synth")
+    val cycle = Array(0.043, 0.117, 0.234, 0.318, 0.441, 0.527,
+      0.738, 1.412, 2.317, 3.289)
+    val real = big.zipWithIndex
+      .map { case (n, i) => n -> cycle(i % cycle.length) }.toMap
+    val line = Bench.summaryJson(big, real, big.map(_ -> true).toMap,
+      Map.empty, passes = 2, sfDir = "/root/testdata/sf0.1",
+      canary = 0.308, canarySh = 0.142)
+    assert(line.length < 1980, s"ds line is ${line.length} B")
+    val t = mapper.readTree(line)
+    assert(t.get("qunit").asText() == "ds",
+      s"expected the decisecond rung, got ${t.get("qunit").asText()}")
+    for (n <- Seq(big.find(real(_) >= 1).get, big.find(real(_) >= 3).get))
+      assert(t.get("queries").get(digitId(n)).asLong()
+        == math.round(real(n) * 10),
+        s"$n must round-trip at 100 ms resolution")
+    assert(math.abs(t.get("value").asDouble() - real.values.sum) < 0.5,
+      "the headline total stays 3-decimal seconds on every rung")
+    assert(t.get("queries").size() == big.size)
   }
 
   test("memo-tagged queries appear as digit ids; the field is omitted when empty") {
@@ -171,16 +207,20 @@ class BenchContractSpec extends AnyFunSuite {
   test("the ladder sheds the memo field before it sheds ms resolution") {
     // every query memo-tagged: the memo array alone (~6 B × queries)
     // blows the tail budget, so the middle rung must emit integer-ms
-    // WITHOUT the memo field rather than falling all the way to
-    // integer seconds
+    // WITHOUT the memo field rather than falling to a coarser unit.
+    // Pinned on a 150-name subset of the real registry (r18: the FULL
+    // registry crossed the ms boundary even without memo, so the
+    // memo-vs-resolution order is only observable below it — the
+    // cs-rung test above owns the full-registry pin).
+    val subset = names.take(150)
     val cycle = Array(0.030, 0.082, 0.164, 0.223, 0.309, 0.369,
       0.517, 0.988, 1.622, 2.302)
-    val real = names.zipWithIndex
+    val real = subset.zipWithIndex
       .map { case (n, i) => n -> cycle(i % cycle.length) }.toMap
-    val line = Bench.summaryJson(names, real,
-      names.map(_ -> true).toMap, Map.empty, passes = 2,
+    val line = Bench.summaryJson(subset, real,
+      subset.map(_ -> true).toMap, Map.empty, passes = 2,
       sfDir = "/root/testdata/sf0.1", canary = 0.3,
-      memoTagged = names.toSet)
+      memoTagged = subset.toSet)
     assert(line.length < 1980)
     val t = mapper.readTree(line)
     assert(t.get("qunit").asText() == "ms")
