@@ -92,6 +92,31 @@ class Round18Spec extends AnyFunSuite {
       s"HLL-routed estimate $estBig too far from 5000")
   }
 
+  /** COVERAGE.md §2.11 is GENERATED from [[graft.functions
+    * .FunctionCatalog]] (r18, VERDICT r17 item 8): the doc said "six
+    * native expressions" for several rounds while the catalog grew to
+    * 29. This test regenerates the table rows from
+    * `FunctionCatalog.all` — same name/usage, `|` escaped for the
+    * markdown cell — and asserts the §2.11 section contains EXACTLY
+    * those rows in catalog order, so the doc can never drift again:
+    * adding a function without re-running the generator line below
+    * fails this test. Regenerate with:
+    * `FunctionCatalog.all.map(f => s"| \\`\${f.name}\\` | ...")`. */
+  test("COVERAGE.md §2.11 table is byte-identical to FunctionCatalog") {
+    import graft.functions.FunctionCatalog
+    val md = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("COVERAGE.md")), "UTF-8")
+    val section = md.split(java.util.regex.Pattern.quote("## §2.11 UDF surface"))(1)
+      .split("\n## ")(0)
+    val docRows = section.linesIterator.filter(_.startsWith("| `")).toSeq
+    val want = FunctionCatalog.all.map { f =>
+      s"| `${f.name}` | `${f.usage.replace("|", "\\|")}` |"
+    }
+    assert(docRows === want,
+      "COVERAGE.md §2.11 drifted from FunctionCatalog.all — regenerate the table")
+    assert(want.size === FunctionCatalog.all.size)
+  }
+
   /** [[graft.operators.Similarity.semanticRouteFor]] — the sign-band →
     * SRP handoff rule, pinned at the MEASURED ladder points (q150
     * fixture: dim 64, 8 bands): 1×/4× reproduce the zero-spill manual
