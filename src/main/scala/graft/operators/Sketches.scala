@@ -320,6 +320,42 @@ object Sketches {
           .otherwise(col("est_hll")))
   }
 
+  /** [[adaptiveDistinct]]'s PAIR-algebra analog (r18): for every
+    * unordered pair of groups, union/intersection estimates routed
+    * between the two sketch algebras by the union sketch's own regime
+    * telemetry — [[kmvPairAlgebra]] (exact below k; ρ-estimator
+    * intersections, the documented precision winner) when the HLL
+    * union estimate sits inside the small-range hole
+    * (`est_union_hll ≤ 5m/2` with `v_zero_union > 0`),
+    * [[hllPairAlgebra]] (bounded 6-bit-register state) above it.
+    * Both pair frames ride the same [[Md5Key]] hash of `keyExpr`;
+    * the route column and every estimate are integer/string exact,
+    * so the whole routed decision sits under the DuckDB hash gate
+    * (q196 — fixture straddles both regimes like q195's). */
+  def adaptivePairAlgebra(df: DataFrame, groupCol: String, keyExpr: String,
+                          k: Int = 64, b: Int = 8): DataFrame = {
+    val m = 1L << b
+    val kmv = kmvPairAlgebra(kmvHeads(df, groupCol, keyExpr, k), groupCol, k)
+      .select(col("t1"), col("t2"), col("n_union_heads"),
+        col("est_union").as("est_union_kmv"),
+        col("est_inter").as("est_inter_kmv"))
+    val hll = hllPairAlgebra(
+        hllRegisters(df, groupCol, keyExpr, b), groupCol, b)
+      .select(col("t1"), col("t2"), col("v_zero_union"),
+        col("est_union").as("est_union_hll"),
+        col("est_inter").as("est_inter_hll"))
+    kmv.join(hll, Seq("t1", "t2"))
+      .withColumn("route",
+        when(col("est_union_hll") <= lit(5L * m / 2) &&
+          col("v_zero_union") > 0, lit("kmv")).otherwise(lit("hll")))
+      .withColumn("est_union",
+        when(col("route") === "kmv", col("est_union_kmv"))
+          .otherwise(col("est_union_hll")))
+      .withColumn("est_inter",
+        when(col("route") === "kmv", col("est_inter_kmv"))
+          .otherwise(col("est_inter_hll")))
+  }
+
   /** HLL set algebra over a [[hllRegisters]] frame — the q160
     * (KMV pair algebra) counterpart at HLL's state point: for every
     * unordered pair of groups, the UNION cardinality estimate comes
@@ -365,8 +401,13 @@ object Sketches {
       .withColumn("est_union", expr(est("ru")))
       .withColumn("est_inter",
         greatest(col("est_t1") + col("est_t2") - col("est_union"), lit(0L)))
+      // the union sketch's regime telemetry (r18): never-hit register
+      // count of the MERGED vector — the q191 v_zero stance at the
+      // pair level, and [[adaptivePairAlgebra]]'s route signal
+      .withColumn("v_zero_union",
+        expr("aggregate(ru, 0L, (acc, r) -> acc + if(r = 0, 1L, 0L))"))
       .select(col("t1"), col("t2"), col("est_t1"), col("est_t2"),
-        col("est_union"), col("est_inter"),
+        col("est_union"), col("est_inter"), col("v_zero_union"),
         expr("cast(cast(est_inter as decimal(38,0)) * 1000 " +
           "div greatest(est_union, 1) as bigint)")
           .as("jaccard_est_permille"))

@@ -1171,6 +1171,30 @@ object EventQueries {
       .orderBy("grp")
   }
 
+  /** [[q195AdaptiveDistinct]]'s PAIR analog (r18): routed set-algebra
+    * over the same two-regime fixture — small×small pairs sit in the
+    * HLL small-range hole (their union is ≤ 80 keys, v_zero_union
+    * high) and route to KMV's exact/ρ algebra, while any pair
+    * touching a "big:" group unions past the 5m/2 floor and routes to
+    * the HLL register algebra. The oracle recomputes BOTH pair
+    * algebras (the q160 and q194 replay patterns over one shared hash
+    * CTE) and the boundary rule, so all four estimates, the union
+    * regime telemetry, and the per-pair route decision sit under one
+    * hash gate — a route flip on any of the 45 pairs is a mismatch. */
+  def q196AdaptiveOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val big = ev.select(
+      concat(lit("big:"), col("event_type")).as("grp"),
+      expr("concat(cast(user_id as string), ':', date_format(ts, 'yyyy-MM-dd'))")
+        .as("key"))
+    val small = ev.select(
+      concat(lit("small:"), col("event_type")).as("grp"),
+      pmod(col("user_id"), lit(40)).cast("string").as("key"))
+    graft.operators.Sketches.adaptivePairAlgebra(
+        big.unionByName(small), "grp", "key", k = 64, b = 8)
+      .orderBy("t1", "t2")
+  }
+
   /** Sketch-side audience overlap: distinct-user union, intersection,
     * and Jaccard per event-type pair estimated from the q141 KMV
     * sketches alone — the 100 TB swap for q155's EXACT overlap, which
@@ -1382,6 +1406,7 @@ object EventQueries {
     "q191_hll_user_days"  -> (q191HllUserDays _),
     "q194_hll_overlap"    -> (q194HllOverlap _),
     "q195_adaptive_distinct" -> (q195AdaptiveDistinct _),
+    "q196_adaptive_overlap" -> (q196AdaptiveOverlap _),
     "q160_kmv_overlap"    -> (q160KmvOverlap _),
     "q162_mg_certificate" -> (q162MgCertificate _),
     "q129_hist_quantile"  -> (q129HistQuantile _),
@@ -1700,9 +1725,11 @@ object EventQueries {
          |s AS (SELECT t1, t2,
          |        sum((1::BIGINT << (62 - m1))::HUGEINT) AS s1,
          |        sum((1::BIGINT << (62 - m2))::HUGEINT) AS s2,
-         |        sum((1::BIGINT << (62 - greatest(m1, m2)))::HUGEINT) AS su
+         |        sum((1::BIGINT << (62 - greatest(m1, m2)))::HUGEINT) AS su,
+         |        CAST(sum(CASE WHEN greatest(m1, m2) = 0 THEN 1 ELSE 0 END)
+         |             AS BIGINT) AS vz
          |      FROM rr GROUP BY t1, t2),
-         |e AS (SELECT t1, t2,
+         |e AS (SELECT t1, t2, vz,
          |        CAST(CAST(${Sketches.hllAlphaNum(8)} AS HUGEINT) * 4611686018427387904
          |          // (2570790 * s1) AS BIGINT) AS est_t1,
          |        CAST(CAST(${Sketches.hllAlphaNum(8)} AS HUGEINT) * 4611686018427387904
@@ -1712,9 +1739,99 @@ object EventQueries {
          |      FROM s)
          |SELECT t1, t2, est_t1, est_t2, est_union,
          |  greatest(est_t1 + est_t2 - est_union, 0) AS est_inter,
+         |  vz AS v_zero_union,
          |  CAST(greatest(est_t1 + est_t2 - est_union, 0)::HUGEINT * 1000
          |    // greatest(est_union, 1) AS BIGINT) AS jaccard_est_permille
          |FROM e ORDER BY t1, t2""".stripMargin,
+
+    // the PAIR analog: one shared hash CTE feeds the q160 KMV pair
+    // algebra AND the q194 HLL pair algebra, the union regime
+    // telemetry (v_zero_union over the elementwise-max grid) picks
+    // the route per pair, and all four estimates + the decision sit
+    // under the hash gate
+    "q196_adaptive_overlap" ->
+      s"""WITH src AS (
+         |  SELECT 'big:' || event_type AS grp,
+         |         cast(user_id as string) || ':' ||
+         |           strftime(ts, '%Y-%m-%d') AS key
+         |  FROM events
+         |  UNION ALL
+         |  SELECT 'small:' || event_type AS grp,
+         |         cast(user_id % 40 as string) AS key FROM events),
+         |h AS (SELECT DISTINCT grp, substr(md5(key), 1, 15) AS hx FROM src),
+         |v AS (SELECT DISTINCT grp, ${Md5Key.hex15ToLong("hx")} AS hv FROM h),
+         |r AS (SELECT grp, hv,
+         |        row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+         |      FROM v),
+         |heads AS (SELECT grp, hv FROM r WHERE rn <= 64),
+         |types AS (SELECT DISTINCT grp FROM v),
+         |prs AS (SELECT a.grp AS t1, b2.grp AS t2
+         |        FROM types a JOIN types b2 ON a.grp < b2.grp),
+         |mem AS (SELECT p.t1, p.t2, hd.hv,
+         |          max(CASE WHEN hd.grp = p.t1 THEN 1 ELSE 0 END) AS in1,
+         |          max(CASE WHEN hd.grp = p.t2 THEN 1 ELSE 0 END) AS in2
+         |        FROM prs p JOIN heads hd
+         |          ON hd.grp = p.t1 OR hd.grp = p.t2
+         |        GROUP BY p.t1, p.t2, hd.hv),
+         |urk AS (SELECT t1, t2, hv, in1, in2,
+         |          row_number() OVER (PARTITION BY t1, t2 ORDER BY hv) AS rn
+         |        FROM mem),
+         |agg AS (SELECT t1, t2,
+         |          CAST(count(*) AS BIGINT) AS n_u,
+         |          CAST(sum(CASE WHEN in1 = 1 AND in2 = 1 THEN 1 ELSE 0 END)
+         |               AS BIGINT) AS n_i,
+         |          max(hv) AS h_k
+         |        FROM urk WHERE rn <= 64 GROUP BY t1, t2),
+         |kst AS (SELECT t1, t2, n_u AS n_union_heads,
+         |          CASE WHEN n_u < 64 THEN n_u
+         |               ELSE CAST(CAST(63 AS HUGEINT) * ${Md5Key.Space}
+         |                      // greatest(h_k, 1) AS BIGINT)
+         |          END AS est_union_kmv, n_u, n_i
+         |        FROM agg),
+         |kmv AS (SELECT t1, t2, n_union_heads, est_union_kmv,
+         |          CAST(CAST(n_i AS HUGEINT) * est_union_kmv
+         |               // greatest(n_u, 1) AS BIGINT) AS est_inter_kmv
+         |        FROM kst),
+         |bb AS (SELECT grp, hv // 4503599627370496 AS j,
+         |              hv % 4503599627370496 AS w FROM v),
+         |reg AS (SELECT grp, j,
+         |          max(CASE WHEN w = 0 THEN 53
+         |                   ELSE 53 - length(bin(w)) END) AS mr
+         |        FROM bb GROUP BY grp, j),
+         |grid AS (SELECT t1, t2, t.j FROM prs CROSS JOIN range(256) t(j)),
+         |rr AS (SELECT gr.t1, gr.t2,
+         |         coalesce(r1.mr, 0) AS m1, coalesce(r2.mr, 0) AS m2
+         |       FROM grid gr
+         |       LEFT JOIN reg r1 ON r1.grp = gr.t1 AND r1.j = gr.j
+         |       LEFT JOIN reg r2 ON r2.grp = gr.t2 AND r2.j = gr.j),
+         |s AS (SELECT t1, t2,
+         |        sum((1::BIGINT << (62 - m1))::HUGEINT) AS s1,
+         |        sum((1::BIGINT << (62 - m2))::HUGEINT) AS s2,
+         |        sum((1::BIGINT << (62 - greatest(m1, m2)))::HUGEINT) AS su,
+         |        CAST(sum(CASE WHEN greatest(m1, m2) = 0 THEN 1 ELSE 0 END)
+         |             AS BIGINT) AS vz
+         |      FROM rr GROUP BY t1, t2),
+         |e AS (SELECT t1, t2, vz,
+         |        CAST(CAST(${Sketches.hllAlphaNum(8)} AS HUGEINT) * 4611686018427387904
+         |          // (2570790 * s1) AS BIGINT) AS est_t1,
+         |        CAST(CAST(${Sketches.hllAlphaNum(8)} AS HUGEINT) * 4611686018427387904
+         |          // (2570790 * s2) AS BIGINT) AS est_t2,
+         |        CAST(CAST(${Sketches.hllAlphaNum(8)} AS HUGEINT) * 4611686018427387904
+         |          // (2570790 * su) AS BIGINT) AS est_union_hll
+         |      FROM s),
+         |hll AS (SELECT t1, t2, vz AS v_zero_union, est_union_hll,
+         |          greatest(est_t1 + est_t2 - est_union_hll, 0)
+         |            AS est_inter_hll
+         |        FROM e)
+         |SELECT k.t1, k.t2, n_union_heads, est_union_kmv, est_inter_kmv,
+         |  v_zero_union, est_union_hll, est_inter_hll,
+         |  CASE WHEN est_union_hll <= 640 AND v_zero_union > 0
+         |       THEN 'kmv' ELSE 'hll' END AS route,
+         |  CASE WHEN est_union_hll <= 640 AND v_zero_union > 0
+         |       THEN est_union_kmv ELSE est_union_hll END AS est_union,
+         |  CASE WHEN est_union_hll <= 640 AND v_zero_union > 0
+         |       THEN est_inter_kmv ELSE est_inter_hll END AS est_inter
+         |FROM kmv k JOIN hll USING (t1, t2) ORDER BY k.t1, k.t2""".stripMargin,
 
     // both sketches AND the route boundary replayed: one shared
     // md5→hex15 hash CTE feeds the q141 KMV estimator and the q191
