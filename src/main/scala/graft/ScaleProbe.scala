@@ -879,6 +879,29 @@ object ScaleProbe {
             .agg(sum(when($"maybe", 1L).otherwise(0L)).as("n_maybe"))
             .count()
         }),
+        // r18: the regime-routed estimators, laddered on arrival.
+        // Two-regime fixture at scale: "big:" groups' key cardinality
+        // grows with the copies (content-unique doc ids), "small:"
+        // groups stay pinned at <= 40 keys — so the route SPLIT holds
+        // at every cell while the input volume scales. Both sketches
+        // are bounded combinable aggregates; the expectation the cell
+        // certifies is flat memory and sub-linear time.
+        "q195_adaptive_distinct" -> (() => {
+          val src = docs.select(concat(lit("big:"), $"source").as("grp"),
+              $"doc_id".cast("string").as("key"))
+            .unionByName(docs.select(
+              concat(lit("small:"), $"source").as("grp"),
+              pmod($"doc_id", lit(40)).cast("string").as("key")))
+          operators.Sketches.adaptiveDistinct(src, "grp", "key").count()
+        }),
+        "q196_adaptive_pairs" -> (() => {
+          val src = docs.select(concat(lit("big:"), $"source").as("grp"),
+              $"doc_id".cast("string").as("key"))
+            .unionByName(docs.select(
+              concat(lit("small:"), $"source").as("grp"),
+              pmod($"doc_id", lit(40)).cast("string").as("key")))
+          operators.Sketches.adaptivePairAlgebra(src, "grp", "key").count()
+        }),
         "q121_key_skew" -> (() => {
           val synth = spark.range(100000L * s).select(
             (pmod(hash($"id"), lit(1000)) *
