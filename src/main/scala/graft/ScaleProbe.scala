@@ -463,6 +463,49 @@ object ScaleProbe {
               .select($"d1", $"d2")).count()),
         "q49_dedup_corpus" -> (() =>
           operators.Dedup.dedupCorpus(docs).count()),
+        // r18: the prefix-filtered EXACT pair engine next to its
+        // naive sibling (q39's ngramJaccardPairs cell above) — the
+        // scale claim is that candidate volume tracks RARE-shingle
+        // df, not total df, so the ladder carries the verified pair
+        // count, the admitted candidate count, AND the naive
+        // inverted index's meet volume Σ f·(f−1)/2 (the floor the
+        // naive self-join is forced to): the candidate/meet ratio is
+        // the filter's measured pruning power per scale step
+        "q197_prefix_jaccard" -> (() =>
+          operators.Dedup.prefixJaccardPairs(docs, k = 3,
+            thresholdPermille = 500L).count()),
+        "q197_candidates" -> (() =>
+          operators.Dedup.prefixCandidates(docs, k = 3,
+            thresholdPermille = 500L).count()),
+        "q34_meet_volume" -> (() => {
+          graft.functions.ShingleHashes.register(spark)
+          docs.withColumn("fh", expr("shingle_hashes(text, 3)"))
+            .select(explode($"fh").as("sh"))
+            .groupBy("sh").agg(count(lit(1)).as("f"))
+            .agg(coalesce(sum(expr("f * (f - 1) div 2")), lit(0L))
+              .as("m"))
+            .as[Long].collect()(0)
+        }),
+        // r18: k-core peel over the user co-engagement projection —
+        // copies get DISJOINT key spaces (k shifted per copy) so the
+        // graph is s disjoint copies and the probe measures the
+        // projection + 6 peel rounds' engine overhead, not the
+        // quadratic densification shared keys would cause (that
+        // regime is what coEngagementEdges' maxUsersPerKey caps)
+        "q198_kcore" -> (() => {
+          val ev = Tables.events(spark, dir).select($"user_id", $"props")
+          val scaled = (0 until s).map { i =>
+            if (i == 0) ev
+            else ev.select(($"user_id" + lit(i * 1000000L)).as("user_id"),
+              concat(lit("{\"k\": "),
+                (expr("cast(get_json_object(props, '$.k') as bigint)")
+                  + lit(i * 1000L)).cast("string"),
+                lit("}")).as("props"))
+          }.reduce(_ unionByName _).repartition(cpus * 2)
+          ops.TextQueries.kCore(
+            ops.EventQueries.coEngagementEdges(scaled, minShared = 22L),
+            k = 70, iters = 6).count()
+        }),
         "q41_ann_topk" -> (() =>
           operators.Similarity.annTopK(emb, queries, k = 10).count()),
         "q43_ann_ivf" -> (() =>

@@ -133,6 +133,134 @@ object Dedup {
       .select("d1", "d2", "common", "n1", "n2", "jaccard")
   }
 
+  /** Exact Jaccard-threshold pairs via PREFIX FILTERING — the
+    * AllPairs/PPJoin family (Bayardo, Ma & Srikant, "Scaling Up All
+    * Pairs Similarity Search", WWW 2007; Xiao et al., "Efficient
+    * Similarity Joins for Near Duplicate Detection", WWW 2008):
+    * the second EXACT pair engine, with a scale story the inverted
+    * self-join ([[ngramJaccardPairs]]) structurally lacks.
+    *
+    * Why it exists: [[ngramJaccardPairs]] indexes EVERY shingle, so a
+    * boilerplate shingle in f docs costs f·(f−1)/2 join rows; its
+    * `maxShingleDocFreq` guard caps that by CHANGING the semantics
+    * (jaccard over the capped universe). Prefix filtering keeps the
+    * exact semantics and still never lets a hot shingle seed
+    * candidates: order each doc's shingle set by GLOBAL document
+    * frequency ascending (ties on the 64-bit shingle hash — a total
+    * order shared by all docs), and index only the first
+    * `ns − ⌈t·ns⌉ + 1` shingles. Two docs with Jaccard ≥ t share
+    * ≥ ⌈t·max(n1,n2)⌉ shingles, and a set missing another set's whole
+    * prefix can share at most the suffix length `⌈t·ns⌉ − 1` — so
+    * every qualifying pair collides on some prefix shingle
+    * (the canonically-smallest common shingle sits inside BOTH
+    * prefixes) and the filter is LOSSLESS. Boilerplate lands at the
+    * df-descending END of the canonical order — in the suffix, never
+    * indexed — so candidate volume is driven by the df of RARE
+    * shingles. The length filter `1000·min(n1,n2) ≥ t‰·max(n1,n2)`
+    * (Jaccard ≥ t forces |A∩B| ≥ t·|A∪B| ≥ t·max) prunes
+    * size-incompatible collisions before verification.
+    *
+    * Stages (all shuffles the algorithm requires, nothing else):
+    * df per shingle is one map-side-combinable count; the canonical
+    * sort is per-doc array work after one join of the exploded frame
+    * against the df table (both sides hash-partitioned on shingle —
+    * deliberately NOT a per-shingle count window, which would buffer a
+    * hot shingle's whole row group in one task); candidates are the
+    * prefix self-join (ids only on the shuffle); verification joins
+    * the candidate ids back to the full per-doc hash arrays and takes
+    * `array_intersect` per row — exact integer counts, one final
+    * double division. Threshold is permille so the gate
+    * `common·1000 ≥ t‰·(n1+n2−common)` is integer-exact on any
+    * engine. Same 64-bit-hash shingle universe as [[ngramJaccardPairs]]
+    * (collisions ~1e-10 at fixture scale — the approximation every
+    * hash-keyed leg here makes); [[prefixCandidates]] is public so the
+    * pruning spec can count candidates directly. */
+  def prefixJaccardPairs(docs: DataFrame, k: Int = 3,
+                         thresholdPermille: Long = 500L): DataFrame = {
+    val tp = thresholdPermille
+    val base = prefixBase(docs, k)
+    val cands = prefixCandidates(docs, k, tp)
+    cands
+      .join(base.select(col("doc_id").as("d1"), col("fh").as("fh1"),
+        col("ns").as("n1")), "d1")
+      .join(base.select(col("doc_id").as("d2"), col("fh").as("fh2"),
+        col("ns").as("n2")), "d2")
+      .withColumn("common",
+        size(array_intersect(col("fh1"), col("fh2"))).cast("long"))
+      .filter(col("common") * 1000L >= lit(tp) * (col("n1") + col("n2") - col("common")))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n1") + col("n2") - col("common")))
+      .select("d1", "d2", "common", "n1", "n2", "jaccard")
+  }
+
+  /** Per-doc distinct shingle hashes + count — the frame both the
+    * prefix build and the verification join read. */
+  private def prefixBase(docs: DataFrame, k: Int): DataFrame = {
+    graft.functions.ShingleHashes.register(docs.sparkSession)
+    docs
+      .withColumn("fh", expr(s"shingle_hashes(text, $k)"))
+      .filter(size(col("fh")) > 0)
+      .select(col("doc_id"), col("fh"), size(col("fh")).cast("long").as("ns"))
+  }
+
+  /** The candidate (d1, d2) id pairs the prefix filter admits — every
+    * pair with Jaccard ≥ t‰/1000 is here (lossless), plus the false
+    * positives verification removes. Public so the spec can pin the
+    * pruning: on a corpus with a planted hot shingle this count must
+    * sit strictly below the full inverted self-join's pair volume.
+    *
+    * `positional` layers PPJoin's positional filter (Xiao et al. §3)
+    * on the AllPairs prefix meet: at a meet on A's 0-based canonical
+    * position i and B's j, the overlap can be at most
+    * `min(n1 − i, n2 − j)` (the pair's canonically-SMALLEST common
+    * shingle meets at the lowest positions of any common shingle, and
+    * everything common sits at-or-after it in both orders), while
+    * Jaccard ≥ t forces overlap ≥ t/(1+t)·(n1+n2) — so a meet whose
+    * remaining-token budget can't reach that bound is pruned as the
+    * integer gate `min(n1−i, n2−j)·(1000+t‰) ≥ t‰·(n1+n2)`. Lossless
+    * for the same reason the prefix lemma is: a qualifying pair's
+    * smallest common shingle is in both prefixes AND satisfies the
+    * bound, so at least that meet survives to the distinct. */
+  def prefixCandidates(docs: DataFrame, k: Int,
+                       thresholdPermille: Long,
+                       positional: Boolean = true): DataFrame = {
+    require(thresholdPermille >= 1 && thresholdPermille <= 1000,
+      s"thresholdPermille must be in [1, 1000], got $thresholdPermille")
+    val tp = thresholdPermille
+    val base = prefixBase(docs, k)
+    val ex = base.select(col("doc_id"), col("ns"),
+      explode(col("fh")).as("shingle"))
+    val df = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // canonical (df asc, hash asc) order per doc; prefix length
+    // ns − ceil(t‰·ns/1000) + 1, all integer arithmetic; pos is the
+    // 0-based rank within the FULL canonical order (a prefix is a
+    // prefix, so in-prefix rank == in-set rank)
+    val prefixes = ex.join(df, "shingle")
+      .groupBy("doc_id", "ns")
+      .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("ss"))
+      .withColumn("plen",
+        col("ns") - expr(s"(ns * $tp + 999L) div 1000L") + 1L)
+      .select(col("doc_id"), col("ns"),
+        posexplode(expr("slice(ss, 1, int(plen))")).as(Seq("pos", "p")))
+      .select(col("doc_id"), col("ns"), col("pos").cast("long").as("pos"),
+        col("p.shingle").as("shingle"))
+    val lengthOk =
+      least(col("a.ns"), col("b.ns")) * 1000L >=
+        greatest(col("a.ns"), col("b.ns")) * lit(tp)
+    val joinCond =
+      if (!positional)
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id") && lengthOk
+      else
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id") && lengthOk &&
+          least(col("a.ns") - col("a.pos"), col("b.ns") - col("b.pos")) *
+            lit(1000L + tp) >= lit(tp) * (col("a.ns") + col("b.ns"))
+    prefixes.as("a").join(prefixes.as("b"), joinCond)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
   /** Asymmetric shingle-containment pairs: every ORDERED (contained,
     * container) doc pair where at least `minPermille`/1000 of the
     * contained doc's distinct k-shingles also occur in the container.
@@ -231,6 +359,34 @@ object Dedup {
     * the text bytes, no word/shingle string materialization) feeding
     * `minhash_sigs` (one JIT'd pass over the feature hashes). Docs with
     * < k words yield an empty feature array and are dropped. */
+  /** Band count for [[minHashPairs]] from (signature width, target
+    * Jaccard threshold) — the prose-dial → spec'd-helper convention
+    * (srpBitsFor / fanoutFor / bloomBitsFor precedent). An LSH scheme
+    * with b bands of r = numHashes/b rows catches a pair of Jaccard s
+    * with probability 1 − (1 − sʳ)ᵇ, an S-curve whose inflection sits
+    * at s* ≈ (1/b)^(1/r) (Leskovec/Rajaraman/Ullman, MMDS §3.4.2) —
+    * below s* collisions are rare, above it near-certain. The helper
+    * picks the divisor b of numHashes whose s* lands closest to the
+    * target (log-space distance — the curve is exponential in r, so
+    * linear distance over-weights the high end): more bands ⇒ lower
+    * s* ⇒ recall reaches DOWN to looser pairs at more candidate
+    * volume; the verification pass unconditionally restores
+    * precision, so b only prices recall against candidate count.
+    * Deployed dial pinned in the spec: 16 hashes at the 600‰ gate →
+    * 4 bands of 4 (s* = 0.707), the q35 shape. */
+  def lshBandsFor(numHashes: Int, thresholdPermille: Long): Int = {
+    require(numHashes >= 1, s"numHashes must be positive, got $numHashes")
+    require(thresholdPermille >= 1 && thresholdPermille <= 1000,
+      s"thresholdPermille must be in [1, 1000], got $thresholdPermille")
+    val t = thresholdPermille / 1000.0
+    val divisors = (1 to numHashes).filter(numHashes % _ == 0)
+    divisors.minBy { b =>
+      val r = numHashes.toDouble / b
+      val sStar = math.pow(1.0 / b, 1.0 / r)
+      math.abs(math.log(sStar) - math.log(t))
+    }
+  }
+
   def withMinHash(docs: DataFrame, k: Int = 3, numHashes: Int = 16): DataFrame = {
     graft.functions.MinHashSigs.register(docs.sparkSession)
     graft.functions.ShingleHashes.register(docs.sparkSession)

@@ -297,6 +297,94 @@ object Domains {
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"))
 
+  /** robots.txt parser → (host, path_prefix, allow) rule rows for the
+    * wildcard agent — the crawl-POLICY floor next to the page-level
+    * `<meta robots>` opt-out ([[Html.pageDirectives]]): REP (RFC 9309)
+    * line grammar with the group structure the spec defines. Per
+    * line: comments stripped (`#` to end), `user-agent:` /
+    * `allow:` / `disallow:` recognized case-insensitively, values
+    * trimmed. GROUPS: consecutive `user-agent` lines form one block
+    * header (stacked agents share the following rules, §2.2.1); a
+    * rule belongs to the nearest preceding block and is kept iff that
+    * block names `*` (the wildcard view — specific-agent selection is
+    * the same semi-join keyed on the agent token instead). Rules
+    * before any group are ignored (the spec says they belong to no
+    * group); an EMPTY `disallow:` value means "no restriction"
+    * (§2.2.2) and emits nothing.
+    *
+    * Scale: one posexplode + two per-host windows ordered by line
+    * number — REP caps a robots.txt at 500 KiB (§2.5), so a host's
+    * partition is bounded by construction and the window never sees
+    * crawl-sized groups; the output rule table is what
+    * [[robotsDecision]] joins against page volume. */
+  def robotsParse(robots: DataFrame, hostCol: String = "host",
+                  txtCol: String = "robots_txt"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy("ln")
+    val lines = robots.select(col(hostCol).as("host"),
+        posexplode(split(col(txtCol), "\n")).as(Seq("ln", "raw")))
+      .withColumn("line", trim(regexp_replace(col("raw"), "#.*$", "")))
+      .withColumn("kind",
+        when(lower(col("line")).rlike("^user-agent\\s*:"), "ua")
+          .when(lower(col("line")).rlike("^allow\\s*:"), "allow")
+          .when(lower(col("line")).rlike("^disallow\\s*:"), "disallow"))
+      .withColumn("value",
+        trim(regexp_replace(col("line"), "^(?i)[a-z-]+\\s*:", "")))
+      .filter(col("kind").isNotNull)
+    val grouped = lines
+      .withColumn("newBlock",
+        (col("kind") === "ua" &&
+          coalesce(lag(col("kind"), 1).over(w), lit("-")) =!= "ua")
+          .cast("long"))
+      .withColumn("block", sum(col("newBlock")).over(w))
+    val starBlocks = grouped
+      .filter(col("kind") === "ua" && col("value") === "*")
+      .select(col("host"), col("block")).distinct()
+    grouped.filter(col("kind") =!= "ua" && col("block") >= 1L &&
+        col("value") =!= "")
+      .join(starBlocks, Seq("host", "block"), "left_semi")
+      .select(col("host"), col("value").as("path_prefix"),
+        (col("kind") === "allow").as("allow"))
+  }
+
+  /** Per-URL robots decision over a parsed rule table: the LONGEST
+    * matching path prefix wins, `allow` winning length ties — RFC
+    * 9309 §2.2.2's "most specific match" + "least restrictive rule"
+    * precedence, as one deterministic argmax over the total order
+    * (prefix length, allow). No matching rule — or no rules for the
+    * host at all — defaults to allowed (the REP default-allow
+    * stance). Output: the page frame + `allowed` + `matched_prefix`
+    * (null when the default fired).
+    *
+    * Scale: pages join rules on HOST, so the fan-out per page is that
+    * host's rule count — bounded by REP's 500 KiB file cap however
+    * big the crawl is — and the argmax is a map-side-combinable
+    * `max_by` per page. Broadcast the rule table when it fits (a
+    * 10M-host rule set is a few hundred MB — the planner decides);
+    * the startswith probe is a codegen'd per-row string compare, no
+    * regex. */
+  def robotsDecision(pages: DataFrame, rules: DataFrame,
+                     uriCol: String = "url",
+                     idCol: String = "doc_id"): DataFrame = {
+    val withPath = pages
+      .withColumn("_host", uriHost(col(uriCol)))
+      .withColumn("_path", coalesce(
+        nullif(regexp_extract(col(uriCol),
+          "^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1), lit("")),
+        lit("/")))
+    val best = withPath
+      .join(rules.select(col("host").as("_host"),
+        col("path_prefix"), col("allow")), Seq("_host"))
+      .filter(col("_path").startsWith(col("path_prefix")))
+      .groupBy(col(idCol))
+      .agg(max_by(struct(col("allow"), col("path_prefix")),
+        struct(length(col("path_prefix")).as("l"), col("allow"))).as("r"))
+      .select(col(idCol), col("r.allow").as("allowed"),
+        col("r.path_prefix").as("matched_prefix"))
+    pages.join(best, Seq(idCol), "left")
+      .withColumn("allowed", coalesce(col("allowed"), lit(true)))
+  }
+
   /** Remove documents whose host OR registrable domain is blocked.
     * The blocklist arrives as a one-column DataFrame (`blocked`) so
     * production lists (millions of rows, refreshed independently)

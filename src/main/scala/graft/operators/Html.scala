@@ -126,22 +126,25 @@ object Html {
     * comma/space-delimited whole-word (`noindexfoo` does not count).
     * Absent directives come back null/false — per-row regex + one
     * codegen'd [[graft.functions.UrlResolve]] call, zero shuffles. */
+  private def firstNonEmpty(cs: Column*): Column =
+    coalesce(cs.map(nullif(_, lit(""))): _*)
+
+  /** Attribute value out of a CAPTURED TAG string: quoted forms
+    * first (the unquoted arm cannot start at a quote, so the
+    * coalesce order is just preference, not correctness). The name
+    * is anchored to a preceding DELIMITER, not \b: '-' is a word
+    * boundary, so \bhref would match inside data-href and a hostile
+    * <link rel=canonical data-href="/wrong" href="/right"> could
+    * surface the wrong value (ADVICE r17). RE2-safe, no lookbehind.
+    * Shared by [[pageDirectives]] and [[extractAnchors]]. */
+  private def attrValue(tag: Column, attr: String): Column = firstNonEmpty(
+    regexp_extract(tag, s"(?i)(?:^|[\\s\"'/])$attr\\s*=\\s*\"([^\"]*)\"", 1),
+    regexp_extract(tag, s"(?i)(?:^|[\\s\"'/])$attr\\s*=\\s*'([^']*)'", 1),
+    regexp_extract(tag, s"(?i)(?:^|[\\s\"'/])$attr\\s*=\\s*([^\\s\"'>]+)", 1))
+
   def pageDirectives(df: DataFrame, htmlCol: String,
                      pageUrlCol: Option[String] = None): DataFrame = {
     graft.functions.UrlResolveCore.register(df.sparkSession)
-    def firstNonEmpty(cs: Column*): Column =
-      coalesce(cs.map(nullif(_, lit(""))): _*)
-    // attribute value out of a CAPTURED TAG string: quoted forms
-    // first (the unquoted arm cannot start at a quote, so the
-    // coalesce order is just preference, not correctness). The name
-    // is anchored to a preceding DELIMITER, not \b: '-' is a word
-    // boundary, so \bhref would match inside data-href and a hostile
-    // <link rel=canonical data-href="/wrong" href="/right"> could
-    // surface the wrong value (ADVICE r17). RE2-safe, no lookbehind.
-    def attrValue(tag: Column, attr: String): Column = firstNonEmpty(
-      regexp_extract(tag, s"(?i)(?:^|[\\s\"'/])$attr\\s*=\\s*\"([^\"]*)\"", 1),
-      regexp_extract(tag, s"(?i)(?:^|[\\s\"'/])$attr\\s*=\\s*'([^']*)'", 1),
-      regexp_extract(tag, s"(?i)(?:^|[\\s\"'/])$attr\\s*=\\s*([^\\s\"'>]+)", 1))
     // <link> whose rel VALUE contains the whole token `canonical`:
     // quoted arms token-match inside the quotes; the unquoted arm is
     // single-token by grammar (an unquoted value ends at whitespace),
@@ -180,5 +183,83 @@ object Html {
           urlResolve(coalesce(pageUrl, lit("")), col("base_href")),
           pageUrl, lit("")),
         col("rel_canonical")))
+  }
+
+  /** Out-link extraction: one row per `<a>` element — the LINK GRAPH
+    * stage of a crawl pipeline, and the source of ANCHOR TEXT, the
+    * oldest off-page document-description signal there is (Brin &
+    * Page 1998 §2.2 — anchor text describes the TARGET better than
+    * the target's own page; modern corpora mine it for titles,
+    * queries, and link-graph features alike).
+    *
+    * Emitted per anchor: `href_raw` (attribute value, the
+    * [[attrValue]] quoted/unquoted + decoy-proof machinery), `target`
+    * (href RFC 3986 §5-resolved against `pageUrlCol` — relative
+    * hrefs, the overwhelmingly common spelling, become absolute and
+    * comparable across pages; null for no-href anchors like
+    * `<a name=…>`), and `anchor_text` (element content with inner
+    * markup stripped, character references decoded through the same
+    * native single-pass [[graft.functions.HtmlUnescapeCore]] the text
+    * extractor uses, whitespace normalized, trimmed). Pages with a
+    * `<base href>` should pre-resolve their URL column via
+    * [[pageDirectives]]' effective-base output.
+    *
+    * Per-row expression work only — `regexp_extract_all` + one
+    * explode; no shuffle until the caller aggregates. Nested `<a>`
+    * cannot occur (HTML forbids it and browsers auto-close), so the
+    * lazy span to the first `</a>` is the correct parse, not an
+    * approximation. */
+  def extractAnchors(df: DataFrame, htmlCol: String,
+                     pageUrlCol: String): DataFrame = {
+    graft.functions.UrlResolveCore.register(df.sparkSession)
+    graft.functions.HtmlUnescape.register(df.sparkSession)
+    val anchors = regexp_extract_all(col(htmlCol),
+      lit("(?is)<a\\b[^>]*>.*?</a\\s*>"), lit(0))
+    val withEl = df.withColumn("a_el", explode(anchors))
+    val openTag = regexp_extract(col("a_el"), "(?s)^<[^>]*>", 0)
+    val inner = regexp_replace(col("a_el"),
+      "(?is)^<[^>]*>|</a\\s*>$", "")
+    val innerText = trim(regexp_replace(
+      call_function("html_unescape", regexp_replace(inner, "<[^>]*>", " ")),
+      "[\\s\\x{A0}]+", " "))
+    withEl
+      .withColumn("href_raw", trim(attrValue(openTag, "href"), " \t\n\r"))
+      .withColumn("target",
+        call_function("url_resolve", col(pageUrlCol), col("href_raw")))
+      .withColumn("anchor_text", innerText)
+      .drop("a_el")
+  }
+
+  /** Per-target anchor aggregation over [[extractAnchors]] output:
+    * `n_links` (in-link count), `n_hosts` (distinct linking hosts —
+    * the spam-resistant form of in-degree: one host repeating a link
+    * counts once), and `top_anchor` (most frequent anchor text,
+    * ties broken text-ascending — a total order, so the pick is
+    * deterministic and oracle-replayable). No-href and unresolvable
+    * anchors are dropped — they name nothing.
+    *
+    * Scale: two parallel aggregation legs, both map-side combinable —
+    * (target, anchor_text) counts feeding a per-target argmax, and
+    * DISTINCT (target, src_host) feeding the host count — joined on
+    * target. In-degree skew (everyone links the homepage) is absorbed
+    * by partial aggregation: duplicate (target, anchor) and (target,
+    * host) rows collapse map-side, so the reducer holding a hot
+    * target sees at most its distinct-anchor/-host row counts, never
+    * the raw link volume. */
+  def anchorStats(anchors: DataFrame,
+                  srcUrlCol: String = "page_url"): DataFrame = {
+    val linked = anchors.filter(col("target").isNotNull)
+      .withColumn("src_host",
+        regexp_extract(col(srcUrlCol), "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1))
+    val byAnchor = linked.groupBy("target", "anchor_text")
+      .agg(count(lit(1)).as("cnt"))
+    val top = byAnchor.groupBy("target")
+      .agg(sum(col("cnt")).as("n_links"),
+        min_by(col("anchor_text"),
+          struct((-col("cnt")).as("nc"), col("anchor_text"))).as("top_anchor"))
+    val hosts = linked.select("target", "src_host").distinct()
+      .groupBy("target").agg(count(lit(1)).as("n_hosts"))
+    top.join(hosts, "target")
+      .select("target", "n_links", "n_hosts", "top_anchor")
   }
 }

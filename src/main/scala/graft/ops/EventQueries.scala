@@ -1195,6 +1195,70 @@ object EventQueries {
       .orderBy("t1", "t2")
   }
 
+  /** User co-engagement graph: an undirected edge between two users
+    * for every pair sharing at least `minShared` distinct `props.k`
+    * engagement keys — the standard bipartite user–item projection
+    * (users, keys, the DISTINCT (user, key) incidence frame; the
+    * share floor is what keeps the projection from degenerating into
+    * the complete graph). Emitted directed-symmetric (both
+    * directions, no self-loops), the q101 edge convention every graph
+    * operator here consumes.
+    *
+    * Scale: the projection join fans out per key as |users(key)|² —
+    * the exact hot-shingle shape [[graft.operators.Dedup]] guards
+    * with `maxShingleDocFreq` — so `maxUsersPerKey` applies the same
+    * cap: keys engaging more than the cap are dropped from the
+    * incidence frame before the self-join (a key half the user base
+    * touches is boilerplate affinity, not signal — and it alone would
+    * contribute |U|²/8 pair rows). None preserves exact projection
+    * semantics for the oracle; the fixture's 100-key universe keeps
+    * the uncapped join fixture-affordable. */
+  def coEngagementEdges(events: DataFrame, minShared: Long,
+                        maxUsersPerKey: Option[Int] = None): DataFrame = {
+    val uk = events.select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k").isNotNull)
+      .distinct()
+    val pruned = maxUsersPerKey match {
+      case None => uk
+      case Some(cap) =>
+        val hot = uk.groupBy("k").agg(count(lit(1)).as("nu"))
+          .filter(col("nu") > cap).select("k")
+        uk.join(hot, Seq("k"), "left_anti")
+    }
+    val p = pruned.as("a").join(pruned.as("b"),
+        col("a.k") === col("b.k") && col("a.user_id") < col("b.user_id"))
+      .groupBy(col("a.user_id").as("u"), col("b.user_id").as("v"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select("u", "v")
+    p.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(p.select(col("v").as("src"), col("u").as("dst")))
+  }
+
+  /** k-core of the user co-engagement graph ([[coEngagementEdges]] at
+    * the shared≥22 floor, [[TextQueries.kCore]] at k=70 for 6
+    * synchronous rounds): the dense engagement nucleus — the cohort
+    * whose members each share deep engagement with ≥ 70 OTHER
+    * nucleus members, the standard community-backbone signal (and
+    * the graph family's density axis, next to q101/q118/q181). On
+    * the sf0.01 fixture the peel genuinely cascades: 150 users →
+    * 121 survivors over 4 rounds (rounds 5–6 are fixpoint no-ops,
+    * measured while dialing), so the oracle's 6 unrolled rounds
+    * certify the synchronous-update algebra, not just a degree
+    * filter. Output deg_in_core is each survivor's degree within the
+    * core-inducing round — integer-exact on both engines. */
+  def q198KCore(spark: SparkSession, dir: String): DataFrame = {
+    // the projection join is the expensive leg and every peel round's
+    // lineage references it — memoized so the 6 rounds (and a Bench
+    // pass's repeats) pay it once, the q181 pr_edges pattern
+    val e = Memo.of(spark, s"coeng_edges:$dir:minShared=22") {
+      coEngagementEdges(Tables.events(spark, dir), minShared = 22L)
+    }
+    TextQueries.kCore(e, k = 70, iters = 6)
+      .select(col("v").as("user_id"), col("deg").as("deg_in_core"))
+  }
+
   /** Sketch-side audience overlap: distinct-user union, intersection,
     * and Jaccard per event-type pair estimated from the q141 KMV
     * sketches alone — the 100 TB swap for q155's EXACT overlap, which
@@ -1407,6 +1471,7 @@ object EventQueries {
     "q194_hll_overlap"    -> (q194HllOverlap _),
     "q195_adaptive_distinct" -> (q195AdaptiveDistinct _),
     "q196_adaptive_overlap" -> (q196AdaptiveOverlap _),
+    "q198_kcore"          -> (q198KCore _),
     "q160_kmv_overlap"    -> (q160KmvOverlap _),
     "q162_mg_certificate" -> (q162MgCertificate _),
     "q129_hist_quantile"  -> (q129HistQuantile _),
@@ -1444,7 +1509,38 @@ object EventQueries {
     "q54_asof_join"       -> (q54AsofJoin _)
   )
 
+  /** One synchronous k-core round of the q198 oracle: survivors of
+    * `prev` whose degree among edges with BOTH endpoints in `prev` is
+    * ≥ k — MATERIALIZED because each round references its predecessor
+    * twice (one join per endpoint). */
+  private def kcIterSql(prev: String, next: String, k: Int): String =
+    s"""$next AS MATERIALIZED (
+       |  SELECT e.src AS v, CAST(count(*) AS BIGINT) AS deg
+       |  FROM e JOIN $prev a ON e.src = a.v JOIN $prev b ON e.dst = b.v
+       |  GROUP BY e.src HAVING count(*) >= $k)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // the coEngagementEdges projection (DISTINCT user/key incidence,
+    // shared>=22 pair floor, symmetric emit) then kCore's 6 rounds
+    // unrolled — each round MATERIALIZED, the q181/q101 convention
+    "q198_kcore" ->
+      s"""WITH uk AS MATERIALIZED (
+         |  SELECT DISTINCT user_id, TRY_CAST(props->>'$$.k' AS BIGINT) AS k
+         |  FROM events WHERE TRY_CAST(props->>'$$.k' AS BIGINT) IS NOT NULL),
+         |p AS (SELECT a.user_id AS u, b.user_id AS v
+         |      FROM uk a JOIN uk b ON a.k = b.k AND a.user_id < b.user_id
+         |      GROUP BY 1, 2 HAVING count(*) >= 22),
+         |e AS MATERIALIZED (SELECT u AS src, v AS dst FROM p
+         |                   UNION ALL SELECT v AS src, u AS dst FROM p),
+         |s0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),
+         |${kcIterSql("s0", "s1", 70)},
+         |${kcIterSql("s1", "s2", 70)},
+         |${kcIterSql("s2", "s3", 70)},
+         |${kcIterSql("s3", "s4", 70)},
+         |${kcIterSql("s4", "s5", 70)},
+         |${kcIterSql("s5", "s6", 70)}
+         |SELECT v AS user_id, deg AS deg_in_core FROM s6""".stripMargin,
+
     // q125's session tagging verbatim (carrying event_type), each
     // session's type sequence under the total (us, event_id) order,
     // the same one-list-transform trigram build, and the same

@@ -79,6 +79,20 @@ object TextQueries {
   def q34NgramJaccard(spark: SparkSession, dir: String): DataFrame =
     exactJaccardPairs(spark, dir, threshold = 0.2)
 
+  /** Exact Jaccard pairs at 500‰ through the PREFIX-FILTERED engine
+    * ([[Dedup.prefixJaccardPairs]]) — q34's semantics from a different
+    * plan: candidates seed only from each doc's df-rarest shingles, so
+    * hot boilerplate never pays the f²/2 self-join toll AND the
+    * semantics stay exact (no capped universe). The oracle is the
+    * plain exact-Jaccard SQL at the same integer gate; a green row
+    * certifies the prefix filter's LOSSLESSNESS end to end, because
+    * any candidate the prefix drops would show up as a missing row.
+    * Deliberately NOT memo-shared with q34's leg — the point is the
+    * independent plan. */
+  def q197PrefixJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.prefixJaccardPairs(docsRebalanced(spark, dir), k = 3,
+      thresholdPermille = 500L)
+
   /** Dedup threshold calibration ([[Dedup.yieldCurve]]): pair and
     * flagged-doc volume at 600/700/800/900‰ Jaccard, all read off the
     * ONE memoized base pair leg — the sweep a pipeline runs to pick
@@ -733,6 +747,53 @@ object TextQueries {
     * `min_by((−count, label))` argmax — |edges|-row shuffles, and the
     * capped edge build keeps |edges| ∝ docs. */
   val LpaIters = 4
+
+  /** Synchronous k-core peel over a directed-symmetric (src, dst)
+    * edge frame (both directions present, no self-loops — the q101
+    * convention): each round simultaneously drops every node whose
+    * degree among the CURRENT survivors is < k, for a FIXED `iters`
+    * rounds — the q181/q107 convention that lets the oracle unroll
+    * the exact same rounds, so engine and oracle agree at ANY round
+    * count and the fixpoint claim ("this is the true k-core") is
+    * pinned separately by the crafted-graph spec, which also drives
+    * the cascade (peeling one layer exposes the next — the behavior a
+    * single degree filter cannot reproduce). k-core completes the
+    * graph family's density axis: CC = connectivity, PageRank =
+    * centrality, triangles = cohesion, LPA = mesoscale, k-core = the
+    * degeneracy backbone (Seidman 1983; Batagelj & Zaveršnik 2003) —
+    * the standard "dense engagement nucleus" signal.
+    *
+    * Each round references the survivor set ONCE (one dst-side
+    * semi-join + one map-side-combinable degree count, ids only) —
+    * NOT the textbook both-endpoints membership test, whose second
+    * reference would DOUBLE the unresolved logical plan per round
+    * (2^iters copies of the upstream edge build; measured as a
+    * planner hang at 6 rounds before this form). The src-side test
+    * is redundant by MONOTONICITY: survivor sets only shrink, so a
+    * node dropped at round i has degree < k against a SUPERSET of
+    * every later survivor set and can never re-qualify — the
+    * single-reference round computes the identical set, and the
+    * oracle's two-sided unrolled SQL certifies exactly that
+    * equivalence on the fixture. Synchronous peel converges in
+    * O(diameter)-ish rounds on real graphs (not the |V| rounds
+    * sequential peel implies); production picks `iters` from the
+    * ladder and verifies convergence by comparing round R to R−1,
+    * exactly what the spec does. Output: (v, deg) — degree within
+    * the final survivor set's inducing round. */
+  def kCore(edges: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(iters >= 1, s"iters must be positive, got $iters")
+    var surv = edges.select(col("src").as("v")).distinct()
+      .withColumn("deg", lit(0L))
+    for (_ <- 1 to iters) {
+      surv = edges
+        .join(surv.select(col("v").as("dst")), Seq("dst"), "left_semi")
+        .groupBy(col("src").as("v"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+    }
+    surv
+  }
 
   def lpaCommunities(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
@@ -2006,6 +2067,88 @@ object TextQueries {
     graft.operators.Domains.urlDedup(keyed, uriCol = "u")
   }
 
+  /** Anchor-text aggregation under the oracle gate ([[graft.operators
+    * .Html.extractAnchors]] → [[graft.operators.Html.anchorStats]]):
+    * the link-graph signal stage. Pages (the q189 hostile-spelling
+    * convention, arms from doc_id arithmetic) carry a double-quoted
+    * absolute link whose anchor holds a CHARACTER REFERENCE
+    * (`story &amp; g` must aggregate as `story & g`), a single-quoted
+    * RELATIVE link with INNER MARKUP (`local <b>g</b>` on the page's
+    * own host — resolution makes it absolute, stripping makes it
+    * `local g`), an unquoted-href link behind a `data-href` decoy
+    * whose anchor alternates so the per-target argmax has real
+    * competition, and a no-href `<a name>` that must vanish. The
+    * oracle derives every link row INDEPENDENTLY from doc_id and
+    * aggregates — extraction, resolution, entity decode, tag strip,
+    * and the (count desc, text asc) argmax are certified by producing
+    * exactly the right aggregate from every spelling. */
+  def q199AnchorStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    val id = col("doc_id").cast("string")
+    val h = pmod(col("doc_id"), lit(7)).cast("string")
+    val g = expr("doc_id div 10").cast("string")
+    val pageUrl = concat(lit("http://h"), h, lit(".example.org/p/"), id)
+    val armA = concat(lit("<a href=\"http://t.example.com/art/"), g,
+      lit("\">story &amp; "), g, lit("</a>"))
+    val armB = when(pmod(col("doc_id"), lit(3)) === 1, concat(
+        lit("<a href='/local/"), g, lit("'>local <b>"), g, lit("</b></a>")))
+      .otherwise(lit(""))
+    val armD = when(pmod(col("doc_id"), lit(4)) === 2, concat(
+        lit("<a class=x data-href=/wrong href=http://t.example.com/alt/"),
+        pmod(col("doc_id"), lit(5)).cast("string"),
+        lit(">alt "), pmod(expr("doc_id div 4"), lit(2)).cast("string"),
+        lit("</a>")))
+      .otherwise(lit(""))
+    val armE = when(pmod(col("doc_id"), lit(5)) === 3,
+      lit("<a name=\"x\">no link</a>")).otherwise(lit(""))
+    val pages = docs.select(col("doc_id"), pageUrl.as("page_url"),
+      concat(lit("<html><body><p>intro</p>"), armA, armB, armD, armE,
+        lit("</body></html>")).as("html"))
+    graft.operators.Html.anchorStats(
+      graft.operators.Html.extractAnchors(pages, "html", "page_url"))
+  }
+
+  /** robots.txt parse + longest-match decision under the oracle gate
+    * ([[graft.operators.Domains.robotsParse]] →
+    * [[graft.operators.Domains.robotsDecision]]): each host publishes
+    * a REAL REP file built in-query — a specific-agent group
+    * (`gptbot: Disallow /`) that the wildcard view must IGNORE, the
+    * `*` group with a root allow, an empty `Disallow:` (no
+    * restriction, must emit nothing), a host-parity `/p/` disallow,
+    * a longer `/p/1` allow that must BEAT it on specificity, and on
+    * one host the equal-length `/p/2` allow+disallow pair whose tie
+    * RFC 9309 §2.2.2 resolves least-restrictive. The oracle derives
+    * every page's expected (allowed, matched_prefix) independently
+    * from doc_id arithmetic — parse, grouping, and precedence are
+    * certified by producing the right decision from the raw file
+    * text. */
+  def q200RobotsFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    val id = col("doc_id").cast("string")
+    val h = pmod(col("doc_id"), lit(7)).cast("string")
+    val pages = docs.select(col("doc_id"),
+      concat(lit("http://h"), h, lit(".example.org/p/"), id).as("url"))
+    val hosts = spark.range(7).select(
+      concat(lit("h"), col("id").cast("string"), lit(".example.org"))
+        .as("host"),
+      col("id").as("hn"))
+    val robotsTxt = concat(
+      lit("# crawl policy\nUser-agent: gptbot\nDisallow: /\n\n"),
+      lit("User-agent: *\nAllow: /\n"),
+      when(pmod(col("hn"), lit(2)) === 1, lit("Disallow:\n"))
+        .otherwise(lit("")),
+      when(pmod(col("hn"), lit(2)) === 0, lit("Disallow: /p/\n"))
+        .otherwise(lit("")),
+      lit("Allow: /p/1\n"),
+      when(col("hn") === 2, lit("Allow: /p/2\nDisallow: /p/2\n"))
+        .otherwise(lit("")))
+    val rules = graft.operators.Domains.robotsParse(
+      hosts.select(col("host"), robotsTxt.as("robots_txt")))
+    graft.operators.Domains.robotsDecision(pages, rules,
+        uriCol = "url", idCol = "doc_id")
+      .select("doc_id", "url", "allowed", "matched_prefix")
+  }
+
   def q187C4Clean(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val multi = docs.withColumn("mtext", concat(col("text"), lit("."),
@@ -2080,6 +2223,8 @@ object TextQueries {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q187_c4_clean" -> (q187C4Clean _),
     "q189_page_directives" -> (q189PageDirectives _),
+    "q199_anchor_stats" -> (q199AnchorStats _),
+    "q200_robots_filter" -> (q200RobotsFilter _),
     "q190_canonical_dedup" -> (q190CanonicalDedup _),
     "q186_url_dedup" -> (q186UrlDedup _),
     "q185_ranged_ingest" -> (q185RangedIngest _),
@@ -2128,6 +2273,7 @@ object TextQueries {
     "q32_lang_id"       -> (q32LangId _),
     "q33_dedup_exact"   -> (q33DedupExact _),
     "q34_ngram_jaccard" -> (q34NgramJaccard _),
+    "q197_prefix_jaccard" -> (q197PrefixJaccard _),
     "q35_minhash_pairs" -> (q35MinhashPairs _),
     "q36_simhash_pairs" -> (q36SimhashPairs _),
     "q37_fingerprint"   -> (q37Fingerprint _),
@@ -2341,6 +2487,60 @@ object TextQueries {
         |    AND NOT contains(lower(mtext), 'lorem ipsum')
         |    AND NOT bad AS pass
         |FROM c""".stripMargin,
+
+    // the EXPECTED decisions, derived independently of the parser and
+    // precedence chain: /p/1 pages hit the specificity override, h=2
+    // pages starting '2' hit the least-restrictive tie, remaining
+    // even-host pages hit the /p/ disallow, odd hosts default-allow
+    "q200_robots_filter" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS h,
+        |             doc_id % 7 AS hn, CAST(doc_id AS VARCHAR) AS s
+        |           FROM documents)
+        |SELECT doc_id,
+        |  'http://h' || h || '.example.org/p/' || s AS url,
+        |  CASE WHEN s LIKE '1%' THEN TRUE
+        |       WHEN hn = 2 AND s LIKE '2%' THEN TRUE
+        |       WHEN hn % 2 = 0 THEN FALSE
+        |       ELSE TRUE END AS allowed,
+        |  CASE WHEN s LIKE '1%' THEN '/p/1'
+        |       WHEN hn = 2 AND s LIKE '2%' THEN '/p/2'
+        |       WHEN hn % 2 = 0 THEN '/p/'
+        |       ELSE '/' END AS matched_prefix
+        |FROM d""".stripMargin,
+
+    // the EXPECTED link rows, derived independently of the extraction/
+    // resolution/decode chain from doc_id arithmetic (the q186/q189
+    // convention), then the same two-leg aggregate: per-target link
+    // count, distinct linking hosts, (count desc, text asc) top anchor
+    "q199_anchor_stats" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS h,
+        |             CAST(doc_id // 10 AS VARCHAR) AS g
+        |           FROM documents),
+        |l AS (
+        |  SELECT 'http://t.example.com/art/' || g AS target,
+        |         'story & ' || g AS anchor,
+        |         'h' || h || '.example.org' AS src_host
+        |  FROM d
+        |  UNION ALL
+        |  SELECT 'http://h' || h || '.example.org/local/' || g,
+        |         'local ' || g, 'h' || h || '.example.org'
+        |  FROM d WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT 'http://t.example.com/alt/' || CAST(doc_id % 5 AS VARCHAR),
+        |         'alt ' || CAST((doc_id // 4) % 2 AS VARCHAR),
+        |         'h' || h || '.example.org'
+        |  FROM d WHERE doc_id % 4 = 2),
+        |c AS (SELECT target, anchor, count(*) AS cnt FROM l GROUP BY 1, 2),
+        |t AS (SELECT target, CAST(sum(cnt) AS BIGINT) AS n_links
+        |      FROM c GROUP BY target),
+        |top AS (SELECT target, anchor AS top_anchor FROM (
+        |          SELECT target, anchor, row_number() OVER (
+        |            PARTITION BY target ORDER BY cnt DESC, anchor) AS rn
+        |          FROM c) WHERE rn = 1),
+        |hh AS (SELECT target, CAST(count(DISTINCT src_host) AS BIGINT) AS n_hosts
+        |       FROM l GROUP BY target)
+        |SELECT t.target, t.n_links, hh.n_hosts, top.top_anchor
+        |FROM t JOIN hh USING (target) JOIN top USING (target)""".stripMargin,
 
     // the EXPECTED canonical forms, derived independently of the
     // canonicalization chain: arms 0-2 collapse onto the %2F/x=1 form,
@@ -3341,6 +3541,24 @@ object TextQueries {
         |  CAST(common AS DOUBLE) / (n1.ns + n2.ns - common) AS jaccard
         |FROM c JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
         |WHERE CAST(common AS DOUBLE) / (n1.ns + n2.ns - common) >= 0.2""".stripMargin,
+
+    // same CTEs as q34 at the 500‰ INTEGER gate — the engine side is
+    // the prefix-filtered plan, so row-for-row equality here is the
+    // losslessness proof of the prefix filter itself
+    "q197_prefix_jaccard" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |        unnest(list_distinct(list_transform(range(len(w) - 2),
+        |          i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS shingle
+        |      FROM d WHERE len(w) >= 3),
+        |n AS (SELECT doc_id, count(*) AS ns FROM s GROUP BY doc_id),
+        |c AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT d1, d2, common, n1.ns AS n1, n2.ns AS n2,
+        |  CAST(common AS DOUBLE) / (n1.ns + n2.ns - common) AS jaccard
+        |FROM c JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+        |WHERE common * 1000 >= 500 * (n1.ns + n2.ns - common)""".stripMargin,
 
     // r16: the FULL LSH replays — FNV/splitmix/band-fold arithmetic
     // restated in DuckDB HUGEINT modular SQL (generated — see

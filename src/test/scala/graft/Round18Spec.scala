@@ -169,6 +169,177 @@ class Round18Spec extends AnyFunSuite {
     assert(auto2 === direct2 && auto2.nonEmpty)
   }
 
+  /** [[graft.operators.Dedup.lshBandsFor]] — the LAST prose dial in
+    * the dedup family gets its helper (srpBitsFor / fanoutFor /
+    * bloomBitsFor precedent): bands from (signature width, target
+    * threshold) via the S-curve inflection (1/b)^(1/r), nearest in
+    * log space over the divisors of numHashes. Pins the deployed q35
+    * dial and the recall direction (looser gate ⇒ never fewer
+    * bands). */
+  test("lshBandsFor: deployed q35 dial reproduced; looser gates never fewer bands") {
+    import graft.operators.Dedup.lshBandsFor
+    assert(lshBandsFor(16, 600) === 4) // the q35 shape: 16 hashes, 4 bands
+    assert(lshBandsFor(16, 900) === 2)
+    assert(lshBandsFor(16, 300) === 8)
+    assert(lshBandsFor(16, 50) === 16)
+    val ts = Seq(950L, 900L, 800L, 700L, 600L, 500L, 400L, 300L, 200L, 100L, 50L)
+    val bs = ts.map(lshBandsFor(16, _))
+    assert(bs === bs.sorted, s"band count must not drop as the gate loosens: $bs")
+    for (nh <- Seq(8, 16, 32, 64); t <- ts)
+      assert(nh % lshBandsFor(nh, t) === 0, s"b must divide $nh at t=$t")
+  }
+
+  /** [[graft.operators.Dedup.prefixJaccardPairs]] — the AllPairs/
+    * PPJoin prefix filter (r18). The corpus plants 20 near-dup pairs
+    * (40-word docs overlapping on 35) AND a 5-word boilerplate footer
+    * on EVERY doc, so the full inverted self-join necessarily meets
+    * all n(n−1)/2 pairs (every pair shares the footer shingles) —
+    * the exact worst case maxShingleDocFreq exists to cap. Pins:
+    * (a) LOSSLESSNESS — the prefix engine's pair set equals
+    * ngramJaccardPairs' at the same 0.5 gate, integer columns and
+    * all; (b) PRUNING — prefixCandidates stays strictly below the
+    * all-pairs floor the naive index is forced to (the hot footer
+    * sorts df-descending-last, out of every prefix). */
+  test("prefixJaccardPairs == ngramJaccardPairs; candidates pruned below all-pairs") {
+    import graft.operators.Dedup
+    val n = 40
+    val docs = (0 until n).map { i =>
+      val g = i / 2
+      val words =
+        if (i % 2 == 0) (0 until 40).map(w => s"t${g * 1000 + w}")
+        else (5 until 45).map(w => s"t${g * 1000 + w}")
+      (i.toLong,
+        (words ++ Seq("common", "footer", "sentence", "shared", "everywhere"))
+          .mkString(" "))
+    }.toDF("doc_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("d1", "d2", "common", "n1", "n2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    val exact = key(Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.5))
+    val pref = key(Dedup.prefixJaccardPairs(docs, k = 3,
+      thresholdPermille = 500L))
+    assert(pref === exact)
+    assert(exact.size >= n / 2, "the planted near-dup pairs must qualify")
+    def candSet(positional: Boolean) =
+      Dedup.prefixCandidates(docs, k = 3, thresholdPermille = 500L,
+          positional = positional)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = candSet(positional = false)
+    val positional = candSet(positional = true)
+    assert(plain.size < n * (n - 1) / 2,
+      s"prefix filter admitted the all-pairs floor: ${plain.size}")
+    // PPJoin's positional filter only ever REMOVES false candidates:
+    // a subset of the AllPairs meet that still covers the truth
+    assert(positional.subsetOf(plain))
+    val truth = exact.map(t => (t._1, t._2))
+    assert(truth.subsetOf(positional))
+  }
+
+  /** [[graft.ops.TextQueries.kCore]] — synchronous peel semantics on
+    * hand-derivable graphs. Path v1–…–v6 at k=2: the peel must
+    * CASCADE (round 1 drops both endpoints, round 2 the next layer,
+    * round 3 empties it) and the fixed-iters contract means iters=2
+    * returns exactly the round-2 survivor set {v3, v4} with deg
+    * computed against round-1 survivors — the synchronous-update
+    * detail the oracle's unrolled rounds replay. Clique K5 plus a
+    * pendant chain at k=4: the chain peels, the clique survives as
+    * the true 4-core at fixpoint (iters well past convergence), each
+    * member at deg 4 — and the pendant-bearing clique node's deg must
+    * read 4, not 5 (its chain edge is outside the core). */
+  test("kCore: synchronous cascade on a path; true core on clique+pendant chain") {
+    import graft.ops.TextQueries
+    import org.apache.spark.sql.functions.col
+    def sym(pairs: Seq[(String, String)]) =
+      (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    val path = sym((1 to 5).map(i => (s"v$i", s"v${i + 1}")))
+    def cores(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cores(TextQueries.kCore(path, k = 2, iters = 2)) ===
+      Map("v3" -> 2L, "v4" -> 2L))
+    assert(TextQueries.kCore(path, k = 2, iters = 3).count() === 0)
+    val clique = for {
+      a <- 1 to 5; b <- 1 to 5 if a < b
+    } yield (s"c$a", s"c$b")
+    val g = sym(clique ++ Seq(("c1", "p1"), ("p1", "p2"), ("p2", "p3")))
+    val core = cores(TextQueries.kCore(g, k = 4, iters = 8))
+    assert(core === (1 to 5).map(i => s"c$i" -> 4L).toMap)
+  }
+
+  /** [[graft.operators.Domains.robotsParse]] /
+    * [[graft.operators.Domains.robotsDecision]] — the REP details the
+    * q200 oracle exercises in aggregate, pinned row-level: rules
+    * before any group are ignored; a specific-agent group never
+    * leaks into the `*` view; STACKED user-agent lines share one
+    * group; trailing comments strip; an empty `Disallow:` emits
+    * nothing; decisions take the longest match (`/a/b` beats `/a`),
+    * the query string never counts as path, and no-match / unknown
+    * host default to allowed with a null matched_prefix. */
+  test("robotsParse/robotsDecision: REP groups, longest match, defaults") {
+    import graft.operators.Domains
+    val txt = Seq(
+      "Disallow: /orphan",
+      "User-agent: gptbot",
+      "Disallow: /",
+      "User-agent: specialbot",
+      "User-agent: *",
+      "Allow: /a  # trailing comment",
+      "Disallow: /a/b",
+      "Disallow:",
+      "User-agent: otherbot",
+      "Disallow: /a"
+    ).mkString("\n")
+    val robots = Seq(("x.org", txt)).toDF("host", "robots_txt")
+    val rules = Domains.robotsParse(robots).collect()
+      .map(r => (r.getString(1), r.getBoolean(2))).toSet
+    assert(rules === Set(("/a", true), ("/a/b", false)))
+    val pages = Seq(
+      (1L, "http://x.org/a/b/c"),
+      (2L, "http://x.org/a/zz?q=/a/b"),
+      (3L, "http://x.org/other"),
+      (4L, "http://nobody.org/a/b")
+    ).toDF("doc_id", "url")
+    val out = Domains.robotsDecision(pages, Domains.robotsParse(robots))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2), Option(r.getString(3)))))
+      .toMap
+    assert(out(1L) === ((false, Some("/a/b"))))
+    assert(out(2L) === ((true, Some("/a"))))
+    assert(out(3L) === ((true, None)))
+    assert(out(4L) === ((true, None)))
+  }
+
+  /** [[graft.operators.Html.extractAnchors]] row-level contract (the
+    * q199 oracle certifies the aggregate; this pins the per-anchor
+    * rows): the data-href decoy must not shadow the real unquoted
+    * href, inner markup strips to spaces, character references decode,
+    * case-insensitive tag/attr spellings match, a no-href `<a name>`
+    * yields a null target (anchorStats drops it), and relative hrefs
+    * resolve against the page URL. */
+  test("extractAnchors: decoy-proof href, entity decode, markup strip, no-href null") {
+    import graft.operators.Html
+    val pages = Seq(
+      (1L, "http://a.org/p/x",
+        "<a class=x data-href=/wrong href=/right>go <b>now</b> &amp; fast</a>" +
+          "<a name=skip>plain</a>"),
+      (2L, "http://b.org/p/x", "<A HREF='http://c.com/x'>UP</A>")
+    ).toDF("doc_id", "page_url", "html")
+    val out = Html.extractAnchors(pages, "html", "page_url")
+      .select("doc_id", "target", "anchor_text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(out === Set(
+      (1L, "http://a.org/right", "go now & fast"),
+      (1L, null, "plain"),
+      (2L, "http://c.com/x", "UP")))
+    val agg = Html.anchorStats(
+        Html.extractAnchors(pages, "html", "page_url"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(agg === Set(
+      ("http://a.org/right", 1L, 1L, "go now & fast"),
+      ("http://c.com/x", 1L, 1L, "UP")))
+  }
+
   /** [[graft.operators.Sketches.bloomBitsFor]] — the prose-dial →
     * spec'd-helper convention (srpBitsFor/fanoutFor precedent). Pins
     * the DEPLOYED operating points: the sf0.1 fixture's eval set is
