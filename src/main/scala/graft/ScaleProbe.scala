@@ -430,6 +430,30 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (args.headOption.contains("kcore-split")) {
+      // r18: attribute q198's bench cost — the bipartite projection's
+      // meet volume vs the 6 synchronous peel rounds. Run at the dir
+      // in SPARK_GRAFT_SF_DIR; each leg timed cold (fresh frames, no
+      // memo) then the full pipeline as the bench runs it (memoized
+      // edges, so the rounds reuse one materialization).
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+      val (nPairs, tProj) = timeIt {
+        ops.EventQueries.coEngagementEdges(ev, minShared = 22L).count()
+      }
+      val e = ops.Memo.of(spark, s"kcsplit_edges:$dir") {
+        ops.EventQueries.coEngagementEdges(ev, minShared = 22L)
+      }
+      val (_, tMat) = timeIt { e.count() } // memo materialization
+      val (nCore, tPeel) = timeIt {
+        ops.TextQueries.kCore(e, k = 70, iters = 6).count()
+      }
+      println(f"kcore-split @ $dir: projection $nPairs%d directed rows " +
+        f"in $tProj%.2f s; memo materialize $tMat%.2f s; " +
+        f"6 peel rounds over the memo -> $nCore%d core rows in $tPeel%.2f s")
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("bpe-local")) {
       val nWords = if (args.length > 1) args(1).toInt else 60000
       val ms = if (args.length > 2) args.drop(2).toSeq.map(_.toInt)

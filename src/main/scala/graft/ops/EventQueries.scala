@@ -1204,17 +1204,34 @@ object EventQueries {
     * directions, no self-loops), the q101 edge convention every graph
     * operator here consumes.
     *
-    * Scale: the projection join fans out per key as |users(key)|² —
-    * the exact hot-shingle shape [[graft.operators.Dedup]] guards
-    * with `maxShingleDocFreq` — so `maxUsersPerKey` applies the same
-    * cap: keys engaging more than the cap are dropped from the
-    * incidence frame before the self-join (a key half the user base
-    * touches is boilerplate affinity, not signal — and it alone would
-    * contribute |U|²/8 pair rows). None preserves exact projection
-    * semantics for the oracle; the fixture's 100-key universe keeps
-    * the uncapped join fixture-affordable. */
+    * The projection is PREFIX-FILTERED (r18, the q197 machinery in
+    * its constant-overlap form — Chaudhuri et al., SSJoin, ICDE'06):
+    * a pair needs |K_u ∩ K_v| ≥ c, so each user indexes only the
+    * first |K_u| − c + 1 keys of the shared (key-df asc, key asc)
+    * canonical order — any qualifying pair's canonically-smallest
+    * common key sits inside BOTH prefixes, so the meet is lossless —
+    * and candidates verify EXACTLY by one in-row `array_intersect`
+    * of the two full key arrays. vs the naive self-join + pair-count
+    * aggregate this replaces: the naive form shuffles the FULL meet
+    * volume Σ_k |U_k|² through a hash aggregate (measured 22.9 s of
+    * q198's 27.8 s single-pass at sf0.1 — the fixture's 100-key
+    * universe makes every key hot), while here the join moves only
+    * prefix meets, `distinct` replaces the count (cheaper: no
+    * per-pair counter state, map-side dedup), and the intersection
+    * count happens once per CANDIDATE PAIR on two ≤|K|-element
+    * arrays instead of once per meet row. Users with fewer than c
+    * keys can never qualify and drop before the join.
+    *
+    * Scale: per-key fan-out is still the quadratic axis —
+    * `maxUsersPerKey` caps it ([[graft.operators.Dedup]]'s
+    * `maxShingleDocFreq` twin): keys engaging more than the cap drop
+    * from the incidence frame before anything else (a key half the
+    * user base touches is boilerplate affinity, not signal — and it
+    * alone would contribute |U|²/8 pair rows). None preserves exact
+    * projection semantics for the oracle. */
   def coEngagementEdges(events: DataFrame, minShared: Long,
                         maxUsersPerKey: Option[Int] = None): DataFrame = {
+    require(minShared >= 1, s"minShared must be positive, got $minShared")
     val uk = events.select(col("user_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .filter(col("k").isNotNull)
@@ -1226,11 +1243,27 @@ object EventQueries {
           .filter(col("nu") > cap).select("k")
         uk.join(hot, Seq("k"), "left_anti")
     }
-    val p = pruned.as("a").join(pruned.as("b"),
+    // canonical (key-df asc, key asc) order per user; users below the
+    // floor can never reach c shared keys
+    val kdf = pruned.groupBy("k").agg(count(lit(1)).as("kdf"))
+    val arrs = pruned.join(kdf, "k")
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("kdf"), col("k")))).as("ks"))
+      .withColumn("nk", size(col("ks")).cast("long"))
+      .filter(col("nk") >= minShared)
+    val prefixes = arrs.select(col("user_id"),
+        explode(expr(s"slice(ks, 1, int(nk - $minShared + 1))")).as("p"))
+      .select(col("user_id"), col("p.k").as("k"))
+    val cands = prefixes.as("a").join(prefixes.as("b"),
         col("a.k") === col("b.k") && col("a.user_id") < col("b.user_id"))
-      .groupBy(col("a.user_id").as("u"), col("b.user_id").as("v"))
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= minShared)
+      .select(col("a.user_id").as("u"), col("b.user_id").as("v"))
+      .distinct()
+    val flat = arrs.select(col("user_id"),
+      expr("transform(ks, s -> s.k)").as("kk"))
+    val p = cands
+      .join(flat.select(col("user_id").as("u"), col("kk").as("k1")), "u")
+      .join(flat.select(col("user_id").as("v"), col("kk").as("k2")), "v")
+      .filter(size(array_intersect(col("k1"), col("k2"))) >= minShared)
       .select("u", "v")
     p.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(p.select(col("v").as("src"), col("u").as("dst")))

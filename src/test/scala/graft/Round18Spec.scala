@@ -236,6 +236,94 @@ class Round18Spec extends AnyFunSuite {
     assert(truth.subsetOf(positional))
   }
 
+  /** Randomized equivalence property over the prefix engine: on
+    * hash-derived corpora (3 seeds × the exactly-representable
+    * thresholds 250/500/750‰ — .25/.5/.75 are dyadic, so the naive
+    * path's DOUBLE gate and the prefix path's INTEGER gate cannot
+    * disagree at the boundary) the two exact engines must emit the
+    * same pair set. Docs share a word block with their seed-neighbor
+    * so every corpus has qualifying pairs at every threshold. */
+  test("prefixJaccardPairs == ngramJaccardPairs on randomized corpora") {
+    import graft.operators.Dedup
+    for (seed <- Seq(11, 42, 97); tp <- Seq(250L, 500L, 750L)) {
+      val docs = (0 until 30).map { i =>
+        // neighbor pairs (2j, 2j+1) differ in a 3·(j mod 5)-word tail
+        // -> pair Jaccards sweep ~1.0 down to ~0.33, straddling every
+        // threshold; a 4-word stop block salts every doc with hot
+        // shingles the prefix filter must keep out of candidates
+        val j = i / 2
+        val changed = j % 5
+        val words = (0 until 30).map { w =>
+          if (w < 4) s"stop$w"
+          else if (i % 2 == 1 && w >= 30 - changed * 3)
+            s"x${j * 1000 + w + seed}"
+          else s"w${j * 10000 + w * 31 + seed}"
+        }
+        (i.toLong, words.mkString(" "))
+      }.toDF("doc_id", "text")
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.select("d1", "d2", "common").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val exact = key(Dedup.ngramJaccardPairs(docs, k = 3,
+        threshold = tp / 1000.0))
+      val pref = key(Dedup.prefixJaccardPairs(docs, k = 3,
+        thresholdPermille = tp))
+      assert(pref === exact, s"divergence at seed=$seed tp=$tp")
+    }
+  }
+
+  /** The r18 prefix-filtered projection ([[graft.ops.EventQueries
+    * .coEngagementEdges]]) against the naive self-join + pair-count
+    * form it replaced, on a hash-derived incidence frame — the
+    * constant-overlap prefix lemma's losslessness pinned by exact
+    * set equality (both directions, floor applied). */
+  test("coEngagementEdges prefix form == naive projection join") {
+    import graft.ops.EventQueries
+    import org.apache.spark.sql.functions._
+    val ev = spark.range(40).select(col("id").as("user_id"),
+        explode(expr(
+          "transform(sequence(1, 12), j -> pmod(xxhash64(id * 31 + j * 7), 30))"))
+          .as("kv"))
+      .select(col("user_id"),
+        concat(lit("{\"k\": "), col("kv"), lit("}")).as("props"))
+    val got = EventQueries.coEngagementEdges(ev, minShared = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uk = ev.select(col("user_id"),
+      expr("cast(get_json_object(props, '$.k') as bigint)").as("k")).distinct()
+    val naive = uk.as("a").join(uk.as("b"),
+        col("a.k") === col("b.k") && col("a.user_id") < col("b.user_id"))
+      .groupBy(col("a.user_id").as("u"), col("b.user_id").as("v"))
+      .agg(count(lit(1)).as("s")).filter(col("s") >= 5)
+      .select("u", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap(t => Seq(t, (t._2, t._1))).toSet
+    assert(got === naive && got.nonEmpty)
+  }
+
+  /** [[graft.ops.EventQueries.coEngagementEdges]] hot-key cap: a key
+    * every user engages is boilerplate affinity carrying |U|²/2 pair
+    * rows and no signal — under `maxUsersPerKey` it must vanish from
+    * the projection (the dedup family's maxShingleDocFreq twin),
+    * while keys under the cap still project. Uncapped, the planted
+    * hot key alone forces the complete graph. */
+  test("coEngagementEdges: maxUsersPerKey drops boilerplate keys from the projection") {
+    import graft.ops.EventQueries
+    // 12 users all share key 999 (hot); users 0-3 also share key 1
+    val rows = (0 until 12).map(u => (u.toLong, """{"k": 999}""")) ++
+      (0 until 4).map(u => (u.toLong, """{"k": 1}"""))
+    val ev = rows.toDF("user_id", "props")
+    val uncapped = EventQueries.coEngagementEdges(ev, minShared = 1L)
+      .select("src", "dst").collect().length
+    assert(uncapped === 12 * 11) // complete graph, both directions
+    val capped = EventQueries.coEngagementEdges(ev, minShared = 1L,
+        maxUsersPerKey = Some(8))
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      a <- 0 until 4; b <- 0 until 4 if a != b
+    } yield (a.toLong, b.toLong)).toSet
+    assert(capped === want, "only the under-cap key-1 clique survives")
+  }
+
   /** [[graft.ops.TextQueries.kCore]] — synchronous peel semantics on
     * hand-derivable graphs. Path v1–…–v6 at k=2: the peel must
     * CASCADE (round 1 drops both endpoints, round 2 the next layer,
