@@ -515,7 +515,13 @@ object ScaleProbe {
         // graph is s disjoint copies and the probe measures the
         // projection + 6 peel rounds' engine overhead, not the
         // quadratic densification shared keys would cause (that
-        // regime is what coEngagementEdges' maxUsersPerKey caps)
+        // regime is what coEngagementEdges' maxUsersPerKey caps).
+        // The edge frame is MATERIALIZED before the peel, exactly as
+        // q198 memoizes it — the first ladder run skipped this and
+        // paid the projection SIX times (one per round's lineage;
+        // 211 s at 1x where the memoized form costs ~19 s): the same
+        // carried-frame lesson as kCore's one-reference round, at the
+        // caching layer instead of the plan layer
         "q198_kcore" -> (() => {
           val ev = Tables.events(spark, dir).select($"user_id", $"props")
           val scaled = (0 until s).map { i =>
@@ -526,9 +532,12 @@ object ScaleProbe {
                   + lit(i * 1000L)).cast("string"),
                 lit("}")).as("props"))
           }.reduce(_ unionByName _).repartition(cpus * 2)
-          ops.TextQueries.kCore(
-            ops.EventQueries.coEngagementEdges(scaled, minShared = 22L),
-            k = 70, iters = 6).count()
+          val e = ops.EventQueries.coEngagementEdges(scaled, minShared = 22L)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            e.count()
+            ops.TextQueries.kCore(e, k = 70, iters = 6).count()
+          } finally { e.unpersist() }
         }),
         "q41_ann_topk" -> (() =>
           operators.Similarity.annTopK(emb, queries, k = 10).count()),

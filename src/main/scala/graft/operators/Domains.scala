@@ -305,12 +305,16 @@ object Domains {
     * `allow:` / `disallow:` recognized case-insensitively, values
     * trimmed. GROUPS: consecutive `user-agent` lines form one block
     * header (stacked agents share the following rules, §2.2.1); a
-    * rule belongs to the nearest preceding block and is kept iff that
-    * block names `*` (the wildcard view — specific-agent selection is
-    * the same semi-join keyed on the agent token instead). Rules
-    * before any group are ignored (the spec says they belong to no
-    * group); an EMPTY `disallow:` value means "no restriction"
-    * (§2.2.2) and emits nothing.
+    * rule belongs to the nearest preceding block. GROUP SELECTION is
+    * per-host, the §2.2.1 rule: when `agent` names a specific
+    * crawler and ANY block on that host lists it (case-insensitive
+    * token equality), only that crawler's blocks apply — the `*`
+    * blocks are that host's FALLBACK, not a union, so they are
+    * ignored exactly there; hosts without a matching block use their
+    * `*` blocks. The default `agent = "*"` is the plain wildcard
+    * view. Rules before any group are ignored (the spec says they
+    * belong to no group); an EMPTY `disallow:` value means "no
+    * restriction" (§2.2.2) and emits nothing.
     *
     * Scale: one posexplode + two per-host windows ordered by line
     * number — REP caps a robots.txt at 500 KiB (§2.5), so a host's
@@ -318,7 +322,8 @@ object Domains {
     * crawl-sized groups; the output rule table is what
     * [[robotsDecision]] joins against page volume. */
   def robotsParse(robots: DataFrame, hostCol: String = "host",
-                  txtCol: String = "robots_txt"): DataFrame = {
+                  txtCol: String = "robots_txt",
+                  agent: String = "*"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("host").orderBy("ln")
     val lines = robots.select(col(hostCol).as("host"),
@@ -337,12 +342,22 @@ object Domains {
           coalesce(lag(col("kind"), 1).over(w), lit("-")) =!= "ua")
           .cast("long"))
       .withColumn("block", sum(col("newBlock")).over(w))
-    val starBlocks = grouped
-      .filter(col("kind") === "ua" && col("value") === "*")
+    def blocksNaming(token: Column): DataFrame = grouped
+      .filter(col("kind") === "ua" && lower(col("value")) === lower(token))
       .select(col("host"), col("block")).distinct()
+    val selected =
+      if (agent == "*") blocksNaming(lit("*"))
+      else {
+        // hosts where the crawler has its own group use ONLY those
+        // blocks; the rest fall back to their star blocks
+        val own = blocksNaming(lit(agent))
+        val star = blocksNaming(lit("*"))
+          .join(own.select("host").distinct(), Seq("host"), "left_anti")
+        own.unionByName(star)
+      }
     grouped.filter(col("kind") =!= "ua" && col("block") >= 1L &&
         col("value") =!= "")
-      .join(starBlocks, Seq("host", "block"), "left_semi")
+      .join(selected, Seq("host", "block"), "left_semi")
       .select(col("host"), col("value").as("path_prefix"),
         (col("kind") === "allow").as("allow"))
   }

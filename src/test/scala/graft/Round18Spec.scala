@@ -395,6 +395,19 @@ class Round18Spec extends AnyFunSuite {
     assert(out(2L) === ((true, Some("/a"))))
     assert(out(3L) === ((true, None)))
     assert(out(4L) === ((true, None)))
+    // §2.2.1 group selection: a crawler with its OWN group uses only
+    // it (star is the fallback, never a union) ...
+    val gpt = Domains.robotsParse(robots, agent = "gptbot").collect()
+      .map(r => (r.getString(1), r.getBoolean(2))).toSet
+    assert(gpt === Set(("/", false)))
+    // ... one with no group falls back to the star view ...
+    val nb = Domains.robotsParse(robots, agent = "nobodybot").collect()
+      .map(r => (r.getString(1), r.getBoolean(2))).toSet
+    assert(nb === rules)
+    // ... and one STACKED in the star block selects that same block
+    val sp = Domains.robotsParse(robots, agent = "SpecialBot").collect()
+      .map(r => (r.getString(1), r.getBoolean(2))).toSet
+    assert(sp === rules)
   }
 
   /** [[graft.operators.Html.extractAnchors]] row-level contract (the
