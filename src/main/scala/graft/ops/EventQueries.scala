@@ -1292,6 +1292,24 @@ object EventQueries {
       .select(col("v").as("user_id"), col("deg").as("deg_in_core"))
   }
 
+  /** Full coreness decomposition over the same co-engagement graph
+    * ([[TextQueries.coreness]], 12 h-index rounds — the sf0.01
+    * fixture converges in 11, measured while dialing, so round 12 is
+    * the fixpoint margin): every user's core NUMBER in one pass,
+    * where q198 answers one fixed k. The two queries share the
+    * memoized edge frame, and their consistency is a law:
+    * `{v : coreness ≥ 70}` must equal q198's 70-core — on this
+    * fixture both are the same 121 users (the spec pins the law on a
+    * crafted graph; the oracle pins both sides' arithmetic
+    * independently). All integer: degrees, ranks, h-indexes. */
+  def q201Coreness(spark: SparkSession, dir: String): DataFrame = {
+    val e = Memo.of(spark, s"coeng_edges:$dir:minShared=22") {
+      coEngagementEdges(Tables.events(spark, dir), minShared = 22L)
+    }
+    TextQueries.coreness(e, iters = 12)
+      .select(col("v").as("user_id"), col("c").as("coreness"))
+  }
+
   /** Sketch-side audience overlap: distinct-user union, intersection,
     * and Jaccard per event-type pair estimated from the q141 KMV
     * sketches alone — the 100 TB swap for q155's EXACT overlap, which
@@ -1505,6 +1523,7 @@ object EventQueries {
     "q195_adaptive_distinct" -> (q195AdaptiveDistinct _),
     "q196_adaptive_overlap" -> (q196AdaptiveOverlap _),
     "q198_kcore"          -> (q198KCore _),
+    "q201_coreness"       -> (q201Coreness _),
     "q160_kmv_overlap"    -> (q160KmvOverlap _),
     "q162_mg_certificate" -> (q162MgCertificate _),
     "q129_hist_quantile"  -> (q129HistQuantile _),
@@ -1552,7 +1571,36 @@ object EventQueries {
        |  FROM e JOIN $prev a ON e.src = a.v JOIN $prev b ON e.dst = b.v
        |  GROUP BY e.src HAVING count(*) >= $k)""".stripMargin
 
+  /** One h-index round of the q201 oracle: each node's new value is
+    * max(least(rank, neighbor c)) over its neighbors' descending
+    * current values — the identical arithmetic the engine round runs
+    * ([[TextQueries.coreness]]). */
+  private def corIterSql(prev: String, next: String): String =
+    s"""$next AS MATERIALIZED (
+       |  SELECT src AS v, max(least(rn, cv)) AS c FROM (
+       |    SELECT e.src, p.c AS cv,
+       |      row_number() OVER (PARTITION BY e.src ORDER BY p.c DESC) AS rn
+       |    FROM e JOIN $prev p ON e.dst = p.v)
+       |  GROUP BY src)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // the q198 projection CTEs, degree init, then 12 unrolled h-index
+    // rounds (fixture converges in 11; round 12 is the margin)
+    "q201_coreness" ->
+      s"""WITH uk AS MATERIALIZED (
+         |  SELECT DISTINCT user_id, TRY_CAST(props->>'$$.k' AS BIGINT) AS k
+         |  FROM events WHERE TRY_CAST(props->>'$$.k' AS BIGINT) IS NOT NULL),
+         |p AS (SELECT a.user_id AS u, b.user_id AS v
+         |      FROM uk a JOIN uk b ON a.k = b.k AND a.user_id < b.user_id
+         |      GROUP BY 1, 2 HAVING count(*) >= 22),
+         |e AS MATERIALIZED (SELECT u AS src, v AS dst FROM p
+         |                   UNION ALL SELECT v AS src, u AS dst FROM p),
+         |c0 AS MATERIALIZED (SELECT src AS v, CAST(count(*) AS BIGINT) AS c
+         |                    FROM e GROUP BY src),
+         |${(0 until 12).map(i => corIterSql(s"c$i", s"c${i + 1}"))
+            .mkString(",\n")}
+         |SELECT v AS user_id, c AS coreness FROM c12""".stripMargin,
+
     // the coEngagementEdges projection (DISTINCT user/key incidence,
     // shared>=22 pair floor, symmetric emit) then kCore's 6 rounds
     // unrolled — each round MATERIALIZED, the q181/q101 convention

@@ -795,6 +795,45 @@ object TextQueries {
     surv
   }
 
+  /** Full coreness decomposition (every node's core NUMBER, not one
+    * fixed-k membership) via the distributed h-index fixpoint
+    * (Montresor, De Pellegrini & Miorandi, "Distributed k-core
+    * decomposition", 2011; Lü et al. 2016 for the h-operator
+    * convergence proof): start every node at its degree, then each
+    * round replace c(v) with the H-INDEX of its neighbors' current
+    * values — the largest h such that ≥ h neighbors hold c ≥ h.
+    * Estimates only ever DECREASE and the fixpoint is exactly the
+    * coreness, so `{v : c(v) ≥ k}` at convergence equals [[kCore]]'s
+    * k-core for every k simultaneously (the cross-operator law the
+    * spec pins). Fixed `iters`, the [[kCore]]/q181 convention — the
+    * oracle unrolls the identical rounds, so engine and oracle agree
+    * at ANY round count and convergence is asserted separately.
+    *
+    * Each round references the carried frame ONCE (the kCore lesson):
+    * one dst-side join, then the h-index as `max(least(rank, c))`
+    * over the per-src descending-value rank — tie order between equal
+    * values is irrelevant to the result (equal-c neighbors occupy the
+    * same rank positions whichever order they take), so row_number's
+    * arbitrary tie is still deterministic output. The rank window
+    * partitions by node — per-partition volume is the node's degree,
+    * bounded wherever the edge build caps fan-out (q101's per-doc
+    * cap; the co-engagement `maxUsersPerKey`); an uncapped hub makes
+    * exactly the one-reducer partition those caps exist for. */
+  def coreness(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be positive, got $iters")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("cv").desc)
+    var c = edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("c"))
+    for (_ <- 1 to iters) {
+      c = edges
+        .join(c.select(col("v").as("dst"), col("c").as("cv")), "dst")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .groupBy(col("src").as("v"))
+        .agg(max(least(col("rn"), col("cv"))).as("c"))
+    }
+    c
+  }
+
   def lpaCommunities(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
     var labels = edges.select(col("src").as("v")).distinct()

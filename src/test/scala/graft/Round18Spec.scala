@@ -354,6 +354,35 @@ class Round18Spec extends AnyFunSuite {
     assert(core === (1 to 5).map(i => s"c$i" -> 4L).toMap)
   }
 
+  /** [[graft.ops.TextQueries.coreness]] — the h-index fixpoint on the
+    * hand-derivable clique+pendant-chain graph (clique members sit in
+    * the 4-core, every chain node peels at k=2 so coreness 1 — note
+    * p1's DEGREE is 2 but its coreness is 1, the distinction a degree
+    * filter cannot make), the fixpoint margin (one more round changes
+    * nothing), and the cross-operator LAW: `{v : coreness ≥ k}` must
+    * equal [[TextQueries.kCore]]'s k-core at every k. */
+  test("coreness: h-index fixpoint on crafted graphs; law vs kCore") {
+    import graft.ops.TextQueries
+    def sym(pairs: Seq[(String, String)]) =
+      (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    val clique = for { a <- 1 to 5; b <- 1 to 5 if a < b } yield (s"c$a", s"c$b")
+    val g = sym(clique ++ Seq(("c1", "p1"), ("p1", "p2"), ("p2", "p3")))
+    val cor = TextQueries.coreness(g, iters = 8).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = (1 to 5).map(i => s"c$i" -> 4L).toMap ++
+      Map("p1" -> 1L, "p2" -> 1L, "p3" -> 1L)
+    assert(cor === want)
+    val cor9 = TextQueries.coreness(g, iters = 9).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cor9 === cor, "fixpoint margin: round 9 must equal round 8")
+    for (k <- Seq(2, 4)) {
+      val fromCoreness = cor.filter(_._2 >= k).keySet
+      val fromKCore = TextQueries.kCore(g, k = k, iters = 8)
+        .collect().map(_.getString(0)).toSet
+      assert(fromCoreness === fromKCore, s"coreness/kCore law violated at k=$k")
+    }
+  }
+
   /** [[graft.operators.Domains.robotsParse]] /
     * [[graft.operators.Domains.robotsDecision]] — the REP details the
     * q200 oracle exercises in aggregate, pinned row-level: rules
