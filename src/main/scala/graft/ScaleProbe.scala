@@ -539,6 +539,28 @@ object ScaleProbe {
             ops.TextQueries.kCore(e, k = 70, iters = 6).count()
           } finally { e.unpersist() }
         }),
+        // r18: the full decomposition over the same scaled graph —
+        // 12 h-index rounds, each one join + a degree-bounded rank
+        // window + a combinable max; per-round volume tracks |edges|,
+        // so the cell's slope should match q198's peel, not its
+        // projection (which the persist isolates here too)
+        "q201_coreness" -> (() => {
+          val ev = Tables.events(spark, dir).select($"user_id", $"props")
+          val scaled = (0 until s).map { i =>
+            if (i == 0) ev
+            else ev.select(($"user_id" + lit(i * 1000000L)).as("user_id"),
+              concat(lit("{\"k\": "),
+                (expr("cast(get_json_object(props, '$.k') as bigint)")
+                  + lit(i * 1000L)).cast("string"),
+                lit("}")).as("props"))
+          }.reduce(_ unionByName _).repartition(cpus * 2)
+          val e = ops.EventQueries.coEngagementEdges(scaled, minShared = 22L)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            e.count()
+            ops.TextQueries.coreness(e, iters = 12).count()
+          } finally { e.unpersist() }
+        }),
         "q41_ann_topk" -> (() =>
           operators.Similarity.annTopK(emb, queries, k = 10).count()),
         "q43_ann_ivf" -> (() =>

@@ -365,39 +365,47 @@ object Domains {
   /** Per-URL robots decision over a parsed rule table: the LONGEST
     * matching path prefix wins, `allow` winning length ties — RFC
     * 9309 §2.2.2's "most specific match" + "least restrictive rule"
-    * precedence, as one deterministic argmax over the total order
-    * (prefix length, allow). No matching rule — or no rules for the
-    * host at all — defaults to allowed (the REP default-allow
-    * stance). Output: the page frame + `allowed` + `matched_prefix`
-    * (null when the default fired).
+    * precedence, as one deterministic in-row argmax over the
+    * (prefix length, allow, prefix) total order. No matching rule —
+    * or no rules for the host at all — defaults to allowed (the REP
+    * default-allow stance). Output: the page frame + `allowed` +
+    * `matched_prefix` (null when the default fired).
     *
-    * Scale: pages join rules on HOST, so the fan-out per page is that
-    * host's rule count — bounded by REP's 500 KiB file cap however
-    * big the crawl is — and the argmax is a map-side-combinable
-    * `max_by` per page. Broadcast the rule table when it fits (a
-    * 10M-host rule set is a few hundred MB — the planner decides);
+    * The operator is STATELESS by construction: rules fold to ONE
+    * array row per host (bounded — REP caps a robots.txt at 500 KiB,
+    * §2.5), pages take a single equi-join on host, and the
+    * match-filter + argmax run as per-row higher-order functions over
+    * that bounded array — no aggregation over page volume at all.
+    * That shape is why the SAME function runs unchanged under
+    * Structured Streaming append mode (a stream-static join; the
+    * stream≡batch spec drives it through MemoryStream) and why a hot
+    * host costs nothing extra: every page row carries only its own
+    * host's rule array. The planner broadcasts the per-host array
+    * frame when it fits (a 10M-host rule set is a few hundred MB);
     * the startswith probe is a codegen'd per-row string compare, no
     * regex. */
   def robotsDecision(pages: DataFrame, rules: DataFrame,
-                     uriCol: String = "url",
-                     idCol: String = "doc_id"): DataFrame = {
-    val withPath = pages
+                     uriCol: String = "url"): DataFrame = {
+    val ruleArr = rules.groupBy(col("host").as("_host"))
+      .agg(collect_list(struct(col("path_prefix"), col("allow"))).as("_rs"))
+    val noRules = array().cast("array<struct<path_prefix:string,allow:boolean>>")
+    pages
       .withColumn("_host", uriHost(col(uriCol)))
       .withColumn("_path", coalesce(
         nullif(regexp_extract(col(uriCol),
           "^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1), lit("")),
         lit("/")))
-    val best = withPath
-      .join(rules.select(col("host").as("_host"),
-        col("path_prefix"), col("allow")), Seq("_host"))
-      .filter(col("_path").startsWith(col("path_prefix")))
-      .groupBy(col(idCol))
-      .agg(max_by(struct(col("allow"), col("path_prefix")),
-        struct(length(col("path_prefix")).as("l"), col("allow"))).as("r"))
-      .select(col(idCol), col("r.allow").as("allowed"),
-        col("r.path_prefix").as("matched_prefix"))
-    pages.join(best, Seq(idCol), "left")
-      .withColumn("allowed", coalesce(col("allowed"), lit(true)))
+      .join(ruleArr, Seq("_host"), "left")
+      .withColumn("_best", array_max(transform(
+        filter(coalesce(col("_rs"), noRules),
+          r => col("_path").startsWith(r.getField("path_prefix"))),
+        r => struct(
+          length(r.getField("path_prefix")).as("l"),
+          r.getField("allow").as("allow"),
+          r.getField("path_prefix").as("path_prefix")))))
+      .withColumn("allowed", coalesce(col("_best.allow"), lit(true)))
+      .withColumn("matched_prefix", col("_best.path_prefix"))
+      .drop("_host", "_path", "_rs", "_best")
   }
 
   /** Remove documents whose host OR registrable domain is blocked.

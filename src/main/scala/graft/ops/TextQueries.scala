@@ -2183,8 +2183,7 @@ object TextQueries {
         .otherwise(lit("")))
     val rules = graft.operators.Domains.robotsParse(
       hosts.select(col("host"), robotsTxt.as("robots_txt")))
-    graft.operators.Domains.robotsDecision(pages, rules,
-        uriCol = "url", idCol = "doc_id")
+    graft.operators.Domains.robotsDecision(pages, rules, uriCol = "url")
       .select("doc_id", "url", "allowed", "matched_prefix")
   }
 

@@ -439,6 +439,40 @@ class Round18Spec extends AnyFunSuite {
     assert(sp === rules)
   }
 
+  /** [[graft.operators.Domains.robotsDecision]] is STATELESS (per-
+    * host rule arrays + in-row argmax, no page-volume aggregation),
+    * so the SAME function must run under Structured Streaming append
+    * mode as a stream-static join and emit exactly the batch rows —
+    * across micro-batches, including an unknown-host default-allow
+    * row. */
+  test("robotsDecision: streaming append mode == batch, same function") {
+    import graft.operators.Domains
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rules = Domains.robotsParse(Seq(("x.org",
+      "User-agent: *\nAllow: /a\nDisallow: /a/b")).toDF("host", "robots_txt"))
+    val b1 = Seq((1L, "http://x.org/a/b/c"), (2L, "http://x.org/a/zz"))
+    val b2 = Seq((3L, "http://x.org/other"), (4L, "http://nobody.org/a/b"))
+    val ms = MemoryStream[(Long, String)]
+    val q = Domains.robotsDecision(ms.toDF().toDF("doc_id", "url"), rules)
+      .writeStream.format("memory").queryName("robots_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+      def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+        r.getLong(r.fieldIndex("doc_id")) ->
+          ((r.getBoolean(r.fieldIndex("allowed")),
+            Option(r.getString(r.fieldIndex("matched_prefix")))))).toMap
+      val streamed = key(spark.table("robots_stream").collect())
+      val batch = key(Domains.robotsDecision(
+        (b1 ++ b2).toDF("doc_id", "url"), rules).collect())
+      assert(streamed === batch)
+      assert(streamed(1L) === ((false, Some("/a/b"))))
+      assert(streamed(4L) === ((true, None)))
+    } finally q.stop()
+  }
+
   /** [[graft.operators.Html.extractAnchors]] row-level contract (the
     * q199 oracle certifies the aggregate; this pins the per-anchor
     * rows): the data-href decoy must not shadow the real unquoted
