@@ -1310,6 +1310,25 @@ object EventQueries {
       .select(col("v").as("user_id"), col("c").as("coreness"))
   }
 
+  /** k-truss backbone of the co-engagement graph
+    * ([[TextQueries.kTruss]] at k=10, 7 rounds, over the shared≥30
+    * floor — thinner than q198/q201's floor-22 graph on purpose: the
+    * truss certifies triangle embedding, and the deliberately-dense
+    * floor-22 fixture leaves nothing to peel while the floor-30 graph
+    * cascades 1044 → 483 edges over 5 productive rounds at sf0.01,
+    * measured while dialing). Completes the graph family's axes:
+    * degree (k-core/coreness) certifies how MANY ties a member has,
+    * the truss certifies the ties are mutually REINFORCED — a user
+    * wired to 10 strangers survives the 10-core and dies here. All
+    * integer: adjacency intersections and the k−2 gate. */
+  def q202KTruss(spark: SparkSession, dir: String): DataFrame = {
+    val e = Memo.of(spark, s"coeng_edges:$dir:minShared=30") {
+      coEngagementEdges(Tables.events(spark, dir), minShared = 30L)
+    }
+    TextQueries.kTruss(e, k = 10, iters = 7)
+      .select(col("a").as("u1"), col("b").as("u2"), col("support"))
+  }
+
   /** Sketch-side audience overlap: distinct-user union, intersection,
     * and Jaccard per event-type pair estimated from the q141 KMV
     * sketches alone — the 100 TB swap for q155's EXACT overlap, which
@@ -1524,6 +1543,7 @@ object EventQueries {
     "q196_adaptive_overlap" -> (q196AdaptiveOverlap _),
     "q198_kcore"          -> (q198KCore _),
     "q201_coreness"       -> (q201Coreness _),
+    "q202_ktruss"         -> (q202KTruss _),
     "q160_kmv_overlap"    -> (q160KmvOverlap _),
     "q162_mg_certificate" -> (q162MgCertificate _),
     "q129_hist_quantile"  -> (q129HistQuantile _),
@@ -1583,7 +1603,36 @@ object EventQueries {
        |    FROM e JOIN $prev p ON e.dst = p.v)
        |  GROUP BY src)""".stripMargin
 
+  /** One synchronous truss round of the q202 oracle: support of each
+    * surviving edge = its endpoints' common-neighbor count within the
+    * survivors (the wedge join — fixture-affordable at sf0.01, where
+    * the engine's in-row array-intersect form is the scale shape),
+    * kept at support ≥ k−2. */
+  private def ktIterSql(prev: String, next: String, k: Int): String =
+    s"""s_$prev AS MATERIALIZED (SELECT a AS v, b AS w FROM $prev
+       |                         UNION ALL SELECT b, a FROM $prev),
+       |$next AS MATERIALIZED (
+       |  SELECT u.a, u.b, CAST(count(*) AS BIGINT) AS support
+       |  FROM $prev u
+       |  JOIN s_$prev x ON x.v = u.a
+       |  JOIN s_$prev y ON y.v = u.b AND y.w = x.w
+       |  GROUP BY u.a, u.b HAVING count(*) >= ${k - 2})""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // the floor-30 projection, then 7 unrolled synchronous truss
+    // rounds (fixture cascades over 5 productive rounds; 2 margin)
+    "q202_ktruss" ->
+      s"""WITH uk AS MATERIALIZED (
+         |  SELECT DISTINCT user_id, TRY_CAST(props->>'$$.k' AS BIGINT) AS k
+         |  FROM events WHERE TRY_CAST(props->>'$$.k' AS BIGINT) IS NOT NULL),
+         |p AS (SELECT a.user_id AS u, b.user_id AS v
+         |      FROM uk a JOIN uk b ON a.k = b.k AND a.user_id < b.user_id
+         |      GROUP BY 1, 2 HAVING count(*) >= 30),
+         |t0 AS MATERIALIZED (SELECT u AS a, v AS b FROM p),
+         |${(0 until 7).map(i => ktIterSql(s"t$i", s"t${i + 1}", 10))
+            .mkString(",\n")}
+         |SELECT a AS u1, b AS u2, support FROM t7""".stripMargin,
+
     // the q198 projection CTEs, degree init, then 12 unrolled h-index
     // rounds (fixture converges in 11; round 12 is the margin)
     "q201_coreness" ->

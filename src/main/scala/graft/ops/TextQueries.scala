@@ -834,6 +834,55 @@ object TextQueries {
     c
   }
 
+  /** k-truss peel — the EDGE-density axis of the graph family
+    * (Cohen, "Trusses: cohesive subgraphs for social network
+    * analysis", 2008): each round simultaneously drops every edge in
+    * fewer than k−2 triangles among the CURRENT survivors, for a
+    * fixed `iters` rounds (the kCore/q181 convention — the oracle
+    * unrolls identical rounds, equality holds at any count,
+    * convergence pinned separately). Where k-core certifies node
+    * degrees, k-truss certifies that connections are EMBEDDED in
+    * triangles — the standard community-backbone refinement
+    * (a hub wired to k strangers survives the k-core and dies here).
+    *
+    * Per-edge support is |N(a) ∩ N(b)| computed as ONE in-row
+    * `array_intersect` of the two endpoints' sorted adjacency arrays
+    * — deliberately NOT the q118 wedge self-join: per round this
+    * joins |E| rows against the |V|-row adjacency frame and does
+    * bounded in-row work (arrays bounded by max degree, which the
+    * edge-build caps bound), where the wedge join materializes a row
+    * PER TRIANGLE PER EDGE — Σ-triangle volume that explodes on the
+    * dense graphs truss analysis targets. A truss round inherently
+    * references the carried edge frame THREE ways (two adjacency
+    * sides + the edge list), so the kCore single-reference trick
+    * cannot apply; the plan-doubling trap is cut at the LINEAGE layer
+    * instead: each round ends in an eager `localCheckpoint`, so the
+    * next round plans against a materialized leaf (the documented
+    * iterative-algorithm discipline; production swaps in reliable
+    * checkpointing when executor loss matters). Output: surviving
+    * (a, b, support) with support as evaluated in the final round. */
+  def kTruss(edges: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k >= 3, s"k must be at least 3, got $k")
+    require(iters >= 1, s"iters must be positive, got $iters")
+    var und = edges.filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"), lit(0L).as("support"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val sym = und.select(col("a").as("v"), col("b").as("w"))
+        .unionAll(und.select(col("b").as("v"), col("a").as("w")))
+      val adj = sym.groupBy("v").agg(sort_array(collect_list(col("w"))).as("nb"))
+      und = und
+        .join(adj.select(col("v").as("a"), col("nb").as("na")), "a")
+        .join(adj.select(col("v").as("b"), col("nb").as("nbb")), "b")
+        .withColumn("support",
+          size(array_intersect(col("na"), col("nbb"))).cast("long"))
+        .filter(col("support") >= k - 2)
+        .select("a", "b", "support")
+        .localCheckpoint(true)
+    }
+    und
+  }
+
   def lpaCommunities(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
     var labels = edges.select(col("src").as("v")).distinct()

@@ -383,6 +383,34 @@ class Round18Spec extends AnyFunSuite {
     }
   }
 
+  /** [[graft.ops.TextQueries.kTruss]] — truss semantics on
+    * hand-derivable graphs. K5 + a pendant triangle {c1, c2, x}: at
+    * k=4 the pendant's two x-edges have support 1 and peel round 1,
+    * while every K5 edge sits in 3 triangles and survives as the true
+    * 4-truss — x has DEGREE 2 but no reinforced ties, the distinction
+    * a core cannot make ((c1,c2)'s support must read 3 post-peel, not
+    * its initial 4). Two triangles sharing edge (b,c) at k=4: the
+    * peel must CASCADE — round 1 keeps only (b,c) (support 2), round
+    * 2 finds its support collapsed to 0 and empties the graph —
+    * pinning the synchronous re-evaluation the oracle unrolls. */
+  test("kTruss: pendant-triangle peel on K5; synchronous cascade to empty") {
+    import graft.ops.TextQueries
+    def sym(pairs: Seq[(String, String)]) =
+      (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    val clique = for { a <- 1 to 5; b <- 1 to 5 if a < b } yield (s"c$a", s"c$b")
+    val g = sym(clique ++ Seq(("c1", "x"), ("c2", "x")))
+    val truss = TextQueries.kTruss(g, k = 4, iters = 5).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = clique.map(e => e -> 3L).toMap
+    assert(truss === want)
+    val twoTri = sym(Seq(("a", "b"), ("a", "c"), ("b", "c"),
+      ("b", "d"), ("c", "d")))
+    val r1 = TextQueries.kTruss(twoTri, k = 4, iters = 1).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(r1 === Map(("b", "c") -> 2L))
+    assert(TextQueries.kTruss(twoTri, k = 4, iters = 2).count() === 0)
+  }
+
   /** [[graft.operators.Domains.robotsParse]] /
     * [[graft.operators.Domains.robotsDecision]] — the REP details the
     * q200 oracle exercises in aggregate, pinned row-level: rules
