@@ -561,6 +561,26 @@ object ScaleProbe {
             ops.TextQueries.coreness(e, iters = 12).count()
           } finally { e.unpersist() }
         }),
+        // r18: the truss peel on its thinner (shared>=32) projection —
+        // kTruss checkpoints internally per round, so the cell only
+        // isolates the projection the same way the query's memo does
+        "q202_ktruss" -> (() => {
+          val ev = Tables.events(spark, dir).select($"user_id", $"props")
+          val scaled = (0 until s).map { i =>
+            if (i == 0) ev
+            else ev.select(($"user_id" + lit(i * 1000000L)).as("user_id"),
+              concat(lit("{\"k\": "),
+                (expr("cast(get_json_object(props, '$.k') as bigint)")
+                  + lit(i * 1000L)).cast("string"),
+                lit("}")).as("props"))
+          }.reduce(_ unionByName _).repartition(cpus * 2)
+          val e = ops.EventQueries.coEngagementEdges(scaled, minShared = 32L)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            e.count()
+            ops.TextQueries.kTruss(e, k = 6, iters = 7).count()
+          } finally { e.unpersist() }
+        }),
         "q41_ann_topk" -> (() =>
           operators.Similarity.annTopK(emb, queries, k = 10).count()),
         "q43_ann_ivf" -> (() =>

@@ -1311,21 +1311,22 @@ object EventQueries {
   }
 
   /** k-truss backbone of the co-engagement graph
-    * ([[TextQueries.kTruss]] at k=10, 7 rounds, over the shared≥30
-    * floor — thinner than q198/q201's floor-22 graph on purpose: the
-    * truss certifies triangle embedding, and the deliberately-dense
-    * floor-22 fixture leaves nothing to peel while the floor-30 graph
-    * cascades 1044 → 483 edges over 5 productive rounds at sf0.01,
-    * measured while dialing). Completes the graph family's axes:
+    * ([[TextQueries.kTruss]] at k=6, 7 rounds, over the shared≥32
+    * floor — much thinner than q198/q201's floor-22 graph on purpose:
+    * the truss certifies triangle embedding, the deliberately-dense
+    * floor-22 fixture leaves nothing to peel, and the floor-32 graph
+    * cascades 443 → 184 edges over 6 productive rounds at sf0.01
+    * (measured while dialing) while keeping the sf0.1 bench leg at
+    * 42k edges. Completes the graph family's axes:
     * degree (k-core/coreness) certifies how MANY ties a member has,
     * the truss certifies the ties are mutually REINFORCED — a user
     * wired to 10 strangers survives the 10-core and dies here. All
     * integer: adjacency intersections and the k−2 gate. */
   def q202KTruss(spark: SparkSession, dir: String): DataFrame = {
-    val e = Memo.of(spark, s"coeng_edges:$dir:minShared=30") {
-      coEngagementEdges(Tables.events(spark, dir), minShared = 30L)
+    val e = Memo.of(spark, s"coeng_edges:$dir:minShared=32") {
+      coEngagementEdges(Tables.events(spark, dir), minShared = 32L)
     }
-    TextQueries.kTruss(e, k = 10, iters = 7)
+    TextQueries.kTruss(e, k = 6, iters = 7)
       .select(col("a").as("u1"), col("b").as("u2"), col("support"))
   }
 
@@ -1619,17 +1620,17 @@ object EventQueries {
        |  GROUP BY u.a, u.b HAVING count(*) >= ${k - 2})""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    // the floor-30 projection, then 7 unrolled synchronous truss
-    // rounds (fixture cascades over 5 productive rounds; 2 margin)
+    // the floor-32 projection, then 7 unrolled synchronous truss
+    // rounds (fixture cascades over 6 productive rounds; 1 margin)
     "q202_ktruss" ->
       s"""WITH uk AS MATERIALIZED (
          |  SELECT DISTINCT user_id, TRY_CAST(props->>'$$.k' AS BIGINT) AS k
          |  FROM events WHERE TRY_CAST(props->>'$$.k' AS BIGINT) IS NOT NULL),
          |p AS (SELECT a.user_id AS u, b.user_id AS v
          |      FROM uk a JOIN uk b ON a.k = b.k AND a.user_id < b.user_id
-         |      GROUP BY 1, 2 HAVING count(*) >= 30),
+         |      GROUP BY 1, 2 HAVING count(*) >= 32),
          |t0 AS MATERIALIZED (SELECT u AS a, v AS b FROM p),
-         |${(0 until 7).map(i => ktIterSql(s"t$i", s"t${i + 1}", 10))
+         |${(0 until 7).map(i => ktIterSql(s"t$i", s"t${i + 1}", 6))
             .mkString(",\n")}
          |SELECT a AS u1, b AS u2, support FROM t7""".stripMargin,
 

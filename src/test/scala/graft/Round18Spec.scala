@@ -501,6 +501,38 @@ class Round18Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  /** [[graft.operators.Html.extractAnchors]] is pure per-row
+    * expression work (regex + explode, no state), so the SAME
+    * function runs under streaming append mode and emits exactly the
+    * batch rows — the link-extraction half of a streaming crawl
+    * pipeline; the aggregation half (anchorStats) stays batch/
+    * micro-batch by design (two stacked aggregations). */
+  test("extractAnchors: streaming append mode == batch, same function") {
+    import graft.operators.Html
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, String)]
+    val q = Html.extractAnchors(
+        ms.toDF().toDF("doc_id", "page_url", "html"), "html", "page_url")
+      .select("doc_id", "target", "anchor_text")
+      .writeStream.format("memory").queryName("anchors_stream")
+      .outputMode("append").start()
+    val rows = Seq(
+      (1L, "http://a.org/p", "<a href=/x>one</a><a href='/y'>two</a>"),
+      (2L, "http://b.org/p", "<A HREF=\"http://c.com/z\">three</A>"))
+    try {
+      ms.addData(rows.head); q.processAllAvailable()
+      ms.addData(rows(1)); q.processAllAvailable()
+      def key(rs: Array[org.apache.spark.sql.Row]) = rs.map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      val streamed = key(spark.table("anchors_stream").collect())
+      val batch = key(Html.extractAnchors(
+          rows.toDF("doc_id", "page_url", "html"), "html", "page_url")
+        .select("doc_id", "target", "anchor_text").collect())
+      assert(streamed === batch && streamed.size === 3)
+    } finally q.stop()
+  }
+
   /** [[graft.operators.Html.extractAnchors]] row-level contract (the
     * q199 oracle certifies the aggregate; this pins the per-anchor
     * rows): the data-href decoy must not shadow the real unquoted
