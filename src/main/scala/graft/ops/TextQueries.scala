@@ -864,21 +864,48 @@ object TextQueries {
   def kTruss(edges: DataFrame, k: Int, iters: Int): DataFrame = {
     require(k >= 3, s"k must be at least 3, got $k")
     require(iters >= 1, s"iters must be positive, got $iters")
+    // INCREMENTAL recompute (exact): an edge's support |N(a) ∩ N(b)|
+    // can only change between rounds if a or b LOST an edge — i.e. is
+    // an endpoint of a removed edge — because an untouched endpoint's
+    // neighborhood is identical in the new survivor set. So round 1
+    // computes every support; later rounds recompute only edges
+    // incident to the previous round's removal endpoints and carry
+    // every other edge's support forward (the carried value equals
+    // the fresh value by the neighborhood-identity argument, so the
+    // output — supports included — is bit-identical to the full
+    // synchronous recompute the oracle replays; the randomized spec
+    // pins it against an independent reference peel). Rounds after
+    // convergence touch nothing and cost only empty joins.
     var und = edges.filter(col("src") < col("dst"))
       .select(col("src").as("a"), col("dst").as("b"), lit(0L).as("support"))
       .localCheckpoint(true)
-    for (_ <- 1 to iters) {
+    var removedV: DataFrame = null // (rv) — last round's removal endpoints
+    for (i <- 1 to iters) {
+      val touched =
+        if (i == 1) und
+        else und.join(removedV, col("a") === col("rv"), "left_semi")
+          .unionAll(und.join(removedV, col("a") === col("rv"), "left_anti")
+            .join(removedV, col("b") === col("rv"), "left_semi"))
+      val untouched =
+        if (i == 1) und.limit(0)
+        else und.join(removedV, col("a") === col("rv"), "left_anti")
+          .join(removedV, col("b") === col("rv"), "left_anti")
       val sym = und.select(col("a").as("v"), col("b").as("w"))
         .unionAll(und.select(col("b").as("v"), col("a").as("w")))
       val adj = sym.groupBy("v").agg(sort_array(collect_list(col("w"))).as("nb"))
-      und = und
+      val rec = touched
         .join(adj.select(col("v").as("a"), col("nb").as("na")), "a")
         .join(adj.select(col("v").as("b"), col("nb").as("nbb")), "b")
         .withColumn("support",
           size(array_intersect(col("na"), col("nbb"))).cast("long"))
-        .filter(col("support") >= k - 2)
         .select("a", "b", "support")
+      val kept = rec.filter(col("support") >= k - 2)
+      val dropped = rec.filter(col("support") < k - 2)
+      und = untouched.select("a", "b", "support").unionAll(kept)
         .localCheckpoint(true)
+      removedV = dropped.select(col("a").as("rv"))
+        .unionAll(dropped.select(col("b").as("rv")))
+        .distinct().localCheckpoint(true)
     }
     und
   }

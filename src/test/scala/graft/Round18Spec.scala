@@ -411,6 +411,39 @@ class Round18Spec extends AnyFunSuite {
     assert(TextQueries.kTruss(twoTri, k = 4, iters = 2).count() === 0)
   }
 
+  /** The r18 INCREMENTAL truss rounds (recompute only edges incident
+    * to a removal endpoint, carry every other support forward)
+    * against an independent full-recompute reference peel, on
+    * hash-derived random graphs across k and round counts — supports
+    * included, since the carried-value-equals-fresh-value claim is
+    * exactly what could silently break. */
+  test("kTruss incremental rounds == synchronous reference peel on random graphs") {
+    import graft.ops.TextQueries
+    val pairs = for {
+      a <- 0 until 60; b <- (a + 1) until 60
+      if (a * 1315423911L + b * 2654435761L) % 97 < 22
+    } yield (a.toLong, b.toLong)
+    def reference(k: Int, iters: Int): Map[(Long, Long), Long] = {
+      var e = pairs.toSet
+      var sup: Map[(Long, Long), Long] = Map.empty
+      for (_ <- 1 to iters) {
+        val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+          .withDefaultValue(Set.empty)
+        e.foreach { case (x, y) => adj(x) += y; adj(y) += x }
+        sup = e.iterator.map(p =>
+          p -> (adj(p._1) & adj(p._2)).size.toLong).toMap
+        e = sup.filter(_._2 >= k - 2).keySet
+      }
+      sup.filter { case (_, s) => s >= k - 2 }
+    }
+    val df = (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    for (k <- Seq(4, 6); it <- Seq(1, 2, 4)) {
+      val got = TextQueries.kTruss(df, k = k, iters = it).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got === reference(k, it), s"divergence at k=$k iters=$it")
+    }
+  }
+
   /** [[graft.operators.Domains.robotsParse]] /
     * [[graft.operators.Domains.robotsDecision]] — the REP details the
     * q200 oracle exercises in aggregate, pinned row-level: rules
