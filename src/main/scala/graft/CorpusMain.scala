@@ -44,7 +44,7 @@ object CorpusMain {
           minTokens: Int = 20, maxTokens: Int = 100000,
           minQuality: Double = 0.5, maxTopBigramRatio: Double = 0.2,
           langs: Seq[String] = Seq("en"),
-          k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+          k: Int = 3, numHashes: Int = 16, bands: Option[Int] = None,
           threshold: Double = 0.6, tokenBudget: Long = 5000L,
           seqLen: Option[Long] = None,
           prunePassageTokens: Option[Int] = None): Report = {

@@ -478,7 +478,7 @@ object ScaleProbe {
         "q33_exact_dedup" -> (() => operators.Dedup.exactDedup(docs).count()),
         "q35_minhash_pairs" -> (() =>
           operators.Dedup.minHashPairs(docs, k = 3, numHashes = 16,
-            bands = 4, threshold = 0.6).count()),
+            threshold = 0.6).count()),
         "q36_simhash_pairs" -> (() =>
           operators.Dedup.simHashPairs(docs, maxHamming = 6).count()),
         "q39_dedup_clusters" -> (() =>

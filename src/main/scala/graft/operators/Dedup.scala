@@ -355,10 +355,6 @@ object Dedup {
         countDistinct(col("d2")).as("n_docs_flagged"))
   }
 
-  /** MinHash signatures, fully native: `shingle_hashes` (one pass over
-    * the text bytes, no word/shingle string materialization) feeding
-    * `minhash_sigs` (one JIT'd pass over the feature hashes). Docs with
-    * < k words yield an empty feature array and are dropped. */
   /** Band count for [[minHashPairs]] from (signature width, target
     * Jaccard threshold) — the prose-dial → spec'd-helper convention
     * (srpBitsFor / fanoutFor / bloomBitsFor precedent). An LSH scheme
@@ -387,6 +383,10 @@ object Dedup {
     }
   }
 
+  /** MinHash signatures, fully native: `shingle_hashes` (one pass over
+    * the text bytes, no word/shingle string materialization) feeding
+    * `minhash_sigs` (one JIT'd pass over the feature hashes). Docs with
+    * < k words yield an empty feature array and are dropped. */
   def withMinHash(docs: DataFrame, k: Int = 3, numHashes: Int = 16): DataFrame = {
     graft.functions.MinHashSigs.register(docs.sparkSession)
     graft.functions.ShingleHashes.register(docs.sparkSession)
@@ -401,13 +401,23 @@ object Dedup {
     * band-hash) buckets; candidates are then verified with exact
     * shingle Jaccard. bands*rowsPerBand must equal numHashes.
     *
+    * The band dial DEFAULTS to [[lshBandsFor]] (r19 — the helper is
+    * now the behavior, the srpBitsFor/bloomBitsFor/fanoutFor
+    * convention): `None` picks the divisor of `numHashes` whose LSH
+    * S-curve inflection lands nearest the verification threshold, so
+    * the deployed 16-hash/600‰ shape resolves to the same 4 bands the
+    * dial was hand-set to since r7; pass `Some(b)` to override.
+    *
     * Returns (d1, d2, jaccard) with jaccard >= threshold — the same
     * contract as [[ngramJaccardPairs]], at LSH cost instead of O(n²).
     */
   def minHashPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 16,
-                   bands: Int = 4, threshold: Double = 0.6): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
+                   bands: Option[Int] = None,
+                   threshold: Double = 0.6): DataFrame = {
+    val nBands = bands.getOrElse(
+      lshBandsFor(numHashes, math.round(threshold * 1000)))
+    require(numHashes % nBands == 0, "bands must divide numHashes")
+    val rows = numHashes / nBands
     val signed = withMinHash(docs, k, numHashes)
     graft.functions.Mix64Fold.register(docs.sparkSession)
     // sig is lambda-bound: 4 band hashes must not re-derive the 16
@@ -421,7 +431,7 @@ object Dedup {
     val banded = signed
       .withColumn("bands",
         transform(array(col("sig")), g =>
-          array((0 until bands).map { b =>
+          array((0 until nBands).map { b =>
             call_function("mix64_fold",
               slice(g, lit(b * rows + 1), lit(rows)), lit(b.toLong))
           }: _*)
@@ -536,7 +546,7 @@ object Dedup {
     * [[connectedComponentsStars]] via `starCC = true` for deep/
     * adversarial duplicate graphs). */
   def dedupCorpus(docs: DataFrame, k: Int = 3, numHashes: Int = 16,
-                  bands: Int = 4, threshold: Double = 0.6,
+                  bands: Option[Int] = None, threshold: Double = 0.6,
                   starCC: Boolean = false): DataFrame = {
     // exact pass: survivors = smallest doc_id per distinct text. The
     // semi-join recovers the survivor's full row — and the per-id

@@ -301,9 +301,16 @@ object Domains {
     * wildcard agent — the crawl-POLICY floor next to the page-level
     * `<meta robots>` opt-out ([[Html.pageDirectives]]): REP (RFC 9309)
     * line grammar with the group structure the spec defines. Per
-    * line: comments stripped (`#` to end), `user-agent:` /
+    * line: records split on `\r?\n` (RFC 9309 §2.1 grants CRLF — and
+    * real servers overwhelmingly send it; a bare-`\n` split would
+    * leave `\r` on every value and silently drop every rule),
+    * comments stripped (`#` to end), `user-agent:` /
     * `allow:` / `disallow:` recognized case-insensitively, values
-    * trimmed. GROUPS: consecutive `user-agent` lines form one block
+    * trimmed of the §2.1 whitespace set (space, tab — not just ASCII
+    * space). The emitted `host` is LOWERCASED so it joins the
+    * lowercased [[uriHost]] side of [[robotsDecision]] regardless of
+    * how the fetcher spelled it. GROUPS: consecutive `user-agent`
+    * lines form one block
     * header (stacked agents share the following rules, §2.2.1); a
     * rule belongs to the nearest preceding block. GROUP SELECTION is
     * per-host, the §2.2.1 rule: when `agent` names a specific
@@ -326,15 +333,18 @@ object Domains {
                   agent: String = "*"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("host").orderBy("ln")
-    val lines = robots.select(col(hostCol).as("host"),
-        posexplode(split(col(txtCol), "\n")).as(Seq("ln", "raw")))
-      .withColumn("line", trim(regexp_replace(col("raw"), "#.*$", "")))
+    // §2.1 WS is space|tab; built-in trim() strips spaces only
+    def wsTrim(c: Column): Column =
+      regexp_replace(c, "^[ \\t]+|[ \\t]+$", "")
+    val lines = robots.select(lower(col(hostCol)).as("host"),
+        posexplode(split(col(txtCol), "\r?\n")).as(Seq("ln", "raw")))
+      .withColumn("line", wsTrim(regexp_replace(col("raw"), "#.*$", "")))
       .withColumn("kind",
         when(lower(col("line")).rlike("^user-agent\\s*:"), "ua")
           .when(lower(col("line")).rlike("^allow\\s*:"), "allow")
           .when(lower(col("line")).rlike("^disallow\\s*:"), "disallow"))
       .withColumn("value",
-        trim(regexp_replace(col("line"), "^(?i)[a-z-]+\\s*:", "")))
+        wsTrim(regexp_replace(col("line"), "^(?i)[a-z-]+\\s*:", "")))
       .filter(col("kind").isNotNull)
     val grouped = lines
       .withColumn("newBlock",
@@ -363,27 +373,36 @@ object Domains {
   }
 
   /** Per-URL robots decision over a parsed rule table: the LONGEST
-    * matching path prefix wins, `allow` winning length ties — RFC
-    * 9309 §2.2.2's "most specific match" + "least restrictive rule"
-    * precedence, as one deterministic in-row argmax over the
-    * (prefix length, allow, prefix) total order. No matching rule —
-    * or no rules for the host at all — defaults to allowed (the REP
-    * default-allow stance). Output: the page frame + `allowed` +
-    * `matched_prefix` (null when the default fired).
+    * matching rule wins (raw pattern length, `*` and `$` counted —
+    * the octet-count precedence mainstream matchers use), `allow`
+    * winning length ties — RFC 9309 §2.2.2's "most specific match" +
+    * "least restrictive rule" precedence, as one deterministic
+    * in-row argmax over the (pattern length, allow, pattern) total
+    * order. No matching rule — or no rules for the host at all —
+    * defaults to allowed (the REP default-allow stance). Output: the
+    * page frame + `allowed` + `matched_prefix` (null when the
+    * default fired; the RAW rule text, wildcards included, when a
+    * rule matched).
     *
-    * SCOPE BOUNDARY (disclosed, not silent): RFC 9309 §2.2.3 also
-    * grants `*` (any-octets) and a trailing `$` (end anchor) inside
-    * path patterns; this matcher implements the PREFIX grammar and
-    * treats those bytes as literals — the same subset the original
-    * 1994 REP defined and the common denominator every crawler
-    * honors. A site disallowing a `*.php$`-style pattern gets the
-    * conservative reading (the rule matches nothing, so pages
-    * default-allow unless a prefix rule also covers them). The
-    * upgrade path is a per-rule pattern translation (escape LIKE
-    * metacharacters, `*`→`%`, trailing `$` drops the implicit
-    * suffix) with precedence on raw pattern length — kept out of
-    * this round because a wildcard matcher deserves its own
-    * adversarial spec battery, not a rider.
+    * FULL §2.2.3 pattern grammar (r19 — this was the last disclosed
+    * scope boundary): `*` matches any octet run and a trailing `$`
+    * anchors the match at the end; both are compiled ONCE PER RULE
+    * into a SQL LIKE pattern — escape the LIKE metacharacters
+    * (`\`, `%`, `_`), `*` → `%`, a trailing `$` drops the implicit
+    * any-suffix `%` every other pattern gets — so a `*.php$`-style
+    * disallow rule disallows exactly the URLs whose matchable
+    * portion ends in `.php`, and a literal `_`/`%` in a site's path
+    * never turns into a wildcard. A `$` anywhere but last is a literal octet (the RFC
+    * grants it only as the final byte). Rules WITHOUT wildcards —
+    * the overwhelming majority in real files — skip LIKE entirely
+    * and keep the codegen'd `startsWith` prefix compare; only
+    * wildcard rules pay the per-row pattern match, and the
+    * compilation itself happens on the |rules| frame, never per
+    * page. Matching runs against PATH + QUERY (`/search?q=x`, the
+    * portion mainstream REP matchers test — a plain
+    * `Disallow: /search?q=` rule must be able to match), never the
+    * fragment; a URL with no path but a query matches as
+    * `/?query...`.
     *
     * The operator is STATELESS by construction: rules fold to ONE
     * array row per host (bounded — REP caps a robots.txt at 500 KiB,
@@ -395,24 +414,39 @@ object Domains {
     * stream≡batch spec drives it through MemoryStream) and why a hot
     * host costs nothing extra: every page row carries only its own
     * host's rule array. The planner broadcasts the per-host array
-    * frame when it fits (a 10M-host rule set is a few hundred MB);
-    * the startswith probe is a codegen'd per-row string compare, no
-    * regex. */
+    * frame when it fits (a 10M-host rule set is a few hundred MB). */
   def robotsDecision(pages: DataFrame, rules: DataFrame,
                      uriCol: String = "url"): DataFrame = {
-    val ruleArr = rules.groupBy(col("host").as("_host"))
-      .agg(collect_list(struct(col("path_prefix"), col("allow"))).as("_rs"))
-    val noRules = array().cast("array<struct<path_prefix:string,allow:boolean>>")
+    val anchored = col("path_prefix").endsWith("$")
+    val body = when(anchored, col("path_prefix")
+        .substr(lit(1), length(col("path_prefix")) - 1))
+      .otherwise(col("path_prefix"))
+    // escape order matters: backslash first, then the metacharacters
+    // it escapes, then the REP wildcard becomes the LIKE wildcard
+    val esc = replace(replace(replace(body,
+      lit("\\"), lit("\\\\")), lit("%"), lit("\\%")), lit("_"), lit("\\_"))
+    val compiled = rules
+      .withColumn("wild", anchored || col("path_prefix").contains("*"))
+      .withColumn("pat", concat(replace(esc, lit("*"), lit("%")),
+        when(anchored, lit("")).otherwise(lit("%"))))
+    val ruleArr = compiled.groupBy(col("host").as("_host"))
+      .agg(collect_list(struct(col("path_prefix"), col("allow"),
+        col("wild"), col("pat"))).as("_rs"))
+    val noRules = array().cast(
+      "array<struct<path_prefix:string,allow:boolean,wild:boolean,pat:string>>")
     pages
       .withColumn("_host", uriHost(col(uriCol)))
-      .withColumn("_path", coalesce(
-        nullif(regexp_extract(col(uriCol),
+      .withColumn("_path", concat(
+        coalesce(nullif(regexp_extract(col(uriCol),
           "^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1), lit("")),
-        lit("/")))
+          lit("/")),
+        regexp_extract(col(uriCol), "^[^#?]*(\\?[^#]*)", 1)))
       .join(ruleArr, Seq("_host"), "left")
       .withColumn("_best", array_max(transform(
         filter(coalesce(col("_rs"), noRules),
-          r => col("_path").startsWith(r.getField("path_prefix"))),
+          r => when(r.getField("wild"),
+            like(col("_path"), r.getField("pat")))
+            .otherwise(col("_path").startsWith(r.getField("path_prefix")))),
         r => struct(
           length(r.getField("path_prefix")).as("l"),
           r.getField("allow").as("allow"),
@@ -420,6 +454,59 @@ object Domains {
       .withColumn("allowed", coalesce(col("_best.allow"), lit(true)))
       .withColumn("matched_prefix", col("_best.path_prefix"))
       .drop("_host", "_path", "_rs", "_best")
+  }
+
+  /** Sitemap parser → (host, kind, loc, lastmod) frontier rows — the
+    * crawl-frontier sibling of [[robotsParse]] (robots says what MAY
+    * be fetched; the sitemap says what EXISTS): the sitemaps.org
+    * protocol's two document shapes, `<urlset>` (leaf — one `<url>`
+    * entry per page) and `<sitemapindex>` (one `<sitemap>` entry per
+    * CHILD sitemap still to fetch), distinguished per row in `kind`
+    * (`"url"` / `"sitemap"`) so a frontier loop can route leaves to
+    * the fetch queue and children back to sitemap ingestion. Per
+    * entry: `<loc>` (required — entries without one drop), optional
+    * `<lastmod>` (emitted verbatim as the W3C-datetime string, null
+    * when absent; kept a string under the cross-engine date rule).
+    * `<loc>` values take an optional CDATA wrapper and the five
+    * XML-predefined entity escapes (`&amp; &lt; &gt; &quot;
+    * &apos;`), decoded in that scope — the protocol requires exactly
+    * those escapes; numeric character references are out of scope
+    * (disclosed; a loc needing them should be percent-encoded per
+    * the protocol anyway).
+    *
+    * STATELESS like robotsParse — one posexplode of per-entry blocks
+    * + per-row regexp work, no aggregation, so the SAME function runs
+    * under Structured Streaming append mode. The protocol caps one
+    * file at 50,000 URLs / 50 MB (sitemaps.org §"Sitemap file size"),
+    * so a row's fan-out is bounded by construction — the cap is the
+    * partition bound, exactly the 500 KiB argument robots rides. */
+  def sitemapParse(sitemaps: DataFrame, hostCol: String = "host",
+                   xmlCol: String = "sitemap_xml"): DataFrame = {
+    val entryRe = "(?s)<(?:url|sitemap)\\b[^>]*>(.*?)</(?:url|sitemap)\\s*>"
+    def tag(c: Column, t: String): Column =
+      regexp_extract(c, s"(?s)<$t\\s*>\\s*(.*?)\\s*</$t\\s*>", 1)
+    def cdata(c: Column): Column =
+      when(c.startsWith("<![CDATA["),
+        regexp_extract(c, "(?s)^<!\\[CDATA\\[(.*?)\\]\\]>$", 1))
+        .otherwise(c)
+    // the five predefined entities; &amp; LAST so `&amp;lt;` decodes
+    // to the literal `&lt;`, never double-decodes to `<`
+    def xmlUnescape(c: Column): Column =
+      replace(replace(replace(replace(replace(c,
+        lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+        lit("&quot;"), lit("\"")), lit("&apos;"), lit("'")),
+        lit("&amp;"), lit("&"))
+    sitemaps
+      .withColumn("kind",
+        when(col(xmlCol).rlike("(?s)<sitemapindex[\\s>]"), "sitemap")
+          .otherwise("url"))
+      .select(col(hostCol).as("host"), col("kind"),
+        explode(regexp_extract_all(col(xmlCol), lit(entryRe), lit(1)))
+          .as("entry"))
+      .withColumn("loc", xmlUnescape(cdata(tag(col("entry"), "loc"))))
+      .withColumn("lastmod", nullif(tag(col("entry"), "lastmod"), lit("")))
+      .filter(col("loc") =!= "")
+      .select("host", "kind", "loc", "lastmod")
   }
 
   /** Remove documents whose host OR registrable domain is blocked.

@@ -1230,7 +1230,22 @@ object EventQueries {
     * alone would contribute |U|²/8 pair rows). None preserves exact
     * projection semantics for the oracle. */
   def coEngagementEdges(events: DataFrame, minShared: Long,
-                        maxUsersPerKey: Option[Int] = None): DataFrame = {
+                        maxUsersPerKey: Option[Int] = None): DataFrame =
+    coEngagementEdgesShared(events, minShared, maxUsersPerKey)
+      .select("src", "dst")
+
+  /** [[coEngagementEdges]] with the exact shared-key count attached:
+    * (src, dst, n_shared) where n_shared = |K_u ∩ K_v| ≥ minShared.
+    * The count is the verification intersection the projection
+    * already computes — emitting it makes ONE projection serve every
+    * floor above its own (r19): `n_shared ≥ c'` on a floor-c frame
+    * equals the floor-c' projection exactly for any c' ≥ c, because
+    * the prefix filter is lossless at c and the attached count is the
+    * exact intersection — which is how q202's floor-32 graph is now
+    * derived from the q198/q201 floor-22 memo instead of paying a
+    * second projection join (equivalence spec-pinned). */
+  def coEngagementEdgesShared(events: DataFrame, minShared: Long,
+                              maxUsersPerKey: Option[Int] = None): DataFrame = {
     require(minShared >= 1, s"minShared must be positive, got $minShared")
     val uk = events.select(col("user_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
@@ -1263,10 +1278,13 @@ object EventQueries {
     val p = cands
       .join(flat.select(col("user_id").as("u"), col("kk").as("k1")), "u")
       .join(flat.select(col("user_id").as("v"), col("kk").as("k2")), "v")
-      .filter(size(array_intersect(col("k1"), col("k2"))) >= minShared)
-      .select("u", "v")
-    p.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(p.select(col("v").as("src"), col("u").as("dst")))
+      .withColumn("n_shared",
+        size(array_intersect(col("k1"), col("k2"))).cast("long"))
+      .filter(col("n_shared") >= minShared)
+      .select("u", "v", "n_shared")
+    p.select(col("u").as("src"), col("v").as("dst"), col("n_shared"))
+      .unionAll(p.select(col("v").as("src"), col("u").as("dst"),
+        col("n_shared")))
   }
 
   /** k-core of the user co-engagement graph ([[coEngagementEdges]] at
@@ -1281,13 +1299,22 @@ object EventQueries {
     * certify the synchronous-update algebra, not just a degree
     * filter. Output deg_in_core is each survivor's degree within the
     * core-inducing round — integer-exact on both engines. */
-  def q198KCore(spark: SparkSession, dir: String): DataFrame = {
-    // the projection join is the expensive leg and every peel round's
-    // lineage references it — memoized so the 6 rounds (and a Bench
-    // pass's repeats) pay it once, the q181 pr_edges pattern
-    val e = Memo.of(spark, s"coeng_edges:$dir:minShared=22") {
-      coEngagementEdges(Tables.events(spark, dir), minShared = 22L)
+  /** The ONE co-engagement projection the whole graph family reads
+    * (r19): the floor-22 frame WITH its exact n_shared column,
+    * memoized — q198/q201 project it to (src, dst), q202 derives its
+    * floor-32 graph as `n_shared >= 32` (exact, see
+    * [[coEngagementEdgesShared]]) instead of paying a second
+    * projection join. The projection join is the expensive leg and
+    * every peel round's lineage references it — memoized so the peel
+    * rounds (and a Bench pass's repeats) pay it once, the q181
+    * pr_edges pattern. */
+  private def coengShared22(spark: SparkSession, dir: String): DataFrame =
+    Memo.of(spark, s"coeng_edges_shared:$dir:minShared=22") {
+      coEngagementEdgesShared(Tables.events(spark, dir), minShared = 22L)
     }
+
+  def q198KCore(spark: SparkSession, dir: String): DataFrame = {
+    val e = coengShared22(spark, dir).select("src", "dst")
     TextQueries.kCore(e, k = 70, iters = 6)
       .select(col("v").as("user_id"), col("deg").as("deg_in_core"))
   }
@@ -1303,9 +1330,7 @@ object EventQueries {
     * crafted graph; the oracle pins both sides' arithmetic
     * independently). All integer: degrees, ranks, h-indexes. */
   def q201Coreness(spark: SparkSession, dir: String): DataFrame = {
-    val e = Memo.of(spark, s"coeng_edges:$dir:minShared=22") {
-      coEngagementEdges(Tables.events(spark, dir), minShared = 22L)
-    }
+    val e = coengShared22(spark, dir).select("src", "dst")
     TextQueries.coreness(e, iters = 12)
       .select(col("v").as("user_id"), col("c").as("coreness"))
   }
@@ -1323,9 +1348,10 @@ object EventQueries {
     * wired to 10 strangers survives the 10-core and dies here. All
     * integer: adjacency intersections and the k−2 gate. */
   def q202KTruss(spark: SparkSession, dir: String): DataFrame = {
-    val e = Memo.of(spark, s"coeng_edges:$dir:minShared=32") {
-      coEngagementEdges(Tables.events(spark, dir), minShared = 32L)
-    }
+    // the floor-32 graph IS the floor-22 memo at n_shared >= 32 (r19)
+    // — monotone and exact, one projection for the whole family
+    val e = coengShared22(spark, dir)
+      .filter(col("n_shared") >= 32L).select("src", "dst")
     TextQueries.kTruss(e, k = 6, iters = 7)
       .select(col("a").as("u1"), col("b").as("u2"), col("support"))
   }

@@ -106,11 +106,16 @@ object TextQueries {
   /** MinHash+LSH near-dup pairs (scale path) under the FULL
     * cross-engine gate since r16 ([[LshOracleSql.minHashPairsSql]]
     * replays signatures, band buckets and the verification Jaccard).
+    * The band count is NOT passed: [[Dedup.lshBandsFor]] derives it
+    * from (16 hashes, 600‰) — 4 bands of 4, the dial this query
+    * deployed by hand since r7, now computed by the spec'd helper
+    * (r19; the oracle below replays bands=4 explicitly, so the green
+    * row certifies the helper lands on the deployed dial).
     * Memoized: q60 re-reads this output as its approx side. */
   def q35MinhashPairs(spark: SparkSession, dir: String): DataFrame =
     Memo.of(spark, s"minhash_pairs:$dir") {
       Dedup.minHashPairs(docsRebalanced(spark, dir),
-        k = 3, numHashes = 16, bands = 4, threshold = 0.6)
+        k = 3, numHashes = 16, threshold = 0.6)
     }
 
   /** SimHash near-dup pairs (scale path) under the FULL cross-engine
@@ -818,7 +823,27 @@ object TextQueries {
     * partitions by node — per-partition volume is the node's degree,
     * bounded wherever the edge build caps fan-out (q101's per-doc
     * cap; the co-engagement `maxUsersPerKey`); an uncapped hub makes
-    * exactly the one-reducer partition those caps exist for. */
+    * exactly the one-reducer partition those caps exist for.
+    *
+    * FRONTIER RECOMPUTE: TESTED AND REFUTED (r19, the q127
+    * convention of recording the measured road not taken). The
+    * [[kTruss]] incremental lever looks like it should transfer —
+    * v's h-index is a pure function of its neighbors' values, so
+    * only nodes with a CHANGED neighbor need recomputing — and an
+    * exact frontier variant (recompute `{v : ∃ neighbor in
+    * changed}`, carry the rest, per-round localCheckpoint to cut the
+    * three-way carried-frame reference) passed the randomized
+    * equivalence spec. But on the deployed co-engagement graph the
+    * frontier never shrinks: measured at sf0.01, `changed` falls
+    * 134 → 120 → … → 1 while the frontier holds 150/150 of the nodes
+    * through round 9 — the graph is DENSE (that is the point of a
+    * floor-22 projection), so one changed node frontiers almost
+    * everyone, the window volume never drops, and the variant's 24
+    * per-round materializations turned a 9.1 s q201 into 14.0 s at
+    * sf0.1 (driver-shape bench). Edge-axis incrementality (kTruss)
+    * pays because REMOVALS localize; node-value ripples on a dense
+    * graph do not. The lazy single-plan synchronous form below is
+    * the measured winner. */
   def coreness(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
     val w = org.apache.spark.sql.expressions.Window
@@ -892,7 +917,25 @@ object TextQueries {
           .join(removedV, col("b") === col("rv"), "left_anti")
       val sym = und.select(col("a").as("v"), col("b").as("w"))
         .unionAll(und.select(col("b").as("v"), col("a").as("w")))
-      val adj = sym.groupBy("v").agg(sort_array(collect_list(col("w"))).as("nb"))
+      // r19: only TOUCHED edges read adjacency arrays, so build them
+      // only for touched endpoints — the removal endpoints plus their
+      // surviving partners (a superset of every touched edge's ends,
+      // derived from removedV so the touched subplan isn't re-run).
+      // EXACT: rec's inner joins find every array they ask for; the
+      // arrays themselves are still built from the FULL survivor set.
+      // This was the last full-|E| leg in the post-convergence margin
+      // rounds: the collect_list shuffle now carries only the
+      // frontier's rows, so an empty removal round costs empty work
+      // in the adj build too, not just the support legs.
+      val needed =
+        if (i == 1) null
+        else sym.join(removedV, col("v") === col("rv"), "left_semi")
+          .select(col("w").as("v"))
+          .unionAll(removedV.select(col("rv").as("v")))
+          .distinct()
+      val symNeeded = if (i == 1) sym else sym.join(needed, Seq("v"), "left_semi")
+      val adj = symNeeded.groupBy("v")
+        .agg(sort_array(collect_list(col("w"))).as("nb"))
       val rec = touched
         .join(adj.select(col("v").as("a"), col("nb").as("na")), "a")
         .join(adj.select(col("v").as("b"), col("nb").as("nbb")), "b")
@@ -2232,19 +2275,34 @@ object TextQueries {
     * restriction, must emit nothing), a host-parity `/p/` disallow,
     * a longer `/p/1` allow that must BEAT it on specificity, and on
     * one host the equal-length `/p/2` allow+disallow pair whose tie
-    * RFC 9309 §2.2.2 resolves least-restrictive. The oracle derives
-    * every page's expected (allowed, matched_prefix) independently
-    * from doc_id arithmetic — parse, grouping, and precedence are
-    * certified by producing the right decision from the raw file
-    * text. */
-  def q200RobotsFilter(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select("doc_id")
-    val id = col("doc_id").cast("string")
-    val h = pmod(col("doc_id"), lit(7)).cast("string")
-    val pages = docs.select(col("doc_id"),
-      concat(lit("http://h"), h, lit(".example.org/p/"), id).as("url"))
+    * RFC 9309 §2.2.2 resolves least-restrictive. r19 grows the §2.2.3
+    * wildcard arms (patterns spelled star-as-`…` here — a literal
+    * slash-star would nest this comment; the code below has the real
+    * text): host 3 pits the anchored `Disallow: /p/…9$` wildcard
+    * against both the shorter `/p/1` prefix allow (the wildcard must
+    * WIN on raw length) and the longer `Allow: /p/…99$` (which must
+    * win back); host 4 anchors `Allow: /p/…0$` over its `/p/`
+    * disallow; host 5 carries a literal-underscore WILDCARD rule
+    * (`_9$`-anchored) that must match NOTHING on all-digit paths
+    * (escaping proof — `_` is data, not a LIKE wildcard; unescaped it
+    * would disallow every page ending `9` there); host 6 disallows
+    * `…?ref=` which must match the pages that carry a `?ref=a` query
+    * (path+query matching). Hosts 1 and 4 serve their
+    * file with CRLF line endings and host 3 spells its host
+    * MiXeD-CaSe — both must change nothing. The oracle derives every
+    * page's expected (allowed, matched_prefix) independently from
+    * doc_id arithmetic — parse, grouping, wildcard compilation, and
+    * precedence are certified by producing the right decision from
+    * the raw file text. */
+  /** The 7-host robots fixture q200 AND q204 decide against —
+    * published as the parsed rule table. See [[q200RobotsFilter]]'s
+    * scaladoc for what each arm exercises. */
+  private def robotsFixtureRules(spark: SparkSession): DataFrame = {
     val hosts = spark.range(7).select(
-      concat(lit("h"), col("id").cast("string"), lit(".example.org"))
+      when(col("id") === 3,
+        concat(lit("H"), col("id").cast("string"), lit(".Example.ORG")))
+        .otherwise(
+          concat(lit("h"), col("id").cast("string"), lit(".example.org")))
         .as("host"),
       col("id").as("hn"))
     val robotsTxt = concat(
@@ -2256,11 +2314,109 @@ object TextQueries {
         .otherwise(lit("")),
       lit("Allow: /p/1\n"),
       when(col("hn") === 2, lit("Allow: /p/2\nDisallow: /p/2\n"))
-        .otherwise(lit("")))
-    val rules = graft.operators.Domains.robotsParse(
-      hosts.select(col("host"), robotsTxt.as("robots_txt")))
-    graft.operators.Domains.robotsDecision(pages, rules, uriCol = "url")
+        .otherwise(lit("")),
+      when(col("hn") === 3, lit("Disallow: /p/*9$\nAllow: /p/*99$\n"))
+        .otherwise(lit("")),
+      when(col("hn") === 4, lit("Allow: /p/*0$\n")).otherwise(lit("")),
+      when(col("hn") === 5, lit("Disallow: /*_9$\n")).otherwise(lit("")),
+      when(col("hn") === 6, lit("Disallow: /*?ref=\n")).otherwise(lit("")))
+    // hosts 1 and 4 publish CRLF files — decisions must be identical
+    val served = when(col("hn").isin(1, 4),
+      regexp_replace(robotsTxt, "\n", "\r\n")).otherwise(robotsTxt)
+    graft.operators.Domains.robotsParse(
+      hosts.select(col("host"), served.as("robots_txt")))
+  }
+
+  def q200RobotsFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    val id = col("doc_id").cast("string")
+    val h = pmod(col("doc_id"), lit(7)).cast("string")
+    val q = when(pmod(col("doc_id"), lit(10)) === 6, lit("?ref=a"))
+      .otherwise(lit(""))
+    val pages = docs.select(col("doc_id"),
+      concat(lit("http://h"), h, lit(".example.org/p/"), id, q).as("url"))
+    graft.operators.Domains.robotsDecision(pages,
+        robotsFixtureRules(spark), uriCol = "url")
       .select("doc_id", "url", "allowed", "matched_prefix")
+  }
+
+  /** The crawl-frontier COMPOSITION under the oracle gate: the
+    * sitemap tells the crawler what exists ([[q203SitemapFrontier]]'s
+    * urlset leaves — child sitemapindex entries are fetches, not
+    * pages, and drop here), robots tells it what it may fetch
+    * ([[robotsFixtureRules]] → [[graft.operators.Domains
+    * .robotsDecision]]) — the frontier loop every crawler runs,
+    * as one stateless stream-compatible plan. The sitemap arms
+    * interact with the wildcard rules on purpose: an ends-9 page on
+    * host 3 is disallowed by the anchored wildcard ONLY when its loc
+    * carries no query arm (the `?a=1&b=2` suffix defeats the `$`
+    * anchor — anchoring is over path+query), while the ends-99 and
+    * ends-0 arms never coincide with a query arm (mod arithmetic)
+    * and must keep their q200 outcomes verbatim. The oracle derives
+    * every row — loc decode included — independently from doc_id. */
+  def q204CrawlFrontier(spark: SparkSession, dir: String): DataFrame = {
+    val leaves = q203SitemapFrontier(spark, dir)
+      .filter(col("kind") === "url")
+      .select(col("loc").as("url"), col("lastmod"))
+    graft.operators.Domains.robotsDecision(leaves,
+        robotsFixtureRules(spark), uriCol = "url")
+      .select("url", "lastmod", "allowed", "matched_prefix")
+  }
+
+  /** Sitemap ingestion under the oracle gate
+    * ([[graft.operators.Domains.sitemapParse]], the q200 convention:
+    * REAL protocol XML built in-query, expected rows derived
+    * independently from doc_id arithmetic): hosts 0–5 publish
+    * `<urlset>` leaves — with a CDATA-wrapped loc arm (raw `&`
+    * inside, no decode), an entity-escaped query arm (`&amp;` must
+    * decode to `&`), whitespace-padded `<loc>` values, a junk
+    * `<priority>` tag the parser must ignore, and a lastmod arm
+    * that is ABSENT on every doc_id≡0 (mod 3) entry (null, not "")
+    * — while host 6 publishes a `<sitemapindex>` whose entries must
+    * come back `kind='sitemap'` (child fetches, not page URLs). The
+    * XML assembly groups per host, but the PARSER is stateless
+    * per-row work (see sitemapParse's streaming spec). */
+  def q203SitemapFrontier(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    val id = col("doc_id").cast("string")
+    val hn = pmod(col("doc_id"), lit(7))
+    val h = hn.cast("string")
+    val base = concat(lit("https://h"), h, lit(".example.org/p/"), id)
+    val lastmod = when(pmod(col("doc_id"), lit(3)) =!= 0,
+      concat(lit("2026-0"),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("string"), lit("-01")))
+    val urlLoc = when(pmod(col("doc_id"), lit(5)) === 2,
+        concat(lit("<![CDATA["), base, lit("?raw=a&b]]>")))
+      .when(pmod(col("doc_id"), lit(4)) === 1,
+        concat(base, lit("?a=1&amp;b=2")))
+      .otherwise(base)
+    val entry = when(hn === 6, concat(
+        lit("<sitemap>\n  <loc>https://h6.example.org/sm/"), id,
+        lit(".xml</loc>"),
+        coalesce(concat(lit("\n  <lastmod>"), lastmod, lit("</lastmod>")),
+          lit("")),
+        lit("\n</sitemap>")))
+      .otherwise(concat(
+        lit("<url>\n  <loc>\n    "), urlLoc, lit("\n  </loc>"),
+        coalesce(concat(lit("<lastmod>"), lastmod, lit("</lastmod>")),
+          lit("")),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          lit("<priority>0.5</priority>")).otherwise(lit("")),
+        lit("\n</url>")))
+    val ns = "xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\""
+    val xml = docs.select(hn.as("hn"), entry.as("e"))
+      .groupBy("hn")
+      .agg(concat_ws("\n", collect_list(col("e"))).as("body"))
+      .select(
+        concat(lit("h"), col("hn").cast("string"), lit(".example.org"))
+          .as("host"),
+        when(col("hn") === 6, concat(
+            lit(s"<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<sitemapindex $ns>\n"),
+            col("body"), lit("\n</sitemapindex>")))
+          .otherwise(concat(
+            lit(s"<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<urlset $ns>\n"),
+            col("body"), lit("\n</urlset>"))).as("sitemap_xml"))
+    graft.operators.Domains.sitemapParse(xml)
   }
 
   def q187C4Clean(spark: SparkSession, dir: String): DataFrame = {
@@ -2339,6 +2495,8 @@ object TextQueries {
     "q189_page_directives" -> (q189PageDirectives _),
     "q199_anchor_stats" -> (q199AnchorStats _),
     "q200_robots_filter" -> (q200RobotsFilter _),
+    "q203_sitemap_frontier" -> (q203SitemapFrontier _),
+    "q204_crawl_frontier" -> (q204CrawlFrontier _),
     "q190_canonical_dedup" -> (q190CanonicalDedup _),
     "q186_url_dedup" -> (q186UrlDedup _),
     "q185_ranged_ingest" -> (q185RangedIngest _),
@@ -2602,25 +2760,104 @@ object TextQueries {
         |    AND NOT bad AS pass
         |FROM c""".stripMargin,
 
-    // the EXPECTED decisions, derived independently of the parser and
-    // precedence chain: /p/1 pages hit the specificity override, h=2
-    // pages starting '2' hit the least-restrictive tie, remaining
-    // even-host pages hit the /p/ disallow, odd hosts default-allow
+    // the EXPECTED decisions, derived independently of the parser,
+    // wildcard compilation, and precedence chain: host-3 pages ending
+    // 99/9 hit the anchored-wildcard pair (longest raw pattern wins),
+    // host-4 pages ending 0 hit the wildcard allow over the /p/
+    // disallow, host-6 ?ref= pages hit the path+query wildcard
+    // disallow, /p/1 pages hit the specificity override, h=2 pages
+    // starting '2' hit the least-restrictive tie, remaining even-host
+    // pages hit the /p/ disallow, odd hosts default-allow (host 5's
+    // literal-underscore wildcard rule matches nothing by design)
     "q200_robots_filter" ->
       """WITH d AS (SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS h,
-        |             doc_id % 7 AS hn, CAST(doc_id AS VARCHAR) AS s
+        |             doc_id % 7 AS hn, CAST(doc_id AS VARCHAR) AS s,
+        |             doc_id % 10 = 6 AS qf
         |           FROM documents)
         |SELECT doc_id,
-        |  'http://h' || h || '.example.org/p/' || s AS url,
-        |  CASE WHEN s LIKE '1%' THEN TRUE
+        |  'http://h' || h || '.example.org/p/' || s ||
+        |    CASE WHEN qf THEN '?ref=a' ELSE '' END AS url,
+        |  CASE WHEN hn = 3 AND s LIKE '%99' THEN TRUE
+        |       WHEN hn = 3 AND s LIKE '%9' THEN FALSE
+        |       WHEN hn = 4 AND s LIKE '%0' THEN TRUE
+        |       WHEN hn = 6 AND qf THEN FALSE
+        |       WHEN s LIKE '1%' THEN TRUE
         |       WHEN hn = 2 AND s LIKE '2%' THEN TRUE
         |       WHEN hn % 2 = 0 THEN FALSE
         |       ELSE TRUE END AS allowed,
-        |  CASE WHEN s LIKE '1%' THEN '/p/1'
+        |  CASE WHEN hn = 3 AND s LIKE '%99' THEN '/p/*99$'
+        |       WHEN hn = 3 AND s LIKE '%9' THEN '/p/*9$'
+        |       WHEN hn = 4 AND s LIKE '%0' THEN '/p/*0$'
+        |       WHEN hn = 6 AND qf THEN '/*?ref='
+        |       WHEN s LIKE '1%' THEN '/p/1'
         |       WHEN hn = 2 AND s LIKE '2%' THEN '/p/2'
         |       WHEN hn % 2 = 0 THEN '/p/'
         |       ELSE '/' END AS matched_prefix
         |FROM d""".stripMargin,
+
+    // the EXPECTED frontier rows, derived independently of the XML
+    // assembly + parse chain: host-6 docs come back as child-sitemap
+    // fetches, CDATA locs keep their raw &, escaped locs decode
+    // &amp;, every doc_id%3==0 lastmod is NULL
+    "q203_sitemap_frontier" ->
+      """WITH d AS (SELECT doc_id, doc_id % 7 AS hn,
+        |             CAST(doc_id % 7 AS VARCHAR) AS h,
+        |             CAST(doc_id AS VARCHAR) AS s
+        |           FROM documents)
+        |SELECT 'h' || h || '.example.org' AS host,
+        |  CASE WHEN hn = 6 THEN 'sitemap' ELSE 'url' END AS kind,
+        |  CASE WHEN hn = 6
+        |         THEN 'https://h6.example.org/sm/' || s || '.xml'
+        |       WHEN doc_id % 5 = 2
+        |         THEN 'https://h' || h || '.example.org/p/' || s || '?raw=a&b'
+        |       WHEN doc_id % 4 = 1
+        |         THEN 'https://h' || h || '.example.org/p/' || s || '?a=1&b=2'
+        |       ELSE 'https://h' || h || '.example.org/p/' || s
+        |       END AS loc,
+        |  CASE WHEN doc_id % 3 = 0 THEN NULL
+        |       ELSE '2026-0' || CAST(doc_id % 3 + 1 AS VARCHAR) || '-01'
+        |       END AS lastmod
+        |FROM d""".stripMargin,
+
+    // the EXPECTED frontier decisions, derived independently of the
+    // whole sitemap-parse → robots-decide composition: host-6 docs
+    // are index children (no leaf), ends-99/ends-0 wildcard arms are
+    // provably query-free (mod arithmetic) and keep their q200
+    // outcomes, the ends-9 disallow fires only on query-free locs
+    // (the $ anchor runs over path+query), everything else falls
+    // through the q200 precedence chain
+    "q204_crawl_frontier" ->
+      """WITH d AS (SELECT doc_id, doc_id % 7 AS hn,
+        |             CAST(doc_id % 7 AS VARCHAR) AS h,
+        |             CAST(doc_id AS VARCHAR) AS s
+        |           FROM documents WHERE doc_id % 7 <> 6),
+        |u AS (SELECT doc_id, hn, s,
+        |        CASE WHEN doc_id % 5 = 2
+        |               THEN 'https://h' || h || '.example.org/p/' || s || '?raw=a&b'
+        |             WHEN doc_id % 4 = 1
+        |               THEN 'https://h' || h || '.example.org/p/' || s || '?a=1&b=2'
+        |             ELSE 'https://h' || h || '.example.org/p/' || s
+        |             END AS url,
+        |        CASE WHEN doc_id % 3 = 0 THEN NULL
+        |             ELSE '2026-0' || CAST(doc_id % 3 + 1 AS VARCHAR) || '-01'
+        |             END AS lastmod
+        |      FROM d)
+        |SELECT url, lastmod,
+        |  CASE WHEN hn = 3 AND s LIKE '%99' THEN TRUE
+        |       WHEN hn = 3 AND s LIKE '%9' AND doc_id % 4 <> 1 THEN FALSE
+        |       WHEN hn = 4 AND s LIKE '%0' THEN TRUE
+        |       WHEN s LIKE '1%' THEN TRUE
+        |       WHEN hn = 2 AND s LIKE '2%' THEN TRUE
+        |       WHEN hn % 2 = 0 THEN FALSE
+        |       ELSE TRUE END AS allowed,
+        |  CASE WHEN hn = 3 AND s LIKE '%99' THEN '/p/*99$'
+        |       WHEN hn = 3 AND s LIKE '%9' AND doc_id % 4 <> 1 THEN '/p/*9$'
+        |       WHEN hn = 4 AND s LIKE '%0' THEN '/p/*0$'
+        |       WHEN s LIKE '1%' THEN '/p/1'
+        |       WHEN hn = 2 AND s LIKE '2%' THEN '/p/2'
+        |       WHEN hn % 2 = 0 THEN '/p/'
+        |       ELSE '/' END AS matched_prefix
+        |FROM u""".stripMargin,
 
     // the EXPECTED link rows, derived independently of the extraction/
     // resolution/decode chain from doc_id arithmetic (the q186/q189

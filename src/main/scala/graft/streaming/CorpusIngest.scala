@@ -30,7 +30,7 @@ object CorpusIngest {
                    minTokens: Int = 20, maxTokens: Int = 100000,
                    minQuality: Double = 0.5, maxTopBigramRatio: Double = 0.2,
                    langs: Seq[String] = Seq("en"),
-                   k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                   k: Int = 3, numHashes: Int = 16, bands: Option[Int] = None,
                    threshold: Double = 0.6,
                    maxShingleDocFreq: Option[Int] = None,
                    containmentPermille: Option[Long] = None): Unit = {
@@ -255,7 +255,7 @@ object CorpusIngest {
             minTokens: Int = 20, maxTokens: Int = 100000,
             minQuality: Double = 0.5, maxTopBigramRatio: Double = 0.2,
             langs: Seq[String] = Seq("en"),
-            k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+            k: Int = 3, numHashes: Int = 16, bands: Option[Int] = None,
             threshold: Double = 0.6,
             maxShingleDocFreq: Option[Int] = None,
             containmentPermille: Option[Long] = None): StreamingQuery =
@@ -336,7 +336,7 @@ object CorpusIngest {
                     minTokens: Int = 20, maxTokens: Int = 100000,
                     minQuality: Double = 0.5, maxTopBigramRatio: Double = 0.2,
                     langs: Seq[String] = Seq("en"),
-                    k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                    k: Int = 3, numHashes: Int = 16, bands: Option[Int] = None,
                     threshold: Double = 0.6,
                     maxMemberBytes: Long = graft.functions.GzipArchiveCore.MaxMemberBytes,
                     maxTotalBytes: Long = graft.functions.GzipArchiveCore.MaxTotalBytes,
@@ -394,7 +394,7 @@ object CorpusIngest {
                           minQuality: Double = 0.5,
                           maxTopBigramRatio: Double = 0.2,
                           langs: Seq[String] = Seq("en"),
-                          k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                          k: Int = 3, numHashes: Int = 16, bands: Option[Int] = None,
                           threshold: Double = 0.6,
                           maxMemberBytes: Long = graft.functions.GzipArchiveCore.MaxMemberBytes,
                           maxTotalBytes: Long = graft.functions.GzipArchiveCore.MaxTotalBytes,

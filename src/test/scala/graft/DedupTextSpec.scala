@@ -30,7 +30,7 @@ class DedupTextSpec extends AnyFunSuite {
     import spark.implicits._
     val exact = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.9)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Dedup.minHashPairs(docs, k = 3, numHashes = 16, bands = 4, threshold = 0.9)
+    val lsh = Dedup.minHashPairs(docs, k = 3, numHashes = 16, bands = Some(4), threshold = 0.9)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty, "fixture should contain planted near-dups")
     // At j>=0.9 the 16/4 banding miss probability is < 1e-4 per pair.
@@ -367,7 +367,7 @@ class DedupTextSpec extends AnyFunSuite {
     val planted = (clique ++ fillers).toDF("doc_id", "text")
       .repartition(spark.sparkContext.defaultParallelism)
     val pairs = failAfter(Span(180, Seconds)) {
-      Dedup.minHashPairs(planted, k = 3, numHashes = 16, bands = 4,
+      Dedup.minHashPairs(planted, k = 3, numHashes = 16, bands = Some(4),
         threshold = 0.6).select("d1", "d2").collect()
     }
     // 41-shingle docs differing in one trailing token: jaccard ~ 39/43

@@ -450,9 +450,10 @@ class Round18Spec extends AnyFunSuite {
     * before any group are ignored; a specific-agent group never
     * leaks into the `*` view; STACKED user-agent lines share one
     * group; trailing comments strip; an empty `Disallow:` emits
-    * nothing; decisions take the longest match (`/a/b` beats `/a`),
-    * the query string never counts as path, and no-match / unknown
-    * host default to allowed with a null matched_prefix. */
+    * nothing; decisions take the longest match (`/a/b` beats `/a` —
+    * and matching runs over path+query since r19, so `/a/zz?q=/a/b`
+    * still PREFIX-matches only `/a`), and no-match / unknown host
+    * default to allowed with a null matched_prefix. */
   test("robotsParse/robotsDecision: REP groups, longest match, defaults") {
     import graft.operators.Domains
     val txt = Seq(

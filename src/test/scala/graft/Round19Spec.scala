@@ -1,0 +1,363 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-19 hardening pins. */
+class Round19Spec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  // ------------------------------------------------ robots wildcards
+
+  private def decide(robotsTxt: String, urls: Seq[String],
+                     host: String = "x.org"): Map[String, (Boolean, Option[String])] = {
+    import graft.operators.Domains
+    val rules = Domains.robotsParse(
+      Seq((host, robotsTxt)).toDF("host", "robots_txt"))
+    Domains.robotsDecision(
+        urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+          .toDF("doc_id", "url"), rules)
+      .collect()
+      .map(r => r.getString(r.fieldIndex("url")) ->
+        ((r.getBoolean(r.fieldIndex("allowed")),
+          Option(r.getString(r.fieldIndex("matched_prefix"))))))
+      .toMap
+  }
+
+  /** RFC 9309 §2.2.3 pattern grammar, the published examples (the
+    * same battery Google documents for its open-source matcher):
+    * a trailing `*` is equivalent to the bare prefix, a trailing `$`
+    * anchors at the end of path+query, and an interior wildcard
+    * crosses path segments. Decisions must come out per the
+    * most-specific-match precedence on RAW pattern length. */
+  test("robotsDecision: RFC 9309 wildcard examples") {
+    val txt = Seq(
+      "User-agent: *",
+      "Disallow: /fish*",   // == prefix /fish
+      "Disallow: /bass$",   // exactly /bass
+      "Disallow: /*.php"    // any path containing .php
+    ).mkString("\n")
+    val out = decide(txt, Seq(
+      "http://x.org/fish", "http://x.org/fishheads/yummy.html",
+      "http://x.org/Fish.asp", // case-sensitive: no match
+      "http://x.org/bass", "http://x.org/bass.html",
+      "http://x.org/index.php", "http://x.org/folder/any.php.file",
+      "http://x.org/php-home" // ".php" absent: no match
+    ))
+    assert(out("http://x.org/fish") === ((false, Some("/fish*"))))
+    assert(out("http://x.org/fishheads/yummy.html") === ((false, Some("/fish*"))))
+    assert(out("http://x.org/Fish.asp") === ((true, None)))
+    assert(out("http://x.org/bass") === ((false, Some("/bass$"))))
+    assert(out("http://x.org/bass.html") === ((true, None)))
+    assert(out("http://x.org/index.php") === ((false, Some("/*.php"))))
+    assert(out("http://x.org/folder/any.php.file") === ((false, Some("/*.php"))))
+    assert(out("http://x.org/php-home") === ((true, None)))
+  }
+
+  /** Precedence: raw pattern length (wildcard bytes counted), allow
+    * winning exact ties — so a 7-byte anchored wildcard beats a
+    * 4-byte prefix in BOTH directions, and a longer wildcard wins
+    * back. A `$` anywhere but last is a literal octet. */
+  test("robotsDecision: wildcard-vs-prefix precedence and mid-$ literal") {
+    val txt = Seq(
+      "User-agent: *",
+      "Allow: /p/1",        // len 4
+      "Disallow: /p/*9$",   // len 7: beats /p/1 for /p/19
+      "Allow: /p/*99$",     // len 8: wins back for /p/199
+      "Disallow: /$x"       // mid-$: literal path /$x... prefix
+    ).mkString("\n")
+    val out = decide(txt, Seq(
+      "http://x.org/p/1", "http://x.org/p/19", "http://x.org/p/199",
+      "http://x.org/$x/sub", "http://x.org/dollar$x"))
+    assert(out("http://x.org/p/1") === ((true, Some("/p/1"))))
+    assert(out("http://x.org/p/19") === ((false, Some("/p/*9$"))))
+    assert(out("http://x.org/p/199") === ((true, Some("/p/*99$"))))
+    assert(out("http://x.org/$x/sub") === ((false, Some("/$x"))))
+    assert(out("http://x.org/dollar$x") === ((true, None)))
+  }
+
+  /** LIKE-metacharacter escaping: `%`, `_`, and `\` in a rule are
+    * DATA. An unescaped `_` would match any octet and an unescaped
+    * `%` any run — both must match only themselves, in wildcard
+    * rules (the LIKE path) as in plain ones (the startsWith path). */
+  test("robotsDecision: literal %, _ and backslash never act as wildcards") {
+    val txt = Seq(
+      "User-agent: *",
+      "Disallow: /a_b*",     // _ literal inside a wildcard rule
+      "Disallow: /p%25*",    // % literal (an encoded-% path)
+      "Disallow: /w\\d*"     // backslash literal
+    ).mkString("\n")
+    val out = decide(txt, Seq(
+      "http://x.org/a_b/c",  // matches: literal _
+      "http://x.org/axb/c",  // must NOT match (_ is not any-octet)
+      "http://x.org/p%25q",  // matches: literal %
+      "http://x.org/pXq",    // must NOT match (% is not any-run)
+      "http://x.org/w\\d9",  // matches: literal backslash
+      "http://x.org/wd9"     // must NOT match
+    ))
+    assert(out("http://x.org/a_b/c") === ((false, Some("/a_b*"))))
+    assert(out("http://x.org/axb/c") === ((true, None)))
+    assert(out("http://x.org/p%25q") === ((false, Some("/p%25*"))))
+    assert(out("http://x.org/pXq") === ((true, None)))
+    assert(out("http://x.org/w\\d9") === ((false, Some("/w\\d*"))))
+    assert(out("http://x.org/wd9") === ((true, None)))
+  }
+
+  /** Rules match PATH + QUERY (the portion mainstream REP matchers
+    * test): a plain `Disallow: /search?q=` prefix rule must hit
+    * `/search?q=x`, an anchored wildcard must anchor at the END of
+    * the query, the fragment never participates, and a URL with no
+    * path but a query matches as `/?query`. */
+  test("robotsDecision: path+query matching, fragment excluded") {
+    val txt = Seq(
+      "User-agent: *",
+      "Disallow: /search?q=",
+      "Disallow: /*&debug$",
+      "Disallow: /?tracked"
+    ).mkString("\n")
+    val out = decide(txt, Seq(
+      "http://x.org/search?q=pii",       // prefix hits path+query
+      "http://x.org/search",             // bare path: no match
+      "http://x.org/list?a=1&debug",     // anchored at query end
+      "http://x.org/list?a=1&debug=0",   // not at end: no match
+      "http://x.org/page#frag?q=nope",   // fragment is not query
+      "http://x.org?tracked=1"           // no path: matches as /?...
+    ))
+    assert(out("http://x.org/search?q=pii") === ((false, Some("/search?q="))))
+    assert(out("http://x.org/search") === ((true, None)))
+    assert(out("http://x.org/list?a=1&debug") === ((false, Some("/*&debug$"))))
+    assert(out("http://x.org/list?a=1&debug=0") === ((true, None)))
+    assert(out("http://x.org/page#frag?q=nope") === ((true, None)))
+    assert(out("http://x.org?tracked=1") === ((false, Some("/?tracked"))))
+  }
+
+  /** The r18 ADVICE high finding, pinned closed: a CRLF robots.txt
+    * (RFC 9309 §2.1 grants CRLF; most servers send it) must parse to
+    * the SAME rules as its LF twin — the bare-`\n` split left `\r`
+    * on every value, matched no group, and silently default-allowed
+    * the whole host. Tab whitespace around values is §2.1 WS too. */
+  test("robotsParse: CRLF files and tab whitespace parse like LF/space") {
+    import graft.operators.Domains
+    val lf = "User-agent: *\nAllow: /a\nDisallow: /a/b"
+    val crlf = lf.replace("\n", "\r\n")
+    val tabs = "User-agent:\t*\nAllow:\t/a\t\nDisallow:\t/a/b\t"
+    def rules(txt: String) = Domains.robotsParse(
+        Seq(("x.org", txt)).toDF("host", "robots_txt"))
+      .collect().map(r => (r.getString(1), r.getBoolean(2))).toSet
+    val want = Set(("/a", true), ("/a/b", false))
+    assert(rules(lf) === want)
+    assert(rules(crlf) === want, "CRLF file must parse identically")
+    assert(rules(tabs) === want, "tab WS must trim like spaces")
+  }
+
+  /** The r18 ADVICE host-normalization finding, pinned closed: a
+    * fetcher recording `WWW.X.ORG` must still govern pages whose URL
+    * says `www.x.org` — robotsParse lowercases its host column to
+    * meet robotsDecision's lowercased uriHost join key. */
+  test("robotsParse: mixed-case host joins lowercased page hosts") {
+    import graft.operators.Domains
+    val rules = Domains.robotsParse(Seq(("WWW.X.ORG",
+      "User-agent: *\nDisallow: /priv")).toDF("host", "robots_txt"))
+    val out = Domains.robotsDecision(
+        Seq((1L, "http://www.x.org/priv/a")).toDF("doc_id", "url"), rules)
+      .collect()
+    assert(out.head.getBoolean(2) === false)
+    assert(out.head.getString(3) === "/priv")
+  }
+
+  // ------------------------------------------- lshBandsFor as behavior
+
+  /** [[graft.operators.Dedup.minHashPairs]]' band dial is now the
+    * [[graft.operators.Dedup.lshBandsFor]] helper (r19): the deployed
+    * q35 shape (16 hashes, 600‰) must derive the same 4 bands the
+    * dial was hand-set to, and the derived-default run must emit
+    * exactly the explicit-dial rows. */
+  test("minHashPairs default band dial == lshBandsFor == the deployed 4") {
+    import graft.operators.Dedup
+    assert(Dedup.lshBandsFor(16, 600) === 4)
+    val docs = (0L until 24L).map { i =>
+      val base = (0 until 12).map(j => s"w${(i / 2) * 100 + j}")
+      (i, (if (i % 2 == 1) base.updated(11, "tail") else base).mkString(" "))
+    }.toDF("doc_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("d1", "d2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val derived = key(Dedup.minHashPairs(docs, k = 3, numHashes = 16,
+      threshold = 0.6))
+    val explicit = key(Dedup.minHashPairs(docs, k = 3, numHashes = 16,
+      bands = Some(4), threshold = 0.6))
+    assert(derived === explicit)
+    assert(derived.nonEmpty, "fixture should contain planted near-dups")
+  }
+
+  // ------------------------------------------- README counts generated
+
+  /** The README's registry/test counts drift at this cadence (r18's
+    * COVERAGE table said "six" while the catalog held 29 — fixed by
+    * generation; same convention here, r19): the stated query count
+    * must equal `SparkEntry.queries.size`, the oracle-backed count
+    * `SparkEntry.oracleSql.size`, and the stated test count the
+    * number of `test(` declarations under src/test — so a round that
+    * adds a query or a spec without touching the README fails CI
+    * instead of shipping a stale number. */
+  test("README counts == SparkEntry registry + declared test count") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val readme = new String(Files.readAllBytes(Paths.get("README.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val reg = """(\d+) registered\s+queries, (\d+) DuckDB-oracle-backed"""
+      .r.findFirstMatchIn(readme)
+    assert(reg.isDefined, "README must state the registry counts")
+    assert(reg.get.group(1).toInt === SparkEntry.queries.size,
+      "README registered-query count is stale")
+    assert(reg.get.group(2).toInt === SparkEntry.oracleSql.size,
+      "README oracle-backed count is stale")
+    val declared = Files.list(Paths.get("src/test/scala/graft")).iterator
+      .asScala.filter(_.toString.endsWith(".scala"))
+      .map(p => "(?m)^\\s*test\\(".r
+        .findAllIn(new String(Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)).size)
+      .sum
+    val tc = """(\d+) tests""".r.findFirstMatchIn(readme)
+    assert(tc.isDefined, "README must state the test count")
+    assert(tc.get.group(1).toInt === declared,
+      s"README test count is stale (declared: $declared)")
+  }
+
+  // ------------------------------------------------ sitemap frontier
+
+  /** [[graft.operators.Domains.sitemapParse]] row-level: urlset
+    * entries come back kind='url' and index entries kind='sitemap';
+    * a CDATA loc keeps its raw `&`; the five XML entities decode
+    * with `&amp;` last (so `&amp;lt;` yields the literal `&lt;`,
+    * never `<`); whitespace around loc trims; junk tags
+    * (priority/changefreq) are ignored; an entry without a loc
+    * drops; a missing lastmod is null, not empty. */
+  test("sitemapParse: urlset vs index, CDATA, entity order, junk tags") {
+    import graft.operators.Domains
+    val urlset = Seq(
+      "<?xml version=\"1.0\" encoding=\"UTF-8\"?>",
+      "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">",
+      "<url><loc>\n  https://a.org/p?x=1&amp;y=2\n</loc>" +
+        "<lastmod>2026-01-02</lastmod><priority>0.8</priority></url>",
+      "<url><loc><![CDATA[https://a.org/raw?a&b]]></loc></url>",
+      "<url><changefreq>daily</changefreq></url>",
+      "<url><loc>https://a.org/amp&amp;lt;</loc></url>",
+      "</urlset>").mkString("\n")
+    val index = "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+      "<sitemap><loc>https://b.org/sm/1.xml</loc>" +
+      "<lastmod>2025-12-31</lastmod></sitemap></sitemapindex>"
+    val out = Domains.sitemapParse(
+        Seq(("a.org", urlset), ("b.org", index)).toDF("host", "sitemap_xml"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)))).toSet
+    assert(out === Set(
+      ("a.org", "url", "https://a.org/p?x=1&y=2", Some("2026-01-02")),
+      ("a.org", "url", "https://a.org/raw?a&b", None),
+      ("a.org", "url", "https://a.org/amp&lt;", None),
+      ("b.org", "sitemap", "https://b.org/sm/1.xml", Some("2025-12-31"))))
+  }
+
+  /** [[graft.operators.Domains.sitemapParse]] is pure per-row
+    * expression work (explode + regexp, no state), so the SAME
+    * function runs under Structured Streaming append mode and emits
+    * exactly the batch rows — the frontier half of a streaming crawl
+    * loop (the robotsDecision convention). */
+  test("sitemapParse: streaming append mode == batch, same function") {
+    import graft.operators.Domains
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val b1 = Seq(("a.org",
+      "<urlset><url><loc>https://a.org/1</loc></url>" +
+        "<url><loc>https://a.org/2</loc><lastmod>2026-02-03</lastmod></url></urlset>"))
+    val b2 = Seq(("b.org",
+      "<sitemapindex><sitemap><loc>https://b.org/sm/9.xml</loc></sitemap></sitemapindex>"))
+    val ms = MemoryStream[(String, String)]
+    val q = Domains.sitemapParse(ms.toDF().toDF("host", "sitemap_xml"))
+      .writeStream.format("memory").queryName("sitemap_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+      def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+        (r.getString(0), r.getString(1), r.getString(2),
+          Option(r.getString(3)))).toSet
+      val streamed = key(spark.table("sitemap_stream").collect())
+      val batch = key(Domains.sitemapParse(
+        (b1 ++ b2).toDF("host", "sitemap_xml")).collect())
+      assert(streamed === batch)
+      assert(streamed.size === 3)
+      assert(streamed.contains(
+        ("b.org", "sitemap", "https://b.org/sm/9.xml", None)))
+    } finally q.stop()
+  }
+
+  // -------------------------------------- graph incremental levers
+
+  /** [[graft.ops.TextQueries.coreness]] against an independent
+    * full-recompute h-index reference, on hash-derived random graphs
+    * at EVERY intermediate round count — the randomized pin the
+    * kTruss spec set as convention, written while A/B-ing the r19
+    * frontier-recompute variant (measured slower on the dense
+    * deployed graph and refuted — see coreness's scaladoc; this spec
+    * stays as the random-graph correctness gate either way). */
+  test("coreness rounds == synchronous reference on random graphs") {
+    import graft.ops.TextQueries
+    val pairs = for {
+      a <- 0 until 50; b <- (a + 1) until 50
+      if (a * 2654435761L + b * 1315423911L) % 89 < 18
+    } yield (a.toLong, b.toLong)
+    val adj = {
+      val m = scala.collection.mutable.Map[Long, Set[Long]]()
+        .withDefaultValue(Set.empty)
+      pairs.foreach { case (x, y) => m(x) += y; m(y) += x }
+      m
+    }
+    def hIndex(vals: Seq[Long]): Long = {
+      val sorted = vals.sortBy(-_)
+      sorted.zipWithIndex.map { case (v, i) => math.min(v, i + 1L) }
+        .foldLeft(0L)(math.max)
+    }
+    def reference(iters: Int): Map[Long, Long] = {
+      var c: Map[Long, Long] = adj.map { case (v, ns) => v -> ns.size.toLong }.toMap
+      for (_ <- 1 to iters)
+        c = c.map { case (v, _) => v -> hIndex(adj(v).toSeq.map(c)) }
+      c
+    }
+    val df = (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    for (it <- Seq(1, 2, 3, 6)) {
+      val got = TextQueries.coreness(df, iters = it).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === reference(it), s"divergence at iters=$it")
+    }
+  }
+
+  /** The r19 shared-projection law: a floor-32 co-engagement graph
+    * derived from the floor-22 frame's exact n_shared column must
+    * equal the direct floor-32 projection — the monotone-derivation
+    * argument q202 now rides to reuse the q198/q201 memo instead of
+    * paying its own projection join. */
+  test("coEngagementEdgesShared: floor filter == direct projection") {
+    import graft.ops.EventQueries
+    val ev = spark.range(40).select(col("id").as("user_id"),
+        explode(expr(
+          "transform(sequence(1, 14), j -> pmod(xxhash64(id * 17 + j * 13), 24))"))
+          .as("kv"))
+      .select(col("user_id"),
+        concat(lit("{\"k\": "), col("kv"), lit("}")).as("props"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = key(EventQueries.coEngagementEdges(ev, minShared = 7L))
+    val derived = key(EventQueries.coEngagementEdgesShared(ev, minShared = 4L)
+      .filter(col("n_shared") >= 7L).select("src", "dst"))
+    assert(direct === derived)
+    assert(direct.nonEmpty, "fixture should project edges above the floor")
+    // and the attached count IS the exact intersection: replaying the
+    // floor at its own level must reproduce the base frame
+    val base = key(EventQueries.coEngagementEdgesShared(ev, minShared = 4L)
+      .filter(col("n_shared") >= 4L).select("src", "dst"))
+    assert(base === key(EventQueries.coEngagementEdges(ev, minShared = 4L)))
+  }
+}
