@@ -905,7 +905,9 @@ object TextQueries {
       .select(col("src").as("a"), col("dst").as("b"), lit(0L).as("support"))
       .localCheckpoint(true)
     var removedV: DataFrame = null // (rv) — last round's removal endpoints
-    for (i <- 1 to iters) {
+    var i = 1
+    var converged = false
+    while (i <= iters && !converged) {
       val touched =
         if (i == 1) und
         else und.join(removedV, col("a") === col("rv"), "left_semi")
@@ -949,6 +951,20 @@ object TextQueries {
       removedV = dropped.select(col("a").as("rv"))
         .unionAll(dropped.select(col("b").as("rv")))
         .distinct().localCheckpoint(true)
+      // r19 EARLY EXIT — exact under the fixed-iters contract: a
+      // round with no removals leaves und (supports included)
+      // bit-identical, so every later round is the identity and the
+      // output equals the full `iters` unroll the oracle replays at
+      // ANY remaining count. The emptiness probe is a limit-1 action
+      // on the just-checkpointed removal frame (~free), and it
+      // deletes the margin rounds' whole cost — at sf0.1 the truss
+      // converges in round 3 of 7, so 4 of 7 rounds vanish. Only
+      // kTruss gets this: it already materializes per round; kCore/
+      // coreness are single lazy plans where a per-round action
+      // would force exactly the materialization the coreness
+      // frontier refutation priced.
+      converged = removedV.isEmpty
+      i += 1
     }
     und
   }
