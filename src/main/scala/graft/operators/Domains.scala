@@ -331,6 +331,49 @@ object Domains {
   def robotsParse(robots: DataFrame, hostCol: String = "host",
                   txtCol: String = "robots_txt",
                   agent: String = "*"): DataFrame = {
+    val (grouped, selected) = repGroups(robots, hostCol, txtCol, agent)
+    grouped.filter(col("kind").isin("allow", "disallow") &&
+        col("block") >= 1L && col("value") =!= "")
+      .join(selected, Seq("host", "block"), "left_semi")
+      .select(col("host"), col("value").as("path_prefix"),
+        (col("kind") === "allow").as("allow"))
+  }
+
+  /** Per-host crawl-delay → (host, crawl_delay_ms): the politeness
+    * budget a fetch scheduler divides the wall clock by. Crawl-delay
+    * is not in RFC 9309 but is the de-facto extension most
+    * non-Google crawlers honor (Bing/Yandex document it), and it
+    * rides the SAME line grammar and §2.2.1 group-selection rules as
+    * the path rules — a crawler with its own group takes ITS delay,
+    * everyone else the `*` groups'. Values are seconds, fractions
+    * allowed (`0.5`); parsed as DECIMAL and emitted as integer
+    * MILLISECONDS so the budget arithmetic stays cross-engine exact.
+    * Multiple selected delays (stacked groups) resolve to the MIN —
+    * the conservative politeness reading. Non-numeric values drop;
+    * hosts without a delay emit no row (callers treat absence as
+    * "no mandated delay"). */
+  def robotsCrawlDelay(robots: DataFrame, hostCol: String = "host",
+                       txtCol: String = "robots_txt",
+                       agent: String = "*"): DataFrame = {
+    val (grouped, selected) = repGroups(robots, hostCol, txtCol, agent)
+    grouped.filter(col("kind") === "delay" && col("block") >= 1L &&
+        col("value").rlike("^[0-9]+(\\.[0-9]+)?$"))
+      .join(selected, Seq("host", "block"), "left_semi")
+      .groupBy("host")
+      .agg((min(col("value").cast("decimal(12,3)")) * 1000)
+        .cast("long").as("crawl_delay_ms"))
+  }
+
+  /** The shared REP line/group machinery ([[robotsParse]] /
+    * [[robotsCrawlDelay]]): CRLF-safe record split, comment strip,
+    * §2.1 space|tab value trim, lowercased host, block numbering
+    * (consecutive `user-agent` lines = one header), and the §2.2.1
+    * group SELECTION for `agent` — own-group-replaces-star, star as
+    * fallback. Returns (classified grouped lines, selected (host,
+    * block) pairs). */
+  private def repGroups(robots: DataFrame, hostCol: String,
+                        txtCol: String,
+                        agent: String): (DataFrame, DataFrame) = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("host").orderBy("ln")
     // §2.1 WS is space|tab; built-in trim() strips spaces only
@@ -342,7 +385,8 @@ object Domains {
       .withColumn("kind",
         when(lower(col("line")).rlike("^user-agent\\s*:"), "ua")
           .when(lower(col("line")).rlike("^allow\\s*:"), "allow")
-          .when(lower(col("line")).rlike("^disallow\\s*:"), "disallow"))
+          .when(lower(col("line")).rlike("^disallow\\s*:"), "disallow")
+          .when(lower(col("line")).rlike("^crawl-delay\\s*:"), "delay"))
       .withColumn("value",
         wsTrim(regexp_replace(col("line"), "^(?i)[a-z-]+\\s*:", "")))
       .filter(col("kind").isNotNull)
@@ -365,11 +409,7 @@ object Domains {
           .join(own.select("host").distinct(), Seq("host"), "left_anti")
         own.unionByName(star)
       }
-    grouped.filter(col("kind") =!= "ua" && col("block") >= 1L &&
-        col("value") =!= "")
-      .join(selected, Seq("host", "block"), "left_semi")
-      .select(col("host"), col("value").as("path_prefix"),
-        (col("kind") === "allow").as("allow"))
+    (grouped, selected)
   }
 
   /** Per-URL robots decision over a parsed rule table: the LONGEST

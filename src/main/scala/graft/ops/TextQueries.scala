@@ -2435,6 +2435,37 @@ object TextQueries {
     graft.operators.Domains.sitemapParse(xml)
   }
 
+  /** Crawl-delay politeness budget under the oracle gate
+    * ([[graft.operators.Domains.robotsCrawlDelay]]): each host's REP
+    * file carries a decoy delay in a specific-agent group (must NOT
+    * reach the `*` view), a whole-second arm, a FRACTIONAL `0.5` arm
+    * (decimal→ms must stay exact), a no-delay arm (hosts emit NO
+    * row, not null), and one host stacking a second `*` group whose
+    * smaller delay must win the conservative MIN. The derived
+    * `fetches_per_hour = 3600000 div delay_ms` is the number a fetch
+    * scheduler actually allocates. Expected rows derived
+    * independently from the host arithmetic. */
+  def q205CrawlDelay(spark: SparkSession, dir: String): DataFrame = {
+    // documents carries every residue mod 7 at all fixture scales, so
+    // the oracle can derive the same host set from DISTINCT doc_id%7
+    val hosts = Tables.documents(spark, dir)
+      .select(pmod(col("doc_id"), lit(7)).as("hn")).distinct()
+      .select(concat(lit("h"), col("hn").cast("string"),
+        lit(".example.org")).as("host"), col("hn"))
+    val txt = concat(
+      lit("User-agent: gptbot\nDisallow: /\nCrawl-delay: 99\n\n"),
+      lit("User-agent: *\nAllow: /\n"),
+      when(pmod(col("hn"), lit(3)) === 0, concat(lit("Crawl-delay: "),
+        (col("hn") + 1).cast("string"), lit("\n"))).otherwise(lit("")),
+      when(pmod(col("hn"), lit(3)) === 1, lit("Crawl-delay: 0.5\n"))
+        .otherwise(lit("")),
+      when(col("hn") === 6, lit("\nUser-agent: *\nCrawl-delay: 2\n"))
+        .otherwise(lit("")))
+    graft.operators.Domains.robotsCrawlDelay(
+        hosts.select(col("host"), txt.as("robots_txt")))
+      .withColumn("fetches_per_hour", expr("3600000 div crawl_delay_ms"))
+  }
+
   def q187C4Clean(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val multi = docs.withColumn("mtext", concat(col("text"), lit("."),
@@ -2513,6 +2544,7 @@ object TextQueries {
     "q200_robots_filter" -> (q200RobotsFilter _),
     "q203_sitemap_frontier" -> (q203SitemapFrontier _),
     "q204_crawl_frontier" -> (q204CrawlFrontier _),
+    "q205_crawl_delay" -> (q205CrawlDelay _),
     "q190_canonical_dedup" -> (q190CanonicalDedup _),
     "q186_url_dedup" -> (q186UrlDedup _),
     "q185_ranged_ingest" -> (q185RangedIngest _),
@@ -2833,6 +2865,23 @@ object TextQueries {
         |  CASE WHEN doc_id % 3 = 0 THEN NULL
         |       ELSE '2026-0' || CAST(doc_id % 3 + 1 AS VARCHAR) || '-01'
         |       END AS lastmod
+        |FROM d""".stripMargin,
+
+    // the EXPECTED politeness budgets, derived independently of the
+    // parse + group-selection + min + decimal→ms chain: mod-3-zero
+    // hosts get (hn+1) whole seconds (host 6's stacked second group
+    // wins the min at 2 s), mod-3-one hosts the fractional 500 ms,
+    // mod-3-two hosts NO row, the gptbot decoy reaches nobody
+    "q205_crawl_delay" ->
+      """WITH h AS (SELECT DISTINCT doc_id % 7 AS hn FROM documents),
+        |d AS (SELECT hn,
+        |        CASE WHEN hn = 6 THEN 2000
+        |             WHEN hn % 3 = 0 THEN (hn + 1) * 1000
+        |             WHEN hn % 3 = 1 THEN 500 END AS ms
+        |      FROM h WHERE hn % 3 <> 2)
+        |SELECT 'h' || CAST(hn AS VARCHAR) || '.example.org' AS host,
+        |  CAST(ms AS BIGINT) AS crawl_delay_ms,
+        |  CAST(3600000 // ms AS BIGINT) AS fetches_per_hour
         |FROM d""".stripMargin,
 
     // the EXPECTED frontier decisions, derived independently of the

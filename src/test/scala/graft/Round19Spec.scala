@@ -191,6 +191,35 @@ class Round19Spec extends AnyFunSuite {
     assert(derived.nonEmpty, "fixture should contain planted near-dups")
   }
 
+  /** [[graft.operators.Domains.robotsCrawlDelay]] — the politeness
+    * budget rides the SAME §2.2.1 group selection as the path rules:
+    * a crawler with its own group takes ITS delay (not the `*`
+    * one), unknown crawlers fall back to `*`, stacked `*` groups
+    * resolve to the conservative MIN, fractional seconds convert to
+    * exact milliseconds, non-numeric values drop, and a host with no
+    * delay emits NO row. */
+  test("robotsCrawlDelay: group selection, fractional seconds, min across blocks") {
+    import graft.operators.Domains
+    val txt = Seq(
+      "User-agent: fastbot",
+      "Crawl-delay: 0.25",
+      "User-agent: *",
+      "Crawl-delay: 1.5",
+      "Crawl-delay: bogus",
+      "User-agent: *",
+      "Crawl-delay: 3"
+    ).mkString("\n")
+    val robots = Seq(("x.org", txt)).toDF("host", "robots_txt")
+    def ms(agent: String) = Domains.robotsCrawlDelay(robots, agent = agent)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ms("*") === Map("x.org" -> 1500L))
+    assert(ms("fastbot") === Map("x.org" -> 250L))
+    assert(ms("nobot") === Map("x.org" -> 1500L))
+    assert(Domains.robotsCrawlDelay(
+      Seq(("y.org", "User-agent: *\nDisallow: /a"))
+        .toDF("host", "robots_txt")).count() === 0)
+  }
+
   // ------------------------------------------- README counts generated
 
   /** The README's registry/test counts drift at this cadence (r18's
