@@ -477,8 +477,10 @@ object Domains {
     pages
       .withColumn("_host", uriHost(col(uriCol)))
       .withColumn("_path", concat(
+        // scheme matches case-insensitively, the uriHost convention —
+        // an HTTP:// spelling must not silently default its path to /
         coalesce(nullif(regexp_extract(col(uriCol),
-          "^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1), lit("")),
+          "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1), lit("")),
           lit("/")),
         regexp_extract(col(uriCol), "^[^#?]*(\\?[^#]*)", 1)))
       .join(ruleArr, Seq("_host"), "left")

@@ -154,16 +154,22 @@ class Round19Spec extends AnyFunSuite {
   /** The r18 ADVICE host-normalization finding, pinned closed: a
     * fetcher recording `WWW.X.ORG` must still govern pages whose URL
     * says `www.x.org` — robotsParse lowercases its host column to
-    * meet robotsDecision's lowercased uriHost join key. */
+    * meet robotsDecision's lowercased uriHost join key. And the
+    * page-side twin: an UPPERCASE-scheme URL (`HTTP://…`) must match
+    * on its real path, not a silently-defaulted `/` (the path regex
+    * accepts scheme case like uriHost does). */
   test("robotsParse: mixed-case host joins lowercased page hosts") {
     import graft.operators.Domains
     val rules = Domains.robotsParse(Seq(("WWW.X.ORG",
       "User-agent: *\nDisallow: /priv")).toDF("host", "robots_txt"))
     val out = Domains.robotsDecision(
-        Seq((1L, "http://www.x.org/priv/a")).toDF("doc_id", "url"), rules)
-      .collect()
-    assert(out.head.getBoolean(2) === false)
-    assert(out.head.getString(3) === "/priv")
+        Seq((1L, "http://www.x.org/priv/a"),
+          (2L, "HTTP://WWW.X.ORG/priv/b")).toDF("doc_id", "url"), rules)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(2), Option(r.getString(3))))).toMap
+    assert(out(1L) === ((false, Some("/priv"))))
+    assert(out(2L) === ((false, Some("/priv"))),
+      "uppercase scheme must not default the path")
   }
 
   // ------------------------------------------- lshBandsFor as behavior
