@@ -329,6 +329,47 @@ class Round19Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  /** The whole crawl loop as ONE streaming pipeline — sitemap XML
+    * stream → [[graft.operators.Domains.sitemapParse]] → leaf filter
+    * → [[graft.operators.Domains.robotsDecision]] (stream-static
+    * against the parsed rule table): every stage is stateless
+    * per-row work, so the composition runs under append mode and
+    * emits exactly the batch rows — the q204 shape with a stream at
+    * the front. */
+  test("sitemap→robots crawl loop: streaming composition == batch") {
+    import graft.operators.Domains
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rules = Domains.robotsParse(Seq(("a.org",
+      "User-agent: *\nDisallow: /p/*9$\nAllow: /")).toDF("host", "robots_txt"))
+    def loop(sitemaps: org.apache.spark.sql.DataFrame) =
+      Domains.robotsDecision(
+        Domains.sitemapParse(sitemaps).filter(col("kind") === "url")
+          .select(col("loc").as("url")),
+        rules)
+    val batches = Seq(
+      Seq(("a.org", "<urlset><url><loc>https://a.org/p/19</loc></url>" +
+        "<url><loc>https://a.org/p/2</loc></url></urlset>")),
+      Seq(("a.org", "<urlset><url><loc>https://a.org/p/90</loc></url></urlset>")))
+    val ms = MemoryStream[(String, String)]
+    val q = loop(ms.toDF().toDF("host", "sitemap_xml"))
+      .writeStream.format("memory").queryName("crawl_loop")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+      def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+        r.getString(r.fieldIndex("url")) ->
+          r.getBoolean(r.fieldIndex("allowed"))).toMap
+      val streamed = key(spark.table("crawl_loop").collect())
+      val batch = key(loop(batches.flatten.toDF("host", "sitemap_xml")).collect())
+      assert(streamed === batch)
+      assert(streamed === Map(
+        "https://a.org/p/19" -> false, // anchored wildcard hit
+        "https://a.org/p/2" -> true,
+        "https://a.org/p/90" -> true)) // ends 0, not 9
+    } finally q.stop()
+  }
+
   // -------------------------------------- graph incremental levers
 
   /** [[graft.ops.TextQueries.coreness]] against an independent
