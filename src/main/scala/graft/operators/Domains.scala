@@ -442,7 +442,12 @@ object Domains {
     * portion mainstream REP matchers test — a plain
     * `Disallow: /search?q=` rule must be able to match), never the
     * fragment; a URL with no path but a query matches as
-    * `/?query...`.
+    * `/?query...`. Precedence length counts CHARACTERS where the RFC
+    * says octets — the two differ only when a rule embeds raw
+    * multi-byte UTF-8 (real rules percent-encode, making the counts
+    * equal), and even then only reorders rules of near-equal length;
+    * disclosed rather than paid for with a per-rule byte-length
+    * column.
     *
     * The operator is STATELESS by construction: rules fold to ONE
     * array row per host (bounded — REP caps a robots.txt at 500 KiB,
@@ -516,6 +521,11 @@ object Domains {
     * (disclosed; a loc needing them should be percent-encoded per
     * the protocol anyway).
     *
+    * XML comments strip before anything else, so a commented-out
+    * entry never parses and a comment naming the other root tag
+    * never flips the document kind (kind is positional on the
+    * cleaned text: whichever root element appears first).
+    *
     * STATELESS like robotsParse — one posexplode of per-entry blocks
     * + per-row regexp work, no aggregation, so the SAME function runs
     * under Structured Streaming append mode. The protocol caps one
@@ -538,12 +548,21 @@ object Domains {
         lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
         lit("&quot;"), lit("\"")), lit("&apos;"), lit("'")),
         lit("&amp;"), lit("&"))
+    // XML comments are stripped FIRST (one (?s) non-greedy pass), so a
+    // comment naming the other root tag cannot flip the kind and a
+    // commented-out entry cannot parse; root detection is then
+    // POSITIONAL — whichever root tag appears first in the cleaned
+    // document wins, not a bare contains
+    val cleaned = regexp_replace(col(xmlCol), "(?s)<!--.*?-->", "")
+    val iIdx = instr(col("_xml"), "<sitemapindex")
+    val uIdx = instr(col("_xml"), "<urlset")
     sitemaps
+      .withColumn("_xml", cleaned)
       .withColumn("kind",
-        when(col(xmlCol).rlike("(?s)<sitemapindex[\\s>]"), "sitemap")
+        when(iIdx > 0 && (uIdx === 0 || iIdx < uIdx), "sitemap")
           .otherwise("url"))
       .select(col(hostCol).as("host"), col("kind"),
-        explode(regexp_extract_all(col(xmlCol), lit(entryRe), lit(1)))
+        explode(regexp_extract_all(col("_xml"), lit(entryRe), lit(1)))
           .as("entry"))
       .withColumn("loc", xmlUnescape(cdata(tag(col("entry"), "loc"))))
       .withColumn("lastmod", nullif(tag(col("entry"), "lastmod"), lit("")))

@@ -283,8 +283,15 @@ class Round19Spec extends AnyFunSuite {
     val index = "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
       "<sitemap><loc>https://b.org/sm/1.xml</loc>" +
       "<lastmod>2025-12-31</lastmod></sitemap></sitemapindex>"
+    // comments strip before everything: a leading comment naming the
+    // OTHER root must not flip the kind, and a commented-out entry
+    // must not parse
+    val decoy = "<!-- converted from <sitemapindex> --><urlset>" +
+      "<!-- <url><loc>https://c.org/old</loc></url> -->" +
+      "<url><loc>https://c.org/p</loc></url></urlset>"
     val out = Domains.sitemapParse(
-        Seq(("a.org", urlset), ("b.org", index)).toDF("host", "sitemap_xml"))
+        Seq(("a.org", urlset), ("b.org", index), ("c.org", decoy))
+          .toDF("host", "sitemap_xml"))
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2),
         Option(r.getString(3)))).toSet
@@ -292,7 +299,8 @@ class Round19Spec extends AnyFunSuite {
       ("a.org", "url", "https://a.org/p?x=1&y=2", Some("2026-01-02")),
       ("a.org", "url", "https://a.org/raw?a&b", None),
       ("a.org", "url", "https://a.org/amp&lt;", None),
-      ("b.org", "sitemap", "https://b.org/sm/1.xml", Some("2025-12-31"))))
+      ("b.org", "sitemap", "https://b.org/sm/1.xml", Some("2025-12-31")),
+      ("c.org", "url", "https://c.org/p", None)))
   }
 
   /** [[graft.operators.Domains.sitemapParse]] is pure per-row
