@@ -303,6 +303,34 @@ class Round19Spec extends AnyFunSuite {
       ("c.org", "url", "https://c.org/p", None)))
   }
 
+  /** The scaladoc's partition-bound claim, exercised at the
+    * protocol's own cap: ONE host publishing a 50,000-URL urlset
+    * (the sitemaps.org single-file maximum) parses completely in one
+    * per-row pass — and adversarial markup degrades row-wise, never
+    * as a task failure: an unclosed entry is dropped, an entry whose
+    * loc tag never closes is dropped, trailing junk after the root
+    * is ignored. */
+  test("sitemapParse: 50k-entry file parses; malformed entries drop row-wise") {
+    import graft.operators.Domains
+    val big = (0 until 50000).map(i =>
+      s"<url><loc>https://big.org/p/$i</loc></url>").mkString(
+      "<urlset>", "", "</urlset>")
+    val bigOut = Domains.sitemapParse(
+      Seq(("big.org", big)).toDF("host", "sitemap_xml"))
+    assert(bigOut.count() === 50000L)
+    assert(bigOut.agg(countDistinct(col("loc"))).collect()(0).getLong(0)
+      === 50000L)
+    val mangled = "<urlset>" +
+      "<url><loc>https://m.org/ok</loc></url>" +
+      "<url><loc>https://m.org/unclosed-loc</url>" + // loc never closes
+      "<url><loc>https://m.org/unclosed-entry</loc>" + // entry never closes
+      "</urlset>junk after root"
+    val rows = Domains.sitemapParse(
+        Seq(("m.org", mangled)).toDF("host", "sitemap_xml"))
+      .collect().map(_.getString(2)).toSet
+    assert(rows === Set("https://m.org/ok"))
+  }
+
   /** [[graft.operators.Domains.sitemapParse]] is pure per-row
     * expression work (explode + regexp, no state), so the SAME
     * function runs under Structured Streaming append mode and emits
