@@ -495,6 +495,31 @@ object ScaleProbe {
         // inverted index's meet volume Σ f·(f−1)/2 (the floor the
         // naive self-join is forced to): the candidate/meet ratio is
         // the filter's measured pruning power per scale step
+        // r19: the robots decision join over page VOLUME — the
+        // stream-static shape (per-host rule arrays broadcast, pages
+        // flow through a per-row argmax; wildcard rules take the LIKE
+        // path, plain rules the startsWith fast path). The cell's
+        // claim is linearity: no aggregation over page volume exists,
+        // so time should track the page count and nothing else. The
+        // aggregate reads `allowed` ON PURPOSE — a bare count() lets
+        // column pruning delete the whole match pipeline (measured:
+        // 20M pages "decided" in 0.57 s via count vs 25.8 s forced —
+        // the probe would time a row counter, not the operator).
+        "q200_robots_decide" -> (() => {
+          val rules = operators.Domains.robotsParse(
+            spark.range(7).select(
+              concat(lit("h"), $"id".cast("string"), lit(".example.org"))
+                .as("host"),
+              concat(lit("User-agent: *\nAllow: /\nDisallow: /p/\n"),
+                lit("Allow: /p/1\nDisallow: /p/*9$\nAllow: /p/*99$\n"))
+                .as("robots_txt")))
+          val pages = docs.select($"doc_id",
+            concat(lit("http://h"), pmod($"doc_id", lit(7)).cast("string"),
+              lit(".example.org/p/"), $"doc_id".cast("string")).as("url"))
+          operators.Domains.robotsDecision(pages, rules)
+            .agg(sum(when($"allowed", 1L).otherwise(0L))).as[Long]
+            .collect()(0)
+        }),
         "q197_prefix_jaccard" -> (() =>
           operators.Dedup.prefixJaccardPairs(docs, k = 3,
             thresholdPermille = 500L).count()),
