@@ -104,6 +104,49 @@ class Round19Spec extends AnyFunSuite {
     assert(out("http://x.org/wd9") === ((true, None)))
   }
 
+  /** The LIKE translation, fuzz-pinned against an independent
+    * reference matcher (quote-split-on-`*`, join with `.*`, trailing
+    * `$` anchors — the direct RFC reading in java.util.regex): 300
+    * seeded random (pattern, path) pairs over an alphabet that
+    * includes every LIKE metacharacter (`%`, `_`, `\`), the REP
+    * specials (`*`, `$`), and URL punctuation — every disagreement
+    * between the engine's match and the reference is a translation
+    * bug by construction. */
+  test("robotsDecision match == reference regex matcher on random patterns") {
+    import graft.operators.Domains
+    val rng = new scala.util.Random(42)
+    val alphabet = "ab/9%_$*.\\?"
+    def rand(n: Int, allowStar: Boolean): String =
+      (0 until n).map { _ =>
+        val c = alphabet(rng.nextInt(alphabet.length))
+        if (!allowStar && (c == '*')) 'a' else c
+      }.mkString
+    def refMatch(pattern: String, path: String): Boolean = {
+      val anchored = pattern.endsWith("$")
+      val body = if (anchored) pattern.dropRight(1) else pattern
+      val rx = body.split("\\*", -1)
+        .map(s => if (s.isEmpty) "" else java.util.regex.Pattern.quote(s))
+        .mkString(".*")
+      path.matches("(?s)" + rx + (if (anchored) "" else ".*"))
+    }
+    val cases = (0 until 300).map { i =>
+      val pattern = "/" + rand(rng.nextInt(7), allowStar = true)
+      val path = "/" + rand(rng.nextInt(9), allowStar = false)
+        .replace("?", if (i % 2 == 0) "?" else "a") // both regimes
+      (i.toLong, pattern, path)
+    }
+    val rules = cases.map { case (i, p, _) => (s"h$i.org", p, false) }
+      .toDF("host", "path_prefix", "allow")
+    val pages = cases.map { case (i, _, path) =>
+      (i, s"http://h$i.org$path") }.toDF("doc_id", "url")
+    val got = Domains.robotsDecision(pages, rules).collect()
+      .map(r => r.getLong(0) -> !r.getBoolean(2)).toMap // matched ⇔ disallowed
+    cases.foreach { case (i, pattern, path) =>
+      assert(got(i) === refMatch(pattern, path),
+        s"translation disagreement: pattern=$pattern path=$path")
+    }
+  }
+
   /** Rules match PATH + QUERY (the portion mainstream REP matchers
     * test): a plain `Disallow: /search?q=` prefix rule must hit
     * `/search?q=x`, an anchored wildcard must anchor at the END of
