@@ -2466,6 +2466,35 @@ object TextQueries {
       .withColumn("fetches_per_hour", expr("3600000 div crawl_delay_ms"))
   }
 
+  /** The crawl loop's LAST stage under the oracle gate — the fetch
+    * SCHEDULE: q204's robots-allowed sitemap leaves, sequenced per
+    * host (deterministic url order) and priced by q205's politeness
+    * budget into a per-URL dispatch offset (`slot × crawl_delay_ms`;
+    * hosts that mandate no delay dispatch back-to-back at offset 0).
+    * This is the frame a fetcher ACTUALLY consumes: what exists
+    * (sitemap) ∩ what's allowed (robots) × when it may be fetched
+    * (crawl-delay). The per-host window is the scheduler's natural
+    * shape — its partition is one host's frontier, the axis a real
+    * deployment shards further by time window when a single host's
+    * frontier outgrows a partition (the q07 partitioned-rank
+    * posture, disclosed). The oracle replays frontier, decision,
+    * budget, and row-number sequencing independently from doc_id. */
+  def q206FetchSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val frontier = q204CrawlFrontier(spark, dir).filter(col("allowed"))
+    val delays = q205CrawlDelay(spark, dir)
+      .select(col("host").as("_host"), col("crawl_delay_ms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_host").orderBy("url")
+    frontier
+      .withColumn("_host", graft.operators.Domains.uriHost(col("url")))
+      .join(delays, Seq("_host"), "left")
+      .withColumn("slot", (row_number().over(w) - 1).cast("long"))
+      .withColumn("offset_ms",
+        col("slot") * coalesce(col("crawl_delay_ms"), lit(0L)))
+      .select(col("_host").as("host"), col("url"), col("slot"),
+        col("offset_ms"))
+  }
+
   def q187C4Clean(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val multi = docs.withColumn("mtext", concat(col("text"), lit("."),
@@ -2545,6 +2574,7 @@ object TextQueries {
     "q203_sitemap_frontier" -> (q203SitemapFrontier _),
     "q204_crawl_frontier" -> (q204CrawlFrontier _),
     "q205_crawl_delay" -> (q205CrawlDelay _),
+    "q206_fetch_schedule" -> (q206FetchSchedule _),
     "q190_canonical_dedup" -> (q190CanonicalDedup _),
     "q186_url_dedup" -> (q186UrlDedup _),
     "q185_ranged_ingest" -> (q185RangedIngest _),
@@ -2866,6 +2896,45 @@ object TextQueries {
         |       ELSE '2026-0' || CAST(doc_id % 3 + 1 AS VARCHAR) || '-01'
         |       END AS lastmod
         |FROM d""".stripMargin,
+
+    // the EXPECTED dispatch timeline, derived independently of the
+    // whole frontier → decision → budget → sequencing chain: q204's
+    // allowed rows, row-numbered per host in url order, priced by
+    // q205's budgets (hosts 2 and 5 mandate no delay → offset 0)
+    "q206_fetch_schedule" ->
+      """WITH d AS (SELECT doc_id, doc_id % 7 AS hn,
+        |             CAST(doc_id % 7 AS VARCHAR) AS h,
+        |             CAST(doc_id AS VARCHAR) AS s
+        |           FROM documents WHERE doc_id % 7 <> 6),
+        |u AS (SELECT doc_id, hn, s,
+        |        CASE WHEN doc_id % 5 = 2
+        |               THEN 'https://h' || h || '.example.org/p/' || s || '?raw=a&b'
+        |             WHEN doc_id % 4 = 1
+        |               THEN 'https://h' || h || '.example.org/p/' || s || '?a=1&b=2'
+        |             ELSE 'https://h' || h || '.example.org/p/' || s
+        |             END AS url,
+        |        CASE WHEN hn = 3 AND s LIKE '%99' THEN TRUE
+        |             WHEN hn = 3 AND s LIKE '%9' AND doc_id % 4 <> 1 THEN FALSE
+        |             WHEN hn = 4 AND s LIKE '%0' THEN TRUE
+        |             WHEN s LIKE '1%' THEN TRUE
+        |             WHEN hn = 2 AND s LIKE '2%' THEN TRUE
+        |             WHEN hn % 2 = 0 THEN FALSE
+        |             ELSE TRUE END AS allowed
+        |      FROM d),
+        |del AS (SELECT hn,
+        |          CASE WHEN hn = 6 THEN 2000
+        |               WHEN hn % 3 = 0 THEN (hn + 1) * 1000
+        |               WHEN hn % 3 = 1 THEN 500 END AS ms
+        |        FROM (SELECT DISTINCT doc_id % 7 AS hn FROM documents)
+        |        WHERE hn % 3 <> 2),
+        |sched AS (SELECT hn, url,
+        |            row_number() OVER (PARTITION BY hn ORDER BY url) - 1
+        |              AS slot
+        |          FROM u WHERE allowed)
+        |SELECT 'h' || CAST(sched.hn AS VARCHAR) || '.example.org' AS host,
+        |  url, CAST(slot AS BIGINT) AS slot,
+        |  CAST(slot * coalesce(ms, 0) AS BIGINT) AS offset_ms
+        |FROM sched LEFT JOIN del ON sched.hn = del.hn""".stripMargin,
 
     // the EXPECTED politeness budgets, derived independently of the
     // parse + group-selection + min + decimal→ms chain: mod-3-zero
