@@ -364,6 +364,26 @@ object Domains {
         .cast("long").as("crawl_delay_ms"))
   }
 
+  /** Sitemap DISCOVERY from robots.txt → (host, sitemap_url): the
+    * `Sitemap:` directive every major crawler reads (sitemaps.org
+    * "Sitemap location"; referenced by RFC 9309 §2.3 as an
+    * other-record example). Unlike path rules it is GLOBAL —
+    * independent of user-agent groups, valid anywhere in the file
+    * including before the first group — so no group selection
+    * applies and every non-empty value emits (duplicates kept
+    * verbatim; a frontier loop dedupes when it enqueues). The value
+    * is an absolute URL; a `#` inside it would start a REP comment
+    * and truncate, the standard REP reading (sitemap URLs carry no
+    * fragments). Feeds [[sitemapParse]]: robots discovers the
+    * sitemaps, the sitemaps enumerate the pages, [[robotsDecision]]
+    * gates each fetch. */
+  def robotsSitemaps(robots: DataFrame, hostCol: String = "host",
+                     txtCol: String = "robots_txt"): DataFrame = {
+    val (grouped, _) = repGroups(robots, hostCol, txtCol, agent = "*")
+    grouped.filter(col("kind") === "map" && col("value") =!= "")
+      .select(col("host"), col("value").as("sitemap_url"))
+  }
+
   /** The shared REP line/group machinery ([[robotsParse]] /
     * [[robotsCrawlDelay]]): CRLF-safe record split, comment strip,
     * §2.1 space|tab value trim, lowercased host, block numbering
@@ -386,7 +406,8 @@ object Domains {
         when(lower(col("line")).rlike("^user-agent\\s*:"), "ua")
           .when(lower(col("line")).rlike("^allow\\s*:"), "allow")
           .when(lower(col("line")).rlike("^disallow\\s*:"), "disallow")
-          .when(lower(col("line")).rlike("^crawl-delay\\s*:"), "delay"))
+          .when(lower(col("line")).rlike("^crawl-delay\\s*:"), "delay")
+          .when(lower(col("line")).rlike("^sitemap\\s*:"), "map"))
       .withColumn("value",
         wsTrim(regexp_replace(col("line"), "^(?i)[a-z-]+\\s*:", "")))
       .filter(col("kind").isNotNull)

@@ -2495,6 +2495,34 @@ object TextQueries {
         col("offset_ms"))
   }
 
+  /** Sitemap DISCOVERY from robots.txt under the oracle gate
+    * ([[graft.operators.Domains.robotsSitemaps]]): each host's REP
+    * file carries one `Sitemap:` directive BEFORE any group (global
+    * directives are valid there — a group-scoped reading would drop
+    * it), even hosts a second one inside the `*` group (still
+    * global), host 5 an EMPTY `Sitemap:` value that must emit
+    * nothing, and host 3 a trailing comment on the directive line
+    * that must strip. Expected rows derived independently from the
+    * host arithmetic. */
+  def q207SitemapDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    val hosts = Tables.documents(spark, dir)
+      .select(pmod(col("doc_id"), lit(7)).as("hn")).distinct()
+      .select(concat(lit("h"), col("hn").cast("string"),
+        lit(".example.org")).as("host"), col("hn"))
+    val h = col("hn").cast("string")
+    val txt = concat(
+      lit("# discovery\nSitemap: https://h"), h,
+      lit(".example.org/sitemap.xml"),
+      when(col("hn") === 3, lit("   # primary")).otherwise(lit("")),
+      lit("\nUser-agent: *\nDisallow: /private\n"),
+      when(pmod(col("hn"), lit(2)) === 0, concat(
+        lit("Sitemap: https://h"), h, lit(".example.org/sm/part-"), h,
+        lit(".xml\n"))).otherwise(lit("")),
+      when(col("hn") === 5, lit("Sitemap:\n")).otherwise(lit("")))
+    graft.operators.Domains.robotsSitemaps(
+      hosts.select(col("host"), txt.as("robots_txt")))
+  }
+
   def q187C4Clean(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val multi = docs.withColumn("mtext", concat(col("text"), lit("."),
@@ -2575,6 +2603,7 @@ object TextQueries {
     "q204_crawl_frontier" -> (q204CrawlFrontier _),
     "q205_crawl_delay" -> (q205CrawlDelay _),
     "q206_fetch_schedule" -> (q206FetchSchedule _),
+    "q207_sitemap_discovery" -> (q207SitemapDiscovery _),
     "q190_canonical_dedup" -> (q190CanonicalDedup _),
     "q186_url_dedup" -> (q186UrlDedup _),
     "q185_ranged_ingest" -> (q185RangedIngest _),
@@ -2896,6 +2925,22 @@ object TextQueries {
         |       ELSE '2026-0' || CAST(doc_id % 3 + 1 AS VARCHAR) || '-01'
         |       END AS lastmod
         |FROM d""".stripMargin,
+
+    // the EXPECTED discovered sitemap URLs, derived independently of
+    // the parse chain: one pre-group directive per host (global —
+    // must survive having no enclosing group), a second in-group one
+    // on even hosts, host 5's empty value emits nothing, host 3's
+    // trailing comment strips
+    "q207_sitemap_discovery" ->
+      """WITH h AS (SELECT DISTINCT doc_id % 7 AS hn FROM documents),
+        |x AS (SELECT hn, CAST(hn AS VARCHAR) AS s FROM h)
+        |SELECT 'h' || s || '.example.org' AS host,
+        |  'https://h' || s || '.example.org/sitemap.xml' AS sitemap_url
+        |FROM x
+        |UNION ALL
+        |SELECT 'h' || s || '.example.org',
+        |  'https://h' || s || '.example.org/sm/part-' || s || '.xml'
+        |FROM x WHERE hn % 2 = 0""".stripMargin,
 
     // the EXPECTED dispatch timeline, derived independently of the
     // whole frontier → decision → budget → sequencing chain: q204's

@@ -303,6 +303,36 @@ class Round19Spec extends AnyFunSuite {
       s"README test count is stale (declared: $declared)")
   }
 
+  /** [[graft.operators.Domains.robotsSitemaps]] — the `Sitemap:`
+    * directive is GLOBAL: it must emit from before any group AND
+    * from inside a specific-agent group (no group selection), keep
+    * duplicate declarations verbatim, strip trailing comments, and
+    * drop empty values — and its presence between stacked
+    * user-agent lines must not leak rules across groups. */
+  test("robotsSitemaps: global directive, group-independent, comments strip") {
+    import graft.operators.Domains
+    val txt = Seq(
+      "Sitemap: https://x.org/pre.xml",
+      "User-agent: gptbot",
+      "Sitemap: https://x.org/inner.xml # note",
+      "Disallow: /",
+      "User-agent: *",
+      "Allow: /",
+      "Sitemap: https://x.org/pre.xml", // duplicate kept
+      "Sitemap:"
+    ).mkString("\n")
+    val robots = Seq(("x.org", txt)).toDF("host", "robots_txt")
+    val urls = Domains.robotsSitemaps(robots).collect()
+      .map(r => r.getString(1)).sorted.toSeq
+    assert(urls === Seq("https://x.org/inner.xml", "https://x.org/pre.xml",
+      "https://x.org/pre.xml"))
+    // the star view's RULES are untouched by the interleaved sitemap
+    // lines: the gptbot group's Disallow never leaks into *
+    val rules = Domains.robotsParse(robots).collect()
+      .map(r => (r.getString(1), r.getBoolean(2))).toSet
+    assert(rules === Set(("/", true)))
+  }
+
   // ------------------------------------------------ sitemap frontier
 
   /** [[graft.operators.Domains.sitemapParse]] row-level: urlset
