@@ -390,7 +390,18 @@ object Domains {
     * (consecutive `user-agent` lines = one header), and the §2.2.1
     * group SELECTION for `agent` — own-group-replaces-star, star as
     * fallback. Returns (classified grouped lines, selected (host,
-    * block) pairs). */
+    * block) pairs).
+    *
+    * One disclosed grouping stance: any classified non-`user-agent`
+    * line — a rule, a crawl-delay, OR a global `Sitemap:` — ends a
+    * stacking run, so a later `user-agent` line starts a NEW group.
+    * For rules and delays that is the spec reading; for a `Sitemap:`
+    * line sandwiched between two stacked `user-agent` lines the REP
+    * ecosystem is split (some parsers ignore non-group records when
+    * stacking), and this parser takes the conservative
+    * stacking-ends reading — a file that interleaves its sitemap
+    * declarations into a group HEADER is already malformed by the
+    * protocol's own examples. */
   private def repGroups(robots: DataFrame, hostCol: String,
                         txtCol: String,
                         agent: String): (DataFrame, DataFrame) = {
