@@ -211,6 +211,12 @@ object FunctionCatalog {
           "html_unescape(text string)")
         HtmlUnescape(exprs.head)
       }),
+    FunctionDef("xml_unescape",
+      "xml_unescape(text STRING) -> STRING", classOf[XmlUnescape], { exprs =>
+        FunctionArgs.requireArity("xml_unescape", exprs, 1,
+          "xml_unescape(text string)")
+        XmlUnescape(exprs.head)
+      }),
     FunctionDef("gzip_index_path",
       "gzip_index_path(path STRING[, max_ulen BIGINT]) -> array<struct<idx,offset,clen,ulen,err>>", classOf[GzipIndexPath], { exprs =>
         FunctionArgs.requireArity("gzip_index_path", exprs, 1, 2,

@@ -188,12 +188,36 @@ object HtmlUnescapeCore {
 
   def unescape(s: UTF8String): UTF8String = unescapeWith(s, Named)
 
+  /** The five XML-predefined entities — the ONLY named references XML
+    * itself defines (XML 1.0 §4.6); everything else named is HTML's. */
+  val XmlPredefined: Map[String, String] = Map(
+    "lt" -> "<", "gt" -> ">", "amp" -> "&", "quot" -> "\"", "apos" -> "'")
+
+  /** XML-scoped decode: numeric character references (`&#38;` /
+    * `&#x26;` — XML 1.0 §4.1 allows them anywhere character data
+    * does) plus [[XmlPredefined]], and NOTHING else — no HTML named
+    * table, and no HTML5 legacy no-semicolon tier (XML references
+    * REQUIRE the `;`). Unknown/malformed references pass through as
+    * literal text (same untrusted-input stance as [[unescape]];
+    * strict XML would reject the document, but a sitemap parser that
+    * throws on one bad file loses the other 49,999 URLs). */
+  def xmlUnescape(s: UTF8String): UTF8String =
+    run(s, XmlPredefined, legacy = false)
+
   /** [[unescape]] over an EXTENDED named table (`Named ++` a loaded
     * extension — see [[HtmlEntities]]): identical single-pass
     * semantics; extension names decode ONLY with the trailing `;`
     * (the no-semicolon set is [[Legacy]], frozen by the published
     * spec, extension-independent). */
-  def unescapeWith(s: UTF8String, table: Map[String, String]): UTF8String = {
+  def unescapeWith(s: UTF8String, table: Map[String, String]): UTF8String =
+    run(s, table, legacy = true)
+
+  /** The shared single-pass loop; `legacy` gates the HTML5
+    * no-semicolon tier (off for XML — and required off whenever
+    * `table` doesn't cover [[Legacy]]'s names, which that tier
+    * looks up unguarded). */
+  private def run(s: UTF8String, table: Map[String, String],
+                  legacy: Boolean): UTF8String = {
     val str = s.toString
     var amp = str.indexOf('&')
     if (amp < 0) return s // fast path: most lines have no references
@@ -207,7 +231,7 @@ object HtmlUnescapeCore {
         if (semi < 0 || semi - amp - 1 > MaxBody) null
         else decodeBody(str.substring(amp + 1, semi), table)
       if (rep != null) { sb.append(rep); i = semi + 1 }
-      else if (amp + 1 < str.length && str.charAt(amp + 1) != '#') {
+      else if (legacy && amp + 1 < str.length && str.charAt(amp + 1) != '#') {
         // the `;` form didn't resolve: HTML5's legacy names decode
         // without the semicolon by LONGEST match (`&copy 2020`,
         // `&notit;` → `¬it;` — the missing-semicolon parse error the
@@ -250,6 +274,40 @@ case class HtmlUnescape(child: Expression) extends UnaryExpression {
 object HtmlUnescape {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     FunctionCatalog.register(spark, "html_unescape", classOf[HtmlUnescape])
+}
+
+/** `xml_unescape(text STRING) -> STRING` — the XML-scoped tier of
+  * [[HtmlUnescapeCore]]: numeric character references + the five
+  * predefined entities, no HTML named table, no legacy no-semicolon
+  * decoding. The decoder [[graft.operators.Domains.sitemapParse]]
+  * runs over non-CDATA `<loc>` content (sitemaps are XML, not HTML —
+  * `&copy;` in a loc is a malformed reference to pass through, not a
+  * © to substitute). */
+case class XmlUnescape(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"xml_unescape requires string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HtmlUnescapeCore.xmlUnescape(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HtmlUnescapeCore.xmlUnescape($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): XmlUnescape =
+    copy(child = newChild)
+  override def prettyName: String = "xml_unescape"
+}
+
+object XmlUnescape {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    FunctionCatalog.register(spark, "xml_unescape", classOf[XmlUnescape])
 }
 
 /** `html_unescape_full(text STRING, table_path STRING literal) ->

@@ -349,9 +349,14 @@ object Domains {
     * allowed (`0.5`); parsed as DECIMAL and emitted as integer
     * MILLISECONDS so the budget arithmetic stays cross-engine exact.
     * Multiple selected delays (stacked groups) resolve to the MIN —
-    * the conservative politeness reading. Non-numeric values drop;
-    * hosts without a delay emit no row (callers treat absence as
-    * "no mandated delay"). */
+    * the conservative politeness reading. Non-numeric values drop,
+    * and so do numeric values OVERFLOWING decimal(12,3) (≥ 10
+    * integer digits — a ≥ 31-year "delay" is garbage, and letting
+    * its try_cast-null reach the min() would emit a (host, null) row
+    * that a downstream `coalesce(ms, 0)` scheduler reads as
+    * NO delay, the exact fail-open inversion); hosts without a
+    * surviving delay emit no row (callers treat absence as "no
+    * mandated delay"). */
   def robotsCrawlDelay(robots: DataFrame, hostCol: String = "host",
                        txtCol: String = "robots_txt",
                        agent: String = "*"): DataFrame = {
@@ -359,9 +364,16 @@ object Domains {
     grouped.filter(col("kind") === "delay" && col("block") >= 1L &&
         col("value").rlike("^[0-9]+(\\.[0-9]+)?$"))
       .join(selected, Seq("host", "block"), "left_semi")
+      // try_cast, not cast: under ANSI a 10-digit value would fail
+      // the whole job; non-ANSI would null-poison the min (the
+      // fail-open edge above). Null = overflow here — the rlike
+      // already guaranteed numeric shape — so dropping it is the
+      // same treatment non-numeric values get.
+      .withColumn("ms",
+        (expr("try_cast(value as decimal(12,3))") * 1000).cast("long"))
+      .filter(col("ms").isNotNull)
       .groupBy("host")
-      .agg((min(col("value").cast("decimal(12,3)")) * 1000)
-        .cast("long").as("crawl_delay_ms"))
+      .agg(min(col("ms")).as("crawl_delay_ms"))
   }
 
   /** Sitemap DISCOVERY from robots.txt → (host, sitemap_url): the
@@ -474,12 +486,14 @@ object Domains {
     * portion mainstream REP matchers test — a plain
     * `Disallow: /search?q=` rule must be able to match), never the
     * fragment; a URL with no path but a query matches as
-    * `/?query...`. Precedence length counts CHARACTERS where the RFC
-    * says octets — the two differ only when a rule embeds raw
-    * multi-byte UTF-8 (real rules percent-encode, making the counts
-    * equal), and even then only reorders rules of near-equal length;
-    * disclosed rather than paid for with a per-rule byte-length
-    * column.
+    * `/?query...`. Precedence length counts OCTETS (UTF-8 bytes of
+    * the raw rule text — `octet_length`, computed once per rule),
+    * the RFC's literal reading: a rule embedding raw multi-byte
+    * UTF-8 outweighs a shorter-in-bytes competitor even when their
+    * CHARACTER counts would tie the other way (r20 — this was the
+    * last disclosed character-vs-octet divergence; real files
+    * percent-encode, where the two counts agree, but the parser no
+    * longer depends on that).
     *
     * The operator is STATELESS by construction: rules fold to ONE
     * array row per host (bounded — REP caps a robots.txt at 500 KiB,
@@ -506,11 +520,14 @@ object Domains {
       .withColumn("wild", anchored || col("path_prefix").contains("*"))
       .withColumn("pat", concat(replace(esc, lit("*"), lit("%")),
         when(anchored, lit("")).otherwise(lit("%"))))
+      // §2.2.2 precedence length in OCTETS of the raw rule text,
+      // computed once per rule here — never per page row
+      .withColumn("plen", octet_length(col("path_prefix")))
     val ruleArr = compiled.groupBy(col("host").as("_host"))
       .agg(collect_list(struct(col("path_prefix"), col("allow"),
-        col("wild"), col("pat"))).as("_rs"))
+        col("wild"), col("pat"), col("plen"))).as("_rs"))
     val noRules = array().cast(
-      "array<struct<path_prefix:string,allow:boolean,wild:boolean,pat:string>>")
+      "array<struct<path_prefix:string,allow:boolean,wild:boolean,pat:string,plen:int>>")
     pages
       .withColumn("_host", uriHost(col(uriCol)))
       .withColumn("_path", concat(
@@ -527,7 +544,7 @@ object Domains {
             like(col("_path"), r.getField("pat")))
             .otherwise(col("_path").startsWith(r.getField("path_prefix")))),
         r => struct(
-          length(r.getField("path_prefix")).as("l"),
+          r.getField("plen").as("l"),
           r.getField("allow").as("allow"),
           r.getField("path_prefix").as("path_prefix")))))
       .withColumn("allowed", coalesce(col("_best.allow"), lit(true)))
@@ -546,12 +563,15 @@ object Domains {
     * entry: `<loc>` (required — entries without one drop), optional
     * `<lastmod>` (emitted verbatim as the W3C-datetime string, null
     * when absent; kept a string under the cross-engine date rule).
-    * `<loc>` values take an optional CDATA wrapper and the five
-    * XML-predefined entity escapes (`&amp; &lt; &gt; &quot;
-    * &apos;`), decoded in that scope — the protocol requires exactly
-    * those escapes; numeric character references are out of scope
-    * (disclosed; a loc needing them should be percent-encoded per
-    * the protocol anyway).
+    * `<loc>` values take an optional CDATA wrapper — kept VERBATIM,
+    * the XML CDATA rule: no reference decodes inside it — or decode
+    * through the XML-scoped tier of
+    * [[graft.functions.HtmlUnescapeCore]]: the five predefined
+    * entities (`&amp; &lt; &gt; &quot; &apos;`) plus numeric
+    * character references (`&#38;` decimal / `&#x26;` hex — real
+    * sitemap generators emit both), single-pass so `&amp;lt;` yields
+    * the literal `&lt;`, never double-decodes. HTML named entities
+    * beyond the five stay literal (sitemaps are XML, not HTML).
     *
     * XML comments strip before anything else, so a commented-out
     * entry never parses and a comment naming the other root tag
@@ -566,20 +586,20 @@ object Domains {
     * partition bound, exactly the 500 KiB argument robots rides. */
   def sitemapParse(sitemaps: DataFrame, hostCol: String = "host",
                    xmlCol: String = "sitemap_xml"): DataFrame = {
+    graft.functions.XmlUnescape.register(sitemaps.sparkSession)
     val entryRe = "(?s)<(?:url|sitemap)\\b[^>]*>(.*?)</(?:url|sitemap)\\s*>"
     def tag(c: Column, t: String): Column =
       regexp_extract(c, s"(?s)<$t\\s*>\\s*(.*?)\\s*</$t\\s*>", 1)
-    def cdata(c: Column): Column =
+    // CDATA content is VERBATIM by XML rules — no reference decode
+    // runs inside it (`<![CDATA[a&amp;b]]>` is the literal `a&amp;b`);
+    // only the non-CDATA branch decodes, via the XML-scoped
+    // single-pass decoder (the five predefined entities + numeric
+    // character references, `&#38;`/`&#x26;` — real sitemap
+    // generators emit both spellings)
+    def decoded(c: Column): Column =
       when(c.startsWith("<![CDATA["),
         regexp_extract(c, "(?s)^<!\\[CDATA\\[(.*?)\\]\\]>$", 1))
-        .otherwise(c)
-    // the five predefined entities; &amp; LAST so `&amp;lt;` decodes
-    // to the literal `&lt;`, never double-decodes to `<`
-    def xmlUnescape(c: Column): Column =
-      replace(replace(replace(replace(replace(c,
-        lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
-        lit("&quot;"), lit("\"")), lit("&apos;"), lit("'")),
-        lit("&amp;"), lit("&"))
+        .otherwise(call_function("xml_unescape", c))
     // XML comments are stripped FIRST (one (?s) non-greedy pass), so a
     // comment naming the other root tag cannot flip the kind and a
     // commented-out entry cannot parse; root detection is then
@@ -596,7 +616,7 @@ object Domains {
       .select(col(hostCol).as("host"), col("kind"),
         explode(regexp_extract_all(col("_xml"), lit(entryRe), lit(1)))
           .as("entry"))
-      .withColumn("loc", xmlUnescape(cdata(tag(col("entry"), "loc"))))
+      .withColumn("loc", decoded(tag(col("entry"), "loc")))
       .withColumn("lastmod", nullif(tag(col("entry"), "lastmod"), lit("")))
       .filter(col("loc") =!= "")
       .select("host", "kind", "loc", "lastmod")

@@ -2383,9 +2383,12 @@ object TextQueries {
     * ([[graft.operators.Domains.sitemapParse]], the q200 convention:
     * REAL protocol XML built in-query, expected rows derived
     * independently from doc_id arithmetic): hosts 0–5 publish
-    * `<urlset>` leaves — with a CDATA-wrapped loc arm (raw `&`
-    * inside, no decode), an entity-escaped query arm (`&amp;` must
-    * decode to `&`), whitespace-padded `<loc>` values, a junk
+    * `<urlset>` leaves — with a CDATA-wrapped loc arm whose content
+    * is ENTITY-SHAPED (`&amp;` inside CDATA is literal text and must
+    * survive verbatim — decoding it is the double-decode bug), an
+    * entity-escaped query arm (`&amp;` must decode to `&`), a
+    * numeric-character-reference arm (`&#38;` decimal and `&#x26;`
+    * hex must both decode), whitespace-padded `<loc>` values, a junk
     * `<priority>` tag the parser must ignore, and a lastmod arm
     * that is ABSENT on every doc_id≡0 (mod 3) entry (null, not "")
     * — while host 6 publishes a `<sitemapindex>` whose entries must
@@ -2402,9 +2405,19 @@ object TextQueries {
       concat(lit("2026-0"),
         (pmod(col("doc_id"), lit(3)) + 1).cast("string"), lit("-01")))
     val urlLoc = when(pmod(col("doc_id"), lit(5)) === 2,
-        concat(lit("<![CDATA["), base, lit("?raw=a&b]]>")))
-      .when(pmod(col("doc_id"), lit(4)) === 1,
+        // ENTITY-SHAPED CDATA content: must come back verbatim —
+        // CDATA is literal by XML rules, so the `&amp;` stays five
+        // characters (the r19 ADVICE double-decode arm)
+        concat(lit("<![CDATA["), base, lit("?raw=a&amp;b]]>")))
+      .when(pmod(col("doc_id"), lit(8)) === 1,
         concat(base, lit("?a=1&amp;b=2")))
+      .when(pmod(col("doc_id"), lit(8)) === 5,
+        // numeric character references, both spellings — must decode
+        // to `?n=1&m=2&o=3` (the r19 VERDICT's remaining crawl gap).
+        // mod-8 splits the OLD mod-4==1 arm, so the query-armed doc
+        // set — and with it every q204/q206 wildcard interaction —
+        // is unchanged (ends-99 ids are ≡3 mod 4, still query-free)
+        concat(base, lit("?n=1&#38;m=2&#x26;o=3")))
       .otherwise(base)
     val entry = when(hn === 6, concat(
         lit("<sitemap>\n  <loc>https://h6.example.org/sm/"), id,
@@ -2904,8 +2917,10 @@ object TextQueries {
 
     // the EXPECTED frontier rows, derived independently of the XML
     // assembly + parse chain: host-6 docs come back as child-sitemap
-    // fetches, CDATA locs keep their raw &, escaped locs decode
-    // &amp;, every doc_id%3==0 lastmod is NULL
+    // fetches, CDATA locs keep their content VERBATIM (the literal
+    // five-char '&amp;' included — CDATA never decodes), escaped
+    // locs decode &amp;, NCR locs decode both &#38; and &#x26;,
+    // every doc_id%3==0 lastmod is NULL
     "q203_sitemap_frontier" ->
       """WITH d AS (SELECT doc_id, doc_id % 7 AS hn,
         |             CAST(doc_id % 7 AS VARCHAR) AS h,
@@ -2916,9 +2931,11 @@ object TextQueries {
         |  CASE WHEN hn = 6
         |         THEN 'https://h6.example.org/sm/' || s || '.xml'
         |       WHEN doc_id % 5 = 2
-        |         THEN 'https://h' || h || '.example.org/p/' || s || '?raw=a&b'
-        |       WHEN doc_id % 4 = 1
+        |         THEN 'https://h' || h || '.example.org/p/' || s || '?raw=a&amp;b'
+        |       WHEN doc_id % 8 = 1
         |         THEN 'https://h' || h || '.example.org/p/' || s || '?a=1&b=2'
+        |       WHEN doc_id % 8 = 5
+        |         THEN 'https://h' || h || '.example.org/p/' || s || '?n=1&m=2&o=3'
         |       ELSE 'https://h' || h || '.example.org/p/' || s
         |       END AS loc,
         |  CASE WHEN doc_id % 3 = 0 THEN NULL
@@ -2953,9 +2970,11 @@ object TextQueries {
         |           FROM documents WHERE doc_id % 7 <> 6),
         |u AS (SELECT doc_id, hn, s,
         |        CASE WHEN doc_id % 5 = 2
-        |               THEN 'https://h' || h || '.example.org/p/' || s || '?raw=a&b'
-        |             WHEN doc_id % 4 = 1
+        |               THEN 'https://h' || h || '.example.org/p/' || s || '?raw=a&amp;b'
+        |             WHEN doc_id % 8 = 1
         |               THEN 'https://h' || h || '.example.org/p/' || s || '?a=1&b=2'
+        |             WHEN doc_id % 8 = 5
+        |               THEN 'https://h' || h || '.example.org/p/' || s || '?n=1&m=2&o=3'
         |             ELSE 'https://h' || h || '.example.org/p/' || s
         |             END AS url,
         |        CASE WHEN hn = 3 AND s LIKE '%99' THEN TRUE
@@ -3012,9 +3031,11 @@ object TextQueries {
         |           FROM documents WHERE doc_id % 7 <> 6),
         |u AS (SELECT doc_id, hn, s,
         |        CASE WHEN doc_id % 5 = 2
-        |               THEN 'https://h' || h || '.example.org/p/' || s || '?raw=a&b'
-        |             WHEN doc_id % 4 = 1
+        |               THEN 'https://h' || h || '.example.org/p/' || s || '?raw=a&amp;b'
+        |             WHEN doc_id % 8 = 1
         |               THEN 'https://h' || h || '.example.org/p/' || s || '?a=1&b=2'
+        |             WHEN doc_id % 8 = 5
+        |               THEN 'https://h' || h || '.example.org/p/' || s || '?n=1&m=2&o=3'
         |             ELSE 'https://h' || h || '.example.org/p/' || s
         |             END AS url,
         |        CASE WHEN doc_id % 3 = 0 THEN NULL

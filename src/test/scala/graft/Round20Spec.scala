@@ -1,0 +1,116 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-20 hardening pins: the XML-scoped reference decoder, CDATA
+  * verbatim-ness, crawl-delay overflow fail-open closure, and RFC
+  * 9309 octet-length precedence. */
+class Round20Spec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  // ------------------------------------------------ xml_unescape tier
+
+  /** [[graft.functions.HtmlUnescapeCore.xmlUnescape]]: the five
+    * predefined entities + numeric character references decode;
+    * HTML-only named entities and the HTML5 legacy no-semicolon
+    * tier do NOT (XML defines neither). Malformed references pass
+    * through untouched — crawl input is untrusted. */
+  test("xml_unescape: numeric refs + five predefined only; no HTML tiers") {
+    graft.functions.XmlUnescape.register(spark)
+    def u(s: String): String =
+      Seq(s).toDF("t").selectExpr("xml_unescape(t)").collect()(0).getString(0)
+    // the five + both NCR spellings
+    assert(u("a&amp;b&lt;c&gt;d&quot;e&apos;f") === "a&b<c>d\"e'f")
+    assert(u("x&#38;y&#x26;z") === "x&y&z")
+    assert(u("&#x2F;&#47;") === "//")
+    // single pass: &amp;lt; is the literal &lt;, never <
+    assert(u("&amp;lt;") === "&lt;")
+    // HTML named entities beyond the five stay literal in XML
+    assert(u("&copy;&nbsp;&eacute;") === "&copy;&nbsp;&eacute;")
+    // the HTML5 legacy no-semicolon tier is OFF (html_unescape
+    // decodes `&copy 2020`; XML references require the `;`)
+    assert(u("&copy 2020 &amp x") === "&copy 2020 &amp x")
+    // malformed/overflow numeric refs pass through
+    assert(u("&#;&#x;&#xD800;&#1114112;&#junk;") ===
+      "&#;&#x;&#xD800;&#1114112;&#junk;")
+  }
+
+  // --------------------------------------- sitemap CDATA + NCR decode
+
+  /** The r19 ADVICE double-decode arm, pinned closed: CDATA content
+    * is verbatim by XML rules — an entity-shaped `&amp;` inside it
+    * must survive as five literal characters — while the non-CDATA
+    * branch decodes entities AND numeric character references. */
+  test("sitemapParse: CDATA is verbatim (no decode); NCRs decode outside") {
+    import graft.operators.Domains
+    val xml = "<urlset>" +
+      "<url><loc><![CDATA[https://a.org/p?x=1&amp;y=2]]></loc></url>" +
+      "<url><loc>https://a.org/q?n=1&#38;m=2&#x26;o=3</loc></url>" +
+      "<url><loc>https://a.org/r&copy;</loc></url>" +
+      "</urlset>"
+    val locs = Domains.sitemapParse(
+        Seq(("a.org", xml)).toDF("host", "sitemap_xml"))
+      .collect().map(_.getString(2)).toSet
+    assert(locs === Set(
+      "https://a.org/p?x=1&amp;y=2", // verbatim: CDATA never decodes
+      "https://a.org/q?n=1&m=2&o=3", // both NCR spellings decode
+      "https://a.org/r&copy;"))      // HTML-only name stays literal
+  }
+
+  // ------------------------------------- crawl-delay overflow closure
+
+  /** The r19 ADVICE fail-open edge, pinned closed: a numeric value
+    * overflowing decimal(12,3) (≥ 10 integer digits) DROPS like a
+    * non-numeric one — it must neither null-poison the min into a
+    * (host, null) row (which a coalesce(ms, 0) scheduler reads as
+    * "no delay") nor fail the job under ANSI. A host whose only
+    * delay overflows emits NO row; one with a sane competing delay
+    * keeps it. */
+  test("robotsCrawlDelay: overflow values drop, never null rows or ANSI errors") {
+    import graft.operators.Domains
+    val only = Seq(("x.org",
+      "User-agent: *\nCrawl-delay: 9999999999\nAllow: /"))
+      .toDF("host", "robots_txt")
+    assert(Domains.robotsCrawlDelay(only).count() === 0)
+    // leading zeros are VALUE overflow checks, not digit counts: the
+    // try_cast parses 0000000000.5 fine, so it survives
+    val mixed = Seq(("y.org", Seq(
+      "User-agent: *",
+      "Crawl-delay: 123456789012345",
+      "Crawl-delay: 0000000000.5",
+      "Crawl-delay: 2").mkString("\n"))).toDF("host", "robots_txt")
+    val got = Domains.robotsCrawlDelay(mixed).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("y.org" -> 500L))
+  }
+
+  // ------------------------------------- REP octet-length precedence
+
+  /** RFC 9309 §2.2.2 precedence counts OCTETS of the rule text (r19
+    * VERDICT item 6, implemented rather than disclosed). The
+    * discriminating case: `Disallow: /café` (5 chars, 6 octets — é
+    * is two UTF-8 bytes) vs `Allow: /caf*` (5 chars, 5 octets), both
+    * matching the same URL. Character counting TIES them at 5 — and
+    * allow wins REP ties — while octet counting picks the disallow
+    * outright, so the assertion fails on the pre-r20 matcher. */
+  test("robotsDecision: precedence counts octets, not characters") {
+    import graft.operators.Domains
+    // /café: disallow rule is 5 chars / 6 octets; a same-char-count
+    // 5-octet allow rule also matching the URL would WIN under
+    // character counting (tie → allow) and LOSE under octet counting
+    val rules = Domains.robotsParse(Seq(("x.org", Seq(
+      "User-agent: *",
+      "Disallow: /café",   // 6 octets, 5 chars
+      "Allow: /caf*").mkString("\n"))) // 5 octets, 5 chars, matches too
+      .toDF("host", "robots_txt"))
+    val out = Domains.robotsDecision(
+        Seq("http://x.org/café/menu").toDF("url"), rules)
+      .collect()(0)
+    assert(out.getAs[Boolean]("allowed") === false,
+      "6-octet disallow must outrank the 5-octet allow that would " +
+        "tie it on characters")
+    assert(out.getAs[String]("matched_prefix") === "/café")
+  }
+}
