@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Similarity
+import graft.operators.{Similarity, SimilarityInt}
 
 /** Similarity-search inventory over the `embeddings` fixture.
   * The brute-force baseline is oracle-backed (ranking ints only —
@@ -23,6 +23,17 @@ object SimilarityQueries {
 
   private def queryVectors(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
+
+  /** The integer-normalized coding of the corpus ([[SimilarityInt
+    * .zCodes]]), memoized per (session, dir): q171/q174/q43 and their
+    * recall rows all start here. */
+  private def zAll(spark: SparkSession, dir: String): DataFrame =
+    Memo.of(spark, s"zcodes:$dir") {
+      SimilarityInt.zCodes(corpus(spark, dir))
+    }
+
+  private def zQueries(spark: SparkSession, dir: String): DataFrame =
+    zAll(spark, dir).filter(col("vid") < 10)
 
   /** Exact brute-force cosine top-10 for the first 10 vectors.
     * Memoized per (session, dir): q57 and q58 re-read this output as
@@ -57,72 +68,82 @@ object SimilarityQueries {
         .select(col("d1"), col("d2"))
     }
 
-  /** IVF-flat approximate top-10 — the density-adaptive ANN variant
-    * (rows-only check; spec-pinned against brute force). RecallProbe,
-    * at a FIXED probed share of 1/8 (nprobe/nlist — i.e. equal
-    * expected candidate volume per query): recall@10 grows with list
-    * RESOLUTION, 16/2 = 0.33, 64/8 = 0.57, 128/16 = 0.68 (sweep rows
-    * `ivf@1/8`) — finer lists hug the density better, so the probed
-    * 1/8 of the corpus is the RIGHT 1/8 more often. Two Lloyd passes
-    * lift the seeded centroids (0.46 → 0.57 at 64/8); a third and
-    * fourth measured flat everywhere, so 2 stays the dial. The build
-    * leg pays for nlist (assignment is nlist cosines/vector) — an
-    * index build cost, amortized across queries in the materialized-
-    * index shape ([[Similarity.ivfBuildIndex]]). */
+  /** IVF-flat approximate top-10 — the density-adaptive ANN variant,
+    * since r20 the INTEGER-EXACT form ([[SimilarityInt.ivfBuildInt]]
+    * /[[SimilarityInt.ivfTopKInt]]): integer k-means routing + exact
+    * z-dot scoring, so the FULL top-k output replays in DuckDB (was
+    * rows-only; the float [[Similarity.ivfTopK]] stays the API with
+    * its specs). Dial rationale carries over from the float probe
+    * sweeps — at a fixed probed share recall grows with list
+    * resolution (16/2 = 0.33 → 128/16 = 0.68 at 1/8), two Lloyd
+    * passes lift seeded centroids, more measured flat — and q58
+    * re-derives the recall against brute force per run (no pinned
+    * constant anymore: both legs replay). The build leg pays for
+    * nlist — an index build cost, amortized in the materialized-index
+    * shape ([[Similarity.ivfBuildIndex]]). */
   def q43AnnIvf(spark: SparkSession, dir: String): DataFrame =
-    Memo.of(spark, s"ann_ivf:$dir:n128p16l2") {
-      Similarity.ivfTopK(
-        corpus(spark, dir), queryVectors(spark, dir), k = 10,
-        nlist = 128, nprobe = 16, lloydIters = 2)
+    Memo.of(spark, s"ann_ivf_int:$dir:n128p16l2") {
+      val idx = SimilarityInt.ivfBuildInt(zAll(spark, dir),
+        nlist = 128, iters = 2, seed = 42L,
+        memoKey = s"ivf_int_cents:$dir:n128l2s42")
+      SimilarityInt.ivfTopKInt(idx, zQueries(spark, dir),
+        zAll(spark, dir), k = 10, nprobe = 16)
     }
 
-  /** Product-quantization ADC top-10 (rows-only check; q172 carries
-    * the pinned recall): train m=8/ksub=16 codebooks, encode the
-    * corpus to (id, sub, code) rows — 8 small ints per 64-dim vector,
-    * the 100 TB embedding-store posture [[Similarity.pqTrain]]
-    * documents — then asymmetric-distance shortlist (rerank=50) with
-    * exact float rerank. Random fixtures are PQ's adversarial case
-    * (no subspace structure to exploit); the rerank window is what
-    * keeps recall useful there, same trade as q41's table count. */
+  /** Product-quantization ADC top-10 — since r20 the INTEGER-EXACT
+    * form ([[SimilarityInt.pqTopKInt]]): train m=8/ksub=16 codebooks
+    * by integer k-means over z codes, encode the corpus to (id, sub,
+    * code) rows — 8 small ints per 64-dim vector, the 100 TB
+    * embedding-store posture — then exact-BIGINT ADC shortlist
+    * (rerank=50) with exact integer-dot rerank. Every decision is
+    * integer arithmetic, so the FULL top-k output hash-matches a
+    * DuckDB replay (was rows-only with a pinned recall — the r19
+    * VERDICT's last sub-replay correctness tier; the float
+    * [[Similarity.pqTopK]] remains the API with its specs). Random
+    * fixtures are PQ's adversarial case (no subspace structure); the
+    * rerank window is what keeps recall useful there. */
   def q171PqTopK(spark: SparkSession, dir: String): DataFrame =
-    Memo.of(spark, s"pq_topk:$dir:m8k16l2r50") {
-      val c = corpus(spark, dir)
-      val cb = Similarity.pqTrain(c, m = 8, ksub = 16, lloydIters = 2)
-      Similarity.pqTopK(Similarity.pqEncode(c, cb), cb, c,
-        queryVectors(spark, dir), k = 10, rerank = 50)
+    Memo.of(spark, s"pq_topk_int:$dir:m8k16l2r50") {
+      val z = zAll(spark, dir)
+      val cb = SimilarityInt.pqTrainInt(z, m = 8, ksub = 16, iters = 2,
+        seed = 42L, memoKey = s"pq_int_cents:$dir:m8k16l2s42")
+      SimilarityInt.pqTopKInt(SimilarityInt.pqEncodeInt(z, cb), cb, z,
+        zQueries(spark, dir), k = 10, rerank = 50)
     }
 
-  /** PQ recall@10 vs the exact baseline — the q57/q58 convention:
-    * one pinned (n_exact, n_approx, n_hits, recall) row,
-    * deterministic under the fixed seed (decimal ADC accumulation;
-    * see [[Similarity.pqTopK]]). */
+  /** PQ recall@10 vs the exact baseline — since r20 a DERIVED full
+    * oracle, not a pinned constant: both legs (q171's integer replay
+    * and q40's float-cosine replay) run in DuckDB and the agreement
+    * math re-computes there, so a recall drift FAILS the hash
+    * instead of silently matching a stale pin. */
   def q172PqRecall(spark: SparkSession, dir: String): DataFrame =
     Agreement.summarize(
       q171PqTopK(spark, dir), q40CosineTopK(spark, dir),
       Seq("query_id", "neighbor_id"))
 
   /** IVF-PQ (IVFADC) top-10 — the COMPOSED 100 TB embedding-store
-    * index: IVF routing (q43's machinery) over PQ-coded RESIDUALS
-    * (q171's), so each query ADC-scores only its nprobe/nlist share of
-    * the corpus while residual codebooks quantize finer than flat
-    * PQ's. Dials: nlist=64/nprobe=16 (1/4 probed share), the same
-    * m=8/ksub=16/rerank=50 code budget as q171 — so q175 vs q172 is a
+    * index, since r20 integer-exact ([[SimilarityInt.ivfPqTopKInt]]):
+    * integer IVF routing over PQ-coded integer RESIDUALS, so each
+    * query ADC-scores only its nprobe/nlist share of the corpus while
+    * residual codebooks quantize finer than flat PQ's (Jégou §V.A).
+    * Dials: nlist=64/nprobe=16 (1/4 probed share), the same
+    * m=8/ksub=16/rerank=50 code budget as q171 — q175 vs q172 stays a
     * controlled comparison: recall at ~4× fewer scored candidates.
-    * Rows-only check; q175 carries the pinned recall. */
+    * Full DuckDB hash replay (was rows-only). */
   def q174IvfPqTopK(spark: SparkSession, dir: String): DataFrame =
-    Memo.of(spark, s"ivfpq_topk:$dir:n64p16m8k16l2r50") {
-      val c = corpus(spark, dir)
-      val idx = Similarity.ivfPqBuild(c, nlist = 64, m = 8, ksub = 16,
-        lloydIters = 2)
-      Similarity.ivfPqTopK(idx, queryVectors(spark, dir), c, k = 10,
+    Memo.of(spark, s"ivfpq_topk_int:$dir:n64p16m8k16l2r50") {
+      val z = zAll(spark, dir)
+      val idx = SimilarityInt.ivfPqBuildInt(z, nlist = 64, m = 8,
+        ksub = 16, iters = 2, seed = 42L,
+        memoKey = s"ivfpq_int:$dir:n64m8k16l2s42")
+      SimilarityInt.ivfPqTopKInt(idx, zQueries(spark, dir), z, k = 10,
         nprobe = 16, rerank = 50)
     }
 
-  /** IVF-PQ recall@10 vs the exact baseline (q174's signal, the
-    * q57/q58/q172 pinned convention). The pinned value reads AGAINST
-    * q172's flat-PQ row: same code budget, ~1/4 the scored
-    * candidates, equal-or-better recall — the residual-quantization
-    * dividend (Jégou §V.A) the composition exists for. */
+  /** IVF-PQ recall@10 vs the exact baseline — derived full oracle
+    * (the q172 stance). Read AGAINST q172's row: same code budget,
+    * ~1/4 the scored candidates, comparable recall — the
+    * residual-quantization dividend the composition exists for. */
   def q175IvfPqRecall(spark: SparkSession, dir: String): DataFrame =
     Agreement.summarize(
       q174IvfPqTopK(spark, dir), q40CosineTopK(spark, dir),
@@ -159,7 +180,9 @@ object SimilarityQueries {
         .select(col("d1"), col("d2")),
       Seq("d1", "d2"))
 
-  /** IVF-flat recall@10 vs the exact baseline (q43's signal). */
+  /** IVF-flat recall@10 vs the exact baseline (q43's signal) —
+    * derived full oracle since r20 (the q172 stance: both legs
+    * replay in DuckDB, no pinned constant). */
   def q58IvfRecall(spark: SparkSession, dir: String): DataFrame =
     Agreement.summarize(
       q43AnnIvf(spark, dir), q40CosineTopK(spark, dir),
@@ -608,33 +631,47 @@ object SimilarityQueries {
         |  WHERE q.vec_id < 10) t
         |WHERE rank <= 10""".stripMargin,
 
-    // The agreement rows are PINNED expected values for the sf0.01
-    // fixture + the fixed seeds (42): the ANN side depends on Spark's
-    // xxhash64/SRP bucketing, which DuckDB cannot reproduce, so the
-    // oracle is the known-correct constant (recall written as the same
-    // integer division Spark performs — bit-identical doubles).
-    // Recalls reflect the RecallProbe-tuned dials on a deliberately-
-    // unclustered random fixture — the hardest case for LSH; the
-    // clustered-fixture spec in SimilaritySpec pins the near-1.0 case.
-    // Validity guard: [[PinnedFixtureHash]] below is the fixture
-    // content hash these constants were measured on; SimilaritySpec
-    // asserts it (and recall floors), and `graft.RecallProbe` prints
-    // fresh paste-ready rows + hash when the fixture regenerates.
+    // q57/q59–q61/q188's agreement rows are PINNED expected values
+    // for the sf0.01 fixture + the fixed seeds (42): their ANN side
+    // depends on Spark's xxhash64/SRP bucketing, which DuckDB cannot
+    // reproduce, so the oracle is the known-correct constant (recall
+    // written as the same integer division Spark performs —
+    // bit-identical doubles). Recalls reflect the RecallProbe-tuned
+    // dials on a deliberately-unclustered random fixture — the
+    // hardest case for LSH; the clustered-fixture spec in
+    // SimilaritySpec pins the near-1.0 case. Validity guard:
+    // [[PinnedFixtureHash]] below is the fixture content hash these
+    // constants were measured on; SimilaritySpec asserts it (and
+    // recall floors), and `graft.RecallProbe` prints fresh
+    // paste-ready rows + hash when the fixture regenerates.
+    // q58/q172/q175 graduated to DERIVED oracles in r20 (their ANN
+    // legs replay md5-seeded integer pipelines — see below).
     "q57_ann_recall" ->
       """SELECT CAST(100 AS BIGINT) AS n_exact, CAST(100 AS BIGINT) AS n_approx,
         |  CAST(81 AS BIGINT) AS n_hits,
         |  CAST(81 AS DOUBLE)/CAST(100 AS DOUBLE) AS recall""".stripMargin,
-    "q58_ivf_recall" ->
-      """SELECT CAST(100 AS BIGINT) AS n_exact, CAST(100 AS BIGINT) AS n_approx,
-        |  CAST(68 AS BIGINT) AS n_hits,
-        |  CAST(68 AS DOUBLE)/CAST(100 AS DOUBLE) AS recall""".stripMargin,
+
+    // r20: FULL replays of the integer-exact ANN family — every
+    // training draw (md5 hex order), k-means step (truncated integer
+    // means), ADC distance, shortlist membership, and final rank is
+    // re-derived in DuckDB from the raw parquet ([[IntAnnOracleSql]];
+    // the q81 semanticDedup recipe applied to the whole index family)
+    "q171_pq_topk" -> IntAnnOracleSql.q171Sql(),
+    "q174_ivfpq_topk" -> IntAnnOracleSql.q174Sql(),
+    "q43_ann_ivf" -> IntAnnOracleSql.q43Sql(),
+
+    // the recall rows ride the same replays: approx leg = the ANN
+    // replay above, exact leg = q40's float-cosine replay, agreement
+    // math re-computed in SQL — a drift FAILS the hash instead of
+    // matching a stale pinned constant
+    "q172_pq_recall" -> IntAnnOracleSql.agreementSql(IntAnnOracleSql.q171Sql()),
+    "q175_ivfpq_recall" -> IntAnnOracleSql.agreementSql(IntAnnOracleSql.q174Sql()),
+    "q58_ivf_recall" -> IntAnnOracleSql.agreementSql(IntAnnOracleSql.q43Sql()),
     "q59_neardup_recall" ->
       """SELECT CAST(59 AS BIGINT) AS n_exact, CAST(48 AS BIGINT) AS n_approx,
         |  CAST(48 AS BIGINT) AS n_hits,
         |  CAST(48 AS DOUBLE)/CAST(59 AS DOUBLE) AS recall""".stripMargin,
 
-    // PQ ADC+rerank at a ~1/10 shortlist share — the q57/q58 pinned
-    // convention; RecallProbe re-prints this row on fixture regen
     // SRP semantic-pair recall vs the exact int8-gated pair set —
     // n_approx = n_hits (zero false positives) is structural: both
     // sides apply the identical BIGINT gate, so the pinned row
@@ -644,20 +681,6 @@ object SimilarityQueries {
       """SELECT CAST(67 AS BIGINT) AS n_exact, CAST(44 AS BIGINT) AS n_approx,
         |  CAST(44 AS BIGINT) AS n_hits,
         |  CAST(44 AS DOUBLE)/CAST(67 AS DOUBLE) AS recall""".stripMargin,
-
-    "q172_pq_recall" ->
-      """SELECT CAST(100 AS BIGINT) AS n_exact, CAST(100 AS BIGINT) AS n_approx,
-        |  CAST(64 AS BIGINT) AS n_hits,
-        |  CAST(64 AS DOUBLE)/CAST(100 AS DOUBLE) AS recall""".stripMargin,
-
-    // IVFADC at the same m=8/ksub=16/rerank=50 code budget as q172 but
-    // only a 1/4 probed share: recall 0.66 vs flat PQ's 0.64 at ~4×
-    // fewer scored candidates — the residual-quantization dividend,
-    // pinned like q57/q58/q172 (deterministic under the fixed seed)
-    "q175_ivfpq_recall" ->
-      """SELECT CAST(100 AS BIGINT) AS n_exact, CAST(100 AS BIGINT) AS n_approx,
-        |  CAST(66 AS BIGINT) AS n_hits,
-        |  CAST(66 AS DOUBLE)/CAST(100 AS DOUBLE) AS recall""".stripMargin,
 
     // round() here: both engines see the SAME double (exact float
     // widening + one sub + one div), and ties-at-.5 round identically

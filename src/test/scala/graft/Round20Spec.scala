@@ -113,4 +113,88 @@ class Round20Spec extends AnyFunSuite {
         "tie it on characters")
     assert(out.getAs[String]("matched_prefix") === "/café")
   }
+
+  // --------------------------------------- integer-exact ANN family
+
+  import graft.operators.SimilarityInt
+
+  private def vecs(n: Int, dim: Int) = {
+    val rnd = new scala.util.Random(7)
+    (0 until n).map(i => (i.toLong, Array.fill(dim)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+  }
+
+  /** z coding: ‖z‖² ≈ Scale² for every non-zero vector (the property
+    * that makes integer L2² rank like cosine), and zero vectors code
+    * to zero instead of dividing by zero. */
+  test("SimilarityInt.zCodes: unit-scale norms; zero vectors safe") {
+    val z = SimilarityInt.zCodes(vecs(50, 16))
+      .withColumn("ss", expr("aggregate(z, 0L, (a, v) -> a + v * v)"))
+      .collect()
+    val s2 = SimilarityInt.Scale.toLong * SimilarityInt.Scale
+    z.foreach { r =>
+      val ss = r.getAs[Long]("ss")
+      assert(math.abs(ss - s2) < s2 / 100,
+        s"norm² $ss should be within 1% of $s2")
+    }
+    val zero = SimilarityInt.zCodes(
+      Seq((0L, Array.fill(8)(0.0f))).toDF("vec_id", "embedding"))
+      .collect()(0).getSeq[Long](1)
+    assert(zero.forall(_ === 0L))
+  }
+
+  /** The Round11 lossless closed form, integer edition: with corpus
+    * ≤ ksub and iters=0 every vector IS a codeword, ADC distances
+    * are exact, and PQ top-k equals the exact integer-dot ranking. */
+  test("pqTopKInt: corpus <= ksub is lossless; equals exact z-dot ranking") {
+    val v = vecs(16, 8)
+    val z = SimilarityInt.zCodes(v)
+    val cb = SimilarityInt.pqTrainInt(z, m = 2, ksub = 16, iters = 0,
+      seed = 42L, memoKey = "r20spec:pq_lossless")
+    val qz = z.filter(col("vid") < 3)
+    val got = SimilarityInt.pqTopKInt(
+      SimilarityInt.pqEncodeInt(z, cb), cb, z, qz, k = 5, rerank = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // exact ranking by integer dot, same tiebreak
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id").asc)
+    val exact = qz.select(col("vid").as("query_id"), col("z").as("qz"))
+      .crossJoin(z.select(col("vid").as("neighbor_id"), col("z").as("cz")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qz, cz, (p, q) -> p * q), 0L, (x, y) -> x + y)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === exact)
+  }
+
+  /** Partitioning determinism — the property the whole family exists
+    * for: identical output at 1, 3, and 8 input partitions (integer
+    * arithmetic is associative; seeded draws are value-ordered). */
+  test("ivfPqTopKInt and ivfTopKInt: bit-identical across partitionings") {
+    val v = vecs(120, 16)
+    def run(parts: Int): (Set[(Long, Long, Long)], Set[(Long, Long, Long)]) = {
+      val z = SimilarityInt.zCodes(v.repartition(parts))
+      val qz = z.filter(col("vid") < 4)
+      val pq = SimilarityInt.ivfPqBuildInt(z, nlist = 8, m = 4, ksub = 8,
+        iters = 2, seed = 42L, memoKey = s"r20spec:ivfpq:$parts")
+      val a = SimilarityInt.ivfPqTopKInt(pq, qz, z, k = 5, nprobe = 4,
+        rerank = 15).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val ivf = SimilarityInt.ivfBuildInt(z, nlist = 8, iters = 2,
+        seed = 42L, memoKey = s"r20spec:ivf:$parts")
+      val b = SimilarityInt.ivfTopKInt(ivf, qz, z, k = 5, nprobe = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      (a, b)
+    }
+    val (a1, b1) = run(1)
+    val (a3, b3) = run(3)
+    val (a8, b8) = run(8)
+    assert(a1 === a3 && a3 === a8)
+    assert(b1 === b3 && b3 === b8)
+    assert(a1.nonEmpty && b1.nonEmpty)
+  }
 }
