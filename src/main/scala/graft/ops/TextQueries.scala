@@ -2508,6 +2508,48 @@ object TextQueries {
         col("offset_ms"))
   }
 
+  /** The crawl loop's FRESHNESS edge under the oracle gate — q206
+    * sequences what MAY be fetched; this schedules only what's DUE
+    * ([[graft.operators.Domains.recrawlDecision]], r20): q204's
+    * allowed frontier joins a stored last-fetch state (every
+    * even-doc_id URL was fetched 2026-02-15, the SCD-style state
+    * table a crawler keeps), and each URL resolves to one of the
+    * four freshness arms — `new` (odd ids: never fetched),
+    * `no_lastmod` (fetched, but the sitemap's doc_id≡0 (mod 3)
+    * entries carry no lastmod → conservative refetch), `modified`
+    * (lastmod 2026-03-01 > the fetch date), `fresh` (lastmod
+    * 2026-02-01 ≤ it → skip, null slot). Due rows re-sequence per
+    * host and price by q205's politeness budget — the slots are a
+    * SUBSET re-numbering of q206's, which is the operator's point:
+    * the incremental crawl dispatches a fraction of the full one.
+    * The oracle re-derives every arm from doc_id arithmetic. */
+  def q208RecrawlSchedule(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frontier = q204CrawlFrontier(spark, dir).filter(col("allowed"))
+      .select("url", "lastmod")
+    val fetched = frontier
+      .withColumn("_id", regexp_extract(col("url"), "/p/([0-9]+)", 1)
+        .cast("long"))
+      .filter(pmod(col("_id"), lit(2)) === 0)
+      .select(col("url"), lit("2026-02-15").as("last_fetch"))
+    val dec = graft.operators.Domains.recrawlDecision(frontier, fetched)
+      .withColumn("host", graft.operators.Domains.uriHost(col("url")))
+    val delays = q205CrawlDelay(spark, dir)
+      .select(col("host"), col("crawl_delay_ms"))
+    val w = Window.partitionBy("host").orderBy("url")
+    val due = dec.filter(col("should_fetch"))
+      .join(delays, Seq("host"), "left")
+      .withColumn("slot", (row_number().over(w) - 1).cast("long"))
+      .withColumn("offset_ms",
+        col("slot") * coalesce(col("crawl_delay_ms"), lit(0L)))
+    val skipped = dec.filter(!col("should_fetch"))
+      .withColumn("slot", lit(null).cast("long"))
+      .withColumn("offset_ms", lit(null).cast("long"))
+    due.select("host", "url", "reason", "should_fetch", "slot", "offset_ms")
+      .unionByName(skipped.select("host", "url", "reason", "should_fetch",
+        "slot", "offset_ms"))
+  }
+
   /** Sitemap DISCOVERY from robots.txt under the oracle gate
     * ([[graft.operators.Domains.robotsSitemaps]]): each host's REP
     * file carries one `Sitemap:` directive BEFORE any group (global
@@ -2613,6 +2655,7 @@ object TextQueries {
     "q199_anchor_stats" -> (q199AnchorStats _),
     "q200_robots_filter" -> (q200RobotsFilter _),
     "q203_sitemap_frontier" -> (q203SitemapFrontier _),
+    "q208_recrawl_schedule" -> (q208RecrawlSchedule _),
     "q204_crawl_frontier" -> (q204CrawlFrontier _),
     "q205_crawl_delay" -> (q205CrawlDelay _),
     "q206_fetch_schedule" -> (q206FetchSchedule _),
@@ -2999,6 +3042,58 @@ object TextQueries {
         |  url, CAST(slot AS BIGINT) AS slot,
         |  CAST(slot * coalesce(ms, 0) AS BIGINT) AS offset_ms
         |FROM sched LEFT JOIN del ON sched.hn = del.hn""".stripMargin,
+
+    // the EXPECTED incremental schedule, derived independently of the
+    // frontier → decision → freshness → re-sequencing chain: odd ids
+    // are new, fetched-but-lastmod-less (mod-3-zero) ids refetch
+    // conservatively, 2026-03-01 lastmods beat the 2026-02-15 fetch
+    // date, 2026-02-01 lastmods are fresh (null slot); due rows
+    // re-number per host and price by q205's budgets
+    "q208_recrawl_schedule" ->
+      """WITH d AS (SELECT doc_id, doc_id % 7 AS hn,
+        |             CAST(doc_id % 7 AS VARCHAR) AS h,
+        |             CAST(doc_id AS VARCHAR) AS s
+        |           FROM documents WHERE doc_id % 7 <> 6),
+        |u AS (SELECT doc_id, hn, s,
+        |        CASE WHEN doc_id % 5 = 2
+        |               THEN 'https://h' || h || '.example.org/p/' || s || '?raw=a&amp;b'
+        |             WHEN doc_id % 8 = 1
+        |               THEN 'https://h' || h || '.example.org/p/' || s || '?a=1&b=2'
+        |             WHEN doc_id % 8 = 5
+        |               THEN 'https://h' || h || '.example.org/p/' || s || '?n=1&m=2&o=3'
+        |             ELSE 'https://h' || h || '.example.org/p/' || s
+        |             END AS url,
+        |        CASE WHEN hn = 3 AND s LIKE '%99' THEN TRUE
+        |             WHEN hn = 3 AND s LIKE '%9' AND doc_id % 4 <> 1 THEN FALSE
+        |             WHEN hn = 4 AND s LIKE '%0' THEN TRUE
+        |             WHEN s LIKE '1%' THEN TRUE
+        |             WHEN hn = 2 AND s LIKE '2%' THEN TRUE
+        |             WHEN hn % 2 = 0 THEN FALSE
+        |             ELSE TRUE END AS allowed
+        |      FROM d),
+        |r AS (SELECT doc_id, hn, url,
+        |        CASE WHEN doc_id % 2 = 1 THEN 'new'
+        |             WHEN doc_id % 3 = 0 THEN 'no_lastmod'
+        |             WHEN doc_id % 3 = 2 THEN 'modified'
+        |             ELSE 'fresh' END AS reason
+        |      FROM u WHERE allowed),
+        |del AS (SELECT hn,
+        |          CASE WHEN hn = 6 THEN 2000
+        |               WHEN hn % 3 = 0 THEN (hn + 1) * 1000
+        |               WHEN hn % 3 = 1 THEN 500 END AS ms
+        |        FROM (SELECT DISTINCT doc_id % 7 AS hn FROM documents)
+        |        WHERE hn % 3 <> 2),
+        |sched AS (SELECT hn, url,
+        |            row_number() OVER (PARTITION BY hn ORDER BY url) - 1
+        |              AS slot
+        |          FROM r WHERE reason <> 'fresh')
+        |SELECT 'h' || CAST(r.hn AS VARCHAR) || '.example.org' AS host,
+        |  r.url, r.reason, r.reason <> 'fresh' AS should_fetch,
+        |  CAST(sched.slot AS BIGINT) AS slot,
+        |  CAST(sched.slot * coalesce(del.ms, 0) AS BIGINT) AS offset_ms
+        |FROM r
+        |LEFT JOIN sched ON r.hn = sched.hn AND r.url = sched.url
+        |LEFT JOIN del ON r.hn = del.hn""".stripMargin,
 
     // the EXPECTED politeness budgets, derived independently of the
     // parse + group-selection + min + decimal→ms chain: mod-3-zero

@@ -114,6 +114,40 @@ class Round20Spec extends AnyFunSuite {
     assert(out.getAs[String]("matched_prefix") === "/café")
   }
 
+  // ----------------------------------------- incremental recrawl gate
+
+  /** [[graft.operators.Domains.recrawlDecision]]'s freshness arms at
+    * the edges the q208 oracle fixture can't reach: GARBAGE lastmod
+    * degrades to the conservative refetch (never a throw), a
+    * datetime-suffixed W3C lastmod compares on its date prefix, and
+    * an EQUAL date is fresh (strictly-newer fetches). */
+  test("recrawlDecision: garbage lastmod, datetime prefix, equal-date edges") {
+    import graft.operators.Domains
+    val frontier = Seq(
+      ("https://x.org/new", "2026-05-06"),
+      ("https://x.org/fresh", "2026-05-05"),
+      ("https://x.org/garbage", "not a date"),
+      ("https://x.org/datetime", "2026-05-06T08:30:00+00:00"),
+      ("https://x.org/absent", null.asInstanceOf[String])
+    ).toDF("url", "lastmod")
+    val lf = Seq(
+      ("https://x.org/fresh", "2026-05-05"),
+      ("https://x.org/garbage", "2026-05-05"),
+      ("https://x.org/datetime", "2026-05-05"),
+      ("https://x.org/absent", "2026-05-05")
+    ).toDF("url", "last_fetch")
+    val got = Domains.recrawlDecision(frontier, lf).collect()
+      .map(r => r.getAs[String]("url").split("/").last ->
+        (r.getAs[String]("reason"), r.getAs[Boolean]("should_fetch")))
+      .toMap
+    assert(got === Map(
+      "new" -> ("new", true),
+      "fresh" -> ("fresh", false),          // equal date = fresh
+      "garbage" -> ("no_lastmod", true),    // unparseable degrades, fetches
+      "datetime" -> ("modified", true),     // date prefix of the W3C form
+      "absent" -> ("no_lastmod", true)))
+  }
+
   // --------------------------------------- integer-exact ANN family
 
   import graft.operators.SimilarityInt
