@@ -532,7 +532,18 @@ object Relational {
     * alternative — all stats in one pass via multi-`count(DISTINCT)` —
     * plans an Expand that multiplies every input row by the column
     * count before one giant shuffle: strictly worse at 100 TB than
-    * eleven pruned single-column passes. */
+    * eleven pruned single-column passes.
+    *
+    * Two-pass variant REFUTED (r20 — the r19 VERDICT's item 5 / the
+    * long-standing Known-limits hypothesis that splitting min/max/
+    * counts from the distinct legs "would halve opens"): the
+    * measured plan shows Spark 4's single-distinct rewrite already
+    * FUSES count/min/max into the per-column distinct pre-aggregate
+    * (`HashAggregate(keys=[col], merge_count, merge_min, merge_max)`
+    * over ONE scan — no Expand anywhere), so each leg's single open
+    * already serves all four stats; a separate stats pass can only
+    * ADD a 12th scan. Round20Spec pins the fused no-Expand shape so
+    * a planner regression re-opens the question loudly. */
   def q83Profile(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     def numLeg(name: String): DataFrame =

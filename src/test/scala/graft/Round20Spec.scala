@@ -114,6 +114,30 @@ class Round20Spec extends AnyFunSuite {
     assert(out.getAs[String]("matched_prefix") === "/café")
   }
 
+  // --------------------------------------------- two-pass profiler
+
+  /** The q83 two-pass-profiler hypothesis, measured and REFUTED
+    * (r20): Spark 4's single-distinct rewrite fuses count/min/max
+    * into the per-column distinct pre-aggregate, so each of the 11
+    * legs already serves ALL its stats from one scan with no Expand
+    * — a separate min/max/counts pass could only add a 12th open.
+    * This pin makes the refutation load-bearing: if a planner change
+    * ever puts an Expand (or a second scan per leg) back into the
+    * profiler, the question re-opens loudly instead of silently. */
+  test("q83Profile plan: stats fuse into each distinct leg — no Expand, one scan per column") {
+    import graft.ops.Relational
+    val legs = Relational.q83Profile(spark, "/root/testdata/sf0.001")
+    legs.collect() // finalize the AQE plan before reading it
+    val finalPlan = legs.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!finalPlan.contains("Expand"),
+      "the profiler legs must stay Expand-free")
+    val scans = "Scan parquet".r.findAllIn(finalPlan).size
+    assert(scans === 11,
+      s"expected one fused scan per column (11), saw $scans — " +
+        "the two-pass variant trade-off needs re-measuring")
+  }
+
   // ----------------------------------------- incremental recrawl gate
 
   /** [[graft.operators.Domains.recrawlDecision]]'s freshness arms at
