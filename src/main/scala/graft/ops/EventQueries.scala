@@ -486,6 +486,67 @@ object EventQueries {
     dau.join(wau, "d").select(col("d").as("day_int"), col("dau"), col("wau"))
   }
 
+  /** [[q94RollingActive]]'s MERGEABLE-SKETCH form (r19 VERDICT item
+    * 7) — the documented extreme-scale swap made a registered, gated
+    * query, in the regime-ROUTED shape because a real DAU series
+    * lives on both sides of HLL's raw floor: per day, BOTH bounded
+    * sketches build once — the k=64 KMV head set and the 256-register
+    * HLL table — and each day's WAU state is the trailing window's
+    * MERGE under each sketch's own law (KMV: min-k of the unioned
+    * heads, exact by Beyer §4 because every union head is a head of
+    * its own day; HLL: elementwise register max). The range join
+    * moves days × 7 × (64 + ≤256) sketch rows where q94's exact form
+    * moves days × 7 × |active users/day| user-day rows — that volume
+    * swap is the operator: at 100 TB the exact path's user-day grid
+    * is the shuffle that stops fitting, the sketch path's is constant
+    * per day. Each (day, window) estimate routes by the q195 rule
+    * (HLL raw ≤ 5m/2 with empty registers → KMV, the small-range
+    * hole where this fixture's ~150-active days actually sit — raw
+    * HLL reads ~10× low there, measured r20), and every estimate,
+    * route decision, and merge replays in DuckDB under the full hash
+    * gate. Agreement with exact q94 is spec-pinned (Round20Spec). */
+  def q209RollingActiveSketch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    graft.functions.BoundedMinKDistinct.register(spark)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+    val heads = Sketches.kmvHeads(ev, "day", "user_id", k = 64)
+    val regs = Sketches.hllRegisters(ev, "day", "user_id", b = 8)
+    val days = regs.select(col("day").as("d")).distinct()
+    val wheads = broadcast(days)
+      .join(heads, col("day").between(col("d") - 6, col("d")))
+      .select(col("d"), explode(col("hs")).as("hv"))
+      .groupBy(col("d").as("day"))
+      .agg(expr("bounded_min_k_distinct(hv, 64)").as("hs"))
+    val wregs = broadcast(days)
+      .join(regs, col("day").between(col("d") - 6, col("d")))
+      .groupBy(col("d").as("day"), col("j"))
+      .agg(max(col("mr")).as("mr"))
+    def routed(hf: DataFrame, rf: DataFrame): DataFrame =
+      Sketches.kmvEstimateFromHeads(hf, "day", 64)
+        .select(col("day"), col("est_distinct").as("est_kmv"))
+        .join(Sketches.hllEstimateFromRegisters(rf, "day", b = 8)
+          .select(col("day"), col("v_zero"),
+            col("est_distinct").as("est_hll")), "day")
+        .withColumn("route",
+          when(col("est_hll") <= lit(5L * 256 / 2) && col("v_zero") > 0,
+            lit("kmv")).otherwise(lit("hll")))
+        .withColumn("est",
+          when(col("route") === "kmv", col("est_kmv"))
+            .otherwise(col("est_hll")))
+    val dau = routed(heads, regs)
+      .select(col("day"), col("est").as("dau_est"),
+        col("route").as("dau_route"))
+    val wau = routed(wheads, wregs)
+      .select(col("day"), col("est").as("wau_est"),
+        col("route").as("wau_route"))
+    dau.join(wau, "day")
+      .select(col("day").as("day_int"), col("dau_est"), col("dau_route"),
+        col("wau_est"), col("wau_route"))
+  }
+
   /** Latest-row-per-key compaction (the CDC/upsert-merge read shape):
     * each user's most recent event wins, ordered by the unique
     * (ts, event_id) so ties cannot flap. One window shuffle on the
@@ -1582,6 +1643,7 @@ object EventQueries {
     "q120_ewma"           -> (q120Ewma _),
     "q104_funnel_stages"  -> (q104FunnelStages _),
     "q94_rolling_active"  -> (q94RollingActive _),
+    "q209_rolling_active_sketch" -> (q209RollingActiveSketch _),
     "q95_latest_per_key"  -> (q95LatestPerKey _),
     "q103_try_cast"       -> (q103TryCast _),
     "q99_forward_fill"    -> (q99ForwardFill _),
@@ -2389,6 +2451,76 @@ object EventQueries {
 
     // sliding distinct via the bounded-calendar range join, replayed
     // exactly — distinct cannot ride a RANGE frame
+    // the r20 mergeable-sketch form, regime-routed: ONE shared hash
+    // CTE feeds the q141 KMV replay and the q191 HLL register replay,
+    // each twice — per day, and window-merged (KMV: distinct-union
+    // min-k, exact by Beyer §4; HLL: elementwise max) — then the q195
+    // route rule picks per (day, window). Estimates, merges, AND the
+    // route decisions all under one hash gate.
+    "q209_rolling_active_sketch" ->
+      s"""WITH ud AS (SELECT DISTINCT user_id,
+         |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+         |       FROM events),
+         |hx AS (SELECT day, substr(md5(cast(user_id as string)), 1, 15) AS hx
+         |       FROM ud),
+         |h AS (SELECT DISTINCT day, ${Md5Key.hex15ToLong("hx")} AS hv FROM hx),
+         |days AS (SELECT DISTINCT day AS d FROM h),
+         |rd AS (SELECT day, hv,
+         |         CAST(row_number() OVER (PARTITION BY day ORDER BY hv) AS BIGINT) AS rn,
+         |         CAST(count(*) OVER (PARTITION BY day) AS BIGINT) AS nd
+         |       FROM h),
+         |dk AS (SELECT day,
+         |         CASE WHEN nd < 64 THEN nd
+         |              ELSE CAST(CAST(63 AS HUGEINT) * ${Md5Key.Space}
+         |                // greatest(min(CASE WHEN rn = 64 THEN hv END), 1) AS BIGINT)
+         |         END AS est_kmv
+         |       FROM rd GROUP BY day, nd),
+         |wh AS (SELECT DISTINCT days.d AS day, h.hv
+         |       FROM days JOIN h ON h.day BETWEEN days.d - 6 AND days.d),
+         |rw AS (SELECT day, hv,
+         |         CAST(row_number() OVER (PARTITION BY day ORDER BY hv) AS BIGINT) AS rn,
+         |         CAST(count(*) OVER (PARTITION BY day) AS BIGINT) AS nd
+         |       FROM wh),
+         |wk AS (SELECT day,
+         |         CASE WHEN nd < 64 THEN nd
+         |              ELSE CAST(CAST(63 AS HUGEINT) * ${Md5Key.Space}
+         |                // greatest(min(CASE WHEN rn = 64 THEN hv END), 1) AS BIGINT)
+         |         END AS est_kmv
+         |       FROM rw GROUP BY day, nd),
+         |b AS (SELECT day, hv // 4503599627370496 AS j,
+         |             hv % 4503599627370496 AS w FROM h),
+         |reg AS (SELECT day, j,
+         |          max(CASE WHEN w = 0 THEN 53
+         |                   ELSE 53 - length(bin(w)) END) AS mr
+         |        FROM b GROUP BY day, j),
+         |wreg AS (SELECT days.d AS day, reg.j, max(reg.mr) AS mr
+         |         FROM days JOIN reg ON reg.day BETWEEN days.d - 6 AND days.d
+         |         GROUP BY days.d, reg.j),
+         |hd AS (SELECT day,
+         |         CAST(256 - count(*) AS BIGINT) AS v_zero,
+         |         CAST(CAST(${Sketches.hllAlphaNum(8)} AS HUGEINT) * 4611686018427387904
+         |           // (2570790 * (sum(((1::BIGINT << (62 - mr)))::HUGEINT) +
+         |                (256 - count(*))::HUGEINT * 4611686018427387904))
+         |           AS BIGINT) AS est_hll
+         |       FROM reg GROUP BY day),
+         |hw AS (SELECT day,
+         |         CAST(256 - count(*) AS BIGINT) AS v_zero,
+         |         CAST(CAST(${Sketches.hllAlphaNum(8)} AS HUGEINT) * 4611686018427387904
+         |           // (2570790 * (sum(((1::BIGINT << (62 - mr)))::HUGEINT) +
+         |                (256 - count(*))::HUGEINT * 4611686018427387904))
+         |           AS BIGINT) AS est_hll
+         |       FROM wreg GROUP BY day)
+         |SELECT CAST(dk.day AS BIGINT) AS day_int,
+         |  CASE WHEN hd.est_hll <= 640 AND hd.v_zero > 0
+         |       THEN dk.est_kmv ELSE hd.est_hll END AS dau_est,
+         |  CASE WHEN hd.est_hll <= 640 AND hd.v_zero > 0
+         |       THEN 'kmv' ELSE 'hll' END AS dau_route,
+         |  CASE WHEN hw.est_hll <= 640 AND hw.v_zero > 0
+         |       THEN wk.est_kmv ELSE hw.est_hll END AS wau_est,
+         |  CASE WHEN hw.est_hll <= 640 AND hw.v_zero > 0
+         |       THEN 'kmv' ELSE 'hll' END AS wau_route
+         |FROM dk JOIN hd USING (day) JOIN wk USING (day) JOIN hw USING (day)""".stripMargin,
+
     "q94_rolling_active" ->
       """WITH e AS (SELECT DISTINCT user_id,
         |             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day

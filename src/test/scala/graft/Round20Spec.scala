@@ -114,6 +114,33 @@ class Round20Spec extends AnyFunSuite {
     assert(out.getAs[String]("matched_prefix") === "/café")
   }
 
+  // ------------------------------------- rolling sketch active users
+
+  /** [[graft.ops.EventQueries.q209RollingActiveSketch]] vs the exact
+    * [[graft.ops.EventQueries.q94RollingActive]]: the routed rolling
+    * estimates track the exact DAU/WAU within KMV's error band. The
+    * routing is the point — this fixture's ~150-active days sit in
+    * HLL's raw small-range hole where the unrouted register estimate
+    * read ~10× low (measured r20); the q195 rule sends them to KMV
+    * (max 14.3%/10.4% observed at sf0.01, bound set at 25%). */
+  test("q209 rolling sketch tracks exact q94 within the routed error band") {
+    import graft.ops.EventQueries
+    val dir = "/root/testdata/sf0.001"
+    val exact = EventQueries.q94RollingActive(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val est = EventQueries.q209RollingActiveSketch(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2), r.getLong(3), r.getString(4))).toMap
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (d, (dau, wau)) =>
+      val (de, _, we, _) = est(d)
+      assert(math.abs(de - dau).toDouble / dau <= 0.25,
+        s"day $d dau: est $de vs exact $dau")
+      assert(math.abs(we - wau).toDouble / wau <= 0.25,
+        s"day $d wau: est $we vs exact $wau")
+    }
+  }
+
   // --------------------------------------------- two-pass profiler
 
   /** The q83 two-pass-profiler hypothesis, measured and REFUTED
