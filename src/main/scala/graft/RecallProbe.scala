@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   *     against the brute-force baseline and print recall@10 + wall
   *     time per setting — how the fixture-tuned defaults in
   *     SimilarityQueries were chosen.
-  *  2. Emit the pinned agreement-oracle rows (q57–q61, q172, q175) as
-  *     ready-to-paste SQL, plus the fixture content hash — so when
-  *     `/root/testdata` regenerates (the pinned-constant spec fails),
-  *     re-pinning is one run of this tool, not a hand-derivation.
+  *  2. Emit the agreement-oracle rows as ready-to-paste SQL, plus the
+  *     fixture content hash — so when `/root/testdata` regenerates
+  *     (the pinned-constant spec fails), re-pinning is one run of
+  *     this tool, not a hand-derivation. Since r20 only q57/q59–q61/
+  *     q188 still PIN constants (the SRP family); the q58/q172/q175
+  *     rows printed here are informational — their oracles DERIVE
+  *     both legs in DuckDB and re-pin themselves.
   *
   * Usage: RecallProbe [sfDir] [--sweep]
   * (the sweep is opt-in; the default run prints only the re-pin block)
