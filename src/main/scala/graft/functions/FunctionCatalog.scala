@@ -211,6 +211,18 @@ object FunctionCatalog {
           "html_unescape(text string)")
         HtmlUnescape(exprs.head)
       }),
+    FunctionDef("int_l2sq",
+      "int_l2sq(a array<bigint>, b array<bigint>) -> bigint", classOf[IntL2Sq], { exprs =>
+        FunctionArgs.requireArity("int_l2sq", exprs, 2,
+          "int_l2sq(a array<bigint>, b array<bigint>)")
+        IntL2Sq(exprs.head, exprs(1))
+      }),
+    FunctionDef("int_dot",
+      "int_dot(a array<bigint>, b array<bigint>) -> bigint", classOf[IntDot], { exprs =>
+        FunctionArgs.requireArity("int_dot", exprs, 2,
+          "int_dot(a array<bigint>, b array<bigint>)")
+        IntDot(exprs.head, exprs(1))
+      }),
     FunctionDef("xml_unescape",
       "xml_unescape(text STRING) -> STRING", classOf[XmlUnescape], { exprs =>
         FunctionArgs.requireArity("xml_unescape", exprs, 1,

@@ -349,6 +349,16 @@ case class HtmlUnescapeFull(child: Expression, table: Map[String, String],
   override def sql: String = s"html_unescape_full(${child.sql}, '$source')"
 }
 
+object HtmlUnescapeFull {
+  /** Register `html_unescape_full` — added r20: q192 previously
+    * leaned on a session-wide registerAll having run first, which
+    * held in the mains (GraftSession registers the catalog) but made
+    * plan-building order-dependent in bare test sessions. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    FunctionCatalog.register(spark, "html_unescape_full",
+      classOf[HtmlUnescapeFull])
+}
+
 /** Loader for the PUBLISHED entity-table JSON format (the HTML
   * standard's machine-readable `entities.json`: an object keyed by
   * reference spelling, each value carrying `codepoints` +

@@ -77,12 +77,20 @@ object SimilarityInt {
   private def mdKey(id: Column, seed: Long): Column =
     md5(concat_ws(":", id.cast("string"), lit(seed.toString)))
 
-  /** Exact squared-L2 / dot over two bigint arrays, in-row. */
-  private def d2Sql(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (p, q) -> (p - q) * (p - q)), " +
-      "0L, (x, y) -> x + y)"
-  private def dotSql(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (p, q) -> p * q), 0L, (x, y) -> x + y)"
+  /** Exact squared-L2 / dot over two bigint arrays, in-row — the
+    * native codegen'd kernels ([[graft.functions.IntL2Sq]]/
+    * [[graft.functions.IntDot]]): the HOF `aggregate(zip_with(...))`
+    * formulation they replace measured the whole q43 int-vs-float gap
+    * (762 vs 224 cs at sf0.1 — interpreted lambda machinery per
+    * (vector, centroid) pair; ARCHITECTURE r20). Identical exact
+    * semantics, spec-pinned against the HOF form. */
+  private def d2Sql(a: String, b: String): String = s"int_l2sq($a, $b)"
+  private def dotSql(a: String, b: String): String = s"int_dot($a, $b)"
+
+  private def registerKernels(df: DataFrame): Unit = {
+    graft.functions.IntL2Sq.register(df.sparkSession)
+    graft.functions.IntDot.register(df.sparkSession)
+  }
 
   /** Split a z vector into its m subvectors: (…, sub, sv) — the
     * [[Similarity.subvectors]] split with the same loud in-plan
@@ -140,6 +148,7 @@ object SimilarityInt {
                  seed: Long, memoKey: String): IntCodebook = {
     require(m >= 1 && ksub >= 2 && iters >= 0,
       s"bad PQ-int dials: m=$m ksub=$ksub iters=$iters")
+    registerKernels(z)
     val seeds = subZ(
       z.withColumn("h", mdKey(col("vid"), seed))
         .orderBy("h", "vid").limit(ksub).drop("h"), m)
@@ -155,9 +164,11 @@ object SimilarityInt {
 
   /** Encode a (vid, z) frame against frozen codebooks:
     * (vid, sub, code) — m small ints per vector. */
-  def pqEncodeInt(z: DataFrame, cb: IntCodebook): DataFrame =
+  def pqEncodeInt(z: DataFrame, cb: IntCodebook): DataFrame = {
+    registerKernels(z)
     assignSub(subZ(z, cb.m), cb.centroids)
       .select(col("vid"), col("sub"), col("cid").as("code"))
+  }
 
   /** The shared integer rerank tail: exact z-dot the candidate pairs,
     * keep the per-query top-k — (query_id, neighbor_id, rank). */
@@ -185,6 +196,7 @@ object SimilarityInt {
   def pqTopKInt(codes: DataFrame, cb: IntCodebook, z: DataFrame,
                 queriesZ: DataFrame, k: Int, rerank: Int): DataFrame = {
     require(rerank >= k, s"rerank window $rerank must cover k=$k")
+    registerKernels(z)
     val table = subZ(queriesZ, cb.m)
       .withColumnRenamed("vid", "query_id")
       .join(broadcast(cb.centroids), Seq("sub"))
@@ -215,6 +227,7 @@ object SimilarityInt {
   def ivfBuildInt(z: DataFrame, nlist: Int, iters: Int, seed: Long,
                   memoKey: String): IntIvfIndex = {
     require(nlist >= 1 && iters >= 0, s"bad IVF-int dials: $nlist/$iters")
+    registerKernels(z)
     // full-dim k-means = the m=1 subspace problem; reuse the sub
     // machinery with one subvector covering the whole vector
     val seeds = z.withColumn("h", mdKey(col("vid"), seed))
@@ -240,6 +253,7 @@ object SimilarityInt {
     * construction (the [[Similarity.ivfTopK]] scale argument). */
   def ivfTopKInt(index: IntIvfIndex, queriesZ: DataFrame, z: DataFrame,
                  k: Int, nprobe: Int): DataFrame = {
+    registerKernels(z)
     val wq = Window.partitionBy("query_id")
       .orderBy(col("d2").asc, col("cid").asc)
     val probes = queriesZ
@@ -269,6 +283,7 @@ object SimilarityInt {
     * encode pass carrying list_id through the argmax keys. */
   def ivfPqBuildInt(z: DataFrame, nlist: Int, m: Int, ksub: Int,
                     iters: Int, seed: Long, memoKey: String): IntIvfPqIndex = {
+    registerKernels(z)
     val ivf = ivfBuildInt(z, nlist, iters, seed, memoKey + ":coarse")
     val resid = ivf.lists
       .join(broadcast(ivf.centroids), col("list_id") === col("cid"))
@@ -294,6 +309,7 @@ object SimilarityInt {
                    z: DataFrame, k: Int, nprobe: Int,
                    rerank: Int): DataFrame = {
     require(rerank >= k, s"rerank window $rerank must cover k=$k")
+    registerKernels(z)
     val wq = Window.partitionBy("query_id")
       .orderBy(col("d2").asc, col("cid").asc)
     val probes = queriesZ

@@ -1935,6 +1935,7 @@ object TextQueries {
     * untypeable-wrong stance of the Latin-1 zip), never from a typed
     * glyph. */
   def q192Html5Entities(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.HtmlUnescapeFull.register(spark)
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     docs.select(col("doc_id"),
       call_function("html_unescape_full",

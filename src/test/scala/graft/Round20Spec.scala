@@ -114,6 +114,41 @@ class Round20Spec extends AnyFunSuite {
     assert(out.getAs[String]("matched_prefix") === "/café")
   }
 
+  // ------------------------------------------ integer vector kernels
+
+  /** [[graft.functions.IntL2Sq]]/[[graft.functions.IntDot]] ==
+    * the `aggregate(zip_with(...))` HOF formulation they replace in
+    * the SimilarityInt hot paths (the q43 762-vs-224 cs gap was pure
+    * lambda interpretation): fuzz over random bigint vectors incl.
+    * negatives and zeros, plus the null-on-length-mismatch contract
+    * (zip_with's null-pad behavior) and null inputs. */
+  test("int_l2sq / int_dot == HOF aggregate(zip_with) semantics") {
+    graft.functions.IntL2Sq.register(spark)
+    graft.functions.IntDot.register(spark)
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 200).map { i =>
+      val n = 1 + rnd.nextInt(12)
+      (i.toLong, Array.fill(n)(rnd.nextLong() % 20000L),
+        Array.fill(n)(rnd.nextLong() % 20000L))
+    }
+    val df = rows.toDF("id", "a", "b").selectExpr(
+      "id",
+      "int_l2sq(a, b) AS n_l2", "int_dot(a, b) AS n_dot",
+      "aggregate(zip_with(a, b, (p, q) -> (p - q) * (p - q)), 0L, (x, y) -> x + y) AS h_l2",
+      "aggregate(zip_with(a, b, (p, q) -> p * q), 0L, (x, y) -> x + y) AS h_dot")
+    df.collect().foreach { r =>
+      assert(r.getLong(1) === r.getLong(3), s"l2sq mismatch at id ${r.getLong(0)}")
+      assert(r.getLong(2) === r.getLong(4), s"dot mismatch at id ${r.getLong(0)}")
+    }
+    val edge = Seq((Array(1L, 2L), Array(1L, 2L, 3L)))
+      .toDF("a", "b")
+      .selectExpr("int_l2sq(a, b) AS l2", "int_dot(a, b) AS d",
+        "int_dot(a, cast(null as array<bigint>)) AS nd")
+      .collect()(0)
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2),
+      "length mismatch and null inputs must yield null")
+  }
+
   // ------------------------------------- rolling sketch active users
 
   /** [[graft.ops.EventQueries.q209RollingActiveSketch]] vs the exact
