@@ -114,6 +114,44 @@ class Round20Spec extends AnyFunSuite {
     assert(out.getAs[String]("matched_prefix") === "/café")
   }
 
+  /** [[graft.operators.Domains.recrawlDecision]]'s scaladoc claims
+    * stream-compatibility — a streaming frontier against a STATIC
+    * last-fetch table is one stream-static left join + per-row date
+    * work, so the same function runs under append mode and emits
+    * exactly the batch rows (the sitemapParse/robotsDecision
+    * convention, extended to the freshness edge). */
+  test("recrawlDecision: streaming frontier vs static state == batch") {
+    import graft.operators.Domains
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lf = Seq(("https://s.org/a", "2026-02-10"),
+      ("https://s.org/b", "2026-02-10")).toDF("url", "last_fetch")
+    val rows = Seq(
+      ("https://s.org/a", "2026-03-01"), // modified
+      ("https://s.org/b", "2026-01-01"), // fresh
+      ("https://s.org/c", "2026-03-01")) // new
+    val ms = MemoryStream[(String, String)]
+    val q = Domains.recrawlDecision(
+        ms.toDF().toDF("url", "lastmod"), lf)
+      .writeStream.format("memory").queryName("recrawl_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(rows.take(2): _*); q.processAllAvailable()
+      ms.addData(rows.drop(2): _*); q.processAllAvailable()
+      def key(rs: Array[org.apache.spark.sql.Row]) = rs.map(r =>
+        (r.getAs[String]("url"), r.getAs[String]("reason"),
+          r.getAs[Boolean]("should_fetch"))).toSet
+      val streamed = key(spark.table("recrawl_stream").collect())
+      val batch = key(Domains.recrawlDecision(
+        rows.toDF("url", "lastmod"), lf).collect())
+      assert(streamed === batch)
+      assert(streamed === Set(
+        ("https://s.org/a", "modified", true),
+        ("https://s.org/b", "fresh", false),
+        ("https://s.org/c", "new", true)))
+    } finally q.stop()
+  }
+
   // ------------------------------------------ integer vector kernels
 
   /** [[graft.functions.IntL2Sq]]/[[graft.functions.IntDot]] ==
