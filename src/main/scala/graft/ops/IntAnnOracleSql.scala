@@ -197,6 +197,37 @@ object IntAnnOracleSql {
        |        FROM ad) x WHERE ar <= $rerankN),
        |${rerank("sl", k)}""".stripMargin
 
+  /** One sign-band bucket: the sign pattern of raw float dims
+    * [b·bits, (b+1)·bits) as a BIGINT — float sign compares exactly,
+    * so bucketing replays (the q81 semanticDedup machinery, here in
+    * query-vs-corpus form). */
+  private def signBand(b: Int, bits: Int): String =
+    (0 until bits).map(i =>
+      s"(CASE WHEN embedding[${b * bits + i + 1}] >= 0 THEN ${1L << (bits - 1 - i)} ELSE 0 END)")
+      .mkString("CAST(", " + ", " AS BIGINT)")
+
+  /** q210: sign-band LSH ANN top-k — candidates meet only inside an
+    * equal (band, bucket) cell (query side vs corpus side), then the
+    * exact integer z-dot rerank. The LSH-ANN class's fully-replayable
+    * member (SRP q41 stays rows-only: its Gaussian hyperplanes are
+    * engine-internal by construction). */
+  def q210Sql(bands: Int = 8, bits: Int = 6, k: Int = 10): String = {
+    val bandCols = (0 until bands)
+      .map(b => s"${signBand(b, bits)} AS b$b").mkString(",\n  ")
+    val bandUnion = (0 until bands)
+      .map(b => s"SELECT vid, $b AS band, b$b AS bkt FROM u")
+      .mkString("\n       UNION ALL ")
+    s"""WITH ${zCtes(8)},
+       |u AS (SELECT vec_id AS vid,
+       |  $bandCols
+       |  FROM embeddings),
+       |bb AS ($bandUnion),
+       |cand AS (SELECT DISTINCT q.vid AS query_id, c.vid AS neighbor_id
+       |         FROM bb q JOIN bb c ON q.band = c.band AND q.bkt = c.bkt
+       |         WHERE q.vid < 10 AND c.vid <> q.vid),
+       |${rerank("cand", k)}""".stripMargin
+  }
+
   /** Wrap an ANN replay and the exact-cosine replay into the
     * [[Agreement.summarize]] row — the derived recall oracle. */
   def agreementSql(annSql: String): String = {

@@ -149,6 +149,73 @@ object SimilarityQueries {
       q174IvfPqTopK(spark, dir), q40CosineTopK(spark, dir),
       Seq("query_id", "neighbor_id"))
 
+  /** Sign-band LSH approximate top-10 — the LSH-ANN class's FULLY
+    * REPLAYABLE member (r20, the last VERDICT stretch): candidates
+    * meet only inside equal (band, bucket) sign-pattern cells —
+    * [[Similarity.semanticDedup]]'s q81 bucketing machinery in
+    * query-vs-corpus form; float sign compares exactly, so the
+    * candidate set replays cross-engine — and the ranking is the
+    * exact integer z-dot ([[SimilarityInt]]'s rerank metric). Where
+    * q41's SRP hyperplanes are engine-internal floats by construction
+    * (rows-only + pinned recall forever), this variant's ENTIRE
+    * output sits under the DuckDB hash gate. Data-oblivious like SRP,
+    * bucket-join-shaped like everything in the family: ids-only
+    * through the band explode and the bucket join, z vectors attach
+    * only for the candidate rerank; bandBits grows with corpus size
+    * (occupancy ≈ n/2^bits per band) up to the sign family's d/bands
+    * dimension ceiling — past it, SRP is the documented handoff
+    * ([[Similarity.semanticRouteFor]]). The trade is explicit in the
+    * recall rows: q211 reads 0.34@10 from 8 axis-aligned bands where
+    * q57's SRP reads 0.81 from 32 seeded tables — which is exactly
+    * why q41 KEEPS the SRP form as the quality path and this variant
+    * exists as the replayable one, not a replacement. */
+  def q210AnnSignBand(spark: SparkSession, dir: String): DataFrame =
+    Memo.of(spark, s"ann_signband:$dir:b8x6") {
+      graft.functions.IntDot.register(spark)
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(spark, dir)
+      val bands = 8
+      val bandBits = 6
+      def bandBucket(b: Int): org.apache.spark.sql.Column =
+        (0 until bandBits).map { i =>
+          when(element_at(col("embedding"), b * bandBits + i + 1) >= lit(0f),
+            lit(1L << (bandBits - 1 - i))).otherwise(lit(0L))
+        }.reduce(_ + _)
+      val sigs = emb.select(col("vec_id").as("vid"),
+          explode(array((0 until bands).map(b =>
+            struct(lit(b).cast("long").as("band"),
+              bandBucket(b).as("bkt"))): _*)).as("e"))
+        .select(col("vid"), col("e.band").as("band"), col("e.bkt").as("bkt"))
+      val cand = sigs
+        .join(sigs.filter(col("vid") < 10)
+          .select(col("vid").as("query_id"), col("band"), col("bkt"))
+          .hint("broadcast"), Seq("band", "bkt"))
+        .filter(col("vid") =!= col("query_id"))
+        .select(col("query_id"), col("vid").as("neighbor_id"))
+        .dropDuplicates("query_id", "neighbor_id")
+      val z = zAll(spark, dir)
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("dot").desc, col("neighbor_id").asc)
+      cand
+        .join(broadcast(zQueries(spark, dir)
+          .select(col("vid").as("query_id"), col("z").as("qz"))), "query_id")
+        .join(z.select(col("vid").as("neighbor_id"), col("z").as("cz")),
+          "neighbor_id")
+        .withColumn("dot", expr("int_dot(qz, cz)"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .select("query_id", "neighbor_id", "rank")
+    }
+
+  /** Sign-band ANN recall@10 vs the exact baseline — derived full
+    * oracle (the q58/q172/q175 stance: both legs replay). Reads
+    * against q57's SRP row: same corpus, different candidate
+    * geometry. */
+  def q211SignBandRecall(spark: SparkSession, dir: String): DataFrame =
+    Agreement.summarize(
+      q210AnnSignBand(spark, dir), q40CosineTopK(spark, dir),
+      Seq("query_id", "neighbor_id"))
+
   /** SRP-LSH recall@10 vs the exact baseline — the numeric signal for
     * q41's rows-only output: a one-row (n_exact, n_approx, n_hits,
     * recall) summary, deterministic under the fixed seed, hash-checked
@@ -451,6 +518,8 @@ object SimilarityQueries {
     "q109_pca2"       -> (q109Pca2 _),
     "q40_cosine_topk" -> (q40CosineTopK _),
     "q41_ann_topk"    -> (q41AnnTopK _),
+    "q210_ann_signband" -> (q210AnnSignBand _),
+    "q211_signband_recall" -> (q211SignBandRecall _),
     "q42_ann_neardup" -> (q42AnnNeardup _),
     "q43_ann_ivf"     -> (q43AnnIvf _),
     "q171_pq_topk"    -> (q171PqTopK _),
@@ -657,6 +726,9 @@ object SimilarityQueries {
     // re-derived in DuckDB from the raw parquet ([[IntAnnOracleSql]];
     // the q81 semanticDedup recipe applied to the whole index family)
     "q171_pq_topk" -> IntAnnOracleSql.q171Sql(),
+    "q210_ann_signband" -> IntAnnOracleSql.q210Sql(),
+    "q211_signband_recall" ->
+      IntAnnOracleSql.agreementSql(IntAnnOracleSql.q210Sql()),
     "q174_ivfpq_topk" -> IntAnnOracleSql.q174Sql(),
     "q43_ann_ivf" -> IntAnnOracleSql.q43Sql(),
 
