@@ -75,6 +75,12 @@ object FunctionCatalog {
           "url_resolve(base STRING, ref STRING)")
         UrlResolve(exprs.head, exprs(1))
       }),
+    FunctionDef("sorted_intersect_count",
+      "sorted_intersect_count(a array<bigint> sorted asc, b array<bigint> sorted asc) -> bigint", classOf[SortedIntersectCount], { exprs =>
+        FunctionArgs.requireArity("sorted_intersect_count", exprs, 2,
+          "sorted_intersect_count(a array<bigint> sorted, b array<bigint> sorted)")
+        SortedIntersectCount(exprs.head, exprs(1))
+      }),
     FunctionDef("cosine_sim",
       "cosine_sim(a array<float|double>, b array<float|double>) -> double", classOf[CosineSim], { exprs =>
         FunctionArgs.requireArity("cosine_sim", exprs, 2,

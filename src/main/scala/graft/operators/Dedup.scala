@@ -178,15 +178,19 @@ object Dedup {
   def prefixJaccardPairs(docs: DataFrame, k: Int = 3,
                          thresholdPermille: Long = 500L): DataFrame = {
     val tp = thresholdPermille
+    graft.functions.SortedIntersectCount.register(docs.sparkSession)
     val base = prefixBase(docs, k)
     val cands = prefixCandidates(docs, k, tp)
+    // r21: hash arrays sorted once per DOC (tiny frame) so each
+    // candidate pair verifies by one allocation-free merge
+    // (`sorted_intersect_count`) instead of size(array_intersect)'s
+    // per-pair hash set — same exact count (distinct hashes per doc).
     cands
-      .join(base.select(col("doc_id").as("d1"), col("fh").as("fh1"),
-        col("ns").as("n1")), "d1")
-      .join(base.select(col("doc_id").as("d2"), col("fh").as("fh2"),
-        col("ns").as("n2")), "d2")
-      .withColumn("common",
-        size(array_intersect(col("fh1"), col("fh2"))).cast("long"))
+      .join(base.select(col("doc_id").as("d1"),
+        sort_array(col("fh")).as("fh1"), col("ns").as("n1")), "d1")
+      .join(base.select(col("doc_id").as("d2"),
+        sort_array(col("fh")).as("fh2"), col("ns").as("n2")), "d2")
+      .withColumn("common", expr("sorted_intersect_count(fh1, fh2)"))
       .filter(col("common") * 1000L >= lit(tp) * (col("n1") + col("n2") - col("common")))
       .withColumn("jaccard",
         col("common").cast("double") / (col("n1") + col("n2") - col("common")))
@@ -466,18 +470,24 @@ object Dedup {
     // expensive per-row pass) — measured as ~1 s of the q35 time at
     // sf0.1. Candidate sets are LSH-pruned and ids-only upstream, so
     // the materialized frame is small.
+    // r21: sorted once per candidate doc so each pair verifies by one
+    // allocation-free merge; |union| = n1 + n2 − common over the
+    // per-doc DISTINCT hash sets, so the jaccard double divides the
+    // identical integers as the array_intersect/array_union form.
+    graft.functions.SortedIntersectCount.register(docs.sparkSession)
     val fhs = docs
       .join(candIds, Seq("doc_id"), "left_semi")
       .withColumn("fh", expr(s"shingle_hashes(text, $k)"))
       .filter(size(col("fh")) > 0)
-      .select(col("doc_id"), col("fh"))
+      .select(col("doc_id"), sort_array(col("fh")).as("fh"))
       .localCheckpoint()
     cands
       .join(fhs.select(col("doc_id").as("d1"), col("fh").as("fh1")), "d1")
       .join(fhs.select(col("doc_id").as("d2"), col("fh").as("fh2")), "d2")
+      .withColumn("common", expr("sorted_intersect_count(fh1, fh2)"))
       .withColumn("jaccard",
-        size(array_intersect(col("fh1"), col("fh2"))).cast("double") /
-          size(array_union(col("fh1"), col("fh2"))))
+        col("common").cast("double") /
+          (size(col("fh1")) + size(col("fh2")) - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("d1", "d2", "jaccard")
   }

