@@ -138,6 +138,49 @@ object R21Probe {
     spark.sparkContext.setLogLevel("WARN")
     val mode = args.headOption.getOrElse("trio")
 
+    if (mode == "ann") {
+      // phase attribution of q174 (IVFADC build + search) at the
+      // registered dials
+      import operators.SimilarityInt
+      val emb = Tables.embeddings(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+      val z = SimilarityInt.zCodes(emb)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (_, tZ) = timeIt { z.count() }
+      val (ivf, tCoarse) = timeIt {
+        val i = SimilarityInt.ivfBuildInt(z, nlist = 64, iters = 2,
+          seed = 42L, memoKey = "probe_ann_coarse")
+        i.centroids.count(); i
+      }
+      val (_, tLists) = timeIt {
+        ivf.lists.write.format("noop").mode("overwrite").save()
+      }
+      val resid = ivf.lists
+        .join(broadcast(ivf.centroids), col("list_id") === col("cid"))
+        .select(col("vid"), col("list_id"),
+          expr("zip_with(z, cvec, (a, b) -> a - b)").as("z"))
+      val (cb, tPq) = timeIt {
+        val c = SimilarityInt.pqTrainInt(resid.select("vid", "z"), m = 8,
+          ksub = 16, iters = 2, seed = 44L, memoKey = "probe_ann_pq")
+        c.centroids.count(); c
+      }
+      val (idx, tBuildAll) = timeIt {
+        val i = SimilarityInt.ivfPqBuildInt(z, nlist = 64, m = 8, ksub = 16,
+          iters = 2, seed = 42L, memoKey = "probe_ann_full")
+        i.codes.write.format("noop").mode("overwrite").save(); i
+      }
+      val zq = z.filter(col("vid") < 10)
+      val (_, tSearch) = timeIt {
+        SimilarityInt.ivfPqTopKInt(idx, zq, z, k = 10, nprobe = 16,
+          rerank = 50).write.format("noop").mode("overwrite").save()
+      }
+      println(f"ann: z $tZ%.2f s, coarse-train $tCoarse%.2f s, " +
+        f"lists $tLists%.2f s, pq-train $tPq%.2f s, " +
+        f"FULL build $tBuildAll%.2f s, search $tSearch%.2f s")
+      spark.stop()
+      return
+    }
+
     if (mode == "proj") {
       // stage attribution of coEngagementEdgesShared at minShared=22
       import ops.EventQueries

@@ -690,6 +690,7 @@ object Similarity {
       s"need bands >= 1 and bandBits in [1,16], got $bands/$bandBits")
     require(simNumSqE4 >= 0L && simNumSqE4 <= 10000L,
       s"simNumSqE4 is t^2 * 1e4, must be in [0,10000]: $simNumSqE4")
+    graft.functions.IntDot.register(corpus.sparkSession)
     // enforce BOTH dim bounds up front (one head() row — the embedding
     // tables' uniform-dimension contract makes the first row
     // representative): past ~1800 dims the BIGINT gate would wrap
@@ -712,7 +713,7 @@ object Similarity {
     // tinyint→bigint widening happens here
     val coded = quantizeInt8(corpus, vecCol)
       .withColumn("c", expr("transform(q, v -> cast(v as bigint))"))
-      .withColumn("ss", expr("aggregate(c, 0L, (a, x) -> a + x * x)"))
+      .withColumn("ss", expr("int_dot(c, c)"))
     // sign-pattern bucket of band b over the ORIGINAL floats (sign of
     // a float compares exactly; the quantized code's sign would shift
     // with qmin)
@@ -733,7 +734,7 @@ object Similarity {
     val side1 = coded.select(col(idCol).as("d1"), col("c").as("c1"), col("ss").as("ss1"))
     val side2 = coded.select(col(idCol).as("d2"), col("c").as("c2"), col("ss").as("ss2"))
     val pruned = cand.join(side1, "d1").join(side2, "d2")
-      .withColumn("dot", expr("aggregate(zip_with(c1, c2, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      .withColumn("dot", expr("int_dot(c1, c2)"))
       .filter(col("dot") > 0 &&
         col("dot") * col("dot") * lit(10000L) >= lit(simNumSqE4) * col("ss1") * col("ss2"))
     if (pairsOnly)
@@ -802,6 +803,7 @@ object Similarity {
                               idCol: String = "vec_id",
                               vecCol: String = "embedding"): DataFrame = {
     graft.functions.SrpBuckets.register(corpus.sparkSession)
+    graft.functions.IntDot.register(corpus.sparkSession)
     require(simNumSqE4 >= 0L && simNumSqE4 <= 10000L,
       s"simNumSqE4 is t^2 * 1e4, must be in [0,10000]: $simNumSqE4")
     corpus.select(col(vecCol)).head(1).headOption.foreach { r =>
@@ -812,7 +814,7 @@ object Similarity {
     }
     val coded = quantizeInt8(corpus, vecCol)
       .withColumn("c", expr("transform(q, v -> cast(v as bigint))"))
-      .withColumn("ss", expr("aggregate(c, 0L, (a, x) -> a + x * x)"))
+      .withColumn("ss", expr("int_dot(c, c)"))
     // (table, bucket) key via posexplode: bucket values are per-table
     // bit patterns, so the table index must ride the join key
     val sigs = coded.select(col(idCol).as("vid"),
@@ -827,7 +829,7 @@ object Similarity {
     val side1 = coded.select(col(idCol).as("d1"), col("c").as("c1"), col("ss").as("ss1"))
     val side2 = coded.select(col(idCol).as("d2"), col("c").as("c2"), col("ss").as("ss2"))
     cand.join(side1, "d1").join(side2, "d2")
-      .withColumn("dot", expr("aggregate(zip_with(c1, c2, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      .withColumn("dot", expr("int_dot(c1, c2)"))
       .filter(col("dot") > 0 &&
         col("dot") * col("dot") * lit(10000L) >= lit(simNumSqE4) * col("ss1") * col("ss2"))
       .select(col("d1"), col("d2"), col("dot"), col("ss1"), col("ss2"))
@@ -844,13 +846,14 @@ object Similarity {
                          vecCol: String = "embedding"): DataFrame = {
     require(simNumSqE4 >= 0L && simNumSqE4 <= 10000L,
       s"simNumSqE4 is t^2 * 1e4, must be in [0,10000]: $simNumSqE4")
+    graft.functions.IntDot.register(corpus.sparkSession)
     val coded = quantizeInt8(corpus, vecCol)
       .withColumn("c", expr("transform(q, v -> cast(v as bigint))"))
-      .withColumn("ss", expr("aggregate(c, 0L, (a, x) -> a + x * x)"))
+      .withColumn("ss", expr("int_dot(c, c)"))
     val a = coded.select(col(idCol).as("d1"), col("c").as("c1"), col("ss").as("ss1"))
     val b = coded.select(col(idCol).as("d2"), col("c").as("c2"), col("ss").as("ss2"))
     a.join(b, col("d1") < col("d2"))
-      .withColumn("dot", expr("aggregate(zip_with(c1, c2, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      .withColumn("dot", expr("int_dot(c1, c2)"))
       .filter(col("dot") > 0 &&
         col("dot") * col("dot") * lit(10000L) >= lit(simNumSqE4) * col("ss1") * col("ss2"))
       .select(col("d1"), col("d2"), col("dot"), col("ss1"), col("ss2"))

@@ -93,8 +93,15 @@ object Spectral {
   /** Rescale bound for the direction vector between iterations. */
   val VScale = 1000L
 
-  private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, t) -> acc + t)")
+  /** r21: the codegen'd [[graft.functions.IntDot]] kernel instead of
+    * the interpreted `aggregate(zip_with(...))` HOF — identical exact
+    * BIGINT semantics within the documented overflow bounds above
+    * (every dot here is |y|,|v|-bounded by construction; int_dot
+    * wraps where the ANSI HOF would throw PAST those bounds, the
+    * IntVec doc contract). The HOF ran per (row, direction) pair on
+    * the q107/q109/q146 paths — the same interpreted-lambda tax the
+    * r20 q43 fix measured at 3.4×. */
+  private def dot(a: String, b: String): Column = expr(s"int_dot($a, $b)")
 
   /** One-row frame holding `arr` = the length-d array assembled from a
     * (d, value) frame — sorted by dimension before collect_list, so
@@ -110,6 +117,7 @@ object Spectral {
     * integer dot products share the q107/q109 oracle arithmetic. */
   private[graft] def centeredCodes(df: DataFrame, idCol: String,
                                    vecCol: String): DataFrame = {
+    graft.functions.IntDot.register(df.sparkSession)
     val range = df.agg(
       min(array_min(col(vecCol))).cast("double").as("gmin"),
       max(array_max(col(vecCol))).cast("double").as("gmax"))

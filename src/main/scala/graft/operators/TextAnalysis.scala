@@ -208,15 +208,24 @@ object TextAnalysis {
     require(minDocs >= 2, s"minDocs must be >= 2 (cross-doc sharing): $minDocs")
     import org.apache.spark.sql.expressions.Window
     val L = windowTokens
-    // (doc_id, pos, h): md5 of the window's joined text. transform +
-    // posexplode keeps it one codegen'd projection per row; slice is
-    // 1-based, positions 0-based.
+    // (doc_id, pos, h): 64-bit hash of the window's joined text.
+    // transform + posexplode keeps it one codegen'd projection per
+    // row; slice is 1-based, positions 0-based. r21: xxhash64, not
+    // md5 — the fingerprint never reaches the output (only WHICH
+    // positions are shared does), so this is the shingle_hashes
+    // approximation (64-bit collisions ~1e-8 at 1M windows) applied
+    // where it already pays: no crypto digest per window, and the
+    // groupBy shuffles an 8-byte key instead of a 32-char hex string
+    // on the biggest frame in the plan. The oracle replays the same
+    // sharing decision over md5 windows — equal output unless a
+    // 64-bit collision flips a decision, the accepted trade
+    // everywhere else in the dedup family.
     val wins = docs
       .select(col("doc_id"), words(col(text)).as("w"))
       .filter(size(col("w")) >= L)
       .select(col("doc_id"),
         posexplode(expr(
-          s"transform(sequence(0, size(w) - $L), i -> md5(concat_ws(' ', slice(w, i + 1, $L))))"))
+          s"transform(sequence(0, size(w) - $L), i -> xxhash64(concat_ws(' ', slice(w, i + 1, $L))))"))
           .as(Seq("pos", "h")))
     // a window repeated only WITHIN one doc is in-doc repetition
     // (bigramRepetition's beat) — distinct doc count decides sharing.

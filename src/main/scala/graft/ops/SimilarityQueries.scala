@@ -459,6 +459,7 @@ object SimilarityQueries {
     * dot as the re-rank — the established recall-oracle pattern. */
   def q146HardNegatives(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Spectral
+    graft.functions.IntDot.register(spark)
     val emb = Tables.embeddings(spark, dir)
     val y = Spectral.centeredCodes(emb, "vec_id", "embedding")
       .join(emb.select(col("vec_id"),
@@ -470,9 +471,10 @@ object SimilarityQueries {
         col("label").as("c_label"))
       .crossJoin(broadcast(anchors))
       .filter(col("c_label") =!= col("a_label"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(ya, yc, (a, b) -> a * b), " +
-          "cast(0 as bigint), (acc, x) -> acc + x)"))
+      // r21: codegen'd int_dot kernel — same exact BIGINT dot as the
+      // aggregate(zip_with(...)) HOF within Spectral's documented
+      // |y| bounds, minus the interpreted-lambda tax (100 dots/row)
+      .withColumn("dot", expr("int_dot(ya, yc)"))
       .groupBy(col("a_id"), col("a_label"))
       .agg(max(struct(col("dot"), (-col("c_id")).as("nc"),
         col("c_label"))).as("best"))

@@ -959,14 +959,21 @@ object TextQueries {
       // expensive leg (measured: 19 jobs and ~4.5 s per round at
       // sf0.1; the rec-leaf form halves the compute and most of the
       // jobs). Exact: same rows, computed once.
+      // r21: adjacency arrays are sort_array output, so on BIGINT node
+      // ids the support |N(a) ∩ N(b)| is one allocation-free merge per
+      // edge (`sorted_intersect_count` — same count as
+      // size(array_intersect) on sorted distinct-neighbor arrays); the
+      // kernel is long-typed, so other id types (spec graphs use
+      // strings) keep the builtin.
+      val supportExpr =
+        if (edges.schema("src").dataType ==
+            org.apache.spark.sql.types.LongType)
+          expr("sorted_intersect_count(na, nbb)")
+        else size(array_intersect(col("na"), col("nbb"))).cast("long")
       val rec = touched
         .join(adj.select(col("v").as("a"), col("nb").as("na")), "a")
         .join(adj.select(col("v").as("b"), col("nb").as("nbb")), "b")
-        // r21: adjacency arrays are sort_array output, so the support
-        // |N(a) ∩ N(b)| is one allocation-free merge per edge
-        // (`sorted_intersect_count` — same count as
-        // size(array_intersect) on sorted distinct-neighbor arrays)
-        .withColumn("support", expr("sorted_intersect_count(na, nbb)"))
+        .withColumn("support", supportExpr)
         .select("a", "b", "support")
         .localCheckpoint(true)
       val kept = rec.filter(col("support") >= k - 2)
