@@ -19,11 +19,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * pair restores the float form's cost at integer-exact semantics.
   *
   * Semantics are IDENTICAL to the `aggregate(zip_with(...))`
-  * formulation they replace (spec-pinned): exact BIGINT arithmetic
-  * (integer addition is associative — no accumulation-order caveat
-  * needed), null on length mismatch (the HOF's zip_with null-pad
-  * behavior). Overflow: |z| ≤ 2·10⁴ per coordinate in every caller
-  * (the z coding ±1e4, residuals ±2e4), so per-element products sit
+  * formulation they replace WITHIN THE DOCUMENTED COORDINATE BOUNDS
+  * (spec-pinned there): exact BIGINT arithmetic (integer addition is
+  * associative — no accumulation-order caveat needed), null on length
+  * mismatch (the HOF's zip_with null-pad behavior). Overflow
+  * (ADVICE r20): PAST the bounds these kernels WRAP (Java long
+  * arithmetic) where the ANSI-mode HOF would throw — a caller feeding
+  * the registered catalog functions un-bounded values gets wrapped
+  * garbage, not an error. In-repo callers stay far inside: |z| ≤
+  * 2·10⁴ per coordinate everywhere (the z coding ±1e4, residuals
+  * ±2e4; [[graft.operators.Spectral]]'s |y| ≤ 255 / |v| ≤ 1000 with
+  * its own documented d ceilings), so per-element products sit
   * ≤ 1.6e9 and 64-dim sums ≤ ~10¹¹ — five orders under int64. */
 case class IntL2Sq(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType

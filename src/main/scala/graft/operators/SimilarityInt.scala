@@ -153,9 +153,14 @@ object SimilarityInt {
       z.withColumn("h", mdKey(col("vid"), seed))
         .orderBy("h", "vid").limit(ksub).drop("h"), m)
       .select(col("sub"), col("vid").as("cid"), col("sv").as("cvec"))
+    // r21: materialize the bounded training sample once — each Lloyd
+    // step's lazy plan otherwise re-pays the corpus md5 top-n draw per
+    // step (`train` is referenced once per iteration). The sample is
+    // ≤ 256·ksub·m rows by construction, so the checkpoint is tiny.
     val train = subZ(
       z.withColumn("h", mdKey(col("vid"), seed + 1))
         .orderBy("h", "vid").limit(256 * ksub).drop("h"), m)
+      .localCheckpoint(true)
     var cents = seeds
     for (_ <- 1 to iters) cents = lloydStep(train, cents)
     val done = graft.ops.Memo.of(z.sparkSession, memoKey)(cents)
@@ -233,9 +238,12 @@ object SimilarityInt {
     val seeds = z.withColumn("h", mdKey(col("vid"), seed))
       .orderBy("h", "vid").limit(nlist)
       .select(lit(0).as("sub"), col("vid").as("cid"), col("z").as("cvec"))
+    // r21: sample materialized once (the pqTrainInt rationale) —
+    // ≤ 256·nlist rows, one corpus draw instead of one per Lloyd step
     val train = z.withColumn("h", mdKey(col("vid"), seed + 1))
       .orderBy("h", "vid").limit(256 * nlist)
       .select(lit(0).as("sub"), col("vid"), col("z").as("sv"))
+      .localCheckpoint(true)
     var cents = seeds
     for (_ <- 1 to iters) cents = lloydStep(train, cents)
     val done = graft.ops.Memo.of(z.sparkSession, memoKey)(
@@ -285,10 +293,17 @@ object SimilarityInt {
                     iters: Int, seed: Long, memoKey: String): IntIvfPqIndex = {
     registerKernels(z)
     val ivf = ivfBuildInt(z, nlist, iters, seed, memoKey + ":coarse")
+    // r21: materialize the residuals once — they are read three times
+    // (PQ seed draw, PQ training draw, the encode pass), and each lazy
+    // reference otherwise re-runs the full-corpus list assignment the
+    // residuals derive from. One row per vector (m+1 small ints after
+    // encode; d ints here), corpus-sized but narrow — the same
+    // build-artifact stance as the memoized centroids.
     val resid = ivf.lists
       .join(broadcast(ivf.centroids), col("list_id") === col("cid"))
       .select(col("vid"), col("list_id"),
         expr("zip_with(z, cvec, (a, b) -> a - b)").as("z"))
+      .localCheckpoint(true)
     val cb = pqTrainInt(resid.select("vid", "z"), m, ksub, iters,
       seed + 2, memoKey + ":pq")
     val codes = subZ(resid, m)

@@ -174,6 +174,21 @@ object Sketches {
     BigInt(7213) * BigInt(1L << b).pow(3)
   }
 
+  /** α denominator `10000·m + 10790` of the same estimator — exposed
+    * for the identical one-source-of-truth reason as [[hllAlphaNum]]
+    * (ADVICE r20: q209's oracle hand-carried 2570790 and the route
+    * floor 640; a b/k change on one side would silently desync). */
+  def hllAlphaDen(b: Int): Long = 10000L * (1L << b) + 10790L
+
+  /** Register-index split divisor: `hv div 2^(60−b)` is the top-b-bit
+    * register index of a [[graft.ops.Md5Key]] 60-bit hash. */
+  def hllRegisterSplit(b: Int): Long = 1L << (60 - b)
+
+  /** The q195/q209 regime-route floor: an HLL raw estimate at or
+    * under `5m/2` with empty registers sits in the small-range hole
+    * (measured ~10× low on this fixture, r20) — route to KMV. */
+  def hllRouteFloor(b: Int): Long = 5L * (1L << b) / 2
+
   /** HyperLogLog register table per group: ≤ `m = 2^b` rows of
     * (group, `j`, `mr`) where `j` is the register index (top `b` bits
     * of the 60-bit [[Md5Key]] hash of `keyExpr`) and `mr` the register
@@ -248,7 +263,7 @@ object Sketches {
       s"b must be in [7,15] (m >= 128 for the closed-form alpha), got $b")
     val m = 1L << b
     val numc = hllAlphaNum(b) * BigInt(2).pow(62)
-    val den = 10000L * m + 10790L
+    val den = hllAlphaDen(b)
     val scale = 1L << 62
     regs.groupBy(groupCol)
       .agg(
@@ -380,7 +395,7 @@ object Sketches {
       s"b must be in [7,15] (m >= 128 for the closed-form alpha), got $b")
     val m = 1L << b
     val numc = hllAlphaNum(b) * BigInt(2).pow(62)
-    val den = 10000L * m + 10790L
+    val den = hllAlphaDen(b)
     val dense = regs.groupBy(groupCol)
       .agg(map_from_entries(collect_list(struct(col("j"), col("mr"))))
         .as("rm"))

@@ -531,7 +531,7 @@ object EventQueries {
           .select(col("day"), col("v_zero"),
             col("est_distinct").as("est_hll")), "day")
         .withColumn("route",
-          when(col("est_hll") <= lit(5L * 256 / 2) && col("v_zero") > 0,
+          when(col("est_hll") <= lit(Sketches.hllRouteFloor(8)) && col("v_zero") > 0,
             lit("kmv")).otherwise(lit("hll")))
         .withColumn("est",
           when(col("route") === "kmv", col("est_kmv"))
@@ -2062,8 +2062,8 @@ object EventQueries {
          |                        strftime(ts, '%Y-%m-%d')), 1, 15) AS hx
          |           FROM events),
          |v AS (SELECT event_type, ${Md5Key.hex15ToLong("hx")} AS hv FROM k),
-         |b AS (SELECT event_type, hv // 4503599627370496 AS j,
-         |             hv % 4503599627370496 AS w FROM v),
+         |b AS (SELECT event_type, hv // ${Sketches.hllRegisterSplit(8)} AS j,
+         |             hv % ${Sketches.hllRegisterSplit(8)} AS w FROM v),
          |reg AS (SELECT event_type, j,
          |          max(CASE WHEN w = 0 THEN 53
          |                   ELSE 53 - length(bin(w)) END) AS mr
@@ -2086,11 +2086,11 @@ object EventQueries {
          |      FROM rr GROUP BY t1, t2),
          |e AS (SELECT t1, t2, vz,
          |        CAST(CAST(${Sketches.hllAlphaNum(8)} AS HUGEINT) * 4611686018427387904
-         |          // (2570790 * s1) AS BIGINT) AS est_t1,
+         |          // (${Sketches.hllAlphaDen(8)} * s1) AS BIGINT) AS est_t1,
          |        CAST(CAST(${Sketches.hllAlphaNum(8)} AS HUGEINT) * 4611686018427387904
-         |          // (2570790 * s2) AS BIGINT) AS est_t2,
+         |          // (${Sketches.hllAlphaDen(8)} * s2) AS BIGINT) AS est_t2,
          |        CAST(CAST(${Sketches.hllAlphaNum(8)} AS HUGEINT) * 4611686018427387904
-         |          // (2570790 * su) AS BIGINT) AS est_union
+         |          // (${Sketches.hllAlphaDen(8)} * su) AS BIGINT) AS est_union
          |      FROM s)
          |SELECT t1, t2, est_t1, est_t2, est_union,
          |  greatest(est_t1 + est_t2 - est_union, 0) AS est_inter,
@@ -2147,8 +2147,8 @@ object EventQueries {
          |          CAST(CAST(n_i AS HUGEINT) * est_union_kmv
          |               // greatest(n_u, 1) AS BIGINT) AS est_inter_kmv
          |        FROM kst),
-         |bb AS (SELECT grp, hv // 4503599627370496 AS j,
-         |              hv % 4503599627370496 AS w FROM v),
+         |bb AS (SELECT grp, hv // ${Sketches.hllRegisterSplit(8)} AS j,
+         |              hv % ${Sketches.hllRegisterSplit(8)} AS w FROM v),
          |reg AS (SELECT grp, j,
          |          max(CASE WHEN w = 0 THEN 53
          |                   ELSE 53 - length(bin(w)) END) AS mr
@@ -2168,11 +2168,11 @@ object EventQueries {
          |      FROM rr GROUP BY t1, t2),
          |e AS (SELECT t1, t2, vz,
          |        CAST(CAST(${Sketches.hllAlphaNum(8)} AS HUGEINT) * 4611686018427387904
-         |          // (2570790 * s1) AS BIGINT) AS est_t1,
+         |          // (${Sketches.hllAlphaDen(8)} * s1) AS BIGINT) AS est_t1,
          |        CAST(CAST(${Sketches.hllAlphaNum(8)} AS HUGEINT) * 4611686018427387904
-         |          // (2570790 * s2) AS BIGINT) AS est_t2,
+         |          // (${Sketches.hllAlphaDen(8)} * s2) AS BIGINT) AS est_t2,
          |        CAST(CAST(${Sketches.hllAlphaNum(8)} AS HUGEINT) * 4611686018427387904
-         |          // (2570790 * su) AS BIGINT) AS est_union_hll
+         |          // (${Sketches.hllAlphaDen(8)} * su) AS BIGINT) AS est_union_hll
          |      FROM s),
          |hll AS (SELECT t1, t2, vz AS v_zero_union, est_union_hll,
          |          greatest(est_t1 + est_t2 - est_union_hll, 0)
@@ -2180,11 +2180,11 @@ object EventQueries {
          |        FROM e)
          |SELECT k.t1, k.t2, n_union_heads, est_union_kmv, est_inter_kmv,
          |  v_zero_union, est_union_hll, est_inter_hll,
-         |  CASE WHEN est_union_hll <= 640 AND v_zero_union > 0
+         |  CASE WHEN est_union_hll <= ${Sketches.hllRouteFloor(8)} AND v_zero_union > 0
          |       THEN 'kmv' ELSE 'hll' END AS route,
-         |  CASE WHEN est_union_hll <= 640 AND v_zero_union > 0
+         |  CASE WHEN est_union_hll <= ${Sketches.hllRouteFloor(8)} AND v_zero_union > 0
          |       THEN est_union_kmv ELSE est_union_hll END AS est_union,
-         |  CASE WHEN est_union_hll <= 640 AND v_zero_union > 0
+         |  CASE WHEN est_union_hll <= ${Sketches.hllRouteFloor(8)} AND v_zero_union > 0
          |       THEN est_inter_kmv ELSE est_inter_hll END AS est_inter
          |FROM kmv k JOIN hll USING (t1, t2) ORDER BY k.t1, k.t2""".stripMargin,
 
@@ -2215,8 +2215,8 @@ object EventQueries {
          |                     // greatest(min(CASE WHEN rn = 64 THEN hv END), 1) AS BIGINT)
          |         END AS est_kmv
          |       FROM r GROUP BY grp, nd),
-         |b AS (SELECT grp, hv // 4503599627370496 AS j,
-         |             hv % 4503599627370496 AS w FROM v),
+         |b AS (SELECT grp, hv // ${Sketches.hllRegisterSplit(8)} AS j,
+         |             hv % ${Sketches.hllRegisterSplit(8)} AS w FROM v),
          |reg AS (SELECT grp, j,
          |          max(CASE WHEN w = 0 THEN 53
          |                   ELSE 53 - length(bin(w)) END) AS mr
@@ -2226,14 +2226,14 @@ object EventQueries {
          |      FROM reg GROUP BY grp),
          |hl AS (SELECT grp, 256 - n_regs_hit AS v_zero,
          |         CAST(CAST(${graft.operators.Sketches.hllAlphaNum(8)} AS HUGEINT) * 4611686018427387904
-         |           // (2570790 * (s_hit +
+         |           // (${Sketches.hllAlphaDen(8)} * (s_hit +
          |                (256 - n_regs_hit)::HUGEINT * 4611686018427387904))
          |           AS BIGINT) AS est_hll
          |       FROM g)
          |SELECT kv.grp, n_heads, est_kmv, v_zero, est_hll,
-         |  CASE WHEN est_hll <= 640 AND v_zero > 0 THEN 'kmv' ELSE 'hll' END
+         |  CASE WHEN est_hll <= ${Sketches.hllRouteFloor(8)} AND v_zero > 0 THEN 'kmv' ELSE 'hll' END
          |    AS route,
-         |  CASE WHEN est_hll <= 640 AND v_zero > 0 THEN est_kmv ELSE est_hll END
+         |  CASE WHEN est_hll <= ${Sketches.hllRouteFloor(8)} AND v_zero > 0 THEN est_kmv ELSE est_hll END
          |    AS est_distinct
          |FROM kv JOIN hl USING (grp) ORDER BY kv.grp""".stripMargin,
 
@@ -2248,8 +2248,8 @@ object EventQueries {
          |                        strftime(ts, '%Y-%m-%d')), 1, 15) AS hx
          |           FROM events),
          |v AS (SELECT event_type, ${Md5Key.hex15ToLong("hx")} AS hv FROM k),
-         |b AS (SELECT event_type, hv // 4503599627370496 AS j,
-         |             hv % 4503599627370496 AS w FROM v),
+         |b AS (SELECT event_type, hv // ${Sketches.hllRegisterSplit(8)} AS j,
+         |             hv % ${Sketches.hllRegisterSplit(8)} AS w FROM v),
          |reg AS (SELECT event_type, j,
          |          max(CASE WHEN w = 0 THEN 53
          |                   ELSE 53 - length(bin(w)) END) AS mr
@@ -2262,7 +2262,7 @@ object EventQueries {
          |SELECT event_type, n_regs_hit,
          |  256 - n_regs_hit AS v_zero, max_rank,
          |  CAST(CAST(${Sketches.hllAlphaNum(8)} AS HUGEINT) * 4611686018427387904
-         |    // (2570790 * (s_hit +
+         |    // (${Sketches.hllAlphaDen(8)} * (s_hit +
          |         (256 - n_regs_hit)::HUGEINT * 4611686018427387904))
          |    AS BIGINT) AS est_distinct
          |FROM g ORDER BY event_type""".stripMargin,
@@ -2527,8 +2527,8 @@ object EventQueries {
          |                // greatest(min(CASE WHEN rn = 64 THEN hv END), 1) AS BIGINT)
          |         END AS est_kmv
          |       FROM rw GROUP BY day, nd),
-         |b AS (SELECT day, hv // 4503599627370496 AS j,
-         |             hv % 4503599627370496 AS w FROM h),
+         |b AS (SELECT day, hv // ${Sketches.hllRegisterSplit(8)} AS j,
+         |             hv % ${Sketches.hllRegisterSplit(8)} AS w FROM h),
          |reg AS (SELECT day, j,
          |          max(CASE WHEN w = 0 THEN 53
          |                   ELSE 53 - length(bin(w)) END) AS mr
@@ -2539,25 +2539,25 @@ object EventQueries {
          |hd AS (SELECT day,
          |         CAST(256 - count(*) AS BIGINT) AS v_zero,
          |         CAST(CAST(${Sketches.hllAlphaNum(8)} AS HUGEINT) * 4611686018427387904
-         |           // (2570790 * (sum(((1::BIGINT << (62 - mr)))::HUGEINT) +
+         |           // (${Sketches.hllAlphaDen(8)} * (sum(((1::BIGINT << (62 - mr)))::HUGEINT) +
          |                (256 - count(*))::HUGEINT * 4611686018427387904))
          |           AS BIGINT) AS est_hll
          |       FROM reg GROUP BY day),
          |hw AS (SELECT day,
          |         CAST(256 - count(*) AS BIGINT) AS v_zero,
          |         CAST(CAST(${Sketches.hllAlphaNum(8)} AS HUGEINT) * 4611686018427387904
-         |           // (2570790 * (sum(((1::BIGINT << (62 - mr)))::HUGEINT) +
+         |           // (${Sketches.hllAlphaDen(8)} * (sum(((1::BIGINT << (62 - mr)))::HUGEINT) +
          |                (256 - count(*))::HUGEINT * 4611686018427387904))
          |           AS BIGINT) AS est_hll
          |       FROM wreg GROUP BY day)
          |SELECT CAST(dk.day AS BIGINT) AS day_int,
-         |  CASE WHEN hd.est_hll <= 640 AND hd.v_zero > 0
+         |  CASE WHEN hd.est_hll <= ${Sketches.hllRouteFloor(8)} AND hd.v_zero > 0
          |       THEN dk.est_kmv ELSE hd.est_hll END AS dau_est,
-         |  CASE WHEN hd.est_hll <= 640 AND hd.v_zero > 0
+         |  CASE WHEN hd.est_hll <= ${Sketches.hllRouteFloor(8)} AND hd.v_zero > 0
          |       THEN 'kmv' ELSE 'hll' END AS dau_route,
-         |  CASE WHEN hw.est_hll <= 640 AND hw.v_zero > 0
+         |  CASE WHEN hw.est_hll <= ${Sketches.hllRouteFloor(8)} AND hw.v_zero > 0
          |       THEN wk.est_kmv ELSE hw.est_hll END AS wau_est,
-         |  CASE WHEN hw.est_hll <= 640 AND hw.v_zero > 0
+         |  CASE WHEN hw.est_hll <= ${Sketches.hllRouteFloor(8)} AND hw.v_zero > 0
          |       THEN 'kmv' ELSE 'hll' END AS wau_route
          |FROM dk JOIN hd USING (day) JOIN wk USING (day) JOIN hw USING (day)""".stripMargin,
 
